@@ -1,0 +1,86 @@
+"""SparkSession factory + session tuning.
+
+The reference runs Spark 3.5 on a 2-node EMR cluster with zero tuning
+(``/root/reference/terraform/emr/emr.tf:13-41``); every knob here is chosen
+for the 100 TB north star instead:
+
+- AQE on (coalesce post-shuffle partitions, skew-join splitting) so one
+  static ``spark.sql.shuffle.partitions`` works across scale factors.
+- 128 MB file-split target: at 100 TB that is ~800k well-sized input tasks.
+- Broadcast threshold raised to 64 MB: every dimension table in this
+  engine's star schema (region/nation/supplier/part at warehouse scale,
+  taxi-zone lookups at 265 rows) must never shuffle-join.
+- Arrow enabled for the few Pandas-UDF extension operators.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  across driver environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs, also applied to externally-created sessions
+# (the verification driver hands us its own SparkSession).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver-generated events table stores TIMESTAMP(NANOS) which the
+    # Spark parquet reader rejects; read as raw nanos and convert (sources/).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Plain-parquet managed tables: make INSERT OVERWRITE of one partition
+    # the idempotent load primitive (see warehouse/load.py).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — builder path sets it instead
+    return spark
+
+
+def get_spark(
+    app_name: str = "nyc-taxi-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    local[N] for dev; on a real cluster, master comes from spark-submit and
+    everything here still applies (the confs are cluster-size independent —
+    AQE does the per-query sizing).
+    """
+    master = master or os.environ.get(
+        "SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]"
+    )
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", default_parallelism())
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,123 @@
+"""Idempotent monthly load — the whole reference DAG as one callable.
+
+Reference pipeline (SURVEY.md §3.1): Airflow branch-check → scrape URL →
+download → S3 multipart upload → EMR step (``data/emr/etl.py``: read parquet
+→ cast/rename 2 cols → project 13 → JDBC append to Redshift) → step sensor.
+
+Here it collapses to ``load_month(spark, path, year, month)``:
+
+  read (explicit schema) → cast+rename (≙ etl.py:21-26) → project 13
+  (≙ etl.py:28-43) → INSERT OVERWRITE the (year, month) partition
+  → record in ingest_log.
+
+Two deliberate upgrades over the reference:
+- **INSERT OVERWRITE one partition** (dynamic partitionOverwriteMode)
+  instead of blind append (etl.py:53-55): re-running a month replaces it
+  rather than double-inserting — the reference's idempotency hole (its
+  guard is only file-level, save_nyc_data_to_s3.py:58-78).
+- **ingest_log anti-join** for backfill (≙ populate_s3.py:70-82): the
+  reference HEAD-checks S3 once per file; at 100 TB / thousands of files
+  that is O(n) API calls, here it's one metadata-sized join.
+
+The pipeline is narrow (scan → project → write, zero shuffles); at scale
+the only knob that matters is input split size, handled in session.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import FHVHV_WAREHOUSE_SCHEMA, SOURCE_RENAMES
+from .catalog import FACT_TABLE, INGEST_LOG
+
+
+@dataclass(frozen=True)
+class LoadResult:
+    year: int
+    month: int
+    rows: int
+    skipped: bool
+
+
+def transform_raw(df: DataFrame) -> DataFrame:
+    """Cast/rename + 13-column projection (≙ data/emr/etl.py:21-43).
+
+    The raw TLC file is wider than the warehouse schema; projection is a
+    modeling decision (SURVEY.md §1.2) and also lets Catalyst prune the
+    parquet scan to exactly the referenced columns.
+    """
+    for src, dst in SOURCE_RENAMES.items():
+        df = df.withColumn(dst, F.col(src).cast("integer"))
+    return df.select(*[f.name for f in FHVHV_WAREHOUSE_SCHEMA.fields])
+
+
+def load_month(
+    spark: SparkSession,
+    path: str,
+    year: int,
+    month: int,
+    force: bool = False,
+) -> LoadResult:
+    """Load one monthly file into the partitioned fact table, idempotently."""
+    if not force and _already_loaded(spark, year, month):
+        return LoadResult(year, month, rows=0, skipped=True)
+
+    raw = spark.read.parquet(path)
+    out = transform_raw(raw).withColumns(
+        {"year": F.lit(year).cast("int"), "month": F.lit(month).cast("int")}
+    )
+    # Dynamic partition overwrite: only the (year, month) partition in this
+    # DataFrame is replaced; all other months are untouched.
+    out.write.mode("overwrite").insertInto(FACT_TABLE)
+    rows = spark.table(FACT_TABLE).where(
+        (F.col("year") == year) & (F.col("month") == month)
+    ).count()
+    _record(spark, path, year, month, rows)
+    return LoadResult(year, month, rows=rows, skipped=False)
+
+
+def backfill(
+    spark: SparkSession, manifest: list[tuple[str, int, int]]
+) -> list[LoadResult]:
+    """Load every not-yet-ingested (path, year, month) from a manifest.
+
+    ≙ populate_s3.py main loop, but the "already ingested?" check is one
+    anti-join against ingest_log instead of a HEAD call per file.
+    """
+    if not manifest:
+        return []
+    mdf = spark.createDataFrame(manifest, "source_path string, year int, month int")
+    todo = (
+        mdf.join(
+            spark.table(INGEST_LOG).select("year", "month"),
+            on=["year", "month"],
+            how="left_anti",
+        )
+        .orderBy("year", "month")
+        .collect()  # manifest is metadata-sized (one row per month-file)
+    )
+    return [load_month(spark, r.source_path, r.year, r.month) for r in todo]
+
+
+def _already_loaded(spark: SparkSession, year: int, month: int) -> bool:
+    return bool(
+        spark.table(INGEST_LOG)
+        .where((F.col("year") == year) & (F.col("month") == month))
+        .limit(1)
+        .take(1)
+    )
+
+
+def _record(spark: SparkSession, path: str, year: int, month: int, rows: int) -> None:
+    row = [(path, year, month, rows)]
+    (
+        spark.createDataFrame(
+            row, "source_path string, year int, month int, row_count long"
+        )
+        .withColumn("loaded_at", F.current_timestamp())
+        .write.mode("append")
+        .insertInto(INGEST_LOG)
+    )

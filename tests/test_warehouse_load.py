@@ -1,0 +1,129 @@
+"""Parity tests for the monthly load pipeline (FIXTURES.md §A).
+
+Builds a synthetic raw FHVHV file — 13 consumed columns with source names
+(PULocationID/DOLocationID as int64) plus decoy columns the projection must
+drop — then exercises load_month/backfill semantics: schema parity,
+idempotent re-run (no double insert), partition overwrite, ingest-log
+anti-join.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.schema import FHVHV_WAREHOUSE_SCHEMA
+from nyc_taxi_data_warehouse_spark.sources.discovery import discover_local
+from nyc_taxi_data_warehouse_spark.warehouse import (
+    backfill,
+    init_warehouse,
+    load_month,
+)
+
+
+def _make_raw_month(spark, path, year, month, n=200, seed=0):
+    """Synthetic raw TLC-shaped file: consumed cols + decoys to drop."""
+    base = dt.datetime(year, month, 1)
+    rows = []
+    for i in range(n):
+        t = base + dt.timedelta(minutes=7 * i + seed)
+        rows.append(
+            (
+                "HV0003" if i % 3 else "HV0005",
+                f"B0{3404 + (i % 5)}",
+                t,
+                None if i % 11 == 0 else t + dt.timedelta(minutes=2),
+                t + dt.timedelta(minutes=5),
+                t + dt.timedelta(minutes=25),
+                (i * 37) % 265 + 1,
+                (i * 91) % 265 + 1,
+                round(0.5 + i * 0.01, 2),
+                2.75 if i % 2 else 0.0,
+                1.25 if i % 7 == 0 else 0.0,
+                round(i % 9 * 1.1, 2),
+                round(10 + i * 0.37, 2),
+                # decoys the projection must drop (real files are wider)
+                float(i % 13),
+                int(1200 + i),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "hvfhs_license_num string, dispatching_base_num string,"
+        " request_datetime timestamp, on_scene_datetime timestamp,"
+        " pickup_datetime timestamp, dropoff_datetime timestamp,"
+        " PULocationID long, DOLocationID long, sales_tax double,"
+        " congestion_surcharge double, airport_fee double, tips double,"
+        " driver_pay double, trip_miles double, trip_time long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return n
+
+
+@pytest.fixture(scope="module")
+def raw_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("raw_fhvhv"))
+    for year, month, n in [(2025, 1, 200), (2025, 2, 150)]:
+        _make_raw_month(
+            spark,
+            os.path.join(root, str(year), f"fhvhv_tripdata_{year}-{month:02d}.parquet"),
+            year,
+            month,
+            n=n,
+        )
+    return root
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    init_warehouse(spark, database="test_wh")
+    return spark
+
+
+def test_load_month_schema_and_rows(warehouse, raw_root):
+    spark = warehouse
+    path = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    res = load_month(spark, path, 2025, 1)
+    assert not res.skipped and res.rows == 200
+    fact = spark.table("fhvhv_tripdata")
+    data_cols = [f for f in fact.schema.fields if f.name not in ("year", "month")]
+    assert [(f.name, f.dataType) for f in data_cols] == [
+        (f.name, f.dataType) for f in FHVHV_WAREHOUSE_SCHEMA.fields
+    ]
+    # nulls flow through (on_scene_datetime nullable for inaccessible trips)
+    assert fact.where(F.col("on_scene_datetime").isNull()).count() > 0
+
+
+def test_load_month_idempotent(warehouse, raw_root):
+    spark = warehouse
+    path = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    before = spark.table("fhvhv_tripdata").where("year=2025 AND month=1").count()
+    res = load_month(spark, path, 2025, 1)  # re-run → skip via ingest_log
+    assert res.skipped
+    res = load_month(spark, path, 2025, 1, force=True)  # forced → overwrite
+    assert not res.skipped and res.rows == before
+    after = spark.table("fhvhv_tripdata").where("year=2025 AND month=1").count()
+    assert after == before  # partition overwrite, never double-insert
+
+
+def test_backfill_anti_join(warehouse, raw_root):
+    spark = warehouse
+    manifest = discover_local(raw_root)
+    assert [(y, m) for _, y, m in manifest] == [(2025, 1), (2025, 2)]
+    results = backfill(spark, manifest)
+    # 2025-01 already ingested → anti-join leaves only 2025-02
+    assert [(r.year, r.month, r.skipped) for r in results] == [(2025, 2, False)]
+    assert spark.table("fhvhv_tripdata").where("year=2025 AND month=2").count() == 150
+    # whole-table totals: both months, exactly once
+    assert spark.table("fhvhv_tripdata").count() == 350
+
+
+def test_partition_pruning(warehouse):
+    spark = warehouse
+    q = spark.table("fhvhv_tripdata").where("year=2025 AND month=2")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the month filter must be partition pruning, not a row filter
+    assert "PartitionFilters" in plan or "partition" in plan.lower()
