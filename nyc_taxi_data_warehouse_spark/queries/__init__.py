@@ -1,0 +1,8 @@
+from .registry import QUERIES, Query, get_queries, get_oracles  # noqa: F401
+
+# Importing the modules populates the registry.
+from . import relational  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401

@@ -1,0 +1,901 @@
+"""Core relational query surface: scans, filters, joins (broadcast / semi /
+anti), hash aggregation, rollup/cube/grouping-sets, windows, set ops,
+subqueries, scalar functions, approximate aggregates, top-k.
+
+The reference delegates ALL of this to Redshift's ad-hoc SQL console
+(``/root/reference/README.md:77`` — no queries are checked in); this module
+is that capability made first-class and continuously verified. Shapes
+follow the classic star-schema analytics patterns (TPC-H-like) over the
+driver's synthetic tables.
+
+Scale notes (100 TB):
+- Dimension joins (region/nation/supplier/part) are explicitly
+  ``F.broadcast`` — they must never shuffle the fact side.
+- Aggregations rely on Catalyst partial aggregation (map-side combine);
+  nothing here collects to the driver.
+- Top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows, not a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table, register_testdata
+from .registry import register
+
+
+def _dec(col, scale: int = 2):
+    """Exact-decimal view of a double for order-insensitive sums."""
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+
+
+def _avg4(sum_col, cnt_col):
+    """round(sum/cnt, 4) with the division done in double — deterministic
+    given an exact decimal sum; identical formula on the oracle side."""
+    return F.round(sum_col.cast("double") / cnt_col, 4)
+
+
+# ---------------------------------------------------------------------------
+# q01 — full-scan hash aggregation (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2)))                             AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2)))                        AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))     AS sum_disc_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)      AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "scan", "filter"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,6)")).alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).alias("sum_charge"),
+            _avg4(F.sum(_dec("l_quantity")), F.count("*")).alias("avg_qty"),
+            _avg4(F.sum(_dec("l_extendedprice")), F.count("*")).alias("avg_price"),
+            _avg4(F.sum(_dec("l_discount", 4)), F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — join + agg + deterministic top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q02_top_customers",
+    oracle="""
+SELECT c_custkey, c_name,
+       count(*) AS order_cnt,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+    tags=("join", "agg", "topk"),
+)
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(_dec("o_totalprice")).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — 3-way join, filter both sides, top-k by aggregate (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("join", "agg", "topk", "filter"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — semi-join with non-equi condition (EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "q04_order_priority_check",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("join", "semi", "agg"),
+)
+def q04_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — 6-table star join with broadcast dimensions (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("join", "broadcast", "agg"),
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — selective scan, single-row aggregate (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q06_revenue_forecast",
+    oracle="""
+SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 25
+""",
+    tags=("scan", "filter", "agg"),
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — broadcast dimension join + agg
+# ---------------------------------------------------------------------------
+@register(
+    "q07_brand_volume",
+    oracle="""
+SELECT p_brand,
+       count(*) AS n_items,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    tags=("join", "broadcast", "agg"),
+)
+def q07_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — left-semi join (IN subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "q08_nations_with_big_spenders",
+    oracle="""
+SELECT n_name, count(*) AS n_customers
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400.0)
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("join", "semi", "agg"),
+)
+def q08_nations_with_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400.0)
+    return (
+        c.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — left-anti join (NOT EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "q09_customers_without_orders",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("join", "anti", "agg"),
+)
+def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — ranking window (top-N per group)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+    tags=("window", "rank"),
+)
+def q10_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").alias("totalprice"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — cumulative window frame (running total)
+# ---------------------------------------------------------------------------
+@register(
+    "q11_running_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+FROM orders
+WHERE o_custkey < 200
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    tags=("window", "frame"),
+)
+def q11_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(_dec("o_totalprice")).over(w).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — lag/lead analytics
+# ---------------------------------------------------------------------------
+@register(
+    "q12_order_gaps",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       datediff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS days_since_prev
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    tags=("window", "analytic"),
+)
+def q12_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — ROLLUP
+# ---------------------------------------------------------------------------
+@register(
+    "q13_rollup_returns",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    tags=("agg", "rollup"),
+)
+def q13_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — CUBE
+# ---------------------------------------------------------------------------
+@register(
+    "q14_cube_orders",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY orderstatus, orderpriority
+""",
+    tags=("agg", "cube"),
+)
+def q14_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "revenue",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — GROUPING SETS (via SQL surface)
+# ---------------------------------------------------------------------------
+@register(
+    "q15_grouping_sets",
+    oracle="""
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       CAST(coalesce(c_nationkey, -1) AS INT) AS nationkey,
+       count(*) AS n_customers,
+       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_balance
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+ORDER BY segment, nationkey
+""",
+    tags=("agg", "grouping_sets", "sql"),
+)
+def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       CAST(coalesce(c_nationkey, -1) AS INT) AS nationkey,
+       count(*) AS n_customers,
+       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_balance
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+ORDER BY segment, nationkey
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — set operations: INTERSECT / EXCEPT / UNION ALL
+# ---------------------------------------------------------------------------
+@register(
+    "q16_nation_set_ops",
+    oracle="""
+WITH cust_n AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+     supp_n AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+SELECT 'both' AS tag, k FROM (SELECT k FROM cust_n INTERSECT SELECT k FROM supp_n) a
+UNION ALL
+SELECT 'cust_only' AS tag, k FROM (SELECT k FROM cust_n EXCEPT SELECT k FROM supp_n) b
+UNION ALL
+SELECT 'supp_only' AS tag, k FROM (SELECT k FROM supp_n EXCEPT SELECT k FROM cust_n) c
+ORDER BY tag, k
+""",
+    tags=("setops",),
+)
+def q16_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    both = cust.intersect(supp).select(F.lit("both").alias("tag"), "k")
+    cust_only = cust.exceptAll(supp).select(F.lit("cust_only").alias("tag"), "k")
+    supp_only = supp.exceptAll(cust).select(F.lit("supp_only").alias("tag"), "k")
+    return both.unionByName(cust_only).unionByName(supp_only).orderBy("tag", "k")
+
+
+# ---------------------------------------------------------------------------
+# q17 — scalar function gallery (string/math/conditional)
+# ---------------------------------------------------------------------------
+@register(
+    "q17_scalar_gallery",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                        AS uname,
+       substr(p_name, 1, 4)                 AS pfx,
+       length(p_name)                       AS name_len,
+       concat(p_brand, ':', p_type)         AS brand_type,
+       round(p_retailprice * 1.1, 2)        AS bumped_price,
+       mod(p_partkey, 7)                    AS key_mod,
+       abs(p_size - 25)                     AS size_dist,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END                AS size_bucket
+FROM part
+ORDER BY p_partkey
+""",
+    tags=("scalar", "string", "math"),
+)
+def q17_scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.substring("p_name", 1, 4).alias("pfx"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped_price"),
+            (F.col("p_partkey") % 7).alias("key_mod"),
+            F.abs(F.col("p_size") - 25).alias("size_dist"),
+            F.when(F.col("p_size") < 10, "small")
+            .when(F.col("p_size") < 30, "medium")
+            .otherwise("large")
+            .alias("size_bucket"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — date/time function gallery (via SQL surface)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_date_gallery",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)                       AS yr,
+       month(o_orderdate)                      AS mo,
+       day(o_orderdate)                        AS dom,
+       quarter(o_orderdate)                    AS qtr,
+       strftime(o_orderdate, '%Y-%m')          AS ym,
+       date_trunc('month', o_orderdate)        AS month_start,
+       o_orderdate + INTERVAL 30 DAY           AS due_date,
+       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+    tags=("scalar", "date", "sql"),
+)
+def q18_date_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+SELECT o_orderkey,
+       year(o_orderdate)                       AS yr,
+       month(o_orderdate)                      AS mo,
+       day(o_orderdate)                        AS dom,
+       quarter(o_orderdate)                    AS qtr,
+       date_format(o_orderdate, 'yyyy-MM')     AS ym,
+       date_trunc('month', o_orderdate)        AS month_start,
+       o_orderdate + INTERVAL 30 DAYS          AS due_date,
+       datediff(o_orderdate, TIMESTAMP_NTZ '1995-01-01 00:00:00') AS days_since_epoch_start
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — JSON extraction
+# ---------------------------------------------------------------------------
+@register(
+    "q19_json_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("json", "agg"),
+)
+def q19_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — tumbling time window aggregation (batch form of the streaming op)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_hourly_events",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+""",
+    tags=("window_time", "agg", "streaming_batch"),
+)
+def q20_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — sessionization (gap > 30 min) via window functions
+# ---------------------------------------------------------------------------
+@register(
+    "q21_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    tags=("window", "sessionization"),
+)
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(prev_ts.isNull(), 0).when(
+        F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES"), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            # epoch-µs difference: tz-shift-invariant and unambiguous
+            # (duckdb datediff('second') counts boundary crossings instead)
+            F.expr(
+                "unix_micros(cast(max(ts) as timestamp))"
+                " - unix_micros(cast(min(ts) as timestamp))"
+            ).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — exact percentiles (+ approximate sanity bound)
+# ---------------------------------------------------------------------------
+@register(
+    "q22_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("agg", "percentile"),
+)
+def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — distinct counting, exact + approx-within-tolerance assertion
+# ---------------------------------------------------------------------------
+@register(
+    "q23_distinct_counts",
+    oracle="""
+SELECT count(DISTINCT o_custkey)  AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       1 AS approx_custkey_ok
+FROM orders
+""",
+    tags=("agg", "distinct", "approx"),
+    doc="approx_count_distinct is asserted to land within 5% of the exact "
+    "count (HLL sketches are engine-specific, so the oracle checks the "
+    "tolerance flag, not the sketch value).",
+)
+def q23_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("o_custkey", rsd=0.01)
+                    - F.count_distinct("o_custkey")
+                )
+                <= 0.05 * F.count_distinct("o_custkey")
+            ).cast("int")
+        ).alias("approx_custkey_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — correlated scalar subquery (decorrelated by Catalyst)
+# ---------------------------------------------------------------------------
+@register(
+    "q24_above_type_average",
+    oracle="""
+SELECT p_type, count(*) AS n_above
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_type = p.p_type)
+GROUP BY p_type
+ORDER BY p_type
+""",
+    tags=("subquery", "agg", "sql"),
+)
+def q24_above_type_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir, ["part"])
+    return spark.sql(
+        """
+SELECT p_type, count(*) AS n_above
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_type = p.p_type)
+GROUP BY p_type
+ORDER BY p_type
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — HAVING over aggregates (max vs mean ratio)
+# ---------------------------------------------------------------------------
+@register(
+    "q25_spiky_customers",
+    oracle="""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)), 4) AS spike_ratio
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 5
+   AND CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       > 2.0 * (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+ORDER BY o_custkey
+""",
+    tags=("agg", "having"),
+)
+def q25_spiky_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mx = F.max(_dec("o_totalprice")).cast("double")
+    mean = F.sum(_dec("o_totalprice")).cast("double") / F.count("*")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(mx / mean, 4).alias("spike_ratio"),
+            (mx > 2.0 * mean).alias("_spiky"),
+        )
+        .where((F.col("n_orders") >= 5) & F.col("_spiky"))
+        .drop("_spiky")
+        .orderBy("o_custkey")
+    )
