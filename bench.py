@@ -1,0 +1,76 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() action drains the full
+plan) after a warm-up pass of the session. Wall clock per query, plus the
+end-to-end total as the headline value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nyc_taxi_data_warehouse_spark.queries import QUERIES  # noqa: E402
+from nyc_taxi_data_warehouse_spark.session import get_spark  # noqa: E402
+
+# Headline set: the heavy/representative queries (joins, aggs, windows,
+# text, dedup, similarity). Cheap point-lookups are excluded — they
+# measure session overhead, not the engine.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q07_brand_volume",
+    "q10_top_orders_per_customer",
+    "q13_rollup_returns",
+    "q20_hourly_events",
+    "q21_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM/codegen path so per-query numbers measure the plan,
+    # not first-call classloading.
+    QUERIES["q06_revenue_forecast"].spark(spark, sf_dir).count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in QUERIES]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name].spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,10 +45,10 @@ def _avg4(sum_col, cnt_col):
     "q01_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2)))                             AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)))                        AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))     AS sum_disc_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)             AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)        AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)      AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
        round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)      AS avg_disc,
@@ -68,10 +68,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(18,6)")).alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(18,6)")).alias("sum_charge"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
             _avg4(F.sum(_dec("l_quantity")), F.count("*")).alias("avg_qty"),
             _avg4(F.sum(_dec("l_extendedprice")), F.count("*")).alias("avg_price"),
             _avg4(F.sum(_dec("l_discount", 4)), F.count("*")).alias("avg_disc"),
@@ -89,7 +89,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name,
        count(*) AS order_cnt,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
@@ -105,7 +105,7 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.sum(_dec("o_totalprice")).alias("revenue"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
@@ -119,7 +119,7 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,7 +142,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias("revenue")
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -192,7 +192,7 @@ def q04_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_local_supplier_volume",
     oracle="""
 SELECT n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -229,7 +229,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias("revenue")
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -241,7 +241,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_revenue_forecast",
     oracle="""
-SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -259,7 +259,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 25)
     ).agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")).alias("revenue"),
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")).cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -272,8 +272,8 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_brand,
        count(*) AS n_items,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand
@@ -288,8 +288,8 @@ def q07_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias("revenue"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double").alias("revenue"),
         )
         .orderBy("p_brand")
     )
@@ -354,7 +354,7 @@ def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_top_orders_per_customer",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+       o_totalprice AS totalprice, rn
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -375,7 +375,7 @@ def q10_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            _dec("o_totalprice").alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
             "rn",
         )
         .orderBy("o_custkey", "rn")
@@ -389,9 +389,9 @@ def q10_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_running_revenue",
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
 WHERE o_custkey < 200
 ORDER BY o_custkey, o_orderdate, o_orderkey
@@ -410,7 +410,7 @@ def q11_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.sum(_dec("o_totalprice")).over(w).alias("running_total"),
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
@@ -456,7 +456,7 @@ def q12_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -468,7 +468,7 @@ def q13_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"), F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -488,7 +488,7 @@ def q13_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
        coalesce(o_orderpriority, 'ALL') AS orderpriority,
        count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY orderstatus, orderpriority
@@ -501,7 +501,7 @@ def q14_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("o_totalprice")).alias("revenue"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
@@ -522,7 +522,7 @@ def q14_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(c_mktsegment, 'ALL') AS segment,
        CAST(coalesce(c_nationkey, -1) AS INT) AS nationkey,
        count(*) AS n_customers,
-       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_balance
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
 FROM customer
 GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
 ORDER BY segment, nationkey
@@ -536,7 +536,7 @@ def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(c_mktsegment, 'ALL') AS segment,
        CAST(coalesce(c_nationkey, -1) AS INT) AS nationkey,
        count(*) AS n_customers,
-       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_balance
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
 FROM customer
 GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
 ORDER BY segment, nationkey
@@ -662,7 +662,7 @@ ORDER BY o_orderkey
     oracle="""
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -694,7 +694,7 @@ def q19_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', ts) AS hour_start,
        event_type,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY hour_start, event_type
@@ -707,7 +707,7 @@ def q20_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("value")).alias("total_value"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
@@ -734,8 +734,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts, event_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
