@@ -1,0 +1,144 @@
+"""Text-analysis expressions — all JVM-side ``pyspark.sql.functions``.
+
+Everything here is a Column builder over built-ins (no UDFs): the whole
+text pipeline stays inside whole-stage codegen, so it scales linearly with
+input bytes at 100 TB. Hash-based operators (fingerprints, MinHash) use
+``md5`` rather than Spark's ``xxhash64`` so a DuckDB oracle can reproduce
+the exact signatures cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword lang-ID
+# heuristic. Deterministic + cross-engine reproducible by construction.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu", "den"),
+}
+
+
+def normalize(col: Column) -> Column:
+    """lowercase, strip non-alphanumerics, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_estimate(col: Column) -> Column:
+    """Byte-pair-ish token-count estimate without a tokenizer model:
+    ceil(chars/4) bounded below by the word count — the standard
+    chars/4 heuristic, deterministic and portable."""
+    return F.greatest(
+        F.ceil(F.length(normalize(col)) / F.lit(4.0)).cast("bigint"),
+        token_count(col).cast("bigint"),
+    )
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(F.array_distinct(toks), arr))
+
+
+def stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    """Total (non-distinct) stopword occurrences."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def digit_ratio(col: Column) -> Column:
+    digits = F.length(F.regexp_replace(col, "[^0-9]", ""))
+    return F.round(digits / F.greatest(F.length(col), F.lit(1)), 4)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (Exact near-identity dedup key; MinHash covers fuzzier matches.)"""
+    return F.md5(normalize(col))
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles (array<string>); the unit set for MinHash/Jaccard."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
+    """n_hashes MinHash components: min over shingles of md5(seed|shingle).
+
+    Using string-min over md5 hex keeps the signature identical in any
+    engine with md5 — the cross-engine analogue of k independent hash
+    functions (each seed prefix re-randomizes the order).
+    """
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash of the token multiset as a BIGINT.
+
+    Bit k of each token comes from hex digit k//4 of md5(token)
+    (sub-bit k%4); the signature bit is the sign of the per-bit
+    majority vote. Pure integer arithmetic — identical in DuckDB.
+    """
+    hexmap = "0123456789abcdef"
+    bit_sums = []
+    for k in range(32):
+        digit_pos = k // 4 + 1
+        shift = 2 ** (k % 4)
+        # vote in {-1, +1} per token for bit k
+        vote = F.transform(
+            toks,
+            lambda t: (
+                F.floor(
+                    (F.instr(F.lit(hexmap), F.substring(F.md5(t), digit_pos, 1)) - 1)
+                    / F.lit(shift)
+                )
+                % 2
+            )
+            * 2
+            - 1,
+        )
+        bit_sums.append(
+            F.aggregate(vote, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        )
+    out = F.lit(0).cast("long")
+    for k, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2**k).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash32_duckdb_sql(tokens_expr: str) -> str:
+    """The DuckDB expression computing the identical SimHash value."""
+    terms = []
+    for k in range(32):
+        digit_pos = k // 4 + 1
+        shift = 2 ** (k % 4)
+        vote = (
+            f"list_transform({tokens_expr}, t -> "
+            f"(((strpos('0123456789abcdef', substr(md5(t), {digit_pos}, 1)) - 1)"
+            f" // {shift}) % 2) * 2 - 1)"
+        )
+        terms.append(
+            f"CASE WHEN list_sum({vote}) > 0 THEN CAST({2**k} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,32 @@
+"""Vector math over ``array<float>`` embedding columns — built-ins only.
+
+``F.zip_with`` + ``F.aggregate`` keep the arithmetic JVM-side (no Python
+per row). Floats are widened to double BEFORE any arithmetic so results
+are bit-comparable with engines that compute in double (DuckDB's
+list_dot_product), and so 64-dim accumulation error stays negligible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,7 @@
+from .binaryops import (  # noqa: F401
+    MEDIA_SCHEMA,
+    decode_media_batch,
+    extract_features,
+    fake_decode_meta,
+    synthesize_media,
+)

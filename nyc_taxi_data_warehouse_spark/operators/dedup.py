@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Absent from the reference (its only idempotency is file-level S3 HEAD
+checks, ``/root/reference/data/airflow/dags/save_nyc_data_to_s3.py:58-78``);
+these are the north-star extensions, built as compositions of built-in
+DataFrame ops so Catalyst plans them like any other query:
+
+- exact:       hash groupBy on the content key (deterministic keep-min).
+- fingerprint: md5 of normalized text → near-identity clusters.
+- MinHash+LSH: shingle → md5-min signature → band buckets → bucket-join
+               → exact Jaccard verify. The self-join only materializes
+               same-bucket pairs, never the O(n²) cross product.
+- SimHash:     32-bit majority-vote signature; pairs via prefix blocking
+               + XOR bit_count Hamming filter.
+
+Scale notes (100 TB): every pair-generating stage shuffles on a
+hash-derived key (band key / simhash prefix), which is uniformly
+distributed by construction except for degenerate content (e.g. empty
+docs collapsing to one bucket) — ``max_bucket_size`` drops those buckets,
+the standard LSH skew guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row per key — the one with the smallest id.
+
+    groupBy+min instead of dropDuplicates: dropDuplicates keeps an
+    arbitrary (partition-order-dependent) row; this is deterministic.
+    """
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+
+
+def fingerprint_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-identity clusters: md5(normalized text) with member counts."""
+    return (
+        df.select(T.fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Attach mh0..mh{n-1} MinHash signature columns."""
+    toks = T.tokens(F.col(text_col))
+    shingles = F.array_distinct(T.word_shingles(toks, shingle_k))
+    return df.withColumn("_shingles", shingles).select(
+        "*", *T.minhash_signature(F.col("_shingles"), n_hashes)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold.
+
+    Pipeline: signature → band keys → explode(bands) → same-bucket
+    self-join → distinct candidate pairs → exact verify on shingle sets.
+    """
+    rows_per_band = n_hashes // bands
+    sig = with_minhash(df, text_col, n_hashes, shingle_k).select(
+        F.col(id_col).alias("_id"),
+        F.col("_shingles"),
+        *[F.col(f"mh{i}") for i in range(n_hashes)],
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    sig = sig.select("_id", "_shingles", *band_cols)
+
+    buckets = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band_idx", "bk.key")
+
+    if max_bucket_size is not None:
+        # LSH skew guard: degenerate buckets (empty/boilerplate docs)
+        # would otherwise produce a quadratic pair blow-up on one key.
+        sizes = buckets.groupBy("band_idx", "key").agg(F.count("*").alias("_n"))
+        buckets = (
+            buckets.join(
+                F.broadcast(sizes.where(F.col("_n") > max_bucket_size)),
+                ["band_idx", "key"],
+                "left_anti",
+            )
+        )
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = sig.select("_id", "_shingles")
+    verified = (
+        cand.join(sh.withColumnsRenamed({"_id": "id_a", "_shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "_shingles": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def with_simhash(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn("simhash", T.simhash32(T.tokens(F.col(text_col))))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Pairs within Hamming distance via prefix blocking + XOR popcount.
+
+    Blocking on the low ``prefix_bits`` bits bounds the join fan-out
+    (docs differing inside the prefix are missed — the standard
+    recall/cost trade; run b rotations for full recall).
+    """
+    sig = with_simhash(df, text_col).select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        (F.col("simhash") % (2**prefix_bits)).alias("_block"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the standard ANN playbook:
+- ``cosine_topk`` — brute force: broadcast the (small) query set against
+  the full corpus, rank with a per-query window. Exact; O(|Q|·N) dot
+  products, all JVM-side. The right baseline, and the right answer
+  whenever |Q| is small.
+- ``lsh_buckets`` / ``ann_topk`` — random-hyperplane LSH: b sign-bits →
+  2^b buckets; candidates only within the query's bucket. The scale
+  path: the corpus-side work becomes a hash-partitioned equi-join on
+  bucket id instead of a full scan per query. Hyperplanes are derived
+  from md5 bytes, so any engine can reproduce the bucketing exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vector as V
+
+
+def hyperplanes(n_planes: int, dim: int, seed: str = "hp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5]^dim.
+
+    Component (p, d) = md5(f"{seed}|{p}|{d}") first byte scaled — no RNG
+    state, bit-identical in any language (the DuckDB oracle re-derives
+    the same matrix).
+    """
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            row.append(int(h[:2], 16) / 255.0 - 0.5)
+        out.append(row)
+    return out
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit p = (dot(vec, plane_p) > 0)."""
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in row])
+        bit = (V.dot(vec, plane) > 0).cast("long")
+        bucket = bucket + bit * F.lit(2**p).cast("long")
+    return bucket
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: qid, cid, sim (round 6), rn — deterministic tie-break on cid.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv")
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "sim", "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Majority label among the k nearest neighbors (ties → smaller label)."""
+    nn = cosine_topk(queries, corpus, id_col, vec_col, k)
+    labeled = nn.join(
+        corpus.select(F.col(id_col).alias("cid"), F.col(label_col).alias("nlabel")),
+        "cid",
+    )
+    votes = labeled.groupBy("qid", "nlabel").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), "nlabel")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("nlabel").alias("predicted_label"), "votes")
+        .orderBy("qid")
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    planes = hyperplanes(n_planes, dim)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _bucket_expr(V.as_double(F.col(vec_col)), planes).alias("bucket"),
+    )
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact ranking within the query's LSH bucket.
+
+    Output keeps bucket + candidate count so recall/latency trade-offs
+    are observable. At scale the corpus side is partitioned by bucket —
+    the per-query probe is one partition, not a scan.
+    """
+    qb = lsh_buckets(queries, id_col, vec_col, n_planes, dim).select(
+        F.col(id_col).alias("qid"),
+        V.as_double(F.col(vec_col)).alias("qv"),
+        "bucket",
+    )
+    cb = lsh_buckets(corpus, id_col, vec_col, n_planes, dim).select(
+        F.col(id_col).alias("cid"),
+        V.as_double(F.col(vec_col)).alias("cv"),
+        "bucket",
+    )
+    cand = F.broadcast(qb).join(cb, on="bucket").where(F.col("qid") != F.col("cid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    ranked = (
+        cand.withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("n_candidates", F.count("*").over(Window.partitionBy("qid")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "bucket", "n_candidates", "cid", "sim", "rn")
+        .orderBy("qid", "rn")
+    )
+    return ranked

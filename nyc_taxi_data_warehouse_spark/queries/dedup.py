@@ -1,1 +1,212 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup queries: exact, fingerprint, MinHash+LSH near-dup pairs, SimHash
+signatures, n-gram Jaccard. Backed by operators/dedup.py; each paired
+with a DuckDB oracle that re-derives the identical md5-based signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..sources import load_table
+from .registry import register
+from .text import _NORM_SQL, _TOKS_SQL
+
+# Shared LSH shape: 8 hashes, 4 bands × 2 rows, 3-word shingles.
+N_HASHES, BANDS, SHINGLE_K = 8, 4, 3
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - {SHINGLE_K - 1}, 1)),
+             i -> array_to_string(tk[i:i+{SHINGLE_K - 1}], ' '))) AS sh
+  FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents) t
+"""
+
+_MH_COLS_SQL = ",\n         ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+    for i in range(N_HASHES)
+)
+
+_BAND_COLS_SQL = ",\n         ".join(
+    "md5(mh{a} || '|' || mh{b}) AS band{idx}".format(a=2 * b, b=2 * b + 1, idx=b)
+    for b in range(BANDS)
+)
+
+
+# ---------------------------------------------------------------------------
+# d01 — exact dedup stats (hash groupBy on content)
+# ---------------------------------------------------------------------------
+@register(
+    "d01_exact_dedup_stats",
+    oracle="""
+SELECT count(*) AS total_docs,
+       count(DISTINCT text) AS unique_texts,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dup_rows
+FROM documents
+""",
+    tags=("dedup", "exact"),
+)
+def d01_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("total_docs"),
+        F.count_distinct("text").alias("unique_texts"),
+        (F.count("*") - F.count_distinct("text")).cast("long").alias("dup_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d02 — deterministic keep-one dedup (groupBy + keep-min, not dropDuplicates)
+# ---------------------------------------------------------------------------
+@register(
+    "d02_exact_dedup_keep_min",
+    oracle="""
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(keep_id) AS BIGINT) AS sum_kept_ids
+FROM (
+  SELECT lang, min(doc_id) AS keep_id
+  FROM documents
+  GROUP BY lang, text
+) t
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("dedup", "exact"),
+    doc="Dedup on (lang, text) keeping the smallest doc_id — the "
+    "deterministic alternative to dropDuplicates, aggregated per lang "
+    "so the kept-row identity (sum of ids) is value-checked.",
+)
+def d02_exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = D.exact_dedup(d, ["lang", "text"], "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("sum_kept_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d03 — MinHash + LSH near-duplicate pairs with exact Jaccard verify
+# ---------------------------------------------------------------------------
+@register(
+    "d03_minhash_lsh_pairs",
+    oracle=f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, sh,
+         {_MH_COLS_SQL}
+  FROM shingled
+),
+banded AS (
+  SELECT doc_id, sh,
+         {_BAND_COLS_SQL}
+  FROM sigs
+),
+buckets AS (
+  SELECT doc_id, 0 AS band_idx, band0 AS key FROM banded
+  UNION ALL SELECT doc_id, 1, band1 FROM banded
+  UNION ALL SELECT doc_id, 2, band2 FROM banded
+  UNION ALL SELECT doc_id, 3, band3 FROM banded
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand
+JOIN shingled sa ON sa.doc_id = id_a
+JOIN shingled sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.1
+ORDER BY id_a, id_b
+""",
+    tags=("dedup", "minhash", "lsh"),
+    doc="4 bands x 2 rows over 8 md5-MinHashes of distinct 3-word "
+    "shingles; same-bucket candidates verified with exact Jaccard.",
+)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        D.minhash_lsh_pairs(
+            d,
+            "text",
+            "doc_id",
+            n_hashes=N_HASHES,
+            bands=BANDS,
+            shingle_k=SHINGLE_K,
+            jaccard_threshold=0.1,
+        )
+        .withColumnsRenamed({"id_a": "id_a", "id_b": "id_b"})
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d04 — SimHash signatures (32-bit majority vote, portable arithmetic)
+# ---------------------------------------------------------------------------
+@register(
+    "d04_simhash_signatures",
+    oracle=f"""
+SELECT doc_id, {T.simhash32_duckdb_sql('tk')} AS simhash
+FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents) t
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+    tags=("dedup", "simhash"),
+)
+def d04_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (
+        d.select("doc_id", T.simhash32(T.tokens(F.col("text"))).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d05 — direct n-gram Jaccard similarity (bounded candidate set)
+# ---------------------------------------------------------------------------
+@register(
+    "d05_ngram_jaccard_topk",
+    oracle=f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+small AS (SELECT * FROM shingled WHERE doc_id < 150)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM small a JOIN small b ON a.doc_id < b.doc_id
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 20
+""",
+    tags=("dedup", "jaccard", "topk"),
+    doc="Exact pairwise n-gram Jaccard on a bounded id range — the "
+    "verification primitive; at scale candidates come from LSH (d03), "
+    "never a full cross join.",
+)
+def d05_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            T.word_shingles(T.tokens(F.col("text")), SHINGLE_K)
+        ).alias("sh"),
+    )
+    a = sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"})
+    b = sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"})
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+    )

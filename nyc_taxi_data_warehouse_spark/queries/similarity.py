@@ -1,1 +1,194 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over the ``embeddings`` table: brute-force
+cosine top-k (exact baseline), kNN classification, LSH-bucketed ANN
+(the scale path). Backed by operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources import load_table
+from .registry import register
+
+N_PLANES, DIM = 8, 64
+
+_COS_SQL = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+def _planes_sql() -> str:
+    """Inline the deterministic hyperplane matrix as DuckDB list literals."""
+    planes = S.hyperplanes(N_PLANES, DIM)
+    rows = ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+    return f"(VALUES {rows}) AS planes(p, pv)"
+
+
+_BUCKET_SQL = f"""
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST(sum(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) > 0
+                       THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings, {_planes_sql()}
+  GROUP BY vec_id, embedding
+"""
+
+
+# ---------------------------------------------------------------------------
+# e01 — brute-force cosine top-k (exact ANN baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "e01_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+     c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+     sims AS (
+       SELECT qid, cid, round({_COS_SQL}, 6) AS sim
+       FROM q JOIN c ON qid != cid
+     ),
+     ranked AS (
+       SELECT qid, cid, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       FROM sims
+     )
+SELECT qid, cid, sim, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn
+""",
+    tags=("similarity", "ann", "topk"),
+)
+def e01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb.where(F.col("vec_id") < 8), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# e02 — embedding statistics per label (exact decimal-summed norms)
+# ---------------------------------------------------------------------------
+@register(
+    "e02_embedding_stats",
+    oracle="""
+SELECT label,
+       count(*) AS n_vecs,
+       round(CAST(sum(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                           AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_norm,
+       CAST(min(len(embedding)) AS INT) AS dim_min,
+       CAST(max(len(embedding)) AS INT) AS dim_max
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+    tags=("similarity", "agg"),
+)
+def e02_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = V.norm(V.as_double(F.col("embedding")))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(nrm.cast("decimal(18,8)")).cast("double") / F.count("*"), 4
+            ).alias("avg_norm"),
+            F.min(F.size("embedding")).alias("dim_min"),
+            F.max(F.size("embedding")).alias("dim_max"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e03 — kNN majority-vote classification
+# ---------------------------------------------------------------------------
+@register(
+    "e03_knn_classify",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+     c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label FROM embeddings),
+     sims AS (
+       SELECT qid, cid, label, round({_COS_SQL}, 6) AS sim
+       FROM q JOIN c ON qid != cid
+     ),
+     nn AS (
+       SELECT qid, cid, label FROM (
+         SELECT qid, cid, label,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+         FROM sims
+       ) WHERE rn <= 5
+     ),
+     votes AS (
+       SELECT qid, label AS nlabel, count(*) AS votes FROM nn GROUP BY qid, label
+     )
+SELECT qid, nlabel AS predicted_label, votes FROM (
+  SELECT qid, nlabel, votes,
+         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS rn
+  FROM votes
+) WHERE rn = 1 ORDER BY qid
+""",
+    tags=("similarity", "knn"),
+)
+def e03_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_classify(emb.where(F.col("vec_id") < 20), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# e04 — random-hyperplane LSH bucketing (ANN scale path)
+# ---------------------------------------------------------------------------
+@register(
+    "e04_ann_lsh_buckets",
+    oracle=f"""
+WITH bucketed AS ({_BUCKET_SQL})
+SELECT bucket, count(*) AS n_vecs, CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("similarity", "ann", "lsh"),
+    doc="8 deterministic md5-derived hyperplanes -> 256 sign buckets; "
+    "the corpus-side pre-partitioning that turns ANN probes into "
+    "single-bucket equi-joins at scale.",
+)
+def e04_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.lsh_buckets(emb, n_planes=N_PLANES, dim=DIM)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e05 — ANN probe: top-1 neighbor within the query's LSH bucket
+# ---------------------------------------------------------------------------
+@register(
+    "e05_ann_topk_probe",
+    oracle=f"""
+WITH bucketed AS ({_BUCKET_SQL}),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv, bucket FROM bucketed),
+cand AS (
+  SELECT qid, q.bucket AS bucket, cid, round({_COS_SQL}, 6) AS sim
+  FROM q JOIN c USING (bucket) WHERE qid != cid
+)
+SELECT qid, bucket, n_candidates, cid, sim, rn FROM (
+  SELECT qid, bucket, cid, sim,
+         count(*) OVER (PARTITION BY qid) AS n_candidates,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+  FROM cand
+) WHERE rn <= 1 ORDER BY qid, rn
+""",
+    tags=("similarity", "ann", "lsh", "topk"),
+)
+def e05_ann_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_topk(emb.where(F.col("vec_id") < 8), emb, k=1, n_planes=N_PLANES, dim=DIM)

@@ -1,1 +1,206 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the ``documents`` table: token statistics,
+quality scoring, language-ID heuristic, fingerprinting. All built-in
+string/array functions — no UDFs (see functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources import load_table
+from .registry import register
+
+# Shared normalization, as a DuckDB SQL fragment (semantics mirror
+# functions.text.normalize: lowercase → strip non-alnum → collapse spaces).
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# t01 — token statistics (counts, BPE-ish estimate)
+# ---------------------------------------------------------------------------
+@register(
+    "t01_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS_SQL}) AS n_words,
+       length({_NORM_SQL}) AS n_chars_norm,
+       greatest(CAST(ceil(length({_NORM_SQL}) / 4.0) AS BIGINT),
+                CAST(len({_TOKS_SQL}) AS BIGINT)) AS bpe_est
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "tokens"),
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return (
+        d.select(
+            "doc_id",
+            T.token_count(txt).alias("n_words"),
+            F.length(T.normalize(txt)).alias("n_chars_norm"),
+            T.bpe_ish_token_estimate(txt).alias("bpe_est"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t02 — quality scoring (length / digit / stopword signals)
+# ---------------------------------------------------------------------------
+@register(
+    "t02_quality_scores",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS tk, {_NORM_SQL} AS norm FROM documents
+)
+SELECT doc_id,
+       len(tk) AS n_words,
+       round((length(norm) - len(tk) + 1) * 1.0 / greatest(len(tk), 1), 4) AS avg_word_len,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS digit_ratio,
+       round(len(list_filter(tk, t -> t IN ('the','and','of','to','a','in','is','it')))
+             * 1.0 / greatest(len(tk), 1), 4) AS stopword_ratio,
+       CAST(len(tk) BETWEEN 5 AND 1000
+            AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                / greatest(length(text), 1) < 0.3 AS INT) AS quality_ok
+FROM d
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    toks = T.tokens(txt)
+    n_words = F.size(toks)
+    # normalized text is single-spaced → chars-in-words = len - (n-1)
+    avg_wlen = F.round(
+        (F.length(T.normalize(txt)) - n_words + 1) / F.greatest(n_words, F.lit(1)), 4
+    )
+    dig = F.length(F.regexp_replace(txt, "[^0-9]", "")) / F.greatest(
+        F.length(txt), F.lit(1)
+    )
+    stop_ratio = F.round(
+        T.stopword_count(toks, T.LANG_STOPWORDS["en"]) / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            avg_wlen.alias("avg_word_len"),
+            F.round(dig, 4).alias("digit_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            (n_words.between(5, 1000) & (dig < 0.3)).cast("int").alias("quality_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t03 — language-ID heuristic (stopword vote) vs the labeled lang column
+# ---------------------------------------------------------------------------
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return f"len(list_filter(tk, t -> t IN ({words})))"
+
+
+@register(
+    "t03_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('de')} AS s_de
+  FROM (SELECT doc_id, lang, {_TOKS_SQL} AS tk FROM documents) t
+), pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+              WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+              WHEN s_fr >= s_de THEN 'fr'
+              ELSE 'de' END AS predicted
+  FROM scored
+)
+SELECT predicted, count(*) AS n_docs,
+       CAST(sum(CAST(predicted = lang AS INT)) AS BIGINT) AS n_label_match
+FROM pred
+GROUP BY predicted
+ORDER BY predicted
+""",
+    tags=("text", "lang_id"),
+    doc="Stopword-vote language ID; ties resolve in fixed en>es>fr>de "
+    "order. The synthetic corpus is English-like word salad with random "
+    "lang labels, so n_label_match measures label agreement, not model "
+    "quality — the point is the deterministic, scalable scoring pipeline.",
+)
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            T.stopword_count(toks, T.LANG_STOPWORDS[lang]).alias(f"s_{lang}")
+            for lang in ("en", "es", "fr", "de")
+        ],
+    )
+    s = {k: F.col(f"s_{k}") for k in ("en", "es", "fr", "de")}
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en"
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return (
+        scored.withColumn("predicted", predicted)
+        .groupBy("predicted")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("predicted") == F.col("lang")).cast("int"))
+            .cast("long")
+            .alias("n_label_match"),
+        )
+        .orderBy("predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t04 — document fingerprints (md5 of normalized text) per source
+# ---------------------------------------------------------------------------
+@register(
+    "t04_fingerprints",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5({_NORM_SQL})) AS n_unique_fp,
+       min(md5({_NORM_SQL})) AS min_fp
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "fingerprint"),
+)
+def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+    return (
+        d.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique_fp"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("source")
+    )
