@@ -6,3 +6,4 @@ from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import windows_time  # noqa: E402,F401

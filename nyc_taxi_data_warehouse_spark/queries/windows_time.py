@@ -1,0 +1,78 @@
+"""Time-window queries shared by the batch and streaming surfaces.
+
+Spark's window()/session_window() operators are mode-agnostic; these
+entries run them in batch (oracle-checkable), and tests/test_streaming.py
+re-runs the same builders as streams and asserts identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..streaming.windows import session_windows, sliding_counts
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# w01 — sliding windows (1h window, 15min slide)
+# ---------------------------------------------------------------------------
+@register(
+    "w01_sliding_event_rates",
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+       event_type,
+       count(*) AS n
+FROM events, UNNEST(generate_series(0, 3)) AS t(k)
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    tags=("window_time", "sliding", "streaming_batch"),
+    doc="Each event lands in 4 overlapping 1h windows on a 15-min grid; "
+    "the oracle replays the assignment with time_bucket + generate_series "
+    "(both engines align the grid to an epoch multiple of 15 min).",
+)
+def w01_sliding_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w02 — session windows (30-min gap) via native session_window
+# ---------------------------------------------------------------------------
+@register(
+    "w02_session_windows",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    tags=("window_time", "session", "streaming_batch"),
+    doc="Native session_window (gap merge) equals the lag+cumsum "
+    "sessionization — the oracle proves the equivalence the streaming "
+    "tests rely on.",
+)
+def w02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return session_windows(e).orderBy("user_id", "session_start")

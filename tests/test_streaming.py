@@ -1,0 +1,80 @@
+"""Structured Streaming: stream results must equal the batch results for
+the same windowed aggregations, and file ingest must be exactly-once
+across re-runs (checkpoint-based — the engine-native replacement for the
+reference's per-file S3 HEAD idempotency guard).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.sources import load_table
+from nyc_taxi_data_warehouse_spark.streaming import (
+    session_windows,
+    sliding_counts,
+    stream_events,
+    stream_ingest_raw,
+    tumbling_counts,
+)
+from nyc_taxi_data_warehouse_spark.streaming.windows import run_stream_to_memory
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch = tumbling_counts(load_table(spark, SF, "events"))
+    stream = tumbling_counts(stream_events(spark, SF))
+    run_stream_to_memory(stream, "tumbling_out")
+    got = spark.table("tumbling_out")
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_sliding_stream_equals_batch(spark):
+    batch = sliding_counts(load_table(spark, SF, "events"))
+    stream = sliding_counts(stream_events(spark, SF))
+    run_stream_to_memory(stream, "sliding_out")
+    got = spark.table("sliding_out")
+    cols = ["window_start", "event_type", "n"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_session_stream_equals_batch(spark):
+    batch = session_windows(load_table(spark, SF, "events"))
+    stream = session_windows(stream_events(spark, SF))
+    run_stream_to_memory(stream, "session_out")
+    got = spark.table("session_out")
+    cols = ["user_id", "session_start", "last_ts", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    # reuse the synthetic raw-month builder from the load tests
+    from .test_warehouse_load import _make_raw_month
+
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _make_raw_month(spark, os.path.join(raw, "fhvhv_tripdata_2025-03.parquet"), 2025, 3, n=120)
+
+    stream_ingest_raw(spark, raw, out, ckpt)
+    first = spark.read.parquet(out).count()
+    assert first == 120
+
+    # re-run with the same checkpoint: nothing new → no duplicates
+    stream_ingest_raw(spark, raw, out, ckpt)
+    assert spark.read.parquet(out).count() == 120
+
+    # a new month appears → only its rows are added, partitioned by data
+    _make_raw_month(spark, os.path.join(raw, "fhvhv_tripdata_2025-04.parquet"), 2025, 4, n=80)
+    stream_ingest_raw(spark, raw, out, ckpt)
+    result = spark.read.parquet(out)
+    assert result.count() == 200
+    months = {(r.year, r.month) for r in result.select("year", "month").distinct().collect()}
+    assert months == {(2025, 3), (2025, 4)}
