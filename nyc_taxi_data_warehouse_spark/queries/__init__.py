@@ -7,3 +7,4 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import windows_time  # noqa: E402,F401
+from . import temporal  # noqa: E402,F401

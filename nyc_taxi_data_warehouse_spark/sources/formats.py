@@ -1,0 +1,47 @@
+"""Multi-format source/sink layer: parquet, CSV, JSON, ORC.
+
+The reference reads exactly one format (parquet, ``/root/reference/
+data/emr/etl.py:20``). This engine treats format as a property of the
+edge, not the pipeline: every reader takes an explicit schema (never
+infer on the hot path — schema inference re-reads the data) and every
+writer round-trips losslessly for the supported type surface.
+
+CSV/JSON carry no timestamp-precision or decimal metadata, so readers
+pin semantics via explicit options (ISO-8601 timestamps, UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def read_any(
+    spark: SparkSession, path: str, fmt: str, schema: StructType
+) -> DataFrame:
+    reader = spark.read.schema(schema)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    if fmt == "csv":
+        return reader.option("header", "true").option("timestampFormat", _TS_FMT).csv(path)
+    if fmt == "json":
+        return reader.option("timestampFormat", _TS_FMT).json(path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    elif fmt == "csv":
+        writer.option("header", "true").option("timestampFormat", _TS_FMT).csv(path)
+    elif fmt == "json":
+        writer.option("timestampFormat", _TS_FMT).json(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
