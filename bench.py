@@ -33,6 +33,14 @@ HEADLINE = [
     "q13_rollup_returns",
     "q20_hourly_events",
     "q21_sessionize",
+    "w01_sliding_event_rates",
+    "a01_asof_purchase_view",
+    "a02_range_join_bursts",
+    "t02_quality_scores",
+    "d03_minhash_lsh_pairs",
+    "e01_cosine_topk",
+    "e05_ann_topk_probe",
+    "m02_media_decode_features",
 ]
 
 

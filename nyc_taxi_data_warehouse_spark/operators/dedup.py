@@ -77,11 +77,42 @@ def minhash_lsh_pairs(
     self-join → distinct candidate pairs → exact verify on shingle sets.
     """
     rows_per_band = n_hashes // bands
-    sig = with_minhash(df, text_col, n_hashes, shingle_k).select(
-        F.col(id_col).alias("_id"),
-        F.col("_shingles"),
-        *[F.col(f"mh{i}") for i in range(n_hashes)],
+    # Single-pass signature build, chosen after profiling the obvious
+    # formulations:
+    # - column-per-hash with array transforms: Catalyst inlines the
+    #   tokenize→shingle tree into every minhash column AND re-evaluates
+    #   the token array per lambda element (no subexpression elimination
+    #   across lambda scopes) — quadratic-ish recompute.
+    # - here: tokenize once, posexplode, shingle via lead() window, hash
+    #   each (doc, shingle) row n_hashes times, groupBy-min back to one
+    #   row per doc. The window and the groupBy share the doc-id hash
+    #   partitioning, so the whole signature build is ONE shuffle.
+    from pyspark.sql.window import Window
+
+    tk = df.select(F.col(id_col).alias("_id"), T.tokens(F.col(text_col)).alias("_tk"))
+    pe = tk.select("_id", F.posexplode("_tk").alias("pos", "t"))
+    w = Window.partitionBy("_id").orderBy("pos")
+    leads = [F.lead("t", j).over(w).alias(f"t{j}") for j in range(1, shingle_k)]
+    pe = pe.select("_id", "pos", "t", *leads)
+    # full k-shingles; a doc shorter than k tokens yields one shingle of
+    # whatever it has (concat_ws skips nulls) — same as the slice form.
+    shingle_rows = pe.where(
+        F.col(f"t{shingle_k - 1}").isNotNull() | (F.col("pos") == 0)
+    ).select(
+        "_id",
+        F.concat_ws(" ", "t", *[f"t{j}" for j in range(1, shingle_k)]).alias("_s"),
     )
+    sig = shingle_rows.groupBy("_id").agg(
+        F.collect_set("_s").alias("_shingles"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    # Materialize: the signature table is tiny relative to the corpus
+    # (id + 8 hex strings + shingle set) and is consumed three times
+    # (band keys, bucket explode, both sides of the verify join).
+    sig = sig.persist()
     band_cols = [
         F.md5(
             F.concat_ws(
