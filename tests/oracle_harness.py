@@ -40,6 +40,16 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            # array cells (numpy arrays / lists) are unhashable for sort
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist())
+                if hasattr(v, "tolist") and not isinstance(v, (str, bytes))
+                else tuple(v)
+                if isinstance(v, list)
+                else v
+            )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
