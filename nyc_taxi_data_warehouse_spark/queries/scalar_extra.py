@@ -162,9 +162,9 @@ SELECT p_partkey,
        round(log10(p_retailprice + 1), 6)     AS log10_price,
        round(power(p_size, 2), 6)             AS size_sq,
        round(exp(p_size / 100.0), 6)          AS exp_scaled,
-       floor(p_retailprice)                   AS price_floor,
-       ceil(p_retailprice)                    AS price_ceil,
-       sign(p_retailprice - 1000)             AS above_1000
+       CAST(floor(p_retailprice) AS BIGINT)   AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT)    AS price_ceil,
+       CAST(sign(p_retailprice - 1000) AS INT) AS above_1000
 FROM part
 WHERE p_partkey < 400
 ORDER BY p_partkey
@@ -184,7 +184,7 @@ def q30_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.col("p_size") / 100.0), 6).alias("exp_scaled"),
             F.floor(price).alias("price_floor"),
             F.ceil(price).alias("price_ceil"),
-            F.signum(price - 1000).alias("above_1000"),
+            F.signum(price - 1000).cast("int").alias("above_1000"),
         )
         .orderBy("p_partkey")
     )
