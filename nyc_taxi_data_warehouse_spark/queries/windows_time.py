@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from ..streaming.windows import session_windows, sliding_counts
+from ..streaming.windows import (
+    run_stream_to_memory,
+    session_windows,
+    sliding_counts,
+    stream_events,
+)
 from .registry import register
 
 
@@ -76,3 +81,43 @@ ORDER BY user_id, session_start
 def w02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return session_windows(e).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# w03 — custom stateful operator (applyInPandasWithState), run as a stream
+# ---------------------------------------------------------------------------
+@register(
+    "w03_stateful_user_totals",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+    doc="Runs a REAL streaming query (availableNow) through the custom "
+    "applyInPandasWithState operator; the converged running state must "
+    "equal the plain batch aggregate the oracle computes.",
+)
+def w03_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import user_running_totals
+
+    name = "w03_totals_mem"
+    spark.catalog.dropTempView(name)  # stale-sink guard across calls
+    stream = stream_events(spark, sf_dir)
+    run_stream_to_memory(user_running_totals(stream), name, mode="update")
+    out = spark.table(name)
+    # update-mode sink emits one row per (user, micro-batch); n_events is
+    # strictly increasing per user, so max_by picks the converged state.
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+            F.timestamp_micros(F.max("last_us")).cast("timestamp_ntz").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

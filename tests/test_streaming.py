@@ -54,6 +54,53 @@ def test_session_stream_equals_batch(spark):
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
 
 
+def test_stateful_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState must carry per-user state across micro-
+    batches: stream the events split into 3 files (one per trigger) and
+    assert the converged state equals the batch aggregate."""
+    from nyc_taxi_data_warehouse_spark.streaming.stateful import user_running_totals
+    from nyc_taxi_data_warehouse_spark.streaming.windows import run_stream_to_memory
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_split")
+    events.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_stream_to_memory(user_running_totals(stream), "stateful_out", mode="update")
+    out = spark.table("stateful_out")
+
+    n_users = events.select("user_id").distinct().count()
+    # >1 micro-batch must have fired → more update rows than users
+    assert out.count() > n_users
+
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+            F.max("last_us").alias("last_us"),
+        )
+    )
+    expected = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double") / 100.0
+            ).alias("total_value"),
+            F.max("ts").alias("max_ts"),
+        )
+        .withColumn("last_us", F.unix_micros(F.col("max_ts").cast("timestamp")))
+        .drop("max_ts")
+    )
+    cols = ["user_id", "n_events", "total_value", "last_us"]
+    assert _sorted_rows(final, cols) == _sorted_rows(expected, cols)
+
+
 def test_stream_ingest_exactly_once(spark, tmp_path):
     # reuse the synthetic raw-month builder from the load tests
     from .test_warehouse_load import _make_raw_month
