@@ -38,9 +38,14 @@ HEADLINE = [
     "a02_range_join_bursts",
     "t02_quality_scores",
     "d03_minhash_lsh_pairs",
+    "d06_embedding_near_dup",
     "e01_cosine_topk",
     "e05_ann_topk_probe",
     "m02_media_decode_features",
+    "q33_explode_part_words",
+    "q36_weighted_avg_udaf",
+    "q38_salted_supplier_revenue",
+    "w03_stateful_user_totals",
 ]
 
 

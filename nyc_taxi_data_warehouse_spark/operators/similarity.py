@@ -156,3 +156,38 @@ def ann_topk(
         .orderBy("qid", "rn")
     )
     return ranked
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH candidate generation.
+
+    Self-join restricted to same-bucket candidates (random-hyperplane
+    LSH), then exact cosine verification against ``threshold``. At scale
+    this is a hash-partitioned equi-join on bucket id — O(sum of squared
+    bucket sizes) dot products instead of O(N^2). Each vector lands in
+    exactly one bucket, so no pair-dedup pass is needed; pairs whose
+    vectors disagree on any hyperplane sign are missed (standard LSH
+    recall trade — add rotations/band tables to tighten).
+    """
+    b = lsh_buckets(df, id_col, vec_col, n_planes, dim)
+    a = b.select(
+        F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("av"), "bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), V.as_double(F.col(vec_col)).alias("bv"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(V.cosine(F.col("av"), F.col("bv")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "bucket", "sim")
+        .orderBy("id_a", "id_b")
+    )

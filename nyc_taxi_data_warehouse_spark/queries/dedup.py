@@ -212,3 +212,38 @@ def d05_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# d06 — embedding-cosine near-dup (LSH candidates + exact verification)
+# ---------------------------------------------------------------------------
+def _d06_oracle() -> str:
+    from .similarity import _BUCKET_SQL, _COS_SQL
+
+    cos = _COS_SQL.replace("qv", "x.v").replace("cv", "y.v")
+    return f"""
+WITH bk AS ({_BUCKET_SQL})
+SELECT x.vec_id AS id_a,
+       y.vec_id AS id_b,
+       x.bucket AS bucket,
+       round({cos}, 6) AS sim
+FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round({cos}, 6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "d06_embedding_near_dup",
+    oracle=_d06_oracle(),
+    tags=("dedup", "similarity", "lsh"),
+)
+def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs over the embeddings table: LSH bucket
+    candidate join + exact cosine >= 0.3 (threshold tuned to the
+    synthetic corpus — random vectors have no true dups; the pipeline is
+    identical at any threshold)."""
+    from ..operators.similarity import embedding_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.3)

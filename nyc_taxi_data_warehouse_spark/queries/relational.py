@@ -899,3 +899,44 @@ def q25_spiky_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_spiky")
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q38 — salted join (explicit hot-key skew mitigation)
+# ---------------------------------------------------------------------------
+@register(
+    "q38_salted_supplier_revenue",
+    oracle="""
+SELECT s_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY s_name
+""",
+    tags=("join", "skew", "salting", "agg"),
+    doc="Same rows as a plain lineitem-supplier join, but executed through "
+    "the salted-join operator (deterministic 8-way salt on l_orderkey) — "
+    "the explicit mitigation for a hot join key AQE can't split. The "
+    "oracle proves salting is result-invariant.",
+)
+def q38_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        salted_join(li, s, on=["s_suppkey"], salt_from="l_orderkey", n_salts=8)
+        .groupBy("s_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("s_name")
+    )

@@ -74,3 +74,42 @@ def test_topk_uses_take_ordered(spark):
     df = QUERIES["q02_top_customers"].spark(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from nyc_taxi_data_warehouse_spark.operators.skew import (
+        explode_dim,
+        key_skew_profile,
+        salted_join,
+    )
+
+    li = load_table(spark, SF, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    s = load_table(spark, SF, "supplier")
+    plain = li.join(s, "s_suppkey")
+    salted = salted_join(li, s, on=["s_suppkey"], salt_from="l_orderkey", n_salts=8)
+    assert salted.count() == plain.count()
+    key = ["l_orderkey", "l_linenumber", "s_suppkey"]
+    assert sorted(map(tuple, salted.select(*key).collect())) == sorted(
+        map(tuple, plain.select(*key).collect())
+    )
+    # salt column must not leak, dim must be replicated exactly n_salts×
+    assert "__salt" not in salted.columns
+    assert explode_dim(s, 8).count() == s.count() * 8
+
+    prof = key_skew_profile(li, "s_suppkey", top=3).collect()
+    assert len(prof) == 3 and prof[0]["n"] >= prof[-1]["n"]
+
+
+def test_pivot_has_no_extra_distinct_scan(spark):
+    # explicit pivot values → exactly 2 parquet scans (orders, customer)
+    # plus the broadcast nation scan; no values-discovery job.
+    df = QUERIES["q31_pivot_status_by_nation"].spark(spark, SF)
+    assert_broadcast_join(df, n_expected=1)
+    assert_no_cartesian(df)
+
+
+def test_exists_decorrelates_to_hash_joins(spark):
+    df = QUERIES["q34_exists_subqueries"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert_no_cartesian(df)
