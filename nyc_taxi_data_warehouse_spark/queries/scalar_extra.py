@@ -188,3 +188,49 @@ def q30_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — map + array construction/extraction (higher-order functions)
+# ---------------------------------------------------------------------------
+@register(
+    "q39_map_array_funcs",
+    oracle="""
+SELECT p_partkey,
+       round(p_retailprice * 0.08, 4)                    AS tax_from_map,
+       CAST(2 AS INT)                                    AS n_keys,
+       'base,tax'                                        AS keys_sorted,
+       CAST(((p_size % 5 + 1) * (p_size % 5 + 2)) // 2 AS BIGINT) AS seq_sum,
+       (p_size % 5 + 1) >= 3                             AS has_three,
+       CASE WHEN p_size % 5 + 1 >= 2 THEN '1,2' ELSE '1' END AS head2
+FROM part
+WHERE p_partkey < 300
+ORDER BY p_partkey
+""",
+    tags=("scalar", "map", "array", "higher-order"),
+    doc="MapType/ArrayType expression surface: map_from_arrays, "
+    "element_at, map_keys, sequence, aggregate (fold), array_contains, "
+    "slice — all JVM-side higher-order functions, zero UDFs. The oracle "
+    "verifies the extracted scalars algebraically.",
+)
+def q39_map_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    m = F.map_from_arrays(
+        F.array(F.lit("base"), F.lit("tax")),
+        F.array(F.col("p_retailprice"), F.col("p_retailprice") * 0.08),
+    )
+    seq = F.sequence(F.lit(1), F.col("p_size") % 5 + 1)
+    return (
+        p.select(
+            "p_partkey",
+            F.round(F.element_at(m, F.lit("tax")), 4).alias("tax_from_map"),
+            F.size(m).alias("n_keys"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+            F.aggregate(seq, F.lit(0), lambda acc, x: acc + x)
+            .cast("bigint")
+            .alias("seq_sum"),
+            F.array_contains(seq, 3).alias("has_three"),
+            F.array_join(F.slice(seq, 1, 2), ",").alias("head2"),
+        )
+        .orderBy("p_partkey")
+    )
