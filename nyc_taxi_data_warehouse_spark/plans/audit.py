@@ -57,3 +57,9 @@ def assert_broadcast_join(df: DataFrame, n_expected: int = 1) -> None:
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"cartesian product in plan\n{plan[:4000]}"
+
+
+def assert_no_exchange(df: DataFrame) -> None:
+    """Co-located (bucketed) joins must not shuffle either side."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"unexpected shuffle in plan\n{plan[:4000]}"

@@ -121,3 +121,31 @@ def w03_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — daily served from a materialized hourly rollup
+# ---------------------------------------------------------------------------
+@register(
+    "q40_daily_from_hourly_rollup",
+    oracle="""
+SELECT date_trunc('day', ts) AS day,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+""",
+    tags=("rollup", "materialized", "agg"),
+    doc="Two-level aggregation (raw -> hourly rollup -> daily) must equal "
+    "the direct daily aggregate — the decomposability proof behind the "
+    "materialized serving layer at 100 TB.",
+)
+def q40_daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..warehouse.rollup import daily_from_hourly, hourly_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    return daily_from_hourly(hourly_rollup(e))

@@ -1,2 +1,3 @@
 from .catalog import init_warehouse  # noqa: F401
 from .load import backfill, load_month  # noqa: F401
+from .layout import compacted, file_stats, write_bucketed  # noqa: F401
