@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the algebraic invariants the
+scale design depends on: salting must be result-invariant, two-level
+rollups must equal one-level aggregation, exact dedup must be
+idempotent and canonical. Random inputs include the shapes the fixtures
+can't produce: empty frames, all-duplicate keys, single hot keys.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)  # few keys → forced collisions
+fact_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), keys, st.integers(-100, 100)),
+    min_size=0,
+    max_size=40,
+)
+dim_rows = st.lists(st.tuples(keys, st.text("abc", max_size=3)), min_size=0, max_size=8)
+
+
+@given(fact=fact_rows, dim=dim_rows)
+@settings(**SETTINGS)
+def test_salted_join_invariant(spark, fact, dim):
+    from nyc_taxi_data_warehouse_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame(fact, "rid long, k long, v long")
+    d = spark.createDataFrame(dim, "k long, name string").dropDuplicates(["k"])
+    plain = f.join(d, "k")
+    salted = salted_join(f, d, on=["k"], salt_from="rid", n_salts=4)
+    cols = ["k", "rid", "v", "name"]
+    assert sorted(map(tuple, salted.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3 * 24 * 3600 - 1),  # seconds within 3 days
+        st.sampled_from(["a", "b"]),
+        st.integers(-10_000, 10_000),  # value in cents
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=event_rows)
+@settings(**SETTINGS)
+def test_rollup_decomposes(spark, rows):
+    from nyc_taxi_data_warehouse_spark.warehouse.rollup import (
+        daily_from_hourly,
+        hourly_rollup,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (base + datetime.timedelta(seconds=s), t, c / 100.0) for s, t, c in rows
+    ]
+    e = spark.createDataFrame(data, "ts timestamp_ntz, event_type string, value double")
+    via_rollup = daily_from_hourly(hourly_rollup(e))
+    direct = (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double") / 100.0).alias(
+                "total_value"
+            ),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    cols = ["day", "event_type", "n", "total_value", "min_value", "max_value"]
+    assert sorted(map(tuple, via_rollup.select(*cols).collect())) == sorted(
+        map(tuple, direct.select(*cols).collect())
+    )
+
+
+dup_rows = st.lists(
+    st.tuples(st.integers(0, 50), st.sampled_from(["x", "y", "z"])),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=dup_rows)
+@settings(**SETTINGS)
+def test_exact_dedup_idempotent_and_canonical(spark, rows):
+    from nyc_taxi_data_warehouse_spark.operators.dedup import exact_dedup
+
+    data = [(i * 100 + n, t) for i, (n, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    once = exact_dedup(df, ["text"], "doc_id")
+    twice = exact_dedup(once, ["text"], "doc_id")
+    got = sorted(map(tuple, once.select("doc_id", "text").collect()))
+    assert got == sorted(map(tuple, twice.select("doc_id", "text").collect()))
+    # canonical: exactly one row per distinct text, the min doc_id
+    expected = sorted(
+        map(
+            tuple,
+            df.groupBy("text")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "text")
+            .collect(),
+        )
+    )
+    assert got == expected
