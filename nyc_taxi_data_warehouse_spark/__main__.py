@@ -1,0 +1,75 @@
+"""Engine CLI — the replacement for the reference's whole dispatch layer.
+
+The reference ships its job to EMR via an Airflow-built spark-submit step
+with 11 CLI args including credentials (``/root/reference/data/airflow/
+dags/save_nyc_data_to_s3.py:149-202``) and polls a step sensor. Here the
+engine is a library + CLI: any scheduler (cron, Airflow, nothing) calls
+an idempotent subcommand and gets a synchronous exit code.
+
+    python -m nyc_taxi_data_warehouse_spark init
+    python -m nyc_taxi_data_warehouse_spark load-month --path f.parquet --year 2025 --month 1
+    python -m nyc_taxi_data_warehouse_spark backfill --raw-root /data/raw
+    python -m nyc_taxi_data_warehouse_spark sql "SELECT count(*) FROM nyc_taxi.fhvhv_tripdata"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(prog="nyc_taxi_data_warehouse_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("init", help="create database + fact/ingest-log tables")
+
+    lm = sub.add_parser("load-month", help="idempotently load one monthly file")
+    lm.add_argument("--path", required=True)
+    lm.add_argument("--year", type=int, required=True)
+    lm.add_argument("--month", type=int, required=True)
+    lm.add_argument("--force", action="store_true", help="re-overwrite the partition")
+
+    bf = sub.add_parser("backfill", help="load every undiscovered month under a root")
+    bf.add_argument("--raw-root", required=True)
+
+    q = sub.add_parser("sql", help="run a SQL statement and print JSON rows")
+    q.add_argument("statement")
+    q.add_argument("--limit", type=int, default=100)
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+    from .warehouse import backfill, init_warehouse, load_month
+
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name=f"nyc-taxi-{args.cmd}")
+    try:
+        if args.cmd == "init":
+            init_warehouse(spark)
+            print(json.dumps({"status": "ok"}))
+        elif args.cmd == "load-month":
+            init_warehouse(spark)
+            r = load_month(spark, args.path, args.year, args.month, force=args.force)
+            print(json.dumps(r.__dict__))
+            return 0 if (r.rows > 0 or r.skipped) else 1
+        elif args.cmd == "backfill":
+            from .sources.discovery import discover_local
+
+            init_warehouse(spark)
+            results = backfill(spark, discover_local(args.raw_root))
+            print(json.dumps([r.__dict__ for r in results]))
+        elif args.cmd == "sql":
+            rows = spark.sql(args.statement).limit(args.limit).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,3 +127,23 @@ def test_partition_pruning(warehouse):
     plan = q._jdf.queryExecution().executedPlan().toString()
     # the month filter must be partition pruning, not a row filter
     assert "PartitionFilters" in plan or "partition" in plan.lower()
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """init → load-month → idempotent re-run → sql, via the CLI (with the
+    test session injected so the CLI doesn't tear it down)."""
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    raw = str(tmp_path / "fhvhv_tripdata_2025-05.parquet")
+    _make_raw_month(spark, raw, 2025, 5, n=60)
+
+    cli = lambda *a: main(list(a), spark=spark)  # noqa: E731
+    assert cli("init") == 0
+    assert cli("load-month", "--path", raw, "--year", "2025", "--month", "5") == 0
+    # second run: skipped, still exit 0 (idempotent)
+    assert cli("load-month", "--path", raw, "--year", "2025", "--month", "5") == 0
+    n = spark.sql(
+        "SELECT count(*) AS n FROM nyc_taxi.fhvhv_tripdata WHERE year=2025 AND month=5"
+    ).collect()[0]["n"]
+    assert n == 60
+    assert cli("sql", "SELECT 1 AS one") == 0
