@@ -149,3 +149,34 @@ def q40_daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return daily_from_hourly(hourly_rollup(e))
+
+
+# ---------------------------------------------------------------------------
+# q41 — click→purchase attribution (the stream-stream join, batch-run)
+# ---------------------------------------------------------------------------
+@register(
+    "q41_click_purchase_attribution",
+    oracle="""
+SELECT c.user_id AS user_id,
+       c.event_id AS c_id,
+       p.event_id AS p_id,
+       c.ts AS c_ts,
+       p.ts AS p_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY user_id, c_id, p_id
+""",
+    tags=("join", "temporal", "streaming_batch"),
+    doc="The same builder runs as a watermarked stream-stream join in "
+    "tests/test_streaming.py; here it runs in batch so the oracle can "
+    "verify the time-bounded attribution semantics.",
+)
+def q41_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import click_purchase_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(e).orderBy("user_id", "c_id", "p_id")

@@ -125,3 +125,18 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     assert result.count() == 200
     months = {(r.year, r.month) for r in result.select("year", "month").distinct().collect()}
     assert months == {(2025, 3), (2025, 4)}
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream attribution join == the batch join."""
+    from nyc_taxi_data_warehouse_spark.streaming.joins import (
+        click_purchase_attribution,
+    )
+
+    batch = click_purchase_attribution(load_table(spark, SF, "events"))
+    stream = click_purchase_attribution(stream_events(spark, SF))
+    run_stream_to_memory(stream, "attrib_out", mode="append")
+    got = spark.table("attrib_out")
+    cols = ["user_id", "c_id", "p_id", "c_ts", "p_ts", "purchase_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+    assert got.count() > 0
