@@ -293,3 +293,94 @@ def q37_udtf_month_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey, t.month_offset
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q42 — scalar (vectorized) pandas UDF: digit-density text metric
+# ---------------------------------------------------------------------------
+@F.pandas_udf(DoubleType())
+def _digit_ratio(text: pd.Series) -> pd.Series:
+    # Arrow-batched, vectorized pandas string ops — no per-row Python.
+    n = text.str.len().clip(lower=1)
+    return (text.str.count(r"[0-9]") / n).round(6)
+
+
+@register(
+    "q42_scalar_pandas_udf",
+    oracle="""
+SELECT doc_id,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS digit_ratio,
+       length(text) AS n_chars
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+    tags=("udf", "pandas_udf", "scalar", "text"),
+    doc="Scalar pandas_udf (SCALAR flavor; q36 covers GROUPED_AGG, m02 "
+    "mapInPandas, q43 grouped-map, w03 stateful). The oracle recomputes "
+    "the metric with plain SQL string functions.",
+)
+def q42_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return (
+        d.select(
+            "doc_id",
+            _digit_ratio(F.col("text")).alias("digit_ratio"),
+            F.length("text").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — grouped-map applyInPandas: per-nation min-max price normalization
+# ---------------------------------------------------------------------------
+def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    # integer-cent min/max → exact and row-order independent
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    lo, hi = int(cents.min()), int(cents.max())
+    span = (hi - lo) or 1
+    return pd.DataFrame(
+        {
+            "c_nationkey": pdf["c_nationkey"],
+            "o_orderkey": pdf["o_orderkey"],
+            "price_scaled": ((cents - lo) / span).round(6),
+        }
+    )
+
+
+@register(
+    "q43_grouped_map_normalize",
+    oracle="""
+WITH j AS (
+  SELECT c_nationkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), ext AS (
+  SELECT c_nationkey, o_orderkey, cents,
+         min(cents) OVER (PARTITION BY c_nationkey) AS lo,
+         max(cents) OVER (PARTITION BY c_nationkey) AS hi
+  FROM j
+)
+SELECT c_nationkey, o_orderkey,
+       round(CAST(cents - lo AS DOUBLE) / greatest(hi - lo, 1), 6) AS price_scaled
+FROM ext
+ORDER BY c_nationkey, o_orderkey
+""",
+    tags=("udf", "applyInPandas", "grouped-map"),
+    doc="Grouped-map applyInPandas: whole group as one pandas frame, "
+    "min-max scaling in exact integer cents. The oracle replays it with "
+    "window min/max.",
+)
+def q43_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_nationkey", "o_orderkey", "o_totalprice"
+    )
+    out = j.groupBy("c_nationkey").applyInPandas(
+        _minmax_normalize,
+        schema="c_nationkey int, o_orderkey long, price_scaled double",
+    )
+    return out.orderBy("c_nationkey", "o_orderkey")
