@@ -125,3 +125,82 @@ def extract_features(decoded: DataFrame) -> DataFrame:
         )
         .orderBy("mime")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """Binary-in → binary-out transform (the resize plumbing): payload is
+    deterministically truncated/padded to width*height bytes. A real
+    resampler replaces the inner function; the Arrow-batched one-binary-
+    row-in, one-out shape is what matters at scale."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                (p or b"")[:target].ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 256, every_n: int = 4
+) -> DataFrame:
+    """One-to-many mapInPandas: split each payload into frame_size-byte
+    "frames" and keep every n-th — the video frame-sampling shape (a real
+    demuxer replaces the byte splitter). Emits small fixed-width rows, so
+    downstream work shuffles frame metadata, never payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mimes, idxs, sizes, totals = [], [], [], [], []
+            for mid, mime, p in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                p = p or b""
+                n_frames = max((len(p) + frame_size - 1) // frame_size, 1)
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    mimes.append(mime)
+                    idxs.append(i)
+                    sizes.append(len(p[i * frame_size : (i + 1) * frame_size]))
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mime": mimes,
+                    "frame_idx": idxs,
+                    "frame_bytes": sizes,
+                    "n_frames": totals,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -76,3 +76,46 @@ def m02_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_media_batch(synthesize_media(docs), codec="fake")
     return extract_features(decoded)
+
+
+# ---------------------------------------------------------------------------
+# m03 — frame sampling (one-to-many mapInPandas) + resize plumbing
+# ---------------------------------------------------------------------------
+@register(
+    "m03_frame_sampling_stats",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS mime,
+         greatest((octet_length(encode(text)) + 255) // 256, 1) AS n_frames
+  FROM documents
+)
+SELECT mime,
+       count(DISTINCT media_id) AS n_media,
+       CAST(sum((n_frames - 1) // 4 + 1) AS BIGINT) AS n_sampled_frames,
+       CAST(max(n_frames) AS BIGINT) AS max_frames
+FROM media
+GROUP BY mime
+ORDER BY mime
+""",
+    tags=("multimodal", "mapInPandas", "frame-sampling"),
+    doc="Every-4th-frame sampling over 256-byte fake frames; the oracle "
+    "recomputes expected sampled-frame counts arithmetically from payload "
+    "byte lengths, verifying the one-to-many Arrow plumbing end-to-end.",
+)
+def m03_frame_sampling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binaryops import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_media(docs), frame_size=256, every_n=4)
+    return (
+        frames.groupBy("mime")
+        .agg(
+            F.count_distinct("media_id").alias("n_media"),
+            F.count("*").alias("n_sampled_frames"),
+            F.max("n_frames").cast("bigint").alias("max_frames"),
+        )
+        .orderBy("mime")
+    )
