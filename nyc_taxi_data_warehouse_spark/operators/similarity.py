@@ -191,3 +191,76 @@ def embedding_near_dup(
         .select("id_a", "id_b", "bucket", "sim")
         .orderBy("id_a", "id_b")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max cosine; centroid id breaks ties). Centroids are a tiny
+    broadcast table — the assignment is one narrow map-side pass, and the
+    corpus can then be written partitioned/bucketed by ``cell`` so a probe
+    touches one cell's files only."""
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent_v")
+    )
+    v = df.select(
+        F.col(id_col), F.col(vec_col), V.as_double(F.col(vec_col)).alias("_v")
+    )
+    scored = v.join(F.broadcast(c)).withColumn(
+        "cos", F.round(V.cosine(F.col("_v"), F.col("cent_v")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), "cent_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF probe: rank candidates only within the query's ``n_probe``
+    nearest cells. Recall/latency dial = n_probe; n_probe == #centroids
+    degrades gracefully to exact brute force."""
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent_v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    q_scored = q.join(F.broadcast(c)).withColumn(
+        "cos", F.round(V.cosine(F.col("qv"), F.col("cent_v")), 6)
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), "cent_id")
+    q_cells = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("qid", "qv", F.col("cent_id").alias("cell"))
+    )
+    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv"), "cell"
+    )
+    cand = (
+        F.broadcast(q_cells)
+        .join(corpus_cells, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "cell", "cid", "sim", "rn")
+        .orderBy("qid", "rn")
+    )

@@ -192,3 +192,59 @@ SELECT qid, bucket, n_candidates, cid, sim, rn FROM (
 def e05_ann_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_topk(emb.where(F.col("vec_id") < 8), emb, k=1, n_planes=N_PLANES, dim=DIM)
+
+
+# ---------------------------------------------------------------------------
+# e06 — IVF ANN: coarse-quantize into cells, probe the nearest cell
+# ---------------------------------------------------------------------------
+_IVF_COS = _COS_SQL.replace("qv", "{a}").replace("cv", "{b}")
+
+
+def _ivf_oracle() -> str:
+    cos_vc = _IVF_COS.format(a="v", b="cent_v")
+    cos_qc = _IVF_COS.format(a="qv", b="cv")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_v
+  FROM embeddings WHERE vec_id < 8
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assigned AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT vec_id, v, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round({cos_vc}, 6) DESC, cent_id) AS rn
+    FROM vecs CROSS JOIN cents
+  ) WHERE rn = 1
+), qcells AS (
+  SELECT vec_id AS qid, v AS qv, cell FROM assigned
+  WHERE vec_id >= 100 AND vec_id < 110
+), corpus AS (
+  SELECT vec_id AS cid, v AS cv, cell FROM assigned
+), cand AS (
+  SELECT qid, q.cell AS cell, cid, round({cos_qc}, 6) AS sim
+  FROM qcells q JOIN corpus c USING (cell)
+  WHERE qid != cid
+)
+SELECT qid, cell, cid, sim, rn FROM (
+  SELECT qid, cell, cid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+  FROM cand
+) WHERE rn <= 3
+ORDER BY qid, rn
+"""
+
+
+@register(
+    "e06_ivf_ann_probe",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "ann", "ivf"),
+    doc="IVF with deterministic centroids (vec_id < 8): corpus coarse-"
+    "quantized to its nearest centroid, each query probes only its own "
+    "cell (n_probe=1). The oracle replays assignment and probe in SQL.",
+)
+def e06_ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8)
+    qs = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    return S.ivf_topk(qs, emb, cents, k=3, n_probe=1)
