@@ -147,3 +147,40 @@ def test_cli_end_to_end(spark, tmp_path):
     ).collect()[0]["n"]
     assert n == 60
     assert cli("sql", "SELECT 1 AS one") == 0
+
+
+def test_monthly_zone_pay_flagship(warehouse, raw_root):
+    """SURVEY §7 phase-1 query: partition-pruned scan + broadcast zone dim
+    + hash agg + top-k, verified against a direct recomputation."""
+    from nyc_taxi_data_warehouse_spark.plans import assert_broadcast_join
+    from nyc_taxi_data_warehouse_spark.warehouse.queries import (
+        monthly_zone_pay,
+        taxi_zone_dim,
+    )
+
+    spark = warehouse
+    path = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    load_month(spark, path, 2025, 1)
+
+    result = monthly_zone_pay(spark, 2025, 1, top=10)
+    rows = result.collect()
+    assert 0 < len(rows) <= 10
+    assert_broadcast_join(result)
+    # top-k must run as TakeOrderedAndProject (no global sort)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # cross-check one zone against a direct recomputation from the raw file
+    top = rows[0]
+    raw = spark.read.parquet(path)
+    expected = (
+        raw.where(F.col("PULocationID") == top["zone_id"])
+        .agg(
+            F.sum(F.col("driver_pay").cast("decimal(18,2)")).cast("double").alias("pay"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert top["n_trips"] == expected["n"]
+    assert abs(top["total_driver_pay"] - expected["pay"]) < 1e-9
+    assert taxi_zone_dim(spark).count() == 265
