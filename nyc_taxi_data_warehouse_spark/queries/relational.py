@@ -940,3 +940,87 @@ def q38_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q44 — time-RANGE window frame: trailing-90-day order activity
+# ---------------------------------------------------------------------------
+@register(
+    "q44_trailing_window_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(count(*) OVER w AS BIGINT) AS orders_90d,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_90d
+FROM orders
+WHERE o_custkey < 150
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    tags=("window", "range-frame", "temporal"),
+    doc="RANGE frame keyed on event time (not row offsets) — trailing-"
+    "90-day activity per customer. Decimal-summed so the frame result is "
+    "order-independent within ties.",
+)
+def q44_trailing_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 150)
+    # range frame over seconds since epoch — identical to the SQL INTERVAL
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.count("*").over(w).alias("orders_90d"),
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_90d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — ranking-function family
+# ---------------------------------------------------------------------------
+@register(
+    "q45_ranking_family",
+    oracle="""
+SELECT c_mktsegment, c_custkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist,
+       first_value(c_custkey) OVER w AS richest,
+       nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS second_richest
+FROM customer
+WHERE c_custkey < 400
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, rnk, c_custkey
+""",
+    tags=("window", "ranking"),
+)
+def q45_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 400)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.first("c_custkey").over(w).alias("richest"),
+            F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+        )
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    )
