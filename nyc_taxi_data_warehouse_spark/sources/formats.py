@@ -30,7 +30,24 @@ def read_any(
         return reader.option("header", "true").option("timestampFormat", _TS_FMT).csv(path)
     if fmt == "json":
         return reader.option("timestampFormat", _TS_FMT).json(path)
+    if fmt == "avro":
+        return _avro(reader.format("avro").load, path)
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def _avro(op, path: str):
+    """Avro ships as the external spark-avro module (not bundled since
+    Spark 2.4); surface a precise remedy instead of Spark's lookup error."""
+    try:
+        return op(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        if "Failed to find data source" in str(e):
+            raise RuntimeError(
+                "avro support needs the spark-avro package on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                "it is not bundled in this environment"
+            ) from e
+        raise
 
 
 def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
@@ -43,5 +60,7 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> No
         writer.option("header", "true").option("timestampFormat", _TS_FMT).csv(path)
     elif fmt == "json":
         writer.option("timestampFormat", _TS_FMT).json(path)
+    elif fmt == "avro":
+        _avro(writer.format("avro").save, path)
     else:
         raise ValueError(f"unsupported format: {fmt}")

@@ -144,3 +144,17 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_avro_round_trips_or_names_the_remedy(spark, tmp_path):
+    """Avro is an external Spark module; with the jar present the round
+    trip must work, without it the error must name the exact package."""
+    src = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_avro")
+    try:
+        write_any(src, path, "avro")
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
+        return
+    got = read_any(spark, path, "avro", src.schema)
+    assert got.count() == src.count()
