@@ -384,3 +384,65 @@ def q43_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="c_nationkey int, o_orderkey long, price_scaled double",
     )
     return out.orderBy("c_nationkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q46 — IN / NOT IN subqueries (three-valued null semantics)
+# ---------------------------------------------------------------------------
+_Q46_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_regionkey IN (0, 1))
+  AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+                        WHERE l_quantity > 49 AND l_suppkey IS NOT NULL)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "q46_in_subqueries",
+    oracle=_Q46_SQL,
+    tags=("subquery", "in", "null-semantics", "sql"),
+    doc="IN → semi join; NOT IN → null-aware anti join (the IS NOT NULL "
+    "guard documents the three-valued-logic trap: one NULL in the NOT IN "
+    "list would empty the result).",
+)
+def q46_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "nation", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q46_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q47 — regexp gallery (extract / replace / match)
+# ---------------------------------------------------------------------------
+@register(
+    "q47_regexp_gallery",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)$', 1)              AS trailing_num,
+       regexp_replace(c_name, '[0-9]', '#', 'g')           AS masked,
+       CAST(regexp_matches(c_name, '^Customer#0*1') AS INT) AS starts_one,
+       CAST(length(regexp_replace(c_mktsegment, '[AEIOU]', '', 'g')) AS INT)
+                                                            AS consonants
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_custkey
+""",
+    tags=("scalar", "regexp", "string"),
+)
+def q47_regexp_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    return (
+        c.select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("trailing_num"),
+            F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+            F.col("c_name").rlike(r"^Customer#0*1").cast("int").alias("starts_one"),
+            F.length(F.regexp_replace("c_mktsegment", r"[AEIOU]", "")).alias(
+                "consonants"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
