@@ -66,3 +66,13 @@ def compacted(df: DataFrame, total_bytes: int, target_bytes: int = 256 * 2**20) 
     measured input size (e.g. from file_stats of the source)."""
     n = max(1, round(total_bytes / target_bytes))
     return df.repartition(n)
+
+
+def analyze(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
+    """Feed the cost-based optimizer: table stats (row count, size) and
+    optional per-column min/max/NDV. At scale, join reordering and
+    broadcast decisions on managed tables are only as good as these."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")

@@ -65,16 +65,21 @@ def load_month(
     if not force and _already_loaded(spark, year, month):
         return LoadResult(year, month, rows=0, skipped=True)
 
+    from pyspark.sql import Observation
+
     raw = spark.read.parquet(path)
     out = transform_raw(raw).withColumns(
         {"year": F.lit(year).cast("int"), "month": F.lit(month).cast("int")}
     )
+    # Piggyback the row count on the write job itself (Observation) —
+    # a post-write count() would re-scan the whole partition, a second
+    # full pass at 100 TB.
+    obs = Observation(f"load_{year}_{month}")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     # Dynamic partition overwrite: only the (year, month) partition in this
     # DataFrame is replaced; all other months are untouched.
     out.write.mode("overwrite").insertInto(FACT_TABLE)
-    rows = spark.table(FACT_TABLE).where(
-        (F.col("year") == year) & (F.col("month") == month)
-    ).count()
+    rows = int(obs.get["rows"])
     _record(spark, path, year, month, rows)
     return LoadResult(year, month, rows=rows, skipped=False)
 

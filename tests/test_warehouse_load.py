@@ -184,3 +184,14 @@ def test_monthly_zone_pay_flagship(warehouse, raw_root):
     assert top["n_trips"] == expected["n"]
     assert abs(top["total_driver_pay"] - expected["pay"]) < 1e-9
     assert taxi_zone_dim(spark).count() == 265
+
+
+def test_analyze_table_feeds_cbo(warehouse):
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import analyze
+
+    spark = warehouse
+    analyze(spark, "fhvhv_tripdata", columns=["pu_location_id", "driver_pay"])
+    stats = spark.sql("DESCRIBE TABLE EXTENDED fhvhv_tripdata").where(
+        "col_name = 'Statistics'"
+    ).collect()
+    assert stats and "bytes" in stats[0]["data_type"]
