@@ -42,6 +42,34 @@ class LoadResult:
     skipped: bool
 
 
+class RawSchemaError(ValueError):
+    """The raw file is missing consumed columns or has wrong types."""
+
+
+def validate_raw_schema(df: DataFrame) -> None:
+    """Trust-but-verify the bronze read (SURVEY.md §1.2): the raw file may
+    be wider than the warehouse schema (extra columns are fine — the
+    projection drops them) but every CONSUMED column must exist with a
+    compatible type, or the load fails fast with the precise gap instead
+    of writing nulls/garbage into the fact table."""
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems: list[str] = []
+    for f in FHVHV_WAREHOUSE_SCHEMA.fields:
+        src = {v: k for k, v in SOURCE_RENAMES.items()}.get(f.name, f.name)
+        want = f.dataType.simpleString()
+        got = have.get(src)
+        ok = {
+            "int": {"int", "bigint"},  # location ids arrive int64, cast down
+            "timestamp": {"timestamp", "timestamp_ntz"},
+        }.get(want, {want})
+        if got is None:
+            problems.append(f"missing column {src!r} (needed for {f.name})")
+        elif got not in ok:
+            problems.append(f"{src!r}: expected one of {sorted(ok)}, got {got!r}")
+    if problems:
+        raise RawSchemaError("; ".join(problems))
+
+
 def transform_raw(df: DataFrame) -> DataFrame:
     """Cast/rename + 13-column projection (≙ data/emr/etl.py:21-43).
 
@@ -68,6 +96,7 @@ def load_month(
     from pyspark.sql import Observation
 
     raw = spark.read.parquet(path)
+    validate_raw_schema(raw)
     out = transform_raw(raw).withColumns(
         {"year": F.lit(year).cast("int"), "month": F.lit(month).cast("int")}
     )

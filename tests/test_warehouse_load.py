@@ -195,3 +195,24 @@ def test_analyze_table_feeds_cbo(warehouse):
         "col_name = 'Statistics'"
     ).collect()
     assert stats and "bytes" in stats[0]["data_type"]
+
+
+def test_load_rejects_malformed_raw_file(warehouse, tmp_path):
+    """Trust-but-verify: missing/mistyped consumed columns fail fast with
+    the precise gap named, before anything is written."""
+    from nyc_taxi_data_warehouse_spark.warehouse.load import (
+        RawSchemaError,
+        load_month,
+    )
+
+    spark = warehouse
+    bad = str(tmp_path / "fhvhv_tripdata_2026-01.parquet")
+    spark.createDataFrame(
+        [("HV0003", 12)], "hvfhs_license_num string, PULocationID long"
+    ).write.parquet(bad)
+    with pytest.raises(RawSchemaError, match="missing column 'driver_pay'"):
+        load_month(spark, bad, 2026, 1)
+    # nothing was written for the month
+    assert (
+        spark.table("fhvhv_tripdata").where("year=2026 AND month=1").count() == 0
+    )
