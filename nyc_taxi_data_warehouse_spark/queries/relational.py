@@ -1024,3 +1024,47 @@ def q45_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "rnk", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — single-pass column profiler (data-quality surface)
+# ---------------------------------------------------------------------------
+@register(
+    "q48_profile_supplier",
+    oracle="""
+WITH w AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+         count(DISTINCT s_suppkey) AS k_d,
+         min(CAST(s_suppkey AS VARCHAR)) AS k_min,
+         max(CAST(s_suppkey AS VARCHAR)) AS k_max,
+         CAST(sum(CASE WHEN s_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm_nulls,
+         count(DISTINCT s_name) AS nm_d,
+         min(s_name) AS nm_min,
+         max(s_name) AS nm_max,
+         CAST(sum(CASE WHEN s_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_nulls,
+         count(DISTINCT s_acctbal) AS b_d,
+         min(CAST(s_acctbal AS VARCHAR)) AS b_min,
+         max(CAST(s_acctbal AS VARCHAR)) AS b_max
+  FROM supplier
+)
+SELECT 's_acctbal' AS "column", n AS n_rows, b_nulls AS n_nulls,
+       b_d AS n_distinct, b_min AS min_value, b_max AS max_value FROM w
+UNION ALL
+SELECT 's_name', n, nm_nulls, nm_d, nm_min, nm_max FROM w
+UNION ALL
+SELECT 's_suppkey', n, k_nulls, k_d, k_min, k_max FROM w
+ORDER BY "column"
+""",
+    tags=("quality", "profiling", "agg"),
+    doc="Single-pass profiler: one aggregation job yields rows/nulls/"
+    "distincts/min/max for every column — one 100 TB scan total, not one "
+    "per column. Min/max stringified; note Spark and DuckDB must agree on "
+    "double->string formatting only through CAST AS VARCHAR of the same "
+    "values (exact two-decimal doubles here).",
+)
+def q48_profile_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..warehouse.quality import profile
+
+    s = load_table(spark, sf_dir, "supplier")
+    return profile(s, ["s_suppkey", "s_name", "s_acctbal"])

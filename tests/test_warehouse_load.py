@@ -216,3 +216,29 @@ def test_load_rejects_malformed_raw_file(warehouse, tmp_path):
     assert (
         spark.table("fhvhv_tripdata").where("year=2026 AND month=1").count() == 0
     )
+
+
+def test_constraint_checks_single_pass(warehouse, raw_root):
+    from nyc_taxi_data_warehouse_spark.warehouse.load import transform_raw
+    from nyc_taxi_data_warehouse_spark.warehouse.quality import check_constraints
+
+    spark = warehouse
+    path = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    df = transform_raw(spark.read.parquet(path))
+    result = {r["rule"]: r for r in check_constraints(df).collect()}
+    assert set(result) == {
+        "license_num_is_hv_6char",
+        "base_num_is_b_6char",
+        "pickup_before_dropoff",
+        "pu_zone_in_domain",
+        "do_zone_in_domain",
+        "driver_pay_not_null",
+    }
+    # the synthetic generator emits valid domains throughout
+    assert all(r["n_violations"] == 0 for r in result.values())
+    assert all(r["n_rows"] == 200 for r in result.values())
+
+    # and a deliberately broken frame is caught
+    bad = df.withColumn("pu_location_id", F.lit(999))
+    got = {r["rule"]: r["n_violations"] for r in check_constraints(bad).collect()}
+    assert got["pu_zone_in_domain"] == 200 and got["do_zone_in_domain"] == 0
