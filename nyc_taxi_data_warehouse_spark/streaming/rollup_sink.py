@@ -1,0 +1,82 @@
+"""Incrementally-maintained rollup: streaming events → hourly aggregate
+table, merged per micro-batch.
+
+The batch rollup (warehouse/rollup.py) re-scans raw events; at 100 TB a
+dashboard table must instead absorb each micro-batch incrementally. The
+merge relies on the same decomposability the batch path proves
+(count→sum, cents→sum, min→min, max→max), plus partition surgery:
+
+1. aggregate the micro-batch to hourly partials (tiny),
+2. read ONLY the (day) partitions those hours touch from the existing
+   rollup — partition pruning, not a table scan,
+3. re-aggregate old ⊎ new and dynamic-partition-overwrite just those
+   days. Untouched days are never read or written.
+
+State lives in the table itself, so the sink restarts from the
+checkpoint with no rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLLUP_KEYS = ["day", "hour", "event_type"]
+_MERGE_AGGS = [
+    F.sum("n").alias("n"),
+    F.sum("value_cents").alias("value_cents"),
+    F.min("min_value").alias("min_value"),
+    F.max("max_value").alias("max_value"),
+]
+
+
+def _hourly_partials(events: DataFrame) -> DataFrame:
+    hour = F.date_trunc("hour", "ts").cast("timestamp_ntz")
+    return events.groupBy(
+        F.to_date(hour).alias("day"), hour.alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def merge_batch_into_rollup(spark: SparkSession, batch: DataFrame, path: str) -> None:
+    """One micro-batch merge (also usable for batch backfill)."""
+    partials = _hourly_partials(batch).cache()
+    try:
+        days = [r["day"] for r in partials.select("day").distinct().collect()]
+        if not days:
+            return
+        merged = partials
+        if os.path.isdir(path):
+            existing = spark.read.parquet(path).where(F.col("day").isin(days))
+            merged = existing.unionByName(partials)
+        out = merged.groupBy(*ROLLUP_KEYS).agg(*_MERGE_AGGS)
+        # partitionOverwriteMode=dynamic (session conf): replaces exactly
+        # the day partitions present in `out`, leaves the rest untouched.
+        out.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        partials.unpersist()
+
+
+def stream_events_into_rollup(
+    spark: SparkSession, events_stream: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Drain the stream (availableNow) through the incremental merge."""
+    q = (
+        events_stream.writeStream.foreachBatch(
+            lambda batch, _epoch: merge_batch_into_rollup(spark, batch, path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

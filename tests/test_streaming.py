@@ -140,3 +140,46 @@ def test_stream_stream_join_equals_batch(spark):
     cols = ["user_id", "c_id", "p_id", "c_ts", "p_ts", "purchase_value"]
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
     assert got.count() > 0
+
+
+def test_incremental_rollup_equals_batch(spark, tmp_path):
+    """3 micro-batches merged incrementally must equal the one-shot
+    hourly rollup of all events; only touched day partitions rewritten."""
+    from nyc_taxi_data_warehouse_spark.streaming.rollup_sink import (
+        read_rollup,
+        stream_events_into_rollup,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.rollup import hourly_rollup
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_split")
+    events.repartition(3).write.parquet(src)
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_events_into_rollup(spark, stream, rollup, ckpt)
+
+    got = read_rollup(spark, rollup).select(
+        "hour", "event_type", "n", "value_cents", "min_value", "max_value"
+    )
+    want = hourly_rollup(events).select(
+        "hour", "event_type", "n", "value_cents", "min_value", "max_value"
+    )
+    cols = ["hour", "event_type", "n", "value_cents", "min_value", "max_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # restart with same checkpoint: no new files -> rollup unchanged
+    stream2 = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_events_into_rollup(spark, stream2, rollup, ckpt)
+    assert _sorted_rows(read_rollup(spark, rollup).select(*cols), cols) == _sorted_rows(
+        want, cols
+    )
