@@ -29,4 +29,6 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector yields NULL similarity instead of an
+    # ANSI DIVIDE_BY_ZERO that would fail the whole job (hypothesis-found).
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

@@ -117,3 +117,41 @@ def test_exact_dedup_idempotent_and_canonical(spark, rows):
         )
     )
     assert got == expected
+
+
+vec = st.lists(
+    st.floats(-10, 10, allow_nan=False, width=32), min_size=1, max_size=16
+)
+
+
+@given(pairs=st.lists(st.tuples(vec, vec), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_vector_math_matches_numpy(spark, pairs):
+    import math
+
+    import numpy as np
+
+    from nyc_taxi_data_warehouse_spark.functions import vector as V
+
+    # equalize lengths per pair (zip_with semantics need same dim)
+    data = [
+        (i, [float(x) for x in a[: len(b)]], [float(y) for y in b[: len(a)]])
+        for i, (a, b) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(data, "i int, a array<double>, b array<double>")
+    got = {
+        r["i"]: (r["d"], r["c"])
+        for r in df.select(
+            "i",
+            V.dot(F.col("a"), F.col("b")).alias("d"),
+            V.cosine(F.col("a"), F.col("b")).alias("c"),
+        ).collect()
+    }
+    for i, a, b in data:
+        d_np = float(np.dot(a, b))
+        assert math.isclose(got[i][0], d_np, rel_tol=1e-9, abs_tol=1e-9)
+        denom = float(np.linalg.norm(a) * np.linalg.norm(b))
+        if denom == 0.0:
+            assert got[i][1] is None or math.isnan(got[i][1])
+        else:
+            assert math.isclose(got[i][1], d_np / denom, rel_tol=1e-9, abs_tol=1e-9)
