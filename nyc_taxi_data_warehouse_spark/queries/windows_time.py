@@ -180,3 +180,50 @@ def q41_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
     e = load_table(spark, sf_dir, "events")
     return click_purchase_attribution(e).orderBy("user_id", "c_id", "p_id")
+
+
+# ---------------------------------------------------------------------------
+# q49 — calendar gap-filling: dense daily series with zero-filled days
+# ---------------------------------------------------------------------------
+@register(
+    "q49_calendar_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+  FROM events
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+), daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1
+)
+SELECT cal.day AS day,
+       CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+       coalesce(daily.n, 0) = 0 AS is_gap
+FROM cal LEFT JOIN daily ON cal.day = daily.day
+ORDER BY day
+""",
+    tags=("calendar", "gap-fill", "sequence"),
+    doc="Dense time series from a sparse fact table: sequence() builds "
+    "the calendar spine (a few rows — broadcastable at any scale), the "
+    "fact side aggregates BEFORE the join so the left join touches one "
+    "row per day, not per event.",
+)
+def q49_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz")
+    bounds = e.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = e.groupBy(day.alias("day")).agg(F.count("*").alias("n"))
+    return (
+        cal.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            (F.coalesce("n", F.lit(0)) == 0).alias("is_gap"),
+        )
+        .orderBy("day")
+    )
