@@ -1068,3 +1068,92 @@ def q48_profile_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = load_table(spark, sf_dir, "supplier")
     return profile(s, ["s_suppkey", "s_name", "s_acctbal"])
+
+
+# ---------------------------------------------------------------------------
+# q50 — miscellaneous aggregate family (count_if, bool aggs, distinct sums)
+# ---------------------------------------------------------------------------
+@register(
+    "q50_misc_aggregates",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+       bool_and(l_quantity > 0)  AS all_positive_qty,
+       bool_or(l_tax > 0.07)     AS any_high_tax,
+       CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_distinct_qty,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg", "count_if", "bool-agg", "distinct"),
+)
+def q50_misc_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            F.sum_distinct(F.col("l_quantity").cast("bigint")).alias(
+                "sum_distinct_qty"
+            ),
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — explicit cross join (enumeration grid)
+# ---------------------------------------------------------------------------
+@register(
+    "q51_cross_join_grid",
+    oracle="""
+SELECT r_name, o_orderstatus,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders
+FROM region
+CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+LEFT JOIN (
+  SELECT r2.r_regionkey, o_orderstatus AS st, count(*) AS cnt
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region r2 ON n_regionkey = r2.r_regionkey
+  GROUP BY r2.r_regionkey, o_orderstatus
+) f ON f.r_regionkey = region.r_regionkey AND f.st = s.o_orderstatus
+ORDER BY r_name, o_orderstatus
+""",
+    tags=("join", "cross", "grid"),
+    doc="Deliberate small-dimension cross join (5 regions x 3 statuses) "
+    "building a dense grid, zero-filled from the fact aggregate — the "
+    "sanctioned use of crossJoin: tiny enumerations, never fact tables.",
+)
+def q51_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    statuses = o.select("o_orderstatus").distinct()
+    grid = r.crossJoin(statuses)
+    facts = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", F.col("o_orderstatus").alias("st"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        grid.join(
+            facts,
+            (F.col("r_regionkey") == F.col("n_regionkey"))
+            & (F.col("o_orderstatus") == F.col("st")),
+            "left",
+        )
+        .select(
+            "r_name",
+            "o_orderstatus",
+            F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("r_name", "o_orderstatus")
+    )
