@@ -64,3 +64,31 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> No
         _avro(writer.format("avro").save, path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
+
+
+def read_evolving_parquet(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read a parquet directory whose files were written under different
+    schema versions (columns added over time). mergeSchema unions the
+    footers; files lacking a column yield NULLs for it. Pass the target
+    schema to pin the result shape regardless of which files exist.
+
+    Scale note: mergeSchema reads EVERY footer at planning time — fine
+    for a monthly-file layout (hundreds of footers), wrong for millions
+    of tiny files; there, pin `schema` explicitly and skip the merge.
+    """
+    reader = spark.read.option("mergeSchema", "true")
+    df = reader.parquet(path)
+    if schema is not None:
+        from pyspark.sql import functions as F
+
+        have = {f.name for f in df.schema.fields}
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        df = df.select(*cols)
+    return df

@@ -158,3 +158,39 @@ def test_avro_round_trips_or_names_the_remedy(spark, tmp_path):
         return
     got = read_any(spark, path, "avro", src.schema)
     assert got.count() == src.count()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Files written under v1 (no column) and v2 (added column) must read
+    as one frame, v1 rows null-filled, pinned to the target schema."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from nyc_taxi_data_warehouse_spark.sources.formats import read_evolving_parquet
+
+    root = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.parquet(
+        root + "/v1"
+    )
+    spark.createDataFrame(
+        [(3, "c", 1.5)], "id long, name string, score double"
+    ).write.parquet(root + "/v2")
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+            StructField("added_later", StringType()),  # in no file yet
+        ]
+    )
+    got = read_evolving_parquet(spark, root + "/*", target)
+    assert [f.name for f in got.schema.fields] == ["id", "name", "score", "added_later"]
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 1.5
+    assert all(r["added_later"] is None for r in rows.values())
