@@ -1157,3 +1157,35 @@ def q51_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q52 — multiset set-ops (INTERSECT ALL / EXCEPT ALL with real duplicates)
+# ---------------------------------------------------------------------------
+@register(
+    "q52_multiset_ops",
+    oracle="""
+WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+     b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O')
+SELECT 'inter' AS tag, p, count(*) AS n
+FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b) i GROUP BY p
+UNION ALL
+SELECT 'exc', p, count(*) FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b) e GROUP BY p
+ORDER BY tag, p
+""",
+    tags=("setops", "multiset"),
+    doc="intersectAll keeps min(multiplicity), exceptAll keeps the "
+    "multiplicity difference — bag semantics q16's distinct inputs can't "
+    "exercise.",
+)
+def q52_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("p"))
+    b = o.where(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("p"))
+    inter = a.intersectAll(b).groupBy("p").agg(F.count("*").alias("n")).select(
+        F.lit("inter").alias("tag"), "p", "n"
+    )
+    exc = a.exceptAll(b).groupBy("p").agg(F.count("*").alias("n")).select(
+        F.lit("exc").alias("tag"), "p", "n"
+    )
+    return inter.unionByName(exc).orderBy("tag", "p")

@@ -183,3 +183,29 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     assert _sorted_rows(read_rollup(spark, rollup).select(*cols), cols) == _sorted_rows(
         want, cols
     )
+
+
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static join: each micro-batch joins against a static dim
+    snapshot (no watermark needed — the static side is bounded)."""
+    events = load_table(spark, SF, "events")
+    user_dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("user_tier", (F.col("user_id") % 3).cast("int"))
+    )
+    batch = (
+        events.join(user_dim, "user_id")
+        .groupBy("user_tier")
+        .agg(F.count("*").alias("n"))
+    )
+    stream = (
+        stream_events(spark, SF)
+        .join(user_dim, "user_id")
+        .groupBy("user_tier")
+        .agg(F.count("*").alias("n"))
+    )
+    run_stream_to_memory(stream, "static_join_out", mode="complete")
+    got = spark.table("static_join_out")
+    cols = ["user_tier", "n"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
