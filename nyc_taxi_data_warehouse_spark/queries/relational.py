@@ -1189,3 +1189,43 @@ def q52_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("exc").alias("tag"), "p", "n"
     )
     return inter.unionByName(exc).orderBy("tag", "p")
+
+
+# ---------------------------------------------------------------------------
+# q53 — typed JSON parsing: from_json with explicit schema + to_json
+# ---------------------------------------------------------------------------
+@register(
+    "q53_json_typed_parse",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+       json_object('event', event_type, 'k2',
+                   CAST(json_extract(props, '$.k') AS INT) * 2) AS reencoded
+FROM events
+WHERE event_id < 300
+ORDER BY event_id
+""",
+    tags=("json", "from_json", "to_json"),
+    doc="from_json with a pinned schema parses ONCE into a typed struct "
+    "(vs get_json_object re-parsing per extraction — q19 shows that "
+    "surface); to_json re-encodes a constructed struct. At 100 TB the "
+    "single-parse struct form is the one to use for multi-field access.",
+)
+def q53_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            (F.col("p.k") % 10).alias("k_mod"),
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("event"),
+                    (F.col("p.k") * 2).alias("k2"),
+                )
+            ).alias("reencoded"),
+        )
+        .orderBy("event_id")
+    )
