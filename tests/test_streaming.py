@@ -209,3 +209,55 @@ def test_stream_static_join_equals_batch(spark):
     got = spark.table("static_join_out")
     cols = ["user_tier", "n"]
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_stateful_sessionization_equals_native(spark, tmp_path):
+    """Custom applyInPandasWithState sessionization == native
+    session_window. A far-future sentinel event per user in a final
+    micro-batch forces every real session closed (the sentinel's own
+    open session is filtered by the time bound), so the comparison is
+    exact and watermark-timing independent."""
+    import datetime as dt
+
+    from nyc_taxi_data_warehouse_spark.streaming.stateful import sessionize_stateful
+
+    events = load_table(spark, SF, "events").select("user_id", "ts")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + dt.timedelta(days=30)
+
+    src = str(tmp_path / "sess_src")
+    # time-ordered micro-batches (a random split would make batch 2 carry
+    # events behind the watermark, which the stateful operator drops)
+    cutoff = events.agg(
+        F.percentile_approx("ts", 0.5).alias("m")
+    ).collect()[0]["m"]
+    events.where(F.col("ts") <= cutoff).coalesce(1).write.parquet(src)
+    events.where(F.col("ts") > cutoff).coalesce(1).write.mode("append").parquet(src)
+    # sentinel batch, one far-future event per user
+    events.select("user_id").distinct().withColumn(
+        "ts", F.lit(sentinel_ts).cast("timestamp_ntz")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_stream_to_memory(sessionize_stateful(stream), "sess_out", mode="append")
+    got = (
+        spark.table("sess_out")
+        .where(F.col("session_start_us") < int(sentinel_ts.timestamp() * 1_000_000))
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("session_start_us"))
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            F.timestamp_micros(F.col("last_us")).cast("timestamp_ntz").alias("last_ts"),
+            "n_events",
+        )
+    )
+    native = session_windows(load_table(spark, SF, "events")).select(
+        "user_id", "session_start", "last_ts", "n_events"
+    )
+    cols = ["user_id", "session_start", "last_ts", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(native, cols)
