@@ -5,3 +5,9 @@ from .windows import (  # noqa: F401
     stream_events,
     tumbling_counts,
 )
+from .stateful import sessionize_stateful, user_running_totals  # noqa: F401
+from .joins import click_purchase_attribution  # noqa: F401
+from .rollup_sink import (  # noqa: F401
+    merge_batch_into_rollup,
+    stream_events_into_rollup,
+)

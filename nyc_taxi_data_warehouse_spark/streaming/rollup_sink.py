@@ -24,12 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ROLLUP_KEYS = ["day", "hour", "event_type"]
-_MERGE_AGGS = [
-    F.sum("n").alias("n"),
-    F.sum("value_cents").alias("value_cents"),
-    F.min("min_value").alias("min_value"),
-    F.max("max_value").alias("max_value"),
-]
+
+
+def _merge_aggs():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        F.sum("n").alias("n"),
+        F.sum("value_cents").alias("value_cents"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
 
 
 def _hourly_partials(events: DataFrame) -> DataFrame:
@@ -55,7 +59,7 @@ def merge_batch_into_rollup(spark: SparkSession, batch: DataFrame, path: str) ->
         if os.path.isdir(path):
             existing = spark.read.parquet(path).where(F.col("day").isin(days))
             merged = existing.unionByName(partials)
-        out = merged.groupBy(*ROLLUP_KEYS).agg(*_MERGE_AGGS)
+        out = merged.groupBy(*ROLLUP_KEYS).agg(*_merge_aggs())
         # partitionOverwriteMode=dynamic (session conf): replaces exactly
         # the day partitions present in `out`, leaves the rest untouched.
         out.write.mode("overwrite").partitionBy("day").parquet(path)

@@ -50,15 +50,17 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 
 # Domain rules for the FHVHV fact table (≙ the CHAR(6)/INTEGER domains the
-# reference's DDL implies but never enforces).
-FHVHV_RULES: dict[str, Column] = {
-    "license_num_is_hv_6char": F.col("hvfhs_license_num").rlike(r"^HV\d{4}$"),
-    "base_num_is_b_6char": F.col("dispatching_base_num").rlike(r"^B\d{5}$"),
-    "pickup_before_dropoff": F.col("pickup_datetime") <= F.col("dropoff_datetime"),
-    "pu_zone_in_domain": F.col("pu_location_id").between(1, 265),
-    "do_zone_in_domain": F.col("do_location_id").between(1, 265),
-    "driver_pay_not_null": F.col("driver_pay").isNotNull(),
-}
+# reference's DDL implies but never enforces). Built lazily — Column
+# construction needs an active SparkContext.
+def fhvhv_rules() -> dict[str, Column]:
+    return {
+        "license_num_is_hv_6char": F.col("hvfhs_license_num").rlike(r"^HV\d{4}$"),
+        "base_num_is_b_6char": F.col("dispatching_base_num").rlike(r"^B\d{5}$"),
+        "pickup_before_dropoff": F.col("pickup_datetime") <= F.col("dropoff_datetime"),
+        "pu_zone_in_domain": F.col("pu_location_id").between(1, 265),
+        "do_zone_in_domain": F.col("do_location_id").between(1, 265),
+        "driver_pay_not_null": F.col("driver_pay").isNotNull(),
+    }
 
 
 def check_constraints(
@@ -67,7 +69,7 @@ def check_constraints(
     """Violation counts per rule, one pass. A rule PASSES for a row when
     its predicate is true; null predicates count as violations (unknown
     is not proof of validity)."""
-    rules = rules or FHVHV_RULES
+    rules = rules or fhvhv_rules()
     aggs = [
         F.sum((~F.coalesce(pred, F.lit(False))).cast("long")).alias(name)
         for name, pred in rules.items()
