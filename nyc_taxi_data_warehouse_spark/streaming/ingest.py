@@ -53,3 +53,20 @@ def stream_ingest_raw(
         .start()
         .awaitTermination()
     )
+
+
+def dedup_stream(events, keys: list[str] | None = None, delay: str = "2 hours"):
+    """Streaming exact dedup: drop re-deliveries of the same key arriving
+    within the watermark horizon (`dropDuplicatesWithinWatermark`,
+    Spark 3.5+). State holds one entry per key seen in the last `delay`
+    of event time — bounded, unlike a plain dropDuplicates whose state
+    grows with the stream. The at-least-once file/queue source plus this
+    operator yields effectively-exactly-once rows downstream.
+    """
+    from pyspark.sql import functions as F
+
+    keys = keys or ["event_id"]
+    watermarked = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", delay
+    )
+    return watermarked.dropDuplicatesWithinWatermark(keys)

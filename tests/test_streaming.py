@@ -261,3 +261,27 @@ def test_stateful_sessionization_equals_native(spark, tmp_path):
     )
     cols = ["user_id", "session_start", "last_ts", "n_events"]
     assert _sorted_rows(got, cols) == _sorted_rows(native, cols)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered events (same event_id in a later micro-batch) must be
+    dropped; the deduped stream equals batch distinct-by-key."""
+    from nyc_taxi_data_warehouse_spark.streaming.ingest import dedup_stream
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    src = str(tmp_path / "dedup_src")
+    events.coalesce(1).write.parquet(src)
+    # second delivery of a subset — duplicates within the watermark window
+    events.where(F.col("event_id") % 7 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_stream_to_memory(dedup_stream(stream), "dedup_out", mode="append")
+    got = spark.table("dedup_out")
+    assert got.count() == events.count()  # every id exactly once
+    assert got.select("event_id").distinct().count() == events.count()
