@@ -177,6 +177,64 @@ def minhash_lsh_pairs(
     return verified
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into transitive clusters (connected
+    components) via iterative min-label propagation.
+
+    ``pairs`` is the output of a pair generator (``minhash_lsh_pairs``,
+    ``simhash_pairs``, embedding near-dup): columns ``id_a``/``id_b``.
+    Returns ``(id, cluster_id)`` where ``cluster_id`` is the smallest id
+    in the component — the canonical "keep" document.
+
+    This is the step real dedup pipelines need after pair generation:
+    A~B and B~C must collapse to ONE kept doc, which pairwise dedup
+    alone cannot decide.
+
+    Scale notes: each iteration is one shuffle (join on dst + groupBy on
+    id); rounds needed = graph diameter, and near-dup graphs are shallow
+    (clusters are quasi-cliques), so 3-5 rounds typically converge.
+    ``localCheckpoint`` cuts the lineage every round so the plan does not
+    grow exponentially; the edge list is persisted once and reused.
+    Iterative — intentionally NOT expressible as one SQL statement in
+    Spark; the DuckDB oracle uses a recursive CTE (see d07).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def with_simhash(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("simhash", T.simhash32(T.tokens(F.col(text_col))))
 

@@ -95,10 +95,9 @@ def d02_exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # d03 — MinHash + LSH near-duplicate pairs with exact Jaccard verify
 # ---------------------------------------------------------------------------
-@register(
-    "d03_minhash_lsh_pairs",
-    oracle=f"""
-WITH shingled AS ({_SHINGLES_SQL}),
+# CTE chain producing the verified near-dup pair list; shared by the d03
+# oracle and the d07 cluster-resolution oracle (recursive closure on top).
+_PAIRS_CTES = f"""shingled AS ({_SHINGLES_SQL}),
 sigs AS (
   SELECT doc_id, sh,
          {_MH_COLS_SQL}
@@ -119,15 +118,24 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b
     ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
-FROM cand
-JOIN shingled sa ON sa.doc_id = id_a
-JOIN shingled sb ON sb.doc_id = id_b
-WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.1
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand
+  JOIN shingled sa ON sa.doc_id = id_a
+  JOIN shingled sb ON sb.doc_id = id_b
+  WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.1
+)"""
+
+
+@register(
+    "d03_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_PAIRS_CTES}
+SELECT id_a, id_b, jaccard FROM pairs
 ORDER BY id_a, id_b
 """,
     tags=("dedup", "minhash", "lsh"),
@@ -148,6 +156,63 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnsRenamed({"id_a": "id_a", "id_b": "id_b"})
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d07 — transitive duplicate clusters (connected components over d03 pairs)
+# ---------------------------------------------------------------------------
+@register(
+    "d07_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id,
+       count(*) AS n_docs,
+       CAST(sum(id) AS BIGINT) AS sum_member_ids,
+       max(id) AS max_member_id
+FROM labels
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+    tags=("dedup", "clusters", "iterative"),
+    doc="Transitive closure of the d03 near-dup pair graph: min-label "
+    "propagation (Spark, iterative joins + localCheckpoint) vs a "
+    "recursive CTE (DuckDB). cluster_id = smallest doc_id in the "
+    "component = the canonical keep doc; A~B~C collapses to one keeper, "
+    "which pairwise dedup alone cannot decide.",
+)
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d,
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        jaccard_threshold=0.1,
+    )
+    labels = D.dup_clusters(pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("id").cast("long").alias("sum_member_ids"),
+            F.max("id").alias("max_member_id"),
+        )
+        .orderBy("cluster_id")
     )
 
 

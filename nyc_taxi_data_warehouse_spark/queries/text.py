@@ -204,3 +204,63 @@ def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t05 — deterministic train/val/test split (hash-bucket assignment)
+# ---------------------------------------------------------------------------
+# Split key: the first 4 hex digits of md5(doc_id) as an integer, mod 100.
+# Content-addressed assignment is the scale-correct way to split: it is
+# reproducible across runs/engines/cluster sizes (unlike rand(seed), whose
+# stream depends on partitioning) and stable under re-ingestion.
+_SPLIT_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+
+
+@register(
+    "t05_train_test_split",
+    oracle=f"""
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(min(bucket) AS BIGINT) AS min_bucket,
+       CAST(max(bucket) AS BIGINT) AS max_bucket
+FROM (
+  SELECT doc_id,
+         {_SPLIT_BUCKET_SQL} AS bucket,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+) t
+GROUP BY split
+ORDER BY split
+""",
+    tags=("text", "sampling", "split"),
+    doc="80/10/10 train/val/test split assigned by md5(doc_id) hash "
+    "bucket — deterministic, engine-independent, stable under "
+    "re-partitioning; the membership is value-checked via per-split "
+    "id sums.",
+)
+def t05_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.min("bucket").cast("long").alias("min_bucket"),
+            F.max("bucket").cast("long").alias("max_bucket"),
+        )
+        .orderBy("split")
+    )

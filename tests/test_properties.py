@@ -155,3 +155,40 @@ def test_vector_math_matches_numpy(spark, pairs):
             assert got[i][1] is None or math.isnan(got[i][1])
         else:
             assert math.isclose(got[i][1], d_np / denom, rel_tol=1e-9, abs_tol=1e-9)
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=edge_lists)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dup_clusters_match_union_find(spark, edges):
+    """dup_clusters == reference union-find on arbitrary pair graphs
+    (chains, cycles, singleton edges — shapes LSH output can produce)."""
+    from nyc_taxi_data_warehouse_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
