@@ -198,10 +198,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Iterative — intentionally NOT expressible as one SQL statement in
     Spark; the DuckDB oracle uses a recursive CTE (see d07).
     """
+    from pyspark.sql import Observation
+
+    # The pair plan (an LSH pipeline upstream) is expensive; both halves of
+    # the symmetric edge list read it, so materialize it exactly once. No
+    # distinct() on edges: the generators emit unique (id_a < id_b) pairs,
+    # and min-propagation is idempotent over duplicate edges anyway.
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
         .persist()
     )
     labels = (
@@ -215,22 +221,21 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
-        new_labels = (
+        merged = (
             labels.unionByName(neighbor_min)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # Convergence detection piggybacks on the checkpoint action via an
+        # Observation — one Spark job per round instead of two.
+        obs = Observation()
+        cmp = merged.join(
+            labels.select("id", F.col("label").alias("_old")), "id"
+        ).observe(obs, F.max((F.col("label") != F.col("_old")).cast("int")).alias("changed"))
+        labels = cmp.select("id", "label").localCheckpoint(eager=True)
+        if not obs.get["changed"]:  # None on an empty graph, 0 at fixpoint
             break
+    pairs.unpersist()
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
