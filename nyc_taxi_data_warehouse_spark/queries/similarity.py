@@ -248,3 +248,72 @@ def e06_ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.where(F.col("vec_id") < 8)
     qs = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
     return S.ivf_topk(qs, emb, cents, k=3, n_probe=1)
+
+
+# ---------------------------------------------------------------------------
+# e07 — ANN recall@k vs the exact baseline (the standard ANN quality gate)
+# ---------------------------------------------------------------------------
+@register(
+    "e07_ann_recall",
+    oracle=f"""
+WITH bucketed AS ({_BUCKET_SQL}),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed WHERE vec_id < 32),
+c AS (SELECT vec_id AS cid, v AS cv, bucket FROM bucketed),
+ann AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round({_COS_SQL}, 6) DESC, cid) AS rn
+    FROM q JOIN c USING (bucket) WHERE qid != cid
+  ) WHERE rn <= 5
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round({_COS_SQL}, 6) DESC, cid) AS rn
+    FROM q JOIN c ON qid != cid
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT e.qid, count(*) AS hits
+  FROM exact e JOIN ann a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid
+)
+SELECT x.qid,
+       COALESCE(n.n_ann, 0) AS n_ann,
+       COALESCE(h.hits, 0) AS hits,
+       round(COALESCE(h.hits, 0) * 1.0 / 5, 4) AS recall_at_5
+FROM (SELECT DISTINCT qid FROM q) x
+LEFT JOIN (SELECT qid, count(*) AS n_ann FROM ann GROUP BY qid) n ON x.qid = n.qid
+LEFT JOIN hits h ON x.qid = h.qid
+ORDER BY x.qid
+""",
+    tags=("similarity", "ann", "recall", "eval"),
+    doc="Per-query recall@5 of the LSH-bucketed ANN (e05 path) against "
+    "the exact brute-force top-5 (e01 path) — the eval every ANN "
+    "deployment needs before trading accuracy for the bucketed scan. "
+    "Both sides are deterministic, so the oracle replays them in SQL.",
+)
+def e07_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 32)
+    exact = S.cosine_topk(qs, emb, k=5).select("qid", "cid")
+    ann = S.ann_topk(qs, emb, k=5, n_planes=N_PLANES, dim=DIM).select("qid", "cid")
+    hits = exact.join(ann, ["qid", "cid"]).groupBy("qid").agg(
+        F.count("*").alias("hits")
+    )
+    n_ann = ann.groupBy("qid").agg(F.count("*").alias("n_ann"))
+    return (
+        qs.select(F.col("vec_id").alias("qid"))
+        .join(n_ann, "qid", "left")
+        .join(hits, "qid", "left")
+        .fillna(0, ["n_ann", "hits"])
+        .select(
+            "qid",
+            "n_ann",
+            "hits",
+            F.round(F.col("hits") / 5.0, 4).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
