@@ -264,3 +264,58 @@ def t05_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# t06 — stratified deterministic downsampling (per-language keep rates)
+# ---------------------------------------------------------------------------
+@register(
+    "t06_stratified_sample",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE bucket < keep_pct) AS n_kept,
+       CAST(COALESCE(sum(doc_id) FILTER (WHERE bucket < keep_pct), 0) AS BIGINT) AS sum_kept_ids
+FROM (
+  SELECT lang, doc_id,
+         {_SPLIT_BUCKET_SQL} AS bucket,
+         CASE WHEN lang = 'en' THEN 10
+              WHEN lang = 'es' THEN 30
+              ELSE 50 END AS keep_pct
+  FROM documents
+) t
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("text", "sampling", "stratified"),
+    doc="Per-stratum deterministic downsampling via the md5 bucket of "
+    "t05: over-represented languages keep 10%, rarer ones 30-50% — the "
+    "rebalancing step of corpus curation, reproducible across engines "
+    "and partitionings (unlike sampleBy, whose RNG stream is "
+    "partition-order dependent).",
+)
+def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    keep_pct = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "es", 30)
+        .otherwise(50)
+    )
+    kept = bucket < keep_pct
+    return (
+        d.select("lang", "doc_id", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if("kept").alias("n_kept"),
+            F.coalesce(F.sum(F.when(F.col("kept"), F.col("doc_id"))), F.lit(0))
+            .cast("long")
+            .alias("sum_kept_ids"),
+        )
+        .orderBy("lang")
+    )
