@@ -102,17 +102,27 @@ def minhash_lsh_pairs(
         "_id",
         F.concat_ws(" ", "t", *[f"t{j}" for j in range(1, shingle_k)]).alias("_s"),
     )
+    # Shingles are carried as xxhash64 ints, not strings: the verify join
+    # ships both sides' shingle sets through a shuffle, and at corpus
+    # scale the payload is dominated by those arrays. Hashing preserves
+    # set semantics (intersect/union sizes, hence Jaccard) with ~10x
+    # fewer bytes; a 64-bit collision inside one document's set is
+    # negligible at any realistic shingle cardinality.
     sig = shingle_rows.groupBy("_id").agg(
-        F.collect_set("_s").alias("_shingles"),
+        F.collect_set(F.xxhash64("_s")).alias("_shingles"),
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"mh{i}")
             for i in range(n_hashes)
         ],
     )
     # Materialize: the signature table is tiny relative to the corpus
-    # (id + 8 hex strings + shingle set) and is consumed three times
-    # (band keys, bucket explode, both sides of the verify join).
-    sig = sig.persist()
+    # (id + 8 hex strings + hashed shingle set) and is consumed three
+    # times (band keys, bucket explode, both sides of the verify join).
+    # Unpersisted at the end of this function — the verified pair list is
+    # eagerly localCheckpoint-ed first, so callers never re-trigger the
+    # signature build and the cache entry does not leak across calls.
+    sig_cached = sig.persist()
+    sig = sig_cached
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -174,6 +184,12 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Eager materialization: pairs are tiny relative to the corpus, and
+    # checkpointed RDD blocks are ContextCleaner-collected once the
+    # DataFrame is unreferenced (unlike cacheManager entries, which leak
+    # until an explicit unpersist).
+    verified = verified.localCheckpoint(eager=True)
+    sig_cached.unpersist()
     return verified
 
 

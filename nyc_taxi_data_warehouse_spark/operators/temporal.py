@@ -37,7 +37,12 @@ def asof_join(
 
     Output: all left columns + right_cols (null when no match).
     Ties on equal timestamps resolve to the right row (<=, like
-    DuckDB/pandas ``merge_asof`` with allow_exact_matches).
+    DuckDB/pandas ``merge_asof`` with allow_exact_matches). When SEVERAL
+    right rows share the matching timestamp, the one with the greatest
+    ``right_cols`` tuple wins — a deterministic, data-defined tie-break
+    (engines differ arbitrarily here: DuckDB ASOF picks an unspecified
+    row). The matched right row is taken atomically (one struct), never
+    column-mixed across rows when payload fields are null.
     """
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rt = (
@@ -52,18 +57,30 @@ def asof_join(
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
     # right rows sort before left rows at the same _ts (side 0 < 1):
-    # an exact-timestamp right match is visible to the left row.
+    # an exact-timestamp right match is visible to the left row. The
+    # trailing _r_* keys make the order total when right timestamps
+    # collide (left rows carry nulls there, which is irrelevant — _side
+    # already separates them).
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", *[f"_r_{c}" for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumns(
-        {
-            f"_m_{c}": F.last(f"_r_{c}", ignorenulls=True).over(w)
-            for c in right_cols
-        }
-    ).withColumn("_m_ts", F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w))
+    # One struct per right row → last() picks the whole matched row
+    # atomically; per-column last(ignorenulls) would stitch fields from
+    # different rows whenever the latest match has a null field.
+    match = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_ts").alias("_m_ts"),
+            *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+        ),
+    )
+    filled = (
+        unioned.withColumn("_m", F.last(match, ignorenulls=True).over(w))
+        .withColumns({f"_m_{c}": F.col(f"_m.{c}") for c in right_cols})
+        .withColumn("_m_ts", F.col("_m._m_ts"))
+    )
 
     out = filled.where(F.col("_side") == 1)
     if tolerance is not None:

@@ -192,3 +192,126 @@ def test_dup_clusters_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 10)),  # (key, ts) — tiny ts range
+    min_size=0,
+    max_size=20,
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 10), st.integers(-5, 5)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(left=asof_left, right=asof_right)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_deterministic_ties(spark, left, right):
+    """asof_join == DuckDB greatest-(ts, payload) reference on data WITH
+    duplicate right timestamps per key (the shape the sf fixtures never
+    produce). Declared tie semantics: at equal matching ts, the right
+    row with the greatest right_cols tuple wins, taken atomically."""
+    import duckdb
+
+    base = datetime.datetime(2024, 1, 1)
+    ldata = [
+        (i, k, base + datetime.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    rdata = [
+        (k, base + datetime.timedelta(seconds=s), v) for k, s, v in right
+    ]
+    from nyc_taxi_data_warehouse_spark.operators.temporal import asof_join
+
+    l_df = spark.createDataFrame(ldata, "lid long, k long, ts timestamp_ntz")
+    r_df = spark.createDataFrame(rdata, "k long, ts timestamp_ntz, payload long")
+    got = sorted(
+        map(
+            tuple,
+            asof_join(
+                l_df, r_df, on="k", left_ts="ts", right_ts="ts",
+                right_cols=["payload"],
+            ).select("lid", "payload", "matched_ts").collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(lid BIGINT, k BIGINT, ts TIMESTAMP)")
+    con.execute("CREATE TABLE r(k BIGINT, ts TIMESTAMP, payload BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", ldata or [(None, None, None)])
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rdata or [(None, None, None)])
+    if not ldata:
+        con.execute("DELETE FROM l")
+    if not rdata:
+        con.execute("DELETE FROM r")
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+                SELECT lid, m.payload, m.ts
+                FROM l LEFT JOIN LATERAL (
+                  SELECT payload, ts FROM r
+                  WHERE r.k = l.k AND r.ts <= l.ts
+                  ORDER BY r.ts DESC, r.payload DESC LIMIT 1
+                ) m ON true
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_minhash_lsh_degenerate_corpora(spark):
+    """Adversarial shapes: all-identical docs (every band key collides),
+    empty docs, single-token docs. The skew guard must drop oversized
+    buckets instead of exploding quadratically, and results stay exact
+    on the surviving buckets."""
+    from nyc_taxi_data_warehouse_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    # 1. all-identical corpus, guard disabled: C(n,2) exact pairs, jaccard 1
+    n = 12
+    same = spark.createDataFrame(
+        [(i, "the same exact text repeated for every doc") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        same, "text", "doc_id", jaccard_threshold=0.5, max_bucket_size=None
+    )
+    rows = pairs.collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    # ...and they resolve to ONE cluster labeled by the min id
+    labels = dup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in labels} == {0}
+    assert len(labels) == n
+
+    # 2. same corpus with the guard ON and a small cap: every bucket is
+    # oversized -> dropped -> zero candidate pairs, no blow-up.
+    guarded = minhash_lsh_pairs(
+        same, "text", "doc_id", jaccard_threshold=0.5, max_bucket_size=5
+    )
+    assert guarded.count() == 0
+
+    # 3. empty/whitespace/single-token docs must not crash and produce no
+    # false pairs above threshold with distinct singleton content
+    oddballs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "two"), (5, "")],
+        "doc_id long, text string",
+    )
+    odd_pairs = minhash_lsh_pairs(
+        oddballs, "text", "doc_id", jaccard_threshold=0.5, max_bucket_size=None
+    ).collect()
+    # the two empty docs are legitimate exact dups of each other; nothing else
+    assert {(r["id_a"], r["id_b"]) for r in odd_pairs} <= {(1, 5), (1, 2), (2, 5)}
+
+
+def test_dup_clusters_empty_pairs(spark):
+    from nyc_taxi_data_warehouse_spark.operators.dedup import dup_clusters
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(empty).count() == 0
