@@ -40,14 +40,35 @@ def hyperplanes(n_planes: int, dim: int, seed: str = "hp") -> list[list[float]]:
     return out
 
 
-def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: bit p = (dot(vec, plane_p) > 0)."""
-    bucket = F.lit(0).cast("long")
-    for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in row])
-        bit = (V.dot(vec, plane) > 0).cast("long")
-        bucket = bucket + bit * F.lit(2**p).cast("long")
-    return bucket
+def _as_double_sql(vec_col: str) -> str:
+    return f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(vec_sql: str, row: list[float]) -> str:
+    """SQL text for V.dot(vec, literal plane) — same zip_with multiply +
+    sequential fold, so results are bit-identical to the Column form."""
+    arr = "array(" + ", ".join(f"{x!r}D" for x in row) + ")"
+    return f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _bucket_expr_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """LSH bucket id as ONE SQL string: bit p = (dot(vec, plane_p) > 0).
+
+    Built as parser text rather than nested Column calls: a plane matrix
+    is n_planes x dim literals, and constructing it via F.lit/F.array
+    costs thousands of py4j round-trips PER TABLE (measured ~1 s/table
+    of driver time); one expr parse is milliseconds.
+    """
+    terms = [
+        f"CAST({_dot_sql(vec_sql, row)} > 0 AS BIGINT) * CAST({2 ** p} AS BIGINT)"
+        for p, row in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """LSH bucket id for the named array column (floats widened first)."""
+    return F.expr(_bucket_expr_sql(_as_double_sql(vec_col), planes))
 
 
 def cosine_topk(
@@ -105,6 +126,112 @@ def knn_classify(
     )
 
 
+def table_seed(t: int) -> str:
+    """Seed for LSH table ``t``; table 0 keeps the original single-table
+    seed so adding tables never changes existing bucketings."""
+    return "hp" if t == 0 else f"hp|{t}"
+
+
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks of popcount <= radius — multi-probe LSH: probing
+    ``code ^ mask`` visits every bucket within Hamming distance
+    ``radius`` of the query's code. The standard way to buy recall
+    without adding tables (memory) — sum(C(P, r)) probes per table."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
+def multi_table_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    n_tables: int,
+    id_alias: str,
+    vec_alias: str,
+) -> DataFrame:
+    """One row per (vector, table): columns (id_alias, vec_alias, tbl,
+    bucket). All tables' codes are computed in a single narrow pass
+    (no shuffle); the explode multiplies rows n_tables-fold, which is
+    the memory-for-recall trade every multi-table LSH index makes."""
+    v = V.as_double(F.col(vec_col))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(vec_col, hyperplanes(n_planes, dim, table_seed(t))).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias), v.alias(vec_alias), F.explode(entries).alias("_e")
+    ).select(id_alias, vec_alias, F.col("_e.tbl").alias("tbl"), F.col("_e.bucket").alias("bucket"))
+
+
+def ann_topk_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 8,
+    probe_radius: int = 2,
+) -> DataFrame:
+    """Multi-table, multi-probe ANN top-k — the recall-tunable scale
+    path (single-table ``ann_topk``'s recall ceiling is whatever one
+    code gives; e07 measures it).
+
+    Candidates = same bucket as the query's code XOR any popcount<=r
+    mask, in ANY of the ``n_tables`` independent tables; exact cosine
+    ranks the deduped candidate set. At scale: the corpus index is an
+    equi-join-ready (tbl, bucket) table (n_tables x corpus rows, no
+    shuffle to build); the query side explodes to |Q| x tables x masks
+    probe rows and broadcasts; dedup shuffles only (qid, cid, sim)
+    triples, never vectors. Recall/cost dials: n_tables (memory),
+    probe_radius (compute), n_planes (bucket granularity).
+    """
+    qb = multi_table_buckets(
+        queries, id_col, vec_col, n_planes, dim, n_tables, "qid", "qv"
+    )
+    masks = probe_masks(n_planes, probe_radius)
+    qprobe = qb.withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+    )
+    cb = multi_table_buckets(
+        corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
+    )
+    cand = (
+        F.broadcast(qprobe)
+        .join(cb, ["tbl", "bucket"])
+        .where(F.col("qid") != F.col("cid"))
+    )
+    scored = (
+        cand.withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .select("qid", "cid", "sim")
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        scored.withColumn("n_candidates", F.count("*").over(Window.partitionBy("qid")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "n_candidates", "cid", "sim", "rn")
+        .orderBy("qid", "rn")
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -116,7 +243,7 @@ def lsh_buckets(
     return df.select(
         F.col(id_col),
         F.col(vec_col),
-        _bucket_expr(V.as_double(F.col(vec_col)), planes).alias("bucket"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
     )
 
 
@@ -165,6 +292,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidate generation.
 
@@ -176,6 +304,23 @@ def embedding_near_dup(
     vectors disagree on any hyperplane sign are missed (standard LSH
     recall trade — add rotations/band tables to tighten).
     """
+    if n_tables > 1:
+        # Multi-table recall path: pairs sharing a bucket in ANY table.
+        # A pair can collide in several tables, so dedup on the
+        # (id_a, id_b, sim) triple — sim is deterministic per pair, and
+        # vectors never enter the dedup shuffle. No bucket column in
+        # this mode (a pair has up to n_tables of them).
+        a = multi_table_buckets(df, id_col, vec_col, n_planes, dim, n_tables, "id_a", "av")
+        c = multi_table_buckets(df, id_col, vec_col, n_planes, dim, n_tables, "id_b", "bv")
+        return (
+            a.join(c, ["tbl", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", F.round(V.cosine(F.col("av"), F.col("bv")), 6))
+            .where(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim")
+            .distinct()
+            .orderBy("id_a", "id_b")
+        )
     b = lsh_buckets(df, id_col, vec_col, n_planes, dim)
     a = b.select(
         F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("av"), "bucket"

@@ -312,3 +312,41 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# d08 — multi-table embedding near-dup (recall-tunable candidate union)
+# ---------------------------------------------------------------------------
+_D08_TABLES = 4
+
+
+def _d08_oracle() -> str:
+    from .similarity import _COS_SQL, _mb_sql
+
+    cos = _COS_SQL.replace("qv", "x.v").replace("cv", "y.v")
+    return f"""
+WITH mb AS ({_mb_sql(_D08_TABLES)})
+SELECT DISTINCT x.vec_id AS id_a,
+       y.vec_id AS id_b,
+       round({cos}, 6) AS sim
+FROM mb x JOIN mb y
+  ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round({cos}, 6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "d08_embedding_near_dup_multitable",
+    oracle=_d08_oracle(),
+    tags=("dedup", "similarity", "lsh", "multitable"),
+    doc="d06 with 4 independent LSH tables: pairs colliding in ANY "
+    "table, deduped on (id_a, id_b, sim) so vectors never enter the "
+    "dedup shuffle. The n_tables dial recovers the pairs a single "
+    "8-plane code misses (same rotation pattern as MinHash bands).",
+)
+def d08_embedding_near_dup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.3, n_tables=_D08_TABLES)

@@ -20,9 +20,9 @@ _COS_SQL = (
 )
 
 
-def _planes_sql() -> str:
+def _planes_sql(seed: str = "hp") -> str:
     """Inline the deterministic hyperplane matrix as DuckDB list literals."""
-    planes = S.hyperplanes(N_PLANES, DIM)
+    planes = S.hyperplanes(N_PLANES, DIM, seed)
     rows = ", ".join(
         f"({p}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
         for p, row in enumerate(planes)
@@ -30,13 +30,37 @@ def _planes_sql() -> str:
     return f"(VALUES {rows}) AS planes(p, pv)"
 
 
-_BUCKET_SQL = f"""
+def _bucket_sql(seed: str = "hp") -> str:
+    return f"""
   SELECT vec_id, embedding::DOUBLE[] AS v,
          CAST(sum(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) > 0
                        THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
-  FROM embeddings, {_planes_sql()}
+  FROM embeddings, {_planes_sql(seed)}
   GROUP BY vec_id, embedding
 """
+
+
+_BUCKET_SQL = _bucket_sql()
+
+# Multi-table / multi-probe config for e08/e09 (and d08 with 4 tables):
+# 8 independent tables of 8 planes, probing Hamming radius <= 2. On the
+# fixture's near-isotropic vectors this is the measured recall@5 >= 0.9
+# setting (0.95 at sf0.01); on clustered real embeddings the same dials
+# reach it with far smaller candidate sets.
+N_TABLES, PROBE_RADIUS = 8, 2
+
+
+def _mb_sql(n_tables: int) -> str:
+    """One row per (vector, table) with that table's bucket code."""
+    return "\n  UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, bucket FROM ({_bucket_sql(S.table_seed(t))})"
+        for t in range(n_tables)
+    )
+
+
+def _masks_sql() -> str:
+    masks = S.probe_masks(N_PLANES, PROBE_RADIUS)
+    return f"(VALUES {', '.join(f'({m})' for m in masks)}) AS masks(m)"
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +324,131 @@ def e07_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.where(F.col("vec_id") < 32)
     exact = S.cosine_topk(qs, emb, k=5).select("qid", "cid")
     ann = S.ann_topk(qs, emb, k=5, n_planes=N_PLANES, dim=DIM).select("qid", "cid")
+    hits = exact.join(ann, ["qid", "cid"]).groupBy("qid").agg(
+        F.count("*").alias("hits")
+    )
+    n_ann = ann.groupBy("qid").agg(F.count("*").alias("n_ann"))
+    return (
+        qs.select(F.col("vec_id").alias("qid"))
+        .join(n_ann, "qid", "left")
+        .join(hits, "qid", "left")
+        .fillna(0, ["n_ann", "hits"])
+        .select(
+            "qid",
+            "n_ann",
+            "hits",
+            F.round(F.col("hits") / 5.0, 4).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e08 — multi-table multi-probe ANN top-k (the recall-tunable scale path)
+# ---------------------------------------------------------------------------
+@register(
+    "e08_ann_multiprobe_topk",
+    oracle=f"""
+WITH mb AS ({_mb_sql(N_TABLES)}),
+q AS (SELECT vec_id AS qid, v AS qv, tbl, bucket FROM mb WHERE vec_id < 8),
+qp AS (SELECT qid, qv, tbl, xor(bucket, m) AS bucket FROM q CROSS JOIN {_masks_sql()}),
+c AS (SELECT vec_id AS cid, v AS cv, tbl, bucket FROM mb),
+cand AS (
+  SELECT DISTINCT qid, cid, round({_COS_SQL}, 6) AS sim
+  FROM qp JOIN c USING (tbl, bucket) WHERE qid != cid
+)
+SELECT qid, n_candidates, cid, sim, rn FROM (
+  SELECT qid, cid, sim,
+         count(*) OVER (PARTITION BY qid) AS n_candidates,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+  FROM cand
+) WHERE rn <= 5 ORDER BY qid, rn
+""",
+    tags=("similarity", "ann", "lsh", "multiprobe", "topk"),
+    doc=f"{N_TABLES} independent 8-plane tables, probing Hamming radius "
+    f"<= {PROBE_RADIUS} around each query code (37 probes/table). "
+    "Candidates dedup on (qid, cid, sim) so vectors never enter the "
+    "dedup shuffle; exact cosine ranks the union. The recall dials "
+    "single-table e05 lacks: tables = memory, probe radius = compute.",
+)
+def e08_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_topk_multi(
+        emb.where(F.col("vec_id") < 8),
+        emb,
+        k=5,
+        n_planes=N_PLANES,
+        dim=DIM,
+        n_tables=N_TABLES,
+        probe_radius=PROBE_RADIUS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# e09 — recall@5 of the multi-table multi-probe path (the >=0.9 gate)
+# ---------------------------------------------------------------------------
+@register(
+    "e09_ann_recall_multiprobe",
+    oracle=f"""
+WITH mb AS ({_mb_sql(N_TABLES)}),
+q AS (SELECT vec_id AS qid, v AS qv, tbl, bucket FROM mb WHERE vec_id < 32),
+qp AS (SELECT qid, qv, tbl, xor(bucket, m) AS bucket FROM q CROSS JOIN {_masks_sql()}),
+c AS (SELECT vec_id AS cid, v AS cv, tbl, bucket FROM mb),
+cand AS (
+  SELECT DISTINCT qid, cid, round({_COS_SQL}, 6) AS sim
+  FROM qp JOIN c USING (tbl, bucket) WHERE qid != cid
+),
+ann AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+    FROM cand
+  ) WHERE rn <= 5
+),
+qx AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 32),
+cx AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round({_COS_SQL}, 6) DESC, cid) AS rn
+    FROM qx JOIN cx ON qid != cid
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT e.qid, count(*) AS hits
+  FROM exact e JOIN ann a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid
+)
+SELECT x.qid,
+       COALESCE(n.n_ann, 0) AS n_ann,
+       COALESCE(h.hits, 0) AS hits,
+       round(COALESCE(h.hits, 0) * 1.0 / 5, 4) AS recall_at_5
+FROM (SELECT DISTINCT qid FROM q) x
+LEFT JOIN (SELECT qid, count(*) AS n_ann FROM ann GROUP BY qid) n ON x.qid = n.qid
+LEFT JOIN hits h ON x.qid = h.qid
+ORDER BY x.qid
+""",
+    tags=("similarity", "ann", "recall", "multiprobe", "eval"),
+    doc=f"recall@5 of e08's ({N_TABLES} tables, {N_PLANES} planes, "
+    f"radius {PROBE_RADIUS}) config vs the exact top-5 — measured 0.95 "
+    "mean recall at sf0.01 on the fixture's near-isotropic vectors (a "
+    "worst case for LSH; clustered embeddings need fewer probes). The "
+    "declared >=0.9 setting e07's single-table ceiling could not reach.",
+)
+def e09_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 32)
+    exact = S.cosine_topk(qs, emb, k=5).select("qid", "cid")
+    ann = S.ann_topk_multi(
+        qs,
+        emb,
+        k=5,
+        n_planes=N_PLANES,
+        dim=DIM,
+        n_tables=N_TABLES,
+        probe_radius=PROBE_RADIUS,
+    ).select("qid", "cid")
     hits = exact.join(ann, ["qid", "cid"]).groupBy("qid").agg(
         F.count("*").alias("hits")
     )

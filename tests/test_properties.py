@@ -315,3 +315,15 @@ def test_dup_clusters_empty_pairs(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dup_clusters(empty).count() == 0
+
+
+def test_multiprobe_ann_recall_gate(spark, sf_dir):
+    """The declared (8 tables, 8 planes, radius 2) multi-probe setting
+    must hold mean recall@5 >= 0.9 against the exact baseline — the
+    accuracy gate for trading brute-force scans for bucketed probes."""
+    from nyc_taxi_data_warehouse_spark.queries import QUERIES
+
+    rows = QUERIES["e09_ann_recall_multiprobe"].spark(spark, sf_dir).collect()
+    assert rows, "recall eval returned no queries"
+    mean_recall = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert mean_recall >= 0.9, f"mean recall@5 {mean_recall:.3f} < 0.9"
