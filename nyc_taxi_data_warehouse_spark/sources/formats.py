@@ -1,4 +1,5 @@
-"""Multi-format source/sink layer: parquet, CSV, JSON, ORC.
+"""Multi-format source/sink layer: parquet, CSV, JSON, ORC — plus Avro
+when (and only when) the external spark-avro module is on the classpath.
 
 The reference reads exactly one format (parquet, ``/root/reference/
 data/emr/etl.py:20``). This engine treats format as a property of the
@@ -8,6 +9,15 @@ writer round-trips losslessly for the supported type surface.
 
 CSV/JSON carry no timestamp-precision or decimal metadata, so readers
 pin semantics via explicit options (ISO-8601 timestamps, UTC).
+
+Avro is NOT advertised unconditionally: the short name ``avro`` only
+resolves when the external spark-avro module registers it, but Spark
+4.x ships the implementation class inside spark-sql — so when
+``org.apache.spark.sql.avro.AvroFileFormat`` is loadable we address the
+source by its full class name (works with or without the external
+module's service registration). Only when the class itself is absent do
+``read_any``/``write_any`` reject ``avro`` with the remedy, instead of
+claiming a capability the deployment lacks.
 """
 
 from __future__ import annotations
@@ -16,6 +26,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+_AVRO_REMEDY = (
+    "avro needs the external spark-avro module on the classpath "
+    "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+)
+
+
+_AVRO_CLASS = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def has_avro(spark: SparkSession) -> bool:
+    """True iff the avro file-format implementation is on the classpath
+    (bundled in spark-sql on Spark 4.x; external spark-avro earlier)."""
+    try:
+        spark._jvm.java.lang.Class.forName(_AVRO_CLASS)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def supported_formats(spark: SparkSession) -> list[str]:
+    fmts = ["parquet", "orc", "csv", "json"]
+    if has_avro(spark):
+        fmts.append("avro")
+    return fmts
 
 
 def read_any(
@@ -30,24 +65,13 @@ def read_any(
         return reader.option("header", "true").option("timestampFormat", _TS_FMT).csv(path)
     if fmt == "json":
         return reader.option("timestampFormat", _TS_FMT).json(path)
+    if fmt == "avro" and has_avro(spark):
+        # Full class name: resolves even without the external module's
+        # short-name service registration.
+        return reader.format(_AVRO_CLASS).load(path)
     if fmt == "avro":
-        return _avro(reader.format("avro").load, path)
+        raise ValueError(f"unsupported format in this deployment: {_AVRO_REMEDY}")
     raise ValueError(f"unsupported format: {fmt}")
-
-
-def _avro(op, path: str):
-    """Avro ships as the external spark-avro module (not bundled since
-    Spark 2.4); surface a precise remedy instead of Spark's lookup error."""
-    try:
-        return op(path)
-    except Exception as e:  # AnalysisException: Failed to find data source
-        if "Failed to find data source" in str(e):
-            raise RuntimeError(
-                "avro support needs the spark-avro package on the classpath "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-                "it is not bundled in this environment"
-            ) from e
-        raise
 
 
 def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
@@ -60,8 +84,10 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> No
         writer.option("header", "true").option("timestampFormat", _TS_FMT).csv(path)
     elif fmt == "json":
         writer.option("timestampFormat", _TS_FMT).json(path)
+    elif fmt == "avro" and has_avro(df.sparkSession):
+        writer.format(_AVRO_CLASS).save(path)
     elif fmt == "avro":
-        _avro(writer.format("avro").save, path)
+        raise ValueError(f"unsupported format in this deployment: {_AVRO_REMEDY}")
     else:
         raise ValueError(f"unsupported format: {fmt}")
 

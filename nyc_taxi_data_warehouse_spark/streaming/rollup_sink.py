@@ -48,16 +48,37 @@ def _hourly_partials(events: DataFrame) -> DataFrame:
     )
 
 
+MAX_DAY_LIST = 1000  # cap on the driver-side partition list / isin expr
+
+
 def merge_batch_into_rollup(spark: SparkSession, batch: DataFrame, path: str) -> None:
-    """One micro-batch merge (also usable for batch backfill)."""
+    """One micro-batch merge (also usable for batch backfill).
+
+    The distinct-day collect is metadata-sized (days touched by one
+    micro-batch) and feeds the partition-pruning filter — but it is
+    BOUNDED: past ``MAX_DAY_LIST`` days the exact isin list degrades to
+    a min/max day range (still prunes partitions, constant driver
+    memory), so a pathological backfill batch spanning decades cannot
+    grow the driver or the filter expression.
+    """
     partials = _hourly_partials(batch).cache()
     try:
-        days = [r["day"] for r in partials.select("day").distinct().collect()]
+        days = [
+            r["day"]
+            for r in partials.select("day").distinct().limit(MAX_DAY_LIST + 1).collect()
+        ]
         if not days:
             return
+        if len(days) > MAX_DAY_LIST:
+            lo_hi = partials.agg(
+                F.min("day").alias("lo"), F.max("day").alias("hi")
+            ).collect()[0]
+            day_filter = F.col("day").between(lo_hi["lo"], lo_hi["hi"])
+        else:
+            day_filter = F.col("day").isin(days)
         merged = partials
         if os.path.isdir(path):
-            existing = spark.read.parquet(path).where(F.col("day").isin(days))
+            existing = spark.read.parquet(path).where(day_filter)
             merged = existing.unionByName(partials)
         out = merged.groupBy(*ROLLUP_KEYS).agg(*_merge_aggs())
         # partitionOverwriteMode=dynamic (session conf): replaces exactly

@@ -146,18 +146,29 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
-def test_avro_round_trips_or_names_the_remedy(spark, tmp_path):
-    """Avro is an external Spark module; with the jar present the round
-    trip must work, without it the error must name the exact package."""
+def test_avro_gated_on_classpath(spark, tmp_path):
+    """Avro is an external Spark module: it must appear in
+    supported_formats (and round-trip) exactly when the jar is present,
+    and be rejected up front with the remedy when it is not — the
+    surface never advertises a capability the deployment lacks."""
+    from nyc_taxi_data_warehouse_spark.sources.formats import (
+        has_avro,
+        supported_formats,
+    )
+
     src = load_table(spark, SF, "orders")
     path = str(tmp_path / "orders_avro")
-    try:
+    if has_avro(spark):
+        assert "avro" in supported_formats(spark)
         write_any(src, path, "avro")
-    except RuntimeError as e:
-        assert "spark-avro" in str(e)
-        return
-    got = read_any(spark, path, "avro", src.schema)
-    assert got.count() == src.count()
+        got = read_any(spark, path, "avro", src.schema)
+        assert got.count() == src.count()
+    else:
+        assert "avro" not in supported_formats(spark)
+        with pytest.raises(ValueError, match="spark-avro"):
+            write_any(src, path, "avro")
+        with pytest.raises(ValueError, match="spark-avro"):
+            read_any(spark, path, "avro", src.schema)
 
 
 def test_schema_evolution_merge(spark, tmp_path):

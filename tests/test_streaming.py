@@ -285,3 +285,40 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.table("dedup_out")
     assert got.count() == events.count()  # every id exactly once
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_rollup_merge_many_days_batch(spark, tmp_path, monkeypatch):
+    """A single batch spanning more days than MAX_DAY_LIST must merge
+    correctly via the bounded min/max-range fallback (no unbounded
+    driver-side day list / isin expression), and an incremental second
+    batch must still only touch its own days' partitions."""
+    import datetime
+
+    from nyc_taxi_data_warehouse_spark.streaming import rollup_sink as rs
+
+    monkeypatch.setattr(rs, "MAX_DAY_LIST", 5)
+    path = str(tmp_path / "rollup_many_days")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=d, hours=d % 3), "a", float(d))
+        for d in range(20)  # 20 days > capped MAX_DAY_LIST=5
+    ]
+    batch = spark.createDataFrame(
+        rows, "ts timestamp_ntz, event_type string, value double"
+    )
+    rs.merge_batch_into_rollup(spark, batch, path)
+    got = rs.read_rollup(spark, path)
+    assert got.count() == 20
+    assert got.agg(F.sum("n")).collect()[0][0] == 20
+
+    # second small batch (2 days, under the cap): values accumulate
+    batch2 = spark.createDataFrame(
+        [(base + datetime.timedelta(hours=0), "a", 100.0)],
+        "ts timestamp_ntz, event_type string, value double",
+    )
+    rs.merge_batch_into_rollup(spark, batch2, path)
+    got2 = rs.read_rollup(spark, path)
+    assert got2.count() == 20  # same grid, day-0 hour-0 row merged
+    assert got2.agg(F.sum("n")).collect()[0][0] == 21
+    merged_row = got2.where("day = '2024-01-01'").collect()[0]
+    assert merged_row["n"] == 2 and merged_row["value_cents"] == 10000
