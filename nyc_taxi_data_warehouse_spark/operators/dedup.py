@@ -148,13 +148,14 @@ def minhash_lsh_pairs(
     if max_bucket_size is not None:
         # LSH skew guard: degenerate buckets (empty/boilerplate docs)
         # would otherwise produce a quadratic pair blow-up on one key.
-        sizes = buckets.groupBy("band_idx", "key").agg(F.count("*").alias("_n"))
+        # Count-over-window instead of groupBy+anti-join: one shuffle on
+        # (band_idx, key) whose partitioning the candidate self-join
+        # below reuses directly.
+        bw = Window.partitionBy("band_idx", "key")
         buckets = (
-            buckets.join(
-                F.broadcast(sizes.where(F.col("_n") > max_bucket_size)),
-                ["band_idx", "key"],
-                "left_anti",
-            )
+            buckets.withColumn("_n", F.count("*").over(bw))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
         )
 
     a, b = buckets.alias("a"), buckets.alias("b")

@@ -10,3 +10,4 @@ from . import windows_time  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import scalar_extra  # noqa: E402,F401
 from . import reshape  # noqa: E402,F401
+from . import clustering  # noqa: E402,F401

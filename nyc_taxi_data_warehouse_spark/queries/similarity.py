@@ -466,3 +466,66 @@ def e09_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# e10 — IVF ANN with multi-cell probe (n_probe recall dial)
+# ---------------------------------------------------------------------------
+_E10_NPROBE = 3
+
+
+def _e10_oracle() -> str:
+    cos_vc = _IVF_COS.format(a="v", b="cent_v")
+    cos_qcent = _IVF_COS.format(a="qv", b="cent_v")
+    cos_qc = _IVF_COS.format(a="qv", b="cv")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_v
+  FROM embeddings WHERE vec_id < 8
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assigned AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT vec_id, v, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round({cos_vc}, 6) DESC, cent_id) AS rn
+    FROM vecs CROSS JOIN cents
+  ) WHERE rn = 1
+), qcells AS (
+  SELECT qid, qv, cell FROM (
+    SELECT vec_id AS qid, qv, cent_id AS cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round({cos_qcent}, 6) DESC, cent_id) AS rn
+    FROM (SELECT vec_id, v AS qv FROM vecs WHERE vec_id >= 100 AND vec_id < 110)
+         CROSS JOIN cents
+  ) WHERE rn <= {_E10_NPROBE}
+), corpus AS (
+  SELECT vec_id AS cid, v AS cv, cell FROM assigned
+), cand AS (
+  SELECT qid, q.cell AS cell, cid, round({cos_qc}, 6) AS sim
+  FROM qcells q JOIN corpus c USING (cell)
+  WHERE qid != cid
+)
+SELECT qid, cell, cid, sim, rn FROM (
+  SELECT qid, cell, cid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+  FROM cand
+) WHERE rn <= 3
+ORDER BY qid, rn
+"""
+
+
+@register(
+    "e10_ivf_multiprobe",
+    oracle=_e10_oracle(),
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+    doc=f"e06 with n_probe={_E10_NPROBE}: each query probes its "
+    f"{_E10_NPROBE} nearest cells instead of one — the IVF recall dial "
+    "(n_probe == #centroids degrades gracefully to exact brute force). "
+    "Candidates need no dedup: a corpus vector lives in exactly one cell.",
+)
+def e10_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8)
+    qs = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    return S.ivf_topk(qs, emb, cents, k=3, n_probe=_E10_NPROBE)
