@@ -1,0 +1,150 @@
+"""End-to-end training-data curation pipeline over the documents table —
+the flagship composition: every stage is an operator the catalog already
+verifies in isolation, chained the way a real LLM-data pipeline chains
+them, and the WHOLE chain is value-checked against one SQL replay
+(including the recursive-CTE duplicate-cluster resolution).
+
+Stages:
+1. quality filter  (t02 semantics: 5..1000 words, digit ratio < 0.3)
+2. exact dedup     (d02 semantics: keep smallest doc_id per text)
+3. near-dup dedup  (d03 pairs -> d07 transitive clusters -> keep the
+                    cluster representative = smallest id)
+4. deterministic split (t05 semantics: md5 hash-bucket 80/10/10)
+
+Scale shape: stages 1-2 are one filter + one groupBy/semi-join; stage 3
+is the bucketed LSH pipeline (never all-pairs) plus shallow label
+propagation; stage 4 is a narrow map. Nothing in the chain collects,
+broadcasts the corpus, or shuffles payloads larger than hashed
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..sources import load_table
+from .dedup import BANDS, N_HASHES, SHINGLE_K, _PAIRS_CTES
+from .registry import register
+from .text import _SPLIT_BUCKET_SQL, _TOKS_SQL
+
+_QUALITY_SQL = (
+    f"len({_TOKS_SQL}) BETWEEN 5 AND 1000 "
+    "AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 "
+    "/ greatest(length(text), 1) < 0.3"
+)
+
+_SPLIT_BUCKET = _SPLIT_BUCKET_SQL
+
+
+def _p01_oracle() -> str:
+    # _PAIRS_CTES reads FROM documents exactly once (the shingle CTE);
+    # repoint it at the quality-filtered, exact-deduped survivors.
+    pairs_over_src = _PAIRS_CTES.replace("FROM documents", "FROM src")
+    return f"""
+WITH RECURSIVE src AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents
+    WHERE {_QUALITY_SQL}
+  ) WHERE rn = 1
+),
+{pairs_over_src},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id),
+kept AS (
+  SELECT s.doc_id, s.lang FROM src s
+  LEFT JOIN labels l ON l.id = s.doc_id
+  WHERE l.id IS NULL OR l.cluster_id = s.doc_id
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM (
+  SELECT doc_id, lang,
+         CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+) t
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@register(
+    "p01_curation_pipeline",
+    oracle=_p01_oracle(),
+    tags=("pipeline", "dedup", "quality", "split", "curation"),
+    doc="Quality filter -> exact dedup -> MinHash-LSH near-dup cluster "
+    "keep-one -> hash-bucket train/val/test split, value-checked as ONE "
+    "chain (per split x lang counts and id sums) against a SQL replay "
+    "with a recursive-CTE closure. The composition test that catches "
+    "stage-interaction bugs isolated operator tests cannot.",
+)
+def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_words = F.size(T.tokens(txt))
+    dig = F.length(F.regexp_replace(txt, "[^0-9]", "")) / F.greatest(
+        F.length(txt), F.lit(1)
+    )
+    survivors = d.where(n_words.between(5, 1000) & (dig < 0.3))
+    # Materialize the filter+dedup result once: three downstream branches
+    # (signature build, verify join, final keep anti-join) would each
+    # re-run the tokenize+groupBy+semi-join plan otherwise. Checkpoint
+    # blocks are ContextCleaner-collected when unreferenced (no cache
+    # leak), and the survivors table is corpus-sized at most — at scale
+    # this is the natural stage boundary a pipeline would persist anyway.
+    survivors = D.exact_dedup(survivors, ["text"], "doc_id").localCheckpoint(
+        eager=True
+    )
+
+    pairs = D.minhash_lsh_pairs(
+        survivors,
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        jaccard_threshold=0.1,
+    )
+    non_reps = (
+        D.dup_clusters(pairs)
+        .where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = survivors.join(non_reps, "doc_id", "left_anti")
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("split", "lang")
+    )
