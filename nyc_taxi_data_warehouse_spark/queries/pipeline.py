@@ -148,3 +148,80 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# p02 — train/eval decontamination (cross-split n-gram overlap)
+# ---------------------------------------------------------------------------
+from .dedup import _SHINGLES_SQL  # noqa: E402  (shared shingle definition)
+
+_P02_MIN_OVERLAP = 2
+
+
+def _p02_oracle() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+split AS (
+  SELECT doc_id,
+         CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+grams AS (
+  SELECT sh.doc_id, s.split, unnest(sh.sh) AS gram
+  FROM sh JOIN split s USING (doc_id)
+),
+train_grams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE split = 'train'),
+eval_grams  AS (SELECT DISTINCT gram FROM grams WHERE split IN ('val', 'test'))
+SELECT t.doc_id AS train_doc_id,
+       count(*) AS n_shared_grams
+FROM train_grams t JOIN eval_grams e USING (gram)
+GROUP BY t.doc_id
+HAVING count(*) >= {_P02_MIN_OVERLAP}
+ORDER BY train_doc_id
+"""
+
+
+@register(
+    "p02_decontamination",
+    oracle=_p02_oracle(),
+    tags=("pipeline", "decontamination", "dedup", "ngram"),
+    doc=f"Benchmark-leakage check: train-split documents sharing >= "
+    f"{_P02_MIN_OVERLAP} distinct 3-word shingles with ANY val/test "
+    "document. Distinct-gram equi-join (hash-shuffled on the gram), "
+    "never a doc x doc comparison — the shape that scales to a 100 TB "
+    "train set vs a fixed eval suite, where the eval gram set is small "
+    "enough to broadcast.",
+)
+def p02_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    grams = d.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(
+            F.array_distinct(T.word_shingles(T.tokens(F.col("text")), SHINGLE_K))
+        ).alias("gram"),
+    )
+    train_grams = grams.where(F.col("split") == "train").select("doc_id", "gram").distinct()
+    eval_grams = (
+        grams.where(F.col("split").isin("val", "test")).select("gram").distinct()
+    )
+    return (
+        train_grams.join(eval_grams, "gram")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(F.count("*").alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= _P02_MIN_OVERLAP)
+        .select("train_doc_id", "n_shared_grams")
+        .orderBy("train_doc_id")
+    )

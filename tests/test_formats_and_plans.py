@@ -205,3 +205,38 @@ def test_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in got.collect()}
     assert rows[1]["score"] is None and rows[3]["score"] == 1.5
     assert all(r["added_later"] is None for r in rows.values())
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Every Lloyd's assignment round must be a broadcast join against
+    the k x dim centroid table — the corpus side must never shuffle for
+    assignment."""
+    from nyc_taxi_data_warehouse_spark.plans.audit import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+
+    df = QUERIES["k01_kmeans_clusters"].spark(spark, SF)
+    assert_broadcast_join(df, n_expected=2)  # one per assignment round
+    assert_no_cartesian(df)
+
+
+def test_multiprobe_ann_broadcasts_queries(spark):
+    """e08: the exploded (query x table x probe-mask) side broadcasts;
+    the corpus index joins on (tbl, bucket) — no cartesian anywhere."""
+    from nyc_taxi_data_warehouse_spark.plans.audit import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+
+    df = QUERIES["e08_ann_multiprobe_topk"].spark(spark, SF)
+    assert_broadcast_join(df, n_expected=1)
+    assert_no_cartesian(df)
+
+
+def test_decontamination_no_cartesian(spark):
+    """p02 joins distinct grams hash-shuffled on the gram value — never
+    a doc x doc comparison."""
+    from nyc_taxi_data_warehouse_spark.plans.audit import assert_no_cartesian
+
+    assert_no_cartesian(QUERIES["p02_decontamination"].spark(spark, SF))
