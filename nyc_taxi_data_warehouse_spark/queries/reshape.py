@@ -337,7 +337,10 @@ def q42_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q43 — grouped-map applyInPandas: per-nation min-max price normalization
 # ---------------------------------------------------------------------------
 def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    # integer-cent min/max → exact and row-order independent
+    # Integer cents end-to-end: scaling reported as exact parts-per-
+    # million via floor division. No float rounding anywhere — numpy's
+    # round() is half-to-even while DuckDB/Spark round half-away, and at
+    # sf0.1 a real row landed exactly on a .5 boundary and split them.
     cents = (pdf["o_totalprice"] * 100).round().astype("int64")
     lo, hi = int(cents.min()), int(cents.max())
     span = (hi - lo) or 1
@@ -345,7 +348,7 @@ def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "c_nationkey": pdf["c_nationkey"],
             "o_orderkey": pdf["o_orderkey"],
-            "price_scaled": ((cents - lo) / span).round(6),
+            "price_scaled_ppm": (cents - lo) * 1_000_000 // span,
         }
     )
 
@@ -364,14 +367,16 @@ WITH j AS (
   FROM j
 )
 SELECT c_nationkey, o_orderkey,
-       round(CAST(cents - lo AS DOUBLE) / greatest(hi - lo, 1), 6) AS price_scaled
+       (cents - lo) * 1000000 // greatest(hi - lo, 1) AS price_scaled_ppm
 FROM ext
 ORDER BY c_nationkey, o_orderkey
 """,
     tags=("udf", "applyInPandas", "grouped-map"),
     doc="Grouped-map applyInPandas: whole group as one pandas frame, "
-    "min-max scaling in exact integer cents. The oracle replays it with "
-    "window min/max.",
+    "min-max scaling in exact integer cents, reported as integer parts-"
+    "per-million (floor division — no float rounding, so every engine "
+    "and partition order produces identical digits). The oracle replays "
+    "it with window min/max.",
 )
 def q43_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -381,7 +386,7 @@ def q43_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = j.groupBy("c_nationkey").applyInPandas(
         _minmax_normalize,
-        schema="c_nationkey int, o_orderkey long, price_scaled double",
+        schema="c_nationkey int, o_orderkey long, price_scaled_ppm long",
     )
     return out.orderBy("c_nationkey", "o_orderkey")
 
