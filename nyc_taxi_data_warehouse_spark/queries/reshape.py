@@ -298,19 +298,23 @@ def q37_udtf_month_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q42 — scalar (vectorized) pandas UDF: digit-density text metric
 # ---------------------------------------------------------------------------
-@F.pandas_udf(DoubleType())
-def _digit_ratio(text: pd.Series) -> pd.Series:
+@F.pandas_udf(LongType())
+def _digit_ratio_ppm(text: pd.Series) -> pd.Series:
     # Arrow-batched, vectorized pandas string ops — no per-row Python.
+    # Exact integer parts-per-million via floor division: numpy's .round
+    # is half-to-even (DuckDB/Spark round half-away), so a ratio landing
+    # exactly on a .5 decimal boundary would diverge — same latent-bug
+    # class the sf0.1 strict compare caught in q43.
     n = text.str.len().clip(lower=1)
-    return (text.str.count(r"[0-9]") / n).round(6)
+    return text.str.count(r"[0-9]") * 1_000_000 // n
 
 
 @register(
     "q42_scalar_pandas_udf",
     oracle="""
 SELECT doc_id,
-       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1), 6) AS digit_ratio,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000
+         // greatest(length(text), 1) AS digit_ppm,
        length(text) AS n_chars
 FROM documents
 WHERE doc_id < 200
@@ -326,7 +330,7 @@ def q42_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            _digit_ratio(F.col("text")).alias("digit_ratio"),
+            _digit_ratio_ppm(F.col("text")).alias("digit_ppm"),
             F.length("text").alias("n_chars"),
         )
         .orderBy("doc_id")
