@@ -72,10 +72,25 @@ def fingerprint(col: Column) -> Column:
 
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
-    """k-word shingles (array<string>); the unit set for MinHash/Jaccard."""
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    """k-word shingles (array<string>); the unit set for MinHash/Jaccard.
+
+    Built by zipping the token array with its k-1 shifted copies and
+    joining each tuple — O(n·k), with `toks` referenced only OUTSIDE
+    lambda scope. The naive ``transform(sequence(...), i -> array_join(
+    slice(toks, i, k)))`` form is a scale trap twice over: slice() is
+    O(n) per element (quadratic per doc), and Catalyst does no
+    common-subexpression elimination across lambda boundaries, so a
+    `toks` that is itself an expression (tokenize = two regex passes)
+    is re-evaluated per shingle (profiled 10x slower at sf0.1).
+
+    A doc shorter than k tokens yields one shingle of whatever it has
+    (arrays_zip pads with null; concat_ws skips nulls) — identical to
+    the slice form's semantics.
+    """
+    n_out = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    shifted = [F.slice(toks, i + 1, n_out).alias(f"_w{i}") for i in range(k)]
+    z = F.arrays_zip(*shifted)
+    return F.transform(z, lambda s: F.concat_ws(" ", *[s[f"_w{i}"] for i in range(k)]))
 
 
 def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:

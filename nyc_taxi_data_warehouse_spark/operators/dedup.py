@@ -258,7 +258,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def with_simhash(df: DataFrame, text_col: str) -> DataFrame:
-    return df.withColumn("simhash", T.simhash32(T.tokens(F.col(text_col))))
+    # Tokenize in its own projection first: simhash32 references the
+    # token array 32 times (one aggregate per signature bit), and each
+    # reference would re-run the regex tokenizer if passed the raw
+    # expression (no CSE across aggregate/lambda scopes).
+    tk = df.withColumn("_tk", T.tokens(F.col(text_col)))
+    return tk.withColumn("simhash", T.simhash32(F.col("_tk"))).drop("_tk")
 
 
 def simhash_pairs(

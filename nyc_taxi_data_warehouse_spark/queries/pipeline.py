@@ -206,19 +206,30 @@ def p02_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    grams = d.select(
+    # Tokenize in a separate projection: word_shingles references the
+    # token array k+1 times, and Catalyst will not duplicate a non-cheap
+    # aliased expression across a projection boundary — so the two regex
+    # passes of the tokenizer run once per doc, not once per reference.
+    tk = d.select("doc_id", split.alias("split"), T.tokens(F.col("text")).alias("_tk"))
+    grams = tk.select(
         "doc_id",
-        split.alias("split"),
-        F.explode(
-            F.array_distinct(T.word_shingles(T.tokens(F.col("text")), SHINGLE_K))
-        ).alias("gram"),
+        "split",
+        F.explode(F.array_distinct(T.word_shingles(F.col("_tk"), SHINGLE_K))).alias(
+            "gram"
+        ),
     )
-    train_grams = grams.where(F.col("split") == "train").select("doc_id", "gram").distinct()
+    # (doc_id, gram) is already distinct: the explode is over the
+    # per-document array_distinct, so no extra distinct (= no extra
+    # shuffle of the largest intermediate) is needed on the train side.
+    train_grams = grams.where(F.col("split") == "train").select("doc_id", "gram")
+    # The eval gram set is bounded by the eval suite's vocabulary — small
+    # by construction (a fixed benchmark suite vs a 100 TB train set), so
+    # broadcast it: the train side then never shuffles for the join.
     eval_grams = (
         grams.where(F.col("split").isin("val", "test")).select("gram").distinct()
     )
     return (
-        train_grams.join(eval_grams, "gram")
+        train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy(F.col("doc_id").alias("train_doc_id"))
         .agg(F.count("*").alias("n_shared_grams"))
         .where(F.col("n_shared_grams") >= _P02_MIN_OVERLAP)
