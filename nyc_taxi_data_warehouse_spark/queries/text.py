@@ -319,3 +319,173 @@ def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# t07 — PII / numeric redaction (regex scrub with per-pattern audit counts)
+# ---------------------------------------------------------------------------
+# Patterns applied most-specific-first so the digit-run scrub cannot eat
+# the digits inside an email/SSN before those are recognized. The events
+# fixture's payloads contain digit runs (every `props` JSON carries a
+# number); the email/SSN arms are exercised but match zero times on this
+# corpus — the audit counts prove it rather than assume it.
+_RE_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_RE_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_RE_NUM = "[0-9]+"
+
+
+@register(
+    "t07_redaction",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(len(regexp_extract_all(props, '{_RE_EMAIL}'))) AS BIGINT) AS n_email,
+       CAST(sum(len(regexp_extract_all(props, '{_RE_SSN}'))) AS BIGINT) AS n_ssn,
+       CAST(sum(len(regexp_extract_all(props, '{_RE_NUM}'))) AS BIGINT) AS n_num,
+       count(DISTINCT redacted) AS n_distinct_redacted,
+       min(redacted) AS min_redacted
+FROM (
+  SELECT event_type, props,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(props, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+             '{_RE_SSN}', '<SSN>', 'g'),
+           '{_RE_NUM}', '<NUM>', 'g') AS redacted
+  FROM events
+) t
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("text", "redaction", "pii"),
+    doc="PII scrub over the raw event payloads: sequential "
+    "email -> SSN -> digit-run regexp_replace, with per-pattern match "
+    "counts as the redaction audit. Pure JVM regex (whole-stage "
+    "codegen) — the linear-scan shape that holds at 100 TB; the audit "
+    "aggregate is a plain partial+final count rollup.",
+)
+def t07_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    props = F.col("props")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(props, _RE_EMAIL, "<EMAIL>"), _RE_SSN, "<SSN>"
+        ),
+        _RE_NUM,
+        "<NUM>",
+    )
+    return (
+        e.select(
+            "event_type",
+            F.regexp_count(props, F.lit(_RE_EMAIL)).alias("c_email"),
+            F.regexp_count(props, F.lit(_RE_SSN)).alias("c_ssn"),
+            F.regexp_count(props, F.lit(_RE_NUM)).alias("c_num"),
+            redacted.alias("redacted"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("c_email").cast("long").alias("n_email"),
+            F.sum("c_ssn").cast("long").alias("n_ssn"),
+            F.sum("c_num").cast("long").alias("n_num"),
+            F.count_distinct("redacted").alias("n_distinct_redacted"),
+            F.min("redacted").alias("min_redacted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t08 — repetition-based quality signals (Gopher-style repetition rules)
+# ---------------------------------------------------------------------------
+@register(
+    "t08_repetition_stats",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+base AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                        i -> array_to_string(tk[i:i+2], ' ')) AS tri
+  FROM tk
+),
+uni AS (
+  SELECT doc_id, max(c) AS top1_cnt FROM (
+    SELECT doc_id, u, count(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS u FROM tk) g
+    GROUP BY doc_id, u
+  ) cc GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, max(c) AS top_bigram_cnt FROM (
+    SELECT doc_id, u, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 1)),
+                                   i -> array_to_string(tk[i:i+1], ' '))) AS u
+      FROM tk
+    ) g
+    GROUP BY doc_id, u
+  ) cc GROUP BY doc_id
+)
+SELECT doc_id, n_words, top1_cnt,
+       round(top1_cnt * 1.0 / greatest(n_words, 1), 4) AS top1_ratio,
+       top_bigram_cnt,
+       round(top_bigram_cnt * 1.0 / greatest(n_words - 1, 1), 4) AS top_bigram_ratio,
+       round(1.0 - len(list_distinct(tri)) * 1.0 / len(tri), 4) AS dup_trigram_frac,
+       CAST(top1_cnt * 1.0 / greatest(n_words, 1) > 0.2
+            OR (1.0 - len(list_distinct(tri)) * 1.0 / len(tri)) > 0.3
+            AS INT) AS repetitive
+FROM base JOIN uni USING (doc_id) JOIN big USING (doc_id)
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "repetition"),
+    doc="Per-document repetition signals in the Gopher-rules family: "
+    "top-unigram fraction, top-bigram fraction, duplicate-trigram "
+    "fraction, and the combined repetitive flag. Unigram/bigram modes "
+    "via explode + two (doc_id, gram) count shuffles (never a per-doc "
+    "O(n^2) array scan); trigram dup fraction stays array-local with "
+    "zero shuffle. All shuffles are keyed by doc_id — embarrassingly "
+    "parallel at 100 TB.",
+)
+def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    tri = T.word_shingles(F.col("tk"), 3)
+    base = tk.select(
+        "doc_id",
+        F.size("tk").alias("n_words"),
+        F.size(F.array_distinct(tri)).alias("n_tri_distinct"),
+        F.size(tri).alias("n_tri"),
+    )
+    uni = (
+        tk.select("doc_id", F.explode("tk").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top1_cnt"))
+    )
+    big = (
+        tk.select("doc_id", F.explode(T.word_shingles(F.col("tk"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    top1_ratio = F.col("top1_cnt") / F.greatest(F.col("n_words"), F.lit(1))
+    topb_ratio = F.col("top_bigram_cnt") / F.greatest(F.col("n_words") - 1, F.lit(1))
+    dup3 = F.lit(1.0) - F.col("n_tri_distinct") / F.col("n_tri")
+    return (
+        base.join(uni, "doc_id")
+        .join(big, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "top1_cnt",
+            F.round(top1_ratio, 4).alias("top1_ratio"),
+            "top_bigram_cnt",
+            F.round(topb_ratio, 4).alias("top_bigram_ratio"),
+            F.round(dup3, 4).alias("dup_trigram_frac"),
+            ((top1_ratio > 0.2) | (dup3 > 0.3)).cast("int").alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )

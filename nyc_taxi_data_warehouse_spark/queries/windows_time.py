@@ -227,3 +227,76 @@ def q49_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q54 — SCD Type-2 history build (order-status validity intervals)
+# ---------------------------------------------------------------------------
+@register(
+    "q54_scd2_order_status",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+changes AS (
+  SELECT o_custkey, o_orderstatus AS status,
+         o_orderdate AS valid_from, o_orderkey
+  FROM seq
+  WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey AS custkey, status, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey
+                              ORDER BY valid_from, o_orderkey) AS valid_to,
+       CAST(lead(valid_from) OVER (PARTITION BY o_custkey
+                                   ORDER BY valid_from, o_orderkey) IS NULL
+            AS INT) AS is_current
+FROM changes
+ORDER BY custkey, valid_from, status
+""",
+    tags=("warehouse", "scd2", "window"),
+    doc="Slowly-changing-dimension (type 2) build from a change stream: "
+    "per customer, collapse the order-status sequence to its change "
+    "points and emit [valid_from, valid_to) validity intervals with a "
+    "current-row flag — the merge-free way to derive a dimension "
+    "history table. Two window passes sharing one hash partitioning on "
+    "custkey (Catalyst plans a single Exchange); ties on the change "
+    "date break deterministically by order key. At 100 TB the state is "
+    "one partition per customer hash — no skew beyond the per-customer "
+    "order count.",
+)
+def q54_scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderstatus").over(w_seq).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus")))
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    w_iv = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    valid_to = F.lead("valid_from").over(w_iv)
+    return (
+        changes.select(
+            F.col("o_custkey").alias("custkey"),
+            "status",
+            "valid_from",
+            valid_to.alias("valid_to"),
+            valid_to.isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("custkey", "valid_from", "status")
+    )

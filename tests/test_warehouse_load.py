@@ -242,3 +242,132 @@ def test_constraint_checks_single_pass(warehouse, raw_root):
     bad = df.withColumn("pu_location_id", F.lit(999))
     got = {r["rule"]: r["n_violations"] for r in check_constraints(bad).collect()}
     assert got["pu_zone_in_domain"] == 200 and got["do_zone_in_domain"] == 0
+
+
+def test_merge_upsert(warehouse, raw_root):
+    """MERGE semantics on the plain parquet fact table: matched rows are
+    replaced, new rows inserted, untouched partitions never rewritten."""
+    from nyc_taxi_data_warehouse_spark.warehouse import merge_upsert
+
+    spark = warehouse
+    # ensure both months are loaded (module fixtures may run in any order)
+    for month, path in [
+        (1, os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")),
+        (2, os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-02.parquet")),
+    ]:
+        load_month(spark, path, 2025, month, force=True)
+    fact = spark.table("fhvhv_tripdata")
+    m1_before = fact.where("year=2025 AND month=1").count()
+    m2_rows_before = sorted(
+        (r.request_datetime, r.driver_pay)
+        for r in fact.where("year=2025 AND month=2").collect()
+    )
+
+    # corrections: overwrite driver_pay for 3 existing month-1 trips
+    # (keyed by request_datetime+base) and insert 2 brand-new trips
+    sample = (
+        fact.where("year=2025 AND month=1")
+        .orderBy("request_datetime")
+        .limit(3)
+        .collect()
+    )
+    cols = fact.columns
+    as_rows = lambda rs: [tuple(r[c] for c in cols) for r in rs]  # noqa: E731
+    corrections = spark.createDataFrame(as_rows(sample), fact.schema).withColumn(
+        "driver_pay", F.lit(999.99)
+    )
+    inserts = spark.createDataFrame(as_rows(sample[:2]), fact.schema).withColumn(
+        "request_datetime", F.col("request_datetime") + F.expr("INTERVAL 10 DAYS")
+    )
+    updates = corrections.unionByName(inserts)
+
+    keys = ["request_datetime", "dispatching_base_num", "pu_location_id"]
+    written = merge_upsert(
+        spark, "fhvhv_tripdata", updates, keys=keys, partition_cols=["year", "month"]
+    )
+    assert written == m1_before + 2
+
+    fact = spark.table("fhvhv_tripdata")
+    assert fact.where("year=2025 AND month=1").count() == m1_before + 2
+    # the 3 corrections carry the new pay; the 2 inserts keep the original
+    assert fact.where("year=2025 AND month=1 AND driver_pay = 999.99").count() == 3
+    # the untouched month-2 partition is byte-identical
+    m2_rows_after = sorted(
+        (r.request_datetime, r.driver_pay)
+        for r in fact.where("year=2025 AND month=2").collect()
+    )
+    assert m2_rows_after == m2_rows_before
+
+
+def test_merge_upsert_last_writer_wins(warehouse, raw_root):
+    """A batch with several versions of one key applies only the highest
+    version, deterministically."""
+    from nyc_taxi_data_warehouse_spark.warehouse import merge_upsert
+
+    spark = warehouse
+    path = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    load_month(spark, path, 2025, 1, force=True)
+    fact = spark.table("fhvhv_tripdata")
+    n_before = fact.where("year=2025 AND month=1").count()
+    row = (
+        fact.where("year=2025 AND month=1").orderBy("request_datetime").limit(1).collect()[0]
+    )
+    base = {**row.asDict()}
+    versions = spark.createDataFrame(
+        [
+            tuple({**base, "tips": 1.0, "driver_pay": 1.0}[c] for c in fact.columns),
+            tuple({**base, "tips": 2.0, "driver_pay": 2.0}[c] for c in fact.columns),
+        ],
+        fact.schema,
+    )
+    keys = ["request_datetime", "dispatching_base_num", "pu_location_id"]
+    merge_upsert(
+        spark,
+        "fhvhv_tripdata",
+        versions,
+        keys=keys,
+        partition_cols=["year", "month"],
+        version_col="tips",
+    )
+    fact = spark.table("fhvhv_tripdata")
+    assert fact.where("year=2025 AND month=1").count() == n_before
+    got = fact.where(
+        (F.col("year") == 2025)
+        & (F.col("month") == 1)
+        & (F.col("request_datetime") == row.request_datetime)
+        & (F.col("dispatching_base_num") == row.dispatching_base_num)
+        & (F.col("pu_location_id") == row.pu_location_id)
+    ).collect()
+    assert len(got) == 1 and got[0].driver_pay == 2.0
+
+
+def test_merge_upsert_prunes_to_touched_partitions(warehouse, raw_root):
+    """The target-side scan must carry a partition filter from the
+    broadcast semi-join (pruning, not a full-table read)."""
+    from nyc_taxi_data_warehouse_spark.warehouse import merge_upsert
+
+    spark = warehouse
+    for month, path in [
+        (1, os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")),
+        (2, os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-02.parquet")),
+    ]:
+        load_month(spark, path, 2025, month, force=True)
+    fact = spark.table("fhvhv_tripdata")
+    one = fact.where("year=2025 AND month=1").limit(1).collect()[0]
+    updates = spark.createDataFrame(
+        [tuple(one[c] for c in fact.columns)], fact.schema
+    )
+    keys = ["request_datetime", "dispatching_base_num", "pu_location_id"]
+
+    # reproduce the pre-checkpoint plan merge_upsert builds and assert
+    # the semi-join reaches the scan as a dynamic/partition filter
+    touched = updates.select("year", "month").distinct()
+    current = fact.join(F.broadcast(touched), ["year", "month"], "left_semi")
+    plan = current._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    written = merge_upsert(
+        spark, "fhvhv_tripdata", updates, keys=keys, partition_cols=["year", "month"]
+    )
+    # only month-1 rows were rewritten
+    assert written == fact.where("year=2025 AND month=1").count()
