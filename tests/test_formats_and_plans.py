@@ -240,3 +240,48 @@ def test_decontamination_no_cartesian(spark):
     from nyc_taxi_data_warehouse_spark.plans.audit import assert_no_cartesian
 
     assert_no_cartesian(QUERIES["p02_decontamination"].spark(spark, SF))
+
+
+def test_p02_broadcasts_eval_grams(spark):
+    """The vocabulary-bounded eval gram set must broadcast so the train
+    side never shuffles for the contamination join."""
+    from nyc_taxi_data_warehouse_spark.plans.audit import assert_broadcast_join
+
+    assert_broadcast_join(QUERIES["p02_decontamination"].spark(spark, SF))
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """q54's lag-then-lead window pair shares a single hashpartitioning
+    Exchange on custkey (the trailing rangepartitioning is only the
+    presentation orderBy)."""
+    df = QUERIES["q54_scd2_order_status"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_stats_no_cartesian_and_prunes(spark):
+    """t08 reads only (doc_id, text); its unigram/bigram mode passes are
+    (doc_id, gram)-keyed aggregations, never an array O(n^2) scan."""
+    from nyc_taxi_data_warehouse_spark.plans.audit import (
+        assert_no_cartesian,
+        scan_columns,
+    )
+
+    df = QUERIES["t08_repetition_stats"].spark(spark, SF)
+    assert_no_cartesian(df)
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_redaction_is_scan_then_agg(spark):
+    """t07 is one scan + aggregate: the count_distinct plans the standard
+    two-phase distinct aggregate (partial on (event_type, redacted), then
+    final on event_type) — two hash Exchanges, both event_type-keyed, and
+    the regex work stays in the scan stage (no join, no cartesian)."""
+    from nyc_taxi_data_warehouse_spark.plans.audit import assert_no_cartesian
+
+    df = QUERIES["t07_redaction"].spark(spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
