@@ -1229,3 +1229,64 @@ def q53_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q55 — mergeable HLL sketch rollup (partial-aggregatable distinct counts)
+# ---------------------------------------------------------------------------
+@register(
+    "q55_hll_sketch_rollup",
+    oracle="""
+SELECT r.r_name,
+       count(DISTINCT o.o_custkey) AS exact_customers,
+       count(DISTINCT c.c_nationkey) AS n_nations,
+       1 AS est_within_5pct
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+    tags=("agg", "sketch", "hll", "rollup"),
+    doc="The re-aggregatable distinct-count pattern that matters at "
+    "100 TB: per-nation Datasketches HLL sketches of ordering customers "
+    "are rolled up to region level by SKETCH UNION — never re-touching "
+    "the raw rows, the way daily sketch partitions roll into monthly "
+    "distincts. Customers belong to exactly one nation, so summed "
+    "per-nation exact distincts equal the region exact, which lets the "
+    "SQL oracle verify the exact side; the sketch estimate is asserted "
+    "within 5% (the sketch bytes themselves are engine-specific, as in "
+    "q23). tests/test_properties.py additionally checks the union "
+    "estimate equals the flat single-pass sketch estimate.",
+)
+def q55_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    per_nation = joined.groupBy("r_name", "n_nationkey").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_n"),
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("exact_n").cast("long").alias("exact_customers"),
+        F.count("*").cast("long").alias("n_nations"),
+    )
+    within = (
+        F.abs(F.col("est") - F.col("exact_customers"))
+        / F.greatest(F.col("exact_customers"), F.lit(1))
+        <= 0.05
+    )
+    return per_region.select(
+        "r_name",
+        "exact_customers",
+        "n_nations",
+        within.cast("int").alias("est_within_5pct"),
+    ).orderBy("r_name")

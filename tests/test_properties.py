@@ -327,3 +327,34 @@ def test_multiprobe_ann_recall_gate(spark, sf_dir):
     assert rows, "recall eval returned no queries"
     mean_recall = sum(r["recall_at_5"] for r in rows) / len(rows)
     assert mean_recall >= 0.9, f"mean recall@5 {mean_recall:.3f} < 0.9"
+
+
+def test_hll_union_matches_flat_sketch(spark, sf_dir):
+    """Mergeability: unioning per-nation HLL sketches must give the SAME
+    estimate as one flat sketch over all the region's rows — the
+    property that makes sketch partials safe to roll up across
+    partitions/days without re-scanning raw data."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_regionkey", "n_nationkey", "o_custkey")
+    )
+    unioned = (
+        joined.groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .groupBy("n_regionkey")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    flat = joined.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    )
+    got = {r["n_regionkey"]: r["est"] for r in unioned.collect()}
+    want = {r["n_regionkey"]: r["est"] for r in flat.collect()}
+    assert got == want
