@@ -17,9 +17,14 @@ cross joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _us(col: Column) -> Column:
+    """Epoch microseconds — full precision, tz-shift cancels in deltas."""
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def asof_join(
@@ -30,20 +35,31 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    right_ts <= left_ts (per ``on`` key); optionally bounded by
-    ``tolerance`` (an INTERVAL string, e.g. ``'2 hours'``).
+    """For each left row, attach the closest right row per ``on`` key:
+
+    - ``backward`` (default): most recent right_ts <= left_ts
+    - ``forward``: earliest right_ts >= left_ts
+    - ``nearest``: whichever of the two is closer in absolute time
+      (exact ties resolve backward) — computed in the SAME single
+      shuffle (two window frames over one key-partitioned sort family)
+
+    ``tolerance`` (an INTERVAL string, e.g. ``'2 hours'``) bounds the
+    match distance in the chosen direction(s).
 
     Output: all left columns + right_cols (null when no match).
-    Ties on equal timestamps resolve to the right row (<=, like
+    Exact-timestamp right rows match in every direction (<= / >=, like
     DuckDB/pandas ``merge_asof`` with allow_exact_matches). When SEVERAL
-    right rows share the matching timestamp, the one with the greatest
-    ``right_cols`` tuple wins — a deterministic, data-defined tie-break
-    (engines differ arbitrarily here: DuckDB ASOF picks an unspecified
-    row). The matched right row is taken atomically (one struct), never
-    column-mixed across rows when payload fields are null.
+    right rows share the matching timestamp, backward picks the greatest
+    ``right_cols`` tuple and forward the least — deterministic,
+    data-defined tie-breaks (engines differ arbitrarily here: DuckDB
+    ASOF picks an unspecified row). The matched right row is taken
+    atomically (one struct), never column-mixed across rows when payload
+    fields are null.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rt = (
         right.select(
@@ -56,19 +72,26 @@ def asof_join(
     lt_cols = [c for c in left.columns]
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
-    # right rows sort before left rows at the same _ts (side 0 < 1):
-    # an exact-timestamp right match is visible to the left row. The
-    # trailing _r_* keys make the order total when right timestamps
-    # collide (left rows carry nulls there, which is irrelevant — _side
-    # already separates them).
-    w = (
+    # Backward frame: right rows sort before left rows at the same _ts
+    # (side 0 < 1), so an exact-timestamp right match is visible in the
+    # preceding-rows frame. Forward frame mirrors it: left before right
+    # at equal _ts, following-rows frame. The trailing _r_* keys make
+    # each order total when right timestamps collide (left rows carry
+    # nulls there, which is irrelevant — _side already separates them).
+    rk = [f"_r_{c}" for c in right_cols]
+    w_back = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side", *[f"_r_{c}" for c in right_cols])
+        .orderBy("_ts", "_side", *rk)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # One struct per right row → last() picks the whole matched row
-    # atomically; per-column last(ignorenulls) would stitch fields from
-    # different rows whenever the latest match has a null field.
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), *rk)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # One struct per right row → last()/first() picks the whole matched
+    # row atomically; per-column last(ignorenulls) would stitch fields
+    # from different rows whenever the latest match has a null field.
     match = F.when(
         F.col("_side") == 0,
         F.struct(
@@ -76,15 +99,35 @@ def asof_join(
             *[F.col(f"_r_{c}").alias(c) for c in right_cols],
         ),
     )
+    picks: dict[str, Column] = {}
+    if direction in ("backward", "nearest"):
+        picks["_mb"] = F.last(match, ignorenulls=True).over(w_back)
+    if direction in ("forward", "nearest"):
+        picks["_mf"] = F.first(match, ignorenulls=True).over(w_fwd)
+    filled = unioned.withColumns(picks)
+    if direction == "nearest":
+        back_d = _us(F.col("_ts")) - _us(F.col("_mb._m_ts"))
+        fwd_d = _us(F.col("_mf._m_ts")) - _us(F.col("_ts"))
+        chosen = (
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(fwd_d < back_d, F.col("_mf"))
+            .otherwise(F.col("_mb"))  # ties resolve backward
+        )
+    else:
+        chosen = F.col("_mb") if direction == "backward" else F.col("_mf")
     filled = (
-        unioned.withColumn("_m", F.last(match, ignorenulls=True).over(w))
+        filled.withColumn("_m", chosen)
         .withColumns({f"_m_{c}": F.col(f"_m.{c}") for c in right_cols})
         .withColumn("_m_ts", F.col("_m._m_ts"))
     )
 
     out = filled.where(F.col("_side") == 1)
     if tolerance is not None:
-        within = F.col("_m_ts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        iv = F.expr(f"INTERVAL {tolerance}")
+        within = (F.col("_m_ts") >= F.col("_ts") - iv) & (
+            F.col("_m_ts") <= F.col("_ts") + iv
+        )
         out = out.withColumns(
             {f"_m_{c}": F.when(within, F.col(f"_m_{c}")) for c in right_cols}
         ).withColumn("_m_ts", F.when(within, F.col("_m_ts")))

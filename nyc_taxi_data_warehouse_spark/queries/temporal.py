@@ -108,3 +108,118 @@ def a02_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "signup_event_id", "error_event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# a03 — forward as-of join: each view matched to the user's NEXT purchase
+# ---------------------------------------------------------------------------
+@register(
+    "a03_next_purchase_after_view",
+    oracle="""
+WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+     p AS (SELECT user_id, ts, event_id AS purchase_event_id, value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+SELECT v.user_id, v.event_id, v.ts,
+       p.purchase_event_id, p.purchase_value, p.ts AS matched_ts,
+       CASE WHEN p.ts IS NULL THEN NULL
+            ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS lag_us
+FROM v ASOF LEFT JOIN p
+  ON v.user_id = p.user_id AND p.ts >= v.ts
+ORDER BY v.user_id, v.event_id
+""",
+    tags=("asof", "join", "temporal"),
+    doc="FORWARD as-of (view -> next purchase conversion lag): same "
+    "single-shuffle union+window composition as a01 but with a "
+    "following-rows frame and left-before-right exact-ts ordering, vs "
+    "DuckDB's native forward ASOF (p.ts >= v.ts).",
+)
+def a03_next_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "purchase_event_id",
+        "purchase_value",
+        "matched_ts",
+        (
+            F.unix_micros(F.col("matched_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("lag_us"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# a04 — nearest as-of join: each error matched to the closest click in time
+# ---------------------------------------------------------------------------
+@register(
+    "a04_nearest_click_to_error",
+    oracle="""
+WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+     clk AS (SELECT user_id, event_id AS click_event_id, ts AS click_ts
+             FROM events WHERE event_type = 'click')
+SELECT user_id, event_id, ts, click_event_id, matched_ts, dist_us
+FROM (
+  SELECT err.user_id, err.event_id, err.ts,
+         clk.click_event_id, clk.click_ts AS matched_ts,
+         abs(epoch_us(clk.click_ts) - epoch_us(err.ts)) AS dist_us,
+         row_number() OVER (
+           PARTITION BY err.event_id
+           -- nearest wins; exact-distance ties resolve BACKWARD (the
+           -- earlier click has the smaller ts) to match the engine
+           ORDER BY abs(epoch_us(clk.click_ts) - epoch_us(err.ts)) ASC NULLS LAST,
+                    clk.click_ts ASC
+         ) AS rn
+  FROM err LEFT JOIN clk ON err.user_id = clk.user_id
+)
+WHERE rn = 1
+ORDER BY user_id, event_id
+""",
+    tags=("asof", "join", "temporal"),
+    doc="NEAREST as-of (error -> closest click either direction, ties "
+    "backward): ONE shuffle — both window frames share the key "
+    "partitioning — vs the oracle's per-key argmin over a full "
+    "LEFT JOIN (fine at oracle scale, quadratic in general).",
+)
+def a04_nearest_click_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_event_id"],
+        direction="nearest",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "click_event_id",
+        "matched_ts",
+        F.abs(
+            F.unix_micros(F.col("matched_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dist_us"),
+    ).orderBy("user_id", "event_id")

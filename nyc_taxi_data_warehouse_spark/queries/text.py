@@ -489,3 +489,58 @@ def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t09 — exact token heavy hitters (frequent-items over the corpus vocab)
+# ---------------------------------------------------------------------------
+_HH_THRESHOLD_PPM = 30_000  # tokens holding >= 3% of all token occurrences
+
+
+@register(
+    "t09_token_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY tok),
+total AS (
+  SELECT CAST(sum(len(list_filter({_TOKS_SQL}, x -> x <> ''))) AS BIGINT)
+         AS total_n
+  FROM documents
+)
+SELECT tok, n, CAST(n * 1000000 // total_n AS BIGINT) AS share_ppm
+FROM counts, total
+WHERE n * 1000000 >= {_HH_THRESHOLD_PPM} * total_n
+ORDER BY n DESC, tok
+""",
+    tags=("text", "heavy_hitters", "agg"),
+    doc="Exact frequent-items: tokens holding >= 3% of all corpus token "
+    "occurrences. Two aggregations — the vocabulary groupBy (map-side "
+    "partial combine absorbs the explode volume) and a narrow per-doc "
+    "size sum for the total (a second SCAN, not a second shuffle; "
+    "cheaper than recomputing the exploded groupBy branch and avoids a "
+    "single-partition global window over the vocabulary). Shares are "
+    "exact integer ppm (n*1e6 div total) — engine-independent, no float "
+    "rounding in the hash. The approx_top_k sketch is cross-checked "
+    "against this exact set in tests/test_properties.py.",
+)
+def t09_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = d.select(
+        F.filter(T.tokens(F.col("text")), lambda x: x != "").alias("tk")
+    ).agg(F.sum(F.size("tk")).cast("long").alias("total_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") * 1_000_000 >= F.lit(_HH_THRESHOLD_PPM) * F.col("total_n"))
+        .select(
+            "tok",
+            "n",
+            F.expr("CAST(n * 1000000 div total_n AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n"), "tok")
+    )

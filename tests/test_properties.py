@@ -358,3 +358,86 @@ def test_hll_union_matches_flat_sketch(spark, sf_dir):
     got = {r["n_regionkey"]: r["est"] for r in unioned.collect()}
     want = {r["n_regionkey"]: r["est"] for r in flat.collect()}
     assert got == want
+
+
+@given(left=asof_left, right=asof_right)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_forward_nearest_vs_bruteforce(spark, left, right):
+    """forward/nearest directions == a brute-force reference on data WITH
+    duplicate right timestamps AND equidistant two-sided ties. Declared
+    semantics: forward picks least payload at the matched ts (backward
+    picks greatest); nearest resolves exact-distance ties backward."""
+    import datetime as _dt
+
+    from nyc_taxi_data_warehouse_spark.operators.temporal import asof_join
+
+    base = _dt.datetime(2024, 1, 1)
+    ldata = [
+        (i, k, base + _dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    rdata = [(k, base + _dt.timedelta(seconds=s), v) for k, s, v in right]
+    l_df = spark.createDataFrame(ldata, "lid long, k long, ts timestamp_ntz")
+    r_df = spark.createDataFrame(rdata, "k long, ts timestamp_ntz, payload long")
+
+    def backward_pick(k, lts):
+        cand = [(ts, v) for rk, ts, v in rdata if rk == k and ts <= lts]
+        return max(cand) if cand else None  # greatest (ts, payload)
+
+    def forward_pick(k, lts):
+        cand = [(ts, v) for rk, ts, v in rdata if rk == k and ts >= lts]
+        if not cand:
+            return None
+        mts = min(ts for ts, _ in cand)
+        return (mts, min(v for ts, v in cand if ts == mts))  # least payload
+
+    def nearest_pick(k, lts):
+        b, f = backward_pick(k, lts), forward_pick(k, lts)
+        if b is None or f is None:
+            return b or f
+        return f if (f[0] - lts) < (lts - b[0]) else b  # ties backward
+
+    for direction, pick in (("forward", forward_pick), ("nearest", nearest_pick)):
+        got = sorted(
+            map(
+                tuple,
+                asof_join(
+                    l_df, r_df, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["payload"], direction=direction,
+                ).select("lid", "payload", "matched_ts").collect(),
+            )
+        )
+        want = sorted(
+            (lid, *(pick(k, lts)[::-1] if pick(k, lts) else (None, None)))
+            for lid, k, lts in ldata
+        )
+        assert got == want, f"direction={direction}"
+
+
+def test_approx_top_k_covers_exact_heavy_hitters(spark, sf_dir):
+    """The approx_top_k sketch (the scale path for frequent items: one
+    bounded-memory pass, mergeable partials) must contain every EXACT
+    heavy hitter t09 reports — the containment guarantee that makes the
+    sketch a safe pre-filter at 100 TB, where the exact two-agg pass
+    runs only over sketch-surfaced candidates."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.functions import text as T
+    from nyc_taxi_data_warehouse_spark.queries import QUERIES
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    exact = {
+        r["tok"]
+        for r in QUERIES["t09_token_heavy_hitters"].spark(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should produce at least one heavy hitter"
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    [row] = toks.agg(
+        F.expr(f"approx_top_k(tok, {max(2 * len(exact), 16)})").alias("top")
+    ).collect()
+    sketched = {e["item"] for e in row["top"]}
+    assert exact <= sketched, f"missing from sketch: {exact - sketched}"
