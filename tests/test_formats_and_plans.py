@@ -285,3 +285,32 @@ def test_redaction_is_scan_then_agg(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_asof_directions_single_shuffle(spark):
+    """a03 (forward) and a04 (nearest) keep the as-of guarantee: ONE
+    hashpartitioning Exchange on the key — a04's backward and forward
+    window frames share that partitioning (two sorts, one shuffle) — and
+    no join operator at all (the trailing rangepartitioning is only the
+    presentation orderBy)."""
+    for q in ("a03_next_purchase_after_view", "a04_nearest_click_to_error"):
+        plan = (
+            QUERIES[q].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, q
+        assert "Join" not in plan, q
+
+
+def test_heavy_hitters_one_vocab_shuffle(spark):
+    """t09: the exploded token groupBy is the only hashpartitioning
+    Exchange (map-side partial combine absorbs the explode volume); the
+    corpus total arrives as a scalar broadcast (BroadcastNestedLoopJoin
+    on a 1-row side), never a cartesian on data."""
+    from nyc_taxi_data_warehouse_spark.plans.audit import assert_no_cartesian
+
+    df = QUERIES["t09_token_heavy_hitters"].spark(spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
