@@ -314,3 +314,51 @@ def test_heavy_hitters_one_vocab_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_runtime_bloom_filter_injects_when_join_cannot_broadcast(spark):
+    """Runtime row-level filtering, the 100 TB fact-fact join path: when
+    the dim side is too big to broadcast (simulated by disabling
+    broadcast), Spark must inject a bloom_filter_agg subquery on the
+    selective side and a might_contain predicate on the fact scan — so
+    the big side drops non-joining rows BEFORE the shuffle. Our conf
+    stack keeps spark.sql.optimizer.runtime.bloomFilter.enabled (default
+    true) unclobbered; with broadcast on (the engine default) the rule
+    correctly stays out of the way — broadcast already prunes."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    l = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).groupBy("o_orderpriority").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # default broadcast conf: rule stands down (broadcast prunes)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" not in plan
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # app-side scan threshold defaults to 10 GB — far above any local
+        # fixture; drop it to exercise the rule at test scale
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        j2 = l.join(o, l["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        plan2 = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan2 and "might_contain" in plan2
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
