@@ -11,3 +11,4 @@ from .rollup_sink import (  # noqa: F401
     merge_batch_into_rollup,
     stream_events_into_rollup,
 )
+from .cdc import stream_upsert  # noqa: F401

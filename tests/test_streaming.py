@@ -322,3 +322,83 @@ def test_rollup_merge_many_days_batch(spark, tmp_path, monkeypatch):
     assert got2.agg(F.sum("n")).collect()[0][0] == 21
     merged_row = got2.where("day = '2024-01-01'").collect()[0]
     assert merged_row["n"] == 2 and merged_row["value_cents"] == 10000
+
+
+def test_cdc_stream_upsert_applies_and_is_idempotent(spark, tmp_path):
+    """A 3-micro-batch CDC feed merged via stream_upsert must leave the
+    target equal to the one-shot expected state (keys unique across
+    batches, so arrival order is immaterial); a checkpoint restart with
+    no new files must change nothing; and untouched partitions must
+    never be rewritten."""
+    import os as _os
+
+    from nyc_taxi_data_warehouse_spark.streaming import stream_upsert
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("int").alias("pt"),
+        F.lit(0).alias("v"),
+        F.lit(0).alias("ver"),
+    )
+    base.write.mode("overwrite").format("parquet").partitionBy("pt").saveAsTable(
+        "cdc_tgt"
+    )
+
+    # updates touch pt 0 (k multiples of 5 in 50..129): 10 corrections +
+    # 6 inserts, all landing in partition 0; pt 1..4 must stay untouched
+    updates = (
+        spark.range(50, 130)
+        .where(F.col("id") % 5 == 0)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).cast("int").alias("pt"),
+            F.lit(1).alias("v"),
+            F.lit(1).alias("ver"),
+        )
+    )
+    src = str(tmp_path / "cdc_feed")
+    updates.repartition(3).write.parquet(src)
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    tgt_dir = spark.table("cdc_tgt").inputFiles()[0].rsplit("/", 2)[0]
+    tgt_dir = tgt_dir.removeprefix("file://")
+    pt1 = [f for f in _os.listdir(tgt_dir) if f.startswith("pt=1")]
+    mtime_before = max(
+        _os.path.getmtime(_os.path.join(tgt_dir, pt1[0], f))
+        for f in _os.listdir(_os.path.join(tgt_dir, pt1[0]))
+        if f.endswith(".parquet")
+    )
+
+    def feed():
+        return (
+            spark.readStream.schema(updates.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    stream_upsert(
+        spark, feed(), "cdc_tgt", keys=["k"], partition_cols=["pt"],
+        version_col="ver", checkpoint=ckpt,
+    )
+
+    got = sorted((r.k, r.v) for r in spark.table("cdc_tgt").collect())
+    want = sorted(
+        [(k, 0) for k in range(100) if not (k % 5 == 0 and k >= 50)]
+        + [(k, 1) for k in range(50, 130, 5)]
+    )
+    assert got == want
+
+    # untouched partition: no file rewritten
+    mtime_after = max(
+        _os.path.getmtime(_os.path.join(tgt_dir, pt1[0], f))
+        for f in _os.listdir(_os.path.join(tgt_dir, pt1[0]))
+        if f.endswith(".parquet")
+    )
+    assert mtime_after == mtime_before
+
+    # restart on the same checkpoint: nothing reapplied
+    stream_upsert(
+        spark, feed(), "cdc_tgt", keys=["k"], partition_cols=["pt"],
+        version_col="ver", checkpoint=ckpt,
+    )
+    assert sorted((r.k, r.v) for r in spark.table("cdc_tgt").collect()) == want
