@@ -544,3 +544,61 @@ def t09_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# t10 — unigram-LM commonness scoring (CCNet-style quality filter, exact)
+# ---------------------------------------------------------------------------
+@register(
+    "t10_unigram_commonness",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+toks_ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+counts AS (SELECT tok, count(*) AS n FROM toks_ne GROUP BY tok),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM counts)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(n) * 1000000 // (count(*) * total_n) AS BIGINT)
+         AS commonness_ppm
+FROM toks_ne JOIN counts USING (tok), total
+GROUP BY doc_id, total_n
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "lm_filter"),
+    doc="Unigram-LM quality signal: per-document mean corpus frequency "
+    "of its tokens, in exact integer ppm — the arithmetic-mean analogue "
+    "of a CCNet-style LM likelihood filter (low score = rare/garbled "
+    "vocabulary, high = common fluent text), chosen over mean log-prob "
+    "so the oracle hash has NO float rounding (ln() differs by ulps "
+    "across libms). Plan: one vocab aggregation, token->count equi-join "
+    "(AQE broadcasts the vocab side when small), one per-doc "
+    "aggregation; corpus total arrives as a 1-row broadcast. At "
+    "extreme scale the sum(n)*1e6 product upgrades to DECIMAL(38,0) — "
+    "bigint holds to ~1e12 total tokens.",
+)
+def t10_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("total_n"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "total_n")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("n").alias("_sum_n"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.expr("CAST(_sum_n * 1000000 div (n_toks * total_n) AS BIGINT)").alias(
+                "commonness_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
