@@ -76,3 +76,22 @@ def analyze(spark: SparkSession, table: str, columns: list[str] | None = None) -
     if columns:
         cols = ", ".join(columns)
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def write_sorted(
+    df: DataFrame, path: str, key: str, n_files: int = 8
+) -> None:
+    """Range-cluster on ``key`` at write time: repartitionByRange gives
+    each output file a disjoint key range, sortWithinPartitions orders
+    rows inside it — so every parquet row group carries tight, mutually
+    disjoint min/max stats and a pushed-down range predicate skips all
+    but the matching files' row groups at scan time. The poor man's
+    Z-order for the single-dimension access pattern (time-range scans of
+    a fact table); verified with footer statistics in the layout test,
+    not assumed."""
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

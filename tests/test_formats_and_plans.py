@@ -362,3 +362,44 @@ def test_runtime_bloom_filter_injects_when_join_cannot_broadcast(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_write_sorted_gives_disjoint_rowgroup_ranges(spark, tmp_path):
+    """write_sorted must produce files whose parquet footer min/max key
+    ranges are pairwise disjoint (the precondition that lets the pushed
+    row-group filter skip everything but the matching file), and a range
+    scan over the result must still push the predicate."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_warehouse_spark.plans.audit import pushed_filters
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import write_sorted
+
+    events = load_table(spark, SF, "events").select("event_id", "ts", "value")
+    out = str(tmp_path / "events_sorted")
+    write_sorted(events, out, "event_id", n_files=6)
+
+    ranges = []
+    for f in _os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(_os.path.join(out, f)).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "event_id"
+            )
+            ranges.append((col.statistics.min, col.statistics.max))
+    assert len(ranges) >= 6
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping row-group ranges: {(lo1, hi1)} vs {(lo2, _hi2)}"
+
+    scan = spark.read.parquet(out).where(F.col("event_id").between(100, 200))
+    pushed = " ".join(pushed_filters(scan))
+    assert "event_id" in pushed
+    n_events = events.where(F.col("event_id").between(100, 200)).count()
+    assert scan.count() == n_events
