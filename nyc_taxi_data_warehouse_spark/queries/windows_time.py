@@ -148,7 +148,11 @@ def q40_daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..warehouse.rollup import daily_from_hourly, hourly_rollup
 
     e = load_table(spark, sf_dir, "events")
-    return daily_from_hourly(hourly_rollup(e))
+    # approx_users (the mergeable HLL distinct carried by the rollup) is
+    # projected away here: it has no exact SQL replay by construction —
+    # its accuracy and merge-stability are gated in pytest instead
+    # (test_streaming.py, test_properties.py).
+    return daily_from_hourly(hourly_rollup(e)).drop("approx_users")
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,11 @@ def _merge_aggs():
         F.sum("value_cents").alias("value_cents"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
+        # mergeable distinct: sketch-union partials — the union of the
+        # per-batch sketches equals the flat sketch over all raw rows
+        # (proven in tests/test_properties.py), so incremental merges
+        # never drift from the batch rollup
+        F.hll_union_agg("users_sketch").alias("users_sketch"),
     ]
 
 
@@ -45,6 +50,7 @@ def _hourly_partials(events: DataFrame) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
     )
 
 

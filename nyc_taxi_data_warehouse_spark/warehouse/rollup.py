@@ -4,7 +4,10 @@ A 100 TB events table can't be re-scanned for every dashboard query; the
 scalable pattern is a small materialized hourly aggregate that coarser
 queries (daily/weekly) re-aggregate. Correctness rests on the aggregates
 being decomposable (count→sum, sum→sum, min→min, max→max) — q40 proves
-hourly→daily equals direct-from-raw against the DuckDB oracle.
+hourly→daily equals direct-from-raw against the DuckDB oracle. Distinct
+users, NOT decomposable exactly, are carried as a mergeable HLL sketch
+column (binary partial; union at re-aggregation) — the only way a
+distinct count survives a rollup without re-scanning raw data.
 
 Money is summed as integer cents (exact, associative) so the two-level
 aggregation is bit-identical to the one-level one regardless of
@@ -27,6 +30,7 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
     )
 
 
@@ -43,6 +47,9 @@ def daily_from_hourly(hourly: DataFrame) -> DataFrame:
             (F.sum("value_cents").cast("double") / 100.0).alias("total_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias(
+                "approx_users"
+            ),
         )
         .orderBy("day", "event_type")
     )

@@ -441,3 +441,35 @@ def test_approx_top_k_covers_exact_heavy_hitters(spark, sf_dir):
     ).collect()
     sketched = {e["item"] for e in row["top"]}
     assert exact <= sketched, f"missing from sketch: {exact - sketched}"
+
+
+def test_rollup_sketch_estimate_near_exact(spark, sf_dir):
+    """The rollup's carried HLL distinct-user estimate, served daily via
+    sketch union, must land within 5% of the exact daily distinct count
+    computed from raw — the accuracy side of the mergeable-distinct
+    trade (its exactness-of-merge side is the stream==batch test)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+    from nyc_taxi_data_warehouse_spark.warehouse.rollup import (
+        daily_from_hourly,
+        hourly_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        (r["day"], r["event_type"]): r["approx_users"]
+        for r in daily_from_hourly(hourly_rollup(events)).collect()
+    }
+    exact = {
+        (r["day"], r["event_type"]): r["n_users"]
+        for r in events.groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            "event_type",
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])

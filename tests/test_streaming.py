@@ -164,13 +164,16 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     )
     stream_events_into_rollup(spark, stream, rollup, ckpt)
 
+    # users: the HLL sketch column must merge across micro-batches to the
+    # SAME estimate as the flat batch sketch (union==flat mergeability)
+    est = F.hll_sketch_estimate("users_sketch").alias("users")
     got = read_rollup(spark, rollup).select(
-        "hour", "event_type", "n", "value_cents", "min_value", "max_value"
+        "hour", "event_type", "n", "value_cents", "min_value", "max_value", est
     )
     want = hourly_rollup(events).select(
-        "hour", "event_type", "n", "value_cents", "min_value", "max_value"
+        "hour", "event_type", "n", "value_cents", "min_value", "max_value", est
     )
-    cols = ["hour", "event_type", "n", "value_cents", "min_value", "max_value"]
+    cols = ["hour", "event_type", "n", "value_cents", "min_value", "max_value", "users"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
     # restart with same checkpoint: no new files -> rollup unchanged
@@ -180,9 +183,10 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
         .parquet(src)
     )
     stream_events_into_rollup(spark, stream2, rollup, ckpt)
-    assert _sorted_rows(read_rollup(spark, rollup).select(*cols), cols) == _sorted_rows(
-        want, cols
+    again = read_rollup(spark, rollup).select(
+        "hour", "event_type", "n", "value_cents", "min_value", "max_value", est
     )
+    assert _sorted_rows(again, cols) == _sorted_rows(want, cols)
 
 
 def test_stream_static_join_equals_batch(spark):
@@ -300,11 +304,11 @@ def test_rollup_merge_many_days_batch(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "rollup_many_days")
     base = datetime.datetime(2024, 1, 1)
     rows = [
-        (base + datetime.timedelta(days=d, hours=d % 3), "a", float(d))
+        (base + datetime.timedelta(days=d, hours=d % 3), "a", float(d), d % 7)
         for d in range(20)  # 20 days > capped MAX_DAY_LIST=5
     ]
     batch = spark.createDataFrame(
-        rows, "ts timestamp_ntz, event_type string, value double"
+        rows, "ts timestamp_ntz, event_type string, value double, user_id long"
     )
     rs.merge_batch_into_rollup(spark, batch, path)
     got = rs.read_rollup(spark, path)
@@ -313,8 +317,8 @@ def test_rollup_merge_many_days_batch(spark, tmp_path, monkeypatch):
 
     # second small batch (2 days, under the cap): values accumulate
     batch2 = spark.createDataFrame(
-        [(base + datetime.timedelta(hours=0), "a", 100.0)],
-        "ts timestamp_ntz, event_type string, value double",
+        [(base + datetime.timedelta(hours=0), "a", 100.0, 0)],
+        "ts timestamp_ntz, event_type string, value double, user_id long",
     )
     rs.merge_batch_into_rollup(spark, batch2, path)
     got2 = rs.read_rollup(spark, path)
