@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from ..streaming.windows import (
@@ -303,4 +304,82 @@ def q54_scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             valid_to.isNull().cast("int").alias("is_current"),
         )
         .orderBy("custkey", "valid_from", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56 — funnel conversion (ordered view -> click -> purchase per user)
+# ---------------------------------------------------------------------------
+@register(
+    "q56_funnel_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT v.user_id, v.tv, min(e.ts) AS tc
+  FROM v LEFT JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts >= v.tv
+  GROUP BY v.user_id, v.tv
+),
+p AS (
+  SELECT c.user_id, c.tv, c.tc, min(e.ts) AS tp
+  FROM c LEFT JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts >= c.tc
+  GROUP BY c.user_id, c.tv, c.tc
+)
+SELECT count(*) AS n_users,
+       count(tv) AS n_viewed,
+       count(tc) AS n_clicked_after_view,
+       count(tp) AS n_purchased_after_click,
+       CAST(coalesce(sum(epoch_us(tp) - epoch_us(tv)), 0) AS BIGINT)
+         AS total_view_to_purchase_us
+FROM p
+""",
+    tags=("funnel", "window", "behavioral"),
+    doc="Ordered-sequence funnel: first view, first click at-or-after "
+    "it, first purchase at-or-after that — each stage a conditional min "
+    "over the SAME user-partitioned window (unordered full-partition "
+    "frames chain without re-sorting), so the whole funnel costs ONE "
+    "user-key shuffle + a per-user reduce + a tiny global roll-up; the "
+    "oracle replays it with three chained LEFT-JOIN aggregations. "
+    "Deltas are integer epoch-us — no float in the hash.",
+)
+def q56_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e2 = e.withColumn("_tv", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("_tv")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e3 = e2.withColumn("_tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("_tc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        e3.withColumn("_tp", tp)
+        .groupBy("user_id")
+        .agg(
+            F.first("_tv").alias("tv"),
+            F.first("_tc").alias("tc"),
+            F.first("_tp").alias("tp"),
+        )
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("tv").alias("n_viewed"),
+        F.count("tc").alias("n_clicked_after_view"),
+        F.count("tp").alias("n_purchased_after_click"),
+        F.coalesce(F.sum(us("tp") - us("tv")), F.lit(0))
+        .cast("long")
+        .alias("total_view_to_purchase_us"),
     )

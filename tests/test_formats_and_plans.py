@@ -403,3 +403,18 @@ def test_write_sorted_gives_disjoint_rowgroup_ranges(spark, tmp_path):
     assert "event_id" in pushed
     n_events = events.where(F.col("event_id").between(100, 200)).count()
     assert scan.count() == n_events
+
+
+def test_funnel_single_user_shuffle(spark):
+    """q56: all three funnel stages chain over the same user-partitioned
+    window — exactly ONE hashpartitioning Exchange, then the tiny global
+    roll-up (SinglePartition) on per-user rows."""
+    plan = (
+        QUERIES["q56_funnel_stages"]
+        .spark(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
