@@ -383,3 +383,58 @@ def q56_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_view_to_purchase_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — weekly cohort retention (first-activity cohort x week offset)
+# ---------------------------------------------------------------------------
+@register(
+    "q57_cohort_retention",
+    oracle="""
+WITH wk AS (
+  SELECT user_id, date_trunc('week', ts) AS week
+  FROM events GROUP BY user_id, date_trunc('week', ts)
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(datediff('week', c.cohort_week, wk.week) AS BIGINT) AS week_offset,
+       count(*) AS n_active_users
+FROM wk JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+""",
+    tags=("cohort", "behavioral", "agg"),
+    doc="Cohort retention grid: users bucketed by first-activity week, "
+    "counted in each later week they return. Plan: distinct "
+    "(user, week) pairs and the per-user cohort min BOTH come off one "
+    "user-key shuffle (the min is a window over the distinct pairs — "
+    "no self-join back to raw), then one small shuffle on the "
+    "(cohort, offset) grid. (user, week) rows are already distinct, so "
+    "count(*) == distinct users.",
+)
+def q57_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wk = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .distinct()
+    )
+    cohort_week = F.min("week").over(Window.partitionBy("user_id"))
+    return (
+        wk.withColumn("cohort_week", cohort_week)
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_micros(F.col("week").cast("timestamp"))
+                        - F.unix_micros(F.col("cohort_week").cast("timestamp"))
+                    )
+                    / F.lit(7 * 24 * 3600 * 1_000_000)
+                )
+            ).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
