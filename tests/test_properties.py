@@ -473,3 +473,43 @@ def test_rollup_sketch_estimate_near_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
+
+
+@given(left=asof_left, right=asof_right)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_join_vs_bruteforce(spark, left, right):
+    """range_join's bucketed candidate generation (own + adjacent time
+    buckets, then the exact predicate) must produce EXACTLY the brute-
+    force pair set — including pairs that straddle bucket boundaries and
+    pairs exactly at the bound."""
+    import datetime as _dt
+
+    from nyc_taxi_data_warehouse_spark.operators.temporal import range_join
+
+    base = _dt.datetime(2024, 1, 1)
+    ldata = [
+        (i, k, base + _dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    rdata = [
+        (j, k, base + _dt.timedelta(seconds=s))
+        for j, (k, s, _v) in enumerate(right)
+    ]
+    l_df = spark.createDataFrame(ldata, "lid long, k long, lts timestamp_ntz")
+    r_df = spark.createDataFrame(rdata, "rid long, k long, rts timestamp_ntz")
+
+    BOUND = 3  # seconds — small vs the 0..10 s fixture range, so buckets matter
+    got = sorted(
+        (r.lid, r.rid)
+        for r in range_join(
+            l_df, r_df, on="k", left_ts="lts", right_ts="rts",
+            bound="3 seconds", bound_seconds=BOUND,
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, lk, lts in ldata
+        for rid, rk, rts in rdata
+        if lk == rk and abs((lts - rts).total_seconds()) <= BOUND
+    )
+    assert got == want
