@@ -1290,3 +1290,83 @@ def q55_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nations",
         within.cast("int").alias("est_within_5pct"),
     ).orderBy("r_name")
+
+
+# ---------------------------------------------------------------------------
+# q58 — snapshot diff / reconciliation between two table versions
+# ---------------------------------------------------------------------------
+@register(
+    "q58_snapshot_diff",
+    oracle="""
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0 THEN text || ' [edited]' ELSE text END AS text
+  FROM documents WHERE doc_id % 31 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new row ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 41 = 0
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT change_type, count(*) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM j
+GROUP BY change_type
+ORDER BY change_type
+""",
+    tags=("diff", "reconciliation", "join"),
+    doc="Table-version reconciliation: FULL OUTER join on the key, "
+    "row-hash compare for changed-ness, counts + id-sums per change "
+    "class — the audit primitive for validating a migrated/backfilled "
+    "table against its source (the 'new' snapshot is derived "
+    "deterministically in-query: ~1/31 removed, ~1/37 edited, ~1/41 "
+    "re-keyed as additions). Hash compare ships md5(text), never the "
+    "payload, so the shuffle is key+digest-sized at 100 TB.",
+)
+def q58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    new = (
+        d.where(F.col("doc_id") % 31 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 37 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 41 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("new row "), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    o = old.select("doc_id", F.md5("text").alias("_ho"))
+    n = new.select("doc_id", F.md5("text").alias("_hn"))
+    j = o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_ho").isNull(), "added")
+        .when(F.col("_hn").isNull(), "removed")
+        .when(F.col("_ho") != F.col("_hn"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        j.groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("change_type")
+    )
