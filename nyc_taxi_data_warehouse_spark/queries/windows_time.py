@@ -407,12 +407,12 @@ ORDER BY cohort_week, week_offset
 """,
     tags=("cohort", "behavioral", "agg"),
     doc="Cohort retention grid: users bucketed by first-activity week, "
-    "counted in each later week they return. Plan: distinct "
-    "(user, week) pairs and the per-user cohort min BOTH come off one "
-    "user-key shuffle (the min is a window over the distinct pairs — "
-    "no self-join back to raw), then one small shuffle on the "
-    "(cohort, offset) grid. (user, week) rows are already distinct, so "
-    "count(*) == distinct users.",
+    "counted in each later week they return. Plan: the raw scan "
+    "partial-aggregates to (user, week) pairs BEFORE its shuffle (the "
+    "volume-collapsing step at 100 TB), the cohort min is a window over "
+    "those pairs (pair-sized shuffle, no self-join back to raw), then "
+    "one tiny shuffle on the (cohort, offset) grid. (user, week) rows "
+    "are already distinct, so count(*) == distinct users.",
 )
 def q57_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
