@@ -64,10 +64,15 @@ def test_rollup_decomposes(spark, rows):
     )
 
     base = datetime.datetime(2024, 1, 1)
+    # user_id derived from the value: collisions across hours exercise the
+    # HLL merge (union of hourly sketches must equal the one-shot sketch).
     data = [
-        (base + datetime.timedelta(seconds=s), t, c / 100.0) for s, t, c in rows
+        (base + datetime.timedelta(seconds=s), t, c / 100.0, f"u{c % 7}")
+        for s, t, c in rows
     ]
-    e = spark.createDataFrame(data, "ts timestamp_ntz, event_type string, value double")
+    e = spark.createDataFrame(
+        data, "ts timestamp_ntz, event_type string, value double, user_id string"
+    )
     via_rollup = daily_from_hourly(hourly_rollup(e))
     direct = (
         e.groupBy(
@@ -80,9 +85,15 @@ def test_rollup_decomposes(spark, rows):
             ),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+            # HLL register merge is a max per register — order-independent —
+            # so rollup-then-union must give the *exact* same estimate.
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
         )
     )
-    cols = ["day", "event_type", "n", "total_value", "min_value", "max_value"]
+    cols = [
+        "day", "event_type", "n", "total_value", "min_value", "max_value",
+        "approx_users",
+    ]
     assert sorted(map(tuple, via_rollup.select(*cols).collect())) == sorted(
         map(tuple, direct.select(*cols).collect())
     )
