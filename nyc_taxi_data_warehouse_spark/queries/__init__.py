@@ -12,3 +12,4 @@ from . import scalar_extra  # noqa: E402,F401
 from . import reshape  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import search  # noqa: E402,F401
