@@ -236,3 +236,97 @@ def p02_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_doc_id", "n_shared_grams")
         .orderBy("train_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p03 — sequence packing into fixed context windows
+# ---------------------------------------------------------------------------
+from ..operators import packing as P  # noqa: E402
+
+_P03_CAP = 512
+_P03_GROUPS = 8
+_P03_GRP_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) "
+    f"% {_P03_GROUPS}"
+)
+
+
+def _p03_oracle() -> str:
+    return f"""
+WITH RECURSIVE lens AS (
+  SELECT doc_id,
+         {_P03_GRP_SQL} AS grp,
+         least(CAST(len({_TOKS_SQL}) AS BIGINT), {_P03_CAP}) AS seq_len
+  FROM documents
+),
+docs AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM lens
+),
+pack(grp, rn, doc_id, seq_len, bin_id, fill) AS (
+  SELECT grp, rn, doc_id, seq_len, CAST(0 AS BIGINT), seq_len
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.seq_len,
+         CASE WHEN p.fill + d.seq_len > {_P03_CAP}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + d.seq_len > {_P03_CAP}
+              THEN d.seq_len ELSE p.fill + d.seq_len END
+  FROM pack p JOIN docs d ON d.grp = p.grp AND d.rn = p.rn + 1
+)
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+       CAST(sum(seq_len) AS BIGINT) AS sum_tokens,
+       CAST((max(bin_id) + 1) * {_P03_CAP} - sum(seq_len) AS BIGINT)
+         AS pad_tokens,
+       CAST(sum(doc_id * (bin_id + 1)) AS BIGINT) AS assign_checksum,
+       CAST(sum(fill - seq_len) AS BIGINT) AS offset_checksum
+FROM pack
+GROUP BY grp
+ORDER BY grp
+"""
+
+
+@register(
+    "p03_sequence_packing",
+    oracle=_p03_oracle(),
+    tags=("pipeline", "packing", "training", "applyInPandas"),
+    doc=f"Greedy sequence packing of token-counted documents into "
+    f"{_P03_CAP}-token context windows, sharded into {_P03_GROUPS} "
+    "hash-groups that pack independently (the distributed-packing "
+    "strategy: global greedy is sequential, per-shard greedy is "
+    "embarrassingly parallel and wastes at most one tail bin per shard). "
+    "Only (grp, id, len) ints shuffle; the per-group O(n) pass runs in an "
+    "Arrow-batched applyInPandas. Verified bin-for-bin against a DuckDB "
+    "recursive-CTE replay via per-group assignment and offset checksums.",
+)
+def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % _P03_GROUPS
+    )
+    lens = d.select(
+        "doc_id",
+        grp.alias("grp"),
+        T.token_count(F.col("text")).alias("n_tok"),
+    )
+    asg = P.pack_sequences(lens, "doc_id", "n_tok", "grp", _P03_CAP)
+    return (
+        asg.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+            F.sum("seq_len").alias("sum_tokens"),
+            ((F.max("bin_id") + 1) * _P03_CAP - F.sum("seq_len")).alias(
+                "pad_tokens"
+            ),
+            F.sum(F.col("doc_id") * (F.col("bin_id") + 1)).alias(
+                "assign_checksum"
+            ),
+            F.sum("bin_offset").alias("offset_checksum"),
+        )
+        .orderBy("grp")
+    )

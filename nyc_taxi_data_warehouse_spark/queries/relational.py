@@ -1370,3 +1370,97 @@ def q58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — mergeable quantile-histogram rollup (re-aggregatable percentiles)
+# ---------------------------------------------------------------------------
+_Q59_W = 1000  # bucket width in price units
+
+
+@register(
+    "q59_quantile_histogram_rollup",
+    oracle=f"""
+WITH monthly AS (
+  SELECT CAST(year(l_shipdate) AS VARCHAR) || '-Q'
+           || CAST(quarter(l_shipdate) AS VARCHAR) AS qtr,
+         strftime(l_shipdate, '%Y-%m') AS m,
+         CAST(floor(l_extendedprice / {_Q59_W}) AS BIGINT) AS b,
+         count(*) AS cnt
+  FROM lineitem
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT qtr, b, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM monthly GROUP BY qtr, b
+),
+cum AS (
+  SELECT qtr, b, cnt,
+         sum(cnt) OVER (PARTITION BY qtr ORDER BY b) AS cum,
+         sum(cnt) OVER (PARTITION BY qtr) AS tot
+  FROM merged
+)
+SELECT qtr,
+       CAST(max(tot) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN b END) * {_Q59_W}
+            AS BIGINT) AS p50_est,
+       CAST(min(CASE WHEN cum >= ceil(0.9 * tot) THEN b END) * {_Q59_W}
+            AS BIGINT) AS p90_est,
+       CAST(min(CASE WHEN cum >= ceil(0.99 * tot) THEN b END) * {_Q59_W}
+            AS BIGINT) AS p99_est
+FROM cum
+GROUP BY qtr
+ORDER BY qtr
+""",
+    tags=("agg", "sketch", "quantile", "histogram", "rollup"),
+    doc="The re-aggregatable quantile pattern (sketch-family sibling of "
+    "q55's HLL and t09's heavy hitters): per-month fixed-width histograms "
+    "of l_extendedprice are MERGED to quarter level by summing bucket "
+    "counts — the raw rows are touched exactly once, the way daily "
+    "histogram partitions roll into monthly dashboards at 100 TB. "
+    "Percentiles come off the merged cumulative histogram (lower bucket "
+    "edge at the crossing point), so unlike percentile_approx the whole "
+    "path is deterministic integer math a SQL oracle replays exactly. "
+    "Plan: two hash aggs (the first map-side partial on month+bucket), "
+    "one bucket-ordered window per quarter — no sort of the fact table.",
+)
+def q59_quantile_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qtr = F.concat(
+        F.year("l_shipdate").cast("string"),
+        F.lit("-Q"),
+        F.quarter("l_shipdate").cast("string"),
+    )
+    monthly = (
+        li.groupBy(
+            qtr.alias("qtr"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+            F.floor(F.col("l_extendedprice") / _Q59_W).alias("b"),
+        ).agg(F.count("*").alias("cnt"))
+    )
+    merged = monthly.groupBy("qtr", "b").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.select(
+        "qtr",
+        "b",
+        F.sum("cnt")
+        .over(Window.partitionBy("qtr").orderBy("b"))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("qtr")).alias("tot"),
+    )
+
+    def edge_at(p: float) -> F.Column:
+        crossing = F.when(
+            F.col("cum") >= F.ceil(F.lit(p) * F.col("tot")), F.col("b")
+        )
+        return (F.min(crossing) * _Q59_W).cast("long")
+
+    return (
+        cum.groupBy("qtr")
+        .agg(
+            F.max("tot").cast("long").alias("n_rows"),
+            edge_at(0.5).alias("p50_est"),
+            edge_at(0.9).alias("p90_est"),
+            edge_at(0.99).alias("p99_est"),
+        )
+        .orderBy("qtr")
+    )

@@ -51,7 +51,45 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — builder path sets it instead
+    _ship_package(spark)
     return spark
+
+
+_SHIP_FLAG = "spark.nyc_taxi_data_warehouse_spark.package_shipped"
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile`` —
+    the programmatic form of ``spark-submit --py-files``.
+
+    Without it, any operator whose Pandas-UDF function is defined at
+    module level (pickled by reference, so the worker must *import* the
+    module) fails with ModuleNotFoundError whenever the driver process
+    was launched outside the repo root — exactly what an external
+    verification driver or a real cluster submit does. Shipping the
+    package makes worker-side imports independent of the driver's cwd /
+    PYTHONPATH on every deployment shape, local or 1000-executor.
+    """
+    try:
+        if spark.conf.get(_SHIP_FLAG, "") == "1":
+            return
+    except Exception:
+        pass
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    archive = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), f"nyc_taxi_dw_spark_pkg_{os.getpid()}"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(archive)
+    try:
+        spark.conf.set(_SHIP_FLAG, "1")
+    except Exception:
+        pass
 
 
 def get_spark(
@@ -83,4 +121,6 @@ def get_spark(
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark

@@ -95,3 +95,42 @@ def write_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    order_col: str | None = None,
+) -> None:
+    """Deterministic sharded export for trainer consumption.
+
+    Shard assignment is ``md5(id) % n_shards`` — a pure function of the
+    row, so re-running the export (or running it on a different cluster
+    size / partitioning) yields byte-identical shard membership; trainers
+    that resume mid-epoch depend on that. One output directory per shard
+    (``shard=k/``, Hive-partitioned so a trainer reads exactly its
+    shards), rows sorted inside each shard by ``order_col`` (default the
+    id) so iteration order is reproducible too.
+
+    Scale shape: one hash-partition exchange on the shard key + an
+    in-partition sort — no global sort, no collect. ``n_shards`` is the
+    unit of trainer parallelism, chosen independently of Spark's own
+    partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order_col or id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -418,3 +418,41 @@ def test_funnel_single_user_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_export_training_shards_deterministic(spark, tmp_path):
+    """Shard export: membership is a pure function of the id (re-export
+    under a different input partitioning yields identical shards), every
+    shard directory exists, and rows inside a shard come back sorted by
+    the order column."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import (
+        export_training_shards,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    out1 = str(tmp_path / "shards1")
+    out2 = str(tmp_path / "shards2")
+    export_training_shards(docs, out1, "doc_id", n_shards=4)
+    # same rows, adversarially different incoming partitioning
+    export_training_shards(
+        docs.repartition(13).sortWithinPartitions(F.desc("n_chars")),
+        out2,
+        "doc_id",
+        n_shards=4,
+    )
+
+    r1 = spark.read.parquet(out1)
+    r2 = spark.read.parquet(out2)
+    a1 = {(r.doc_id, r.shard) for r in r1.collect()}
+    a2 = {(r.doc_id, r.shard) for r in r2.collect()}
+    assert a1 == a2 and len(a1) == docs.count()
+    assert {r.shard for r in r1.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    for k in range(4):
+        ids = [
+            r.doc_id
+            for r in spark.read.parquet(f"{out1}/shard={k}").collect()
+        ]
+        assert ids == sorted(ids), f"shard {k} not internally sorted"

@@ -524,3 +524,39 @@ def test_range_join_vs_bruteforce(spark, left, right):
         if lk == rk and abs((lts - rts).total_seconds()) <= BOUND
     )
     assert got == want
+
+
+doc_lens = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, 700), st.integers(0, 3)),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=doc_lens)
+@settings(**SETTINGS)
+def test_pack_sequences_invariants(spark, rows):
+    """Greedy packing invariants that must hold for ANY corpus: every bin
+    fits the capacity, offsets tile each bin contiguously in id order,
+    bin ids are consecutive from 0 per group, and no doc is lost —
+    including len-0 docs, over-capacity docs (clamped), empty input."""
+    from nyc_taxi_data_warehouse_spark.operators.packing import pack_sequences
+
+    cap = 128
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, grp long")
+    out = pack_sequences(df, "doc_id", "n_tok", "grp", cap).collect()
+    assert len(out) == len(rows)
+    by_grp: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.grp, r.doc_id)):
+        assert 0 <= r.seq_len <= cap
+        by_grp.setdefault(r.grp, []).append(r)
+    for rs in by_grp.values():
+        fill, bin_id = 0, 0
+        for r in rs:  # ascending doc_id within the group
+            if fill + r.seq_len > cap:
+                bin_id += 1
+                fill = 0
+            assert (r.bin_id, r.bin_offset) == (bin_id, fill)
+            fill += r.seq_len
+        assert fill <= cap
