@@ -49,6 +49,9 @@ DECODED_SCHEMA = StructType(
         StructField("digest", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("codec_used", StringType()),
     ]
 )
 
@@ -77,14 +80,66 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return (n % 640 + 1, n % 480 + 1)
 
 
+def parse_png_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG IHDR chunk, or None if not a PNG.
+
+    Pure stdlib: the 8-byte PNG signature is followed by the IHDR chunk
+    (4-byte length, 4-byte type, then big-endian u32 width and height) —
+    fixed offsets per the PNG spec, no decoder library needed.
+    """
+    if (
+        payload is None
+        or len(payload) < 24
+        or payload[:8] != b"\x89PNG\r\n\x1a\n"
+        or payload[12:16] != b"IHDR"
+    ):
+        return None
+    import struct
+
+    width, height = struct.unpack(">II", payload[16:24])
+    return (width, height)
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int] | None:
+    """(sample_rate, channels) from a RIFF/WAVE fmt chunk, or None.
+
+    Walks the RIFF chunk list (4-byte id, little-endian u32 size) to the
+    ``fmt `` chunk; channels is the u16 at chunk offset 2, sample rate
+    the u32 at offset 4. Stdlib ``struct`` only.
+    """
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    import struct
+
+    off = 12
+    while off + 8 <= len(payload):
+        chunk_id = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        if chunk_id == b"fmt " and off + 16 <= len(payload):
+            (channels,) = struct.unpack("<H", payload[off + 10 : off + 12])
+            (rate,) = struct.unpack("<I", payload[off + 12 : off + 16])
+            return (rate, channels)
+        off += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    return None
+
+
 def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
     """Arrow-batched decode / feature-extract over payload bytes.
 
     ``codec='fake'`` exercises the full distributed path with the
-    deterministic stand-in. Real codecs are declared but stubbed:
-    the image/audio libraries are not available in this environment.
+    deterministic stand-in. ``codec='header'`` parses real container
+    headers with stdlib ``struct`` — PNG IHDR (width/height) and WAV fmt
+    (sample_rate/channels) — falling back to the fake values for
+    payloads that are neither. Full-frame decoders (``'pil'`` etc.)
+    remain stubbed: no image/audio libraries in this environment; the
+    Spark plumbing is identical — swap the per-payload parser.
     """
-    if codec != "fake":
+    if codec not in ("fake", "header"):
         raise NotImplementedError(
             f"codec {codec!r}: real decoders (PIL/librosa/ffmpeg) are not "
             "available in this environment; the Spark plumbing is identical —"
@@ -93,10 +148,23 @@ def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
 
     import hashlib
 
+    def decode_one(p: bytes) -> tuple[int, int, int | None, int | None, str]:
+        """(width, height, sample_rate, channels, codec_used) per payload."""
+        if codec == "header":
+            png = parse_png_header(p)
+            if png is not None:
+                return (png[0], png[1], None, None, "png-header")
+            wav = parse_wav_header(p)
+            if wav is not None:
+                w, h = fake_decode_meta(p)
+                return (w, h, wav[0], wav[1], "wav-header")
+        w, h = fake_decode_meta(p)
+        return (w, h, None, None, "fake")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            w_h = [fake_decode_meta(p) for p in payloads]
+            decoded = [decode_one(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -105,8 +173,19 @@ def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
                     "digest": [
                         hashlib.md5(p or b"").hexdigest() for p in payloads
                     ],
-                    "width": [w for w, _ in w_h],
-                    "height": [h for _, h in w_h],
+                    "width": pd.array(
+                        [d[0] for d in decoded], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] for d in decoded], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [d[2] for d in decoded], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [d[3] for d in decoded], dtype="Int32"
+                    ),
+                    "codec_used": [d[4] for d in decoded],
                 }
             )
 

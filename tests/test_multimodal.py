@@ -46,3 +46,69 @@ def test_real_codec_is_declared_but_stubbed(spark):
     media = synthesize_media(load_table(spark, SF, "documents").limit(1))
     with pytest.raises(NotImplementedError):
         decode_media_batch(media, codec="pil")
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    # Signature + IHDR chunk (length, type, w, h, bit-depth/color/etc.).
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00" * 4  # CRC (unchecked by the header parser)
+    )
+
+
+def _wav_bytes(rate: int, channels: int) -> bytes:
+    # RIFF header + a JUNK chunk before fmt  to prove the chunk walk.
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, 2, 16)
+    junk = b"JUNK" + struct.pack("<I", 5) + b"\x00" * 5 + b"\x00"  # padded
+    body = junk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_header_codec_parses_png_and_wav(spark):
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image/png", _png_bytes(640, 480), {}),
+        (2, "audio/wav", _wav_bytes(44100, 2), {}),
+        (3, "video/mp4", b"not a container at all", {}),
+        (4, "image/png", b"\x89PNG\r\n\x1a\nTRUNC", {}),  # torn header
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in decode_media_batch(media, codec="header").collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert got[1]["codec_used"] == "png-header"
+    assert got[1]["sample_rate"] is None
+    assert (got[2]["sample_rate"], got[2]["channels"]) == (44100, 2)
+    assert got[2]["codec_used"] == "wav-header"
+    # Unparseable payloads fall back to the deterministic fake.
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import (
+        fake_decode_meta,
+    )
+
+    for mid in (3, 4):
+        assert got[mid]["codec_used"] == "fake"
+        w, h = fake_decode_meta(rows[mid - 1][2])
+        assert (got[mid]["width"], got[mid]["height"]) == (w, h)
+
+
+def test_fake_codec_output_unchanged_by_header_columns(spark):
+    # m02's oracle depends on the fake codec's width/height; the new
+    # schema columns must be null under codec='fake'.
+    media = synthesize_media(load_table(spark, SF, "documents").limit(20))
+    out = decode_media_batch(media, codec="fake")
+    assert out.where(
+        F.col("sample_rate").isNotNull()
+        | F.col("channels").isNotNull()
+        | (F.col("codec_used") != "fake")
+    ).count() == 0
