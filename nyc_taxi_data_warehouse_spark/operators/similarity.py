@@ -196,6 +196,7 @@ def ann_topk_multi(
     dim: int = 64,
     n_tables: int = 8,
     probe_radius: int = 2,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Multi-table, multi-probe ANN top-k — the recall-tunable scale
     path (single-table ``ann_topk``'s recall ceiling is whatever one
@@ -206,9 +207,16 @@ def ann_topk_multi(
     ranks the deduped candidate set. At scale: the corpus index is an
     equi-join-ready (tbl, bucket) table (n_tables x corpus rows, no
     shuffle to build); the query side explodes to |Q| x tables x masks
-    probe rows and broadcasts; dedup shuffles only (qid, cid, sim)
-    triples, never vectors. Recall/cost dials: n_tables (memory),
-    probe_radius (compute), n_planes (bucket granularity).
+    probe rows. Recall/cost dials: n_tables (memory), probe_radius
+    (compute), n_planes (bucket granularity).
+
+    ``broadcast_queries`` picks the join strategy for the probe set,
+    which is |Q| x n_tables x n_masks rows (37 masks at radius 2 /
+    8 planes). True (default) broadcasts it — right for interactive
+    |Q| up to ~10^5, and the corpus side never shuffles at all. For a
+    batch query set (|Q| ~ 10^7, probe set too big for a broadcast)
+    pass False: both sides shuffle-hash-join on (tbl, bucket), which
+    scales with partition count instead of driver/executor memory.
     """
     qb = multi_table_buckets(
         queries, id_col, vec_col, n_planes, dim, n_tables, "qid", "qv"
@@ -221,8 +229,15 @@ def ann_topk_multi(
     cb = multi_table_buckets(
         corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
     )
+    if broadcast_queries:
+        qside = F.broadcast(qprobe)
+    else:
+        # Large |Q|: hint both sides to a shuffle hash join on the
+        # bucket keys — no sort needed (bucket joins are n:m equi), no
+        # single-node materialization of the probe set.
+        qside = qprobe.hint("shuffle_hash")
     cand = (
-        F.broadcast(qprobe)
+        qside
         .join(cb, ["tbl", "bucket"])
         .where(F.col("qid") != F.col("cid"))
     )

@@ -364,6 +364,36 @@ def test_runtime_bloom_filter_injects_when_join_cannot_broadcast(spark):
             spark.conf.set(k, v)
 
 
+def test_ann_multi_broadcast_dial_flips_join_strategy(spark):
+    """ann_topk_multi(broadcast_queries=...) must pick the join shape it
+    documents: True broadcasts the probe set (interactive |Q|, corpus
+    never shuffles); False shuffle-hash-joins on (tbl, bucket) so a
+    batch |Q| ~ 10^7 never materializes on one node. Both shapes must
+    return identical rows."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.operators.similarity import ann_topk_multi
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 4)
+
+    bcast = ann_topk_multi(q, emb, k=3, n_tables=2, probe_radius=1)
+    plan_b = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b, plan_b[:2000]
+
+    shuf = ann_topk_multi(
+        q, emb, k=3, n_tables=2, probe_radius=1, broadcast_queries=False
+    )
+    plan_s = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_s, plan_s[:2000]
+    assert "BroadcastHashJoin" not in plan_s
+
+    rows_b = sorted(map(tuple, bcast.collect()))
+    rows_s = sorted(map(tuple, shuf.collect()))
+    assert rows_b == rows_s and rows_b
+
+
 def test_write_sorted_gives_disjoint_rowgroup_ranges(spark, tmp_path):
     """write_sorted must produce files whose parquet footer min/max key
     ranges are pairwise disjoint (the precondition that lets the pushed
