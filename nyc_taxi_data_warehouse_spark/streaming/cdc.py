@@ -11,12 +11,13 @@ composing two verified primitives:
   is applied exactly once per checkpoint lineage — a restart with the
   same checkpoint re-processes nothing
 
-Within a micro-batch, ``version_col`` gives deterministic last-writer-
-wins when the feed carries several versions of one key. ACROSS batches,
-ordering is the stream's arrival order — the standard CDC-apply
-contract (a transactional table format would be needed for cross-batch
-conflict resolution, which plain parquet does not provide; that honest
-limit is documented rather than papered over).
+``version_col`` (persisted in the target table — a CDC LSN or source
+timestamp) gives max-version-wins BOTH within a micro-batch and ACROSS
+batches: ``merge_upsert`` compares update versions against the already-
+applied target row, so an out-of-order feed converges to the same table
+as an in-order one, and redelivered versions are no-ops (ties keep the
+target row). Without a version column, ordering degrades to the
+stream's arrival order — the plain CDC-apply contract.
 
 Scale shape: the micro-batch is the small side everywhere (aggregated
 to distinct partition keys, broadcast into the pruning semi-join); the

@@ -41,20 +41,18 @@ def merge_upsert(
 ) -> int:
     """Upsert ``updates`` into managed ``table``; returns rows written.
 
-    Matched rows (same ``keys``) are replaced, unmatched are inserted.
-    If ``version_col`` is given and the updates batch contains several
-    rows per key, only the highest-version row is applied
-    (deterministic last-writer-wins within the batch).
+    Without ``version_col``, matched rows (same ``keys``) are replaced
+    and unmatched inserted — arrival order IS the ordering.
+
+    With ``version_col`` (a column persisted in the table, e.g. a CDC
+    LSN or source timestamp), the merge keeps the MAX-version row per
+    key across the existing target row AND every update row — so an
+    out-of-order feed converges: replaying batches in any order yields
+    the same table, and re-delivering an already-applied version is a
+    no-op (ties keep the target row). This is the cross-batch ordering
+    guarantee plain arrival order cannot give.
     """
     target = spark.table(table)
-
-    if version_col is not None:
-        w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc(), *keys)
-        updates = (
-            updates.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
 
     if all_partitions:
         current = target
@@ -64,13 +62,34 @@ def merge_upsert(
         touched = updates.select(*partition_cols).distinct()
         current = target.join(F.broadcast(touched), partition_cols, "left_semi")
 
-    # Joins on a column-name list move the join keys to the front of the
-    # output, and insertInto writes by POSITION — re-project both sides
-    # to the table's column order before the write.
-    survivors = current.join(
-        updates.select(*keys).distinct(), keys, "left_anti"
-    ).select(*target.columns)
-    merged = survivors.unionByName(updates.select(*target.columns))
+    # insertInto writes by POSITION — project everything to the table's
+    # column order before the write.
+    if version_col is not None:
+        # One window over (target's touched rows) ∪ (updates) keeps the
+        # highest version per key; on version ties the target row wins
+        # (_src 0 sorts first), making redelivery idempotent. Same
+        # shuffle shape as the anti-join path: one exchange on the keys
+        # over touched partitions + the batch.
+        tagged = (
+            current.select(*target.columns)
+            .withColumn("_src", F.lit(0))
+            .unionByName(
+                updates.select(*target.columns).withColumn("_src", F.lit(1))
+            )
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc(), F.col("_src").asc()
+        )
+        merged = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*target.columns)
+        )
+    else:
+        survivors = current.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        ).select(*target.columns)
+        merged = survivors.unionByName(updates.select(*target.columns))
 
     # A table cannot be overwritten while the plan still reads from it;
     # localCheckpoint materializes the merged partitions and cuts the

@@ -406,3 +406,75 @@ def test_cdc_stream_upsert_applies_and_is_idempotent(spark, tmp_path):
         version_col="ver", checkpoint=ckpt,
     )
     assert sorted((r.k, r.v) for r in spark.table("cdc_tgt").collect()) == want
+
+
+def test_cdc_out_of_order_batches_converge(spark):
+    """Cross-batch ordering: with version_col persisted in the target,
+    applying (b1 then b2) and (b2 then b1) must yield identical tables —
+    the later version wins regardless of arrival order — and
+    re-delivering an already-applied batch is a no-op. Expected state is
+    cross-checked against a DuckDB max-by-version oracle over the union
+    of base + both batches."""
+    import duckdb
+
+    from nyc_taxi_data_warehouse_spark.warehouse import merge_upsert
+
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("pt"),
+        F.lit(0).alias("v"),
+        F.lit(0).alias("ver"),
+    )
+    # b1: ver=1 corrections to even keys; b2: ver=2 corrections to keys
+    # 0..9 plus ver=2 inserts of new keys 20..23 — overlapping key sets,
+    # so order WOULD matter without version comparison.
+    b1 = spark.range(0, 20, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("pt"),
+        F.lit(1).alias("v"),
+        F.lit(1).alias("ver"),
+    )
+    b2 = spark.range(0, 24).where((F.col("id") < 10) | (F.col("id") >= 20)).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("pt"),
+        F.lit(2).alias("v"),
+        F.lit(2).alias("ver"),
+    )
+
+    def state(table):
+        return sorted(
+            (r.k, r.pt, r.v, r.ver) for r in spark.table(table).collect()
+        )
+
+    for table, batches in [
+        ("cdc_ooo_a", (b1, b2)),
+        ("cdc_ooo_b", (b2, b1)),
+    ]:
+        base.write.mode("overwrite").format("parquet").partitionBy(
+            "pt"
+        ).saveAsTable(table)
+        for b in batches:
+            merge_upsert(
+                spark, table, b, keys=["k"], partition_cols=["pt"],
+                version_col="ver",
+            )
+
+    in_order = state("cdc_ooo_a")
+    assert in_order == state("cdc_ooo_b")
+
+    # redelivery of an old batch: no-op
+    merge_upsert(
+        spark, "cdc_ooo_a", b1, keys=["k"], partition_cols=["pt"],
+        version_col="ver",
+    )
+    assert state("cdc_ooo_a") == in_order
+
+    # oracle: max-by-version per key over everything ever fed
+    feed = (
+        base.unionByName(b1).unionByName(b2).toPandas()
+    )
+    want = duckdb.sql(
+        "SELECT k, arg_max(pt, ver) AS pt, arg_max(v, ver) AS v,"
+        " max(ver) AS ver FROM feed GROUP BY k ORDER BY k"
+    ).fetchall()
+    assert in_order == sorted((k, pt, v, ver) for k, pt, v, ver in want)
