@@ -77,3 +77,46 @@ def test_postings_shape_invariants(spark, sf_dir):
     assert stats.agg(F.sum("total_tf")).collect()[0][0] == total_tokens
     # a (term, doc) key appears exactly once
     assert p.groupBy("term", "doc_id").count().where("count > 1").count() == 0
+
+
+def test_postings_index_partition_prunes(spark, sf_dir, tmp_path):
+    """The postings written via write_postings_index ARE the index: a
+    keyword lookup must reach the scan as PartitionFilters (directory
+    pruning), not a post-scan Filter over the whole corpus — in both
+    the term-per-directory and the hash-bucket layouts."""
+    from nyc_taxi_data_warehouse_spark.operators.search import (
+        lookup_postings,
+        postings,
+        write_postings_index,
+    )
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    post = postings(load_table(spark, sf_dir, "documents"))
+    want = sorted(
+        (r["doc_id"], r["tf"])
+        for r in post.where(F.col("term") == "spark").collect()
+    )
+    assert want  # the fixture corpus mentions spark
+
+    # Layout 1: one directory per term — exact pruning on the term.
+    p1 = str(tmp_path / "idx_term")
+    write_postings_index(post, p1)
+    hit = lookup_postings(spark, p1, ["spark"])
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term" in plan, plan[:2000]
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("spark" in ln for ln in m), m
+    assert sorted((r["doc_id"], r["tf"]) for r in hit.collect()) == want
+
+    # Layout 2: N hash-bucket directories — prune to the term's bucket,
+    # residual term predicate pushes into the parquet row-group filter.
+    p2 = str(tmp_path / "idx_bkt")
+    write_postings_index(post, p2, hash_partitions=16)
+    hit2 = lookup_postings(spark, p2, ["spark"], hash_partitions=16)
+    plan2 = hit2._jdf.queryExecution().executedPlan().toString()
+    m2 = [ln for ln in plan2.splitlines() if "PartitionFilters" in ln]
+    assert any("term_bkt" in ln for ln in m2), plan2[:2000]
+    assert "PushedFilters" in plan2 and "term" in plan2
+    assert sorted(
+        (r["doc_id"], r["tf"]) for r in hit2.select("doc_id", "tf").collect()
+    ) == want
