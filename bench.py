@@ -103,8 +103,11 @@ def main() -> None:
     total = round(sum(timings[n] for n in headline), 3)
 
     # Full catalog timings -> file artifact (too big for a stdout line).
+    # A SPARK_GRAFT_BENCH_QUERIES-filtered run is a spot check — don't
+    # clobber the committed full-catalog baseline with a partial dict.
+    detail_name = "BENCH_DETAIL.json" if not extra else "BENCH_DETAIL_partial.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(

@@ -38,6 +38,7 @@ def merge_upsert(
     partition_cols: list[str],
     version_col: str | None = None,
     all_partitions: bool = False,
+    staging_path: str | None = None,
 ) -> int:
     """Upsert ``updates`` into managed ``table``; returns rows written.
 
@@ -50,7 +51,11 @@ def merge_upsert(
     out-of-order feed converges: replaying batches in any order yields
     the same table, and re-delivering an already-applied version is a
     no-op (ties keep the target row). This is the cross-batch ordering
-    guarantee plain arrival order cannot give.
+    guarantee plain arrival order cannot give. It assumes the standard
+    CDC invariant that a (key, version) pair identifies ONE row state —
+    two DIFFERENT payloads sharing a key and version have no defined
+    winner under any ordering scheme (the tie rule then picks whichever
+    arrived first).
     """
     target = spark.table(table)
 
@@ -91,12 +96,26 @@ def merge_upsert(
         ).select(*target.columns)
         merged = survivors.unionByName(updates.select(*target.columns))
 
-    # A table cannot be overwritten while the plan still reads from it;
-    # localCheckpoint materializes the merged partitions and cuts the
-    # lineage back to the table. At cluster scale the same role is
-    # played by a staging write + partition swap; the rewritten volume
-    # is identical (touched partitions only).
-    merged = merged.localCheckpoint(eager=True)
-    n = merged.count()
-    merged.write.mode("overwrite").insertInto(table)
+    # A table cannot be overwritten while the plan still reads from it,
+    # so the merged partitions must be materialized off-table first.
+    # Two ways to cut the lineage, same rewritten volume (touched
+    # partitions only):
+    if staging_path is None:
+        # localCheckpoint: executor-memory blocks. Cheapest locally, but
+        # the blocks are not durable — an executor loss mid-write fails
+        # the job (fine: the overwrite is all-or-nothing per partition
+        # and re-runnable).
+        merged = merged.localCheckpoint(eager=True)
+        n = merged.count()
+        merged.write.mode("overwrite").insertInto(table)
+    else:
+        # Staging write + swap — the cluster-scale pattern: stage the
+        # merged partitions as durable parquet, then the dynamic
+        # partition overwrite swaps them in while reading only the
+        # staging copy. Survives executor loss, never pins the merge in
+        # executor storage memory.
+        merged.write.mode("overwrite").parquet(staging_path)
+        staged = spark.read.parquet(staging_path).select(*target.columns)
+        n = staged.count()
+        staged.write.mode("overwrite").insertInto(table)
     return n

@@ -560,3 +560,49 @@ def test_pack_sequences_invariants(spark, rows):
             assert (r.bin_id, r.bin_offset) == (bin_id, fill)
             fill += r.seq_len
         assert fill <= cap
+
+
+# (key, version) pairs with a deterministic payload per pair — the CDC
+# invariant that a version identifies one row state. Few keys/versions
+# force cross-batch key collisions and version ties.
+cdc_events = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 6)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(events=cdc_events, cut=st.integers(0, 11), flip=st.booleans())
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_versioned_merge_order_independent(spark, events, cut, flip):
+    """Splitting a CDC event set into two batches and applying them in
+    either order must converge to max-version-per-key — the pure-Python
+    fold of the same events."""
+    from nyc_taxi_data_warehouse_spark.warehouse import merge_upsert
+
+    rows = [(k, k % 2, k * 100 + ver, ver) for k, ver in events]
+    cut = min(cut, len(rows))
+    batches = [b for b in (rows[:cut], rows[cut:]) if b]
+    if flip:
+        batches = batches[::-1]
+
+    schema = "k int, pt int, v int, ver int"
+    spark.createDataFrame([], schema).write.mode("overwrite").format(
+        "parquet"
+    ).partitionBy("pt").saveAsTable("cdc_prop_tgt")
+    for b in batches:
+        merge_upsert(
+            spark, "cdc_prop_tgt", spark.createDataFrame(b, schema),
+            keys=["k"], partition_cols=["pt"], version_col="ver",
+        )
+
+    want = {}
+    for k, ver in events:
+        if k not in want or ver > want[k]:
+            want[k] = ver
+    got = {
+        r.k: (r.pt, r.v, r.ver)
+        for r in spark.table("cdc_prop_tgt").collect()
+    }
+    assert got == {k: (k % 2, k * 100 + v, v) for k, v in want.items()}

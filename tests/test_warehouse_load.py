@@ -371,3 +371,40 @@ def test_merge_upsert_prunes_to_touched_partitions(warehouse, raw_root):
     )
     # only month-1 rows were rewritten
     assert written == fact.where("year=2025 AND month=1").count()
+
+
+def test_merge_upsert_via_staging_path(warehouse, raw_root, tmp_path):
+    """staging_path merge (durable staging write + partition swap) must
+    produce exactly the table the localCheckpoint path produces."""
+    from nyc_taxi_data_warehouse_spark.warehouse import merge_upsert
+
+    spark = warehouse
+    path = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    keys = ["request_datetime", "dispatching_base_num", "pu_location_id"]
+
+    def run(staging):
+        load_month(spark, path, 2025, 1, force=True)
+        fact = spark.table("fhvhv_tripdata")
+        sample = (
+            fact.where("year=2025 AND month=1")
+            .orderBy("request_datetime")
+            .limit(3)
+            .collect()
+        )
+        ups = spark.createDataFrame(
+            [tuple(r[c] for c in fact.columns) for r in sample], fact.schema
+        ).withColumn("driver_pay", F.lit(777.77))
+        n = merge_upsert(
+            spark, "fhvhv_tripdata", ups, keys=keys,
+            partition_cols=["year", "month"], staging_path=staging,
+        )
+        rows = sorted(
+            map(tuple, spark.table("fhvhv_tripdata").where("year=2025 AND month=1").collect())
+        )
+        return n, rows
+
+    n_ckpt, rows_ckpt = run(None)
+    n_stage, rows_stage = run(str(tmp_path / "merge_staging"))
+    assert n_stage == n_ckpt
+    assert rows_stage == rows_ckpt
+    assert (tmp_path / "merge_staging").exists()
