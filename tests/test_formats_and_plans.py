@@ -486,3 +486,21 @@ def test_export_training_shards_deterministic(spark, tmp_path):
             for r in spark.read.parquet(f"{out1}/shard={k}").collect()
         ]
         assert ids == sorted(ids), f"shard {k} not internally sorted"
+
+
+def test_media_payloads_never_shuffle(spark):
+    """m02/m03 contract at 100 TB: payload bytes are consumed by the
+    Arrow decode (MapInPandas) inside the scan stage; every Exchange in
+    the plan sits DOWNSTREAM of it, keyed on small decoded columns —
+    media bytes never enter a shuffle. In the printed plan tree,
+    children are BELOW parents, so downstream == smaller line index."""
+    for q in ("m02_media_decode_features", "m03_frame_sampling_stats"):
+        plan = (
+            QUERIES[q].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        lines = plan.splitlines()
+        map_idx = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+        assert map_idx, q
+        exch_idx = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+        assert all(i < min(map_idx) for i in exch_idx), (q, plan[:2000])
+        assert not any("payload" in lines[i] for i in exch_idx), q
