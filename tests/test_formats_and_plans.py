@@ -504,3 +504,23 @@ def test_media_payloads_never_shuffle(spark):
         exch_idx = [i for i, ln in enumerate(lines) if "Exchange" in ln]
         assert all(i < min(map_idx) for i in exch_idx), (q, plan[:2000])
         assert not any("payload" in lines[i] for i in exch_idx), q
+
+
+def test_packing_shuffles_only_scalar_ints(spark):
+    """p03 contract: the pack's applyInPandas grouping shuffle carries
+    (grp, doc_id, seq_len) ints — document text is consumed in the scan
+    stage, upstream of every Exchange. In the printed tree parents sit
+    above children, so any post-shuffle operator referencing text would
+    appear above an Exchange line."""
+    plan = (
+        QUERIES["p03_sequence_packing"]
+        .spark(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    text_refs = [i for i, ln in enumerate(lines) if "text#" in ln]
+    assert exch and text_refs
+    assert max(exch) < min(text_refs), plan[:2000]
