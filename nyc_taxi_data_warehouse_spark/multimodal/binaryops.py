@@ -73,6 +73,61 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
+_EXT_MIME = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+    "webm": "video/webm",
+}
+
+
+def read_media_dir(
+    spark, path: str, glob: str | None = None, max_bytes: int | None = None
+) -> DataFrame:
+    """Ingest a directory of media files as a MEDIA_SCHEMA frame via
+    Spark's ``binaryFile`` source — the real ingestion path for
+    image/audio/video corpora (one row per file: path metadata + the
+    raw bytes as a ``binary`` column, no Python in the read).
+
+    ``media_id`` is ``xxhash64(path)`` — deterministic across runs and
+    cluster sizes, so re-ingesting a corpus keys identically. The mime
+    is derived from the file extension (a container-header probe is the
+    decode step's job, not the scan's). ``max_bytes`` reaches the
+    binaryFile scan as a DataFilter on the ``length`` metadata column
+    (plan-asserted in the ingestion test), so oversized blobs are
+    skipped before their bytes are read — not read and then dropped.
+
+    At 100 TB: files never collect to the driver; each task reads its
+    own file split of the listing. Downstream, hand the frame to
+    ``decode_media_batch`` — payload bytes stay in the scan stage
+    (see the media plan audit).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MIME.items() for x in kv]
+    )
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.coalesce(mime_map[ext], F.lit("application/octet-stream")).alias(
+            "mime"
+        ),
+        F.col("content").alias("payload"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("length"), F.col("length").cast("string"),
+        ).alias("meta"),
+    )
+
+
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a codec's (width, height): derived from
     payload length — stable across engines and runs."""

@@ -102,6 +102,60 @@ def test_header_codec_parses_png_and_wav(spark):
         assert (got[mid]["width"], got[mid]["height"]) == (w, h)
 
 
+def test_read_media_dir_ingests_files_end_to_end(spark, tmp_path):
+    """binaryFile ingestion → MEDIA_SCHEMA → header decode, on real
+    files: mime from extension, deterministic path-hash ids, max_bytes
+    pushed into the listing, payload bytes intact."""
+    from nyc_taxi_data_warehouse_spark.multimodal import read_media_dir
+
+    (tmp_path / "a.png").write_bytes(_png_bytes(320, 200))
+    (tmp_path / "b.wav").write_bytes(_wav_bytes(16000, 1))
+    (tmp_path / "c.bin").write_bytes(b"\x00" * 4096)
+    (tmp_path / "skip.txt").write_text("not media")
+
+    media = read_media_dir(spark, str(tmp_path), glob="*.{png,wav,bin}")
+    assert media.schema.simpleString() == (
+        "struct<media_id:bigint,mime:string,payload:binary,"
+        "meta:map<string,string>>"
+    )
+    rows = {r["meta"]["path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.png", "b.wav", "c.bin"}
+    assert rows["a.png"]["mime"] == "image/png"
+    assert rows["b.wav"]["mime"] == "audio/wav"
+    assert rows["c.bin"]["mime"] == "application/octet-stream"
+    assert bytes(rows["a.png"]["payload"]) == _png_bytes(320, 200)
+    # deterministic id: re-read yields identical keys
+    again = {r["media_id"] for r in read_media_dir(
+        spark, str(tmp_path), glob="*.{png,wav,bin}").collect()}
+    assert again == {r["media_id"] for r in rows.values()}
+
+    # size gate drops the 4 KiB blob before decode — and reaches the
+    # binaryFile scan as a DataFilter (bytes of oversized files are
+    # never read, not read-then-dropped)
+    small = read_media_dir(
+        spark, str(tmp_path), glob="*.{png,wav,bin}", max_bytes=1024
+    )
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan binaryFile" in ln]
+    assert scan_lines and "length" in scan_lines[0].split("DataFilters")[-1]
+    from nyc_taxi_data_warehouse_spark.multimodal import decode_media_batch
+
+    got = {
+        r["codec_used"]
+        for r in decode_media_batch(small, codec="header").collect()
+    }
+    assert got == {"png-header", "wav-header"}
+    dec = {
+        r["mime"]: r
+        for r in decode_media_batch(small, codec="header").collect()
+    }
+    assert (dec["image/png"]["width"], dec["image/png"]["height"]) == (320, 200)
+    assert (dec["audio/wav"]["sample_rate"], dec["audio/wav"]["channels"]) == (
+        16000,
+        1,
+    )
+
+
 def test_fake_codec_output_unchanged_by_header_columns(spark):
     # m02's oracle depends on the fake codec's width/height; the new
     # schema columns must be null under codec='fake'.
