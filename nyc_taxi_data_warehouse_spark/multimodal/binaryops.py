@@ -9,7 +9,8 @@ for real codecs and offers ``fake_decode_meta``, a deterministic
 byte-level stand-in, so the distributed plumbing is testable end-to-end.
 
 At 100 TB: payloads stay in executor memory one Arrow batch at a time
-(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak usage);
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak usage —
+use ``bounded_arrow_batches`` to shrink it for multi-MB payloads);
 nothing ever collects payload bytes to the driver. Feature extraction
 emits small fixed-width columns, so downstream joins/aggs shuffle
 metadata, not media bytes.
@@ -71,6 +72,32 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
             F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
         ).alias("meta"),
     )
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def bounded_arrow_batches(spark, records: int = 256):
+    """Scope-bound ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+    The default (10000 rows/batch) is sized for scalar rows; with
+    multi-MB media payloads one Arrow batch would hold gigabytes.
+    Wrap the ACTION (write/collect/count) that drives a media decode in
+    this context so each mapInPandas batch stays bounded — the conf is
+    read at execution time, then restored for the session's other
+    (scalar-row) workloads.
+    """
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(records))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 _EXT_MIME = {

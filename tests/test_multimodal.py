@@ -156,6 +156,23 @@ def test_read_media_dir_ingests_files_end_to_end(spark, tmp_path):
     )
 
 
+def test_bounded_arrow_batches_scopes_the_conf(spark):
+    """The media batch bound must apply inside the context (observable
+    as smaller decode batches) and restore the session default after."""
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import (
+        bounded_arrow_batches,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    media = synthesize_media(load_table(spark, SF, "documents").limit(40))
+    with bounded_arrow_batches(spark, records=7):
+        assert spark.conf.get(key) == "7"
+        # 40 rows / 7-row batches: every digest row still produced once
+        assert decode_media_batch(media, codec="header").count() == 40
+    assert spark.conf.get(key, None) == before
+
+
 def test_fake_codec_output_unchanged_by_header_columns(spark):
     # m02's oracle depends on the fake codec's width/height; the new
     # schema columns must be null under codec='fake'.
