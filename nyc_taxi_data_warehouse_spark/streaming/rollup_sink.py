@@ -67,6 +67,13 @@ def merge_batch_into_rollup(spark: SparkSession, batch: DataFrame, path: str) ->
     memory), so a pathological backfill batch spanning decades cannot
     grow the driver or the filter expression.
     """
+    # Self-apply engine confs (idempotent): the day-partition overwrite
+    # below is only safe under partitionOverwriteMode=dynamic — on an
+    # untuned session Spark's static default would truncate the whole
+    # rollup directory.
+    from ..session import tune
+
+    tune(spark)
     partials = _hourly_partials(batch).cache()
     try:
         days = [

@@ -90,6 +90,13 @@ def load_month(
     force: bool = False,
 ) -> LoadResult:
     """Load one monthly file into the partitioned fact table, idempotently."""
+    # Self-apply engine confs (idempotent): the partition-replacing
+    # write below is only safe under partitionOverwriteMode=dynamic —
+    # on an untuned session Spark's static default would drop every
+    # OTHER month on overwrite.
+    from ..session import tune
+
+    tune(spark)
     if not force and _already_loaded(spark, year, month):
         return LoadResult(year, month, rows=0, skipped=True)
 

@@ -57,6 +57,13 @@ def merge_upsert(
     winner under any ordering scheme (the tie rule then picks whichever
     arrived first).
     """
+    # Self-apply engine confs (idempotent): the touched-partition
+    # overwrite is only safe under partitionOverwriteMode=dynamic — on
+    # an untuned session Spark's static default would drop every
+    # UNTOUCHED partition on overwrite.
+    from ..session import tune
+
+    tune(spark)
     target = spark.table(table)
 
     if all_partitions:

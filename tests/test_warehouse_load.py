@@ -408,3 +408,38 @@ def test_merge_upsert_via_staging_path(warehouse, raw_root, tmp_path):
     assert n_stage == n_ckpt
     assert rows_stage == rows_ckpt
     assert (tmp_path / "merge_staging").exists()
+
+
+def test_merge_upsert_safe_on_untuned_session(warehouse, raw_root):
+    """A session left on Spark's static partitionOverwriteMode default
+    (e.g. the external driver's untuned session) must NOT lose untouched
+    partitions: the write entry points self-apply the engine confs."""
+    from nyc_taxi_data_warehouse_spark.warehouse import merge_upsert
+
+    spark = warehouse
+    for month in (1, 2):
+        load_month(
+            spark,
+            os.path.join(raw_root, "2025", f"fhvhv_tripdata_2025-{month:02d}.parquet"),
+            2025, month, force=True,
+        )
+    fact = spark.table("fhvhv_tripdata")
+    m2_before = fact.where("year=2025 AND month=2").count()
+    assert m2_before > 0
+    one = fact.where("year=2025 AND month=1").limit(1).collect()[0]
+    ups = spark.createDataFrame(
+        [tuple(one[c] for c in fact.columns)], fact.schema
+    ).withColumn("driver_pay", F.lit(555.55))
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")  # simulate an untuned session
+    try:
+        merge_upsert(
+            spark, "fhvhv_tripdata", ups,
+            keys=["request_datetime", "dispatching_base_num", "pu_location_id"],
+            partition_cols=["year", "month"],
+        )
+    finally:
+        spark.conf.set(key, "dynamic")
+    assert spark.table("fhvhv_tripdata").where("year=2025 AND month=2").count() == m2_before
+    assert spark.table("fhvhv_tripdata").where("driver_pay = 555.55").count() == 1
