@@ -5,6 +5,7 @@ sf0.01 compared against oracle_sql() in DuckDB with a strict
 order-insensitive value hash. Expect FAILED: 0.
 """
 import hashlib
+import os
 import sys
 import time
 
@@ -15,7 +16,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
