@@ -221,13 +221,27 @@ def ann_topk_multi(
     qb = multi_table_buckets(
         queries, id_col, vec_col, n_planes, dim, n_tables, "qid", "qv"
     )
+    cb = multi_table_buckets(
+        corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
+    )
+    return _ann_rank_probed(qb, cb, k, n_planes, probe_radius, broadcast_queries)
+
+
+def _ann_rank_probed(
+    qb: DataFrame,
+    cb: DataFrame,
+    k: int,
+    n_planes: int,
+    probe_radius: int,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """Shared tail of the multi-probe ANN path: explode the query codes
+    into probe buckets, candidate-join against the (tbl, bucket) corpus
+    index, exact-cosine rank the deduped candidates."""
     masks = probe_masks(n_planes, probe_radius)
     qprobe = qb.withColumn(
         "bucket",
         F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
-    )
-    cb = multi_table_buckets(
-        corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
     )
     if broadcast_queries:
         qside = F.broadcast(qprobe)
@@ -254,6 +268,56 @@ def ann_topk_multi(
         .select("qid", "n_candidates", "cid", "sim", "rn")
         .orderBy("qid", "rn")
     )
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 8,
+) -> None:
+    """Persist the multi-table LSH corpus index so repeated query
+    batches amortize the build: every per-query-batch run of
+    ``ann_topk_multi`` recomputes n_tables x n_planes hyperplane dot
+    products over the whole corpus; the index table precomputes them
+    ONCE. Layout: one directory per LSH table (``tbl=0..n-1``), rows of
+    (cid, cv, bucket). The vector is stored per table — the same
+    memory-for-recall trade the in-memory index makes, paid in disk.
+
+    The dials (n_planes/dim/n_tables) are baked into the written
+    buckets; query with the SAME n_planes (probe masks must match the
+    code width) via ``ann_topk_from_index``.
+    """
+    multi_table_buckets(
+        corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
+    ).write.mode("overwrite").partitionBy("tbl").parquet(path)
+
+
+def ann_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 8,
+    probe_radius: int = 2,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """``ann_topk_multi`` against a ``write_ann_index`` table: the
+    corpus side is a plain parquet scan of precomputed (tbl, bucket,
+    cid, cv) rows — no hyperplane math over the corpus at query time.
+    Same results as the in-memory path for identical dials."""
+    qb = multi_table_buckets(
+        queries, id_col, vec_col, n_planes, dim, n_tables, "qid", "qv"
+    )
+    cb = spark.read.parquet(index_path).select("cid", "cv", "tbl", "bucket")
+    return _ann_rank_probed(qb, cb, k, n_planes, probe_radius, broadcast_queries)
 
 
 def lsh_buckets(

@@ -524,3 +524,41 @@ def test_packing_shuffles_only_scalar_ints(spark):
     text_refs = [i for i, ln in enumerate(lines) if "text#" in ln]
     assert exch and text_refs
     assert max(exch) < min(text_refs), plan[:2000]
+
+
+def test_ann_index_table_matches_inmemory_path(spark, tmp_path):
+    """write_ann_index + ann_topk_from_index must return exactly the
+    rows ann_topk_multi computes in-memory with the same dials, and the
+    corpus side of the from-index plan must be a plain scan of
+    precomputed buckets (no hyperplane math at query time: `bucket` sits
+    in the scan's read schema)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        ann_topk_from_index,
+        ann_topk_multi,
+        write_ann_index,
+    )
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 4)
+    dials = dict(k=3, n_planes=8, dim=64, n_tables=2, probe_radius=1)
+
+    path = str(tmp_path / "ann_idx")
+    write_ann_index(emb, path, n_planes=8, dim=64, n_tables=2)
+    from_idx = ann_topk_from_index(spark, path, q, **dials)
+    in_mem = ann_topk_multi(q, emb, **dials)
+    assert sorted(map(tuple, from_idx.collect())) == sorted(
+        map(tuple, in_mem.collect())
+    )
+
+    # the index-side FileScan must read the precomputed bucket column —
+    # identify it by its column list (cid/bucket), since the plan
+    # printer truncates long tmp-dir Locations (and scan_columns'
+    # ReadSchema regex stops at the first '>' inside array<double>)
+    plan = from_idx._jdf.queryExecution().executedPlan().toString()
+    idx_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "cid#" in ln
+    ]
+    assert idx_scans and all("bucket#" in ln for ln in idx_scans), plan[:3000]
