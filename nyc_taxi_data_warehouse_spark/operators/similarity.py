@@ -463,18 +463,14 @@ def ivf_assign(
     )
 
 
-def ivf_topk(
+def _ivf_query_cells(
     queries: DataFrame,
-    corpus: DataFrame,
     centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 3,
-    n_probe: int = 1,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
 ) -> DataFrame:
-    """IVF probe: rank candidates only within the query's ``n_probe``
-    nearest cells. Recall/latency dial = n_probe; n_probe == #centroids
-    degrades gracefully to exact brute force."""
+    """Each query's n_probe nearest cells: (qid, qv, cell)."""
     c = centroids.select(
         F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent_v")
     )
@@ -485,14 +481,18 @@ def ivf_topk(
         "cos", F.round(V.cosine(F.col("qv"), F.col("cent_v")), 6)
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("cos"), "cent_id")
-    q_cells = (
+    return (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= n_probe)
         .select("qid", "qv", F.col("cent_id").alias("cell"))
     )
-    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv"), "cell"
-    )
+
+
+def _ivf_rank_candidates(
+    q_cells: DataFrame, corpus_cells: DataFrame, k: int
+) -> DataFrame:
+    """Shared IVF tail: candidate join within probed cells, exact-cosine
+    rank."""
     cand = (
         F.broadcast(q_cells)
         .join(corpus_cells, "cell")
@@ -506,3 +506,62 @@ def ivf_topk(
         .select("qid", "cell", "cid", "sim", "rn")
         .orderBy("qid", "rn")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF probe: rank candidates only within the query's ``n_probe``
+    nearest cells. Recall/latency dial = n_probe; n_probe == #centroids
+    degrades gracefully to exact brute force."""
+    q_cells = _ivf_query_cells(queries, centroids, id_col, vec_col, n_probe)
+    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv"), "cell"
+    )
+    return _ivf_rank_candidates(q_cells, corpus_cells, k)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF cell assignment as the on-disk index the
+    ``ivf_assign`` docstring promises: one directory per cell. A probe
+    against it reads ONLY the probed cells' files — the cell filter
+    arrives at the scan as a dynamic-partition-pruning subquery from the
+    broadcast query side (plan-asserted in the layout test), so at
+    corpus scale an n_probe=2 query over 1024 cells touches ~0.2% of
+    the files. Rebuild when centroids move (IVF's standard trade)."""
+    ivf_assign(corpus, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 1,
+) -> DataFrame:
+    """``ivf_topk`` against a ``write_ivf_index`` table: corpus-side
+    assignment is a plain scan of precomputed cells, partition-pruned to
+    the probed cells. Same results as the in-memory path for the same
+    centroids."""
+    q_cells = _ivf_query_cells(queries, centroids, id_col, vec_col, n_probe)
+    corpus_cells = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv"), "cell"
+    )
+    return _ivf_rank_candidates(q_cells, corpus_cells, k)

@@ -562,3 +562,41 @@ def test_ann_index_table_matches_inmemory_path(spark, tmp_path):
         ln for ln in plan.splitlines() if "FileScan" in ln and "cid#" in ln
     ]
     assert idx_scans and all("bucket#" in ln for ln in idx_scans), plan[:3000]
+
+
+def test_ivf_index_table_prunes_to_probed_cells(spark, tmp_path):
+    """write_ivf_index + ivf_topk_from_index: identical rows to the
+    in-memory path, and the index scan must carry a dynamic-partition-
+    pruning filter on cell — a probe reads only the probed cells'
+    directories, never the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = emb.where(F.col("vec_id") % 17 == 0).limit(8)
+    q = emb.where(F.col("vec_id") < 4)
+
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, cents, path)
+    from_idx = ivf_topk_from_index(spark, path, q, cents, k=3, n_probe=2)
+    in_mem = ivf_topk(q, emb, cents, k=3, n_probe=2)
+    assert sorted(map(tuple, from_idx.collect())) == sorted(
+        map(tuple, in_mem.collect())
+    )
+
+    # the index scan is the only FileScan carrying the cell partition
+    # column (the raw embeddings scans have no cell); its
+    # PartitionFilters must hold the DPP subquery
+    plan = from_idx._jdf.queryExecution().executedPlan().toString()
+    idx_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "cell#" in ln
+    ]
+    assert idx_scans and all("dynamicpruning" in ln for ln in idx_scans), (
+        idx_scans or plan[:3000]
+    )
