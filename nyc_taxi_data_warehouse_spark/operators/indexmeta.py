@@ -1,0 +1,110 @@
+"""Sidecar metadata for persisted index tables (ANN / IVF / postings).
+
+A persisted index bakes its build dials into the rows on disk —
+hyperplane count and vector dim (the LSH codes), table count (the
+``tbl=`` layout), hash-partition count (the postings bucket hash),
+centroid positions (the IVF cells). Querying with DIFFERENT dials does
+not error: probe masks of the wrong width, a different bucket hash, or
+moved centroids just return quietly wrong or empty candidates. The
+sidecar makes that failure loud: every index writer records its dials
+in ``<index>/_meta.json`` and every reader validates against it,
+failing fast on a mismatch.
+
+The sidecar goes through the Hadoop FileSystem API resolved from the
+index path itself, so it lands next to the data on whatever storage the
+Spark write targeted (``file://``, ``hdfs://``, ``s3a://``) — never a
+driver-local path assumption. Underscore-prefixed files are invisible
+to parquet scans, so the sidecar never pollutes index reads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+META_FILE = "_meta.json"
+
+
+class IndexMetaError(ValueError):
+    """The index on disk was built with different dials (or no sidecar)."""
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Write (overwrite) the ``_meta.json`` sidecar inside the index dir."""
+    jvm, fs, hpath = _fs_and_path(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(hpath, META_FILE), True)
+    try:
+        out.write(json.dumps(meta, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict | None:
+    """Read the sidecar; None if the index predates sidecars."""
+    jvm, fs, hpath = _fs_and_path(spark, path)
+    meta_path = jvm.org.apache.hadoop.fs.Path(hpath, META_FILE)
+    if not fs.exists(meta_path):
+        return None
+    stream = fs.open(meta_path)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def check_index_meta(spark: SparkSession, path: str, expected: dict) -> None:
+    """Fail fast unless every expected dial matches the sidecar.
+
+    A missing sidecar is also an error: the engine's writers always
+    produce one, so its absence means the path is not an index this
+    engine wrote (or the write was torn).
+    """
+    meta = read_index_meta(spark, path)
+    if meta is None:
+        raise IndexMetaError(
+            f"{path}: no {META_FILE} sidecar — not an index written by this "
+            "engine (or a torn write); rebuild the index"
+        )
+    diffs = {
+        k: (meta.get(k), v) for k, v in expected.items() if meta.get(k) != v
+    }
+    if diffs:
+        detail = ", ".join(
+            f"{k}: index has {got!r}, caller passed {want!r}"
+            for k, (got, want) in sorted(diffs.items())
+        )
+        raise IndexMetaError(
+            f"{path}: index dial mismatch ({detail}) — query with the "
+            "build-time dials or rebuild the index"
+        )
+
+
+def centroid_fingerprint(
+    centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """Order-independent digest of a (tiny, broadcast-sized) centroid set.
+
+    Written into the IVF sidecar at build time and recomputed from the
+    caller's centroids at probe time, so probing a stale index after
+    centroids moved (the rebuild case the IVF docstring warns about)
+    fails fast instead of returning wrong candidates. Components are
+    rounded to 6 decimals — the same precision the engine's cosine
+    scoring rounds to — so re-derived centroids hash identically.
+    """
+    rows = centroids.select(id_col, vec_col).orderBy(id_col).collect()
+    h = hashlib.md5()
+    for r in rows:
+        h.update(str(r[id_col]).encode())
+        for x in r[vec_col] or []:
+            h.update(f"{float(x):.6f}".encode())
+    return h.hexdigest()

@@ -288,12 +288,70 @@ def write_ann_index(
     memory-for-recall trade the in-memory index makes, paid in disk.
 
     The dials (n_planes/dim/n_tables) are baked into the written
-    buckets; query with the SAME n_planes (probe masks must match the
-    code width) via ``ann_topk_from_index``.
+    buckets; they are recorded in a ``_meta.json`` sidecar and
+    ``ann_topk_from_index`` validates against it (wrong-width probe
+    masks would silently return wrong candidates otherwise).
+
+    The overwrite is scoped to STATIC partitionOverwriteMode: the
+    engine session pins dynamic mode (for the warehouse's partition-
+    replacing loads), under which a rebuild with fewer ``n_tables``
+    would only replace the ``tbl=`` directories present in the new
+    data and leave the rest stale on disk for probes to read.
     """
-    multi_table_buckets(
-        corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
-    ).write.mode("overwrite").partitionBy("tbl").parquet(path)
+    from ..session import static_partition_overwrite
+    from .indexmeta import write_index_meta
+
+    spark = corpus.sparkSession
+    with static_partition_overwrite(spark):
+        multi_table_buckets(
+            corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
+        ).write.mode("overwrite").partitionBy("tbl").parquet(path)
+    write_index_meta(
+        spark,
+        path,
+        {"kind": "ann", "n_planes": n_planes, "dim": dim, "n_tables": n_tables},
+    )
+
+
+def append_to_ann_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add NEW vectors to a ``write_ann_index`` table —
+    a growing corpus must not pay a full O(corpus) rebuild per arrival
+    batch. The batch's codes are computed with the dials read from the
+    index sidecar (so an append can never mix code widths) and appended;
+    append touches no existing file, so no overwrite-mode hazard exists.
+
+    Redelivery-safe: ids already present in the index are anti-joined
+    away first (the scan is column-pruned to ``cid``), so re-appending
+    a batch is a no-op rather than a duplicate. CHANGED vectors (same
+    id, new embedding) are not handled here — their old codes live in
+    every ``tbl=`` partition, so removal means rewriting the whole
+    index: that is ``write_ann_index`` (rebuild), by design.
+    """
+    from .indexmeta import check_index_meta, read_index_meta
+
+    spark = new_vectors.sparkSession
+    check_index_meta(spark, path, {"kind": "ann"})
+    meta = read_index_meta(spark, path)
+    codes = multi_table_buckets(
+        new_vectors,
+        id_col,
+        vec_col,
+        meta["n_planes"],
+        meta["dim"],
+        meta["n_tables"],
+        "cid",
+        "cv",
+    )
+    existing_ids = (
+        spark.read.parquet(path).where(F.col("tbl") == 0).select("cid").distinct()
+    )
+    fresh = codes.join(existing_ids, "cid", "left_anti")
+    fresh.write.mode("append").partitionBy("tbl").parquet(path)
 
 
 def ann_topk_from_index(
@@ -312,7 +370,16 @@ def ann_topk_from_index(
     """``ann_topk_multi`` against a ``write_ann_index`` table: the
     corpus side is a plain parquet scan of precomputed (tbl, bucket,
     cid, cv) rows — no hyperplane math over the corpus at query time.
-    Same results as the in-memory path for identical dials."""
+    Same results as the in-memory path for identical dials; the dials
+    are validated against the index's ``_meta.json`` sidecar, so a
+    mismatch fails fast instead of probing with the wrong code width."""
+    from .indexmeta import check_index_meta
+
+    check_index_meta(
+        spark,
+        index_path,
+        {"kind": "ann", "n_planes": n_planes, "dim": dim, "n_tables": n_tables},
+    )
     qb = multi_table_buckets(
         queries, id_col, vec_col, n_planes, dim, n_tables, "qid", "qv"
     )
@@ -540,10 +607,97 @@ def write_ivf_index(
     arrives at the scan as a dynamic-partition-pruning subquery from the
     broadcast query side (plan-asserted in the layout test), so at
     corpus scale an n_probe=2 query over 1024 cells touches ~0.2% of
-    the files. Rebuild when centroids move (IVF's standard trade)."""
-    ivf_assign(corpus, centroids, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
+    the files. Rebuild when centroids move (IVF's standard trade) — the
+    centroid set is fingerprinted into a ``_meta.json`` sidecar, and
+    probes validate against it, so a stale index fails fast instead of
+    returning wrong candidates. The overwrite is scoped to STATIC
+    partitionOverwriteMode: under the engine session's dynamic mode a
+    rebuild would only replace the cells present in the new assignment
+    and leave removed/renumbered cells stale on disk."""
+    from ..session import static_partition_overwrite
+    from .indexmeta import centroid_fingerprint, write_index_meta
+
+    spark = corpus.sparkSession
+    with static_partition_overwrite(spark):
+        ivf_assign(corpus, centroids, id_col, vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(path)
+    write_index_meta(
+        spark,
+        path,
+        {
+            "kind": "ivf",
+            "n_centroids": centroids.count(),
+            "centroid_fp": centroid_fingerprint(centroids, id_col, vec_col),
+        },
+    )
+
+
+def upsert_ivf_cells(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_new_ids: bool = False,
+) -> None:
+    """Incrementally MERGE a batch of vectors into a ``write_ivf_index``
+    table, rewriting ONLY the touched cell partitions — the growing-
+    corpus path that avoids a full rebuild per batch (the same touched-
+    partition dynamic-overwrite pattern as ``warehouse.merge_upsert``,
+    with ``cell`` as the partition key).
+
+    Touched cells = the batch's newly-assigned cells, PLUS — unless
+    ``assume_new_ids`` — any cell currently holding a batch id (an
+    updated vector may migrate cells; its old row must be rewritten
+    away, and finding it costs one column-pruned (id, cell) scan of the
+    index). With ``assume_new_ids=True`` that scan is skipped: correct
+    only for genuinely new ids, the append-mostly ingest fast path.
+
+    Centroids must be the build-time set (fingerprint-validated): IVF
+    cell geometry is defined by the centroids, so "new centroids" is by
+    definition a rebuild, not an upsert.
+    """
+    from ..session import dynamic_partition_overwrite
+    from .indexmeta import centroid_fingerprint, check_index_meta
+
+    spark = new_vectors.sparkSession
+    check_index_meta(
+        spark,
+        path,
+        {
+            "kind": "ivf",
+            "centroid_fp": centroid_fingerprint(centroids, id_col, vec_col),
+        },
+    )
+    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    index = spark.read.parquet(path)
+
+    touched = assigned.select("cell").distinct()
+    if not assume_new_ids:
+        old_cells = (
+            index.join(
+                F.broadcast(assigned.select(id_col).distinct()), id_col, "left_semi"
+            )
+            .select("cell")
+            .distinct()
+        )
+        touched = touched.unionByName(old_cells).distinct()
+
+    # Survivors: touched-cell rows whose id is not in the batch. The
+    # broadcast semi on touched cells prunes the scan to those cells'
+    # directories; untouched cells are never read or rewritten.
+    survivors = (
+        index.join(F.broadcast(touched), "cell", "left_semi")
+        .join(assigned.select(id_col).distinct(), id_col, "left_anti")
+        .select(id_col, vec_col, "cell")
+    )
+    merged = survivors.unionByName(assigned.select(id_col, vec_col, "cell"))
+    # The write replaces partitions the plan is still reading from —
+    # cut the lineage first (same reasoning as merge_upsert).
+    merged = merged.localCheckpoint(eager=True)
+    with dynamic_partition_overwrite(spark):
+        merged.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def ivf_topk_from_index(
@@ -559,7 +713,19 @@ def ivf_topk_from_index(
     """``ivf_topk`` against a ``write_ivf_index`` table: corpus-side
     assignment is a plain scan of precomputed cells, partition-pruned to
     the probed cells. Same results as the in-memory path for the same
-    centroids."""
+    centroids — enforced: the caller's centroids are fingerprinted
+    against the index's ``_meta.json`` sidecar, so probing after
+    centroids moved (stale index) fails fast."""
+    from .indexmeta import centroid_fingerprint, check_index_meta
+
+    check_index_meta(
+        spark,
+        index_path,
+        {
+            "kind": "ivf",
+            "centroid_fp": centroid_fingerprint(centroids, id_col, vec_col),
+        },
+    )
     q_cells = _ivf_query_cells(queries, centroids, id_col, vec_col, n_probe)
     corpus_cells = spark.read.parquet(index_path).select(
         F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv"), "cell"

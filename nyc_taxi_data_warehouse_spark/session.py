@@ -17,7 +17,9 @@ for the 100 TB north star instead:
 
 from __future__ import annotations
 
+import contextlib
 import os
+from collections.abc import Iterator
 
 from pyspark.sql import SparkSession
 
@@ -38,6 +40,60 @@ RUNTIME_CONFS: dict[str, str] = {
     # the idempotent load primitive (see warehouse/load.py).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
+
+
+@contextlib.contextmanager
+def scoped_confs(spark: SparkSession, confs: dict[str, str]) -> Iterator[None]:
+    """Set runtime confs for the duration of a block, then restore the
+    caller's prior values (unset keys are re-unset).
+
+    The write entry points (partition-replacing load/merge/rollup, index
+    rebuild) need ONE conf — ``partitionOverwriteMode`` — at a specific
+    value for their overwrite to be safe; permanently mutating the
+    caller's session for that (the old ``tune()``-on-entry behavior)
+    silently changed unrelated queries run afterwards on an externally
+    owned session. Scoping makes the write safe without the side effect.
+    """
+    prior: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prior[k] = spark.conf.get(k, None)
+        except Exception:
+            prior[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prior.items():
+            try:
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+            except Exception:
+                pass  # static conf on this build — nothing was changed
+
+
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Scope ``partitionOverwriteMode=dynamic`` around a partition-
+    replacing write: only the partitions present in the written data are
+    swapped, everything else is untouched (Spark's static default would
+    truncate the whole table/path)."""
+    return scoped_confs(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    )
+
+
+def static_partition_overwrite(spark: SparkSession):
+    """Scope ``partitionOverwriteMode=static`` around a FULL-REBUILD
+    write (the persisted index tables): a rebuild must replace the whole
+    prior layout — under the engine's session-level dynamic mode, an
+    overwrite after centroids moved / vocabulary shrank / n_tables
+    dropped would leave stale partition directories on disk, and probes
+    would silently read them."""
+    return scoped_confs(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "static"}
+    )
 
 
 def default_parallelism() -> int:

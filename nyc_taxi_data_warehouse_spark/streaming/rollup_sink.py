@@ -67,13 +67,13 @@ def merge_batch_into_rollup(spark: SparkSession, batch: DataFrame, path: str) ->
     memory), so a pathological backfill batch spanning decades cannot
     grow the driver or the filter expression.
     """
-    # Self-apply engine confs (idempotent): the day-partition overwrite
-    # below is only safe under partitionOverwriteMode=dynamic — on an
-    # untuned session Spark's static default would truncate the whole
-    # rollup directory.
-    from ..session import tune
+    # The day-partition overwrite below is only safe under
+    # partitionOverwriteMode=dynamic — on an untuned session Spark's
+    # static default would truncate the whole rollup directory. Scoped
+    # (set/restore) so the sink never permanently mutates the caller's
+    # session confs.
+    from ..session import dynamic_partition_overwrite
 
-    tune(spark)
     partials = _hourly_partials(batch).cache()
     try:
         days = [
@@ -94,9 +94,10 @@ def merge_batch_into_rollup(spark: SparkSession, batch: DataFrame, path: str) ->
             existing = spark.read.parquet(path).where(day_filter)
             merged = existing.unionByName(partials)
         out = merged.groupBy(*ROLLUP_KEYS).agg(*_merge_aggs())
-        # partitionOverwriteMode=dynamic (session conf): replaces exactly
-        # the day partitions present in `out`, leaves the rest untouched.
-        out.write.mode("overwrite").partitionBy("day").parquet(path)
+        # Dynamic overwrite (scoped): replaces exactly the day
+        # partitions present in `out`, leaves the rest untouched.
+        with dynamic_partition_overwrite(spark):
+            out.write.mode("overwrite").partitionBy("day").parquet(path)
     finally:
         partials.unpersist()
 

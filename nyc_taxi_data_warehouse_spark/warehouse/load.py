@@ -90,13 +90,13 @@ def load_month(
     force: bool = False,
 ) -> LoadResult:
     """Load one monthly file into the partitioned fact table, idempotently."""
-    # Self-apply engine confs (idempotent): the partition-replacing
-    # write below is only safe under partitionOverwriteMode=dynamic —
-    # on an untuned session Spark's static default would drop every
-    # OTHER month on overwrite.
-    from ..session import tune
+    # The partition-replacing write below is only safe under
+    # partitionOverwriteMode=dynamic — on an untuned session Spark's
+    # static default would drop every OTHER month on overwrite. Scoped
+    # (set/restore) so the load never permanently mutates the caller's
+    # session confs.
+    from ..session import dynamic_partition_overwrite
 
-    tune(spark)
     if not force and _already_loaded(spark, year, month):
         return LoadResult(year, month, rows=0, skipped=True)
 
@@ -114,7 +114,8 @@ def load_month(
     out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     # Dynamic partition overwrite: only the (year, month) partition in this
     # DataFrame is replaced; all other months are untouched.
-    out.write.mode("overwrite").insertInto(FACT_TABLE)
+    with dynamic_partition_overwrite(spark):
+        out.write.mode("overwrite").insertInto(FACT_TABLE)
     rows = int(obs.get["rows"])
     _record(spark, path, year, month, rows)
     return LoadResult(year, month, rows=rows, skipped=False)

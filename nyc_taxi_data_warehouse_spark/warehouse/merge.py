@@ -57,13 +57,13 @@ def merge_upsert(
     winner under any ordering scheme (the tie rule then picks whichever
     arrived first).
     """
-    # Self-apply engine confs (idempotent): the touched-partition
-    # overwrite is only safe under partitionOverwriteMode=dynamic — on
-    # an untuned session Spark's static default would drop every
-    # UNTOUCHED partition on overwrite.
-    from ..session import tune
+    # The touched-partition overwrite below is only safe under
+    # partitionOverwriteMode=dynamic — on an untuned session Spark's
+    # static default would drop every UNTOUCHED partition. Scoped (set/
+    # restore) rather than a session-wide tune(): a merge must not
+    # permanently mutate the caller's session confs.
+    from ..session import dynamic_partition_overwrite
 
-    tune(spark)
     target = spark.table(table)
 
     if all_partitions:
@@ -114,7 +114,8 @@ def merge_upsert(
         # and re-runnable).
         merged = merged.localCheckpoint(eager=True)
         n = merged.count()
-        merged.write.mode("overwrite").insertInto(table)
+        with dynamic_partition_overwrite(spark):
+            merged.write.mode("overwrite").insertInto(table)
     else:
         # Staging write + swap — the cluster-scale pattern: stage the
         # merged partitions as durable parquet, then the dynamic
@@ -124,5 +125,6 @@ def merge_upsert(
         merged.write.mode("overwrite").parquet(staging_path)
         staged = spark.read.parquet(staging_path).select(*target.columns)
         n = staged.count()
-        staged.write.mode("overwrite").insertInto(table)
+        with dynamic_partition_overwrite(spark):
+            staged.write.mode("overwrite").insertInto(table)
     return n

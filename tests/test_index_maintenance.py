@@ -1,0 +1,218 @@
+"""Persisted-index lifecycle: incremental maintenance (append / cell
+upsert), full-rebuild hygiene under the engine's dynamic overwrite mode,
+and the ``_meta.json`` dial validation that makes wrong-dial probes fail
+fast instead of returning quietly wrong candidates.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.operators.indexmeta import (
+    IndexMetaError,
+    read_index_meta,
+)
+from nyc_taxi_data_warehouse_spark.operators.similarity import (
+    ann_topk_from_index,
+    append_to_ann_index,
+    ivf_topk_from_index,
+    upsert_ivf_cells,
+    write_ann_index,
+    write_ivf_index,
+)
+from nyc_taxi_data_warehouse_spark.sources import load_table
+
+from .conftest import SF_SMOKE as SF
+
+ANN_DIALS = dict(n_planes=8, dim=64, n_tables=2)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def cents(spark, emb):
+    # Deterministic tiny centroid set (orderBy, not limit-without-order:
+    # the fingerprint check depends on collecting the same rows twice).
+    return emb.where(F.col("vec_id") % 17 == 0).orderBy("vec_id")
+
+
+def test_ann_append_then_query_matches_full_rebuild(spark, emb, tmp_path):
+    """append_to_ann_index(new batch) on an index built from the old
+    corpus must answer queries identically to a full rebuild over the
+    whole corpus — and re-appending the same batch is a no-op
+    (redelivery-safe anti-join)."""
+    old = emb.where(F.col("vec_id") < 400)
+    batch = emb.where(F.col("vec_id") >= 400)
+    q = emb.where(F.col("vec_id") < 4)
+
+    inc_path = str(tmp_path / "ann_inc")
+    write_ann_index(old, inc_path, **ANN_DIALS)
+    append_to_ann_index(batch, inc_path)
+
+    full_path = str(tmp_path / "ann_full")
+    write_ann_index(emb, full_path, **ANN_DIALS)
+
+    kwargs = dict(k=3, probe_radius=1, **ANN_DIALS)
+    assert _rows(ann_topk_from_index(spark, inc_path, q, **kwargs)) == _rows(
+        ann_topk_from_index(spark, full_path, q, **kwargs)
+    )
+
+    n_before = spark.read.parquet(inc_path).count()
+    append_to_ann_index(batch, inc_path)  # redelivery
+    assert spark.read.parquet(inc_path).count() == n_before
+
+
+def test_ann_rebuild_drops_stale_table_partitions(spark, emb, tmp_path):
+    """Rebuilding with fewer LSH tables must fully replace the prior
+    layout. The engine session pins partitionOverwriteMode=dynamic, under
+    which a naive path overwrite only replaces the tbl= partitions
+    present in the NEW data — the writer must scope static mode so no
+    stale tbl=1 directory survives for probes to read."""
+    path = str(tmp_path / "ann_shrink")
+    write_ann_index(emb, path, n_planes=8, dim=64, n_tables=2)
+    assert os.path.isdir(os.path.join(path, "tbl=1"))
+    write_ann_index(emb, path, n_planes=8, dim=64, n_tables=1)
+    assert not os.path.isdir(os.path.join(path, "tbl=1"))
+    assert read_index_meta(spark, path)["n_tables"] == 1
+    assert {
+        r["tbl"] for r in spark.read.parquet(path).select("tbl").distinct().collect()
+    } == {0}
+
+
+def test_ivf_upsert_matches_rebuild_and_rewrites_only_touched_cells(
+    spark, emb, cents, tmp_path
+):
+    """upsert_ivf_cells must converge to exactly what a full rebuild
+    over (old corpus − replaced ids) ∪ batch produces — including an
+    UPDATED vector that migrates to a different cell (its old row must
+    vanish) — while leaving untouched cells' data files byte-untouched
+    on disk."""
+    old = emb.where(F.col("vec_id") < 485)
+    # Batch: 15 new ids + one updated id whose new embedding is id 484's
+    # (may or may not move cells; the migration case is what matters —
+    # pick id 0's replacement as a far-away vector to make moving likely).
+    moved = (
+        emb.where(F.col("vec_id") == 484)
+        .select(F.lit(0).cast("long").alias("vec_id"), "embedding")
+    )
+    batch = emb.where(F.col("vec_id") >= 485).unionByName(moved)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    write_ivf_index(old, cents, inc_path)
+
+    # Files of a cell the batch does not touch must survive unrenamed.
+    from nyc_taxi_data_warehouse_spark.operators.similarity import ivf_assign
+
+    batch_cells = {
+        r["cell"] for r in ivf_assign(batch, cents).select("cell").distinct().collect()
+    }
+    old0_cell = {
+        r["cell"]
+        for r in ivf_assign(old.where(F.col("vec_id") == 0), cents)
+        .select("cell")
+        .collect()
+    }
+    all_cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(inc_path)
+        if d.startswith("cell=")
+    }
+    untouched = all_cells - batch_cells - old0_cell
+    assert untouched, "fixture produced no untouched cell; loosen the split"
+    probe_cell = sorted(untouched)[0]
+    cell_dir = os.path.join(inc_path, f"cell={probe_cell}")
+    files_before = sorted(os.listdir(cell_dir))
+
+    upsert_ivf_cells(batch, cents, inc_path)
+
+    assert sorted(os.listdir(cell_dir)) == files_before
+
+    full_path = str(tmp_path / "ivf_full")
+    rebuilt_corpus = old.where(F.col("vec_id") != 0).unionByName(batch)
+    write_ivf_index(rebuilt_corpus, cents, full_path)
+
+    q = emb.where(F.col("vec_id").between(5, 8))
+    kwargs = dict(k=3, n_probe=2)
+    assert _rows(ivf_topk_from_index(spark, inc_path, q, cents, **kwargs)) == _rows(
+        ivf_topk_from_index(spark, full_path, q, cents, **kwargs)
+    )
+    # The moved id's stale row is gone: it appears in exactly one cell.
+    locs = (
+        spark.read.parquet(inc_path)
+        .where(F.col("vec_id") == 0)
+        .select("cell")
+        .collect()
+    )
+    assert len(locs) == 1
+
+
+def test_ann_dial_mismatch_fails_fast(spark, emb, tmp_path):
+    path = str(tmp_path / "ann_meta")
+    write_ann_index(emb, path, **ANN_DIALS)
+    with pytest.raises(IndexMetaError, match="n_planes"):
+        ann_topk_from_index(
+            spark, path, emb.limit(2), n_planes=16, dim=64, n_tables=2
+        )
+    with pytest.raises(IndexMetaError, match="sidecar"):
+        ann_topk_from_index(
+            spark, str(tmp_path / "nonexistent"), emb.limit(2), **ANN_DIALS
+        )
+
+
+def test_ivf_stale_centroids_fail_fast(spark, emb, cents, tmp_path):
+    """Probing with centroids that differ from the build-time set (the
+    'centroids moved, index is stale' case) must raise, not return
+    candidates from the wrong cell geometry."""
+    path = str(tmp_path / "ivf_meta")
+    write_ivf_index(emb, cents, path)
+    moved_cents = emb.where(F.col("vec_id") % 17 == 1).orderBy("vec_id")
+    with pytest.raises(IndexMetaError, match="centroid_fp"):
+        ivf_topk_from_index(spark, path, emb.limit(2), moved_cents, k=3)
+    with pytest.raises(IndexMetaError, match="centroid_fp"):
+        upsert_ivf_cells(emb.limit(2), moved_cents, path)
+
+
+def test_postings_dial_mismatch_fails_fast(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.operators.search import (
+        lookup_postings,
+        postings,
+        write_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    post = postings(docs)
+    path = str(tmp_path / "postings_meta")
+    write_postings_index(post, path, hash_partitions=16)
+    with pytest.raises(IndexMetaError, match="hash_partitions"):
+        lookup_postings(spark, path, ["spark"], hash_partitions=8)
+    with pytest.raises(IndexMetaError, match="hash_partitions"):
+        lookup_postings(spark, path, ["spark"])  # layout mismatch: term-dir
+
+
+def test_write_entry_points_do_not_mutate_session_confs(spark, emb, tmp_path):
+    """The scoped-conf contract: a write entry point may need a specific
+    partitionOverwriteMode during its write, but the caller's session
+    value must be restored afterwards (ADVICE: tune()-on-entry silently
+    mutated externally-owned sessions)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "static")
+        path = str(tmp_path / "ann_conf")
+        write_ann_index(emb, path, **ANN_DIALS)  # scopes static (no-op here)
+        assert spark.conf.get(key) == "static"
+        spark.conf.set(key, "dynamic")
+        write_ann_index(emb, path, **ANN_DIALS)
+        assert spark.conf.get(key) == "dynamic"
+    finally:
+        spark.conf.set(key, prior)
