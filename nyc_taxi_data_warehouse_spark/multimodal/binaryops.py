@@ -52,6 +52,7 @@ DECODED_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("sample_rate", IntegerType()),
         StructField("channels", IntegerType()),
+        StructField("duration_ms", LongType()),
         StructField("codec_used", StringType()),
     ]
 )
@@ -210,16 +211,121 @@ def parse_wav_header(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_jpeg_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG SOF marker, or None if not a JPEG.
+
+    Walks the marker stream (0xFF id, big-endian u16 length including
+    the length field) to the first start-of-frame marker — SOF0
+    (baseline) through SOF15, excluding the non-frame DHT/DAC/RST
+    markers in that range — whose segment holds precision(1),
+    height(2), width(2) big-endian per the JPEG spec. Stdlib
+    ``struct`` only.
+    """
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    import struct
+
+    sof_ids = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # not DHT/JPG/DAC
+    off = 2
+    n = len(payload)
+    while off + 4 <= n:
+        if payload[off] != 0xFF:
+            return None  # desynced marker stream
+        marker = payload[off + 1]
+        if marker == 0xFF:  # fill byte
+            off += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        (seg_len,) = struct.unpack(">H", payload[off + 2 : off + 4])
+        if marker in sof_ids:
+            if off + 9 > n:
+                return None
+            height, width = struct.unpack(">HH", payload[off + 5 : off + 9])
+            return (width, height)
+        off += 2 + seg_len
+    return None
+
+
+def parse_mp4_header(payload: bytes) -> tuple[int, int] | None:
+    """(duration_ms, timescale) from the moov/mvhd box, or None.
+
+    Walks the top-level ISO-BMFF box list (big-endian u32 size + 4-byte
+    type, size==1 → u64 largesize) to ``moov``, then its children to
+    ``mvhd``: version 0 stores timescale(u32)/duration(u32) at offsets
+    12/16 past the box header, version 1 at 20/24 as u32/u64. Stdlib
+    ``struct`` only.
+    """
+    if payload is None or len(payload) < 16:
+        return None
+    import struct
+
+    def walk(start: int, end: int, depth: int):
+        off = start
+        while off + 8 <= end:
+            (size,) = struct.unpack(">I", payload[off : off + 4])
+            btype = payload[off + 4 : off + 8]
+            hdr = 8
+            if size == 1:
+                if off + 16 > end:
+                    return None
+                (size,) = struct.unpack(">Q", payload[off + 8 : off + 16])
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - off
+            if size < hdr or off + size > end:
+                return None
+            if btype == b"moov" and depth == 0:
+                return walk(off + hdr, off + size, 1)
+            if btype == b"mvhd" and depth == 1:
+                body = off + hdr
+                if body + 4 > end:
+                    return None
+                version = payload[body]
+                if version == 1:
+                    if body + 32 > end:
+                        return None
+                    (timescale,) = struct.unpack(
+                        ">I", payload[body + 20 : body + 24]
+                    )
+                    (duration,) = struct.unpack(
+                        ">Q", payload[body + 24 : body + 32]
+                    )
+                else:
+                    if body + 20 > end:
+                        return None
+                    (timescale,) = struct.unpack(
+                        ">I", payload[body + 12 : body + 16]
+                    )
+                    (duration,) = struct.unpack(
+                        ">I", payload[body + 16 : body + 20]
+                    )
+                if timescale == 0:
+                    return None
+                return (duration * 1000 // timescale, timescale)
+            off += size
+        return None
+
+    # A plausible MP4 starts with a well-formed box of known type.
+    if payload[4:8] not in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"skip"):
+        return None
+    return walk(0, len(payload), 0)
+
+
 def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
     """Arrow-batched decode / feature-extract over payload bytes.
 
     ``codec='fake'`` exercises the full distributed path with the
     deterministic stand-in. ``codec='header'`` parses real container
-    headers with stdlib ``struct`` — PNG IHDR (width/height) and WAV fmt
-    (sample_rate/channels) — falling back to the fake values for
-    payloads that are neither. Full-frame decoders (``'pil'`` etc.)
-    remain stubbed: no image/audio libraries in this environment; the
-    Spark plumbing is identical — swap the per-payload parser.
+    headers with stdlib ``struct`` — PNG IHDR / JPEG SOF (width/
+    height), WAV fmt (sample_rate/channels), MP4 mvhd (duration_ms /
+    timescale-as-sample_rate) — falling back to the fake values for
+    payloads that are none of them. Full-frame decoders (``'pil'``
+    etc.) remain stubbed: no image/audio libraries in this environment;
+    the Spark plumbing is identical — swap the per-payload parser.
     """
     if codec not in ("fake", "header"):
         raise NotImplementedError(
@@ -230,18 +336,26 @@ def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
 
     import hashlib
 
-    def decode_one(p: bytes) -> tuple[int, int, int | None, int | None, str]:
-        """(width, height, sample_rate, channels, codec_used) per payload."""
+    def decode_one(p: bytes):
+        """(width, height, sample_rate, channels, duration_ms,
+        codec_used) per payload."""
         if codec == "header":
             png = parse_png_header(p)
             if png is not None:
-                return (png[0], png[1], None, None, "png-header")
+                return (png[0], png[1], None, None, None, "png-header")
+            jpg = parse_jpeg_header(p)
+            if jpg is not None:
+                return (jpg[0], jpg[1], None, None, None, "jpeg-header")
             wav = parse_wav_header(p)
             if wav is not None:
                 w, h = fake_decode_meta(p)
-                return (w, h, wav[0], wav[1], "wav-header")
+                return (w, h, wav[0], wav[1], None, "wav-header")
+            mp4 = parse_mp4_header(p)
+            if mp4 is not None:
+                w, h = fake_decode_meta(p)
+                return (w, h, mp4[1], None, mp4[0], "mp4-header")
         w, h = fake_decode_meta(p)
-        return (w, h, None, None, "fake")
+        return (w, h, None, None, None, "fake")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -267,7 +381,10 @@ def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
                     "channels": pd.array(
                         [d[3] for d in decoded], dtype="Int32"
                     ),
-                    "codec_used": [d[4] for d in decoded],
+                    "duration_ms": pd.array(
+                        [d[4] for d in decoded], dtype="Int64"
+                    ),
+                    "codec_used": [d[5] for d in decoded],
                 }
             )
 

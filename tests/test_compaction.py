@@ -1,0 +1,90 @@
+"""In-place partition compaction: fragmented partitions (monthly appends
++ keyed merges each add files) are rewritten to ceil(bytes/target) files
+with byte-identical row content, touching no other partition.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.warehouse.layout import (
+    compact_partition,
+    partition_file_stats,
+)
+
+TABLE = "compact_probe"
+
+
+@pytest.fixture(scope="module")
+def fragmented_table(spark):
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+    # 3 partitions; 25 writer tasks per partition → 25 small files each.
+    df = (
+        spark.range(0, 30_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 3).cast("int").alias("part"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .repartition(25)
+    )
+    df.write.mode("overwrite").partitionBy("part").saveAsTable(TABLE)
+    yield TABLE
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+
+
+def _content_digest(spark, pred: str):
+    row = (
+        spark.table(TABLE)
+        .where(pred)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("id", "payload").cast("decimal(38,0)")).alias("digest"),
+        )
+        .collect()[0]
+    )
+    return row["n"], row["digest"]
+
+
+def test_compact_partition_hits_target_and_preserves_content(
+    spark, fragmented_table
+):
+    before = partition_file_stats(spark, TABLE, {"part": 1})
+    assert before["n_files"] > 5, "fixture not fragmented"
+    n_before, digest_before = _content_digest(spark, "part = 1")
+    other_before = _content_digest(spark, "part != 1")
+
+    # Pick a target that forces a multi-file result strictly smaller
+    # than the fragment count.
+    target = before["total_bytes"] // 3 + 1
+    expected = max(1, math.ceil(before["total_bytes"] / target))
+    assert 1 < expected < before["n_files"]
+
+    # Files of an untouched partition must survive unrenamed (dynamic
+    # overwrite swaps only the compacted partition).
+    part0_dir = partition_file_stats(spark, TABLE, {"part": 0})["path"]
+    part0_files = sorted(os.listdir(part0_dir))
+
+    result = compact_partition(spark, TABLE, {"part": 1}, target_bytes=target)
+
+    assert result["target_files"] == expected
+    assert result["after"]["n_files"] == expected
+    assert _content_digest(spark, "part = 1") == (n_before, digest_before)
+    assert _content_digest(spark, "part != 1") == other_before
+    assert sorted(os.listdir(part0_dir)) == part0_files
+
+
+def test_compact_partition_single_file_noop(spark, fragmented_table):
+    """An already-healthy partition (<=1 file) is returned untouched —
+    no read, no rewrite."""
+    big_target = 10 * 2**30
+    r1 = compact_partition(spark, TABLE, {"part": 2}, target_bytes=big_target)
+    assert r1["after"]["n_files"] == 1
+    files = sorted(os.listdir(r1["after"]["path"]))
+    r2 = compact_partition(spark, TABLE, {"part": 2}, target_bytes=big_target)
+    assert r2["before"] == r2["after"]
+    assert sorted(os.listdir(r2["after"]["path"])) == files

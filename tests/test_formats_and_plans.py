@@ -435,6 +435,55 @@ def test_write_sorted_gives_disjoint_rowgroup_ranges(spark, tmp_path):
     assert scan.count() == n_events
 
 
+def test_write_sorted_range_scan_skips_row_groups_measured(spark, tmp_path):
+    """The layout claim MEASURED, not inferred from footers: a selective
+    range predicate over a write_sorted table must make the parquet
+    reader skip non-intersecting row groups — the executed scan's
+    numOutputRows equals the row count of just the row groups whose
+    footer [min,max] intersects the predicate, a strict subset of the
+    table."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import write_sorted
+
+    events = load_table(spark, SF, "events").select("event_id", "ts", "value")
+    out = str(tmp_path / "events_sorted_skip")
+    write_sorted(events, out, "event_id", n_files=6)
+
+    lo, hi = 100, 200
+    intersecting_rows = 0
+    total_rows = 0
+    for f in _os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(_os.path.join(out, f)).metadata
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            col = next(
+                group.column(i)
+                for i in range(group.num_columns)
+                if group.column(i).path_in_schema == "event_id"
+            )
+            total_rows += group.num_rows
+            if col.statistics.min <= hi and col.statistics.max >= lo:
+                intersecting_rows += group.num_rows
+    assert 0 < intersecting_rows < total_rows, "fixture not selective"
+
+    df = spark.read.parquet(out).where(F.col("event_id").between(lo, hi))
+    df.collect()  # materialize so the scan metrics are populated
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    scan_out = None
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "Scan" in node.nodeName():
+            scan_out = node.metrics().apply("numOutputRows").value()
+    assert scan_out == intersecting_rows
+    assert scan_out < total_rows
+
+
 def test_funnel_single_user_shuffle(spark):
     """q56: all three funnel stages chain over the same user-partitioned
     window — exactly ONE hashpartitioning Exchange, then the tiny global

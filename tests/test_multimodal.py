@@ -72,6 +72,73 @@ def _wav_bytes(rate: int, channels: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    # SOI + APP0(JFIF) + DQT before SOF0 to prove the marker walk, + EOI.
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def _mp4_bytes(timescale: int, duration: int, version: int = 0) -> bytes:
+    # ftyp + moov>mvhd (v0: u32 times/duration; v1: u64) per ISO-BMFF.
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    if version == 1:
+        body = (
+            b"\x01\x00\x00\x00"
+            + b"\x00" * 16  # ctime/mtime u64
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", duration)
+            + b"\x00" * 76
+        )
+    else:
+        body = (
+            b"\x00\x00\x00\x00"
+            + b"\x00" * 8  # ctime/mtime u32
+            + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80
+        )
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_header_codec_parses_jpeg_and_mp4(spark):
+    """JPEG SOF0 (after APP0/DQT segments) and MP4 moov/mvhd (both
+    version 0 and 1 time fields) parse with stdlib struct end-to-end
+    through the Arrow decode; garbage falls back to the fake codec."""
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image/jpeg", _jpeg_bytes(800, 600), {}),
+        (2, "video/mp4", _mp4_bytes(90000, 450000), {}),  # 5.000 s
+        (3, "video/mp4", _mp4_bytes(1000, 72_500, version=1), {}),
+        (4, "image/jpeg", b"\xff\xd8\xff\xd9", {}),  # SOI+EOI, no SOF
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in decode_media_batch(media, codec="header").collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (800, 600)
+    assert got[1]["codec_used"] == "jpeg-header"
+    assert got[1]["duration_ms"] is None
+    assert (got[2]["duration_ms"], got[2]["sample_rate"]) == (5000, 90000)
+    assert got[2]["codec_used"] == "mp4-header"
+    assert (got[3]["duration_ms"], got[3]["sample_rate"]) == (72500, 1000)
+    assert got[4]["codec_used"] == "fake"
+
+
 def test_header_codec_parses_png_and_wav(spark):
     from nyc_taxi_data_warehouse_spark.multimodal.binaryops import MEDIA_SCHEMA
 
@@ -154,6 +221,26 @@ def test_read_media_dir_ingests_files_end_to_end(spark, tmp_path):
         16000,
         1,
     )
+
+
+def test_read_media_dir_jpeg_mp4_end_to_end(spark, tmp_path):
+    """binaryFile ingestion → header decode on real JPEG/MP4 files."""
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import read_media_dir
+
+    (tmp_path / "x.jpg").write_bytes(_jpeg_bytes(64, 32))
+    (tmp_path / "y.mp4").write_bytes(_mp4_bytes(600, 1200))  # 2.000 s
+    media = read_media_dir(spark, str(tmp_path), glob="*.{jpg,mp4}")
+    dec = {
+        r["mime"]: r
+        for r in decode_media_batch(media, codec="header").collect()
+    }
+    assert (dec["image/jpeg"]["width"], dec["image/jpeg"]["height"]) == (64, 32)
+    assert dec["image/jpeg"]["codec_used"] == "jpeg-header"
+    assert (dec["video/mp4"]["duration_ms"], dec["video/mp4"]["sample_rate"]) == (
+        2000,
+        600,
+    )
+    assert dec["video/mp4"]["codec_used"] == "mp4-header"
 
 
 def test_bounded_arrow_batches_scopes_the_conf(spark):

@@ -478,3 +478,85 @@ def test_cdc_out_of_order_batches_converge(spark):
         " max(ver) AS ver FROM feed GROUP BY k ORDER BY k"
     ).fetchall()
     assert in_order == sorted((k, pt, v, ver) for k, pt, v, ver in want)
+
+
+def test_cdc_stream_upsert_survives_mid_feed_kill(spark, tmp_path, monkeypatch):
+    """Exactly-once across a crash-restart: the stream dies AFTER batch 1
+    committed to the checkpoint (batch 2's merge raises), and a restart
+    from the same checkpoint must resume at batch 2 — never re-merging
+    batch 1 — and converge to exactly the table a single uninterrupted
+    run produces."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    import nyc_taxi_data_warehouse_spark.streaming.cdc as cdc_mod
+    from nyc_taxi_data_warehouse_spark.streaming import stream_upsert
+
+    base = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("pt"),
+        F.lit(0).alias("v"),
+        F.lit(0).alias("ver"),
+    )
+    # 3 single-file micro-batches with increasing versions over
+    # OVERLAPPING keys — the final state depends on every batch being
+    # applied (max-version-wins picks ver 3 where present).
+    src = str(tmp_path / "kill_feed")
+    for ver in (1, 2, 3):
+        batch = spark.range(0, 10 * ver).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("pt"),
+            F.lit(ver * 100).alias("v"),
+            F.lit(ver).alias("ver"),
+        )
+        batch.coalesce(1).write.mode("append").parquet(src)
+
+    schema = base.schema
+
+    def feed():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    # Reference: one uninterrupted run into its own target.
+    base.write.mode("overwrite").format("parquet").partitionBy("pt").saveAsTable(
+        "cdc_kill_ref"
+    )
+    stream_upsert(
+        spark, feed(), "cdc_kill_ref", keys=["k"], partition_cols=["pt"],
+        version_col="ver", checkpoint=str(tmp_path / "ckpt_ref"),
+    )
+    want = sorted((r.k, r.v, r.ver) for r in spark.table("cdc_kill_ref").collect())
+
+    # Crash run: batch 2's merge raises (batch 1 already checkpointed).
+    base.write.mode("overwrite").format("parquet").partitionBy("pt").saveAsTable(
+        "cdc_kill_tgt"
+    )
+    real_merge = cdc_mod.merge_upsert
+    seen_vers: list[int] = []
+
+    def flaky_merge(spark_, table, batch, **kwargs):
+        ver = batch.agg(F.max("ver")).collect()[0][0]
+        seen_vers.append(ver)
+        if len(seen_vers) == 2:
+            raise RuntimeError("injected crash before batch 2's merge")
+        return real_merge(spark_, table, batch, **kwargs)
+
+    monkeypatch.setattr(cdc_mod, "merge_upsert", flaky_merge)
+    ckpt = str(tmp_path / "ckpt_kill")
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        stream_upsert(
+            spark, feed(), "cdc_kill_tgt", keys=["k"], partition_cols=["pt"],
+            version_col="ver", checkpoint=ckpt,
+        )
+
+    # Restart from the same checkpoint: resumes at batch 2, applies 2+3.
+    stream_upsert(
+        spark, feed(), "cdc_kill_tgt", keys=["k"], partition_cols=["pt"],
+        version_col="ver", checkpoint=ckpt,
+    )
+    assert seen_vers == [1, 2, 2, 3]  # batch 1 merged exactly once
+    got = sorted((r.k, r.v, r.ver) for r in spark.table("cdc_kill_tgt").collect())
+    assert got == want

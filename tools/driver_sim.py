@@ -44,7 +44,7 @@ def main():
 
     res = __spark_entry__.entry(spark)
     rows = res.collect()
-    assert len(rows) >= 0, "entry() returned no result"
+    assert len(rows) > 0, "entry() returned no result"
     print(f"entry(): {len(rows)} rows, schema={[f.name for f in res.schema.fields]}")
     # idempotency probe
     res2 = __spark_entry__.entry(spark)
