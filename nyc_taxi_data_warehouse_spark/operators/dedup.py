@@ -33,9 +33,20 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
     groupBy+min instead of dropDuplicates: dropDuplicates keeps an
     arbitrary (partition-order-dependent) row; this is deterministic.
+
+    Key comparison is NULL-SAFE (``<=>``): SQL GROUP BY puts all-null
+    keys in one group, so the keep-one semi-join must match them too —
+    a plain equality join silently DROPS every null-keyed row (null
+    never equals null), losing data instead of deduping it. Null-safe
+    equality is still a hash-joinable equi-condition, so the scale
+    shape (one shuffle on the keys) is unchanged.
     """
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col)).alias("_keep")
+    left = df.alias("_d")
+    cond = F.col(f"_d.{id_col}") == F.col(f"_keep.{id_col}")
+    for c in key_cols:
+        cond = cond & F.col(f"_d.{c}").eqNullSafe(F.col(f"_keep.{c}"))
+    return left.join(keep, on=cond, how="left_semi")
 
 
 def fingerprint_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

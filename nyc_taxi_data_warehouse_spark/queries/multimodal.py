@@ -56,7 +56,8 @@ WITH decoded AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image/png'
               WHEN doc_id % 3 = 1 THEN 'audio/wav'
               ELSE 'video/mp4' END AS mime,
-         octet_length(encode(text)) AS n_bytes
+         -- the decode path treats a null payload as empty bytes
+         coalesce(octet_length(encode(text)), 0) AS n_bytes
   FROM documents
 )
 SELECT mime, count(*) AS n_media,

@@ -580,7 +580,7 @@ SELECT p_partkey,
        upper(p_name)                        AS uname,
        substr(p_name, 1, 4)                 AS pfx,
        length(p_name)                       AS name_len,
-       concat(p_brand, ':', p_type)         AS brand_type,
+       concat_ws(':', p_brand, p_type)      AS brand_type,
        round(p_retailprice * 1.1, 2)        AS bumped_price,
        mod(p_partkey, 7)                    AS key_mod,
        abs(p_size - 25)                     AS size_dist,
@@ -1220,11 +1220,15 @@ def q53_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.col("p.k").alias("k"),
             (F.col("p.k") % 10).alias("k_mod"),
+            # ignoreNullFields=false: emit "key":null like the oracle's
+            # json_object does — the default silently drops null keys,
+            # which diverges on rows whose extracted field is null.
             F.to_json(
                 F.struct(
                     F.col("event_type").alias("event"),
                     (F.col("p.k") * 2).alias("k2"),
-                )
+                ),
+                {"ignoreNullFields": "false"},
             ).alias("reencoded"),
         )
         .orderBy("event_id")
@@ -1352,12 +1356,21 @@ def q58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    o = old.select("doc_id", F.md5("text").alias("_ho"))
-    n = new.select("doc_id", F.md5("text").alias("_hn"))
+    # Presence must be judged by a never-null marker, NOT by the text
+    # hash: md5(NULL) is null, so a matched row whose text is null would
+    # masquerade as 'added'/'removed' if the hash doubled as the
+    # presence flag. The hash-null comparison for 'changed' then follows
+    # the oracle's <> semantics (null comparison → not changed).
+    o = old.select(
+        "doc_id", F.md5("text").alias("_ho"), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        "doc_id", F.md5("text").alias("_hn"), F.lit(True).alias("_in_new")
+    )
     j = o.join(n, "doc_id", "full_outer").select(
         "doc_id",
-        F.when(F.col("_ho").isNull(), "added")
-        .when(F.col("_hn").isNull(), "removed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
         .when(F.col("_ho") != F.col("_hn"), "changed")
         .otherwise("unchanged")
         .alias("change_type"),

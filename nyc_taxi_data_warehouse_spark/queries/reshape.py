@@ -201,10 +201,17 @@ def q35_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @F.pandas_udf(DoubleType())
 def _wavg_cents(price: pd.Series, qty: pd.Series) -> float:
     # Integer-cent arithmetic → order-independent, engine-exact result.
-    cents = (price * 100).round().astype("int64")
-    q = qty.round().astype("int64")
-    tot_q = int(q.sum())
-    return float((cents * q).sum()) / 100.0 / tot_q if tot_q else float("nan")
+    # Null-safe with SQL SUM semantics: the numerator skips rows where
+    # EITHER input is null (a null product never enters SUM), the
+    # denominator skips only null quantities; an empty numerator or a
+    # zero denominator yields NULL (NaN), exactly like the oracle SQL.
+    both = price.notna() & qty.notna()
+    den = int(qty[qty.notna()].round().astype("int64").sum())
+    if not bool(both.any()) or den == 0:
+        return float("nan")
+    cents = (price[both] * 100).round().astype("int64")
+    q = qty[both].round().astype("int64")
+    return float((cents * q).sum()) / 100.0 / den
 
 
 @F.pandas_udf(LongType())

@@ -56,8 +56,14 @@ def q26_outer_join_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_array_agg_segments",
     oracle="""
 SELECT n_nationkey,
-       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
-       len(list(DISTINCT c_mktsegment)) AS n_segments
+       -- FILTER + coalesce mirror Spark collect_set semantics (null
+       -- elements dropped; no elements -> empty set, not NULL)
+       coalesce(array_to_string(list_sort(
+           coalesce(list(DISTINCT c_mktsegment)
+                        FILTER (WHERE c_mktsegment IS NOT NULL), [])
+       ), ','), '') AS segments,
+       coalesce(len(list(DISTINCT c_mktsegment)
+                        FILTER (WHERE c_mktsegment IS NOT NULL)), 0) AS n_segments
 FROM nation JOIN customer ON c_nationkey = n_nationkey
 GROUP BY n_nationkey
 ORDER BY n_nationkey
@@ -87,7 +93,10 @@ def q27_array_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey,
        lpad(CAST(c_custkey AS VARCHAR), 10, '0')      AS padded_key,
        replace(c_name, 'Customer#', 'C-')             AS short_name,
-       split_part(c_name, '#', 2)                     AS name_num,
+       -- DuckDB split_part(NULL, ...) returns '' where Spark (and the
+       -- standard null-propagation rule) return NULL
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE split_part(c_name, '#', 2) END       AS name_num,
        reverse(c_mktsegment)                          AS rev_segment,
        repeat(left(c_mktsegment, 1), 3)               AS initials,
        strpos(c_name, '#')                            AS hash_pos,
@@ -202,7 +211,8 @@ SELECT p_partkey,
        'base,tax'                                        AS keys_sorted,
        CAST(((p_size % 5 + 1) * (p_size % 5 + 2)) // 2 AS BIGINT) AS seq_sum,
        (p_size % 5 + 1) >= 3                             AS has_three,
-       CASE WHEN p_size % 5 + 1 >= 2 THEN '1,2' ELSE '1' END AS head2
+       CASE WHEN p_size IS NULL THEN NULL
+            WHEN p_size % 5 + 1 >= 2 THEN '1,2' ELSE '1' END AS head2
 FROM part
 WHERE p_partkey < 300
 ORDER BY p_partkey

@@ -27,27 +27,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_us bigint"
-STATE_SCHEMA = "n bigint, cents bigint, last_us bigint"
+STATE_SCHEMA = "n bigint, n_vals bigint, cents bigint, last_us bigint"
 
 
 def _update_user_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, cents, last_us = state.get if state.exists else (0, 0, 0)
+    n, n_vals, cents, last_us = state.get if state.exists else (0, 0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # SQL SUM semantics: null values contribute nothing, and a user
+        # whose values are ALL null has a NULL total (n_vals tracks
+        # whether any non-null value was ever seen).
+        v = pdf["value"].dropna()
+        n_vals += len(v)
+        cents += int(v.mul(100).round().astype("int64").sum())
         if len(pdf):
             # normalize to µs regardless of the datetime64 unit pandas picked
             us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
             last_us = max(last_us, int(us.max()))
-    state.update((n, cents, last_us))
+    state.update((n, n_vals, cents, last_us))
     yield pd.DataFrame(
         [
             {
                 "user_id": key[0],
                 "n_events": n,
-                "total_value": cents / 100.0,
+                "total_value": cents / 100.0 if n_vals else None,
                 "last_us": last_us,
             }
         ]
