@@ -153,6 +153,46 @@ def compact_partition(
     return {"before": before, "after": after, "target_files": n_target}
 
 
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 256 * 2**20,
+    min_files: int = 2,
+) -> list[dict]:
+    """Compaction sweep over a partitioned managed table: find every
+    partition whose file count exceeds both ``min_files`` and its
+    ceil(bytes/target) healthy count, and ``compact_partition`` each.
+
+    Partition discovery is catalog metadata (``SHOW PARTITIONS``) plus
+    directory listings — no data is read for healthy partitions, so the
+    standing repair job costs O(fragmented partitions), not O(table).
+    The per-partition rewrites are sequential by design: each is its own
+    all-or-nothing dynamic overwrite, so a failure mid-sweep leaves
+    every other partition either untouched or fully compacted — safe to
+    re-run.
+
+    Returns one ``compact_partition`` result dict per rewritten
+    partition (empty list = table already healthy). Note the sweep may
+    take one extra round to quiesce: rewriting changes the compressed
+    size slightly, which can lower a partition's healthy file count by
+    one — each round strictly reduces file counts, so repeated sweeps
+    converge (and a converged table returns []).
+    """
+    results = []
+    for row in spark.sql(f"SHOW PARTITIONS {table}").collect():
+        # 'year=2025/month=1' → {'year': '2025', 'month': '1'} (values
+        # are passed back verbatim into the partition predicate; Spark
+        # casts string literals to the partition column types).
+        partition = dict(kv.split("=", 1) for kv in row[0].split("/"))
+        stats = partition_file_stats(spark, table, partition)
+        healthy = max(1, math.ceil(stats["total_bytes"] / target_bytes))
+        if stats["n_files"] > max(healthy, min_files - 1):
+            results.append(
+                compact_partition(spark, table, partition, target_bytes)
+            )
+    return results
+
+
 def analyze(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
     """Feed the cost-based optimizer: table stats (row count, size) and
     optional per-column min/max/NDV. At scale, join reordering and

@@ -19,9 +19,8 @@ from nyc_taxi_data_warehouse_spark.warehouse.layout import (
 TABLE = "compact_probe"
 
 
-@pytest.fixture(scope="module")
-def fragmented_table(spark):
-    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+def _build_fragmented(spark, table):
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     # 3 partitions; 25 writer tasks per partition → 25 small files each.
     df = (
         spark.range(0, 30_000)
@@ -32,7 +31,12 @@ def fragmented_table(spark):
         )
         .repartition(25)
     )
-    df.write.mode("overwrite").partitionBy("part").saveAsTable(TABLE)
+    df.write.mode("overwrite").partitionBy("part").saveAsTable(table)
+
+
+@pytest.fixture(scope="module")
+def fragmented_table(spark):
+    _build_fragmented(spark, TABLE)
     yield TABLE
     spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
 
@@ -88,3 +92,49 @@ def test_compact_partition_single_file_noop(spark, fragmented_table):
     r2 = compact_partition(spark, TABLE, {"part": 2}, target_bytes=big_target)
     assert r2["before"] == r2["after"]
     assert sorted(os.listdir(r2["after"]["path"])) == files
+
+
+def test_compact_table_sweeps_only_fragmented_partitions(spark):
+    """compact_table finds fragmented partitions from metadata alone and
+    repairs each; a second sweep is a no-op (already healthy)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import compact_table
+
+    table = "compact_sweep_probe"
+    _build_fragmented(spark, table)  # fresh: all 3 partitions fragmented
+    try:
+        stats = partition_file_stats(spark, table, {"part": 0})
+        target = stats["total_bytes"] // 3 + 1  # healthy ≈ 3 files per part
+
+        def digest():
+            row = (
+                spark.table(table)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.xxhash64("id", "payload").cast("decimal(38,0)")
+                    ).alias("digest"),
+                )
+                .collect()[0]
+            )
+            return row["n"], row["digest"]
+
+        before = digest()
+        results = compact_table(spark, table, target_bytes=target)
+        assert len(results) == 3  # every fragmented partition swept
+        for r in results:
+            assert r["after"]["n_files"] == r["target_files"]
+            assert r["after"]["n_files"] < r["before"]["n_files"]
+        assert digest() == before
+
+        # recompression can shift a partition's healthy count by one —
+        # repeated sweeps must strictly shrink and quiesce to []
+        for _ in range(3):
+            again = compact_table(spark, table, target_bytes=target)
+            if not again:
+                break
+            for r in again:
+                assert r["after"]["n_files"] < r["before"]["n_files"]
+        assert compact_table(spark, table, target_bytes=target) == []
+        assert digest() == before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

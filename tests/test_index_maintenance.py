@@ -216,3 +216,81 @@ def test_write_entry_points_do_not_mutate_session_confs(spark, emb, tmp_path):
         assert spark.conf.get(key) == "dynamic"
     finally:
         spark.conf.set(key, prior)
+
+
+def test_postings_upsert_matches_rebuild_both_layouts(spark, tmp_path):
+    """upsert_postings_for_docs must converge to exactly the index a
+    full rebuild over (old corpus − edited doc) ∪ batch produces, in
+    BOTH layouts — including an EDITED document whose new text drops
+    terms (their stale postings live in partitions the new text no
+    longer touches and must be rewritten away) — while leaving
+    untouched term partitions' files byte-untouched on disk."""
+    from nyc_taxi_data_warehouse_spark.operators.search import (
+        postings,
+        upsert_postings_for_docs,
+        write_postings_index,
+    )
+
+    # Controlled vocabulary so term-partition disjointness is certain
+    # (the sf corpus's synthetic texts share one small word pool — any
+    # batch covers every term, leaving nothing untouched to probe).
+    old_docs = spark.createDataFrame(
+        [
+            (0, "alpha beta beta"),
+            (1, "beta gamma"),
+            (2, "delta epsilon delta"),
+        ],
+        "doc_id long, text string",
+    )
+    # doc 10 is new; doc 0 is EDITED and drops alpha/beta entirely —
+    # their stale postings live in partitions the new text never touches.
+    batch_docs = spark.createDataFrame(
+        [(10, "alpha zeta"), (0, "gamma kappa")], "doc_id long, text string"
+    )
+    batch_post = postings(batch_docs)
+    rebuilt_docs = old_docs.where(F.col("doc_id") != 0).unionByName(batch_docs)
+
+    def dump(path):
+        return sorted(
+            map(tuple, spark.read.parquet(path).select("term", "doc_id", "tf").collect())
+        )
+
+    for hp in (None, 16):
+        inc = str(tmp_path / f"post_inc_{hp}")
+        full = str(tmp_path / f"post_full_{hp}")
+        write_postings_index(postings(old_docs), inc, hash_partitions=hp)
+
+        if hp is None:
+            # a term no batch doc uses and the edited doc never had:
+            # its directory must survive the upsert unrenamed
+            batch_terms = {r["term"] for r in batch_post.select("term").distinct().collect()}
+            doc0_terms = {
+                r["term"]
+                for r in postings(old_docs.where(F.col("doc_id") == 0))
+                .select("term")
+                .collect()
+            }
+            untouched = [
+                d
+                for d in os.listdir(inc)
+                if d.startswith("term=")
+                and d.removeprefix("term=") not in batch_terms | doc0_terms
+            ]
+            assert untouched, "fixture produced no untouched term partition"
+            probe = os.path.join(inc, untouched[0])
+            files_before = sorted(os.listdir(probe))
+
+        upsert_postings_for_docs(batch_post, inc)
+
+        if hp is None:
+            assert sorted(os.listdir(probe)) == files_before
+            # the edited doc's dropped term is fully gone; the shared
+            # term survives for the OTHER doc only
+            kept = dump(inc)
+            assert not any(t == "alpha" and d == 0 for t, d, _ in kept)
+            assert ("beta", 1, 1) in kept and not any(
+                t == "beta" and d == 0 for t, d, _ in kept
+            )
+
+        write_postings_index(postings(rebuilt_docs), full, hash_partitions=hp)
+        assert dump(inc) == dump(full)
