@@ -671,6 +671,26 @@ def upsert_ivf_cells(
         },
     )
     assigned = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    merged = _ivf_upsert_merged(spark, assigned, path, id_col, vec_col, assume_new_ids)
+    # The write replaces partitions the plan is still reading from —
+    # cut the lineage first (same reasoning as merge_upsert).
+    merged = merged.localCheckpoint(eager=True)
+    with dynamic_partition_overwrite(spark):
+        merged.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def _ivf_upsert_merged(
+    spark,
+    assigned: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    assume_new_ids: bool,
+) -> DataFrame:
+    """The upsert's merged-partitions plan (split out so the layout test
+    can assert its scan shape: the touched-cell semi-join must reach the
+    index scan as a dynamic-partition-pruning filter — untouched cells'
+    directories are never read, let alone rewritten)."""
     index = spark.read.parquet(path)
 
     touched = assigned.select("cell").distinct()
@@ -686,18 +706,13 @@ def upsert_ivf_cells(
 
     # Survivors: touched-cell rows whose id is not in the batch. The
     # broadcast semi on touched cells prunes the scan to those cells'
-    # directories; untouched cells are never read or rewritten.
+    # directories (DPP, plan-asserted).
     survivors = (
         index.join(F.broadcast(touched), "cell", "left_semi")
         .join(assigned.select(id_col).distinct(), id_col, "left_anti")
         .select(id_col, vec_col, "cell")
     )
-    merged = survivors.unionByName(assigned.select(id_col, vec_col, "cell"))
-    # The write replaces partitions the plan is still reading from —
-    # cut the lineage first (same reasoning as merge_upsert).
-    merged = merged.localCheckpoint(eager=True)
-    with dynamic_partition_overwrite(spark):
-        merged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return survivors.unionByName(assigned.select(id_col, vec_col, "cell"))
 
 
 def ivf_topk_from_index(

@@ -294,3 +294,58 @@ def test_postings_upsert_matches_rebuild_both_layouts(spark, tmp_path):
 
         write_postings_index(postings(rebuilt_docs), full, hash_partitions=hp)
         assert dump(inc) == dump(full)
+
+
+def test_upsert_scans_are_dynamic_partition_pruned(spark, emb, cents, tmp_path):
+    """The upserts' survivor reads must reach the index scan as a
+    dynamic-partition-pruning filter on the partition column — at corpus
+    scale an upsert touching 3 cells of 1024 must list 3 directories,
+    not scan the index. Asserted on the executed plan of the merged
+    DataFrame both operators write."""
+    from nyc_taxi_data_warehouse_spark.operators.search import (
+        _postings_upsert_merged,
+        postings,
+        write_postings_index,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        _ivf_upsert_merged,
+        ivf_assign,
+        write_ivf_index,
+    )
+
+    def check_scans(df, part_col, payload_col):
+        """Survivor scans (they read the payload column) must be DPP-
+        pruned to touched partitions; the old-partition DISCOVERY scan
+        (assume_new=False) legitimately lists the whole index but must
+        be column-pruned to the id — the payload never leaves disk."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan" in ln and f"{part_col}#" in ln
+        ]
+        assert scans
+        survivor = [ln for ln in scans if f"{payload_col}#" in ln]
+        discovery = [ln for ln in scans if f"{payload_col}#" not in ln]
+        assert survivor and all("dynamicpruning" in ln for ln in survivor), scans
+        assert all(payload_col not in ln.split("ReadSchema:")[-1] for ln in discovery), scans
+
+    ivf_path = str(tmp_path / "ivf_dpp")
+    write_ivf_index(emb.where(F.col("vec_id") < 480), cents, ivf_path)
+    assigned = ivf_assign(emb.where(F.col("vec_id") >= 480), cents)
+    merged = _ivf_upsert_merged(
+        spark, assigned, ivf_path, "vec_id", "embedding", assume_new_ids=False
+    )
+    check_scans(merged, "cell", "embedding")
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    post_path = str(tmp_path / "post_dpp")
+    write_postings_index(postings(docs.where(F.col("doc_id") < 450)), post_path,
+                         hash_partitions=16)
+    new = postings(docs.where(F.col("doc_id") >= 450)).withColumn(
+        "term_bkt", F.pmod(F.xxhash64("term"), F.lit(16))
+    )
+    merged_p = _postings_upsert_merged(
+        spark, new, post_path, "term_bkt", assume_new_docs=False
+    )
+    check_scans(merged_p, "term_bkt", "tf")
