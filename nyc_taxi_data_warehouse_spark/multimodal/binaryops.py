@@ -14,6 +14,13 @@ use ``bounded_arrow_batches`` to shrink it for multi-MB payloads);
 nothing ever collects payload bytes to the driver. Feature extraction
 emits small fixed-width columns, so downstream joins/aggs shuffle
 metadata, not media bytes.
+
+Decode reality in this sandbox: PNG (zlib + scanline unfiltering) and
+WAV (RIFF/PCM) full-frame decode are REAL, stdlib-only
+(``decode_png_pixels`` / ``decode_wav_samples`` feeding
+``extract_pixel_stats`` / ``extract_audio_stats``); JPEG/MP4 get real
+HEADER parsing (dimensions / duration) but full-frame decode needs
+external codecs, so only that step remains a deterministic stand-in.
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     MapType,
@@ -313,6 +321,220 @@ def parse_mp4_header(payload: bytes) -> tuple[int, int] | None:
     if payload[4:8] not in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"skip"):
         return None
     return walk(0, len(payload), 0)
+
+
+def decode_png_pixels(payload: bytes):
+    """Full-frame PNG decode with the stdlib only: zlib-inflate the IDAT
+    stream and undo the per-scanline filters (None/Sub/Up/Average/
+    Paeth) per the PNG spec. Returns ``(width, height, channels,
+    pixels)`` with ``pixels`` a bytearray of length w*h*c (8-bit
+    samples, row-major), or None if the payload is not a PNG this
+    decoder covers (bit depth 8, color types 0/2/4/6, non-interlaced —
+    the overwhelming majority of real-world PNGs).
+
+    This is a REAL decoder, not a stand-in: the sandbox lacks PIL/
+    ffmpeg, but PNG's whole compression layer is zlib, which Python
+    ships. JPEG/MP4 full-frame decode still needs external codecs.
+    """
+    import struct
+    import zlib
+
+    if parse_png_header(payload) is None:
+        return None
+    # IHDR fixed layout after width/height: bit depth, color type,
+    # compression, filter, interlace.
+    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+
+    # Walk chunks, concatenating the IDAT stream.
+    idat = bytearray()
+    off = 8
+    n = len(payload)
+    while off + 8 <= n:
+        (size,) = struct.unpack(">I", payload[off : off + 4])
+        ctype = payload[off + 4 : off + 8]
+        if ctype == b"IDAT":
+            idat += payload[off + 8 : off + 8 + size]
+        elif ctype == b"IEND":
+            break
+        off += 12 + size  # len + type + data + CRC
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    prev_start = -1
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        row = bytearray(raw[row_off + 1 : row_off + 1 + stride])
+        cur_start = y * stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            if prev_start >= 0:
+                for i in range(stride):
+                    row[i] = (row[i] + out[prev_start + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                row[i] = (row[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = out[prev_start + i] if prev_start >= 0 else 0
+                c = (
+                    out[prev_start + i - channels]
+                    if prev_start >= 0 and i >= channels
+                    else 0
+                )
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[cur_start : cur_start + stride] = row
+        prev_start = cur_start
+    return (width, height, channels, out)
+
+
+def decode_wav_samples(payload: bytes):
+    """Full-frame WAV decode with the stdlib only: walk the RIFF chunks
+    to ``data`` and reinterpret it per the ``fmt `` header. Returns
+    ``(sample_rate, channels, samples)`` with ``samples`` an array of
+    ints (PCM16/PCM8, interleaved), or None for non-PCM/other widths."""
+    import struct
+
+    hdr = parse_wav_header(payload)
+    if hdr is None:
+        return None
+    rate, channels = hdr
+    # find fmt bits and the data chunk
+    off = 12
+    bits = None
+    data = None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        if cid == b"fmt " and off + 24 <= len(payload):
+            (bits,) = struct.unpack("<H", payload[off + 22 : off + 24])
+        elif cid == b"data":
+            data = payload[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)
+    if data is None or bits not in (8, 16):
+        return None
+    import array
+
+    if bits == 16:
+        samples = array.array("h")
+        samples.frombytes(data[: len(data) - (len(data) % 2)])
+    else:
+        samples = array.array("b", (b - 128 for b in data))
+    return (rate, channels, samples)
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_px", DoubleType()),
+        StructField("std_px", DoubleType()),
+    ]
+)
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def extract_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel statistics over PNG payloads (stdlib zlib decode, see
+    ``decode_png_pixels``): one output row per decodable image with
+    width/height/channels and mean/std of the 8-bit samples;
+    non-PNG / unsupported payloads are dropped (one-to-zero-or-one
+    mapInPandas). Pixels live only inside the Arrow batch — downstream
+    work shuffles the fixed-width stats, never image bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import statistics
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_png_pixels(p)
+                if dec is None:
+                    continue
+                w, h, c, px = dec
+                mean = sum(px) / len(px)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "mean_px": round(mean, 4),
+                        "std_px": round(statistics.pstdev(px, mean), 4),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=PIXEL_SCHEMA)
+
+
+def extract_audio_stats(df: DataFrame) -> DataFrame:
+    """REAL sample statistics over WAV payloads (stdlib RIFF/PCM decode,
+    see ``decode_wav_samples``): sample counts, RMS and peak amplitude
+    per decodable clip; non-WAV payloads are dropped. Same Arrow-batch
+    containment as ``extract_pixel_stats``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_wav_samples(p)
+                if dec is None:
+                    continue
+                rate, ch, samples = dec
+                n = len(samples)
+                rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "n_samples": n,
+                        "rms": round(rms, 4),
+                        "peak": max((abs(s) for s in samples), default=0),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
