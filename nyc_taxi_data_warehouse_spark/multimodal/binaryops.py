@@ -335,6 +335,13 @@ def decode_png_pixels(payload: bytes):
     This is a REAL decoder, not a stand-in: the sandbox lacks PIL/
     ffmpeg, but PNG's whole compression layer is zlib, which Python
     ships. JPEG/MP4 full-frame decode still needs external codecs.
+
+    Throughput note: the unfilter loop is per-sample Python (Sub/Paeth
+    carry a sequential dependency along the row, so no free numpy
+    vectorization) — fine for thumbnails/metadata extraction; a
+    production cluster would swap in PIL here with the SAME
+    ``extract_pixel_stats`` plumbing, which is the part that matters
+    at scale (decode stays inside the scan-side Arrow batch).
     """
     import struct
     import zlib

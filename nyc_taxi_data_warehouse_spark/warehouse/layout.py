@@ -83,7 +83,10 @@ def partition_file_stats(
     spark: SparkSession, table: str, partition: dict[str, object]
 ) -> dict:
     """File-size audit for ONE Hive-layout partition directory —
-    metadata-only (a directory listing, no data read)."""
+    metadata-only (a directory listing, no data read). Partition values
+    must be filesystem-plain (ints, dates, simple strings): values Hive
+    percent-escapes in directory names are out of scope for this
+    local-listing helper."""
     base = table_location(spark, table)
     part_dir = os.path.join(base, *(f"{k}={v}" for k, v in partition.items()))
     sizes = [

@@ -402,3 +402,82 @@ def test_wav_full_frame_decode_pcm16(spark):
     assert (r["sample_rate"], r["channels"], r["n_samples"]) == (8000, 1, 8)
     assert r["rms"] == round(rms, 4)
     assert r["peak"] == 30001
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the pure-Python decoders (no Spark session needed)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.integers(0, 4),
+    data=st.data(),
+)
+def test_png_decode_roundtrip_property(w, h, channels, filter_type, data):
+    """For ANY pixel content, encoding with any single filter type and
+    decoding must return the source bytes exactly."""
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import (
+        decode_png_pixels,
+    )
+
+    n = w * h * channels
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    png = _png_full_bytes(w, h, channels, pixels, filter_type=filter_type)
+    dec = decode_png_pixels(png)
+    assert dec is not None
+    assert (dec[0], dec[1], dec[2]) == (w, h, channels)
+    assert bytes(dec[3]) == pixels
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 2),
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+)
+def test_wav_decode_roundtrip_property(rate, channels, samples):
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import (
+        decode_wav_samples,
+    )
+
+    wav = _wav_pcm16_bytes(rate, channels, samples)
+    dec = decode_wav_samples(wav)
+    assert dec is not None
+    got_rate, got_ch, got = dec
+    assert (got_rate, got_ch) == (rate, channels)
+    assert list(got) == samples
+
+
+@settings(max_examples=40, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_decoders_never_crash_on_garbage(junk):
+    """Arbitrary bytes (including truncated magic prefixes) must yield
+    None, never an exception — a corrupt corpus cannot kill an executor."""
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import (
+        decode_png_pixels,
+        decode_wav_samples,
+        parse_jpeg_header,
+        parse_mp4_header,
+        parse_png_header,
+        parse_wav_header,
+    )
+
+    for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"RIFF", b"\xff\xd8", b"\x00\x00\x00\x10ftyp"):
+        payload = prefix + junk
+        for fn in (
+            decode_png_pixels,
+            decode_wav_samples,
+            parse_jpeg_header,
+            parse_mp4_header,
+            parse_png_header,
+            parse_wav_header,
+        ):
+            fn(payload)  # may return None/tuple; must not raise
