@@ -347,11 +347,19 @@ def append_to_ann_index(
         "cid",
         "cv",
     )
-    existing_ids = (
+    fresh = codes.join(_ann_existing_ids(spark, path), "cid", "left_anti")
+    fresh.write.mode("append").partitionBy("tbl").parquet(path)
+
+
+def _ann_existing_ids(spark, path: str) -> DataFrame:
+    """Ids already in an ANN index — the append's redelivery guard.
+    Every id appears once per LSH table, so reading ``tbl=0`` alone
+    suffices: the filter prunes the scan to ONE table's directory
+    (static PartitionFilters) and column pruning shrinks it to the id —
+    vectors never leave disk for this check (plan-asserted)."""
+    return (
         spark.read.parquet(path).where(F.col("tbl") == 0).select("cid").distinct()
     )
-    fresh = codes.join(existing_ids, "cid", "left_anti")
-    fresh.write.mode("append").partitionBy("tbl").parquet(path)
 
 
 def ann_topk_from_index(

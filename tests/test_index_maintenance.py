@@ -349,3 +349,31 @@ def test_upsert_scans_are_dynamic_partition_pruned(spark, emb, cents, tmp_path):
         spark, new, post_path, "term_bkt", assume_new_docs=False
     )
     check_scans(merged_p, "term_bkt", "tf")
+
+
+def test_ann_append_guard_scan_is_pruned(spark, emb, tmp_path):
+    """append_to_ann_index's redelivery guard must read ONE table
+    directory (static partition filter tbl=0) and ONLY the id column —
+    at corpus scale the guard is a fraction-of-index id scan, never a
+    vector read."""
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        _ann_existing_ids,
+        multi_table_buckets,
+    )
+
+    path = str(tmp_path / "ann_guard")
+    write_ann_index(emb.where(F.col("vec_id") < 400), path, **ANN_DIALS)
+    codes = multi_table_buckets(
+        emb.where(F.col("vec_id") >= 400), "vec_id", "embedding",
+        ANN_DIALS["n_planes"], ANN_DIALS["dim"], ANN_DIALS["n_tables"],
+        "cid", "cv",
+    )
+    fresh = codes.join(_ann_existing_ids(spark, path), "cid", "left_anti")
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    guard_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "tbl#" in ln
+    ]
+    assert guard_scans
+    for ln in guard_scans:
+        assert "tbl" in ln.split("PartitionFilters:")[-1].split("]")[0], ln
+        assert "cv" not in ln.split("ReadSchema:")[-1], ln
