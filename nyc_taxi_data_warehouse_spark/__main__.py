@@ -10,6 +10,7 @@ an idempotent subcommand and gets a synchronous exit code.
     python -m nyc_taxi_data_warehouse_spark load-month --path f.parquet --year 2025 --month 1
     python -m nyc_taxi_data_warehouse_spark backfill --raw-root /data/raw
     python -m nyc_taxi_data_warehouse_spark sql "SELECT count(*) FROM nyc_taxi.fhvhv_tripdata"
+    python -m nyc_taxi_data_warehouse_spark compact --table nyc_taxi.fhvhv_tripdata
 """
 
 from __future__ import annotations
@@ -38,6 +39,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     q.add_argument("statement")
     q.add_argument("--limit", type=int, default=100)
 
+    cp = sub.add_parser(
+        "compact", help="rewrite fragmented partitions to healthy file counts"
+    )
+    cp.add_argument("--table", required=True)
+    cp.add_argument(
+        "--target-mb", type=int, default=256, help="target file size in MB"
+    )
+    cp.add_argument(
+        "--min-files", type=int, default=2,
+        help="only touch partitions with at least this many files",
+    )
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -65,6 +78,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             rows = spark.sql(args.statement).limit(args.limit).collect()
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "compact":
+            from .warehouse.layout import compact_table
+
+            results = compact_table(
+                spark,
+                args.table,
+                target_bytes=args.target_mb * 2**20,
+                min_files=args.min_files,
+            )
+            print(
+                json.dumps(
+                    {
+                        "compacted_partitions": len(results),
+                        "files_before": sum(r["before"]["n_files"] for r in results),
+                        "files_after": sum(r["after"]["n_files"] for r in results),
+                    }
+                )
+            )
         return 0
     finally:
         if owns_session:

@@ -147,6 +147,13 @@ def test_cli_end_to_end(spark, tmp_path):
     ).collect()[0]["n"]
     assert n == 60
     assert cli("sql", "SELECT 1 AS one") == 0
+    # compaction sweep over the fact table runs clean (likely nothing
+    # fragmented at this size — exit 0 and row counts unchanged matter)
+    assert cli("compact", "--table", "nyc_taxi.fhvhv_tripdata") == 0
+    n2 = spark.sql(
+        "SELECT count(*) AS n FROM nyc_taxi.fhvhv_tripdata WHERE year=2025 AND month=5"
+    ).collect()[0]["n"]
+    assert n2 == 60
 
 
 def test_monthly_zone_pay_flagship(warehouse, raw_root):
