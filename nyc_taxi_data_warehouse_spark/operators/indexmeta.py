@@ -89,6 +89,20 @@ def check_index_meta(spark: SparkSession, path: str, expected: dict) -> None:
         )
 
 
+def delete_partition_dirs(spark: SparkSession, path: str, dirs: list[str]) -> None:
+    """Remove emptied partition directories after an index delete.
+
+    Dynamic partition overwrite replaces only partitions PRESENT in the
+    written data — a partition whose every row was deleted produces no
+    output rows, so its directory (with the stale rows) would survive
+    the overwrite. The delete operators detect emptied partitions and
+    drop their directories through the Hadoop FileSystem API (works on
+    file://, hdfs://, s3a:// — wherever the index lives)."""
+    jvm, fs, hpath = _fs_and_path(spark, path)
+    for d in dirs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(hpath, d), True)
+
+
 def centroid_fingerprint(
     centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:

@@ -723,6 +723,53 @@ def _ivf_upsert_merged(
     return survivors.unionByName(assigned.select(id_col, vec_col, "cell"))
 
 
+def delete_from_ivf_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Remove vectors from a ``write_ivf_index`` table by id — the
+    decontamination path: a poisoned/duplicate batch leaves the corpus
+    index without an O(corpus) rebuild. Touched cells are found with a
+    column-pruned (id, cell) scan; only their partitions are rewritten
+    (the same shape as ``upsert_ivf_cells`` with an empty insert side).
+
+    The empty-cell trap is handled explicitly: dynamic overwrite only
+    replaces partitions PRESENT in the output, so a cell whose every
+    row is deleted would otherwise keep its directory — and its stale
+    rows — on disk. Emptied cells are detected from the survivor counts
+    and their directories dropped through the filesystem API.
+    """
+    from ..session import dynamic_partition_overwrite
+    from .indexmeta import check_index_meta, delete_partition_dirs
+
+    spark = ids.sparkSession
+    check_index_meta(spark, path, {"kind": "ivf"})
+    index = spark.read.parquet(path)
+    victim_ids = F.broadcast(ids.select(id_col).distinct())
+
+    touched = (
+        index.join(victim_ids, id_col, "left_semi").select("cell").distinct()
+    )
+    touched_cells = [r["cell"] for r in touched.collect()]  # metadata-sized
+    if not touched_cells:
+        return
+    payload_cols = [c for c in index.columns if c not in (id_col, "cell")]
+    survivors = (
+        index.where(F.col("cell").isin(touched_cells))
+        .join(victim_ids, id_col, "left_anti")
+        .select(id_col, *payload_cols, "cell")
+    )
+    survivors = survivors.localCheckpoint(eager=True)
+    surviving_cells = {
+        r["cell"] for r in survivors.select("cell").distinct().collect()
+    }
+    with dynamic_partition_overwrite(spark):
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(path)
+    emptied = [c for c in touched_cells if c not in surviving_cells]
+    delete_partition_dirs(spark, path, [f"cell={c}" for c in emptied])
+
+
 def ivf_topk_from_index(
     spark,
     index_path: str,

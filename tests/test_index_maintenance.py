@@ -377,3 +377,89 @@ def test_ann_append_guard_scan_is_pruned(spark, emb, tmp_path):
     for ln in guard_scans:
         assert "tbl" in ln.split("PartitionFilters:")[-1].split("]")[0], ln
         assert "cv" not in ln.split("ReadSchema:")[-1], ln
+
+
+def test_ivf_delete_removes_ids_and_drops_emptied_cells(
+    spark, emb, cents, tmp_path
+):
+    """delete_from_ivf_index must equal a rebuild without the victims —
+    including dropping the DIRECTORY of any cell whose every vector was
+    deleted (dynamic overwrite alone would leave its stale rows
+    probe-able) — while untouched cells' files survive unrenamed."""
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_assign,
+    )
+
+    path = str(tmp_path / "ivf_del")
+    write_ivf_index(emb, cents, path)
+
+    assignment = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).select("vec_id", "cell").collect()
+    }
+    cells = sorted({c for c in assignment.values()})
+    victim_cell = cells[0]
+    donor_cell = next(
+        c for c in cells if c != victim_cell
+        and sum(1 for v in assignment.values() if v == c) >= 2
+    )
+    donor_ids = [i for i, c in assignment.items() if c == donor_cell]
+    victims = [i for i, c in assignment.items() if c == victim_cell]
+    victims += donor_ids[:1]  # partial delete in the donor cell
+    untouched_cell = next(
+        c for c in cells if c not in (victim_cell, donor_cell)
+    )
+    untouched_dir = os.path.join(path, f"cell={untouched_cell}")
+    files_before = sorted(os.listdir(untouched_dir))
+
+    vdf = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    delete_from_ivf_index(vdf, path)
+
+    assert not os.path.isdir(os.path.join(path, f"cell={victim_cell}"))
+    assert sorted(os.listdir(untouched_dir)) == files_before
+    left = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    assert left == set(assignment) - set(victims)
+
+    # probe parity vs a rebuild without the victims
+    full = str(tmp_path / "ivf_del_full")
+    write_ivf_index(emb.where(~F.col("vec_id").isin(victims)), cents, full)
+    q = emb.where(F.col("vec_id").between(200, 203))
+    assert _rows(ivf_topk_from_index(spark, path, q, cents, k=3, n_probe=2)) == _rows(
+        ivf_topk_from_index(spark, full, q, cents, k=3, n_probe=2)
+    )
+
+
+def test_postings_delete_drops_doc_and_emptied_terms(spark, tmp_path):
+    """delete_postings_for_docs removes every posting of the victims;
+    terms whose only documents were deleted lose their partition
+    directory entirely (the retrievability guarantee), shared terms keep
+    the other documents' rows."""
+    from nyc_taxi_data_warehouse_spark.operators.search import (
+        delete_postings_for_docs,
+        postings,
+        write_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta"),
+            (1, "beta gamma"),
+            (2, "delta epsilon delta"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "post_del")
+    write_postings_index(postings(docs), path)
+
+    delete_postings_for_docs(
+        spark.createDataFrame([(2,), (0,)], "doc_id long"), path
+    )
+    assert not os.path.isdir(os.path.join(path, "term=delta"))
+    assert not os.path.isdir(os.path.join(path, "term=epsilon"))
+    assert not os.path.isdir(os.path.join(path, "term=alpha"))
+    kept = sorted(
+        map(tuple, spark.read.parquet(path).select("term", "doc_id", "tf").collect())
+    )
+    assert kept == [("beta", 1, 1), ("gamma", 1, 1)]
