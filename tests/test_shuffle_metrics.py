@@ -1,0 +1,100 @@
+"""Measured shuffle-volume audits over executed plans.
+
+The plan-shape tests (test_formats_and_plans.py) assert what the plan
+LOOKS like; these assert what a query actually MOVED, read from the
+executed plan's SQLMetrics via ``plans.audit.collect_with_metrics``:
+
+- a dimension join broadcasts → ZERO shuffle bytes, measured;
+- partial aggregation (map-side combine) works → the shuffle carries
+  orders of magnitude fewer records than the scan produced;
+- hot catalog queries stay under calibrated shuffle-count caps, so an
+  accidental extra Exchange (a lost broadcast, a misaligned
+  partitioning) fails a test instead of shipping as a silent 100 TB
+  regression.
+
+Caveat (documented, inherent): a query that internally materializes via
+``localCheckpoint``/``persist`` (d03, d07, p01) executes part of its
+work during the checkpoint action; only the post-checkpoint plan is
+metered here. Their internal shuffle structure is covered by the
+plan-shape tests instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.plans.audit import (
+    collect_with_metrics,
+    executed_metrics,
+)
+from nyc_taxi_data_warehouse_spark.queries import QUERIES
+
+
+def _run(spark, sf_dir, name):
+    return collect_with_metrics(QUERIES[name].spark(spark, sf_dir))
+
+
+def test_broadcast_dim_join_moves_zero_shuffle_bytes(spark, sf_dir):
+    """lineitem ⋈ broadcast(orders-keys) must not shuffle either side —
+    measured on the executed plan, not inferred from its text."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = li.join(
+        F.broadcast(orders.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey")
+    m = collect_with_metrics(j)
+    assert m["n_shuffles"] == 0
+    assert m["shuffle_bytes_written"] == 0
+
+
+def test_partial_aggregation_collapses_shuffle_records(spark, sf_dir):
+    """q01's groupBy must combine map-side: the shuffle carries one
+    partial row per (partition × group), not one per input row. At
+    sf0.001 the scan produces 6000 lineitem rows; anything near that
+    count in the shuffle means partial aggregation silently vanished."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_input = li.count()
+    m = _run(spark, sf_dir, "q01_pricing_summary")
+    assert m["shuffle_records_written"] > 0
+    assert m["shuffle_records_written"] < n_input / 10
+
+
+# Calibrated on local[4], shuffle_partitions=4, sf0.001 (see the audit
+# tool's SHUFFLES.json for the full catalog). Caps are the measured
+# shuffle COUNT — byte caps at this scale would be noise-brittle, while
+# an extra Exchange is exactly the regression class worth catching.
+SHUFFLE_COUNT_CAPS = {
+    "q01_pricing_summary": 2,  # partial+final agg pair after AQE
+    "q05_local_supplier_volume": 1,  # every dim join broadcasts; 1 agg
+    "q38_salted_supplier_revenue": 2,  # salted partial + unsalted final
+    "t02_quality_scores": 1,  # per-doc scoring: 1 ranking exchange
+    "e01_cosine_topk": 2,  # per-query top-k + global merge
+    "e05_ann_topk_probe": 2,  # bucket-join + top-k merge
+    "d06_embedding_near_dup": 1,  # LSH bucket self-join on one exchange
+    "p03_sequence_packing": 3,  # ints-only plan + group shuffle + order
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_COUNT_CAPS))
+def test_hot_query_shuffle_count_capped(spark, sf_dir, name):
+    m = _run(spark, sf_dir, name)
+    cap = SHUFFLE_COUNT_CAPS[name]
+    assert m["n_shuffles"] <= cap, (
+        f"{name} executed {m['n_shuffles']} shuffles (cap {cap}) — "
+        f"an Exchange crept into the plan; metrics: {m}"
+    )
+    assert m["spill_bytes"] == 0, f"{name} spilled at sf0.001: {m}"
+
+
+def test_executed_metrics_requires_no_rerun(spark, sf_dir):
+    """executed_metrics reads metrics populated by a prior collect() on
+    the SAME DataFrame — the zero-cost path for tests that already ran
+    the query."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = li.groupBy("l_linestatus").count()
+    d.collect()
+    m = executed_metrics(d)
+    assert m["n_shuffles"] == 1
+    assert m["shuffle_records_written"] > 0
