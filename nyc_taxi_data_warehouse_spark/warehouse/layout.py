@@ -225,6 +225,89 @@ def write_sorted(
     )
 
 
+def zorder_value(df: DataFrame, keys: list[str], bits: int = 8):
+    """Z-order (Morton) key column over ``keys``: each key is mapped to a
+    ``2**bits``-bucket rank via its own quantile boundaries, and the
+    bucket ids are bit-interleaved. Rows close in z-value are close in
+    EVERY key dimension, so clustering files by z-value gives each file
+    a tight min/max footer range on ALL keys at once — the layout that
+    makes multi-dimension predicates skip files, where a plain sort only
+    serves its leading column.
+
+    Quantile bucketing (not linear min/max scaling): boundaries come
+    from ``approxQuantile`` — driver-side metadata, ``2**bits - 1``
+    doubles per key — so skewed distributions still fill all buckets
+    instead of collapsing into one hot cell. Bucket lookup runs JVM-side
+    as an O(2**bits) aggregate over the broadcast boundary literal; at
+    the default 8 bits that is 255 comparisons per row per key, a
+    write-time cost only.
+
+    Returns ``(df_with_column, "_zorder")`` — callers needing only the
+    expression can drop the column after clustering.
+    """
+    n_buckets = 1 << bits
+    from pyspark.sql import functions as F
+
+    def _numeric_image(k: str, dtype: str):
+        # ANSI mode forbids timestamp/date → numeric CASTs; use the
+        # explicit epoch functions so time keys cluster like ints.
+        col = F.col(k)
+        if dtype == "date":
+            return F.unix_date(col).cast("double")
+        if dtype == "timestamp_ntz":
+            return F.unix_micros(col.cast("timestamp_ltz")).cast("double")
+        if dtype.startswith("timestamp"):
+            return F.unix_micros(col).cast("double")
+        return col.cast("double")
+
+    dtypes = dict(df.dtypes)
+    with_z = df
+    bucket_cols = []
+    for k in keys:
+        img = _numeric_image(k, dtypes[k])
+        bounds = df.select(img.alias("_q")).approxQuantile(
+            "_q", [i / n_buckets for i in range(1, n_buckets)], 0.001
+        )
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(img >= b, 1).otherwise(0),
+        )
+        name = f"_zb_{k}"
+        with_z = with_z.withColumn(name, bucket)
+        bucket_cols.append(name)
+
+    ndims = len(keys)
+    z = F.lit(0)
+    for i in range(bits):
+        for d, name in enumerate(bucket_cols):
+            bit = F.shiftright(F.col(name), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * ndims + d)
+    return with_z.withColumn("_zorder", z).drop(*bucket_cols), "_zorder"
+
+
+def write_zordered(
+    df: DataFrame, path: str, keys: list[str], n_files: int = 8, bits: int = 8
+) -> None:
+    """Multi-dimension file clustering: range-partition and sort on the
+    interleaved ``zorder_value`` so each output file covers a compact
+    region of the key space — a range or point predicate on ANY of
+    ``keys`` skips most files via footer min/max, not just predicates on
+    a sort leader. The write shape is identical to ``write_sorted`` (one
+    range exchange + in-partition sort); only the clustering key is
+    smarter. Verified measured (scan numOutputRows vs footer
+    intersections) in the layout tests, per-dimension."""
+    zdf, zcol = zorder_value(df, keys, bits)
+    (
+        zdf.repartitionByRange(n_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def export_training_shards(
     df: DataFrame,
     path: str,

@@ -649,3 +649,109 @@ def test_ivf_index_table_prunes_to_probed_cells(spark, tmp_path):
     assert idx_scans and all("dynamicpruning" in ln for ln in idx_scans), (
         idx_scans or plan[:3000]
     )
+
+
+def _rowgroup_ranges(out_dir, column):
+    """(min, max, num_rows) per row group for one column, via footers."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in _os.listdir(out_dir):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(_os.path.join(out_dir, f)).metadata
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            col = next(
+                group.column(i)
+                for i in range(group.num_columns)
+                if group.column(i).path_in_schema == column
+            )
+            ranges.append((col.statistics.min, col.statistics.max, group.num_rows))
+    return ranges
+
+
+def test_write_zordered_skips_on_every_dimension(spark, tmp_path):
+    """Z-order earns its keep over a plain sort exactly here: after
+    clustering events on (event_id, value), a selective range predicate
+    on EITHER column must find most row groups non-intersecting by
+    footer min/max — and the executed scan must read only the
+    intersecting ones (numOutputRows == sum of intersecting groups'
+    rows). A single-key sort gives this for its leader only; the second
+    dimension would intersect everything."""
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import write_zordered
+
+    events = load_table(spark, SF, "events").select("event_id", "value")
+    out = str(tmp_path / "events_z")
+    write_zordered(events, out, ["event_id", "value"], n_files=16)
+
+    # Predicates sized in RANK space (~6% of each column's mass):
+    # z-order clusters by quantile bucket, so selectivity must be
+    # measured against the distribution, not the value span — `value`
+    # is right-skewed and a fixed 6%-of-span strip near the mode would
+    # cover ~20% of rows.
+    lo_v, hi_v = events.approxQuantile("value", [0.10, 0.16], 0.001)
+    for column, lo, hi in [("event_id", 100, 160), ("value", lo_v, hi_v)]:
+        intersecting = total = 0
+        for mn, mx, n in _rowgroup_ranges(out, column):
+            total += n
+            if mn <= hi and mx >= lo:
+                intersecting += n
+        # the multi-dim clustering must prune a majority of rows on BOTH
+        # dimensions (a plain sort prunes ~0% on its trailing column)
+        assert intersecting < total / 2, (
+            f"{column}: {intersecting}/{total} rows intersect — no clustering"
+        )
+
+        df = spark.read.parquet(out).where(F.col(column).between(lo, hi))
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        scan_out = None
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            if "Scan" in node.nodeName():
+                scan_out = node.metrics().apply("numOutputRows").value()
+        assert scan_out == intersecting
+
+
+def test_write_zordered_preserves_rows(spark, tmp_path):
+    """Clustering is a pure layout change: same rows, same values."""
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import write_zordered
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "events_z_rows")
+    write_zordered(events, out, ["user_id", "value"], n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert back.columns == events.columns
+    # decimal sums: exact and associative, so partition order cannot
+    # perturb the comparison (the repo-wide determinism rule)
+    dec = F.sum(F.col("value").cast("decimal(18,6)"))
+    assert (
+        back.agg(F.sum("event_id"), dec).collect()
+        == events.agg(F.sum("event_id"), dec).collect()
+    )
+
+
+def test_write_zordered_timestamp_key(spark, tmp_path):
+    """Timestamp keys cluster via their epoch-double image — the common
+    (time, entity) two-dimension fact layout works out of the box."""
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import write_zordered
+
+    events = load_table(spark, SF, "events").select("ts", "user_id")
+    out = str(tmp_path / "events_z_ts")
+    write_zordered(events, out, ["ts", "user_id"], n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    lo, hi = events.approxQuantile("user_id", [0.10, 0.16], 0.001)
+    intersecting = total = 0
+    for mn, mx, n in _rowgroup_ranges(out, "user_id"):
+        total += n
+        if mn <= hi and mx >= lo:
+            intersecting += n
+    assert intersecting < total * 0.7, f"user_id: {intersecting}/{total}"
