@@ -1,0 +1,135 @@
+"""Deterministic weighted / mixture sampling (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.operators.sampling import (
+    apportion,
+    mixture_sample,
+    weighted_sample,
+)
+from nyc_taxi_data_warehouse_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "lang", "n_chars")
+
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    d = _docs(spark).withColumn("w", F.col("n_chars").cast("double"))
+    s1 = weighted_sample(d, 50, "w", "doc_id", seed=7)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert len(ids1) == 50
+    assert len(set(ids1)) == 50
+    # same seed, different partitioning -> identical selection
+    s2 = weighted_sample(d.repartition(13), 50, "w", "doc_id", seed=7)
+    assert sorted(r.doc_id for r in s2.collect()) == ids1
+    # different seed -> different selection
+    s3 = weighted_sample(d, 50, "w", "doc_id", seed=8)
+    assert sorted(r.doc_id for r in s3.collect()) != ids1
+
+
+def test_weighted_sample_matches_local_top_k(spark):
+    """The distributed TakeOrdered selection equals a local recompute of
+    the same A-ES scores — proves limit() really takes the top-k of the
+    score, not an arbitrary k."""
+    d = _docs(spark).withColumn("w", (F.col("doc_id") % 7 + 1).cast("double"))
+    picked = sorted(
+        r.doc_id for r in weighted_sample(d, 30, "w", "doc_id", seed=3).collect()
+    )
+    rows = d.withColumn(
+        "u",
+        (F.abs(F.xxhash64("doc_id", F.lit(3))).cast("double") + 1.0)
+        / float((1 << 63) + 2),
+    ).collect()
+    local = sorted(
+        (r.doc_id for r in rows), key=lambda i: -next(
+            math.log(r.u) / r.w for r in rows if r.doc_id == i
+        )
+    )[:30]
+    assert picked == sorted(local)
+
+
+def test_weighted_sample_respects_weights(spark):
+    """Rows weighted 50x are (deterministically, for this seed) far
+    overrepresented vs weight-1 rows in a half-size sample."""
+    d = _docs(spark).withColumn(
+        "w", F.when(F.col("doc_id") % 10 == 0, 50.0).otherwise(1.0)
+    )
+    n = d.count()
+    heavy_total = d.where("doc_id % 10 = 0").count()
+    s = weighted_sample(d, n // 2, "w", "doc_id", seed=1)
+    heavy_sampled = s.where("doc_id % 10 = 0").count()
+    # heavy rows are 10% of the population; with 50x weight they must
+    # nearly all be selected, far above their population share
+    assert heavy_sampled > 0.9 * heavy_total
+    assert s.count() == n // 2
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    d = _docs(spark).withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, 1.0).otherwise(0.0)
+    )
+    s = weighted_sample(d, 1000000, "w", "doc_id", seed=0)
+    assert s.where("doc_id % 2 = 1").count() == 0
+
+
+def test_apportion_sums_exactly():
+    counts = apportion({"web": 6, "code": 3, "books": 1}, 100)
+    assert counts == {"web": 60, "code": 30, "books": 10}
+    counts = apportion({"a": 1, "b": 1, "c": 1}, 100)
+    assert sum(counts.values()) == 100
+    assert sorted(counts.values()) == [33, 33, 34]
+    with pytest.raises(ValueError):
+        apportion({"a": 0.0}, 10)
+
+
+def test_mixture_sample_exact_quotas_and_deterministic(spark):
+    d = _docs(spark)
+    weights = {"en": 5, "es": 3, "de": 2}
+    n = 100
+    s = mixture_sample(d, "lang", weights, n, "doc_id", seed=11)
+    got = {r.lang: r.n for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == apportion(weights, n)
+    # deterministic under repartitioning and salt granularity
+    s2 = mixture_sample(
+        d.repartition(17), "lang", weights, n, "doc_id", seed=11, salt_partitions=8
+    )
+    assert sorted(r.doc_id for r in s2.collect()) == sorted(
+        r.doc_id for r in s.collect()
+    )
+    # excluded domain never appears
+    assert s.where(~F.col("lang").isin(*weights)).count() == 0
+
+
+def test_mixture_sample_caps_at_domain_size_without_redistribution(spark):
+    d = _docs(spark)
+    n_de = d.where("lang = 'de'").count()
+    weights = {"en": 1, "de": 99}  # demands far more 'de' than exists
+    n = n_de * 10
+    s = mixture_sample(d, "lang", weights, n, "doc_id", seed=0)
+    got = {r.lang: r.n for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    quotas = apportion(weights, n)
+    assert got["de"] == n_de  # everything it has
+    assert got["en"] == quotas["en"]  # quota honored, shortfall NOT moved
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    """The selection must plan TakeOrderedAndProject (per-partition
+    top-k + driver merge of partitions x k rows) — a global Sort+Limit
+    here would be a 100 TB scale-killer."""
+    d = _docs(spark).withColumn("w", F.col("n_chars").cast("double"))
+    plan = (
+        weighted_sample(d, 50, "w", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
