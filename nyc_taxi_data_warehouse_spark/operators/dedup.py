@@ -72,32 +72,33 @@ def with_minhash(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n_hashes: int = 8,
-    bands: int = 4,
     shingle_k: int = 3,
-    jaccard_threshold: float = 0.5,
-    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold.
+    """One row per document: ``(_id, _shingles, mh0..mh{n-1})``.
 
-    Pipeline: signature → band keys → explode(bands) → same-bucket
-    self-join → distinct candidate pairs → exact verify on shingle sets.
+    Single-pass signature build, chosen after profiling the obvious
+    formulations:
+    - column-per-hash with array transforms: Catalyst inlines the
+      tokenize→shingle tree into every minhash column AND re-evaluates
+      the token array per lambda element (no subexpression elimination
+      across lambda scopes) — quadratic-ish recompute.
+    - here: tokenize once, posexplode, shingle via lead() window, hash
+      each (doc, shingle) row n_hashes times, groupBy-min back to one
+      row per doc. The window and the groupBy share the doc-id hash
+      partitioning, so the whole signature build is ONE shuffle.
+
+    Shingles are carried as xxhash64 ints, not strings: the verify join
+    ships both sides' shingle sets through a shuffle, and at corpus
+    scale the payload is dominated by those arrays. Hashing preserves
+    set semantics (intersect/union sizes, hence Jaccard) with ~10x
+    fewer bytes; a 64-bit collision inside one document's set is
+    negligible at any realistic shingle cardinality.
     """
-    rows_per_band = n_hashes // bands
-    # Single-pass signature build, chosen after profiling the obvious
-    # formulations:
-    # - column-per-hash with array transforms: Catalyst inlines the
-    #   tokenize→shingle tree into every minhash column AND re-evaluates
-    #   the token array per lambda element (no subexpression elimination
-    #   across lambda scopes) — quadratic-ish recompute.
-    # - here: tokenize once, posexplode, shingle via lead() window, hash
-    #   each (doc, shingle) row n_hashes times, groupBy-min back to one
-    #   row per doc. The window and the groupBy share the doc-id hash
-    #   partitioning, so the whole signature build is ONE shuffle.
     from pyspark.sql.window import Window
 
     tk = df.select(F.col(id_col).alias("_id"), T.tokens(F.col(text_col)).alias("_tk"))
@@ -113,27 +114,19 @@ def minhash_lsh_pairs(
         "_id",
         F.concat_ws(" ", "t", *[f"t{j}" for j in range(1, shingle_k)]).alias("_s"),
     )
-    # Shingles are carried as xxhash64 ints, not strings: the verify join
-    # ships both sides' shingle sets through a shuffle, and at corpus
-    # scale the payload is dominated by those arrays. Hashing preserves
-    # set semantics (intersect/union sizes, hence Jaccard) with ~10x
-    # fewer bytes; a 64-bit collision inside one document's set is
-    # negligible at any realistic shingle cardinality.
-    sig = shingle_rows.groupBy("_id").agg(
+    return shingle_rows.groupBy("_id").agg(
         F.collect_set(F.xxhash64("_s")).alias("_shingles"),
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"mh{i}")
             for i in range(n_hashes)
         ],
     )
-    # Materialize: the signature table is tiny relative to the corpus
-    # (id + 8 hex strings + hashed shingle set) and is consumed three
-    # times (band keys, bucket explode, both sides of the verify join).
-    # Unpersisted at the end of this function — the verified pair list is
-    # eagerly localCheckpoint-ed first, so callers never re-trigger the
-    # signature build and the cache entry does not leak across calls.
-    sig_cached = sig.persist()
-    sig = sig_cached
+
+
+def band_key_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """LSH band keys of a signature table: ``(_id, band_idx, key)`` —
+    one row per (doc, band), key = md5 over the band's signature rows."""
+    rows_per_band = n_hashes // bands
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -142,9 +135,8 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    sig = sig.select("_id", "_shingles", *band_cols)
-
-    buckets = sig.select(
+    keyed = sig.select("_id", *band_cols)
+    return keyed.select(
         "_id",
         F.explode(
             F.array(
@@ -156,12 +148,42 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("_id", "bk.band_idx", "bk.key")
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold.
+
+    Pipeline: signature → band keys → explode(bands) → same-bucket
+    self-join → distinct candidate pairs → exact verify on shingle sets.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # Materialize: the signature table is tiny relative to the corpus
+    # (id + 8 hex strings + hashed shingle set) and is consumed three
+    # times (band keys, bucket explode, both sides of the verify join).
+    # Unpersisted at the end of this function — the verified pair list is
+    # eagerly localCheckpoint-ed first, so callers never re-trigger the
+    # signature build and the cache entry does not leak across calls.
+    sig_cached = sig.persist()
+    sig = sig_cached
+
+    buckets = band_key_buckets(sig, n_hashes, bands)
+
     if max_bucket_size is not None:
         # LSH skew guard: degenerate buckets (empty/boilerplate docs)
         # would otherwise produce a quadratic pair blow-up on one key.
         # Count-over-window instead of groupBy+anti-join: one shuffle on
         # (band_idx, key) whose partitioning the candidate self-join
         # below reuses directly.
+        from pyspark.sql.window import Window
+
         bw = Window.partitionBy("band_idx", "key")
         buckets = (
             buckets.withColumn("_n", F.count("*").over(bw))
@@ -202,6 +224,175 @@ def minhash_lsh_pairs(
     # until an explicit unpersist).
     verified = verified.localCheckpoint(eager=True)
     sig_cached.unpersist()
+    return verified
+
+
+def write_minhash_index(
+    spark,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> None:
+    """Persist the corpus half of the LSH dedup pipeline so every new
+    ingest batch dedups against the corpus WITHOUT recomputing corpus
+    signatures — the incremental form of ``minhash_lsh_pairs``. Two
+    tables under ``path``:
+
+    - ``buckets/`` (band_idx-partitioned): ``(_id, band_idx, key)``
+    - ``shingles/``: ``(_id, _shingles)`` for the exact-Jaccard verify
+
+    The LSH skew guard runs at WRITE time: buckets over
+    ``max_bucket_size`` are dropped entirely (boilerplate/empty-doc
+    keys), so no probe can quadratically blow up on a degenerate key.
+    Dials land in the ``_meta.json`` sidecar; readers fail fast on a
+    mismatch. STATIC overwrite scope — a rebuild with fewer bands must
+    not leave stale band directories (same rule as the ANN indexes).
+    """
+    from ..session import static_partition_overwrite
+    from .indexmeta import write_index_meta
+
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
+    buckets = band_key_buckets(sig, n_hashes, bands)
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        bw = Window.partitionBy("band_idx", "key")
+        buckets = (
+            buckets.withColumn("_n", F.count("*").over(bw))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    with static_partition_overwrite(spark):
+        buckets.write.mode("overwrite").partitionBy("band_idx").parquet(
+            f"{path}/buckets"
+        )
+        sig.select("_id", "_shingles").write.mode("overwrite").parquet(
+            f"{path}/shingles"
+        )
+    sig.unpersist()
+    write_index_meta(
+        spark,
+        path,
+        {
+            "kind": "minhash",
+            "n_hashes": n_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "max_bucket_size": max_bucket_size,
+            "id_col": id_col,
+        },
+    )
+
+
+def append_to_minhash_index(
+    spark, df: DataFrame, text_col: str, id_col: str, path: str
+) -> None:
+    """Add a new batch's signatures to a persisted MinHash index. Build
+    dials come from the sidecar (callers cannot drift them). Redelivery
+    is idempotent: already-indexed ids are anti-joined out against a
+    column-pruned ``_id``-only scan of the shingle table before any
+    signature work.
+
+    The write-time bucket-size cap is NOT re-enforced across appends
+    (an append never rewrites existing rows); a corpus whose appends
+    grow a degenerate bucket past the cap re-enforces it at the next
+    ``write_minhash_index`` rebuild — same maintenance contract as
+    partition compaction.
+    """
+    from .indexmeta import read_index_meta
+
+    meta = read_index_meta(spark, path)
+    if meta is None or meta.get("kind") != "minhash":
+        from .indexmeta import IndexMetaError
+
+        raise IndexMetaError(f"{path}: not a minhash index written by this engine")
+    existing_ids = spark.read.parquet(f"{path}/shingles").select("_id")
+    fresh = df.join(
+        existing_ids, df[id_col] == existing_ids["_id"], "left_anti"
+    )
+    sig = minhash_signatures(
+        fresh, text_col, id_col, meta["n_hashes"], meta["shingle_k"]
+    ).persist()
+    buckets = band_key_buckets(sig, meta["n_hashes"], meta["bands"])
+    buckets.write.mode("append").partitionBy("band_idx").parquet(f"{path}/buckets")
+    sig.select("_id", "_shingles").write.mode("append").parquet(f"{path}/shingles")
+    sig.unpersist()
+
+
+def incremental_minhash_pairs(
+    spark,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    jaccard_threshold: float = 0.5,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the persisted corpus
+    index: ``(corpus_id, new_id, jaccard)`` with exact Jaccard >=
+    threshold. The batch's signatures are computed fresh; the corpus
+    side comes entirely from the index — no corpus text is re-read,
+    no corpus signature is recomputed.
+
+    Scale shape: with ``broadcast_batch`` (the normal ingest case —
+    batch ≪ corpus) the batch's band keys broadcast, so the corpus
+    bucket table is scanned once map-side and NEVER shuffles; only
+    matched candidates (and the shingle sets of exactly those corpus
+    docs) move. With a huge batch, set it False for a shuffle equi-join
+    on (band_idx, key). Within-batch duplicates are ``minhash_lsh_pairs``'
+    job — compose both in an ingest pipeline.
+    """
+    from .indexmeta import check_index_meta, read_index_meta
+
+    meta = read_index_meta(spark, path) or {}
+    check_index_meta(spark, path, {"kind": "minhash"})
+    n_hashes, bands = meta["n_hashes"], meta["bands"]
+    shingle_k = meta["shingle_k"]
+
+    sig = minhash_signatures(new_df, text_col, id_col, n_hashes, shingle_k).persist()
+    new_buckets = band_key_buckets(sig, n_hashes, bands).withColumnsRenamed(
+        {"_id": "new_id"}
+    )
+    if broadcast_batch:
+        new_buckets = F.broadcast(new_buckets)
+    corpus_buckets = spark.read.parquet(f"{path}/buckets").withColumnsRenamed(
+        {"_id": "corpus_id"}
+    )
+    cand = (
+        corpus_buckets.join(new_buckets, ["band_idx", "key"])
+        .where(F.col("corpus_id") != F.col("new_id"))
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    corpus_sh = spark.read.parquet(f"{path}/shingles").withColumnsRenamed(
+        {"_id": "corpus_id", "_shingles": "sh_corpus"}
+    )
+    new_sh = sig.select(
+        F.col("_id").alias("new_id"), F.col("_shingles").alias("sh_new")
+    )
+    if broadcast_batch:
+        new_sh = F.broadcast(new_sh)
+    verified = (
+        cand.join(corpus_sh, "corpus_id")
+        .join(new_sh, "new_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_corpus", "sh_new"))
+                / F.size(F.array_union("sh_corpus", "sh_new")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("corpus_id", "new_id", "jaccard")
+    )
+    verified = verified.localCheckpoint(eager=True)
+    sig.unpersist()
     return verified
 
 

@@ -1,0 +1,132 @@
+"""Persisted MinHash/LSH index: incremental near-dup of new batches
+against a corpus without recomputing corpus signatures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.operators.dedup import (
+    append_to_minhash_index,
+    incremental_minhash_pairs,
+    minhash_lsh_pairs,
+    write_minhash_index,
+)
+from nyc_taxi_data_warehouse_spark.operators.indexmeta import IndexMetaError
+from nyc_taxi_data_warehouse_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+DIALS = dict(n_hashes=8, bands=4, shingle_k=3)
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def _pairs_set(df, a="corpus_id", b="new_id"):
+    return {(r[a], r[b], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_probe_equals_batch_pipeline(spark, tmp_path):
+    """incremental(new vs index(corpus)) must equal the cross-subset of
+    the one-shot pipeline over corpus ∪ new — the incremental path is an
+    optimization, never a semantic fork."""
+    docs = _docs(spark)
+    corpus = docs.where("doc_id % 5 != 0")
+    batch = docs.where("doc_id % 5 = 0")
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(spark, corpus, "text", "doc_id", idx, **DIALS)
+
+    inc = incremental_minhash_pairs(
+        spark, batch, "text", "doc_id", idx, jaccard_threshold=0.3
+    )
+    got = _pairs_set(inc)
+
+    full = minhash_lsh_pairs(
+        docs, "text", "doc_id", jaccard_threshold=0.3, **DIALS
+    )
+    # one-shot emits id_a < id_b over the union; keep only corpus x new
+    # pairs and normalize to (corpus_id, new_id)
+    want = set()
+    for r in full.collect():
+        a_new, b_new = r.id_a % 5 == 0, r.id_b % 5 == 0
+        if a_new and not b_new:
+            want.add((r.id_b, r.id_a, r.jaccard))
+        elif b_new and not a_new:
+            want.add((r.id_a, r.id_b, r.jaccard))
+    assert got == want
+    assert len(got) > 0, "fixture produced no cross near-dups — test is vacuous"
+
+
+def test_append_then_probe_equals_rebuild_then_probe(spark, tmp_path):
+    docs = _docs(spark)
+    corpus1 = docs.where("doc_id % 5 = 1")
+    corpus2 = docs.where("doc_id % 5 = 2")
+    batch = docs.where("doc_id % 5 = 0")
+
+    idx_a = str(tmp_path / "appended")
+    write_minhash_index(spark, corpus1, "text", "doc_id", idx_a, **DIALS)
+    append_to_minhash_index(spark, corpus2, "text", "doc_id", idx_a)
+
+    idx_r = str(tmp_path / "rebuilt")
+    write_minhash_index(
+        spark, corpus1.unionByName(corpus2), "text", "doc_id", idx_r, **DIALS
+    )
+
+    p_a = incremental_minhash_pairs(spark, batch, "text", "doc_id", idx_a, 0.3)
+    p_r = incremental_minhash_pairs(spark, batch, "text", "doc_id", idx_r, 0.3)
+    assert _pairs_set(p_a) == _pairs_set(p_r)
+    assert len(_pairs_set(p_a)) > 0
+
+
+def test_append_redelivery_is_idempotent(spark, tmp_path):
+    docs = _docs(spark)
+    corpus = docs.where("doc_id % 5 = 1")
+    batch = docs.where("doc_id % 5 = 2")
+    idx = str(tmp_path / "redelivered")
+    write_minhash_index(spark, corpus, "text", "doc_id", idx, **DIALS)
+    append_to_minhash_index(spark, batch, "text", "doc_id", idx)
+    n_buckets = spark.read.parquet(f"{idx}/buckets").count()
+    n_shingles = spark.read.parquet(f"{idx}/shingles").count()
+    append_to_minhash_index(spark, batch, "text", "doc_id", idx)  # redelivery
+    assert spark.read.parquet(f"{idx}/buckets").count() == n_buckets
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_shingles
+
+
+def test_probe_fails_fast_on_wrong_index_kind(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "notmh")
+    # an unrelated parquet dir with no sidecar
+    docs.limit(5).write.parquet(f"{idx}/shingles")
+    with pytest.raises(IndexMetaError):
+        incremental_minhash_pairs(spark, docs.limit(5), "text", "doc_id", idx)
+    with pytest.raises(IndexMetaError):
+        append_to_minhash_index(spark, docs.limit(5), "text", "doc_id", idx)
+
+
+def test_broadcast_probe_never_shuffles_corpus_buckets(spark, tmp_path):
+    """The ingest-case probe plan: batch band keys broadcast, so the
+    corpus bucket scan feeds a BroadcastHashJoin directly — no Exchange
+    on the corpus side of the candidate join."""
+    docs = _docs(spark)
+    corpus = docs.where("doc_id % 5 != 0")
+    batch = docs.where("doc_id % 5 = 0").limit(20)
+    idx = str(tmp_path / "planidx")
+    write_minhash_index(spark, corpus, "text", "doc_id", idx, **DIALS)
+
+    # rebuild the candidate join exactly as the operator does, without
+    # the eager checkpoint, so the plan stays inspectable
+    from nyc_taxi_data_warehouse_spark.operators.dedup import (
+        band_key_buckets,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(batch, "text", "doc_id", 8, 3)
+    nb = F.broadcast(band_key_buckets(sig, 8, 4).withColumnsRenamed({"_id": "new_id"}))
+    cb = spark.read.parquet(f"{idx}/buckets").withColumnsRenamed({"_id": "corpus_id"})
+    cand = cb.join(nb, ["band_idx", "key"]).select("corpus_id", "new_id")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the corpus scan's subtree must reach the broadcast join without an
+    # Exchange: with the batch side broadcast, no corpus shuffle exists
+    assert "Exchange hashpartitioning" not in plan
