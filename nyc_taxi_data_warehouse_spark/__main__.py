@@ -51,6 +51,35 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="only touch partitions with at least this many files",
     )
 
+    di = sub.add_parser(
+        "dedup-ingest",
+        help="stream new document files into a kept corpus, near-dup-"
+        "filtered against everything already kept (persisted MinHash "
+        "index; re-runnable — the checkpoint skips processed files)",
+    )
+    di.add_argument("--src", required=True, help="watched parquet directory")
+    di.add_argument("--index", required=True, help="MinHash index path")
+    di.add_argument("--kept", required=True, help="kept-corpus output path")
+    di.add_argument("--checkpoint", required=True)
+    di.add_argument("--text-col", default="text")
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--threshold", type=float, default=0.5)
+
+    sm = sub.add_parser(
+        "sample",
+        help="materialize an exact-count, deterministic domain-mixture "
+        "sample (same rows on any cluster shape)",
+    )
+    sm.add_argument("--src", required=True, help="input parquet path")
+    sm.add_argument("--out", required=True, help="output parquet path")
+    sm.add_argument("--domain-col", required=True)
+    sm.add_argument(
+        "--weights", required=True, help='JSON domain weights, e.g. {"en":6,"es":3}'
+    )
+    sm.add_argument("--n", type=int, required=True, help="total rows to sample")
+    sm.add_argument("--id-col", required=True)
+    sm.add_argument("--seed", type=int, default=0)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -96,6 +125,35 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     }
                 )
             )
+        elif args.cmd == "dedup-ingest":
+            from .operators.indexmeta import read_index_meta
+            from .streaming.dedup_ingest import init_dedup_index, stream_dedup_ingest
+
+            if read_index_meta(spark, args.index) is None:
+                init_dedup_index(spark, args.index, args.text_col, args.id_col)
+            schema = spark.read.parquet(args.src).schema
+            docs = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(args.src)
+            )
+            stream_dedup_ingest(
+                spark, docs, args.index, args.kept, args.text_col, args.id_col,
+                jaccard_threshold=args.threshold, checkpoint=args.checkpoint,
+            )
+            n_kept = spark.read.parquet(f"{args.index}/shingles").count()
+            print(json.dumps({"status": "ok", "corpus_docs": n_kept}))
+        elif args.cmd == "sample":
+            from .operators.sampling import mixture_sample
+
+            weights = {k: float(v) for k, v in json.loads(args.weights).items()}
+            out = mixture_sample(
+                spark.read.parquet(args.src), args.domain_col, weights,
+                args.n, args.id_col, seed=args.seed,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"status": "ok", "rows": n}))
         return 0
     finally:
         if owns_session:

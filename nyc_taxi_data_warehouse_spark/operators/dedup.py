@@ -243,7 +243,11 @@ def write_minhash_index(
     signatures — the incremental form of ``minhash_lsh_pairs``. Two
     tables under ``path``:
 
-    - ``buckets/`` (band_idx-partitioned): ``(_id, band_idx, key)``
+    - ``buckets/``: ``(_id, band_idx, key)`` — unpartitioned by choice:
+      every probe touches every band so a ``band_idx=`` layout prunes
+      nothing, and an unpartitioned table stays readable when empty
+      (the ``init_dedup_index`` bootstrap; a zero-row partitioned
+      write leaves no schema-bearing files behind)
     - ``shingles/``: ``(_id, _shingles)`` for the exact-Jaccard verify
 
     The LSH skew guard runs at WRITE time: buckets over
@@ -268,9 +272,7 @@ def write_minhash_index(
             .drop("_n")
         )
     with static_partition_overwrite(spark):
-        buckets.write.mode("overwrite").partitionBy("band_idx").parquet(
-            f"{path}/buckets"
-        )
+        buckets.write.mode("overwrite").parquet(f"{path}/buckets")
         sig.select("_id", "_shingles").write.mode("overwrite").parquet(
             f"{path}/shingles"
         )
@@ -319,7 +321,7 @@ def append_to_minhash_index(
         fresh, text_col, id_col, meta["n_hashes"], meta["shingle_k"]
     ).persist()
     buckets = band_key_buckets(sig, meta["n_hashes"], meta["bands"])
-    buckets.write.mode("append").partitionBy("band_idx").parquet(f"{path}/buckets")
+    buckets.write.mode("append").parquet(f"{path}/buckets")
     sig.select("_id", "_shingles").write.mode("append").parquet(f"{path}/shingles")
     sig.unpersist()
 
