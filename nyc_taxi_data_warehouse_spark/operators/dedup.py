@@ -326,6 +326,35 @@ def append_to_minhash_index(
     sig.unpersist()
 
 
+def delete_from_minhash_index(spark, ids: DataFrame, id_col: str, path: str) -> None:
+    """Remove documents from a persisted MinHash index by id — the
+    takedown/decontamination path: a doc withdrawn from the kept corpus
+    must stop suppressing future near-identical ingests. Victim ids
+    broadcast into anti-joins over both tables; survivors are eagerly
+    materialized (the write replaces the files the plan reads), then
+    STATIC-overwritten in place.
+
+    Unlike the cell-partitioned IVF delete, the minhash tables are
+    unpartitioned (see ``write_minhash_index``), so a delete rewrites
+    both tables in full — the right trade while deletes are rare
+    takedown events; a delete-heavy corpus should rebuild on a
+    partitioned layout instead. Deleting an id absent from the index is
+    a no-op (idempotent redelivery).
+    """
+    from ..session import static_partition_overwrite
+    from .indexmeta import check_index_meta
+
+    check_index_meta(spark, path, {"kind": "minhash"})
+    victims = F.broadcast(ids.select(F.col(id_col).alias("_id")).distinct())
+    with static_partition_overwrite(spark):
+        for table in ("buckets", "shingles"):
+            df = spark.read.parquet(f"{path}/{table}")
+            survivors = df.join(victims, "_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            survivors.write.mode("overwrite").parquet(f"{path}/{table}")
+
+
 def incremental_minhash_pairs(
     spark,
     new_df: DataFrame,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_warehouse_spark.operators.dedup import minhash_lsh_pairs
@@ -174,3 +175,60 @@ def test_cli_dedup_ingest_and_sample(spark, tmp_path):
         for r in spark.read.parquet(out).groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert got == {"en": 20, "es": 20}
+
+
+def test_crash_between_kept_write_and_index_append_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """The claimed exactly-once semantics under the worst crash point:
+    the kept epoch directory committed but the index append did not.
+    The replayed batch must complete the index append WITHOUT
+    duplicating kept rows, converging to the single-run state."""
+    import nyc_taxi_data_warehouse_spark.streaming.dedup_ingest as di
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = _write_batches(spark, src)
+    idx = str(tmp_path / "index")
+    kept = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    init_dedup_index(spark, idx, "text", "doc_id")
+
+    # reference single-run state on separate paths
+    idx_ref, kept_ref = str(tmp_path / "idx_ref"), str(tmp_path / "kept_ref")
+    init_dedup_index(spark, idx_ref, "text", "doc_id")
+    stream_dedup_ingest(
+        spark, _stream(spark, src, schema), idx_ref, kept_ref, "text", "doc_id",
+        jaccard_threshold=THRESHOLD, checkpoint=str(tmp_path / "ck_ref"),
+    )
+
+    # crash the SECOND batch after its kept write, before its index write
+    real_append = di.append_to_minhash_index
+    calls = {"n": 0}
+
+    def failing_append(spark_, df, text_col, id_col, path):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before index append")
+        return real_append(spark_, df, text_col, id_col, path)
+
+    monkeypatch.setattr(di, "append_to_minhash_index", failing_append)
+    with pytest.raises(Exception):
+        stream_dedup_ingest(
+            spark, _stream(spark, src, schema), idx, kept, "text", "doc_id",
+            jaccard_threshold=THRESHOLD, checkpoint=ckpt,
+        )
+    monkeypatch.setattr(di, "append_to_minhash_index", real_append)
+
+    # restart from the same checkpoint: replays the failed batch, runs on
+    stream_dedup_ingest(
+        spark, _stream(spark, src, schema), idx, kept, "text", "doc_id",
+        jaccard_threshold=THRESHOLD, checkpoint=ckpt,
+    )
+
+    got = sorted(r.doc_id for r in spark.read.parquet(kept).collect())
+    want = sorted(r.doc_id for r in spark.read.parquet(kept_ref).collect())
+    assert got == want
+    assert len(got) == len(set(got)), "kept rows duplicated by the replay"
+    n_idx = spark.read.parquet(f"{idx}/shingles").count()
+    assert n_idx == len(got)

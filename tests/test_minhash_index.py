@@ -130,3 +130,48 @@ def test_broadcast_probe_never_shuffles_corpus_buckets(spark, tmp_path):
     # the corpus scan's subtree must reach the broadcast join without an
     # Exchange: with the batch side broadcast, no corpus shuffle exists
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_delete_from_minhash_index(spark, tmp_path):
+    """Deleted docs stop producing pairs; everything else is untouched;
+    deleting an absent id is a no-op."""
+    from nyc_taxi_data_warehouse_spark.operators.dedup import (
+        delete_from_minhash_index,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.where("doc_id % 5 != 0")
+    batch = docs.where("doc_id % 5 = 0")
+    idx = str(tmp_path / "del_idx")
+    write_minhash_index(spark, corpus, "text", "doc_id", idx, **DIALS)
+
+    before = incremental_minhash_pairs(spark, batch, "text", "doc_id", idx, 0.3)
+    hit_corpus_ids = sorted({r.corpus_id for r in before.collect()})
+    assert hit_corpus_ids, "fixture produced no hits"
+    victims = hit_corpus_ids[: max(1, len(hit_corpus_ids) // 2)]
+
+    delete_from_minhash_index(
+        spark, spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+        "doc_id", idx,
+    )
+    after = incremental_minhash_pairs(spark, batch, "text", "doc_id", idx, 0.3)
+    got = _pairs_set(after)
+    want = {p for p in _pairs_set(before) if p[0] not in victims}
+    assert got == want
+
+    # delete ≡ rebuild-without-victims
+    idx_r = str(tmp_path / "del_rebuilt")
+    write_minhash_index(
+        spark, corpus.where(~F.col("doc_id").isin(victims)), "text", "doc_id",
+        idx_r, **DIALS,
+    )
+    assert got == _pairs_set(
+        incremental_minhash_pairs(spark, batch, "text", "doc_id", idx_r, 0.3)
+    )
+
+    # absent id: no-op
+    n_sh = spark.read.parquet(f"{idx}/shingles").count()
+    delete_from_minhash_index(
+        spark, spark.createDataFrame([(10**12,)], "doc_id long"), "doc_id", idx
+    )
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_sh

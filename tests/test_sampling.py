@@ -133,3 +133,27 @@ def test_weighted_sample_plans_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# pure-python property tests (no Spark session needed)
+from hypothesis import given, strategies as st  # noqa: E402
+
+
+@given(
+    st.dictionaries(
+        st.text(min_size=1, max_size=8),
+        st.floats(min_value=0.001, max_value=1000.0, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=10_000_000),
+)
+def test_apportion_properties(weights, n):
+    counts = apportion(weights, n)
+    assert sum(counts.values()) == n
+    assert set(counts) == set(weights)
+    assert all(c >= 0 for c in counts.values())
+    # each count within 1 of its exact quota (largest-remainder bound)
+    total_w = sum(weights.values())
+    for d, c in counts.items():
+        assert abs(c - n * weights[d] / total_w) < 1 + 1e-9
