@@ -755,3 +755,19 @@ def test_write_zordered_timestamp_key(spark, tmp_path):
         if mn <= hi and mx >= lo:
             intersecting += n
     assert intersecting < total * 0.7, f"user_id: {intersecting}/{total}"
+
+
+def test_write_zordered_degenerate_inputs(spark, tmp_path):
+    """Empty and single-row inputs round-trip (quantile boundaries
+    degenerate to an empty cut list — everything lands in bucket 0)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import write_zordered
+
+    empty = spark.createDataFrame([], "a long, b double")
+    out = str(tmp_path / "z_empty")
+    write_zordered(empty, out, ["a", "b"], n_files=4)
+    assert spark.read.parquet(out).count() == 0
+
+    one = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    out1 = str(tmp_path / "z_one")
+    write_zordered(one, out1, ["a", "b"], n_files=4)
+    assert [(r.a, r.b) for r in spark.read.parquet(out1).collect()] == [(1, 2.0)]

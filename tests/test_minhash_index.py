@@ -175,3 +175,27 @@ def test_delete_from_minhash_index(spark, tmp_path):
         spark, spark.createDataFrame([(10**12,)], "doc_id long"), "doc_id", idx
     )
     assert spark.read.parquet(f"{idx}/shingles").count() == n_sh
+
+
+def test_empty_corpus_and_empty_batch_probes(spark, tmp_path):
+    """Bootstrap and boundary shapes: an empty index accepts probes and
+    appends; probing with an empty batch returns an empty pair set."""
+    from nyc_taxi_data_warehouse_spark.streaming.dedup_ingest import (
+        init_dedup_index,
+    )
+
+    idx = str(tmp_path / "empty_idx")
+    init_dedup_index(spark, idx, "text", "doc_id")
+    docs = _docs(spark).limit(10)
+    assert (
+        incremental_minhash_pairs(spark, docs, "text", "doc_id", idx, 0.1).count()
+        == 0
+    )
+    empty = docs.where("doc_id < 0")
+    append_to_minhash_index(spark, empty, "text", "doc_id", idx)
+    assert spark.read.parquet(f"{idx}/shingles").count() == 0
+    append_to_minhash_index(spark, docs, "text", "doc_id", idx)
+    assert (
+        incremental_minhash_pairs(spark, empty, "text", "doc_id", idx, 0.1).count()
+        == 0
+    )

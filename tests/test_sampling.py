@@ -157,3 +157,17 @@ def test_apportion_properties(weights, n):
     total_w = sum(weights.values())
     for d, c in counts.items():
         assert abs(c - n * weights[d] / total_w) < 1 + 1e-9
+
+
+def test_samplers_on_degenerate_inputs(spark):
+    """Empty and single-row corpora: exact shapes, no errors — the same
+    degenerate gate the catalog queries pass."""
+    empty = spark.createDataFrame([], "doc_id long, lang string, w double")
+    assert weighted_sample(empty, 5, "w", "doc_id").count() == 0
+    assert mixture_sample(empty, "lang", {"en": 1}, 5, "doc_id").count() == 0
+
+    one = spark.createDataFrame([(1, "en", 2.0)], "doc_id long, lang string, w double")
+    got = weighted_sample(one, 5, "w", "doc_id").collect()
+    assert [r.doc_id for r in got] == [1]
+    got = mixture_sample(one, "lang", {"en": 1}, 5, "doc_id").collect()
+    assert [r.doc_id for r in got] == [1]
