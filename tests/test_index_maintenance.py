@@ -463,3 +463,105 @@ def test_postings_delete_drops_doc_and_emptied_terms(spark, tmp_path):
         map(tuple, spark.read.parquet(path).select("term", "doc_id", "tf").collect())
     )
     assert kept == [("beta", 1, 1), ("gamma", 1, 1)]
+
+
+def test_stream_ann_ingest_matches_rebuild_and_is_restart_safe(
+    spark, emb, tmp_path
+):
+    """Vector stream → persisted ANN index: the streamed index must
+    answer queries identically to a full rebuild over the final corpus,
+    and a re-run on the same checkpoint appends nothing."""
+    from nyc_taxi_data_warehouse_spark.streaming.index_ingest import (
+        stream_ann_ingest,
+    )
+
+    old = emb.where(F.col("vec_id") < 300)
+    feed = emb.where(F.col("vec_id") >= 300)
+    q = emb.where(F.col("vec_id") < 4)
+
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    for i, pred in enumerate([(300, 500), (500, 1_000_000)]):
+        part_dir = f"{src}/b{i}"
+        feed.where(
+            (F.col("vec_id") >= pred[0]) & (F.col("vec_id") < pred[1])
+        ).coalesce(1).write.parquet(part_dir)
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        os.rename(os.path.join(part_dir, part), os.path.join(src, f"b{i}.parquet"))
+
+    inc_path = str(tmp_path / "ann_stream")
+    write_ann_index(old, inc_path, **ANN_DIALS)
+    ckpt = str(tmp_path / "ann_ckpt")
+
+    def feed_stream():
+        return (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    stream_ann_ingest(spark, feed_stream(), inc_path, checkpoint=ckpt)
+
+    full_path = str(tmp_path / "ann_stream_full")
+    write_ann_index(emb, full_path, **ANN_DIALS)
+    kwargs = dict(k=3, probe_radius=1, **ANN_DIALS)
+    assert _rows(ann_topk_from_index(spark, inc_path, q, **kwargs)) == _rows(
+        ann_topk_from_index(spark, full_path, q, **kwargs)
+    )
+
+    n_before = spark.read.parquet(inc_path).count()
+    stream_ann_ingest(spark, feed_stream(), inc_path, checkpoint=ckpt)
+    assert spark.read.parquet(inc_path).count() == n_before
+
+
+def test_stream_postings_ingest_matches_rebuild(spark, tmp_path):
+    """Document stream → persisted postings index: lookups over the
+    streamed index equal a full rebuild over the final corpus; a re-run
+    on the same checkpoint changes nothing."""
+    from nyc_taxi_data_warehouse_spark.operators.search import (
+        lookup_postings,
+        postings,
+        write_postings_index,
+    )
+    from nyc_taxi_data_warehouse_spark.streaming.index_ingest import (
+        stream_postings_ingest,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    old = docs.where("doc_id < 300")
+    feed = docs.where("doc_id >= 300")
+
+    src = str(tmp_path / "doc_src")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate([(300, 400), (400, 10**9)]):
+        bdir = f"{src}/b{i}"
+        feed.where(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.parquet(bdir)
+        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(bdir, part), os.path.join(src, f"b{i}.parquet"))
+
+    idx = str(tmp_path / "post_stream")
+    write_postings_index(postings(old), idx, hash_partitions=8)
+    ckpt = str(tmp_path / "post_ckpt")
+
+    def feed_stream():
+        return (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    stream_postings_ingest(spark, feed_stream(), idx, checkpoint=ckpt)
+
+    full = str(tmp_path / "post_full")
+    write_postings_index(postings(docs), full, hash_partitions=8)
+
+    terms = ["the", "data", "spark"]
+    cols = ["term", "doc_id", "tf"]
+    got = _rows(lookup_postings(spark, idx, terms, hash_partitions=8).select(*cols))
+    want = _rows(lookup_postings(spark, full, terms, hash_partitions=8).select(*cols))
+    assert got == want
+    assert len(got) > 0
+
+    n_before = spark.read.parquet(idx).count()
+    stream_postings_ingest(spark, feed_stream(), idx, checkpoint=ckpt)
+    assert spark.read.parquet(idx).count() == n_before
