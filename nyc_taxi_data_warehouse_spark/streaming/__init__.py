@@ -12,3 +12,5 @@ from .rollup_sink import (  # noqa: F401
     stream_events_into_rollup,
 )
 from .cdc import stream_upsert  # noqa: F401
+from .dedup_ingest import init_dedup_index, stream_dedup_ingest  # noqa: F401
+from .index_ingest import stream_ann_ingest, stream_postings_ingest  # noqa: F401

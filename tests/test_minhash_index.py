@@ -199,3 +199,36 @@ def test_empty_corpus_and_empty_batch_probes(spark, tmp_path):
         incremental_minhash_pairs(spark, empty, "text", "doc_id", idx, 0.1).count()
         == 0
     )
+
+
+def test_write_time_skew_guard_drops_degenerate_buckets(spark, tmp_path):
+    """50 identical boilerplate docs share every band bucket; with
+    max_bucket_size below 50 the writer drops those buckets, so a probe
+    with yet another copy produces NO candidate blow-up (0 pairs) —
+    while a distinctive near-dup still matches normally."""
+    rows = [(i, "boilerplate header identical body text for every page") for i in range(50)]
+    rows += [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(5)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "skew_idx")
+    write_minhash_index(
+        spark, corpus, "text", "doc_id", idx, max_bucket_size=10, **DIALS
+    )
+
+    probe_boiler = spark.createDataFrame(
+        [(999, "boilerplate header identical body text for every page")],
+        "doc_id long, text string",
+    )
+    assert (
+        incremental_minhash_pairs(spark, probe_boiler, "text", "doc_id", idx, 0.5)
+        .count()
+        == 0
+    )
+
+    probe_unique = spark.createDataFrame(
+        [(998, "unique document number 2 about topic 14 extra")],
+        "doc_id long, text string",
+    )
+    hits = incremental_minhash_pairs(
+        spark, probe_unique, "text", "doc_id", idx, 0.3
+    )
+    assert {r.corpus_id for r in hits.collect()} == {102}
