@@ -39,6 +39,7 @@ def weighted_sample(
     weight_col: str,
     id_col: str,
     seed: int = 0,
+    take_ordered_limit: int = 100_000,
 ) -> DataFrame:
     """Weighted random sample WITHOUT replacement of exactly ``k`` rows
     (fewer iff the input is smaller): Efraimidis–Spirakis A-ES — each
@@ -46,24 +47,66 @@ def weighted_sample(
     largest scores win. Inclusion probability is proportional to
     ``weight_col`` (quality scores, dedup-cluster sizes, domain boosts).
 
-    Scale shape: score is a narrow per-row expression and the selection
-    is ``orderBy(score desc).limit(k)`` — Spark plans TakeOrdered: each
-    partition keeps its local top-k, only ``partitions x k`` candidate
-    rows reach the driver-side merge; there is NO global sort and NO
-    full shuffle at any scale. Non-positive weights are excluded
-    (ln(u)/w flips sign), matching the "weight 0 = never sample"
-    contract.
+    Scale shape, by ``k``:
+
+    - ``k <= take_ordered_limit``: ``orderBy(score desc).limit(k)`` —
+      Spark plans TakeOrdered: each partition keeps its local top-k and
+      only ``partitions x k`` candidate rows reach the driver-side
+      merge; no global sort, no full shuffle.
+    - larger ``k`` (sampling 100M docs from 1B, where TakeOrdered's
+      driver merge would hold k rows): exact threshold-band selection.
+      An approx quantile puts a score threshold ``t`` near the k-th
+      largest; rows strictly above ``t`` are in (distributed filter, no
+      shuffle), and only the BAND of rows at/near the threshold — sized
+      by the quantile error, a tiny fraction of n — goes through a
+      TakeOrdered to top up to exactly k. Same result as the small-k
+      path (same scores, deterministic tie-break), never more than
+      ``band`` rows on the driver.
+
+    Non-positive weights are excluded (ln(u)/w flips sign), matching
+    the "weight 0 = never sample" contract.
     """
     u = _hash_uniform(id_col, seed)
     w = F.col(weight_col).cast("double")
     score = F.log(u) / w
-    return (
-        df.where(w > 0)
-        .withColumn("_score", score)
-        .orderBy(F.col("_score").desc())
-        .limit(k)
-        .drop("_score")
+    scored = df.where(w > 0).withColumn("_score", score)
+
+    if k <= take_ordered_limit:
+        return (
+            scored.orderBy(F.col("_score").desc(), F.col(id_col))
+            .limit(k)
+            .drop("_score")
+        )
+
+    n = scored.count()
+    if n <= k:
+        return scored.drop("_score")
+    # approx k-th-largest score: quantile at 1 - k/n with a relative
+    # error that bounds the band to ~0.1% of n
+    eps = 0.0005
+    [t] = scored.stat.approxQuantile("_score", [1.0 - k / n], eps)
+    sure = scored.where(F.col("_score") > t)
+    n_sure = sure.count()
+    if n_sure > k:
+        # threshold landed low (error toward too-permissive): the top-k
+        # all live inside `sure` (~k + eps*n rows), so re-trim against
+        # that much smaller population
+        scored = sure
+        [t] = scored.stat.approxQuantile("_score", [1.0 - k / n_sure], eps)
+        sure = scored.where(F.col("_score") > t)
+        n_sure = sure.count()
+        if n_sure > k:  # adversarially heavy ties at t — fall back
+            return (
+                scored.orderBy(F.col("_score").desc(), F.col(id_col))
+                .limit(k)
+                .drop("_score")
+            )
+    band_take = (
+        scored.where(F.col("_score") <= t)
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k - n_sure)
     )
+    return sure.unionByName(band_take).drop("_score")
 
 
 def apportion(weights: dict[str, float], n_total: int) -> dict[str, int]:
@@ -85,6 +128,33 @@ def apportion(weights: dict[str, float], n_total: int) -> dict[str, int]:
     return counts
 
 
+def _smallest_u_exact(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Exactly the k rows with the smallest ``(_u, id)`` — distributed,
+    never more than a quantile-error band through a driver-side merge:
+    an approx quantile puts a threshold near the k-th smallest ``_u``;
+    rows strictly below are in (plain filter), and only the boundary
+    band tops up through a TakeOrdered. Same selection as
+    ``orderBy(_u, id).limit(k)`` at any k."""
+    n = scored.count()
+    if n <= k:
+        return scored
+    eps = 0.0005
+    [t] = scored.stat.approxQuantile("_u", [k / n], eps)
+    sure = scored.where(F.col("_u") < t)
+    n_sure = sure.count()
+    if n_sure > k:
+        scored = sure
+        [t] = scored.stat.approxQuantile("_u", [k / n_sure], eps)
+        sure = scored.where(F.col("_u") < t)
+        n_sure = sure.count()
+        if n_sure > k:  # heavy ties at t (impossible for hash-uniform _u)
+            return scored.orderBy("_u", id_col).limit(k)
+    band_take = (
+        scored.where(F.col("_u") >= t).orderBy("_u", id_col).limit(k - n_sure)
+    )
+    return sure.unionByName(band_take)
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str,
@@ -93,6 +163,7 @@ def mixture_sample(
     id_col: str,
     seed: int = 0,
     salt_partitions: int = 32,
+    window_quota_limit: int = 100_000,
 ) -> DataFrame:
     """Exactly ``n_total`` rows mixed across domains per ``weights``
     (e.g. ``{"web": 6, "code": 3, "books": 1}`` → 60/30/10): the
@@ -104,20 +175,42 @@ def mixture_sample(
     has (the shortfall is NOT redistributed — mixtures are contracts,
     silently substituting domains would corrupt them).
 
-    Scale shape — two-phase per-domain top-k, never one-task-per-domain:
-    a window over ``domain`` alone would funnel each domain's entire
-    mass through a single task (a handful of domains = a handful of
-    tasks at 100 TB). Instead phase 1 ranks within ``(domain,
-    hash % salt_partitions)`` — uniform tasks — and keeps each salt's
-    local top-quota, capping phase 2's input at ``salt_partitions x
-    quota`` rows per domain; phase 2 ranks those survivors per domain.
-    Both phases are plain hash-partitioned window shuffles.
+    Scale shape, by quota size (both paths select the identical rows —
+    the k smallest ``(_u, id)`` per domain):
+
+    - all quotas ≤ ``window_quota_limit``: one-pass two-phase top-k.
+      Phase 1 ranks within ``(domain, hash % salt_partitions)`` —
+      uniform tasks — and keeps each salt's local top-quota, capping
+      phase 2's input at ``salt_partitions x quota`` rows per domain;
+      phase 2 ranks those survivors per domain. Two window shuffles,
+      no driver involvement.
+    - any quota larger (100M-row quotas would funnel phase 2's
+      one-task-per-domain window): per-domain exact threshold-band
+      selection (``_smallest_u_exact``), looped over the domain list —
+      metadata-sized by definition, a mixture config is human-written —
+      with each step fully distributed.
     """
-    quota_rows = [(d, int(q)) for d, q in apportion(weights, n_total).items()]
+    quota_map = apportion(weights, n_total)
+    u = _hash_uniform(id_col, seed)
+
+    if max(quota_map.values(), default=0) > window_quota_limit:
+        parts = []
+        for d, q in sorted(quota_map.items()):
+            if q == 0:
+                continue
+            dom = df.where(F.col(domain_col) == d).withColumn("_u", u)
+            parts.append(_smallest_u_exact(dom, q, id_col))
+        if not parts:
+            return df.where(F.lit(False))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*df.columns)
+
+    quota_rows = [(d, int(q)) for d, q in quota_map.items()]
     quotas = F.broadcast(
         df.sparkSession.createDataFrame(quota_rows, f"{domain_col} string, _quota int")
     )
-    u = _hash_uniform(id_col, seed)
     salted = (
         df.join(quotas, domain_col)
         .withColumn("_u", u)
@@ -131,5 +224,5 @@ def mixture_sample(
     return (
         phase1.withColumn("_rn2", F.row_number().over(w2))
         .where(F.col("_rn2") <= F.col("_quota"))
-        .drop("_quota", "_u", "_salt", "_rn", "_rn2")
+        .select(*df.columns)
     )

@@ -171,3 +171,47 @@ def test_samplers_on_degenerate_inputs(spark):
     assert [r.doc_id for r in got] == [1]
     got = mixture_sample(one, "lang", {"en": 1}, 5, "doc_id").collect()
     assert [r.doc_id for r in got] == [1]
+
+
+def test_weighted_sample_large_k_path_equals_take_ordered(spark):
+    """The threshold-band path (forced via a tiny take_ordered_limit)
+    must select the exact same rows as the TakeOrdered path — same
+    scores, same tie-break, different physical strategy only."""
+    d = _docs(spark).withColumn("w", (F.col("doc_id") % 9 + 1).cast("double"))
+    for k in (50, 200, 400):
+        small = weighted_sample(d, k, "w", "doc_id", seed=5)
+        large = weighted_sample(
+            d, k, "w", "doc_id", seed=5, take_ordered_limit=10
+        )
+        assert sorted(r.doc_id for r in large.collect()) == sorted(
+            r.doc_id for r in small.collect()
+        )
+        assert large.count() == k
+
+
+def test_weighted_sample_large_k_exceeding_population(spark):
+    d = _docs(spark).withColumn("w", F.lit(1.0))
+    n = d.count()
+    s = weighted_sample(d, n + 100, "w", "doc_id", take_ordered_limit=10)
+    assert s.count() == n
+
+
+def test_mixture_sample_large_quota_path_equals_window_path(spark):
+    """The per-domain threshold path (forced via window_quota_limit=1)
+    must select exactly the rows the one-pass window path selects."""
+    d = _docs(spark)
+    weights = {"en": 5, "es": 3, "de": 2}
+    a = mixture_sample(d, "lang", weights, 100, "doc_id", seed=11)
+    b = mixture_sample(
+        d, "lang", weights, 100, "doc_id", seed=11, window_quota_limit=1
+    )
+    assert sorted(r.doc_id for r in b.collect()) == sorted(
+        r.doc_id for r in a.collect()
+    )
+    assert b.columns == a.columns
+    # shortfall cap behaves identically on the large path
+    n_de = d.where("lang = 'de'").count()
+    big = mixture_sample(
+        d, "lang", {"de": 1}, n_de * 5, "doc_id", window_quota_limit=1
+    )
+    assert big.count() == n_de
