@@ -110,3 +110,35 @@ def test_stride_validation(spark, docs):
         chunk_documents(docs, "text", "doc_id", max_tokens=8, stride=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, "text", "doc_id", max_tokens=8, stride=9)
+
+
+def test_chunk_then_pack_fills_windows(spark, docs):
+    """The full window-filling story: long docs chunk into <=capacity
+    pieces, chunks pack into bins, and no bin overflows while fill
+    stays high — chunking guarantees pack_sequences never truncates."""
+    from nyc_taxi_data_warehouse_spark.operators.packing import pack_sequences
+
+    capacity = 64
+    chunks = chunk_documents(docs, "text", "doc_id", max_tokens=capacity)
+    items = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "n_tokens",
+        (F.col("doc_id") % 4).alias("grp"),
+    )
+    packed = pack_sequences(items, "chunk_id", "n_tokens", "grp", capacity)
+    bins = packed.groupBy("grp", "bin_id").agg(
+        F.sum("seq_len").alias("fill"), F.count("*").alias("n_chunks")
+    )
+    assert bins.where(F.col("fill") > capacity).count() == 0
+    # chunks never exceed capacity, so seq_len was never clamped
+    clamped = packed.join(items, packed.doc_id == items.chunk_id).where(
+        F.col("seq_len") != F.col("n_tokens")
+    )
+    assert clamped.count() == 0
+    total_chunks = items.count()
+    assert packed.count() == total_chunks
+    # fill ratio sanity: packing many small chunks should beat 50%
+    stats = bins.agg(
+        (F.sum("fill") / (F.count("*") * capacity)).alias("fill_ratio")
+    ).collect()[0]
+    assert stats.fill_ratio > 0.5
