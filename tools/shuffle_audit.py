@@ -100,14 +100,46 @@ def compare(old_path: str, new_path: str) -> int:
     return rc
 
 
+def scaling(small_path: str, big_path: str, factor: float, slack: float = 1.5) -> int:
+    """Cross-scale-factor linearity check: with ``factor``x the data,
+    every query's shuffle bytes must grow at most ``factor * slack``x.
+    Super-linear shuffle growth is the classic silent scale-killer (a
+    join that degenerates toward pairwise, a lost partial aggregation);
+    this makes it a measured, failing check instead of a design hope.
+    Tiny fixed-size shuffles (<4 KiB at the small SF — metadata-like
+    single-row aggregates) are exempt, their growth is all constant
+    overhead."""
+    small = json.load(open(small_path))["queries"]
+    big = json.load(open(big_path))["queries"]
+    rc = 0
+    worst = (0.0, None)
+    for q in sorted(set(small) & set(big)):
+        a, b = small[q], big[q]
+        if "error" in a or "error" in b or a["shuffle_bytes_written"] < 4096:
+            continue
+        ratio = b["shuffle_bytes_written"] / a["shuffle_bytes_written"]
+        worst = max(worst, (ratio, q))
+        if ratio > factor * slack:
+            print(
+                f"SUPER-LINEAR {q}: {ratio:.1f}x shuffle bytes on {factor}x data"
+            )
+            rc = 1
+    print(f"worst growth: {worst[1]} at {worst[0]:.1f}x (budget {factor * slack}x)")
+    return rc
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="SHUFFLES.json")
     ap.add_argument("--compare", nargs=2, metavar=("OLD", "NEW"))
+    ap.add_argument("--scaling", nargs=2, metavar=("SMALL", "BIG"))
+    ap.add_argument("--factor", type=float, default=10.0, help="data ratio BIG/SMALL")
     args = ap.parse_args()
     if args.compare:
         return compare(*args.compare)
+    if args.scaling:
+        return scaling(*args.scaling, args.factor)
     audit(args.sf_dir, args.out)
     return 0
 
