@@ -15,12 +15,15 @@ nothing ever collects payload bytes to the driver. Feature extraction
 emits small fixed-width columns, so downstream joins/aggs shuffle
 metadata, not media bytes.
 
-Decode reality in this sandbox: PNG (zlib + scanline unfiltering) and
-WAV (RIFF/PCM) full-frame decode are REAL, stdlib-only
-(``decode_png_pixels`` / ``decode_wav_samples`` feeding
-``extract_pixel_stats`` / ``extract_audio_stats``); JPEG/MP4 get real
-HEADER parsing (dimensions / duration) but full-frame decode needs
-external codecs, so only that step remains a deterministic stand-in.
+Decode reality in this sandbox: PNG (zlib + scanline unfiltering), WAV
+(RIFF/PCM), and baseline JPEG (general Huffman + IDCT + chroma
+upsampling, pure numpy — ``jpegcodec.py``, validated by round-trip
+against its own independent encoder) full-frame decode are REAL
+(``decode_png_pixels`` / ``decode_wav_samples`` /
+``jpegcodec.decode_jpeg_pixels`` feeding ``extract_pixel_stats`` /
+``extract_audio_stats``); MP4 gets real HEADER parsing (duration/
+timescale) but video FRAME decode genuinely needs external codecs —
+the one remaining deterministic stand-in.
 """
 
 from __future__ import annotations
@@ -474,20 +477,25 @@ AUDIO_SCHEMA = StructType(
 
 
 def extract_pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL pixel statistics over PNG payloads (stdlib zlib decode, see
-    ``decode_png_pixels``): one output row per decodable image with
-    width/height/channels and mean/std of the 8-bit samples;
-    non-PNG / unsupported payloads are dropped (one-to-zero-or-one
+    """REAL pixel statistics over PNG *and baseline-JPEG* payloads
+    (stdlib zlib decode for PNG, the numpy baseline codec in
+    ``jpegcodec`` for JPEG — see each for coverage): one output row per
+    decodable image with width/height/channels and mean/std of the
+    8-bit samples; unsupported payloads are dropped (one-to-zero-or-one
     mapInPandas). Pixels live only inside the Arrow batch — downstream
     work shuffles the fixed-width stats, never image bytes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import statistics
 
+        from .jpegcodec import decode_jpeg_pixels
+
         for pdf in it:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 dec = decode_png_pixels(p)
+                if dec is None:
+                    dec = decode_jpeg_pixels(p)
                 if dec is None:
                     continue
                 w, h, c, px = dec

@@ -1,0 +1,114 @@
+"""Baseline JPEG codec (multimodal/jpegcodec.py): encoder↔decoder
+round-trips within quantization error, plus the Spark integration.
+
+The encoder exists to validate the decoder without a reference codec:
+forward DCT vs inverse DCT, bit writer vs bit reader, run-length build
+vs parse are independent implementations, and the encoder's flat 8-bit
+Huffman tables force the decoder through its generic DHT machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nyc_taxi_data_warehouse_spark.multimodal.binaryops import parse_jpeg_header
+from nyc_taxi_data_warehouse_spark.multimodal.jpegcodec import (
+    decode_jpeg_pixels,
+    encode_jpeg_baseline,
+)
+
+
+def _roundtrip(img: np.ndarray, subsample: bool = False):
+    h, w, c = img.shape
+    enc = encode_jpeg_baseline(img.tobytes(), w, h, c, subsample=subsample)
+    dec = decode_jpeg_pixels(enc)
+    assert dec is not None
+    dw, dh, dc, px = dec
+    assert (dw, dh, dc) == (w, h, c)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c).astype(float)
+    return enc, out
+
+
+CASES = [
+    ("solid-gray", np.full((16, 24, 1), 130, np.uint8), False, 1.0),
+    ("solid-rgb", np.tile(np.array([200, 60, 30], np.uint8), (16, 16, 1)), False, 1.0),
+    ("solid-420", np.tile(np.array([90, 140, 220], np.uint8), (20, 36, 1)), True, 1.0),
+]
+
+
+@pytest.mark.parametrize("name,img,sub,tol", CASES, ids=[c[0] for c in CASES])
+def test_roundtrip_flat_images_near_exact(name, img, sub, tol):
+    """Flat blocks are DC-only — reconstruction error is bounded by the
+    DC quantization step alone."""
+    _, out = _roundtrip(img, subsample=sub)
+    assert np.abs(out - img.astype(float)).mean() < tol
+
+
+def test_roundtrip_gradient_and_odd_dims():
+    gx = np.linspace(0, 255, 32).astype(np.uint8)
+    grad = np.stack([np.tile(gx, (24, 1))] * 3, axis=-1)
+    for sub in (False, True):
+        _, out = _roundtrip(grad, subsample=sub)
+        assert np.abs(out - grad.astype(float)).mean() < 2.0
+    # odd, non-multiple-of-8 (and of 16 under 4:2:0) dimensions
+    rng = np.random.RandomState(0)
+    noise = rng.randint(0, 256, (17, 13, 3)).astype(np.uint8)
+    _, out = _roundtrip(noise)
+    # high-frequency noise is exactly what Annex-K quantization crushes;
+    # the mean must still survive
+    assert abs(out.mean() - noise.astype(float).mean()) < 6.0
+    _, out420 = _roundtrip(noise, subsample=True)
+    assert abs(out420.mean() - noise.astype(float).mean()) < 8.0
+
+
+def test_encoded_stream_header_parses():
+    """The existing stdlib SOF header parser reads our encoder's output
+    — two independent implementations agreeing on the container."""
+    img = np.full((12, 34, 3), 77, np.uint8)
+    enc, _ = _roundtrip(img)
+    assert parse_jpeg_header(enc) == (34, 12)
+
+
+def test_decoder_rejects_what_it_does_not_cover():
+    assert decode_jpeg_pixels(b"") is None
+    assert decode_jpeg_pixels(b"\x00" * 64) is None
+    img = np.full((8, 8, 1), 10, np.uint8)
+    enc = encode_jpeg_baseline(img.tobytes(), 8, 8, 1)
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2): must refuse, not garble
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_pixels(prog) is None
+    # truncated entropy data: must never raise — either None or a
+    # zero-padded partial image (the spec's marker-stops-the-scan rule)
+    res = decode_jpeg_pixels(enc[: len(enc) // 2])
+    assert res is None or (res[0], res[1], res[2]) == (8, 8, 1)
+
+
+def test_extract_pixel_stats_decodes_jpegs(spark):
+    """Spark integration: JPEG payloads flow through the same
+    mapInPandas stats extractor as PNGs, with exact dims and means
+    within quantization error of the source pixels."""
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import (
+        extract_pixel_stats,
+    )
+
+    imgs = {
+        1: np.full((16, 24, 1), 130, np.uint8),
+        2: np.tile(np.array([200, 60, 30], np.uint8), (16, 16, 1)),
+        3: np.tile(np.array([90, 140, 220], np.uint8), (20, 36, 1)),
+    }
+    rows = []
+    for mid, img in imgs.items():
+        h, w, c = img.shape
+        rows.append(
+            (mid, bytearray(encode_jpeg_baseline(img.tobytes(), w, h, c, subsample=mid == 3)))
+        )
+    rows.append((99, bytearray(b"not an image at all")))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in extract_pixel_stats(media).collect()}
+    assert set(got) == set(imgs)
+    for mid, img in imgs.items():
+        h, w, c = img.shape
+        r = got[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+        assert abs(r["mean_px"] - float(img.astype(float).mean())) < 1.0
