@@ -560,9 +560,12 @@ def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
     headers with stdlib ``struct`` — PNG IHDR / JPEG SOF (width/
     height), WAV fmt (sample_rate/channels), MP4 mvhd (duration_ms /
     timescale-as-sample_rate) — falling back to the fake values for
-    payloads that are none of them. Full-frame decoders (``'pil'``
-    etc.) remain stubbed: no image/audio libraries in this environment;
-    the Spark plumbing is identical — swap the per-payload parser.
+    payloads that are none of them. Full-FRAME extraction lives in the
+    dedicated operators instead of a codec dial here:
+    ``extract_pixel_stats`` (real PNG + baseline-JPEG decode) and
+    ``extract_audio_stats`` (real WAV PCM). External-library codecs
+    (``'pil'`` etc.) stay rejected: the only decode this environment
+    cannot express is MP4 video frames.
     """
     if codec not in ("fake", "header"):
         raise NotImplementedError(

@@ -112,3 +112,39 @@ def test_extract_pixel_stats_decodes_jpegs(spark):
         r = got[mid]
         assert (r["width"], r["height"], r["channels"]) == (w, h, c)
         assert abs(r["mean_px"] - float(img.astype(float).mean())) < 1.0
+
+
+def test_mjpeg_avi_demux_and_frame_sampling(spark):
+    """Real video frame sampling end-to-end: six solid-color JPEG
+    frames muxed into an AVI, every 2nd frame demuxed + fully decoded;
+    each sampled row carries the true dimensions and that frame's mean
+    within quantization error."""
+    from nyc_taxi_data_warehouse_spark.multimodal.mjpeg import (
+        demux_mjpeg_frames,
+        mux_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    levels = [20, 60, 100, 140, 180, 220]
+    frames = [
+        encode_jpeg_baseline(
+            np.full((16, 24, 1), lvl, np.uint8).tobytes(), 24, 16, 1
+        )
+        for lvl in levels
+    ]
+    avi = mux_mjpeg_avi(frames, fps=10)
+
+    assert demux_mjpeg_frames(avi) == frames  # byte-exact round trip
+    assert demux_mjpeg_frames(b"RIFFxxxxWAVE") is None
+    assert demux_mjpeg_frames(b"junk") is None
+
+    media = spark.createDataFrame(
+        [(7, bytearray(avi)), (8, bytearray(b"not a video"))],
+        "media_id long, payload binary",
+    )
+    got = sample_video_frames(media, every_n=2).collect()
+    assert {r.media_id for r in got} == {7}
+    assert sorted(r.frame_idx for r in got) == [0, 2, 4]
+    for r in got:
+        assert (r.width, r.height, r.channels, r.n_frames) == (24, 16, 1, 6)
+        assert abs(r.mean_px - levels[r.frame_idx]) < 1.0
