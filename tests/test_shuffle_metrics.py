@@ -74,6 +74,12 @@ SHUFFLE_COUNT_CAPS = {
     "e05_ann_topk_probe": 2,  # bucket-join + top-k merge
     "d06_embedding_near_dup": 1,  # LSH bucket self-join on one exchange
     "p03_sequence_packing": 3,  # ints-only plan + group shuffle + order
+    "a01_asof_purchase_view": 2,  # ONE key shuffle for the as-of + output sort
+    "q56_funnel_stages": 2,  # one user hash exchange + tiny global rollup
+    "q21_sessionize": 2,  # one user-window exchange + output sort
+    "d07_dup_clusters": 2,  # post-checkpoint label join (internal rounds
+    #                          are plan-audited; see module docstring)
+    "q40_daily_from_hourly_rollup": 3,  # hourly agg + daily agg + sort
 }
 
 
