@@ -232,3 +232,48 @@ def test_crash_between_kept_write_and_index_append_recovers(
     assert len(got) == len(set(got)), "kept rows duplicated by the replay"
     n_idx = spark.read.parquet(f"{idx}/shingles").count()
     assert n_idx == len(got)
+
+
+def test_multi_file_batches_and_no_within_batch_dedup(spark, tmp_path):
+    """Robustness dials: all files in ONE micro-batch (no
+    maxFilesPerTrigger) must keep the corpus-filter semantics, and
+    dedup_within_batch=False lands within-batch near-dups but still
+    blocks corpus near-dups on the NEXT run."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = _write_batches(spark, src)
+    idx, kept = str(tmp_path / "idx"), str(tmp_path / "kept")
+    init_dedup_index(spark, idx, "text", "doc_id")
+
+    one_batch = spark.readStream.schema(schema).parquet(src)  # all 3 files at once
+    stream_dedup_ingest(
+        spark, one_batch, idx, kept, "text", "doc_id",
+        jaccard_threshold=THRESHOLD, checkpoint=str(tmp_path / "ck"),
+        dedup_within_batch=False,
+    )
+    kept_df = spark.read.parquet(kept).select("doc_id", "text")
+    # corpus was empty, within-batch dedup off -> everything lands
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    assert kept_df.count() == load_table(spark, SF, "documents").count()
+
+    # a redelivered copy of the same docs under NEW ids must now be
+    # blocked by the corpus filter (near-dup of kept content)
+    clones = kept_df.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).limit(50)
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    clones.coalesce(1).write.mode("overwrite").parquet(f"{src2}/b")
+    part = next(
+        f for f in os.listdir(f"{src2}/b") if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(src2, "b", part), os.path.join(src2, "clones.parquet"))
+    stream_dedup_ingest(
+        spark,
+        spark.readStream.schema(schema).parquet(src2),
+        idx, kept, "text", "doc_id",
+        jaccard_threshold=THRESHOLD, checkpoint=str(tmp_path / "ck2"),
+    )
+    landed_clones = spark.read.parquet(kept).where("doc_id >= 1000000").count()
+    assert landed_clones == 0  # exact copies are Jaccard-1.0 near-dups
