@@ -104,3 +104,46 @@ def test_executed_metrics_requires_no_rerun(spark, sf_dir):
     m = executed_metrics(d)
     assert m["n_shuffles"] == 1
     assert m["shuffle_records_written"] > 0
+
+
+def test_window_spill_path_is_correct_and_metered(spark, sf_dir):
+    """Spill-awareness, measured: force the window operator onto its
+    spill path (4-row in-memory buffer) and prove (a) the executed plan
+    reports spill activity, (b) the spilled execution returns exactly
+    the no-spill answer. At 100 TB spills WILL happen; correctness must
+    not depend on staying in memory. Raw spillSize magnitudes are not
+    asserted — per-task sentinel offsets inflate the raw accumulator —
+    only presence."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+    def run():
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .groupBy()
+            .agg(F.sum("rn").alias("s"))
+        )
+
+    base = run().collect()[0]["s"]
+    prior = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.windowExec.buffer.spill.threshold",
+            "spark.sql.windowExec.buffer.in.memory.threshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "4")
+        spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4")
+        q = run()
+        assert q.collect()[0]["s"] == base
+        m = executed_metrics(q)
+        assert m["spill_bytes"] > 0, f"window never spilled: {m}"
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
