@@ -771,3 +771,53 @@ def test_write_zordered_degenerate_inputs(spark, tmp_path):
     out1 = str(tmp_path / "z_one")
     write_zordered(one, out1, ["a", "b"], n_files=4)
     assert [(r.a, r.b) for r in spark.read.parquet(out1).collect()] == [(1, 2.0)]
+
+
+def test_analyze_column_stats_flip_join_to_broadcast(spark):
+    """The CBO evidence behind warehouse.layout.analyze(): without
+    column statistics Spark estimates a FILTERED dimension at its full
+    scan size (filters don't shrink estimates) and plans a sort-merge
+    join under a small broadcast threshold; after ANALYZE ... FOR
+    COLUMNS, filter selectivity shrinks the estimate and the SAME query
+    plans a broadcast join. At 100 TB this is the difference between a
+    dimension shuffle and none — and it only exists if stats are
+    actually collected."""
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+    from nyc_taxi_data_warehouse_spark.warehouse.layout import analyze
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo_t")
+    load_table(spark, SF, "customer").write.mode("overwrite").saveAsTable(
+        "cbo_t.customer"
+    )
+    load_table(spark, SF, "orders").write.mode("overwrite").saveAsTable(
+        "cbo_t.orders"
+    )
+    prior = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.cbo.enabled",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+
+    def plan():
+        dim = spark.table("cbo_t.customer").where("c_custkey < 20")
+        q = spark.table("cbo_t.orders").join(
+            dim, F.col("o_custkey") == F.col("c_custkey")
+        )
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024))
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")  # static plan
+        before = plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+        analyze(spark, "cbo_t.customer", columns=["c_custkey"])
+        after = plan()
+        assert "BroadcastHashJoin" in after and "SortMergeJoin" not in after
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP DATABASE IF EXISTS cbo_t CASCADE")
