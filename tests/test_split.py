@@ -1,0 +1,68 @@
+"""Cluster-aware splitting (operators/split.py): no near-dup pair ever
+straddles a split; determinism; fraction sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.operators.dedup import minhash_lsh_pairs
+from nyc_taxi_data_warehouse_spark.operators.split import cluster_aware_split
+from nyc_taxi_data_warehouse_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_near_dup_pair_straddles_splits(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.3)
+    assert pairs.count() > 0, "fixture has no near-dups — vacuous"
+    assigned = cluster_aware_split(docs, pairs, "doc_id").persist()
+
+    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddlers = (
+        pairs.join(a, "id_a").join(b, "id_b").where(F.col("sa") != F.col("sb"))
+    )
+    assert straddlers.count() == 0
+
+    # naive per-doc hashing DOES straddle on this corpus — the leak the
+    # operator exists to close (guards against a vacuous fixture)
+    naive_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    naive = docs.select(
+        "doc_id", F.when(naive_bucket < 80, "train").otherwise("eval").alias("split")
+    )
+    na = naive.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    nb = naive.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    naive_straddlers = (
+        pairs.join(na, "id_a").join(nb, "id_b").where(F.col("sa") != F.col("sb"))
+    )
+    assert naive_straddlers.count() > 0
+
+    # every doc assigned exactly one split; deterministic across reruns
+    assert assigned.where(F.col("split").isNull()).count() == 0
+    again = cluster_aware_split(docs.repartition(7), pairs, "doc_id")
+    diff = (
+        assigned.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+    )
+    assert diff == 0
+    # fractions land near targets (split keys are md5-uniform)
+    counts = {r.split: r.n for r in assigned.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert 0.6 < counts.get("train", 0) / n < 0.95
+    assigned.unpersist()
+
+
+def test_fraction_validation(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(5)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    ).limit(0)
+    with pytest.raises(ValueError):
+        cluster_aware_split(docs, pairs, "doc_id", fractions={"train": 50})
