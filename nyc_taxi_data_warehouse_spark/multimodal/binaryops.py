@@ -1,12 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The Spark-side architecture is the real deliverable here — schema,
-partition-friendly batch shape, Arrow-batched ``mapInPandas`` signatures —
-while the actual codec calls are stubbed (no image/audio libraries in
-this environment): ``decode_media_batch`` raises ``NotImplementedError``
-for real codecs and offers ``fake_decode_meta``, a deterministic
-byte-level stand-in, so the distributed plumbing is testable end-to-end.
+The Spark-side architecture is the first deliverable here — schema,
+partition-friendly batch shape, Arrow-batched ``mapInPandas``
+signatures; ``decode_media_batch`` offers ``fake_decode_meta`` (a
+deterministic byte-level stand-in, so the distributed plumbing is
+testable independently of any codec) and rejects external-library
+codec names the environment cannot provide.
 
 At 100 TB: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak usage —
@@ -16,9 +16,10 @@ emits small fixed-width columns, so downstream joins/aggs shuffle
 metadata, not media bytes.
 
 Decode reality in this sandbox: PNG (zlib + scanline unfiltering), WAV
-(RIFF/PCM), and baseline JPEG (general Huffman + IDCT + chroma
-upsampling, pure numpy — ``jpegcodec.py``, validated by round-trip
-against its own independent encoder) full-frame decode are REAL
+(RIFF/PCM), and JPEG — baseline AND progressive/spectral-selection
+(general Huffman + IDCT + chroma upsampling, pure numpy —
+``jpegcodec.py``, validated by round-trip against its own independent
+encoders) — full-frame decode are REAL
 (``decode_png_pixels`` / ``decode_wav_samples`` /
 ``jpegcodec.decode_jpeg_pixels`` feeding ``extract_pixel_stats`` /
 ``extract_audio_stats``); MP4 gets real HEADER parsing (duration/
@@ -477,7 +478,7 @@ AUDIO_SCHEMA = StructType(
 
 
 def extract_pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL pixel statistics over PNG *and baseline-JPEG* payloads
+    """REAL pixel statistics over PNG *and JPEG* payloads
     (stdlib zlib decode for PNG, the numpy baseline codec in
     ``jpegcodec`` for JPEG — see each for coverage): one output row per
     decodable image with width/height/channels and mean/std of the

@@ -1,27 +1,34 @@
-"""Baseline JPEG (SOF0) codec in pure stdlib + numpy.
+"""JPEG codec (baseline SOF0 + progressive SOF2) in pure stdlib + numpy.
 
-The sandbox ships no image libraries, but nothing in baseline JPEG
-needs one: the entropy layer is Huffman over run-length symbols, the
+The sandbox ships no image libraries, but nothing in DCT JPEG needs
+one: the entropy layer is Huffman over run-length symbols, the
 transform is an 8x8 DCT (a fixed matrix product in numpy), and the
 color model is a linear YCbCr. This module implements
 
-- ``decode_jpeg_pixels(payload)`` — a GENERAL baseline decoder:
-  arbitrary DQT/DHT tables, grayscale or YCbCr, any sampling factors
-  (4:4:4, 4:2:2, 4:2:0), restart markers, byte stuffing. Returns
+- ``decode_jpeg_pixels(payload)`` — a GENERAL decoder: arbitrary
+  DQT/DHT tables, grayscale or YCbCr, any sampling factors (4:4:4,
+  4:2:2, 4:2:0), restart markers, byte stuffing; baseline single-scan
+  AND progressive multi-scan streams (spectral selection with EOB-run
+  coding, DC successive approximation, non-interleaved AC geometry —
+  coefficients accumulate across scans, one IDCT at the end). Returns
   ``(width, height, channels, pixels_bytes)`` like the PNG decoder, or
-  None for payloads it does not cover (progressive SOF2, 12-bit,
-  arithmetic coding).
-- ``encode_jpeg_baseline(pixels, w, h, c)`` — a minimal but spec-valid
-  encoder used to VALIDATE the decoder without a reference codec: it
-  shares only the constant tables with the decoder (quant matrices,
-  zigzag order); the forward DCT vs inverse DCT, bit writer vs bit
-  reader, and run-length build vs parse are independent
-  implementations, so a round-trip agreeing within quantization error
-  is real evidence, not self-confirmation. Its Huffman tables are
-  flat 8-bit canonical codes — unusual but valid per the spec (any
-  prefix code with lengths <= 16 and the all-ones code unused), which
-  keeps the encoder honest AND forces the decoder through its generic
-  DHT machinery rather than hard-coded standard tables.
+  None for payloads outside coverage (AC successive-approximation
+  REFINEMENT scans — the one progressive piece not implemented —
+  12-bit precision, lossless/arithmetic modes).
+- ``encode_jpeg_baseline`` / ``encode_jpeg_progressive`` — minimal but
+  spec-valid encoders used to VALIDATE the decoder without a reference
+  codec: they share only the constant tables with the decoder (quant
+  matrices, zigzag order); forward DCT vs inverse DCT, bit writer vs
+  bit reader, and run-length build vs parse are independent
+  implementations, so round-trip agreement is real evidence, not
+  self-confirmation. The progressive encoder emits every scan kind the
+  decoder covers (DC first at Al=1, DC refinement bits, per-component
+  AC bands with aggregated EOBn runs), and both encodings carry
+  IDENTICAL quantized coefficients — so progressive-decode ==
+  baseline-decode bit-for-bit is the validation gate. Huffman tables
+  are flat 8-bit canonical codes — unusual but valid per the spec,
+  which keeps the encoders honest AND forces the decoder through its
+  generic DHT machinery rather than hard-coded standard tables.
 
 Throughput note: the entropy loop is per-symbol Python — the same
 contract as the PNG unfilter loop (`binaryops.decode_png_pixels`):
@@ -170,12 +177,40 @@ def _huff_table(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline JPEG. Returns ``(w, h, channels, bytes)`` —
-    channels 1 (grayscale) or 3 (RGB) — or None if not baseline JPEG."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG. Returns
+    ``(w, h, channels, bytes)`` — channels 1 (grayscale) or 3 (RGB) —
+    or None for streams outside coverage. Progressive coverage:
+    spectral selection + successive approximation for DC; AC
+    REFINEMENT scans (Ah>0 with Ss>0) return None — their correction-
+    bit coding is the one piece this codec does not implement (files
+    from encoders that use `-progressive` defaults typically do;
+    spectral-selection-only progressive decodes fully)."""
     try:
         return _decode(payload)
     except (IndexError, ValueError, ZeroDivisionError, struct.error, KeyError):
         return None
+
+
+def _alloc_coefs(frame):
+    """Per-component quantized-coefficient store on the MCU-padded
+    block grid: comp_id -> int32[by_pad, bx_pad, 64] (zigzag index)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    store = {}
+    for c in comps:
+        store[c["id"]] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        # true (unpadded) block dims of the component, for raster scans
+        comp_w = -(-(w * c["h"]) // hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        c["bx"] = -(-comp_w // 8)
+        c["by"] = -(-comp_h // 8)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    return store
 
 
 def _decode(p: bytes):
@@ -185,6 +220,7 @@ def _decode(p: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    coefs = None
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(p):
@@ -194,6 +230,8 @@ def _decode(p: bytes):
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = struct.unpack(">H", p[pos + 2 : pos + 4])
         body = p[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -216,7 +254,7 @@ def _decode(p: bytes):
                 symbols = bytes(body[off + 17 : off + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(counts, symbols)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = body[0]
             if precision != 8:
                 return None
@@ -229,12 +267,13 @@ def _decode(p: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": body[8 + 3 * i]}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            return None  # extended/progressive/lossless: not baseline
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+            coefs = _alloc_coefs(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return None  # extended/lossless/arithmetic: out of coverage
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = body[0]
@@ -244,69 +283,136 @@ def _decode(p: bytes):
                 tbl = body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan.append((comp, tbl >> 4, tbl & 15))
-            data_start = pos + 2 + seglen
-            return _decode_scan(
-                p, data_start, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _entropy_scan(
+                p, pos + 2 + seglen, frame, coefs, scan,
+                huff_dc, huff_ac, ss, se, ah, al, restart_interval,
             )
-        elif marker == 0xD9:  # EOI before SOS
-            return None
+            continue
         pos += 2 + seglen
-    return None
+    if frame is None or coefs is None:
+        return None
+    return _reconstruct(frame, coefs, qt)
 
 
-def _decode_scan(p, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+def _next_marker(p: bytes, pos: int) -> int:
+    """Position of the next real marker (skips stuffed FF00 and fill
+    FFs) at or after ``pos``."""
+    while pos + 1 < len(p):
+        if p[pos] == 0xFF and p[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return len(p)
+
+
+def _entropy_scan(
+    p, pos, frame, coefs, scan, huff_dc, huff_ac, ss, se, ah, al, restart_interval
+):
+    """Decode ONE scan's entropy data into the coefficient store and
+    return the position of the marker that ends it. Handles baseline
+    combined scans (ss=0, se=63), progressive DC first/refinement, and
+    progressive AC first scans; AC refinement (ss>0, ah>0) is out of
+    coverage."""
+    if ss > 0 and ah > 0:
+        raise ValueError("progressive AC refinement not supported")
+    reader = _BitReader(p, pos)
+    dc_pred = {c["id"]: 0 for c in frame["comps"]}
+    eobrun = 0
+
+    def decode_block(comp, td, ta, by, bx):
+        nonlocal eobrun
+        blk = coefs[comp["id"]][by, bx]
+        if ss == 0:
+            if ah == 0:
+                t = reader.decode_huff(huff_dc[td])
+                diff = _extend(reader.read(t), t) if t else 0
+                dc_pred[comp["id"]] += diff
+                blk[0] = dc_pred[comp["id"]] << al
+            else:  # DC refinement: one raw bit
+                blk[0] |= reader.read(1) << al
+            if se == 0:
+                return
+            first_ac = 1
+        else:
+            first_ac = ss
+        # AC coefficients (baseline tail or progressive first scan)
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = first_ac
+        while k <= se:
+            rs = reader.decode_huff(huff_ac[ta])
+            r, t = rs >> 4, rs & 15
+            if t == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                # EOBn: run of (1<<r)-1+ext further all-zero bands
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.read(t), t) << al
+            k += 1
+
+    if len(scan) == 1 and frame["progressive"] and ss > 0:
+        # non-interleaved AC scan: raster over the component's TRUE blocks
+        comp, td, ta = scan[0]
+        count = 0
+        for by in range(comp["by"]):
+            for bx in range(comp["bx"]):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.sync_restart()
+                    eobrun = 0
+                decode_block(comp, td, ta, by, bx)
+                count += 1
+    else:
+        mcu_count = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    reader.sync_restart()
+                    dc_pred.update({c["id"]: 0 for c in frame["comps"]})
+                    eobrun = 0
+                for comp, td, ta in scan:
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            decode_block(
+                                comp, td, ta, my * comp["v"] + v, mx * comp["h"] + hh
+                            )
+                mcu_count += 1
+    return _next_marker(p, reader.pos)
+
+
+def _reconstruct(frame, coefs, qt):
+    """Dequantize + IDCT every block, upsample chroma, color-convert."""
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    }
-    reader = _BitReader(p, pos)
-    dc_pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                dc_pred = {c["id"]: 0 for c in comps}
-            for comp, td, ta in scan:
-                q = qt[comp["tq"]]
-                for v in range(comp["v"]):
-                    for hh in range(comp["h"]):
-                        coefs = np.zeros((8, 8), dtype=np.float64)
-                        t = reader.decode_huff(huff_dc[td])
-                        diff = _extend(reader.read(t), t) if t else 0
-                        dc_pred[comp["id"]] += diff
-                        coefs[0, 0] = dc_pred[comp["id"]] * q[0, 0]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(huff_ac[ta])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            rr, cc = ZIGZAG[k]
-                            coefs[rr, cc] = _extend(reader.read(s), s) * q[rr, cc]
-                            k += 1
-                        block = _idct(coefs) + 128.0
-                        y0 = (my * comp["v"] + v) * 8
-                        x0 = (mx * comp["h"] + hh) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-
-    # upsample to full resolution and crop
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    zz_rows = np.array([rc[0] for rc in ZIGZAG])
+    zz_cols = np.array([rc[1] for rc in ZIGZAG])
     full = []
     for c in comps:
-        plane = planes[c["id"]]
+        store = coefs[c["id"]]
+        by_pad, bx_pad, _ = store.shape
+        q = qt[c["tq"]]
+        plane = np.zeros((by_pad * 8, bx_pad * 8), dtype=np.float64)
+        dq = np.zeros((8, 8), dtype=np.float64)
+        for by in range(by_pad):
+            for bx in range(bx_pad):
+                dq[zz_rows, zz_cols] = store[by, bx]
+                block = _idct(dq * q) + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
         if c["h"] != hmax or c["v"] != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
@@ -373,12 +479,12 @@ def _mag_bits(v: int):
     return t, bits
 
 
-def encode_jpeg_baseline(
-    pixels: bytes, w: int, h: int, channels: int, subsample: bool = False
-) -> bytes:
-    """Encode 8-bit pixels (row-major, interleaved; channels 1 or 3) as
-    a baseline JPEG. ``subsample`` turns on 4:2:0 chroma. Huffman
-    tables are per-image flat 8-bit codes (see ``_flat_tables``)."""
+def _prep_blocks(pixels: bytes, w: int, h: int, channels: int, subsample: bool):
+    """Shared encoder front half: color transform, chroma subsampling,
+    MCU-grid padding, FDCT + quantization. Returns (sampling, qtabs,
+    grids, mcux, mcuy) with ``grids[ci][by][bx]`` the int64 quantized
+    zigzag-ordered coefficient vector of one block on the padded
+    grid."""
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels).astype(
         np.float64
     )
@@ -397,14 +503,16 @@ def encode_jpeg_baseline(
     else:
         raise ValueError("channels must be 1 or 3")
 
-    hmax = max(s[0] for s in sampling)
-    vmax = max(s[1] for s in sampling)
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    quant = [QUANT_LUMA, QUANT_CHROMA]
+    zz_rows = np.array([rc[0] for rc in ZIGZAG])
+    zz_cols = np.array([rc[1] for rc in ZIGZAG])
 
-    # downsample chroma (2x2 mean) and pad every plane to its MCU grid
-    prepped = []
-    for plane, (sh, sv) in zip(planes, sampling):
+    grids = []
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, sampling)):
         if (sh, sv) != (hmax, vmax):
             fy, fx = vmax // sv, hmax // sh
             py = -(-plane.shape[0] // fy) * fy
@@ -418,84 +526,155 @@ def encode_jpeg_baseline(
         plane = np.pad(
             plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])), mode="edge"
         )
-        prepped.append(plane)
+        q = quant[qtabs[ci]]
+        grid = np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int64)
+        for by in range(mcuy * sv):
+            for bx in range(mcux * sh):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coefs = np.round(_fdct(block) / q).astype(np.int64)
+                grid[by, bx] = coefs[zz_rows, zz_cols]
+        grids.append(grid)
+    return sampling, qtabs, grids, mcux, mcuy
 
+
+def _emit_headers(out: bytearray, sampling, qtabs, w, h, progressive: bool):
     quant = [QUANT_LUMA, QUANT_CHROMA]
-
-    # pass 1: quantized coefficients per (comp, mcu, block)
-    all_blocks: list[list[list[np.ndarray]]] = [[] for _ in planes]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (plane, (sh, sv)) in enumerate(zip(prepped, sampling)):
-                blocks = []
-                q = quant[qtabs[ci]]
-                for v in range(sv):
-                    for hh in range(sh):
-                        y0 = (my * sv + v) * 8
-                        x0 = (mx * sh + hh) * 8
-                        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coefs = np.round(_fdct(block) / q).astype(np.int64)
-                        blocks.append(coefs)
-                all_blocks[ci].append(blocks)
-
-    # pass 2: collect the symbols each component actually emits
-    def block_symbols(coefs, dc_prev):
-        dc = int(coefs[0, 0])
-        t, _ = _mag_bits(dc - dc_prev)
-        dcs = [t]
-        acs = []
-        zz = [int(coefs[r, c]) for r, c in ZIGZAG]
-        run = 0
-        for k in range(1, 64):
-            if zz[k] == 0:
-                run += 1
-                continue
-            while run > 15:
-                acs.append(0xF0)
-                run -= 16
-            s, _ = _mag_bits(zz[k])
-            acs.append((run << 4) | s)
-            run = 0
-        if run:
-            acs.append(0x00)  # EOB
-        elif not acs or True:
-            pass
-        # always terminate with EOB unless the last coef was at k=63
-        if zz[63] == 0:
-            if not acs or acs[-1] != 0x00:
-                acs.append(0x00)
-        return dc, dcs, acs
-
-    n_tables = 1 if channels == 1 else 2
-    dc_syms: list[list[int]] = [[] for _ in range(n_tables)]
-    ac_syms: list[list[int]] = [[0x00] for _ in range(n_tables)]  # EOB always in
-    dc_prev = [0] * len(planes)
-    for ci in range(len(planes)):
-        tbl = 0 if ci == 0 else 1
-        prev = 0
-        for blocks in all_blocks[ci]:
-            for coefs in blocks:
-                dc, dcs, acs = block_symbols(coefs, prev)
-                prev = dc
-                dc_syms[tbl].extend(dcs)
-                ac_syms[tbl].extend(a for a in acs)
-    dc_tabs = [_flat_tables(s or [0]) for s in dc_syms]
-    ac_tabs = [_flat_tables(s) for s in ac_syms]
-
-    # emit segments
-    out = bytearray(b"\xff\xd8")
 
     def seg(marker: int, body: bytes):
         out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
 
     for tq, q in enumerate(quant[: len(set(qtabs))]):
-        zz = bytes(q[r, c] for r, c in ZIGZAG)
+        zz = bytes(int(q[r, c]) for r, c in ZIGZAG)
         seg(0xDB, bytes([tq]) + zz)
     compspec = b"".join(
         bytes([ci + 1, (sh << 4) | sv, qtabs[ci]])
         for ci, (sh, sv) in enumerate(sampling)
     )
-    seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)]) + compspec)
+    seg(
+        0xC2 if progressive else 0xC0,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([len(sampling)]) + compspec,
+    )
+    return seg
+
+
+def _write_ac_band(bw, enc_table, zz, first, last, write_values=True):
+    """Emit one block's AC band with ZRL + per-block EOB0."""
+    nz = [k for k in range(first, last + 1) if zz[k] != 0]
+    last_nz = nz[-1] if nz else first - 1
+    run = 0
+    for k in range(first, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_table[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        t, vbits = _mag_bits(int(zz[k]))
+        code, ln = enc_table[(run << 4) | t]
+        bw.write(code, ln)
+        if write_values:
+            bw.write(vbits, t)
+        run = 0
+    if last_nz < last:
+        code, ln = enc_table[0x00]
+        bw.write(code, ln)
+
+
+def _ac_band_symbols(zz, first, last):
+    syms = []
+    nz = [k for k in range(first, last + 1) if zz[k] != 0]
+    last_nz = nz[-1] if nz else first - 1
+    run = 0
+    for k in range(first, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append(0xF0)
+            run -= 16
+        t, _ = _mag_bits(int(zz[k]))
+        syms.append((run << 4) | t)
+        run = 0
+    if last_nz < last:
+        syms.append(0x00)
+    return syms
+
+
+def _ac_scan_ops(grid_blocks, first=1, last=63):
+    """Symbol/bit op stream for one component's progressive AC scan,
+    with END-OF-BAND RUN aggregation (EOBn, r up to 14): consecutive
+    end-of-band events collapse into one EOBn symbol plus r extension
+    bits, exactly the coding real progressive encoders emit — so the
+    decoder's EOBRUN path is exercised by round-trip, not just written.
+    Yields ("sym", s) and ("bits", value, nbits) ops."""
+    ops = []
+    pending = 0
+
+    def flush():
+        nonlocal pending
+        while pending:
+            r = min(pending.bit_length() - 1, 14)
+            take = min(pending, (1 << (r + 1)) - 1)
+            ops.append(("sym", r << 4))
+            if r:
+                ops.append(("bits", take - (1 << r), r))
+            pending -= take
+
+    for zz in grid_blocks:
+        nz = [k for k in range(first, last + 1) if zz[k] != 0]
+        if not nz:
+            pending += 1
+            continue
+        flush()
+        last_nz = nz[-1]
+        run = 0
+        for k in range(first, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.append(("sym", 0xF0))
+                run -= 16
+            t, vbits = _mag_bits(int(zz[k]))
+            ops.append(("sym", (run << 4) | t))
+            ops.append(("bits", vbits, t))
+            run = 0
+        if last_nz < last:
+            pending = 1
+    flush()
+    return ops
+
+
+def encode_jpeg_baseline(
+    pixels: bytes, w: int, h: int, channels: int, subsample: bool = False
+) -> bytes:
+    """Encode 8-bit pixels (row-major, interleaved; channels 1 or 3) as
+    a baseline JPEG. ``subsample`` turns on 4:2:0 chroma. Huffman
+    tables are per-image flat 8-bit codes (see ``_flat_tables``)."""
+    sampling, qtabs, grids, mcux, mcuy = _prep_blocks(
+        pixels, w, h, channels, subsample
+    )
+    n_tables = 1 if channels == 1 else 2
+
+    # symbol collection per table
+    dc_syms: list[list[int]] = [[] for _ in range(n_tables)]
+    ac_syms: list[list[int]] = [[0x00] for _ in range(n_tables)]
+    for ci, grid in enumerate(grids):
+        tbl = 0 if ci == 0 else 1
+        prev = 0
+        for by in range(grid.shape[0]):
+            for bx in range(grid.shape[1]):
+                dc = int(grid[by, bx, 0])
+                t, _ = _mag_bits(dc - prev)
+                prev = dc
+                dc_syms[tbl].append(t)
+                ac_syms[tbl].extend(_ac_band_symbols(grid[by, bx], 1, 63))
+    dc_tabs = [_flat_tables(sy or [0]) for sy in dc_syms]
+    ac_tabs = [_flat_tables(sy) for sy in ac_syms]
+
+    out = bytearray(b"\xff\xd8")
+    seg = _emit_headers(out, sampling, qtabs, w, h, progressive=False)
     for tbl in range(n_tables):
         counts, symbols, _ = dc_tabs[tbl]
         seg(0xC4, bytes([tbl]) + bytes(counts) + symbols)
@@ -503,50 +682,130 @@ def encode_jpeg_baseline(
         seg(0xC4, bytes([0x10 | tbl]) + bytes(counts) + symbols)
     sos_comps = b"".join(
         bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1)])
-        for ci in range(len(planes))
+        for ci in range(len(grids))
     )
-    seg(0xDA, bytes([len(planes)]) + sos_comps + bytes([0, 63, 0]))
+    seg(0xDA, bytes([len(grids)]) + sos_comps + bytes([0, 63, 0]))
 
-    # entropy-coded data
     bw = _BitWriter()
-    dc_prev = [0] * len(planes)
+    dc_prev = [0] * len(grids)
     for my in range(mcuy):
         for mx in range(mcux):
-            mcu_idx = my * mcux + mx
             for ci, (sh, sv) in enumerate(sampling):
                 tbl = 0 if ci == 0 else 1
                 _, _, dc_enc = dc_tabs[tbl]
                 _, _, ac_enc = ac_tabs[tbl]
-                for coefs in all_blocks[ci][mcu_idx]:
-                    dc = int(coefs[0, 0])
-                    t, bits = _mag_bits(dc - dc_prev[ci])
-                    dc_prev[ci] = dc
-                    code, ln = dc_enc[t]
-                    bw.write(code, ln)
-                    if t:
-                        bw.write(bits, t)
-                    zz = [int(coefs[r, c]) for r, c in ZIGZAG]
-                    run = 0
-                    last_nz = max(
-                        (k for k in range(1, 64) if zz[k] != 0), default=0
-                    )
-                    for k in range(1, last_nz + 1):
-                        if zz[k] == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            code, ln = ac_enc[0xF0]
-                            bw.write(code, ln)
-                            run -= 16
-                        s, vbits = _mag_bits(zz[k])
-                        code, ln = ac_enc[(run << 4) | s]
+                for v in range(sv):
+                    for hh in range(sh):
+                        zz = grids[ci][my * sv + v, mx * sh + hh]
+                        dc = int(zz[0])
+                        t, bits = _mag_bits(dc - dc_prev[ci])
+                        dc_prev[ci] = dc
+                        code, ln = dc_enc[t]
                         bw.write(code, ln)
-                        bw.write(vbits, s)
-                        run = 0
-                    if last_nz < 63:
-                        code, ln = ac_enc[0x00]
-                        bw.write(code, ln)
+                        if t:
+                            bw.write(bits, t)
+                        _write_ac_band(bw, ac_enc, zz, 1, 63)
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    pixels: bytes, w: int, h: int, channels: int, subsample: bool = False
+) -> bytes:
+    """Progressive (SOF2) encoding exercising every scan kind the
+    decoder covers: an interleaved DC first scan at Al=1, a DC
+    successive-approximation refinement scan (raw bits), then one
+    spectral-selection AC scan (1..63, Al=0) per component over the
+    component's true block raster. Validation fixture for the
+    progressive decode path; quantized coefficients are identical to
+    the baseline encoding, so both forms decode to the same pixels."""
+    sampling, qtabs, grids, mcux, mcuy = _prep_blocks(
+        pixels, w, h, channels, subsample
+    )
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    n_tables = 1 if channels == 1 else 2
+
+    out = bytearray(b"\xff\xd8")
+    seg = _emit_headers(out, sampling, qtabs, w, h, progressive=True)
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(sampling):
+                    for v in range(sv):
+                        for hh in range(sh):
+                            yield ci, grids[ci][my * sv + v, mx * sh + hh]
+
+    # scan 1: DC first, interleaved, Al=1 (point-transformed diffs)
+    dc_syms: list[list[int]] = [[] for _ in range(n_tables)]
+    prevs = [0] * len(grids)
+    for ci, zz in mcu_blocks():
+        tbl = 0 if ci == 0 else 1
+        v1 = int(zz[0]) >> 1
+        t, _ = _mag_bits(v1 - prevs[ci])
+        prevs[ci] = v1
+        dc_syms[tbl].append(t)
+    dc_tabs = [_flat_tables(sy or [0]) for sy in dc_syms]
+    for tbl in range(n_tables):
+        counts, symbols, _ = dc_tabs[tbl]
+        seg(0xC4, bytes([tbl]) + bytes(counts) + symbols)
+    sos_comps = b"".join(
+        bytes([ci + 1, ((0 if ci == 0 else 1) << 4)])
+        for ci in range(len(grids))
+    )
+    seg(0xDA, bytes([len(grids)]) + sos_comps + bytes([0, 0, 0x01]))
+    bw = _BitWriter()
+    prevs = [0] * len(grids)
+    for ci, zz in mcu_blocks():
+        tbl = 0 if ci == 0 else 1
+        _, _, dc_enc = dc_tabs[tbl]
+        v1 = int(zz[0]) >> 1
+        t, bits = _mag_bits(v1 - prevs[ci])
+        prevs[ci] = v1
+        code, ln = dc_enc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(bits, t)
+    bw.flush()
+    out.extend(bw.out)
+
+    # scan 2: DC refinement (Ah=1 -> Al=0), one raw bit per block
+    seg(0xDA, bytes([len(grids)]) + sos_comps + bytes([0, 0, 0x10]))
+    bw = _BitWriter()
+    for ci, zz in mcu_blocks():
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    out.extend(bw.out)
+
+    # per-component AC spectral-selection scans (1..63, Al=0), with
+    # EOB-run aggregation so the decoder's EOBRUN path round-trips
+    for ci, grid in enumerate(grids):
+        sh, sv = sampling[ci]
+        comp_w = -(-(w * sh) // hmax)
+        comp_h = -(-(h * sv) // vmax)
+        bx_true = -(-comp_w // 8)
+        by_true = -(-comp_h // 8)
+        blocks = [
+            grid[by, bx] for by in range(by_true) for bx in range(bx_true)
+        ]
+        ops = _ac_scan_ops(blocks)
+        syms = [op[1] for op in ops if op[0] == "sym"] or [0x00]
+        counts, symbols, ac_enc = _flat_tables(syms)
+        tbl = 0 if ci == 0 else 1
+        seg(0xC4, bytes([0x10 | tbl]) + bytes(counts) + symbols)
+        seg(0xDA, bytes([1, ci + 1, tbl]) + bytes([1, 63, 0]))
+        bw = _BitWriter()
+        for op in ops:
+            if op[0] == "sym":
+                code, ln = ac_enc[op[1]]
+                bw.write(code, ln)
+            else:
+                bw.write(op[1], op[2])
+        bw.flush()
+        out.extend(bw.out)
+
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -75,9 +75,9 @@ def test_decoder_rejects_what_it_does_not_cover():
     assert decode_jpeg_pixels(b"\x00" * 64) is None
     img = np.full((8, 8, 1), 10, np.uint8)
     enc = encode_jpeg_baseline(img.tobytes(), 8, 8, 1)
-    # flip SOF0 (FFC0) to progressive SOF2 (FFC2): must refuse, not garble
-    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    assert decode_jpeg_pixels(prog) is None
+    # flip SOF0 (FFC0) to lossless SOF3 (FFC3): must refuse, not garble
+    lossless = enc.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    assert decode_jpeg_pixels(lossless) is None
     # truncated entropy data: must never raise — either None or a
     # zero-padded partial image (the spec's marker-stops-the-scan rule)
     res = decode_jpeg_pixels(enc[: len(enc) // 2])
@@ -148,3 +148,64 @@ def test_mjpeg_avi_demux_and_frame_sampling(spark):
     for r in got:
         assert (r.width, r.height, r.channels, r.n_frames) == (24, 16, 1, 6)
         assert abs(r.mean_px - levels[r.frame_idx]) < 1.0
+
+
+PROG_CASES = [
+    # big solid: 48 empty-AC luma blocks -> exercises EOBn runs (r>0)
+    ("solid-big", np.full((48, 64, 1), 130, np.uint8), False),
+    ("rgb", np.tile(np.array([200, 60, 30], np.uint8), (32, 40, 1)), False),
+    (
+        "grad-420",
+        np.stack(
+            [np.tile(np.linspace(0, 255, 32).astype(np.uint8), (24, 1))] * 3,
+            axis=-1,
+        ),
+        True,
+    ),
+    (
+        "noise-odd-420",
+        np.random.RandomState(1).randint(0, 256, (19, 21, 3)).astype(np.uint8),
+        True,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,img,sub", PROG_CASES, ids=[c[0] for c in PROG_CASES]
+)
+def test_progressive_decodes_identical_to_baseline(name, img, sub):
+    """The progressive encoding (DC successive approximation + per-
+    component spectral-selection AC scans with EOB-run aggregation)
+    carries the same quantized coefficients as the baseline encoding —
+    so the two decodes must be BIT-IDENTICAL, which validates the
+    multi-scan accumulation, the DC refinement bits, the non-
+    interleaved AC geometry, and the EOBRUN path in one assertion."""
+    from nyc_taxi_data_warehouse_spark.multimodal.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    h, w, c = img.shape
+    base = decode_jpeg_pixels(encode_jpeg_baseline(img.tobytes(), w, h, c, subsample=sub))
+    prog_bytes = encode_jpeg_progressive(img.tobytes(), w, h, c, subsample=sub)
+    prog = decode_jpeg_pixels(prog_bytes)
+    assert prog is not None and base is not None
+    assert prog[:3] == (w, h, c)
+    assert prog[3] == base[3]
+    # and the container really is SOF2
+    assert b"\xff\xc2" in prog_bytes and b"\xff\xc0" not in prog_bytes
+
+
+def test_progressive_ac_refinement_refused_not_garbled():
+    """AC successive-approximation refinement (Ss>0, Ah>0) is the one
+    documented gap: flipping an AC scan's approximation byte must yield
+    None, never garbage pixels."""
+    from nyc_taxi_data_warehouse_spark.multimodal.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((16, 16, 1), 90, np.uint8)
+    enc = encode_jpeg_progressive(img.tobytes(), 16, 16, 1)
+    # AC SOS params are (Ss=1, Se=63, AhAl=0); set Ah=1
+    patched = enc.replace(b"\x01\x3f\x00", b"\x01\x3f\x10", 1)
+    assert patched != enc
+    assert decode_jpeg_pixels(patched) is None
