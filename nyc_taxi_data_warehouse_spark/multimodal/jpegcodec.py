@@ -9,12 +9,12 @@ color model is a linear YCbCr. This module implements
   DQT/DHT tables, grayscale or YCbCr, any sampling factors (4:4:4,
   4:2:2, 4:2:0), restart markers, byte stuffing; baseline single-scan
   AND progressive multi-scan streams (spectral selection with EOB-run
-  coding, DC successive approximation, non-interleaved AC geometry —
+  coding, FULL successive approximation — DC refinement bits and AC
+  correction-bit refinement scans — non-interleaved AC geometry;
   coefficients accumulate across scans, one IDCT at the end). Returns
   ``(width, height, channels, pixels_bytes)`` like the PNG decoder, or
-  None for payloads outside coverage (AC successive-approximation
-  REFINEMENT scans — the one progressive piece not implemented —
-  12-bit precision, lossless/arithmetic modes).
+  None for payloads outside coverage (12-bit precision,
+  lossless/arithmetic modes).
 - ``encode_jpeg_baseline`` / ``encode_jpeg_progressive`` — minimal but
   spec-valid encoders used to VALIDATE the decoder without a reference
   codec: they share only the constant tables with the decoder (quant
@@ -23,7 +23,9 @@ color model is a linear YCbCr. This module implements
   implementations, so round-trip agreement is real evidence, not
   self-confirmation. The progressive encoder emits every scan kind the
   decoder covers (DC first at Al=1, DC refinement bits, per-component
-  AC bands with aggregated EOBn runs), and both encodings carry
+  AC bands with aggregated EOBn runs, and — with ``ac_successive`` —
+  AC refinement scans with libjpeg's two-buffer correction-bit
+  discipline), and both encodings carry
   IDENTICAL quantized coefficients — so progressive-decode ==
   baseline-decode bit-for-bit is the validation gate. Huffman tables
   are flat 8-bit canonical codes — unusual but valid per the spec,
@@ -179,12 +181,10 @@ def _huff_table(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]
 def decode_jpeg_pixels(payload: bytes):
     """Decode a baseline (SOF0) or progressive (SOF2) JPEG. Returns
     ``(w, h, channels, bytes)`` — channels 1 (grayscale) or 3 (RGB) —
-    or None for streams outside coverage. Progressive coverage:
-    spectral selection + successive approximation for DC; AC
-    REFINEMENT scans (Ah>0 with Ss>0) return None — their correction-
-    bit coding is the one piece this codec does not implement (files
-    from encoders that use `-progressive` defaults typically do;
-    spectral-selection-only progressive decodes fully)."""
+    or None for streams outside coverage (12-bit precision, lossless /
+    arithmetic modes). Progressive coverage is FULL: spectral selection
+    with EOB runs, DC successive approximation, and AC correction-bit
+    refinement scans."""
     try:
         return _decode(payload)
     except (IndexError, ValueError, ZeroDivisionError, struct.error, KeyError):
@@ -316,14 +316,76 @@ def _entropy_scan(
     combined scans (ss=0, se=63), progressive DC first/refinement, and
     progressive AC first scans; AC refinement (ss>0, ah>0) is out of
     coverage."""
-    if ss > 0 and ah > 0:
-        raise ValueError("progressive AC refinement not supported")
     reader = _BitReader(p, pos)
     dc_pred = {c["id"]: 0 for c in frame["comps"]}
     eobrun = 0
 
+    def refine_nonzero(blk, k):
+        """Read one correction bit for an already-nonzero coefficient:
+        a 1-bit grows the magnitude by 2^Al toward its sign."""
+        if reader.read(1) and not (abs(int(blk[k])) >> al) & 1:
+            blk[k] += (1 << al) if blk[k] > 0 else -(1 << al)
+
+    def decode_block_ac_refine(comp, ta, by, bx):
+        """Progressive AC successive-approximation refinement (Ah=Al+1
+        -> Al): newly-significant coefficients arrive as ±2^Al after a
+        run of zero-HISTORY positions; every nonzero-history position
+        crossed (or covered by an EOB run) contributes one correction
+        bit, in positional order."""
+        nonlocal eobrun
+        blk = coefs[comp["id"]][by, bx]
+        if eobrun > 0:
+            for k in range(ss, se + 1):
+                if blk[k] != 0:
+                    refine_nonzero(blk, k)
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_huff(huff_ac[ta])
+            r, t = rs >> 4, rs & 15
+            if t == 0 and r < 15:  # EOBn: rest of this block is refinement-only
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                for kk in range(k, se + 1):
+                    if blk[kk] != 0:
+                        refine_nonzero(blk, kk)
+                return
+            if t == 0:  # ZRL: cross exactly 16 zero-history positions
+                zeros_left, newval = 16, 0
+            else:
+                if t != 1:
+                    raise ValueError("refinement scan magnitude must be 1")
+                sign = reader.read(1)
+                zeros_left, newval = r, (1 << al) if sign else -(1 << al)
+            while k <= se:
+                if blk[k] != 0:
+                    refine_nonzero(blk, k)
+                    k += 1
+                    continue
+                if newval == 0:  # ZRL: stop right AFTER the 16th zero —
+                    # correction bits beyond it belong to the next symbol
+                    zeros_left -= 1
+                    k += 1
+                    if zeros_left == 0:
+                        break
+                    continue
+                if zeros_left == 0:  # placement: land ON the next zero
+                    break
+                zeros_left -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                blk[k] = newval
+                k += 1
+
     def decode_block(comp, td, ta, by, bx):
         nonlocal eobrun
+        if ss > 0 and ah > 0:
+            decode_block_ac_refine(comp, ta, by, bx)
+            return
         blk = coefs[comp["id"]][by, bx]
         if ss == 0:
             if ah == 0:
@@ -646,6 +708,81 @@ def _ac_scan_ops(grid_blocks, first=1, last=63):
     return ops
 
 
+def _ac_refine_ops(blocks, first=1, last=63, al=0):
+    """Op stream for an AC successive-approximation REFINEMENT scan
+    (Ah=al+1 -> al), mirroring the decoder's positional traversal:
+
+    - newly-significant coefficients (|c| >> al == 1) arrive as a
+      (zero-run, 1) symbol + sign bit;
+    - already-significant coefficients contribute one correction bit
+      (bit ``al`` of |c|), buffered and flushed after the symbol whose
+      traversal crosses them — libjpeg's two-buffer discipline: bits
+      inside the current stretch flush after that stretch's ZRL or
+      placement symbol, bits after a block's last placement attach to
+      the pending END-OF-BAND run and flush right after its EOBn.
+
+    Runs above 32767 blocks would need interleaved EOBn chunking the
+    flush below does not attempt — far beyond any test or realistic
+    scan segment here."""
+    ops = []
+    eob_pending = 0
+    eob_bits = []
+
+    def flush_eob():
+        nonlocal eob_pending
+        while eob_pending:
+            r = min(eob_pending.bit_length() - 1, 14)
+            take = min(eob_pending, (1 << (r + 1)) - 1)
+            ops.append(("sym", r << 4))
+            if r:
+                ops.append(("bits", take - (1 << r), r))
+            eob_pending -= take
+        ops.extend(eob_bits)
+        eob_bits.clear()
+
+    for zz in blocks:
+        newly = [k for k in range(first, last + 1) if (abs(int(zz[k])) >> al) == 1]
+        last_new = newly[-1] if newly else first - 1
+        stretch = []  # ("z",) or ("b", bit) events since the last symbol
+        for k in range(first, last_new + 1):
+            c = int(zz[k])
+            mag = abs(c) >> al
+            if mag == 0:
+                stretch.append(("z",))
+            elif mag > 1:
+                stretch.append(("b", mag & 1))
+            else:  # newly significant: replay the stretch, then place
+                if eob_pending:
+                    flush_eob()
+                zeros, pend = 0, []
+                for ev in stretch:
+                    if ev[0] == "z":
+                        zeros += 1
+                        if zeros == 16:
+                            ops.append(("sym", 0xF0))
+                            ops.extend(pend)
+                            pend, zeros = [], 0
+                    else:
+                        pend.append(("bits", ev[1], 1))
+                ops.append(("sym", (zeros << 4) | 1))
+                ops.append(("bits", 1 if c > 0 else 0, 1))
+                ops.extend(pend)
+                stretch = []
+        if last_new == last:
+            # the final placement landed on the band's last position —
+            # the decoder's traversal is complete, NO end-of-band event
+            # exists for this block (mirrors _ac_scan_ops' last_nz==last)
+            continue
+        eob_bits.extend(
+            ("bits", (abs(int(zz[k])) >> al) & 1, 1)
+            for k in range(max(last_new + 1, first), last + 1)
+            if (abs(int(zz[k])) >> al) > 1
+        )
+        eob_pending += 1
+    flush_eob()
+    return ops
+
+
 def encode_jpeg_baseline(
     pixels: bytes, w: int, h: int, channels: int, subsample: bool = False
 ) -> bytes:
@@ -712,7 +849,12 @@ def encode_jpeg_baseline(
 
 
 def encode_jpeg_progressive(
-    pixels: bytes, w: int, h: int, channels: int, subsample: bool = False
+    pixels: bytes,
+    w: int,
+    h: int,
+    channels: int,
+    subsample: bool = False,
+    ac_successive: bool = False,
 ) -> bytes:
     """Progressive (SOF2) encoding exercising every scan kind the
     decoder covers: an interleaved DC first scan at Al=1, a DC
@@ -780,23 +922,18 @@ def encode_jpeg_progressive(
     bw.flush()
     out.extend(bw.out)
 
-    # per-component AC spectral-selection scans (1..63, Al=0), with
-    # EOB-run aggregation so the decoder's EOBRUN path round-trips
-    for ci, grid in enumerate(grids):
-        sh, sv = sampling[ci]
-        comp_w = -(-(w * sh) // hmax)
-        comp_h = -(-(h * sv) // vmax)
-        bx_true = -(-comp_w // 8)
-        by_true = -(-comp_h // 8)
-        blocks = [
-            grid[by, bx] for by in range(by_true) for bx in range(bx_true)
-        ]
-        ops = _ac_scan_ops(blocks)
+    # per-component AC spectral-selection scans, with EOB-run
+    # aggregation so the decoder's EOBRUN path round-trips. With
+    # ac_successive, each component sends its band twice: a first scan
+    # at Al=1 (point-transformed values) and a successive-approximation
+    # REFINEMENT scan carrying the final bit — exercising the decoder's
+    # correction-bit machinery end to end.
+    def emit_ops_scan(ci, ops, sos_params):
         syms = [op[1] for op in ops if op[0] == "sym"] or [0x00]
         counts, symbols, ac_enc = _flat_tables(syms)
         tbl = 0 if ci == 0 else 1
         seg(0xC4, bytes([0x10 | tbl]) + bytes(counts) + symbols)
-        seg(0xDA, bytes([1, ci + 1, tbl]) + bytes([1, 63, 0]))
+        seg(0xDA, bytes([1, ci + 1, tbl]) + bytes(sos_params))
         bw = _BitWriter()
         for op in ops:
             if op[0] == "sym":
@@ -806,6 +943,30 @@ def encode_jpeg_progressive(
                 bw.write(op[1], op[2])
         bw.flush()
         out.extend(bw.out)
+
+    comp_blocks = []
+    for ci, grid in enumerate(grids):
+        sh, sv = sampling[ci]
+        comp_w = -(-(w * sh) // hmax)
+        comp_h = -(-(h * sv) // vmax)
+        bx_true = -(-comp_w // 8)
+        by_true = -(-comp_h // 8)
+        comp_blocks.append(
+            [grid[by, bx] for by in range(by_true) for bx in range(bx_true)]
+        )
+
+    if not ac_successive:
+        for ci, blocks in enumerate(comp_blocks):
+            emit_ops_scan(ci, _ac_scan_ops(blocks), [1, 63, 0])
+    else:
+        for ci, blocks in enumerate(comp_blocks):
+            # first scan at Al=1: sign(c) * (|c| >> 1)
+            coarse = [
+                np.sign(zz) * (np.abs(zz) >> 1) for zz in blocks
+            ]
+            emit_ops_scan(ci, _ac_scan_ops(coarse), [1, 63, 0x01])
+        for ci, blocks in enumerate(comp_blocks):
+            emit_ops_scan(ci, _ac_refine_ops(blocks, al=0), [1, 63, 0x10])
 
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -195,17 +195,35 @@ def test_progressive_decodes_identical_to_baseline(name, img, sub):
     assert b"\xff\xc2" in prog_bytes and b"\xff\xc0" not in prog_bytes
 
 
-def test_progressive_ac_refinement_refused_not_garbled():
-    """AC successive-approximation refinement (Ss>0, Ah>0) is the one
-    documented gap: flipping an AC scan's approximation byte must yield
-    None, never garbage pixels."""
+def test_progressive_ac_refinement_roundtrips_bit_identical():
+    """FULL successive approximation: each component's AC band arrives
+    as a coarse Al=1 scan plus a correction-bit refinement scan
+    (newly-significant ±1 placements, buffered correction bits after
+    their covering symbol or EOB run — libjpeg's two-buffer order).
+    Both encodings carry the same coefficients, so the refined decode
+    must equal the baseline decode bit-for-bit — fuzzed across sizes,
+    channel counts, and 4:2:0."""
     from nyc_taxi_data_warehouse_spark.multimodal.jpegcodec import (
         encode_jpeg_progressive,
     )
 
-    img = np.full((16, 16, 1), 90, np.uint8)
-    enc = encode_jpeg_progressive(img.tobytes(), 16, 16, 1)
-    # AC SOS params are (Ss=1, Se=63, AhAl=0); set Ah=1
-    patched = enc.replace(b"\x01\x3f\x00", b"\x01\x3f\x10", 1)
-    assert patched != enc
-    assert decode_jpeg_pixels(patched) is None
+    rng = np.random.RandomState(42)
+    cases = [np.full((48, 64, 1), 130, np.uint8),
+             (np.indices((24, 32)).sum(axis=0) % 2 * 255).astype(np.uint8)[..., None]]
+    for _ in range(15):
+        hh, ww = rng.randint(8, 40), rng.randint(8, 40)
+        cc = int(rng.choice([1, 3]))
+        cases.append(rng.randint(0, 256, (hh, ww, cc)).astype(np.uint8))
+    for img in cases:
+        h, w, c = img.shape
+        sub = bool(rng.randint(2)) and c == 3
+        base = decode_jpeg_pixels(
+            encode_jpeg_baseline(img.tobytes(), w, h, c, subsample=sub)
+        )
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(
+                img.tobytes(), w, h, c, subsample=sub, ac_successive=True
+            )
+        )
+        assert prog is not None and base is not None
+        assert prog[3] == base[3]
