@@ -784,29 +784,55 @@ def _ac_refine_ops(blocks, first=1, last=63, al=0):
 
 
 def encode_jpeg_baseline(
-    pixels: bytes, w: int, h: int, channels: int, subsample: bool = False
+    pixels: bytes,
+    w: int,
+    h: int,
+    channels: int,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit pixels (row-major, interleaved; channels 1 or 3) as
-    a baseline JPEG. ``subsample`` turns on 4:2:0 chroma. Huffman
-    tables are per-image flat 8-bit codes (see ``_flat_tables``)."""
+    a baseline JPEG. ``subsample`` turns on 4:2:0 chroma;
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (byte-aligned, DC predictors reset) every that many MCUs — the
+    error-resilience feature real encoders add, and the round-trip
+    coverage for the decoder's restart resync. Huffman tables are
+    per-image flat 8-bit codes (see ``_flat_tables``).
+
+    Both the symbol-collection and bit-writing passes traverse in MCU
+    order (one shared generator): under 4:2:0 the MCU traversal visits
+    luma blocks in a different order than a plain grid raster, and the
+    DC DIFF sequence — hence the Huffman symbol set — depends on that
+    order, so the two passes must walk identically."""
     sampling, qtabs, grids, mcux, mcuy = _prep_blocks(
         pixels, w, h, channels, subsample
     )
     n_tables = 1 if channels == 1 else 2
 
-    # symbol collection per table
+    def mcu_walk():
+        """(ci, zz, mcu_index) in write order."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(sampling):
+                    for v in range(sv):
+                        for hh in range(sh):
+                            yield ci, grids[ci][my * sv + v, mx * sh + hh], my * mcux + mx
+
+    # symbol collection per table, in write order with restart resets
     dc_syms: list[list[int]] = [[] for _ in range(n_tables)]
     ac_syms: list[list[int]] = [[0x00] for _ in range(n_tables)]
-    for ci, grid in enumerate(grids):
+    prevs = [0] * len(grids)
+    last_mcu = 0
+    for ci, zz, mcu in mcu_walk():
+        if restart_interval and mcu != last_mcu and mcu % restart_interval == 0:
+            prevs = [0] * len(grids)
+        last_mcu = mcu
         tbl = 0 if ci == 0 else 1
-        prev = 0
-        for by in range(grid.shape[0]):
-            for bx in range(grid.shape[1]):
-                dc = int(grid[by, bx, 0])
-                t, _ = _mag_bits(dc - prev)
-                prev = dc
-                dc_syms[tbl].append(t)
-                ac_syms[tbl].extend(_ac_band_symbols(grid[by, bx], 1, 63))
+        dc = int(zz[0])
+        t, _ = _mag_bits(dc - prevs[ci])
+        prevs[ci] = dc
+        dc_syms[tbl].append(t)
+        ac_syms[tbl].extend(_ac_band_symbols(zz, 1, 63))
     dc_tabs = [_flat_tables(sy or [0]) for sy in dc_syms]
     ac_tabs = [_flat_tables(sy) for sy in ac_syms]
 
@@ -817,6 +843,8 @@ def encode_jpeg_baseline(
         seg(0xC4, bytes([tbl]) + bytes(counts) + symbols)
         counts, symbols, _ = ac_tabs[tbl]
         seg(0xC4, bytes([0x10 | tbl]) + bytes(counts) + symbols)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos_comps = b"".join(
         bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1)])
         for ci in range(len(grids))
@@ -825,23 +853,28 @@ def encode_jpeg_baseline(
 
     bw = _BitWriter()
     dc_prev = [0] * len(grids)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (sh, sv) in enumerate(sampling):
-                tbl = 0 if ci == 0 else 1
-                _, _, dc_enc = dc_tabs[tbl]
-                _, _, ac_enc = ac_tabs[tbl]
-                for v in range(sv):
-                    for hh in range(sh):
-                        zz = grids[ci][my * sv + v, mx * sh + hh]
-                        dc = int(zz[0])
-                        t, bits = _mag_bits(dc - dc_prev[ci])
-                        dc_prev[ci] = dc
-                        code, ln = dc_enc[t]
-                        bw.write(code, ln)
-                        if t:
-                            bw.write(bits, t)
-                        _write_ac_band(bw, ac_enc, zz, 1, 63)
+    last_mcu = 0
+    rst_n = 0
+    for ci, zz, mcu in mcu_walk():
+        if restart_interval and mcu != last_mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out.extend(bw.out)
+            bw = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + rst_n]))
+            rst_n = (rst_n + 1) % 8
+            dc_prev = [0] * len(grids)
+        last_mcu = mcu
+        tbl = 0 if ci == 0 else 1
+        _, _, dc_enc = dc_tabs[tbl]
+        _, _, ac_enc = ac_tabs[tbl]
+        dc = int(zz[0])
+        t, bits = _mag_bits(dc - dc_prev[ci])
+        dc_prev[ci] = dc
+        code, ln = dc_enc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(bits, t)
+        _write_ac_band(bw, ac_enc, zz, 1, 63)
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")
