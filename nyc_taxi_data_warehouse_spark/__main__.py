@@ -80,6 +80,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sm.add_argument("--id-col", required=True)
     sm.add_argument("--seed", type=int, default=0)
 
+    zo = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet path clustered on a Morton interleave "
+        "of the given keys, so range predicates on ANY key skip files",
+    )
+    zo.add_argument("--src", required=True)
+    zo.add_argument("--out", required=True)
+    zo.add_argument("--keys", required=True, help="comma-separated columns")
+    zo.add_argument("--files", type=int, default=8)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -143,6 +153,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             n_kept = spark.read.parquet(f"{args.index}/shingles").count()
             print(json.dumps({"status": "ok", "corpus_docs": n_kept}))
+        elif args.cmd == "zorder":
+            from .warehouse.layout import write_zordered
+
+            df = spark.read.parquet(args.src)
+            keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+            write_zordered(df, args.out, keys, n_files=args.files)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"status": "ok", "rows": n, "keys": keys}))
         elif args.cmd == "sample":
             from .operators.sampling import mixture_sample
 

@@ -821,3 +821,20 @@ def test_analyze_column_stats_flip_join_to_broadcast(spark):
         for k, v in prior.items():
             spark.conf.set(k, v)
         spark.sql("DROP DATABASE IF EXISTS cbo_t CASCADE")
+
+
+def test_cli_zorder(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    cli = lambda *a: main(list(a), spark=spark)  # noqa: E731
+    out = str(tmp_path / "zout")
+    assert cli(
+        "zorder", "--src", f"{SF}/events.parquet".replace(SF, SF),
+        "--out", out, "--keys", "event_id,value", "--files", "8",
+    ) == 0
+    import pyarrow.parquet as pq  # noqa: F401
+
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    n = load_table(spark, SF, "events").count()
+    assert spark.read.parquet(out).count() == n
