@@ -1,1 +1,1 @@
-from . import chunking, dedup, graph, lm, projection, sampling, similarity, split  # noqa: F401
+from . import chunking, dedup, drift, graph, lm, projection, sampling, similarity, split  # noqa: F401

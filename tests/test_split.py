@@ -66,3 +66,15 @@ def test_fraction_validation(spark):
     ).limit(0)
     with pytest.raises(ValueError):
         cluster_aware_split(docs, pairs, "doc_id", fractions={"train": 50})
+
+
+def test_split_with_no_pairs_degrades_to_per_doc_hash(spark):
+    """Empty pair set: every doc is its own singleton cluster, so the
+    assignment equals a plain per-doc hash split — and still covers
+    every document exactly once."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assigned = cluster_aware_split(docs, pairs, "doc_id")
+    assert assigned.count() == docs.count()
+    assert assigned.where(F.col("split").isNull()).count() == 0
+    assert assigned.where(F.col("split_key") != F.col("doc_id")).count() == 0
