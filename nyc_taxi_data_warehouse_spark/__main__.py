@@ -90,6 +90,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     zo.add_argument("--keys", required=True, help="comma-separated columns")
     zo.add_argument("--files", type=int, default=8)
 
+    dr = sub.add_parser(
+        "drift",
+        help="PSI drift report between two parquet snapshots "
+        "(reference-quantile buckets; psi > 0.25 = shifted)",
+    )
+    dr.add_argument("--reference", required=True)
+    dr.add_argument("--current", required=True)
+    dr.add_argument("--columns", required=True, help="comma-separated numeric columns")
+    dr.add_argument("--buckets", type=int, default=10)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -153,6 +163,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             n_kept = spark.read.parquet(f"{args.index}/shingles").count()
             print(json.dumps({"status": "ok", "corpus_docs": n_kept}))
+        elif args.cmd == "drift":
+            from .operators.drift import drift_report
+
+            cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+            rep = drift_report(
+                spark.read.parquet(args.reference),
+                spark.read.parquet(args.current),
+                cols,
+                n_buckets=args.buckets,
+            )
+            print(json.dumps(rep))
+            return 0 if all(r["psi"] <= 0.25 for r in rep) else 1
         elif args.cmd == "zorder":
             from .warehouse.layout import write_zordered
 

@@ -80,3 +80,20 @@ def test_null_rate_shift_is_drift(spark):
     assert rep["psi"] > 0.25
     null_bucket = next(b for b in rep["buckets"] if b["bucket"] == -1)
     assert null_bucket["cur_frac"] > 0.3 and null_bucket["ref_frac"] <= 1e-6
+
+
+def test_cli_drift_exit_codes(spark, tmp_path):
+    """drift exits 0 when stable, 1 when any column crosses PSI 0.25 —
+    the scheduler-friendly gate shape."""
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    cli = lambda *a: main(list(a), spark=spark)  # noqa: E731
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    ref_p, cur_ok, cur_bad = (str(tmp_path / d) for d in ("ref", "ok", "bad"))
+    ev.where("event_id % 2 = 0").write.parquet(ref_p)
+    ev.where("event_id % 2 = 1").write.parquet(cur_ok)
+    ev.where("event_id % 2 = 1").withColumn(
+        "value", F.col("value") * 2.0
+    ).write.parquet(cur_bad)
+    assert cli("drift", "--reference", ref_p, "--current", cur_ok, "--columns", "value") == 0
+    assert cli("drift", "--reference", ref_p, "--current", cur_bad, "--columns", "value") == 1
