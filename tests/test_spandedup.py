@@ -1,0 +1,186 @@
+"""Duplicated-span removal (operators/spandedup.py): exact agreement
+with a hand-rolled local implementation on the real fixture corpus,
+synthetic keep-first/scope semantics, and the single-gram-shuffle plan."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.operators.spandedup import (
+    duplicated_spans,
+    remove_duplicated_spans,
+)
+from nyc_taxi_data_warehouse_spark.plans.audit import collect_with_metrics
+from nyc_taxi_data_warehouse_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+N = 5
+
+
+def _norm_tokens(text: str) -> list[str]:
+    t = re.sub(r"[^a-z0-9 ]", "", text.lower())
+    t = re.sub(r" +", " ", t).strip()
+    return t.split(" ")
+
+
+def _local_reference(
+    docs: list[tuple], n: int, scope: str, keep_first: bool
+) -> dict:
+    """Pure-Python reimplementation: returns {doc_id: (clean_text,
+    n_tokens, n_removed, n_dup_spans)}."""
+    toks = {d: _norm_tokens(t) for d, t in docs}
+    occs: dict[tuple, list[tuple]] = {}
+    for d, tk in toks.items():
+        if len(tk) < n:
+            continue
+        for p in range(len(tk) - n + 1):
+            occs.setdefault(tuple(tk[p : p + n]), []).append((d, p))
+    flagged: dict = {}
+    for gram, lst in occs.items():
+        if scope == "corpus":
+            dup = len(lst) >= 2
+        else:
+            dup = len({d for d, _ in lst}) >= 2
+        if not dup:
+            continue
+        spare = {min(lst)} if keep_first else set()
+        for o in lst:
+            if o not in spare:
+                flagged.setdefault(o[0], []).append(o[1])
+    out = {}
+    for d, tk in toks.items():
+        starts = sorted(flagged.get(d, []))
+        spans: list[list[int]] = []
+        for p in starts:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n)
+            else:
+                spans.append([p, p + n])
+        removed = {i for s, e in spans for i in range(s, e)}
+        clean = " ".join(t for i, t in enumerate(tk) if i not in removed)
+        out[d] = (clean, len(tk), sum(e - s for s, e in spans), len(spans))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+@pytest.mark.parametrize("scope,keep_first", [("corpus", True), ("cross_doc", False)])
+def test_matches_local_reference_on_fixture_corpus(spark, docs, scope, keep_first):
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    want = _local_reference(rows, N, scope, keep_first)
+    got = remove_duplicated_spans(
+        docs, "text", "doc_id", n=N, scope=scope, keep_first=keep_first
+    ).collect()
+    assert len(got) == len(want)
+    for r in got:
+        exp = want[r.doc_id]
+        assert (r.clean_text, r.n_tokens, r.n_removed, r.n_dup_spans) == exp, (
+            f"doc {r.doc_id}: got {(r.n_tokens, r.n_removed, r.n_dup_spans)}, "
+            f"want {exp[1:]}"
+        )
+
+
+def test_keep_first_spares_exactly_one_copy(spark):
+    """Two docs share an N-token block: the earlier (doc_id, pos)
+    occurrence survives, the later one is excised."""
+    block = " ".join(f"dup{i}" for i in range(N))
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {block} gamma delta"),
+            (2, f"one two three {block} four five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(df, "text", "doc_id", n=N).collect()
+    }
+    assert block in out[1].clean_text
+    assert "dup0" not in out[2].clean_text
+    assert out[2].n_removed == N and out[2].n_dup_spans == 1
+    assert out[1].n_removed == 0
+
+
+def test_keep_first_false_removes_all_copies(spark):
+    block = " ".join(f"dup{i}" for i in range(N))
+    df = spark.createDataFrame(
+        [(1, f"a b {block} c"), (2, f"x {block} y z")],
+        "doc_id long, text string",
+    )
+    out = remove_duplicated_spans(
+        df, "text", "doc_id", n=N, keep_first=False
+    ).collect()
+    assert all("dup0" not in r.clean_text for r in out)
+
+
+def test_cross_doc_scope_ignores_within_doc_repeat(spark):
+    block = " ".join(f"dup{i}" for i in range(N))
+    df = spark.createDataFrame(
+        [(1, f"{block} filler0 filler1 {block}")], "doc_id long, text string"
+    )
+    cross = remove_duplicated_spans(
+        df, "text", "doc_id", n=N, scope="cross_doc"
+    ).collect()[0]
+    assert cross.n_removed == 0
+    corpus = remove_duplicated_spans(
+        df, "text", "doc_id", n=N, scope="corpus"
+    ).collect()[0]
+    assert corpus.n_removed == N  # second copy excised, first kept
+
+
+def test_overlapping_flags_merge_into_one_span(spark):
+    """A 2N-token shared block flags N+1 overlapping windows in the
+    copy; they must merge to ONE removed span of 2N tokens."""
+    block = " ".join(f"dup{i}" for i in range(2 * N))
+    df = spark.createDataFrame(
+        [(1, f"head {block} tail"), (2, f"pre {block} post")],
+        "doc_id long, text string",
+    )
+    loser = [
+        r
+        for r in remove_duplicated_spans(df, "text", "doc_id", n=N).collect()
+        if r.n_removed > 0
+    ]
+    assert len(loser) == 1
+    assert loser[0].n_dup_spans == 1 and loser[0].n_removed == 2 * N
+
+
+def test_short_docs_pass_through_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    out = remove_duplicated_spans(df, "text", "doc_id", n=N).collect()
+    assert all(r.n_removed == 0 and r.clean_text == "tiny doc" for r in out)
+
+
+def test_max_occurrences_guard_drops_pathological_gram(spark):
+    block = " ".join(f"dup{i}" for i in range(N))
+    df = spark.createDataFrame(
+        [(i, f"u{i} {block} v{i}") for i in range(6)], "doc_id long, text string"
+    )
+    capped = duplicated_spans(
+        df, "text", "doc_id", n=N, max_occurrences=3
+    ).count()
+    uncapped = duplicated_spans(df, "text", "doc_id", n=N).count()
+    assert capped == 0 and uncapped == 5  # 6 copies, keeper spared
+
+
+def test_span_dedup_shuffle_budget(spark, docs):
+    """The token-scale occurrence table crosses the wire exactly once
+    (the gram-hash window); everything after moves only flagged rows."""
+    m = collect_with_metrics(
+        remove_duplicated_spans(docs, "text", "doc_id", n=N)
+    )
+    assert m["n_shuffles"] <= 4, m
+    assert m["spill_bytes"] == 0, m
+
+
+def test_scope_validation(spark, docs):
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, "text", "doc_id", scope="nope")
