@@ -16,15 +16,17 @@ emits small fixed-width columns, so downstream joins/aggs shuffle
 metadata, not media bytes.
 
 Decode reality in this sandbox: PNG (zlib + scanline unfiltering), WAV
-(RIFF/PCM), and JPEG — baseline AND progressive/spectral-selection
+(RIFF/PCM), GIF (own LZW — ``gifcodec.py``, incl. animation frames),
+and JPEG — baseline AND progressive/spectral-selection
 (general Huffman + IDCT + chroma upsampling, pure numpy —
 ``jpegcodec.py``, validated by round-trip against its own independent
 encoders) — full-frame decode are REAL
 (``decode_png_pixels`` / ``decode_wav_samples`` /
-``jpegcodec.decode_jpeg_pixels`` feeding ``extract_pixel_stats`` /
-``extract_audio_stats``); MP4 gets real HEADER parsing (duration/
-timescale) but video FRAME decode genuinely needs external codecs —
-the one remaining deterministic stand-in.
+``gifcodec.decode_gif_frames`` / ``jpegcodec.decode_jpeg_pixels``
+feeding ``extract_pixel_stats`` / ``extract_audio_stats`` /
+``gifcodec.sample_gif_frames``); MP4 gets real HEADER parsing
+(duration/timescale) but video FRAME decode genuinely needs external
+codecs — the one remaining deterministic stand-in.
 """
 
 from __future__ import annotations
@@ -489,6 +491,7 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import statistics
 
+        from .gifcodec import decode_gif_frames
         from .jpegcodec import decode_jpeg_pixels
 
         for pdf in it:
@@ -497,6 +500,10 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
                 dec = decode_png_pixels(p)
                 if dec is None:
                     dec = decode_jpeg_pixels(p)
+                if dec is None:
+                    gif = decode_gif_frames(p, max_frames=1)
+                    if gif:
+                        dec = gif[0]
                 if dec is None:
                     continue
                 w, h, c, px = dec
@@ -577,6 +584,8 @@ def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
 
     import hashlib
 
+    from .gifcodec import parse_gif_header
+
     def decode_one(p: bytes):
         """(width, height, sample_rate, channels, duration_ms,
         codec_used) per payload."""
@@ -584,6 +593,9 @@ def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:
             png = parse_png_header(p)
             if png is not None:
                 return (png[0], png[1], None, None, None, "png-header")
+            gif = parse_gif_header(p)
+            if gif is not None:
+                return (gif[0], gif[1], None, None, None, "gif-header")
             jpg = parse_jpeg_header(p)
             if jpg is not None:
                 return (jpg[0], jpg[1], None, None, None, "jpeg-header")
