@@ -100,6 +100,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     dr.add_argument("--columns", required=True, help="comma-separated numeric columns")
     dr.add_argument("--buckets", type=int, default=10)
 
+    sh = sub.add_parser(
+        "snapshot-history",
+        help="list a snapshot table's versions (op, parent, file count)",
+    )
+    sh.add_argument("--table-path", required=True)
+
+    sv = sub.add_parser(
+        "snapshot-vacuum",
+        help="drop old snapshot versions and delete unreferenced files",
+    )
+    sv.add_argument("--table-path", required=True)
+    sv.add_argument("--keep-last", type=int, default=2)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -183,6 +196,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             write_zordered(df, args.out, keys, n_files=args.files)
             n = spark.read.parquet(args.out).count()
             print(json.dumps({"status": "ok", "rows": n, "keys": keys}))
+        elif args.cmd == "snapshot-history":
+            from .warehouse.snapshots import snapshot_versions
+
+            print(json.dumps(snapshot_versions(spark, args.table_path)))
+        elif args.cmd == "snapshot-vacuum":
+            from .warehouse.snapshots import vacuum_snapshots
+
+            print(
+                json.dumps(
+                    vacuum_snapshots(
+                        spark, args.table_path, keep_last=args.keep_last
+                    )
+                )
+            )
         elif args.cmd == "sample":
             from .operators.sampling import mixture_sample
 

@@ -1,0 +1,423 @@
+"""Snapshot-versioned tables — manifest commits, time travel, vacuum.
+
+``merge_upsert``/``load_month`` rewrite partitions IN PLACE (dynamic
+partition overwrite). That is idempotent, but at cluster scale it has
+the classic lockless-warehouse race: a reader that planned its scan
+before an overwrite commits can read a partition mid-rewrite. The fix —
+the same idea Delta/Iceberg are built on, reduced to its core — is to
+never mutate data files, only publish new MANIFESTS:
+
+```
+table/
+  data/<commit-uuid>/...            immutable parquet, written once
+  _versions/00000001.json           {"files": [...], "schema": ..., ...}
+  _versions/00000002.json
+```
+
+- A table VERSION is a JSON manifest listing exactly the data files it
+  comprises (plus the schema, so empty tables read back typed).
+- The LATEST version is simply the highest-numbered manifest — no
+  pointer file, so publishing a version is ONE atomic exclusive create
+  (``FileSystem.create(overwrite=false)``): readers see the old
+  version or the new one, never a mix, and two racing writers cannot
+  both claim a version number (the loser retries on the next number).
+- Readers resolve a manifest, then scan an explicit file list; a
+  concurrent commit cannot change files out from under a running scan
+  because data files are never rewritten or deleted by commits.
+- ``vacuum_snapshots`` deletes files referenced ONLY by dropped
+  versions — storage reclamation is decoupled from correctness, and
+  time travel (``read_snapshot(version=N)``) works for any retained N.
+
+All filesystem IO goes through the Hadoop ``FileSystem`` API (via the
+session's JVM), so the same code addresses ``file://``, HDFS, or any
+``FileSystem`` implementation the cluster ships. The one semantic this
+layer leans on is atomic exclusive create, which local filesystems and
+HDFS give; plain S3 would need the S3A conditional-create or a commit
+service — the documented reality for every manifest-log design.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_VDIR = "_versions"
+_DDIR = "data"
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer published this version first; retry the commit."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _jp(jvm, *parts: str):
+    return jvm.org.apache.hadoop.fs.Path("/".join(p.rstrip("/") for p in parts))
+
+
+def _read_bytes(fs, jvm, jpath) -> bytes:
+    stream = fs.open(jpath)
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+
+
+def _write_bytes_exclusive(fs, jpath, data: bytes) -> bool:
+    """Atomic create-if-absent; False when the path already exists."""
+    try:
+        out = fs.create(jpath, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    return True
+
+
+def _list_manifests(spark: SparkSession, path: str) -> list[int]:
+    fs, jvm = _fs(spark, path)
+    vdir = _jp(jvm, path, _VDIR)
+    if not fs.exists(vdir):
+        return []
+    out = []
+    for st in fs.listStatus(vdir):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    fs, jvm = _fs(spark, path)
+    jpath = _jp(jvm, path, _VDIR, f"{version:08d}.json")
+    # The committer claims the manifest name with an exclusive create,
+    # then writes the (small) body in one buffered write+close. A reader
+    # can glimpse the claimed-but-unfinished file for a moment; a short
+    # retry closes that window without any lock protocol.
+    for attempt in range(5):
+        try:
+            return json.loads(_read_bytes(fs, jvm, jpath).decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            if attempt == 4:
+                raise
+            import time
+
+            time.sleep(0.05 * (attempt + 1))
+
+
+def _write_commit_files(
+    df: DataFrame, path: str, partition_cols: list[str] | None
+) -> tuple[str, list[str]]:
+    """Write ``df`` as a new immutable commit dir; returns (commit id,
+    file paths RELATIVE to the table root)."""
+    commit = uuid.uuid4().hex
+    dest = f"{path}/{_DDIR}/{commit}"
+    writer = df.write.mode("error")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(dest)
+    spark = df.sparkSession
+    fs, jvm = _fs(spark, path)
+    root_uri = fs.makeQualified(_jp(jvm, path)).toString().rstrip("/")
+    files = []
+    it = fs.listFiles(_jp(jvm, dest), True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith("_") or name.startswith("."):
+            continue
+        assert p.startswith(root_uri + "/"), (p, root_uri)
+        files.append(p[len(root_uri) + 1 :])
+    return commit, sorted(files)
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: StructType,
+    op: str,
+    parent: int | None,
+    extra: dict | None = None,
+) -> int:
+    fs, jvm = _fs(spark, path)
+    version = (parent or 0) + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "files": files,
+        "schema": json.loads(schema.json()),
+        **(extra or {}),
+    }
+    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    jpath = _jp(jvm, path, _VDIR, f"{version:08d}.json")
+    if not _write_bytes_exclusive(fs, jpath, data):
+        raise SnapshotConflict(
+            f"version {version} of {path} was committed concurrently"
+        )
+    return version
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Publish ``df`` as a new table version; returns the version
+    number. ``mode='overwrite'`` makes the new commit the whole table;
+    ``'append'`` unions it with the parent version's files. Raises
+    ``SnapshotConflict`` if another writer claims the version number
+    first (data files are orphaned, never corrupting — re-run)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append; got {mode!r}")
+    spark = df.sparkSession
+    versions = _list_manifests(spark, path)
+    parent = versions[-1] if versions else None
+    _, files = _write_commit_files(df, path, partition_cols)
+    if mode == "append" and parent is not None:
+        files = sorted(_load_manifest(spark, path, parent)["files"] + files)
+    return _commit(spark, path, files, df.schema, mode, parent)
+
+
+def snapshot_replace_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> int:
+    """Dynamic-partition-overwrite semantics, versioned: the new commit
+    replaces the parent's files ONLY in the partitions present in
+    ``df``; all other files carry over. Readers of older versions are
+    unaffected — this is the race-free counterpart of the in-place
+    overwrite in ``merge.py``."""
+    spark = df.sparkSession
+    versions = _list_manifests(spark, path)
+    parent = versions[-1] if versions else None
+    # Metadata-sized: one row per touched partition. Null partition
+    # values land in Spark's default-partition directory; values whose
+    # STRING form needs path escaping (spaces etc.) are out of contract
+    # for partition columns here, as in the rest of the warehouse.
+    touched_rows = df.select(*partition_cols).distinct().collect()
+    touched = {
+        "/".join(
+            f"{c}=__HIVE_DEFAULT_PARTITION__" if r[c] is None else f"{c}={r[c]}"
+            for c in partition_cols
+        )
+        for r in touched_rows
+    }
+    _, new_files = _write_commit_files(df, path, partition_cols)
+    carried = []
+    if parent is not None:
+        for f in _load_manifest(spark, path, parent)["files"]:
+            rel = f.split("/", 2)[-1]  # strip data/<commit>/
+            pdir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            if pdir not in touched:
+                carried.append(f)
+    return _commit(
+        spark,
+        path,
+        sorted(carried + new_files),
+        df.schema,
+        "replace_partitions",
+        parent,
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table at ``version`` (default: latest). Partition columns
+    come back from the directory names (``basePath``), exactly like a
+    plain partitioned read."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    man = _load_manifest(spark, path, version)
+    schema = StructType.fromJson(man["schema"])
+    if not man["files"]:
+        return spark.createDataFrame([], schema)
+    # Partition values live in the directory names UNDER each commit
+    # dir, so each commit is its own basePath: one read per commit
+    # (bounded by retained versions, not data size), unioned by name.
+    by_commit: dict[str, list[str]] = {}
+    for f in man["files"]:
+        commit = "/".join(f.split("/", 2)[:2])  # data/<uuid>
+        by_commit.setdefault(commit, []).append(f)
+    parts = []
+    for commit, files in sorted(by_commit.items()):
+        parts.append(
+            spark.read.option("basePath", f"{path}/{commit}").parquet(
+                *[f"{path}/{f}" for f in files]
+            )
+        )
+    # allowMissingColumns: an appended commit written AFTER a column was
+    # added carries the new column; older carried-over commits surface
+    # it as null — schema evolution without rewriting history. The
+    # manifest schema (the newest writer's) decides the column set.
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    for f in schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    # pin the manifest's types (an int widened to bigint by a newer
+    # writer reads back as bigint everywhere)
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
+    """Version history, oldest first: version/op/parent/n_files."""
+    out = []
+    for v in _list_manifests(spark, path):
+        man = _load_manifest(spark, path, v)
+        out.append(
+            {
+                "version": v,
+                "op": man["op"],
+                "parent": man["parent"],
+                "n_files": len(man["files"]),
+            }
+        )
+    return out
+
+
+def vacuum_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 2
+) -> dict:
+    """Drop all but the newest ``keep_last`` versions and delete data
+    files no surviving version references. Time travel to dropped
+    versions is gone afterwards (their manifests are removed) — run
+    when no reader is pinned below the cutoff, the same contract as any
+    manifest-log VACUUM. Returns {"versions_dropped", "files_deleted"}.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, jvm = _fs(spark, path)
+    versions = _list_manifests(spark, path)
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(spark, path, v)["files"])
+    deleted = 0
+    for v in drop:
+        for f in _load_manifest(spark, path, v)["files"]:
+            if f not in referenced:
+                if fs.delete(_jp(jvm, path, f), False):
+                    deleted += 1
+        fs.delete(_jp(jvm, path, _VDIR, f"{v:08d}.json"), False)
+    # sweep now-empty commit dirs (metadata-only listing)
+    ddir = _jp(jvm, path, _DDIR)
+    if fs.exists(ddir):
+        for st in fs.listStatus(ddir):
+            it = fs.listFiles(st.getPath(), True)
+            if not it.hasNext():
+                fs.delete(st.getPath(), True)
+    return {"versions_dropped": len(drop), "files_deleted": deleted}
+
+
+def stream_snapshot_append(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    stream_id: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Land a stream into a snapshot table, one APPEND VERSION per
+    micro-batch, exactly once across checkpoint replays.
+
+    foreachBatch is at-least-once; exactly-once falls out of making the
+    apply idempotent: every stream commit records ``(stream_id, epoch)``
+    in its manifest, and a replayed epoch that already appears in the
+    version history is skipped (its earlier data files are already
+    published; the replay's orphan dir is invisible to readers). The
+    same idempotent-apply ∘ at-least-once composition as
+    ``streaming/dedup_ingest.py`` — but here the publish step is the
+    atomic manifest create, so a crash ANYWHERE leaves either the old
+    history or the old history plus one complete version, never a
+    partial table.
+    """
+
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        applied = set()
+        for v in _list_manifests(spark, path):
+            man = _load_manifest(spark, path, v)
+            if man.get("stream_id") == stream_id:
+                applied.add(man.get("epoch"))
+        if epoch in applied:
+            return
+        versions = _list_manifests(spark, path)
+        parent = versions[-1] if versions else None
+        _, files = _write_commit_files(batch, path, partition_cols)
+        if parent is not None:
+            files = sorted(
+                _load_manifest(spark, path, parent)["files"] + files
+            )
+        _commit(
+            spark,
+            path,
+            files,
+            batch.schema,
+            "stream_append",
+            parent,
+            extra={"stream_id": stream_id, "epoch": epoch},
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Compaction as a COMMIT: rewrite the latest version's data into
+    ceil(bytes/target) files per partition and publish the result as a
+    new version. Unlike ``compact_partition`` (in-place), running
+    readers keep their version's files untouched; ``vacuum_snapshots``
+    reclaims the fragmented ones later. Returns the new version."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    fs, jvm = _fs(spark, path)
+    total = 0
+    for f in man["files"]:
+        total += fs.getFileStatus(_jp(jvm, path, f)).getLen()
+    n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = read_snapshot(spark, path, latest)
+    if partition_cols:
+        df = df.repartition(n_files, *partition_cols)
+    else:
+        df = df.repartition(n_files)
+    _, files = _write_commit_files(df, path, partition_cols)
+    return _commit(spark, path, files, df.schema, "compact", latest)

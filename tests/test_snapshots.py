@@ -1,0 +1,235 @@
+"""Snapshot-versioned tables (warehouse/snapshots.py): time travel,
+append/overwrite/replace-partitions semantics, reader isolation from
+later commits, conflict detection, vacuum reclamation, empty tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+    SnapshotConflict,
+    read_snapshot,
+    snapshot_replace_partitions,
+    snapshot_versions,
+    snapshot_write,
+    vacuum_snapshots,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, month int, v string")
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "snap_table")
+
+
+def test_overwrite_append_and_time_travel(spark, table):
+    v1 = snapshot_write(_df(spark, [(1, 1, "a"), (2, 2, "b")]), table)
+    v2 = snapshot_write(_df(spark, [(3, 3, "c")]), table, mode="append")
+    v3 = snapshot_write(_df(spark, [(9, 9, "z")]), table)  # overwrite
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert read_snapshot(spark, table).count() == 1  # latest == v3
+    assert sorted(
+        r.id for r in read_snapshot(spark, table, version=2).collect()
+    ) == [1, 2, 3]
+    assert sorted(
+        r.id for r in read_snapshot(spark, table, version=1).collect()
+    ) == [1, 2]
+    hist = snapshot_versions(spark, table)
+    assert [h["op"] for h in hist] == ["overwrite", "append", "overwrite"]
+    assert [h["parent"] for h in hist] == [None, 1, 2]
+
+
+def test_replace_partitions_only_touches_its_partitions(spark, table):
+    base = _df(spark, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")])
+    snapshot_write(base, table, partition_cols=["month"])
+    upd = _df(spark, [(20, 2, "B2"), (21, 2, "B3")])
+    v2 = snapshot_replace_partitions(upd, table, ["month"])
+    got = {
+        (r.id, r.month, r.v)
+        for r in read_snapshot(spark, table, version=v2).collect()
+    }
+    assert got == {(1, 1, "a"), (20, 2, "B2"), (21, 2, "B3"), (3, 3, "c")}
+    # untouched months' files carried over BY REFERENCE (no rewrite):
+    man = snapshot_versions(spark, table)
+    assert man[-1]["op"] == "replace_partitions"
+    v1_rows = {
+        (r.id, r.v) for r in read_snapshot(spark, table, version=1).collect()
+    }
+    assert v1_rows == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_reader_isolated_from_later_commit(spark, table):
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    pinned = read_snapshot(spark, table)  # plan built against v1
+    snapshot_write(_df(spark, [(2, 2, "b")]), table)  # overwrite commits v2
+    # the already-planned reader still scans v1's (immutable) files
+    assert [r.id for r in pinned.collect()] == [1]
+    assert [r.id for r in read_snapshot(spark, table).collect()] == [2]
+
+
+def test_conflict_detected_not_silent(spark, table):
+    """Two writers race for the same version number: the second commit
+    (same parent) must fail loudly, never overwrite the manifest."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import _commit
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    df = _df(spark, [(2, 2, "b")])
+    # writer A publishes version 2 after writer B listed versions
+    os.makedirs(f"{table}/_versions", exist_ok=True)
+    with open(f"{table}/_versions/00000002.json", "w") as f:
+        f.write('{"files": [], "op": "overwrite", "parent": 1}')
+    with pytest.raises(SnapshotConflict):
+        _commit(spark, table, [], df.schema, "overwrite", parent=1)
+    # writer A's manifest untouched by the failed claim
+    with open(f"{table}/_versions/00000002.json") as f:
+        assert '"op": "overwrite"' in f.read()
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, table):
+    snapshot_write(_df(spark, [(1, 1, "a"), (2, 2, "b")]), table,
+                   partition_cols=["month"])
+    snapshot_replace_partitions(_df(spark, [(9, 2, "B")]), table, ["month"])
+    snapshot_write(_df(spark, [(7, 7, "x")]), table)
+    res = vacuum_snapshots(spark, table, keep_last=2)
+    assert res["versions_dropped"] == 1
+    assert res["files_deleted"] >= 1  # v1's month=2 file is unreferenced
+    # kept versions fully readable (v2 still references v1's month=1 file)
+    assert {r.id for r in read_snapshot(spark, table, version=2).collect()} == {1, 9}
+    assert {r.id for r in read_snapshot(spark, table, version=3).collect()} == {7}
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, version=1)
+
+
+def test_empty_table_round_trips_schema(spark, table):
+    empty = _df(spark, []).where(F.lit(False))
+    v = snapshot_write(empty, table)
+    got = read_snapshot(spark, table, version=v)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "month", "v"]
+
+
+def test_read_missing_versions_raise(spark, table):
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table)
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, version=42)
+
+
+def test_abandoned_data_files_never_corrupt_reads(spark, table):
+    """A writer that dies after writing data but before committing its
+    manifest leaves an orphan commit dir; readers never see it."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _write_commit_files,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    _write_commit_files(_df(spark, [(99, 9, "ghost")]), table, None)
+    assert [r.id for r in read_snapshot(spark, table).collect()] == [1]
+    # and the next successful commit is unaffected
+    snapshot_write(_df(spark, [(2, 2, "b")]), table, mode="append")
+    assert sorted(r.id for r in read_snapshot(spark, table).collect()) == [1, 2]
+
+
+def test_schema_evolution_old_commits_surface_null(spark, table):
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    widened = spark.createDataFrame(
+        [(2, 2, "b", 0.5)], "id long, month int, v string, score double"
+    )
+    v2 = snapshot_write(widened, table, mode="append")
+    got = {r.id: r for r in read_snapshot(spark, table, version=v2).collect()}
+    assert [f.name for f in read_snapshot(spark, table).schema.fields] == [
+        "id", "month", "v", "score",
+    ]
+    assert got[1].score is None and got[2].score == 0.5
+    # time travel to v1 keeps the ORIGINAL 3-column schema
+    assert [
+        f.name for f in read_snapshot(spark, table, version=1).schema.fields
+    ] == ["id", "month", "v"]
+
+
+def test_stream_snapshot_append_exactly_once(spark, tmp_path, table):
+    """File-source stream lands each micro-batch as one version; a
+    restart from the same checkpoint adds nothing; a restart from a
+    FRESH checkpoint (at-least-once redelivery) is deduplicated by the
+    (stream_id, epoch) manifest record."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        stream_snapshot_append,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    d1 = _df(spark, [(1, 1, "a"), (2, 2, "b")])
+    d1.write.mode("overwrite").parquet(str(src / "f1"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(d1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        stream_snapshot_append(
+            spark, stream, table, str(tmp_path / ckpt), "ingest-a",
+            partition_cols=["month"],
+        )
+
+    run("ckpt")
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {1, 2}
+    n_versions = len(snapshot_versions(spark, table))
+
+    run("ckpt")  # same checkpoint: no new epochs
+    assert len(snapshot_versions(spark, table)) == n_versions
+
+    run("ckpt2")  # fresh checkpoint REPLAYS epochs: manifests dedup them
+    assert len(snapshot_versions(spark, table)) == n_versions
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {1, 2}
+
+    # new file, original checkpoint: exactly the delta lands
+    _df(spark, [(3, 3, "c")]).write.mode("overwrite").parquet(str(src / "f2"))
+    run("ckpt")
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {1, 2, 3}
+    hist = snapshot_versions(spark, table)
+    assert all(h["op"] == "stream_append" for h in hist)
+
+
+def test_snapshot_cli_history_and_vacuum(spark, table, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    cli = lambda *a: main(list(a), spark=spark)  # noqa: E731
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    snapshot_write(_df(spark, [(2, 2, "b")]), table)
+    snapshot_write(_df(spark, [(3, 3, "c")]), table)
+    assert cli("snapshot-history", "--table-path", table) == 0
+    hist = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert cli("snapshot-vacuum", "--table-path", table, "--keep-last", "1") == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["versions_dropped"] == 2
+    assert [r.id for r in read_snapshot(spark, table).collect()] == [3]
+
+
+def test_snapshot_compact_is_a_commit_not_a_rewrite(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_compact,
+    )
+
+    for i in range(4):  # 4 appends -> >= 4 small files
+        snapshot_write(_df(spark, [(i, 1, f"r{i}")]), table, mode="append")
+    before = snapshot_versions(spark, table)[-1]
+    pinned = read_snapshot(spark, table)
+    v = snapshot_compact(spark, table, target_mb=256)
+    after = [h for h in snapshot_versions(spark, table) if h["version"] == v][0]
+    assert after["op"] == "compact"
+    assert after["n_files"] < before["n_files"]
+    got = {(r.id, r.v) for r in read_snapshot(spark, table, version=v).collect()}
+    assert got == {(i, f"r{i}") for i in range(4)}
+    # a reader planned before the compaction still drains the old files
+    assert {r.id for r in pinned.collect()} == {0, 1, 2, 3}
