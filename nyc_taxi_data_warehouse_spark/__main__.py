@@ -100,6 +100,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     dr.add_argument("--columns", required=True, help="comma-separated numeric columns")
     dr.add_argument("--buckets", type=int, default=10)
 
+    bi = sub.add_parser(
+        "bloom-index",
+        help="build or incrementally extend a per-file Bloom skipping "
+        "index for point lookups on a non-layout column",
+    )
+    bi.add_argument("--table-path", required=True)
+    bi.add_argument("--index-path", required=True)
+    bi.add_argument("--key-col", required=True)
+    bi.add_argument("--m-bits", type=int, default=65536)
+    bi.add_argument("--k", type=int, default=7)
+    bi.add_argument(
+        "--append", action="store_true",
+        help="index only files not already indexed (incremental)",
+    )
+
     sh = sub.add_parser(
         "snapshot-history",
         help="list a snapshot table's versions (op, parent, file count)",
@@ -196,6 +211,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             write_zordered(df, args.out, keys, n_files=args.files)
             n = spark.read.parquet(args.out).count()
             print(json.dumps({"status": "ok", "rows": n, "keys": keys}))
+        elif args.cmd == "bloom-index":
+            from .warehouse.bloomindex import (
+                append_to_bloom_index,
+                build_bloom_index,
+            )
+
+            fn = append_to_bloom_index if args.append else build_bloom_index
+            n = fn(
+                spark,
+                args.table_path,
+                index_path=args.index_path,
+                key_col=args.key_col,
+                m_bits=args.m_bits,
+                k=args.k,
+            )
+            print(json.dumps({"status": "ok", "files_indexed": n}))
         elif args.cmd == "snapshot-history":
             from .warehouse.snapshots import snapshot_versions
 
