@@ -421,3 +421,55 @@ def snapshot_compact(
         df = df.repartition(n_files)
     _, files = _write_commit_files(df, path, partition_cols)
     return _commit(spark, path, files, df.schema, "compact", latest)
+
+
+def snapshot_merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str],
+    version_col: str | None = None,
+) -> int:
+    """Keyed MERGE producing a NEW VERSION — ``merge.py::merge_upsert``
+    semantics (replace matched, insert unmatched; with ``version_col``,
+    max-version-wins across target and updates so out-of-order CDC
+    feeds converge and redelivery is a no-op) on a snapshot table:
+    readers keep their version, the merge publishes the next one, and a
+    crash mid-merge leaves only an orphan commit dir.
+
+    Scale shape matches the in-place merge: the updates' distinct
+    partition keys (metadata-sized, broadcast) prune the target read to
+    touched partitions; untouched partitions carry over by reference in
+    the manifest — never read, never rewritten. Keys must be
+    partition-stable, as in ``merge.py``.
+    """
+    from pyspark.sql.window import Window
+
+    target = read_snapshot(spark, path)
+    touched = updates.select(*partition_cols).distinct()
+    current = target.join(F.broadcast(touched), partition_cols, "left_semi")
+    cols = target.columns
+    if version_col is not None:
+        tagged = (
+            current.select(*cols)
+            .withColumn("_src", F.lit(0))
+            .unionByName(updates.select(*cols).withColumn("_src", F.lit(1)))
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc(), F.col("_src").asc()
+        )
+        merged = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*cols)
+        )
+    else:
+        merged = current.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        ).select(*cols).unionByName(updates.select(*cols))
+    # No off-table materialization needed: the new commit's files are
+    # written BEFORE the manifest flips, and the plan reads the OLD
+    # version's immutable files — the snapshot layer dissolves the
+    # read-while-overwriting hazard merge.py checkpoints around.
+    return snapshot_replace_partitions(merged, path, partition_cols)

@@ -233,3 +233,48 @@ def test_snapshot_compact_is_a_commit_not_a_rewrite(spark, table):
     assert got == {(i, f"r{i}") for i in range(4)}
     # a reader planned before the compaction still drains the old files
     assert {r.id for r in pinned.collect()} == {0, 1, 2, 3}
+
+
+def test_snapshot_merge_upsert_versions_and_prunes(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_merge_upsert,
+    )
+
+    base = _df(spark, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")])
+    snapshot_write(base, table, partition_cols=["month"])
+    upd = _df(spark, [(2, 2, "B!"), (4, 2, "d")])
+    v2 = snapshot_merge_upsert(spark, table, upd, keys=["id"],
+                               partition_cols=["month"])
+    got = {(r.id, r.v) for r in read_snapshot(spark, table, version=v2).collect()}
+    assert got == {(1, "a"), (2, "B!"), (3, "c"), (4, "d")}
+    # pre-merge version intact (time travel across a MERGE)
+    v1_rows = {(r.id, r.v) for r in read_snapshot(spark, table, version=1).collect()}
+    assert v1_rows == {(1, "a"), (2, "b"), (3, "c")}
+    # untouched month=1/month=3 files carried by reference: the merge
+    # commit only wrote month=2 files
+    man_files = snapshot_versions(spark, table)
+    assert man_files[-1]["op"] == "replace_partitions"
+
+
+def test_snapshot_merge_versioned_out_of_order_converges(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_merge_upsert,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, month int, v string, ver long"
+    )
+    snapshot_write(mk([(1, 1, "v0", 0)]), table, partition_cols=["month"])
+    late = mk([(1, 1, "newest", 9)])
+    early = mk([(1, 1, "stale", 3)])
+    snapshot_merge_upsert(spark, table, late, keys=["id"],
+                          partition_cols=["month"], version_col="ver")
+    snapshot_merge_upsert(spark, table, early, keys=["id"],
+                          partition_cols=["month"], version_col="ver")
+    rows = read_snapshot(spark, table).collect()
+    assert [(r.v, r.ver) for r in rows] == [("newest", 9)]
+    # redelivery of the winner is a no-op version-content-wise
+    snapshot_merge_upsert(spark, table, late, keys=["id"],
+                          partition_cols=["month"], version_col="ver")
+    rows = read_snapshot(spark, table).collect()
+    assert [(r.v, r.ver) for r in rows] == [("newest", 9)]
