@@ -100,6 +100,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     dr.add_argument("--columns", required=True, help="comma-separated numeric columns")
     dr.add_argument("--buckets", type=int, default=10)
 
+    pr = sub.add_parser(
+        "profile",
+        help="one-pass per-column profile of a parquet table "
+        "(nulls, ndv, ranges, top values)",
+    )
+    pr.add_argument("--src", required=True)
+    pr.add_argument("--columns", help="comma-separated subset (default: all)")
+    pr.add_argument("--top-k", type=int, default=5)
+
     bi = sub.add_parser(
         "bloom-index",
         help="build or incrementally extend a per-file Bloom skipping "
@@ -211,6 +220,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             write_zordered(df, args.out, keys, n_files=args.files)
             n = spark.read.parquet(args.out).count()
             print(json.dumps({"status": "ok", "rows": n, "keys": keys}))
+        elif args.cmd == "profile":
+            from .operators.profile import profile_table, top_values
+
+            src = spark.read.parquet(args.src)
+            cols = args.columns.split(",") if args.columns else None
+            for r in profile_table(src, cols).collect():
+                print(json.dumps(r.asDict(), default=str))
+            for r in top_values(src, cols, k=args.top_k).collect():
+                print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "bloom-index":
             from .warehouse.bloomindex import (
                 append_to_bloom_index,
