@@ -473,3 +473,273 @@ def snapshot_merge_upsert(
     # version's immutable files — the snapshot layer dissolves the
     # read-while-overwriting hazard merge.py checkpoints around.
     return snapshot_replace_partitions(merged, path, partition_cols)
+
+
+# ---------------------------------------------------------------------------
+# File-level column statistics: manifest-side scan planning
+# ---------------------------------------------------------------------------
+
+
+def _stat_norm(v, widen: int = 0):
+    """JSON-able, ORDER-PRESERVING image of a stat value. Numbers stay
+    numbers; date/timestamp become ISO strings (fixed-width, so
+    lexicographic == chronological); Decimal becomes a float interval
+    endpoint WIDENED outward (widen=-1 for a min, +1 for a max) so the
+    float rounding can never shrink a file's recorded range — pruning
+    stays false-negative-free."""
+    import datetime
+    import decimal
+    import math
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if widen and math.isfinite(f):
+            pad = abs(f) * 1e-12 + 1e-12
+            f = f + widen * pad
+        return f
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file min/max for ``stats_cols`` over the given commit files:
+    {relpath: {col: [min, max]}} in native (order-preserving) JSON
+    form. One small aggregation grouped by ``_metadata.file_path`` —
+    runs once at commit time."""
+    if not files or not stats_cols:
+        return {}
+    df = spark.read.parquet(*[f"{path}/{f}" for f in files])
+    present = [c for c in stats_cols if c in df.columns]
+    if not present:
+        return {}
+    aggs = []
+    for c in present:
+        aggs.append(F.min(F.col(c)).alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"_mx_{c}"))
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    fs, jvm = _fs(spark, path)
+    root_uri = fs.makeQualified(_jp(jvm, path)).toString().rstrip("/")
+    # seed EVERY commit file with null-endpoint stats: an empty file
+    # yields no aggregation row, and "recorded, endpoints null" is the
+    # provably-excludable state (vs "no entry" = conservatively kept)
+    out: dict = {f: {c: [None, None] for c in present} for f in files}
+    for r in rows:
+        rel = r["_f"]
+        if rel.startswith(root_uri + "/"):
+            rel = rel[len(root_uri) + 1 :]
+        out[rel] = {
+            c: [
+                _stat_norm(r[f"_mn_{c}"], widen=-1),
+                _stat_norm(r[f"_mx_{c}"], widen=1),
+            ]
+            for c in present
+        }
+    return out
+
+
+def snapshot_write_with_stats(
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """``snapshot_write`` + per-file min/max stats for ``stats_cols``
+    recorded in the manifest (Iceberg-style scan planning metadata):
+    ``read_snapshot_pruned`` later selects files by stats overlap
+    WITHOUT opening them. Append mode carries the parent's stats
+    forward, so incremental loads keep whole-table planning."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append; got {mode!r}")
+    spark = df.sparkSession
+    versions = _list_manifests(spark, path)
+    parent = versions[-1] if versions else None
+    _, files = _write_commit_files(df, path, partition_cols)
+    stats = collect_file_stats(spark, path, files, stats_cols)
+    if mode == "append" and parent is not None:
+        pman = _load_manifest(spark, path, parent)
+        files = sorted(pman["files"] + files)
+        stats = {**pman.get("stats", {}), **stats}
+    return _commit(
+        spark,
+        path,
+        files,
+        df.schema,
+        mode,
+        parent,
+        extra={"stats": stats, "stats_cols": stats_cols},
+    )
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range read ``lo <= col <= hi`` planned against the MANIFEST: only
+    files whose recorded [min, max] overlaps the range are opened (a
+    file without stats for ``col`` is conservatively kept — never a
+    false negative), then the exact residual predicate applies.
+
+    Stats live in an order-preserving JSON image (numbers native, date/
+    timestamp as ISO strings, Decimal as outward-widened floats), and
+    lo/hi are normalized the same way before comparing — so pruning
+    never produces a false negative, and the residual predicate keeps
+    exactness regardless."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    man = _load_manifest(spark, path, version)
+    stats = man.get("stats", {})
+    # widen the QUERY interval outward too (Decimal bounds): pruning
+    # may only ever keep extra files, never drop a matching one
+    slo, shi = _stat_norm(lo, widen=-1), _stat_norm(hi, widen=1)
+    keep = []
+    for f in man["files"]:
+        st = stats.get(f, {}).get(col)
+        if st is None:
+            keep.append(f)  # no stats -> cannot exclude
+        elif st[0] is None or st[1] is None:
+            # stats recorded, endpoints null: the file holds only null
+            # (or zero) values for col — BETWEEN never matches null,
+            # so the file is safely excludable
+            continue
+        elif not (st[1] < slo or st[0] > shi):
+            keep.append(f)
+    base = read_snapshot(spark, path, version)
+    if not keep:
+        return spark.createDataFrame([], base.schema)
+    if len(keep) == len(man["files"]):
+        pruned = base
+    else:
+        by_commit: dict[str, list[str]] = {}
+        for f in keep:
+            commit = "/".join(f.split("/", 2)[:2])
+            by_commit.setdefault(commit, []).append(f)
+        parts = []
+        for commit, fl in sorted(by_commit.items()):
+            parts.append(
+                spark.read.option("basePath", f"{path}/{commit}").parquet(
+                    *[f"{path}/{f}" for f in fl]
+                )
+            )
+        pruned = parts[0]
+        for p in parts[1:]:
+            pruned = pruned.unionByName(p, allowMissingColumns=True)
+        for fld in base.schema.fields:
+            if fld.name not in pruned.columns:
+                pruned = pruned.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType)
+                )
+        pruned = pruned.select(
+            *[
+                F.col(fld.name).cast(fld.dataType).alias(fld.name)
+                for fld in base.schema.fields
+            ]
+        )
+    return pruned.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+
+def snapshot_delete_rows(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+) -> tuple[int, int]:
+    """Targeted row deletion (``col IN values`` — takedowns, GDPR
+    erasure, decontamination victims) at FILE granularity: only files
+    that may contain a matching row are rewritten; every other file
+    carries into the new version by reference. Candidate files come
+    from the manifest's min/max stats when present (metadata-only
+    planning, no false negatives — see ``read_snapshot_pruned``);
+    stats-less files are conservatively rewritten. Returns
+    ``(new_version, rows_deleted)``.
+
+    Note the snapshot-layer caveat shared with every manifest-log
+    design: the deleted rows still exist in OLDER versions' files until
+    ``vacuum_snapshots`` drops those versions — erasure is complete
+    only after the vacuum.
+    """
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    stats = man.get("stats", {})
+    norm = sorted(_stat_norm(v, widen=0) for v in values)
+    lo, hi = norm[0], norm[-1]
+    victims, carried = [], []
+    for f in man["files"]:
+        st = stats.get(f, {}).get(col)
+        if st is None:
+            victims.append(f)  # no stats -> conservatively rewrite
+        elif st[0] is None or st[1] is None:
+            carried.append(f)  # only-null col values: IN never matches
+        elif st[1] < lo or st[0] > hi:
+            carried.append(f)
+        elif any(st[0] <= v <= st[1] for v in norm):
+            victims.append(f)
+        else:
+            carried.append(f)
+    schema = StructType.fromJson(man["schema"])
+    if not victims:
+        return latest, 0
+    by_commit: dict[str, list[str]] = {}
+    for f in victims:
+        commit = "/".join(f.split("/", 2)[:2])
+        by_commit.setdefault(commit, []).append(f)
+    parts = []
+    for commit, fl in sorted(by_commit.items()):
+        parts.append(
+            spark.read.option("basePath", f"{path}/{commit}").parquet(
+                *[f"{path}/{f}" for f in fl]
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    for fld in schema.fields:
+        if fld.name not in df.columns:
+            df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    df = df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    before = df.count()
+    survivors = df.where(~F.col(col).isin(values)).localCheckpoint(eager=True)
+    after = survivors.count()
+    _, new_files = _write_commit_files(survivors, path, None)
+    # survivors' stats are recomputed when the column was tracked
+    stats_cols = man.get("stats_cols") or []
+    new_stats = {
+        f: s for f, s in stats.items() if f in set(carried)
+    }
+    if stats_cols:
+        new_stats.update(
+            collect_file_stats(spark, path, new_files, stats_cols)
+        )
+    version = _commit(
+        spark,
+        path,
+        sorted(carried + new_files),
+        schema,
+        "delete_rows",
+        latest,
+        extra={"stats": new_stats, "stats_cols": stats_cols}
+        if new_stats or stats_cols
+        else None,
+    )
+    return version, before - after

@@ -278,3 +278,168 @@ def test_snapshot_merge_versioned_out_of_order_converges(spark, table):
                           partition_cols=["month"], version_col="ver")
     rows = read_snapshot(spark, table).collect()
     assert [(r.v, r.ver) for r in rows] == [("newest", 9)]
+
+
+def test_stats_pruned_read_skips_files_no_false_negatives(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot_pruned,
+        snapshot_write_with_stats,
+    )
+
+    # 4 appends, each a disjoint id range -> 4+ files with tight stats
+    for lo in (0, 100, 200, 300):
+        df = spark.createDataFrame(
+            [(lo + i, 1, f"v{lo + i}") for i in range(50)],
+            "id long, month int, v string",
+        )
+        snapshot_write_with_stats(df, table, stats_cols=["id"], mode="append")
+    hist = snapshot_versions(spark, table)
+    assert hist[-1]["n_files"] >= 4
+    got = read_snapshot_pruned(spark, table, "id", 120, 130)
+    want = read_snapshot(spark, table).where(F.col("id").between(120, 130))
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+    # the pruned plan reads fewer files than the table holds
+    n_scanned = (
+        got.select(F.col("_metadata.file_path")).distinct().count()
+        if False
+        else len(
+            {
+                r.f
+                for r in read_snapshot_pruned(spark, table, "id", 120, 130)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            }
+        )
+    )
+    assert 0 < n_scanned < hist[-1]["n_files"]
+    # out-of-range probe opens nothing and stays typed
+    assert read_snapshot_pruned(spark, table, "id", 10_000, 10_001).count() == 0
+
+
+def test_stats_survive_append_and_missing_stats_kept(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        read_snapshot_pruned,
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(1, 1, "a")]), table, stats_cols=["id"]
+    )
+    # a stats-less append (plain snapshot_write) must be conservatively
+    # KEPT by pruned reads, not silently dropped
+    snapshot_write(_df(spark, [(999, 9, "z")]), table, mode="append")
+    got = read_snapshot_pruned(spark, table, "id", 900, 1000)
+    assert [r.id for r in got.collect()] == [999]
+    man = _load_manifest(spark, table, 2)
+    assert any(f not in man.get("stats", {}) for f in man["files"])
+
+
+def test_stats_pruning_timestamp_and_string_columns(spark, table):
+    import datetime
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot_pruned,
+        snapshot_write_with_stats,
+    )
+
+    mk = lambda day, tag: spark.createDataFrame(  # noqa: E731
+        [
+            (i, datetime.datetime(2024, 1, day, i), f"{tag}{i:02d}")
+            for i in range(1, 6)
+        ],
+        "id long, ts timestamp, name string",
+    )
+    snapshot_write_with_stats(mk(1, "a"), table, stats_cols=["ts", "name"])
+    snapshot_write_with_stats(
+        mk(2, "b"), table, stats_cols=["ts", "name"], mode="append"
+    )
+    got = read_snapshot_pruned(
+        spark,
+        table,
+        "ts",
+        datetime.datetime(2024, 1, 2),
+        datetime.datetime(2024, 1, 3),
+    )
+    assert got.count() == 5
+    by_name = read_snapshot_pruned(spark, table, "name", "b00", "b99")
+    assert by_name.count() == 5
+    assert {r.name[:1] for r in by_name.collect()} == {"b"}
+
+
+def test_snapshot_delete_rows_rewrites_only_victim_files(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete_rows,
+        snapshot_write_with_stats,
+    )
+
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, 1, f"v{lo + i}") for i in range(50)],
+            "id long, month int, v string",
+        )
+        snapshot_write_with_stats(df, table, stats_cols=["id"], mode="append")
+    before = _load_manifest(spark, table, 3)
+    v, n_deleted = snapshot_delete_rows(spark, table, "id", [110, 120, 130])
+    assert n_deleted == 3
+    after = _load_manifest(spark, table, v)
+    assert after["op"] == "delete_rows"
+    # files outside the 100-149 range carried over BY REFERENCE
+    untouched = [
+        f for f in before["files"] if f in set(after["files"])
+    ]
+    assert untouched  # 0-49 and 200-249 files survived as-is
+    got = read_snapshot(spark, table)
+    assert got.count() == 147
+    assert got.where(F.col("id").isin([110, 120, 130])).count() == 0
+    # deleted rows still visible via time travel until vacuum
+    assert read_snapshot(spark, table, version=3).count() == 150
+    vacuum_snapshots(spark, table, keep_last=1)
+    assert read_snapshot(spark, table).count() == 147
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, version=3)
+
+
+def test_snapshot_delete_rows_no_match_is_noop_version(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows,
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(1, 1, "a"), (2, 2, "b")]), table, stats_cols=["id"]
+    )
+    v, n = snapshot_delete_rows(spark, table, "id", [999])
+    assert (v, n) == (1, 0)  # stats excluded every file: no new version
+    assert len(snapshot_versions(spark, table)) == 1
+
+
+def test_snapshot_delete_rows_stats_kept_for_carried_files(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        read_snapshot_pruned,
+        snapshot_delete_rows,
+        snapshot_write_with_stats,
+    )
+
+    for lo in (0, 100):
+        snapshot_write_with_stats(
+            spark.createDataFrame(
+                [(lo + i, 1, "x") for i in range(20)],
+                "id long, month int, v string",
+            ),
+            table,
+            stats_cols=["id"],
+            mode="append",
+        )
+    v, _ = snapshot_delete_rows(spark, table, "id", [5])
+    man = _load_manifest(spark, table, v)
+    # every file still has stats (carried ones kept, rewritten ones
+    # recomputed) so pruned reads keep planning on the new version
+    assert set(man["files"]) == set(man["stats"].keys())
+    got = read_snapshot_pruned(spark, table, "id", 100, 110)
+    assert got.count() == 11
