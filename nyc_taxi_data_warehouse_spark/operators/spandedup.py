@@ -166,3 +166,94 @@ def remove_duplicated_spans(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unit-level boilerplate removal (lines / sentences)
+# ---------------------------------------------------------------------------
+
+_SENTENCE_SPLIT = r"(?<=[.!?])\s+"
+
+
+def remove_boilerplate_units(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    unit: str = "line",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Drop LINES (or sentences) whose normalized form appears in at
+    least ``min_docs`` DISTINCT documents — headers, footers, cookie
+    banners, licence lines: the boilerplate-removal stage of the
+    CCNet/RefinedWeb-style pipelines. The complementary operator to
+    ``remove_duplicated_spans``: spans catch arbitrary-position token
+    runs, units catch whole structural elements cheaply.
+
+    Returns ``(id_col, clean_text, n_units, n_removed_units)`` with
+    ``clean_text`` the ORIGINAL unit texts (not normalized) of the
+    surviving units, joined by newline (or space for sentences), in
+    original order. Matching is on the normalized fingerprint, so
+    case/punctuation variants of a boilerplate line all count as one.
+
+    Scale shape: one shuffle of ``(hash)`` scalars to count distinct
+    docs per unit fingerprint (exact — a frequency threshold must not
+    be approximate or legal boilerplate sneaks through), one broadcast
+    or hash join back, one groupBy(id) to reassemble. Unit texts
+    shuffle only in the final reassembly of SURVIVORS.
+    """
+    from ..functions import text as T
+
+    if unit == "line":
+        units = F.split(F.col(text_col), r"\r?\n")
+        joiner = "\n"
+    elif unit == "sentence":
+        units = F.split(F.col(text_col), _SENTENCE_SPLIT)
+        joiner = " "
+    else:
+        raise ValueError(f"unit must be 'line' or 'sentence'; got {unit!r}")
+
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(units).alias("pos", "_u"))
+        .where(F.length(F.trim("_u")) > 0)
+        .withColumn("_h", F.xxhash64(T.normalize(F.col("_u"))))
+    )
+    boiler = (
+        exploded.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    # boilerplate status is a pure function of the fingerprint, so one
+    # broadcast anti-join on the hash removes every offending unit
+    survivors = exploded.join(F.broadcast(boiler), "_h", "left_anti")
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_u"))),
+                lambda s: s["_u"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = (
+        df.select(F.col(id_col), units.alias("_us"))
+        .select(
+            id_col,
+            F.coalesce(
+                F.size(F.filter("_us", lambda u: F.length(F.trim(u)) > 0)),
+                F.lit(0),  # null text -> zero units, not null counters
+            ).alias("n_units"),
+        )
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_units",
+            (F.col("n_units") - F.coalesce("_kept", F.lit(0))).alias(
+                "n_removed_units"
+            ),
+        )
+    )

@@ -184,3 +184,117 @@ def test_span_dedup_shuffle_budget(spark, docs):
 def test_scope_validation(spark, docs):
     with pytest.raises(ValueError):
         duplicated_spans(docs, "text", "doc_id", scope="nope")
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate_units
+# ---------------------------------------------------------------------------
+
+
+def _boiler_reference(docs, unit, min_docs):
+    """Pure-Python reimplementation for exact parity."""
+    split = (
+        (lambda t: re.split(r"\r?\n", t))
+        if unit == "line"
+        else (lambda t: re.split(r"(?<=[.!?])\s+", t))
+    )
+    joiner = "\n" if unit == "line" else " "
+    norm = lambda u: re.sub(  # noqa: E731
+        " +", " ", re.sub(r"[^a-z0-9 ]", "", u.lower())
+    ).strip()
+    per_doc = {
+        d: [u for u in split(t) if u.strip()] for d, t in docs
+    }
+    seen: dict[str, set] = {}
+    for d, us in per_doc.items():
+        for u in us:
+            seen.setdefault(norm(u), set()).add(d)
+    out = {}
+    for d, us in per_doc.items():
+        kept = [u for u in us if len(seen[norm(u)]) < min_docs]
+        out[d] = (joiner.join(kept), len(us), len(us) - len(kept))
+    return out
+
+
+BOILER_DOCS = [
+    (1, "unique intro one\nsubscribe to our newsletter\nreal content A"),
+    (2, "Subscribe to our Newsletter!\nreal content B\ncookie policy"),
+    (3, "real content C\nsubscribe to our newsletter\ncookie policy"),
+    (4, "cookie policy\nanother unique line"),
+    (5, None),
+    (6, "   \n  "),
+]
+
+
+def test_boilerplate_lines_match_reference(spark):
+    from nyc_taxi_data_warehouse_spark.operators.spandedup import (
+        remove_boilerplate_units,
+    )
+
+    df = spark.createDataFrame(BOILER_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_units, r.n_removed_units)
+        for r in remove_boilerplate_units(
+            df, "text", "doc_id", unit="line", min_docs=3
+        ).collect()
+    }
+    want = _boiler_reference(
+        [(d, t) for d, t in BOILER_DOCS if t is not None], "line", 3
+    )
+    for d, exp in want.items():
+        assert got[d] == exp, (d, got[d], exp)
+    # "subscribe" (3 docs, case-insensitive) and "cookie policy" (3 docs)
+    # are gone everywhere; 2-doc lines survive
+    assert "newsletter" not in got[1][0].lower()
+    assert "real content A" in got[1][0]
+    # null text: zero units, nothing removed
+    assert got[5] == ("", 0, 0)
+
+
+def test_boilerplate_null_and_blank_docs(spark):
+    from nyc_taxi_data_warehouse_spark.operators.spandedup import (
+        remove_boilerplate_units,
+    )
+
+    df = spark.createDataFrame(BOILER_DOCS, "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in remove_boilerplate_units(
+            df, "text", "doc_id", unit="line", min_docs=3
+        ).collect()
+    }
+    assert rows[6].clean_text == "" and rows[6].n_units == 0
+    assert rows[6].n_removed_units == 0
+    assert rows[5].clean_text == ""  # null text -> empty, no error
+
+
+def test_boilerplate_sentences(spark):
+    from nyc_taxi_data_warehouse_spark.operators.spandedup import (
+        remove_boilerplate_units,
+    )
+
+    docs = [
+        (1, "All rights reserved. Alpha insight here. More alpha."),
+        (2, "Beta thought. All rights reserved. Beta closing."),
+        (3, "Gamma only. All rights reserved!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate_units(
+            df, "text", "doc_id", unit="sentence", min_docs=3
+        ).collect()
+    }
+    assert got[1] == "Alpha insight here. More alpha."
+    assert got[2] == "Beta thought. Beta closing."
+    assert got[3] == "Gamma only."
+
+
+def test_boilerplate_unit_validation(spark):
+    from nyc_taxi_data_warehouse_spark.operators.spandedup import (
+        remove_boilerplate_units,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        remove_boilerplate_units(df, "text", "doc_id", unit="paragraph")
