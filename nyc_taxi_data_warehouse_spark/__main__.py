@@ -137,6 +137,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sv.add_argument("--table-path", required=True)
     sv.add_argument("--keep-last", type=int, default=2)
 
+    sd = sub.add_parser(
+        "snapshot-delete",
+        help="targeted row erasure on a snapshot table (col IN values); "
+        "stats-selected victim files only; complete after vacuum",
+    )
+    sd.add_argument("--table-path", required=True)
+    sd.add_argument("--col", required=True)
+    sd.add_argument(
+        "--values", required=True,
+        help="JSON array of values, e.g. '[11,42]' or '[\"a\"]'",
+    )
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -259,6 +271,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     )
                 )
             )
+        elif args.cmd == "snapshot-delete":
+            from .warehouse.snapshots import snapshot_delete_rows
+
+            v, n = snapshot_delete_rows(
+                spark, args.table_path, args.col, json.loads(args.values)
+            )
+            print(json.dumps({"version": v, "rows_deleted": n}))
         elif args.cmd == "sample":
             from .operators.sampling import mixture_sample
 

@@ -443,3 +443,26 @@ def test_snapshot_delete_rows_stats_kept_for_carried_files(spark, table):
     assert set(man["files"]) == set(man["stats"].keys())
     got = read_snapshot_pruned(spark, table, "id", 100, 110)
     assert got.count() == 11
+
+
+def test_snapshot_delete_cli(spark, table, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    cli = lambda *a: main(list(a), spark=spark)  # noqa: E731
+    snapshot_write_with_stats(
+        _df(spark, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")]),
+        table,
+        stats_cols=["id"],
+    )
+    assert cli(
+        "snapshot-delete", "--table-path", table, "--col", "id",
+        "--values", "[2, 3]",
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_deleted"] == 2
+    assert [r.id for r in read_snapshot(spark, table).collect()] == [1]
