@@ -298,3 +298,54 @@ def test_boilerplate_unit_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         remove_boilerplate_units(df, "text", "doc_id", unit="paragraph")
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: random tiny-vocab corpora (forced collisions) must
+# match the pure-Python references exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+FUZZ = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# 3-word vocabulary and short docs force heavy window-hash collisions,
+# overlapping spans, keeper ties, and sub-n docs all at once
+fuzz_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs_tokens=fuzz_docs, n=st.integers(2, 4))
+@settings(**FUZZ)
+def test_fuzz_span_dedup_matches_reference(spark, docs_tokens, n):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _local_reference(rows, n, "corpus", True)
+    got = remove_duplicated_spans(df, "text", "doc_id", n=n).collect()
+    for r in got:
+        # normalize: reference treats "" as [''] like Spark's split
+        assert (r.clean_text, r.n_tokens, r.n_removed, r.n_dup_spans) == want[
+            r.doc_id
+        ], (r.doc_id, rows)
+
+
+@given(docs_tokens=fuzz_docs, n_merges=st.integers(0, 6))
+@settings(**FUZZ)
+def test_fuzz_bpe_train_matches_reference(spark, docs_tokens, n_merges):
+    from nyc_taxi_data_warehouse_spark.operators.bpe import train_bpe
+
+    from .test_bpe import _local_train
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want, _ = _local_train([t for _, t in rows], n_merges)
+    got = train_bpe(df, "text", n_merges=n_merges)
+    assert got == want, rows
