@@ -369,6 +369,11 @@ def sample_gif_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                     continue
                 for i in range(0, len(frames), every_n):
                     w, h, _c, px = frames[i]
+                    if w * h == 0:
+                        # crafted/malformed GIF with a zero-dimension
+                        # logical screen — skip rather than fail the
+                        # whole Spark task on an untrusted payload
+                        continue
                     alphas = px[3::4]
                     opaque = sum(1 for a in alphas if a)
                     rgb_sum = 0

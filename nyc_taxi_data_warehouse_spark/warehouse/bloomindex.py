@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.indexmeta import check_index_meta, write_index_meta
+from ..operators.indexmeta import (
+    check_index_meta,
+    read_index_meta,
+    write_index_meta,
+)
 
 
 def _probe_pairs(key, m_bits: int, k: int):
@@ -69,7 +73,12 @@ def build_bloom_index(
     ``index_path`` + dial sidecar. Returns indexed file count."""
     if m_bits % 64 != 0:
         raise ValueError("m_bits must be a multiple of 64")
-    df = spark.read.parquet(table_path).select(
+    src = spark.read.parquet(table_path)
+    # xxhash64 hashes the PHYSICAL type (int vs long vs string give
+    # different bits for the "same" value), so the probe side must cast
+    # to exactly this type — record it in the sidecar.
+    key_type = src.schema[key_col].dataType.simpleString()
+    df = src.select(
         F.col(key_col).alias("_k"),
         F.col("_metadata.file_path").alias("file"),
     )
@@ -89,7 +98,13 @@ def build_bloom_index(
     write_index_meta(
         spark,
         index_path,
-        {"kind": "bloom", "key_col": key_col, "m_bits": m_bits, "k": k},
+        {
+            "kind": "bloom",
+            "key_col": key_col,
+            "key_type": key_type,
+            "m_bits": m_bits,
+            "k": k,
+        },
     )
     return spark.read.parquet(index_path).select("file").distinct().count()
 
@@ -106,14 +121,30 @@ def bloom_candidate_files(
     The scan of the index is pruned to the probed words only."""
     if not values:
         return []
+    # Dedupe probe VALUES (duplicates would double the per-(file,_k)
+    # probe rows and make the n==k cover test reject real matches) —
+    # but never the probe ROWS: identical (word, mask) pairs from an
+    # intra-key position collision must still count k times.
+    values = list(dict.fromkeys(values))
     check_index_meta(
         spark,
         index_path,
         {"kind": "bloom", "key_col": key_col, "m_bits": m_bits, "k": k},
     )
-    probes = spark.createDataFrame(
-        [(v,) for v in values], f"_k {'string' if isinstance(values[0], str) else 'long'}"
+    key_type = (read_index_meta(spark, index_path) or {}).get("key_type")
+    if key_type is None:
+        raise ValueError(
+            f"{index_path}: sidecar lacks key_type — rebuild the index "
+            "(probe hashing is type-sensitive; guessing risks silent "
+            "false negatives)"
+        )
+    probes = spark.createDataFrame([(v,) for v in values], ["_k"]).select(
+        F.col("_k").cast(key_type).alias("_k")
     )
+    if probes.where(F.col("_k").isNull()).limit(1).count():
+        raise ValueError(
+            f"probe values do not cast cleanly to indexed type {key_type}"
+        )
     pairs = F.array(
         *[
             F.struct(w.alias("word"), msk.alias("mask"))
@@ -183,13 +214,20 @@ def append_to_bloom_index(
     here creates new files), so per-file Bloom rows never go stale;
     re-running after a partial failure is idempotent (already-indexed
     files are skipped). Returns newly indexed file count."""
+    src = spark.read.parquet(table_path)
     check_index_meta(
         spark,
         index_path,
-        {"kind": "bloom", "key_col": key_col, "m_bits": m_bits, "k": k},
+        {
+            "kind": "bloom",
+            "key_col": key_col,
+            "key_type": src.schema[key_col].dataType.simpleString(),
+            "m_bits": m_bits,
+            "k": k,
+        },
     )
     indexed = spark.read.parquet(index_path).select("file").distinct()
-    df = spark.read.parquet(table_path).select(
+    df = src.select(
         F.col(key_col).alias("_k"),
         F.col("_metadata.file_path").alias("file"),
     )

@@ -151,6 +151,7 @@ def _commit(
     op: str,
     parent: int | None,
     extra: dict | None = None,
+    partition_cols: list[str] | None = None,
 ) -> int:
     fs, jvm = _fs(spark, path)
     version = (parent or 0) + 1
@@ -160,6 +161,12 @@ def _commit(
         "op": op,
         "files": files,
         "schema": json.loads(schema.json()),
+        # The table's partition LAYOUT is part of the manifest: carried
+        # files are classified by their partition directories, so every
+        # commit must agree on the layout (enforced by
+        # ``_require_same_layout``) and rewrites (delete/compact) must
+        # reproduce it.
+        "partition_cols": list(partition_cols) if partition_cols else None,
         **(extra or {}),
     }
     data = json.dumps(manifest, sort_keys=True).encode("utf-8")
@@ -169,6 +176,34 @@ def _commit(
             f"version {version} of {path} was committed concurrently"
         )
     return version
+
+
+def _manifest_partition_cols(man: dict) -> list[str] | None:
+    pc = man.get("partition_cols")
+    return list(pc) if pc else None
+
+
+def _require_same_layout(
+    man: dict, partition_cols: list[str] | None, op: str
+) -> None:
+    """Carried files are classified by partition DIRECTORY, so a commit
+    whose layout differs from the parent's would silently misclassify
+    them (an unpartitioned rewrite's files are 'never in any touched
+    partition' — stale rows survive merges). Fail fast instead. Legacy
+    manifests that predate layout recording are exempt (the
+    depth check in ``snapshot_replace_partitions`` still guards them).
+    """
+    if "partition_cols" not in man:
+        return
+    have = _manifest_partition_cols(man)
+    want = list(partition_cols) if partition_cols else None
+    if have != want:
+        raise ValueError(
+            f"{op}: table partition layout is {have} but caller passed "
+            f"{want} — mixed layouts misclassify carried files; use "
+            "snapshot_write(mode='overwrite') or snapshot_compact to "
+            "change the layout"
+        )
 
 
 def snapshot_write(
@@ -187,10 +222,17 @@ def snapshot_write(
     spark = df.sparkSession
     versions = _list_manifests(spark, path)
     parent = versions[-1] if versions else None
+    if mode == "append" and parent is not None:
+        _require_same_layout(
+            _load_manifest(spark, path, parent), partition_cols, "append"
+        )
     _, files = _write_commit_files(df, path, partition_cols)
     if mode == "append" and parent is not None:
         files = sorted(_load_manifest(spark, path, parent)["files"] + files)
-    return _commit(spark, path, files, df.schema, mode, parent)
+    return _commit(
+        spark, path, files, df.schema, mode, parent,
+        partition_cols=partition_cols,
+    )
 
 
 def snapshot_replace_partitions(
@@ -216,11 +258,32 @@ def snapshot_replace_partitions(
         )
         for r in touched_rows
     }
+    if parent is not None:
+        _require_same_layout(
+            _load_manifest(spark, path, parent),
+            partition_cols,
+            "replace_partitions",
+        )
     _, new_files = _write_commit_files(df, path, partition_cols)
     carried = []
     if parent is not None:
+        prefixes = tuple(f"{c}=" for c in partition_cols)
         for f in _load_manifest(spark, path, parent)["files"]:
             rel = f.split("/", 2)[-1]  # strip data/<commit>/
+            dirs = rel.split("/")[:-1]
+            # A parent file without the expected partition directories
+            # (written unpartitioned by a legacy rewrite) cannot be
+            # classified — carrying it would keep stale rows of touched
+            # partitions alive. Fail fast; such files no longer occur
+            # (every rewrite reproduces the recorded layout).
+            if len(dirs) != len(partition_cols) or any(
+                not d.startswith(p) for d, p in zip(dirs, prefixes)
+            ):
+                raise ValueError(
+                    f"replace_partitions: parent file {f} is not laid "
+                    f"out by {partition_cols}; rebuild the table with a "
+                    "consistent layout (snapshot_compact)"
+                )
             pdir = rel.rsplit("/", 1)[0] if "/" in rel else ""
             if pdir not in touched:
                 carried.append(f)
@@ -231,6 +294,7 @@ def snapshot_replace_partitions(
         df.schema,
         "replace_partitions",
         parent,
+        partition_cols=partition_cols,
     )
 
 
@@ -369,6 +433,12 @@ def stream_snapshot_append(
             return
         versions = _list_manifests(spark, path)
         parent = versions[-1] if versions else None
+        if parent is not None:
+            _require_same_layout(
+                _load_manifest(spark, path, parent),
+                partition_cols,
+                "stream_append",
+            )
         _, files = _write_commit_files(batch, path, partition_cols)
         if parent is not None:
             files = sorted(
@@ -382,6 +452,7 @@ def stream_snapshot_append(
             "stream_append",
             parent,
             extra={"stream_id": stream_id, "epoch": epoch},
+            partition_cols=partition_cols,
         )
 
     (
@@ -409,6 +480,11 @@ def snapshot_compact(
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
+    if partition_cols is None:
+        # default to the table's recorded layout — an unpartitioned
+        # compaction of a partitioned table would strip the partition
+        # directories carried-file classification depends on
+        partition_cols = _manifest_partition_cols(man)
     fs, jvm = _fs(spark, path)
     total = 0
     for f in man["files"]:
@@ -420,7 +496,10 @@ def snapshot_compact(
     else:
         df = df.repartition(n_files)
     _, files = _write_commit_files(df, path, partition_cols)
-    return _commit(spark, path, files, df.schema, "compact", latest)
+    return _commit(
+        spark, path, files, df.schema, "compact", latest,
+        partition_cols=partition_cols,
+    )
 
 
 def snapshot_merge_upsert(
@@ -563,6 +642,10 @@ def snapshot_write_with_stats(
     spark = df.sparkSession
     versions = _list_manifests(spark, path)
     parent = versions[-1] if versions else None
+    if mode == "append" and parent is not None:
+        _require_same_layout(
+            _load_manifest(spark, path, parent), partition_cols, "append"
+        )
     _, files = _write_commit_files(df, path, partition_cols)
     stats = collect_file_stats(spark, path, files, stats_cols)
     if mode == "append" and parent is not None:
@@ -577,6 +660,7 @@ def snapshot_write_with_stats(
         mode,
         parent,
         extra={"stats": stats, "stats_cols": stats_cols},
+        partition_cols=partition_cols,
     )
 
 
@@ -719,9 +803,19 @@ def snapshot_delete_rows(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
     before = df.count()
-    survivors = df.where(~F.col(col).isin(values)).localCheckpoint(eager=True)
+    # NULL-safe: ``~isin`` evaluates to NULL for NULL col values and
+    # where() would drop them — silently erasing rows the delete was
+    # never asked to touch (and overcounting rows_deleted). NULL never
+    # matches an IN list, so NULL-keyed rows always survive.
+    survivors = df.where(
+        F.col(col).isNull() | ~F.col(col).isin(values)
+    ).localCheckpoint(eager=True)
     after = survivors.count()
-    _, new_files = _write_commit_files(survivors, path, None)
+    # rewrite survivors in the TABLE'S layout: an unpartitioned rewrite
+    # would leave files without partition directories, which
+    # replace_partitions/merge would then always carry — stale rows
+    pc = _manifest_partition_cols(man)
+    _, new_files = _write_commit_files(survivors, path, pc)
     # survivors' stats are recomputed when the column was tracked
     stats_cols = man.get("stats_cols") or []
     new_stats = {
@@ -741,5 +835,6 @@ def snapshot_delete_rows(
         extra={"stats": new_stats, "stats_cols": stats_cols}
         if new_stats or stats_cols
         else None,
+        partition_cols=pc,
     )
     return version, before - after

@@ -162,3 +162,42 @@ def test_bloom_cli_build_and_append(spark, tmp_path, capsys):
     assert out["files_indexed"] == 2
     got = read_with_bloom(spark, tbl, idx, "k", [120], m_bits=1024, k=4)
     assert got.count() == 1
+
+
+def test_int_typed_key_probes_match(spark, tmp_path):
+    """xxhash64 hashes int and long DIFFERENTLY, so the probe must cast
+    to the indexed column's exact recorded type (ADVICE r4) — an
+    int-keyed table probed with python ints must still find its rows."""
+    d, x = str(tmp_path / "int_tbl"), str(tmp_path / "int_idx")
+    spark.range(0, 500).select(
+        F.col("id").cast("int").alias("key"),
+        (F.col("id") % 7).alias("grp"),
+    ).repartition(6).write.parquet(d)
+    build_bloom_index(spark, d, "key", x, m_bits=M, k=K)
+    got = read_with_bloom(spark, d, x, "key", [3, 250, 499], m_bits=M, k=K)
+    assert sorted(r.key for r in got.collect()) == [3, 250, 499]
+    # and candidate files are a real subset, not everything
+    cand = bloom_candidate_files(spark, x, "key", [3], m_bits=M, k=K)
+    assert 1 <= len(cand) < 6
+
+
+def test_duplicate_probe_values_not_false_negative(spark, table, index):
+    """Duplicated entries in values used to double the per-(file,key)
+    probe rows and fail the n==k cover test (ADVICE r4): [v, v] must
+    return the same candidates as [v]."""
+    full = spark.read.parquet(table)
+    v = full.select("event_id").first().event_id
+    once = bloom_candidate_files(spark, index, "event_id", [v], m_bits=M, k=K)
+    twice = bloom_candidate_files(
+        spark, index, "event_id", [v, v], m_bits=M, k=K
+    )
+    assert once and once == twice
+
+
+def test_probe_type_mismatch_fails_fast(spark, table, index):
+    """A probe value that cannot cast to the recorded key type raises
+    instead of silently returning no candidates."""
+    with pytest.raises(Exception):
+        bloom_candidate_files(
+            spark, index, "event_id", ["not-a-number"], m_bits=M, k=K
+        )

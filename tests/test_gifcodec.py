@@ -203,3 +203,19 @@ def test_foreign_subblock_sizes_and_extensions_skipped():
     assert frames and tuple(frames[0][3][0:3]) == PAL[1]
     plain87 = b"GIF87a" + bytes(encode_gif([(0, 0, idx)], PAL, w, h))[6:]
     assert decode_gif_frames(plain87)
+
+
+def test_zero_dimension_gif_skipped_not_crashed(spark):
+    """A crafted GIF with a 0x0 logical screen must not raise
+    ZeroDivisionError inside the Spark task (ADVICE r4) — its frames
+    are skipped; valid payloads in the same batch still decode."""
+    w, h = 4, 2
+    good = encode_gif([(0, 0, _pseudo_bytes(w * h, len(PAL)))], PAL, w, h)
+    zero = encode_gif([(0, 0, b"")], PAL, 0, 0)
+    assert parse_gif_header(zero) == (0, 0)
+    df = spark.createDataFrame(
+        [(1, good), (2, zero)], "media_id long, payload binary"
+    )
+    rows = sample_gif_frames(df, every_n=1).collect()
+    assert sorted({r.media_id for r in rows}) == [1]
+    assert all(r.width * r.height > 0 for r in rows)

@@ -466,3 +466,98 @@ def test_snapshot_delete_cli(spark, table, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows_deleted"] == 2
     assert [r.id for r in read_snapshot(spark, table).collect()] == [1]
+
+
+def test_delete_rows_preserves_null_keys(spark, table):
+    """NULL values of the delete column never match an IN list, so
+    NULL-keyed rows in rewritten victim files must SURVIVE the rewrite
+    (ADVICE r4: ~isin evaluates to NULL and where() dropped them) and
+    rows_deleted must count only genuine matches."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows,
+        snapshot_write_with_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (None, 1, "n1"), (2, 1, "b"), (None, 1, "n2")],
+        "id long, month int, v string",
+    )
+    snapshot_write_with_stats(df, table, stats_cols=["id"])
+    v, n_deleted = snapshot_delete_rows(spark, table, "id", [2])
+    assert n_deleted == 1
+    got = read_snapshot(spark, table, version=v).collect()
+    assert sorted(r.v for r in got) == ["a", "n1", "n2"]
+
+
+def test_delete_then_merge_keeps_no_stale_rows(spark, table):
+    """The delete rewrite must reproduce the table's partition layout
+    (ADVICE r4): an unpartitioned survivor file would never classify
+    into any touched partition, so a later replace/merge would carry it
+    and resurrect replaced keys as duplicates."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete_rows,
+        snapshot_merge_upsert,
+        snapshot_write,
+    )
+
+    base = _df(spark, [(1, 1, "a"), (2, 1, "b"), (3, 2, "c"), (4, 2, "d")])
+    snapshot_write(base, table, partition_cols=["month"])
+    v, n = snapshot_delete_rows(spark, table, "id", [2])
+    assert n == 1
+    man = _load_manifest(spark, table, v)
+    assert man["partition_cols"] == ["month"]
+    # every file in the new version still sits in a month=... directory
+    assert all("month=" in f for f in man["files"])
+    upd = _df(spark, [(1, 1, "A2"), (5, 1, "e")])
+    v2 = snapshot_merge_upsert(spark, table, upd, keys=["id"],
+                               partition_cols=["month"])
+    got = {(r.id, r.v) for r in read_snapshot(spark, table, version=v2).collect()}
+    assert got == {(1, "A2"), (5, "e"), (3, "c"), (4, "d")}
+
+
+def test_mixed_partition_layout_rejected(spark, table):
+    """A commit whose layout differs from the table's recorded layout
+    fails fast instead of silently misclassifying carried files."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 2, "b")]), table,
+        partition_cols=["month"],
+    )
+    with pytest.raises(ValueError, match="layout"):
+        snapshot_replace_partitions(_df(spark, [(9, 1, "z")]), table, ["v"])
+    with pytest.raises(ValueError, match="layout"):
+        snapshot_write(_df(spark, [(9, 1, "z")]), table, mode="append")
+    with pytest.raises(ValueError, match="layout"):
+        snapshot_write_with_stats(
+            _df(spark, [(9, 1, "z")]), table, stats_cols=["id"], mode="append"
+        )
+    # overwrite may change the layout freely (it carries nothing)
+    snapshot_write(_df(spark, [(9, 1, "z")]), table)
+
+
+def test_compact_preserves_partition_layout(spark, table):
+    """snapshot_compact defaults to the table's recorded layout, so a
+    compaction never strips the partition directories carried-file
+    classification depends on; a replace after a compact still works."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+    )
+
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 2, "b"), (3, 2, "c")]), table,
+        partition_cols=["month"],
+    )
+    v = snapshot_compact(spark, table, target_mb=256)
+    man = _load_manifest(spark, table, v)
+    assert man["partition_cols"] == ["month"]
+    assert all("month=" in f for f in man["files"])
+    v2 = snapshot_replace_partitions(
+        _df(spark, [(20, 2, "B")]), table, ["month"]
+    )
+    got = {(r.id, r.v) for r in read_snapshot(spark, table, version=v2).collect()}
+    assert got == {(1, "a"), (20, "B")}
