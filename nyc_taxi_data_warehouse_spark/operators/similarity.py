@@ -465,6 +465,7 @@ def embedding_near_dup(
     n_planes: int = 8,
     dim: int = 64,
     n_tables: int = 1,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidate generation.
 
@@ -475,6 +476,19 @@ def embedding_near_dup(
     exactly one bucket, so no pair-dedup pass is needed; pairs whose
     vectors disagree on any hyperplane sign are missed (standard LSH
     recall trade — add rotations/band tables to tighten).
+
+    ``max_bucket_size`` is the LSH skew guard (the embedding sibling of
+    the MinHash path's dial in ``dedup.py``): a degenerate bucket (zero
+    vectors, a boilerplate embedding repeated across the corpus)
+    otherwise produces a QUADRATIC pair blow-up on one join key — the
+    measured d08 pair-density growth. Over-full buckets are dropped
+    entirely; their members are by construction near-identical
+    boilerplate, the standard LSH trade. The guard costs one
+    SCALARS-ONLY aggregation (bucket ids + partial counts, map-side
+    combined) whose over-full output is bounded by N/max_bucket_size
+    keys — broadcast anti-joined, so the candidate join's own plan
+    (broadcast at small scale, hash-partitioned at 100 TB) is untouched
+    and vectors never enter the guard's shuffle.
     """
     if n_tables > 1:
         # Multi-table recall path: pairs sharing a bucket in ANY table.
@@ -483,7 +497,22 @@ def embedding_near_dup(
         # vectors never enter the dedup shuffle. No bucket column in
         # this mode (a pair has up to n_tables of them).
         a = multi_table_buckets(df, id_col, vec_col, n_planes, dim, n_tables, "id_a", "av")
-        c = multi_table_buckets(df, id_col, vec_col, n_planes, dim, n_tables, "id_b", "bv")
+        if max_bucket_size is not None:
+            hot = (
+                a.groupBy("tbl", "bucket")
+                .agg(F.count("*").alias("_n"))
+                .where(F.col("_n") > max_bucket_size)
+                .select("tbl", "bucket")
+            )
+            a = a.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
+        # the other side is the SAME capped bucketing, renamed — buckets
+        # are computed (and capped) once
+        c = a.select(
+            F.col("id_a").alias("id_b"),
+            F.col("av").alias("bv"),
+            "tbl",
+            "bucket",
+        )
         return (
             a.join(c, ["tbl", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
@@ -494,6 +523,14 @@ def embedding_near_dup(
             .orderBy("id_a", "id_b")
         )
     b = lsh_buckets(df, id_col, vec_col, n_planes, dim)
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("bucket")
+        )
+        b = b.join(F.broadcast(hot), "bucket", "left_anti")
     a = b.select(
         F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("av"), "bucket"
     )

@@ -606,3 +606,36 @@ def test_versioned_merge_order_independent(spark, events, cut, flip):
         for r in spark.table("cdc_prop_tgt").collect()
     }
     assert got == {k: (k % 2, k * 100 + v, v) for k, v in want.items()}
+
+
+def test_embedding_near_dup_hot_bucket_capped(spark):
+    """The LSH skew guard (r4 worklist: d08 pair-density): a planted
+    boilerplate bucket — one embedding repeated 40× — must be DROPPED
+    by max_bucket_size, not exploded into 40*39/2 candidate pairs,
+    while normal-sized buckets keep producing their pairs. Holds for
+    both the single-table and the multi-table path."""
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    hot = [(i, [1.0] * 8) for i in range(40)]
+    cold = [
+        (100, [-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0]),
+        (101, [-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 0.9]),
+    ]
+    df = spark.createDataFrame(
+        hot + cold, "vec_id long, embedding array<double>"
+    )
+    for n_tables in (1, 3):
+        uncapped = embedding_near_dup(
+            df, threshold=0.5, n_planes=4, dim=8,
+            n_tables=n_tables, max_bucket_size=None,
+        ).collect()
+        capped = embedding_near_dup(
+            df, threshold=0.5, n_planes=4, dim=8,
+            n_tables=n_tables, max_bucket_size=10,
+        ).collect()
+        # uncapped: quadratic blow-up from the hot bucket is present
+        assert len([r for r in uncapped if r.id_a < 40]) == 40 * 39 // 2
+        # capped: hot bucket dropped entirely, cold pair intact
+        assert [(r.id_a, r.id_b) for r in capped] == [(100, 101)]

@@ -72,7 +72,9 @@ SHUFFLE_COUNT_CAPS = {
     "t02_quality_scores": 1,  # per-doc scoring: 1 ranking exchange
     "e01_cosine_topk": 2,  # per-query top-k + global merge
     "e05_ann_topk_probe": 2,  # bucket-join + top-k merge
-    "d06_embedding_near_dup": 1,  # LSH bucket self-join on one exchange
+    "d06_embedding_near_dup": 2,  # LSH bucket self-join + the scalar
+    #   hot-bucket-count aggregation of the skew guard (bucket ids and
+    #   partial counts only — vectors never enter the guard's shuffle)
     "p03_sequence_packing": 3,  # ints-only plan + group shuffle + order
     "a01_asof_purchase_view": 2,  # ONE key shuffle for the as-of + output sort
     "q56_funnel_stages": 2,  # one user hash exchange + tiny global rollup
