@@ -103,6 +103,102 @@ def delete_partition_dirs(spark: SparkSession, path: str, dirs: list[str]) -> No
         fs.delete(jvm.org.apache.hadoop.fs.Path(hpath, d), True)
 
 
+def compact_index(
+    spark: SparkSession, path: str, target_mb: int = 64
+) -> dict:
+    """Defragment a persisted index in place, ``_meta.json`` preserved.
+
+    Every incremental maintenance batch (``append_to_ann_index``,
+    ``upsert_ivf_cells``, postings upserts, ``append_to_bloom_index``)
+    adds files to the cell/term/table partitions it touches; after N
+    ingest cycles the index fragments exactly like the fact table did
+    before ``warehouse.layout.compact_partition`` — one task and one
+    footer read per tiny file at probe time. This is the standing
+    repair job, shared by all index kinds: the layout is discovered
+    from the directory names, so ANN (``tbl=``), IVF (``cell=``),
+    postings (``term=``/``term_bkt=``) and unpartitioned (bloom)
+    indexes all compact through the same code.
+
+    Partitioned layouts rewrite to ``k`` files per partition directory
+    where ``k = ceil(avg_dir_bytes / target_mb)`` — one file per cell
+    or term for the many-small-dirs layouts (IVF cells, postings
+    terms), several for the few-big-dirs ones (an ANN ``tbl=`` dir
+    holds the whole corpus once, far over any single-file target). The
+    split is a deterministic hash salt over the row's content, so each
+    value's rows land in exactly ``k`` tasks. Unpartitioned layouts
+    rewrite to ``ceil(bytes/target_mb)`` files (``repartition``, not
+    ``coalesce`` — same reasoning as ``compact_partition``: coalesce is
+    bounded by the scan's split count and can silently under-shoot the
+    target).
+
+    The rewrite is scoped STATIC, so a shrinking layout leaves no stale
+    directories, and the sidecar is re-written after the data (a crash
+    between the two leaves an index whose readers fail fast on the
+    missing sidecar instead of probing a torn layout — the
+    ``check_index_meta`` contract, by design). Lookups are unchanged:
+    rows are moved, never altered.
+
+    Returns ``{"files_before", "files_after", "bytes"}``.
+    """
+    from pyspark.sql import functions as F
+
+    from ..session import static_partition_overwrite
+
+    meta = read_index_meta(spark, path)
+    if meta is None:
+        raise IndexMetaError(
+            f"{path}: no {META_FILE} sidecar — refusing to compact a "
+            "directory this engine did not write"
+        )
+    jvm, fs, hpath = _fs_and_path(spark, path)
+    part_col = None
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            part_col = name.split("=", 1)[0]
+            break
+    n_before, total, n_dirs = 0, 0, 0
+    for st in fs.listStatus(hpath):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            n_dirs += 1
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        n_before += 1
+        total += f.getLen()
+    df = spark.read.parquet(path)
+    if part_col is not None:
+        avg_dir = total / max(n_dirs, 1)
+        k = max(1, -(-int(avg_dir) // (target_mb * 2**20)))
+        data_cols = [c for c in df.columns if c != part_col]
+        salt = F.pmod(F.xxhash64(*data_cols), F.lit(k))
+        compacted = df.repartition(
+            max(n_dirs * k, 1), F.col(part_col), salt
+        )
+    else:
+        n_target = max(1, -(-total // (target_mb * 2**20)))
+        compacted = df.repartition(n_target)
+    # the write replaces the directory the plan reads from — cut the
+    # lineage first (the compact_partition pattern)
+    compacted = compacted.localCheckpoint(eager=True)
+    writer = compacted.write.mode("overwrite")
+    if part_col is not None:
+        writer = writer.partitionBy(part_col)
+    with static_partition_overwrite(spark):
+        writer.parquet(path)
+    write_index_meta(spark, path, meta)
+    n_after = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            n_after += 1
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}
+
+
 def centroid_fingerprint(
     centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:

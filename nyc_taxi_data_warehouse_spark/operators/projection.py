@@ -40,7 +40,14 @@ def fit_pca(df: DataFrame, vec_col: str, n_components: int | None = None) -> dic
     statistics are ``d + d²`` rows — metadata at any corpus size
     (d=1024 → ~8 MB on the driver; the corpus never leaves executors).
     """
-    d = len(df.select(vec_col).first()[0])
+    # null vectors are excluded from the fit (a mean over nothing is
+    # meaningless); an empty/all-null corpus fails fast with a clear
+    # error instead of a driver-side TypeError on first()
+    df = df.where(F.col(vec_col).isNotNull())
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("fit_pca: no non-null vectors to fit")
+    d = len(first[0])
     xs = df.select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"))
     n = xs.count()
     if n < 2:

@@ -88,8 +88,30 @@ def load_month(
     year: int,
     month: int,
     force: bool = False,
+    backend: str = "managed",
+    snapshot_path: str | None = None,
 ) -> LoadResult:
-    """Load one monthly file into the partitioned fact table, idempotently."""
+    """Load one monthly file into the partitioned fact table, idempotently.
+
+    Two interchangeable storage backends for the same fact table:
+
+    - ``backend="managed"`` (default): the catalog-managed parquet table
+      — INSERT OVERWRITE of the (year, month) partition under scoped
+      dynamic ``partitionOverwriteMode``; idempotency from the
+      ``ingest_log`` anti-join.
+    - ``backend="snapshot"``: a ``warehouse.snapshots`` versioned table
+      at ``snapshot_path`` — the month lands via
+      ``snapshot_replace_partitions`` (readers keep their pinned
+      version; a crash leaves only an orphan commit dir), and
+      idempotency comes from the MANIFEST itself: each load commit
+      records its ``(year, month, source_path, rows)`` provenance, so
+      no separate ingest log is needed and the already-loaded check is
+      a metadata-only manifest scan.
+    """
+    if backend not in ("managed", "snapshot"):
+        raise ValueError(f"backend must be managed|snapshot; got {backend!r}")
+    if backend == "snapshot" and not snapshot_path:
+        raise ValueError("backend='snapshot' requires snapshot_path")
     # The partition-replacing write below is only safe under
     # partitionOverwriteMode=dynamic — on an untuned session Spark's
     # static default would drop every OTHER month on overwrite. Scoped
@@ -97,7 +119,16 @@ def load_month(
     # session confs.
     from ..session import dynamic_partition_overwrite
 
-    if not force and _already_loaded(spark, year, month):
+    already = (
+        _snapshot_loaded_months(spark, snapshot_path)
+        if backend == "snapshot"
+        else None
+    )
+    if not force and (
+        (year, month) in already
+        if already is not None
+        else _already_loaded(spark, year, month)
+    ):
         return LoadResult(year, month, rows=0, skipped=True)
 
     from pyspark.sql import Observation
@@ -112,6 +143,31 @@ def load_month(
     # full pass at 100 TB.
     obs = Observation(f"load_{year}_{month}")
     out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+    if backend == "snapshot":
+        from .snapshots import snapshot_replace_partitions
+
+        # Two-phase under the hood (files, then Observation-read, then
+        # the provenance-carrying manifest): snapshot_replace_partitions
+        # writes the commit files before the manifest flips, and the
+        # Observation is populated by that same write job — so the rows
+        # figure lands in the manifest without a second scan.
+        rows_holder: dict[str, int] = {}
+
+        def _load_extra() -> dict:
+            rows_holder["rows"] = int(obs.get["rows"])
+            return {
+                "load": {
+                    "year": year,
+                    "month": month,
+                    "source_path": path,
+                    "rows": rows_holder["rows"],
+                }
+            }
+
+        snapshot_replace_partitions(
+            out, snapshot_path, ["year", "month"], extra=_load_extra
+        )
+        return LoadResult(year, month, rows=rows_holder["rows"], skipped=False)
     # Dynamic partition overwrite: only the (year, month) partition in this
     # DataFrame is replaced; all other months are untouched.
     with dynamic_partition_overwrite(spark):
@@ -121,27 +177,64 @@ def load_month(
     return LoadResult(year, month, rows=rows, skipped=False)
 
 
+def _snapshot_loaded_months(
+    spark: SparkSession, snapshot_path: str
+) -> set[tuple[int, int]]:
+    """(year, month) pairs already landed in the snapshot table — read
+    from the commit manifests' ``load`` provenance records. Metadata
+    only: one small JSON per retained version, no data files touched.
+    A month vacuumed out of history re-loads (its data is gone too)."""
+    from .snapshots import _list_manifests, _load_manifest
+
+    try:
+        versions = _list_manifests(spark, snapshot_path)
+    except Exception:
+        return set()
+    out: set[tuple[int, int]] = set()
+    for v in versions:
+        li = _load_manifest(spark, snapshot_path, v).get("load")
+        if li:
+            out.add((li["year"], li["month"]))
+    return out
+
+
 def backfill(
-    spark: SparkSession, manifest: list[tuple[str, int, int]]
+    spark: SparkSession,
+    manifest: list[tuple[str, int, int]],
+    backend: str = "managed",
+    snapshot_path: str | None = None,
 ) -> list[LoadResult]:
     """Load every not-yet-ingested (path, year, month) from a manifest.
 
     ≙ populate_s3.py main loop, but the "already ingested?" check is one
-    anti-join against ingest_log instead of a HEAD call per file.
+    anti-join against ingest_log instead of a HEAD call per file. On the
+    snapshot backend the loaded set comes from the commit manifests
+    (same anti-join shape, different metadata source).
     """
     if not manifest:
         return []
     mdf = spark.createDataFrame(manifest, "source_path string, year int, month int")
-    todo = (
-        mdf.join(
-            spark.table(INGEST_LOG).select("year", "month"),
-            on=["year", "month"],
-            how="left_anti",
+    if backend == "snapshot":
+        loaded = _snapshot_loaded_months(spark, snapshot_path)
+        ldf = (
+            spark.createDataFrame(sorted(loaded), "year int, month int")
+            if loaded
+            else spark.createDataFrame([], "year int, month int")
         )
+    else:
+        ldf = spark.table(INGEST_LOG).select("year", "month")
+    todo = (
+        mdf.join(ldf, on=["year", "month"], how="left_anti")
         .orderBy("year", "month")
         .collect()  # manifest is metadata-sized (one row per month-file)
     )
-    return [load_month(spark, r.source_path, r.year, r.month) for r in todo]
+    return [
+        load_month(
+            spark, r.source_path, r.year, r.month,
+            backend=backend, snapshot_path=snapshot_path,
+        )
+        for r in todo
+    ]
 
 
 def _already_loaded(spark: SparkSession, year: int, month: int) -> bool:

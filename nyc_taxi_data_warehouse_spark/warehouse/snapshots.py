@@ -73,8 +73,56 @@ def _read_bytes(fs, jvm, jpath) -> bytes:
         stream.close()
 
 
+# How the commit claims a manifest name. The whole isolation story rests
+# on exactly one writer winning the `{version:08d}.json` create:
+#
+# - ``"create"`` (default): ``fs.create(path, overwrite=false)`` —
+#   atomic on HDFS and local filesystems, where the namenode/kernel
+#   arbitrates the exclusive create.
+# - ``"builder"``: the ``FSDataOutputStreamBuilder`` contract,
+#   ``fs.createFile(path).overwrite(false).build()``. On S3A with
+#   conditional creates enabled this maps to a conditional PUT
+#   (``If-None-Match: *``), where the CONFLICT surfaces at ``close()``
+#   (the PUT happens there), not at create time — the plain "create"
+#   path's check-then-create is a race window on object stores. Both
+#   failure points are treated as "lost the race"; mis-reporting a
+#   transient close() failure as a conflict is SAFE (SnapshotConflict is
+#   retryable and the orphaned data files never corrupt reads), whereas
+#   the reverse — claiming success on an unconfirmed write — is not.
+#
+# Selectable per-call via the ``commit_mode`` arguments on the public
+# writers, or globally via SPARK_GRAFT_SNAPSHOT_COMMIT.
+def _commit_mode() -> str:
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_SNAPSHOT_COMMIT", "create")
+    if mode not in ("create", "builder"):
+        raise ValueError(
+            f"SPARK_GRAFT_SNAPSHOT_COMMIT must be create|builder; got {mode!r}"
+        )
+    return mode
+
+
 def _write_bytes_exclusive(fs, jpath, data: bytes) -> bool:
-    """Atomic create-if-absent; False when the path already exists."""
+    """Atomic create-if-absent; False when the path already exists (or,
+    in builder mode, when the conditional write could not be CONFIRMED
+    — see ``_commit_mode``)."""
+    if _commit_mode() == "builder":
+        # unlike plain create(), the builder does not create parent
+        # directories; mkdirs is idempotent (and a no-op namespace-wise
+        # on object stores, where directories are virtual)
+        fs.mkdirs(jpath.getParent())
+        try:
+            out = fs.createFile(jpath).overwrite(False).build()
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(data))
+            out.close()
+        except Exception:
+            # conditional-PUT stores reject here (If-None-Match miss)
+            return False
+        return True
     try:
         out = fs.create(jpath, False)
     except Exception:
@@ -236,13 +284,20 @@ def snapshot_write(
 
 
 def snapshot_replace_partitions(
-    df: DataFrame, path: str, partition_cols: list[str]
+    df: DataFrame, path: str, partition_cols: list[str],
+    extra=None,
 ) -> int:
     """Dynamic-partition-overwrite semantics, versioned: the new commit
     replaces the parent's files ONLY in the partitions present in
     ``df``; all other files carry over. Readers of older versions are
     unaffected — this is the race-free counterpart of the in-place
-    overwrite in ``merge.py``."""
+    overwrite in ``merge.py``. ``extra`` keys are recorded verbatim in
+    the commit manifest (the snapshot-backed load path records its
+    ``load`` provenance there, making the manifest the idempotency
+    ledger). ``extra`` may be a CALLABLE returning the dict — it is
+    invoked only after the commit files are written, so values that
+    materialize with the write job (an Observation's row count) can be
+    recorded without a second scan."""
     spark = df.sparkSession
     versions = _list_manifests(spark, path)
     parent = versions[-1] if versions else None
@@ -294,6 +349,7 @@ def snapshot_replace_partitions(
         df.schema,
         "replace_partitions",
         parent,
+        extra=extra() if callable(extra) else extra,
         partition_cols=partition_cols,
     )
 

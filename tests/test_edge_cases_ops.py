@@ -115,3 +115,140 @@ def test_sketches_empty_single_null(spark):
     assert {r.bucket for r in h.collect()} == {-2}
     # all-null: no rankable rows -> no quantile rows, no error
     assert loghist_quantiles(h, [0.5]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r4 worklist #6: one parametrized gate touching EVERY exported operator
+# module (profile, drift, sampling, lm, graph, projection, chunking,
+# split, bloomindex) with the empty corpus and the all-null corpus.
+# Bar: graceful, pinned semantics — or a CLEAN, documented error.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_vnd(spark):
+    return spark.createDataFrame([], "doc_id long, text string, v double")
+
+
+@pytest.fixture(scope="module")
+def null_vnd(spark):
+    return spark.createDataFrame(
+        [(1, None, None), (2, None, None)],
+        "doc_id long, text string, v double",
+    )
+
+
+def _cases(spark, empty, nulls):
+    from nyc_taxi_data_warehouse_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.drift import drift_report
+    from nyc_taxi_data_warehouse_spark.operators.graph import pagerank
+    from nyc_taxi_data_warehouse_spark.operators.lm import (
+        score_cross_entropy,
+        train_bigram_lm,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.profile import (
+        profile_table,
+        top_values,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.sampling import (
+        mixture_sample,
+        weighted_sample,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.split import (
+        cluster_aware_split,
+    )
+
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    no_edges = spark.createDataFrame([], "src long, dst long")
+
+    def lm_scores(df):
+        m = train_bigram_lm(df, "text", "doc_id")
+        return score_cross_entropy(df, m, "text", "doc_id").count()
+
+    return {
+        # name -> (callable over the corpus, expected rows on empty,
+        #          expected rows on the all-null corpus)
+        "profile_table": (lambda d: profile_table(d).count(), 3, 3),
+        "top_values_text": (
+            lambda d: top_values(d, ["text", "v"]).count(), 0, 0,
+        ),
+        "drift_report": (
+            lambda d: sum(len(r["buckets"]) for r in drift_report(d, d, ["v"])),
+            0,  # empty reference: no quantile bounds, no buckets
+            1,  # all-null: exactly the null bucket, PSI defined (=0 vs self)
+        ),
+        "weighted_sample": (
+            # null weights are never sampled (SQL: null ordering keys sort out)
+            lambda d: weighted_sample(d, 3, "v", "doc_id").count(), 0, 0,
+        ),
+        "mixture_sample": (
+            lambda d: mixture_sample(
+                d, "text", {"web": 1.0}, 2, "doc_id"
+            ).count(),
+            0,
+            0,  # null domain matches no weight key -> dropped
+        ),
+        "bigram_lm_roundtrip": (lm_scores, 0, 0),
+        "pagerank": (lambda _d: pagerank(no_edges).count(), 0, 0),
+        "chunk_documents": (
+            lambda d: chunk_documents(d, "text", "doc_id").count(), 0, 0,
+        ),
+        "cluster_aware_split": (
+            lambda d: cluster_aware_split(d, no_pairs, "doc_id").count(),
+            0,
+            2,  # null TEXT is fine — ids are real docs, each gets a split
+        ),
+    }
+
+
+def test_every_operator_module_survives_empty_and_allnull(
+    spark, empty_vnd, null_vnd
+):
+    cases = _cases(spark, empty_vnd, null_vnd)
+    for name, (fn, want_empty, want_null) in cases.items():
+        assert fn(empty_vnd) == want_empty, f"{name} on EMPTY corpus"
+        assert fn(null_vnd) == want_null, f"{name} on ALL-NULL corpus"
+
+
+def test_pca_empty_and_allnull_fail_clean(spark, empty_vnd):
+    """fit_pca cannot produce a model from nothing: both degenerate
+    corpora raise the documented ValueError (previously a driver-side
+    TypeError), and null vectors are excluded from a real fit."""
+    from nyc_taxi_data_warehouse_spark.operators.projection import (
+        fit_pca,
+        project,
+    )
+
+    eemb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    nemb = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    for bad in (eemb, nemb):
+        with pytest.raises(ValueError, match="no non-null vectors"):
+            fit_pca(bad, "embedding")
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    m = fit_pca(mixed, "embedding", n_components=1)
+    assert m["n"] == 3  # the null vector was excluded, not counted
+    out = project(mixed, m, "embedding").collect()
+    assert len(out) == 4
+
+
+def test_bloom_build_on_empty_table(spark, tmp_path):
+    """An empty (zero-row) table indexes to an empty-but-valid Bloom
+    index: lookups return no candidates, never error."""
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        bloom_candidate_files,
+        build_bloom_index,
+    )
+
+    tbl = str(tmp_path / "empty_tbl")
+    idx = str(tmp_path / "empty_idx")
+    spark.createDataFrame([], "key long, v string").write.parquet(tbl)
+    n = build_bloom_index(spark, tbl, "key", idx, m_bits=1024, k=3)
+    assert n == 0
+    assert bloom_candidate_files(spark, idx, "key", [7], m_bits=1024, k=3) == []

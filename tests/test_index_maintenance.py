@@ -565,3 +565,107 @@ def test_stream_postings_ingest_matches_rebuild(spark, tmp_path):
     n_before = spark.read.parquet(idx).count()
     stream_postings_ingest(spark, feed_stream(), idx, checkpoint=ckpt)
     assert spark.read.parquet(idx).count() == n_before
+
+
+def _data_files(path):
+    return [
+        os.path.join(root, f)
+        for root, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    ]
+
+
+def test_compact_index_ann_fewer_files_same_lookups(spark, emb, tmp_path):
+    """compact_index on a fragmented ANN index (r4 worklist: many
+    incremental appends -> many small files per tbl= partition): file
+    count drops, lookups are identical, the dial sidecar survives."""
+    from nyc_taxi_data_warehouse_spark.operators.indexmeta import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "ann_frag")
+    write_ann_index(emb.where(F.col("vec_id") < 200), path, **ANN_DIALS)
+    for lo in (200, 300, 400, 500):
+        append_to_ann_index(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)),
+            path,
+        )
+    q = emb.where(F.col("vec_id") < 4)
+    kwargs = dict(k=3, probe_radius=1, **ANN_DIALS)
+    before_rows = _rows(ann_topk_from_index(spark, path, q, **kwargs))
+    meta_before = read_index_meta(spark, path)
+    n_before = len(_data_files(path))
+    out = compact_index(spark, path)
+    n_after = len(_data_files(path))
+    assert out["files_before"] == n_before
+    assert out["files_after"] == n_after
+    assert n_after < n_before
+    # layout preserved: still partitioned by tbl=
+    assert any("tbl=" in p for p in _data_files(path))
+    assert read_index_meta(spark, path) == meta_before
+    assert _rows(ann_topk_from_index(spark, path, q, **kwargs)) == before_rows
+
+
+def test_compact_index_ivf_and_unpartitioned_bloom(spark, emb, cents, tmp_path):
+    """The same repair job covers the cell-partitioned IVF layout and
+    the unpartitioned bloom layout; a sidecar-less directory is
+    refused."""
+    from nyc_taxi_data_warehouse_spark.operators.indexmeta import (
+        compact_index,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        append_to_bloom_index,
+        build_bloom_index,
+        read_with_bloom,
+    )
+
+    ivf = str(tmp_path / "ivf_frag")
+    write_ivf_index(emb.where(F.col("vec_id") < 300), cents, ivf)
+    for lo in (300, 450):
+        upsert_ivf_cells(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 150)),
+            cents,
+            ivf,
+        )
+    q = emb.where(F.col("vec_id") < 4)
+    before = _rows(ivf_topk_from_index(spark, ivf, q, cents, k=3, n_probe=2))
+    nb = len(_data_files(ivf))
+    compact_index(spark, ivf)
+    assert len(_data_files(ivf)) < nb
+    assert _rows(
+        ivf_topk_from_index(spark, ivf, q, cents, k=3, n_probe=2)
+    ) == before
+
+    # unpartitioned: a bloom index fragmented by incremental appends
+    tbl = str(tmp_path / "bloom_tbl")
+    idx = str(tmp_path / "bloom_idx")
+    emb.select((F.col("vec_id") * 2).alias("key")).repartition(4).write.parquet(tbl)
+    build_bloom_index(spark, tbl, "key", idx, m_bits=4096, k=5)
+    extra = str(tmp_path / "bloom_tbl2")
+    spark.range(100000, 100200).select(
+        (F.col("id") * 2).alias("key")
+    ).repartition(3).write.parquet(extra)
+    spark.read.parquet(extra).write.mode("append").parquet(tbl)
+    append_to_bloom_index(spark, tbl, idx, "key", m_bits=4096, k=5)
+    probe = [0, 200002, 399998]
+    want = sorted(
+        r.key
+        for r in read_with_bloom(
+            spark, tbl, idx, "key", probe, m_bits=4096, k=5
+        ).collect()
+    )
+    nb = len(_data_files(idx))
+    compact_index(spark, idx)
+    assert len(_data_files(idx)) < nb
+    assert sorted(
+        r.key
+        for r in read_with_bloom(
+            spark, tbl, idx, "key", probe, m_bits=4096, k=5
+        ).collect()
+    ) == want
+
+    bare = str(tmp_path / "not_an_index")
+    spark.range(5).write.parquet(bare)
+    with pytest.raises(IndexMetaError):
+        compact_index(spark, bare)

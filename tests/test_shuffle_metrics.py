@@ -149,3 +149,39 @@ def test_window_spill_path_is_correct_and_metered(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scaling_claim_is_generated_and_adjudicated():
+    """The SURVEY/README scaling claim is GENERATED from the checked-in
+    audit artifacts, never hand-maintained (r4 worklist: the prose went
+    stale). This pins the adjudication: no GENUINE super-linear
+    shuffle-byte growth across scale factors, every flagged delta
+    carries a mechanical classification, and the committed SCALING.json
+    claim text matches what the classifier derives from the committed
+    artifacts — a regression flips this test, not just the prose."""
+    import json
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        from shuffle_audit import classify_scaling
+    finally:
+        sys.path.pop(0)
+
+    small = json.load(open(os.path.join(root, "SHUFFLES.json")))["queries"]
+    big = json.load(open(os.path.join(root, "SHUFFLES_sf01.json")))["queries"]
+    res = classify_scaling(small, big, factor=10.0)
+    assert res["per_query"], "no comparable queries — artifacts broken"
+    genuine = {
+        q: r for q, r in res["super_linear"].items() if r["class"] == "genuine"
+    }
+    assert not genuine, f"genuine super-linear shuffle growth: {genuine}"
+    assert not res["spills"], f"spills appeared: {res['spills']}"
+    committed = json.load(open(os.path.join(root, "SCALING.json")))
+    assert committed["claim"] == res["claim"], (
+        "SCALING.json is stale — regenerate with "
+        "`python tools/shuffle_audit.py --scaling SHUFFLES.json "
+        "SHUFFLES_sf01.json --factor 10 --claim-out SCALING.json`"
+    )

@@ -73,11 +73,15 @@ def test_reader_isolated_from_later_commit(spark, table):
     assert [r.id for r in read_snapshot(spark, table).collect()] == [2]
 
 
-def test_conflict_detected_not_silent(spark, table):
+@pytest.mark.parametrize("commit_mode", ["create", "builder"])
+def test_conflict_detected_not_silent(spark, table, commit_mode, monkeypatch):
     """Two writers race for the same version number: the second commit
-    (same parent) must fail loudly, never overwrite the manifest."""
+    (same parent) must fail loudly, never overwrite the manifest — on
+    the HDFS/local exclusive-create path AND the object-store
+    conditional-create (createFile builder) path."""
     from nyc_taxi_data_warehouse_spark.warehouse.snapshots import _commit
 
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_COMMIT", commit_mode)
     snapshot_write(_df(spark, [(1, 1, "a")]), table)
     df = _df(spark, [(2, 2, "b")])
     # writer A publishes version 2 after writer B listed versions
@@ -89,6 +93,25 @@ def test_conflict_detected_not_silent(spark, table):
     # writer A's manifest untouched by the failed claim
     with open(f"{table}/_versions/00000002.json") as f:
         assert '"op": "overwrite"' in f.read()
+
+
+def test_builder_commit_mode_full_lifecycle(spark, table, monkeypatch):
+    """With the object-store commit path forced, the ordinary
+    write/append/read lifecycle still works end to end (the builder
+    contract is a drop-in for exclusive create, conflicts surfacing at
+    build() or close() both mapping to SnapshotConflict)."""
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_COMMIT", "builder")
+    v1 = snapshot_write(_df(spark, [(1, 1, "a"), (2, 2, "b")]), table)
+    v2 = snapshot_write(_df(spark, [(3, 3, "c")]), table, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert read_snapshot(spark, table).count() == 3
+    assert sorted(
+        r.id for r in read_snapshot(spark, table, version=1).collect()
+    ) == [1, 2]
+
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_COMMIT", "bogus")
+    with pytest.raises(ValueError, match="create|builder"):
+        snapshot_write(_df(spark, [(9, 9, "z")]), table)
 
 
 def test_vacuum_reclaims_only_unreferenced(spark, table):

@@ -450,3 +450,92 @@ def test_merge_upsert_safe_on_untuned_session(warehouse, raw_root):
         spark.conf.set(key, "dynamic")
     assert spark.table("fhvhv_tripdata").where("year=2025 AND month=2").count() == m2_before
     assert spark.table("fhvhv_tripdata").where("driver_pay = 555.55").count() == 1
+
+
+@pytest.mark.parametrize("backend", ["managed", "snapshot"])
+def test_load_month_idempotent_on_both_backends(
+    warehouse, raw_root, tmp_path, backend
+):
+    """r4 worklist: the reference's one fact table must be loadable on
+    EITHER storage backend with identical semantics — skip on re-run,
+    partition overwrite (never double-insert) on force, same rows. On
+    the snapshot backend idempotency comes from the manifest's load
+    provenance, not the ingest log."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    spark = warehouse
+    path = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    kw = (
+        {"backend": "snapshot", "snapshot_path": str(tmp_path / "snap_fact")}
+        if backend == "snapshot"
+        else {}
+    )
+    res = load_month(spark, path, 2025, 1, force=True, **kw)
+    assert not res.skipped and res.rows == 200
+    res = load_month(spark, path, 2025, 1, **kw)
+    assert res.skipped  # idempotent re-run
+    res = load_month(spark, path, 2025, 1, force=True, **kw)
+    assert not res.skipped and res.rows == 200
+
+    if backend == "snapshot":
+        tbl = read_snapshot(spark, kw["snapshot_path"])
+        hist = snapshot_versions(spark, kw["snapshot_path"])
+        # two real loads -> two versions, both replace_partitions
+        assert [h["op"] for h in hist] == ["replace_partitions"] * 2
+    else:
+        tbl = spark.table("fhvhv_tripdata")
+    month = tbl.where("year=2025 AND month=1")
+    assert month.count() == 200  # overwrite, never double-insert
+
+
+def test_load_backends_produce_identical_rows(warehouse, raw_root, tmp_path):
+    """Same raw file through both backends -> hash-identical fact rows
+    (the backends differ in storage mechanics only, never content)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot,
+    )
+
+    spark = warehouse
+    path = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-02.parquet")
+    load_month(spark, path, 2025, 2, force=True)
+    snap = str(tmp_path / "snap_fact2")
+    load_month(
+        spark, path, 2025, 2, force=True, backend="snapshot",
+        snapshot_path=snap,
+    )
+    managed = spark.table("fhvhv_tripdata").where("year=2025 AND month=2")
+    snapped = read_snapshot(spark, snap).where("year=2025 AND month=2")
+    cols = sorted(managed.columns)
+    assert sorted(snapped.columns) == cols
+    h = lambda df: df.select(  # noqa: E731
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()
+    assert h(managed) == h(snapped.select(*managed.columns))
+
+
+def test_backfill_snapshot_backend_manifest_anti_join(
+    warehouse, raw_root, tmp_path
+):
+    """backfill on the snapshot backend: already-landed months are
+    skipped via the manifest provenance scan, remaining months load."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot,
+    )
+
+    spark = warehouse
+    snap = str(tmp_path / "snap_fact3")
+    manifest = discover_local(raw_root)
+    load_month(
+        spark,
+        os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet"),
+        2025, 1, backend="snapshot", snapshot_path=snap,
+    )
+    results = backfill(spark, manifest, backend="snapshot", snapshot_path=snap)
+    assert [(r.year, r.month, r.skipped) for r in results] == [(2025, 2, False)]
+    assert read_snapshot(spark, snap).count() == 350
+    # a second backfill is a complete no-op
+    assert backfill(spark, manifest, backend="snapshot", snapshot_path=snap) == []
