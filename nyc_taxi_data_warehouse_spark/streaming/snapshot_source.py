@@ -1,0 +1,272 @@
+"""Structured-Streaming SOURCE over snapshot-table commits.
+
+``warehouse/snapshots.py`` gives tables an append-only commit log
+(numbered JSON manifests listing immutable data files). That log is
+exactly the shape a streaming source needs: the OFFSET is a manifest
+version, a micro-batch is "the files added by versions (start, end]",
+and replays are trivially deterministic because manifests never change.
+This module turns any snapshot table into a first-class streaming
+input using the Spark 4 Python Data Source API
+(`pyspark.sql.datasource`) — the idiomatic way to add a custom source
+without JVM code:
+
+    spark.dataSource.register(SnapshotFeedDataSource)
+    df = (spark.readStream.format("snapshot_feed")
+          .option("path", table_path).load())
+
+or via the `read_snapshot_stream` convenience wrapper. Downstream the
+feed composes with everything Structured Streaming offers (watermarks,
+stateful ops, `stream_snapshot_append` back into another snapshot
+table = an incremental materialized-view pipeline with exactly-once
+ends on both sides).
+
+Scale design:
+- Planning (`partitions`) touches ONLY manifests — metadata reads
+  bounded by commits per batch, never data size. One input partition
+  per added file preserves the table's write parallelism.
+- Reading happens executor-side as Arrow RecordBatches straight from
+  the parquet file (pyarrow), so rows never funnel through the driver
+  and never pass through per-row Python objects.
+- Commit classification is structural: a commit that removes no files
+  is a pure append and streams through; rewrite commits (compaction,
+  delete, partition replacement) are not expressible as an insert-only
+  feed — `onNonAppend=fail` (default) stops the stream loudly,
+  `onNonAppend=skip` ignores them (correct for compaction, which
+  changes no rows; lossy for deletes — caller's explicit choice).
+
+All filesystem access here uses `pyarrow.fs.FileSystem.from_uri`
+(local, HDFS, S3, GCS), because data-source code runs in plain Python
+workers with no JVM/Hadoop `FileSystem` handle.
+
+Known engine caveat: Python micro-batch streams don't yet implement
+`SupportsTriggerAvailableNow`, so `Trigger.AvailableNow` falls back to
+single-batch execution (one batch from the checkpointed offset to
+`latestOffset`, then stop). Offsets are still checkpointed, so the
+repeated drain-restart pattern remains exactly-once — proven by
+`tests/test_snapshot_feed.py::test_stream_incremental_exactly_once`.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_VDIR = "_versions"
+
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _pa_fs(path: str):
+    """(pyarrow FileSystem, fs-local path) for a URI or bare path."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _list_versions(path: str) -> list[int]:
+    import pyarrow.fs as pafs
+
+    fs, root = _pa_fs(path)
+    sel = pafs.FileSelector(f"{root}/{_VDIR}", allow_not_found=True)
+    out = []
+    for info in fs.get_file_info(sel):
+        name = info.base_name
+        if name.endswith(".json"):
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    fs, root = _pa_fs(path)
+    with fs.open_input_stream(f"{root}/{_VDIR}/{version:08d}.json") as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def _unescape_partition_value(v: str) -> str:
+    # Hive escapes special chars as %XX in partition directory names
+    out, i = [], 0
+    while i < len(v):
+        c = v[i]
+        if c == "%" and i + 2 < len(v) + 1 and i + 3 <= len(v):
+            try:
+                out.append(chr(int(v[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _partition_values_from_path(rel_file: str) -> dict[str, str | None]:
+    """``data/<uuid>/year=2023/month=5/part-0.parquet`` →
+    {"year": "2023", "month": "5"} (None for the Hive null marker)."""
+    vals: dict[str, str | None] = {}
+    for seg in rel_file.split("/")[2:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        vals[k] = None if v == _NULL_PARTITION else _unescape_partition_value(v)
+    return vals
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_uri: str, part_values: dict, version: int):
+        self.file_uri = file_uri
+        self.part_values = part_values
+        self.version = version
+
+
+class SnapshotFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options["path"]
+        self._on_non_append = options.get("onnonappend", "fail").lower()
+        if self._on_non_append not in ("fail", "skip"):
+            raise ValueError(
+                f"onNonAppend must be fail|skip; got {self._on_non_append!r}"
+            )
+        start = str(options.get("startingversion", "0")).lower()
+        if start == "latest":
+            vs = _list_versions(self._path)
+            self._start = vs[-1] if vs else 0
+        else:
+            self._start = int(start)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        vs = _list_versions(self._path)
+        return {"version": vs[-1] if vs else self._start}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_FilePartition] = []
+        if hi <= lo:
+            return [p for p in parts]
+        have = set(_list_versions(self._path))
+        prev_files: set[str] | None = None
+        for v in range(lo + 1, hi + 1):
+            if v not in have:
+                raise FileNotFoundError(
+                    f"snapshot version {v} missing at {self._path} — "
+                    "vacuumed past the stream's offset; restart with "
+                    "startingVersion=latest or retain more history"
+                )
+            man = _load_manifest(self._path, v)
+            if prev_files is None:
+                parent = man["parent"]
+                prev_files = (
+                    set(_load_manifest(self._path, parent)["files"])
+                    if parent is not None
+                    else set()
+                )
+            files = set(man["files"])
+            removed = prev_files - files
+            if removed:
+                if self._on_non_append == "fail":
+                    raise ValueError(
+                        f"version {v} ({man.get('op')}) removes "
+                        f"{len(removed)} file(s) — not an append; set "
+                        "onNonAppend=skip to ignore rewrite commits, or "
+                        "consume row-level changes with snapshot_changes()"
+                    )
+            else:
+                for f in sorted(files - prev_files):
+                    parts.append(
+                        _FilePartition(
+                            f"{self._path}/{f}",
+                            _partition_values_from_path(f),
+                            v,
+                        )
+                    )
+            prev_files = files
+        return parts
+
+    def read(self, partition: _FilePartition):
+        """Executor-side: stream the file's Arrow batches, appending
+        partition-directory values as constant columns, cast to the
+        table schema. Yields `pyarrow.RecordBatch` (zero per-row
+        Python)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        fs, fpath = _pa_fs(partition.file_uri)
+        with pq.ParquetFile(fs.open_input_file(fpath)) as pf:
+            for batch in pf.iter_batches():
+                tbl = pa.Table.from_batches([batch])
+                cols = []
+                for field in target:
+                    if field.name in tbl.column_names:
+                        cols.append(tbl[field.name].cast(field.type))
+                    elif field.name in partition.part_values:
+                        raw = partition.part_values[field.name]
+                        cols.append(
+                            pa.array([raw] * len(tbl), type=pa.string()).cast(
+                                field.type
+                            )
+                        )
+                    else:
+                        cols.append(pa.nulls(len(tbl), type=field.type))
+                out = pa.Table.from_arrays(cols, schema=target)
+                yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SnapshotFeedDataSource(DataSource):
+    """``spark.readStream.format("snapshot_feed")`` — options:
+
+    - ``path`` (required): snapshot table root
+    - ``startingVersion``: int (exclusive; 0 = full retained history)
+      or ``latest`` (tail only); default 0
+    - ``onNonAppend``: ``fail`` (default) | ``skip``
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_feed"
+
+    def schema(self) -> StructType:
+        path = self.options["path"]
+        versions = _list_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+        man = _load_manifest(path, versions[-1])
+        return StructType.fromJson(man["schema"])
+
+    def streamReader(self, schema: StructType) -> SnapshotFeedStreamReader:
+        return SnapshotFeedStreamReader(schema, self.options)
+
+
+def read_snapshot_stream(
+    spark,
+    path: str,
+    starting_version: int | str = 0,
+    on_non_append: str = "fail",
+):
+    """Register the source (idempotent) and open the stream."""
+    spark.dataSource.register(SnapshotFeedDataSource)
+    return (
+        spark.readStream.format("snapshot_feed")
+        .option("path", path)
+        .option("startingVersion", str(starting_version))
+        .option("onNonAppend", on_non_append)
+        .load()
+    )

@@ -371,20 +371,27 @@ def read_snapshot(
         )
     man = _load_manifest(spark, path, version)
     schema = StructType.fromJson(man["schema"])
-    if not man["files"]:
+    return _read_file_list(spark, path, man["files"], schema)
+
+
+def _read_file_list(
+    spark: SparkSession, path: str, files: list[str], schema: StructType
+) -> DataFrame:
+    """Scan an explicit manifest file list, normalised to ``schema``."""
+    if not files:
         return spark.createDataFrame([], schema)
     # Partition values live in the directory names UNDER each commit
     # dir, so each commit is its own basePath: one read per commit
     # (bounded by retained versions, not data size), unioned by name.
     by_commit: dict[str, list[str]] = {}
-    for f in man["files"]:
+    for f in files:
         commit = "/".join(f.split("/", 2)[:2])  # data/<uuid>
         by_commit.setdefault(commit, []).append(f)
     parts = []
-    for commit, files in sorted(by_commit.items()):
+    for commit, flist in sorted(by_commit.items()):
         parts.append(
             spark.read.option("basePath", f"{path}/{commit}").parquet(
-                *[f"{path}/{f}" for f in files]
+                *[f"{path}/{f}" for f in flist]
             )
         )
     # allowMissingColumns: an appended commit written AFTER a column was
@@ -402,6 +409,102 @@ def read_snapshot(
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two retained versions.
+
+    Returns the table's columns (at ``to_version``'s schema) plus
+    ``_change_type`` (``'insert'`` | ``'delete'``) and
+    ``_commit_version`` — every row change a consumer must apply to go
+    from the table at ``from_version`` (exclusive) to ``to_version``
+    (inclusive, default latest). An updated row appears as a delete of
+    the old image plus an insert of the new one, the standard
+    file-granular CDF contract.
+
+    The feed is derived purely from manifest FILE diffs, so there is no
+    write-path overhead and it works retroactively for any retained
+    history. Per commit, only the files that commit added or removed
+    are scanned — cost is proportional to the size of the change, never
+    the table. Rewrite commits (compaction, delete_rows survivors,
+    merge carry-alongs) re-write unchanged rows into new files; those
+    are cancelled row-for-row with ``exceptAll`` over the touched files
+    (a compaction therefore yields an EMPTY change set), which is also
+    why bag semantics — duplicate physical rows — are preserved
+    exactly. Append-only commits skip the diff entirely: added files
+    stream straight through with no shuffle.
+
+    Versions below ``from_version`` may already be vacuumed; every
+    version in the requested range must still be retained (loud
+    ``FileNotFoundError`` otherwise).
+    """
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if to_version is None:
+        to_version = versions[-1]
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}"
+        )
+    # Versions are consecutive (each commit's parent is the previous
+    # version); the diff for v needs both v's manifest and its parent's,
+    # so every manifest in [from_version, to_version] must be retained
+    # (from_version == 0 means "since before version 1" — no parent).
+    needed = set(range(max(from_version, 1), to_version + 1))
+    missing = needed - set(versions)
+    if missing:
+        raise FileNotFoundError(
+            f"versions {sorted(missing)} not retained at {path} (have "
+            f"{versions}) — change feed needs every manifest in range; "
+            "raise from_version above the vacuum cutoff"
+        )
+    # exclusive lower bound: from_version's manifest is needed only as
+    # the parent of the first diff
+    want = [v for v in sorted(needed) if v > from_version]
+    out_schema = StructType.fromJson(
+        _load_manifest(spark, path, to_version)["schema"]
+    )
+    changes: list[DataFrame] = []
+    for v in want:
+        man = _load_manifest(spark, path, v)
+        parent = man["parent"]
+        pfiles: set[str] = set()
+        if parent is not None:
+            pfiles = set(_load_manifest(spark, path, parent)["files"])
+        files = set(man["files"])
+        added = sorted(files - pfiles)
+        removed = sorted(pfiles - files)
+        ins = _read_file_list(spark, path, added, out_schema)
+        if removed:
+            dele = _read_file_list(spark, path, removed, out_schema)
+            # cancel rewritten-but-unchanged rows (bag semantics)
+            ins, dele = ins.exceptAll(dele), dele.exceptAll(ins)
+            changes.append(
+                dele.withColumn("_change_type", F.lit("delete")).withColumn(
+                    "_commit_version", F.lit(v)
+                )
+            )
+        if added:
+            changes.append(
+                ins.withColumn("_change_type", F.lit("insert")).withColumn(
+                    "_commit_version", F.lit(v)
+                )
+            )
+    if not changes:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn(
+            "_change_type", F.lit("").cast("string")
+        ).withColumn("_commit_version", F.lit(0).cast("int"))
+    df = changes[0]
+    for c in changes[1:]:
+        df = df.unionByName(c)
+    return df
 
 
 def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
