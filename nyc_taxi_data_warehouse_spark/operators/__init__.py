@@ -1,1 +1,14 @@
-from . import chunking, dedup, drift, graph, lm, projection, sampling, similarity, split  # noqa: F401
+from . import (  # noqa: F401
+    chunking,
+    dedup,
+    drift,
+    dsir,
+    graph,
+    lm,
+    projection,
+    sampling,
+    semdedup,
+    shuffle,
+    similarity,
+    split,
+)

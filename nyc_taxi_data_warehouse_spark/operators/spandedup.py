@@ -135,6 +135,15 @@ def remove_duplicated_spans(
     starts = duplicated_spans(
         df, text_col, id_col, n, scope, keep_first, max_occurrences
     )
+    return _remove_starts(df, starts, text_col, id_col, n)
+
+
+def _remove_starts(
+    df: DataFrame, starts: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Mask the n-token windows at ``starts`` (id, pos) out of ``df``;
+    shared rebuild for within-corpus dedup and cross-corpus
+    decontamination."""
     per_doc = starts.groupBy(id_col).agg(
         F.collect_list("pos").alias("_starts")
     )
@@ -166,6 +175,51 @@ def remove_duplicated_spans(
         )
     )
     return out
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    test_text_col: str | None = None,
+    test_id_col: str | None = None,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Cross-corpus span decontamination: delete from ``train`` every
+    n-token span that ALSO occurs anywhere in ``test`` — the
+    n-gram-overlap eval-leakage scrub (GPT-3 appendix C used n=13;
+    public recipe), at span rather than whole-document granularity so
+    a long crawl page quoting one benchmark question loses 13 tokens,
+    not the page. Complements ``queries/pipeline.py``'s document-level
+    decontamination.
+
+    Output schema matches ``remove_duplicated_spans``:
+    ``(id_col, clean_text, n_tokens, n_removed, n_dup_spans)``.
+
+    Scale shape: the test corpus collapses to DISTINCT window hashes —
+    8 bytes per unique n-gram, usually broadcastable
+    (``broadcast_test=True``); the train occurrence table then flags
+    matches with a LEFT SEMI join, so train rows never multiply no
+    matter how often a gram repeats on either side (no window, no
+    ``max_occurrences`` dial needed). With ``broadcast_test=False``
+    the semi join shuffles (id, pos, h) scalar triples — the same
+    bound as ``duplicated_spans``' one gram shuffle.
+    """
+    t_text = test_text_col or text_col
+    t_id = test_id_col or id_col
+    test_h = (
+        _window_hashes(test, t_text, t_id, n).select("h").distinct()
+    )
+    if broadcast_test:
+        test_h = F.broadcast(test_h)
+    starts = (
+        _window_hashes(train, text_col, id_col, n)
+        .join(test_h, "h", "left_semi")
+        .select(id_col, "pos")
+    )
+    return _remove_starts(train, starts, text_col, id_col, n)
 
 
 # ---------------------------------------------------------------------------

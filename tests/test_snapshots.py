@@ -584,3 +584,34 @@ def test_compact_preserves_partition_layout(spark, table):
     )
     got = {(r.id, r.v) for r in read_snapshot(spark, table, version=v2).collect()}
     assert got == {(1, "a"), (20, "B")}
+
+
+def test_concurrent_appenders_all_land_exactly_once(spark, table):
+    """8 threads race append commits against one table, retrying on
+    SnapshotConflict. The exclusive-create manifest claim must
+    serialize them: every writer's rows land exactly once (no lost
+    update — a loser re-reads the NEW parent before retrying), and the
+    version chain is a clean 1..9 with strictly growing file lists."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    snapshot_write(_df(spark, [(0, 0, "seed")]), table)
+
+    def append(i):
+        for _ in range(50):
+            try:
+                return snapshot_write(
+                    _df(spark, [(100 + i, i, f"w{i}")]), table, mode="append"
+                )
+            except SnapshotConflict:
+                continue
+        raise AssertionError(f"writer {i} never committed")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(append, range(8)))
+    assert sorted(versions) == list(range(2, 10))  # distinct, gapless
+    got = sorted(r.id for r in read_snapshot(spark, table).collect())
+    assert got == [0] + [100 + i for i in range(8)]
+    hist = snapshot_versions(spark, table)
+    assert [h["version"] for h in hist] == list(range(1, 10))
+    n_files = [h["n_files"] for h in hist]
+    assert n_files == sorted(n_files) and n_files[0] >= 1  # monotone growth
