@@ -14,3 +14,8 @@ from .rollup_sink import (  # noqa: F401
 from .cdc import stream_upsert  # noqa: F401
 from .dedup_ingest import init_dedup_index, stream_dedup_ingest  # noqa: F401
 from .index_ingest import stream_ann_ingest, stream_postings_ingest  # noqa: F401
+from .snapshot_source import (  # noqa: F401
+    SnapshotFeedDataSource,
+    read_snapshot_stream,
+)
+from .materialize import materialize_incremental  # noqa: F401

@@ -149,6 +149,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
+        # No per-batch version cap on purpose: ``latestOffset`` in the
+        # Python Data Source API receives no checkpointed position, so
+        # a "latest = committed + N" rate limit tracked process-locally
+        # either stalls (a restarted drain re-caps from startingVersion
+        # and equals the checkpoint → "no new data" forever) or
+        # regresses offsets (re-delivery). Backlog size is instead
+        # bounded upstream: commit cadence on the source table.
         vs = _list_versions(self._path)
         return {"version": vs[-1] if vs else self._start}
 

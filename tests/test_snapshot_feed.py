@@ -213,3 +213,54 @@ def test_stream_starting_version_latest(spark, table, tmp_path):
         starting_version="latest",
     )
     assert _bag(got2) == [(2, 2, "new")]
+
+
+# ------------------------------------------------- materialized views
+
+
+def test_materialize_incremental_equals_batch_recompute(spark, tmp_path):
+    """Derived snapshot table maintained through the feed == the same
+    transform applied to a batch read of the source, after every
+    refresh; refresh with no new commits publishes nothing."""
+    from nyc_taxi_data_warehouse_spark.streaming.materialize import (
+        materialize_incremental,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_versions,
+    )
+
+    src = str(tmp_path / "mv_src")
+    dst = str(tmp_path / "mv_dst")
+    ckpt = str(tmp_path / "mv_ckpt")
+
+    def xf(df):
+        return df.where(F.col("id") % 2 == 0).withColumn(
+            "vv", F.upper(F.col("v"))
+        )
+
+    snapshot_write(_df(spark, [(i, i % 3, f"a{i}") for i in range(10)]), src)
+    materialize_incremental(spark, src, dst, xf, ckpt)
+
+    def check():
+        got = sorted(
+            map(tuple, read_snapshot(spark, dst).collect())
+        )
+        want = sorted(map(tuple, xf(read_snapshot(spark, src)).collect()))
+        assert got == want
+
+    check()
+    # two more source commits, one refresh
+    snapshot_write(_df(spark, [(10, 1, "b10")]), src, mode="append")
+    snapshot_write(_df(spark, [(11, 1, "b11"), (12, 2, "b12")]), src,
+                   mode="append")
+    materialize_incremental(spark, src, dst, xf, ckpt)
+    check()
+    # idle refresh: no new version on dst
+    n_before = len(snapshot_versions(spark, dst))
+    materialize_incremental(spark, src, dst, xf, ckpt)
+    assert len(snapshot_versions(spark, dst)) == n_before
+    # batch whose transform output is EMPTY: consumed, no empty commit
+    snapshot_write(_df(spark, [(13, 0, "odd")]), src, mode="append")
+    materialize_incremental(spark, src, dst, xf, ckpt)
+    assert len(snapshot_versions(spark, dst)) == n_before
+    check()
