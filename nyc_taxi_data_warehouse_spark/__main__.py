@@ -149,6 +149,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="JSON array of values, e.g. '[11,42]' or '[\"a\"]'",
     )
 
+    su = sub.add_parser(
+        "snapshot-update",
+        help="targeted redaction on a snapshot table: set columns to "
+        "literal values on rows where col IN values (null a value to "
+        "erase the field, keep the row)",
+    )
+    su.add_argument("--table-path", required=True)
+    su.add_argument("--col", required=True)
+    su.add_argument(
+        "--values", required=True,
+        help="JSON array of matching key values",
+    )
+    su.add_argument(
+        "--set", required=True, dest="set_json",
+        help='JSON object column->literal, e.g. \'{"email": null}\'',
+    )
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -278,6 +295,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark, args.table_path, args.col, json.loads(args.values)
             )
             print(json.dumps({"version": v, "rows_deleted": n}))
+        elif args.cmd == "snapshot-update":
+            from .warehouse.snapshots import snapshot_update_rows
+
+            v, n = snapshot_update_rows(
+                spark,
+                args.table_path,
+                args.col,
+                json.loads(args.values),
+                json.loads(args.set_json),
+            )
+            print(json.dumps({"version": v, "rows_updated": n}))
         elif args.cmd == "sample":
             from .operators.sampling import mixture_sample
 

@@ -917,11 +917,26 @@ def snapshot_delete_rows(
     ``vacuum_snapshots`` drops those versions — erasure is complete
     only after the vacuum.
     """
-    versions = _list_manifests(spark, path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions at {path}")
-    latest = versions[-1]
-    man = _load_manifest(spark, path, latest)
+    def fn(df):
+        # NULL-safe: ``~isin`` evaluates to NULL for NULL col values
+        # and where() would drop them — silently erasing rows the
+        # delete was never asked to touch (and overcounting
+        # rows_deleted). NULL never matches an IN list, so NULL-keyed
+        # rows always survive.
+        return df.where(F.col(col).isNull() | ~F.col(col).isin(values))
+
+    return _rewrite_matching_files(
+        spark, path, col, values, fn, "delete_rows"
+    )
+
+
+def _victims_by_stats(
+    man: dict, col: str, values: list
+) -> tuple[list[str], list[str]]:
+    """Split the manifest's files into (victims, carried) for a
+    ``col IN values`` predicate using the per-file min/max stats —
+    metadata-only planning with no false negatives (stats-less files
+    are conservatively victims)."""
     stats = man.get("stats", {})
     norm = sorted(_stat_norm(v, widen=0) for v in values)
     lo, hi = norm[0], norm[-1]
@@ -938,47 +953,51 @@ def snapshot_delete_rows(
             victims.append(f)
         else:
             carried.append(f)
+    return victims, carried
+
+
+def _rewrite_matching_files(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    fn,
+    op: str,
+) -> tuple[int, int]:
+    """Shared DML rewrite: apply ``fn`` to the rows of every file that
+    may contain ``col IN values``; carry every other file by reference;
+    publish as one commit. Returns ``(new_version, rows_affected)``
+    where rows_affected = victim rows before - surviving rows after for
+    a delete, and matching rows for an update (fn reports via the
+    returned frame's ``_matched`` column when present)."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    victims, carried = _victims_by_stats(man, col, values)
     schema = StructType.fromJson(man["schema"])
     if not victims:
         return latest, 0
-    by_commit: dict[str, list[str]] = {}
-    for f in victims:
-        commit = "/".join(f.split("/", 2)[:2])
-        by_commit.setdefault(commit, []).append(f)
-    parts = []
-    for commit, fl in sorted(by_commit.items()):
-        parts.append(
-            spark.read.option("basePath", f"{path}/{commit}").parquet(
-                *[f"{path}/{f}" for f in fl]
-            )
-        )
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p, allowMissingColumns=True)
-    for fld in schema.fields:
-        if fld.name not in df.columns:
-            df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-    df = df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-    )
+    df = _read_file_list(spark, path, victims, schema)
     before = df.count()
-    # NULL-safe: ``~isin`` evaluates to NULL for NULL col values and
-    # where() would drop them — silently erasing rows the delete was
-    # never asked to touch (and overcounting rows_deleted). NULL never
-    # matches an IN list, so NULL-keyed rows always survive.
-    survivors = df.where(
-        F.col(col).isNull() | ~F.col(col).isin(values)
-    ).localCheckpoint(eager=True)
-    after = survivors.count()
-    # rewrite survivors in the TABLE'S layout: an unpartitioned rewrite
-    # would leave files without partition directories, which
+    rewritten = fn(df)
+    if "_matched" in rewritten.columns:
+        rewritten = rewritten.localCheckpoint(eager=True)
+        affected = rewritten.where("_matched").count()
+        rewritten = rewritten.drop("_matched")
+    else:
+        rewritten = rewritten.localCheckpoint(eager=True)
+        affected = before - rewritten.count()
+    # rewrite in the TABLE'S layout: an unpartitioned rewrite would
+    # leave files without partition directories, which
     # replace_partitions/merge would then always carry — stale rows
     pc = _manifest_partition_cols(man)
-    _, new_files = _write_commit_files(survivors, path, pc)
-    # survivors' stats are recomputed when the column was tracked
+    _, new_files = _write_commit_files(rewritten, path, pc)
+    # rewritten files' stats are recomputed when columns are tracked
     stats_cols = man.get("stats_cols") or []
     new_stats = {
-        f: s for f, s in stats.items() if f in set(carried)
+        f: s for f, s in man.get("stats", {}).items() if f in set(carried)
     }
     if stats_cols:
         new_stats.update(
@@ -989,11 +1008,72 @@ def snapshot_delete_rows(
         path,
         sorted(carried + new_files),
         schema,
-        "delete_rows",
+        op,
         latest,
         extra={"stats": new_stats, "stats_cols": stats_cols}
         if new_stats or stats_cols
         else None,
         partition_cols=pc,
     )
-    return version, before - after
+    return version, affected
+
+
+def snapshot_update_rows(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    set_values: dict,
+) -> tuple[int, int]:
+    """Targeted column update on matching rows (``col IN values``) —
+    the redaction half of the DML triad (merge = upsert, delete_rows =
+    erasure, update_rows = "null out / mask the PII columns but keep
+    the row"). File granularity like ``snapshot_delete_rows``: only
+    stats-selected candidate files are rewritten, everything else
+    carries by reference; non-matching rows inside victim files are
+    rewritten byte-for-byte-equal (NULL keys never match an IN list).
+
+    ``set_values`` maps column name → new value: a literal (None nulls
+    the column) or a ``pyspark.sql.Column`` expression evaluated per
+    row (e.g. ``F.sha2(F.col("email"), 256)`` for pseudonymization).
+    Values are cast to the column's existing type; unknown columns
+    raise. Returns ``(new_version, rows_updated)``. Old versions still
+    hold the pre-update rows until ``vacuum_snapshots`` — same
+    erasure-completes-at-vacuum caveat as delete."""
+    from pyspark.sql import Column
+
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    man = _load_manifest(spark, path, versions[-1])
+    schema = StructType.fromJson(man["schema"])
+    fields = {f.name: f.dataType for f in schema.fields}
+    unknown = set(set_values) - set(fields)
+    if unknown:
+        raise ValueError(f"update targets unknown columns {sorted(unknown)}")
+    pc = _manifest_partition_cols(man) or []
+    touched_pc = set(set_values) & set(pc)
+    if touched_pc:
+        raise ValueError(
+            f"cannot update partition column(s) {sorted(touched_pc)} — "
+            "rows would have to MOVE directories; use "
+            "snapshot_merge_upsert for key-preserving repartitioning "
+            "updates"
+        )
+
+    def fn(df):
+        matched = F.col(col).isNotNull() & F.col(col).isin(values)
+        out = df.withColumn("_matched", matched)
+        for c, v in set_values.items():
+            expr = v if isinstance(v, Column) else F.lit(v)
+            out = out.withColumn(
+                c,
+                F.when(F.col("_matched"), expr.cast(fields[c])).otherwise(
+                    F.col(c)
+                ),
+            )
+        return out
+
+    return _rewrite_matching_files(
+        spark, path, col, values, fn, "update_rows"
+    )

@@ -615,3 +615,106 @@ def test_concurrent_appenders_all_land_exactly_once(spark, table):
     assert [h["version"] for h in hist] == list(range(1, 10))
     n_files = [h["n_files"] for h in hist]
     assert n_files == sorted(n_files) and n_files[0] >= 1  # monotone growth
+
+
+def test_update_rows_redacts_matching_only(spark, table):
+    """snapshot_update_rows: matching rows get the new column values,
+    every other row — including NULL-keyed rows — survives the rewrite
+    byte-identical, old versions keep the pre-update values, and
+    untouched files carry by reference (stats-planned)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        read_snapshot,
+        snapshot_update_rows,
+        snapshot_write_with_stats,
+    )
+
+    rows = [(1, 1, "alice"), (2, 1, "bob"), (None, 1, "ghost")]
+    df = spark.createDataFrame(rows, "id long, month int, v string")
+    v1 = snapshot_write_with_stats(df, table, stats_cols=["id"])
+    # second file far away in id-space: must be carried, not rewritten
+    far = spark.createDataFrame([(1000, 2, "carol")], "id long, month int, v string")
+    v2 = snapshot_write_with_stats(far, table, stats_cols=["id"], mode="append")
+    ver, n = snapshot_update_rows(
+        spark, table, "id", [2, 999], {"v": None}
+    )
+    assert n == 1
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, table).collect()}
+    assert got == {1: "alice", 2: None, None: "ghost", 1000: "carol"}
+    # time travel: the pre-update image is intact
+    old = {r["id"]: r["v"] for r in read_snapshot(spark, table, v2).collect()}
+    assert old[2] == "bob"
+    # the far file carried by reference (same path in both manifests)
+    man2 = _load_manifest(spark, table, v2)
+    man3 = _load_manifest(spark, table, ver)
+    far_files = set(man2["files"]) - set(_load_manifest(spark, table, v1)["files"])
+    assert far_files <= set(man3["files"])
+    # expression-valued update: pseudonymize instead of null
+    ver2, n2 = snapshot_update_rows(
+        spark, table, "id", [1], {"v": F.sha2(F.col("v"), 256)}
+    )
+    assert n2 == 1
+    got2 = {r["id"]: r["v"] for r in read_snapshot(spark, table).collect()}
+    assert got2[1] is not None and got2[1] != "alice" and len(got2[1]) == 64
+    assert got2[1000] == "carol"
+
+
+def test_update_rows_guards(spark, table):
+    import pytest as _pytest
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_update_rows,
+    )
+
+    df = _df(spark, [(1, 1, "a"), (2, 2, "b")])
+    snapshot_write(df, table, partition_cols=["month"])
+    with _pytest.raises(ValueError, match="unknown columns"):
+        snapshot_update_rows(spark, table, "id", [1], {"nope": 0})
+    with _pytest.raises(ValueError, match="partition column"):
+        snapshot_update_rows(spark, table, "id", [1], {"month": 9})
+    # update on a partitioned table rewrites in the table's layout:
+    # a merge after the update must not resurrect pre-update rows
+    ver, n = snapshot_update_rows(spark, table, "id", [1], {"v": "X"})
+    assert n == 1
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot,
+        snapshot_merge_upsert,
+    )
+
+    snapshot_merge_upsert(
+        spark,
+        table,
+        _df(spark, [(2, 2, "b2")]),
+        keys=["id"],
+        partition_cols=["month"],
+    )
+    got = sorted(
+        (r["id"], r["v"]) for r in read_snapshot(spark, table).collect()
+    )
+    assert got == [(1, "X"), (2, "b2")]
+
+
+def test_snapshot_update_cli(spark, table, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    cli = lambda *a: main(list(a), spark=spark)  # noqa: E731
+    snapshot_write_with_stats(
+        _df(spark, [(1, 1, "alice"), (2, 2, "bob")]),
+        table,
+        stats_cols=["id"],
+    )
+    assert cli(
+        "snapshot-update", "--table-path", table, "--col", "id",
+        "--values", "[2]", "--set", '{"v": null}',
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_updated"] == 1
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, table).collect()}
+    assert got == {1: "alice", 2: None}
