@@ -351,6 +351,25 @@ def append_to_ann_index(
     fresh.write.mode("append").partitionBy("tbl").parquet(path)
 
 
+def _read_ann_rows(spark, path: str) -> DataFrame:
+    """The (cid, cv, tbl, bucket) rows of a ``write_ann_index`` table.
+    A freshly-initialized EMPTY index (``streaming/semantic_ingest.py``
+    starts from one) has a ``_meta.json`` but zero parquet files —
+    partitioned writes of zero rows emit no footers — so schema
+    inference fails; fall back to a typed empty frame rather than make
+    every consumer special-case bootstrap."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        return spark.createDataFrame(
+            [], "cid long, cv array<double>, tbl int, bucket bigint"
+        )
+
+
 def _ann_existing_ids(spark, path: str) -> DataFrame:
     """Ids already in an ANN index — the append's redelivery guard.
     Every id appears once per LSH table, so reading ``tbl=0`` alone
@@ -358,7 +377,10 @@ def _ann_existing_ids(spark, path: str) -> DataFrame:
     (static PartitionFilters) and column pruning shrinks it to the id —
     vectors never leave disk for this check (plan-asserted)."""
     return (
-        spark.read.parquet(path).where(F.col("tbl") == 0).select("cid").distinct()
+        _read_ann_rows(spark, path)
+        .where(F.col("tbl") == 0)
+        .select("cid")
+        .distinct()
     )
 
 
@@ -391,7 +413,7 @@ def ann_topk_from_index(
     qb = multi_table_buckets(
         queries, id_col, vec_col, n_planes, dim, n_tables, "qid", "qv"
     )
-    cb = spark.read.parquet(index_path).select("cid", "cv", "tbl", "bucket")
+    cb = _read_ann_rows(spark, index_path).select("cid", "cv", "tbl", "bucket")
     return _ann_rank_probed(qb, cb, k, n_planes, probe_radius, broadcast_queries)
 
 

@@ -19,3 +19,7 @@ from .snapshot_source import (  # noqa: F401
     read_snapshot_stream,
 )
 from .materialize import materialize_incremental  # noqa: F401
+from .semantic_ingest import (  # noqa: F401
+    init_semantic_index,
+    stream_semantic_dedup_ingest,
+)

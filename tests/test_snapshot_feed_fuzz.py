@@ -1,0 +1,118 @@
+"""Property fuzz for the snapshot change feed: ANY sequence of commits
+(append / partition replacement / targeted delete / targeted update /
+compaction) must satisfy, at every cut point v,
+
+    table@v  +  changes(v, latest)  ==  table@latest     (as bags)
+
+which is the whole CDF contract — inserts and deletes derived from
+file diffs must exactly bridge any two retained versions, including
+across rewrite commits that rewrite unchanged rows into new files.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+    read_snapshot,
+    snapshot_changes,
+    snapshot_compact,
+    snapshot_delete_rows,
+    snapshot_replace_partitions,
+    snapshot_update_rows,
+    snapshot_write,
+    snapshot_write_with_stats,
+)
+
+# op scripts: (kind, payload) — payloads are data-free recipes so
+# hypothesis shrinks well
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 2), st.integers(1, 3)),
+        st.tuples(st.just("replace"), st.integers(0, 2), st.integers(0, 2)),
+        st.tuples(st.just("delete"), st.integers(0, 30)),
+        st.tuples(st.just("update"), st.integers(0, 30)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
+    table = str(tmp_path_factory.mktemp("fuzz") / "t")
+    pc = ["month"]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, month int, v string")
+
+    next_id = [0]
+
+    def fresh_rows(month, k):
+        out = []
+        for _ in range(k):
+            out.append((next_id[0], month, f"v{next_id[0]}"))
+            next_id[0] += 1
+        return out
+
+    snapshot_write_with_stats(
+        mk(fresh_rows(0, 2) + fresh_rows(1, 2)),
+        table,
+        stats_cols=["id"],
+        partition_cols=pc,
+    )
+    for kind, *args in ops:
+        if kind == "append":
+            month, k = args
+            snapshot_write(
+                mk(fresh_rows(month, k)), table, mode="append",
+                partition_cols=pc,
+            )
+        elif kind == "replace":
+            month, k = args
+            snapshot_replace_partitions(
+                mk(fresh_rows(month, max(k, 1))), table, partition_cols=pc
+            )
+        elif kind == "delete":
+            snapshot_delete_rows(spark, table, "id", [args[0], args[0] + 1])
+        elif kind == "update":
+            snapshot_update_rows(
+                spark, table, "id", [args[0]], {"v": "REDACTED"}
+            )
+        else:
+            snapshot_compact(spark, table, partition_cols=pc)
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+    )
+
+    versions = _list_manifests(spark, table)
+    latest = versions[-1]
+    final = sorted(
+        (r["id"], r["month"], r["v"])
+        for r in read_snapshot(spark, table).collect()
+    )
+    for v in {versions[0], versions[len(versions) // 2], latest}:
+        base = sorted(
+            (r["id"], r["month"], r["v"])
+            for r in read_snapshot(spark, table, version=v).collect()
+        )
+        ch = snapshot_changes(spark, table, from_version=v).collect()
+        bag = list(base)
+        for r in sorted(
+            ch, key=lambda r: (r["_commit_version"], r["_change_type"])
+        ):
+            t = (r["id"], r["month"], r["v"])
+            if r["_change_type"] == "delete":
+                assert t in bag, (v, t)
+                bag.remove(t)
+            else:
+                bag.append(t)
+        assert sorted(bag) == final, v
