@@ -149,6 +149,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="JSON array of values, e.g. '[11,42]' or '[\"a\"]'",
     )
 
+    sr = sub.add_parser(
+        "snapshot-restore",
+        help="roll a snapshot table back to an older version, published "
+        "as a new versioned commit (zero data movement)",
+    )
+    sr.add_argument("--table-path", required=True)
+    sr.add_argument("--version", required=True, type=int)
+
     su = sub.add_parser(
         "snapshot-update",
         help="targeted redaction on a snapshot table: set columns to "
@@ -295,6 +303,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark, args.table_path, args.col, json.loads(args.values)
             )
             print(json.dumps({"version": v, "rows_deleted": n}))
+        elif args.cmd == "snapshot-restore":
+            from .warehouse.snapshots import snapshot_restore
+
+            v = snapshot_restore(spark, args.table_path, args.version)
+            print(
+                json.dumps(
+                    {"version": v, "restored_from": args.version}
+                )
+            )
         elif args.cmd == "snapshot-update":
             from .warehouse.snapshots import snapshot_update_rows
 

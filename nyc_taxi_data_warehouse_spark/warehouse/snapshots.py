@@ -507,6 +507,50 @@ def snapshot_changes(
     return df
 
 
+def snapshot_restore(
+    spark: SparkSession, path: str, version: int
+) -> int:
+    """Roll the table back to ``version`` — published as a NEW commit
+    whose file list is the old version's, so the rollback is itself
+    versioned (undoable, conflict-checked, visible in history) and
+    costs zero data movement: manifests reference immutable files, so
+    restoring is re-listing them. The restored version must still be
+    retained (vacuum drops old manifests); the change feed reports the
+    rollback as the exact delete+insert set any consumer needs.
+    """
+    versions = _list_manifests(spark, path)
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    man = _load_manifest(spark, path, version)
+    latest = versions[-1]
+    cur = _load_manifest(spark, path, latest)
+    _require_same_layout(cur, _manifest_partition_cols(man), "restore")
+    return _commit(
+        spark,
+        path,
+        man["files"],
+        StructType.fromJson(man["schema"]),
+        "restore",
+        latest,
+        extra=(
+            {
+                "restored_from": version,
+                **(
+                    {
+                        "stats": man.get("stats"),
+                        "stats_cols": man.get("stats_cols"),
+                    }
+                    if man.get("stats") is not None
+                    else {}
+                ),
+            }
+        ),
+        partition_cols=_manifest_partition_cols(man),
+    )
+
+
 def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
     """Version history, oldest first: version/op/parent/n_files."""
     out = []

@@ -264,3 +264,48 @@ def test_materialize_incremental_equals_batch_recompute(spark, tmp_path):
     materialize_incremental(spark, src, dst, xf, ckpt)
     assert len(snapshot_versions(spark, dst)) == n_before
     check()
+
+
+def test_restore_rolls_back_as_a_new_commit(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_restore,
+        snapshot_versions,
+        vacuum_snapshots,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a"), (2, 2, "b")]), table)
+    snapshot_write(_df(spark, [(9, 9, "oops")]), table)  # bad overwrite
+    snapshot_write(_df(spark, [(10, 1, "x")]), table, mode="append")
+    v4 = snapshot_restore(spark, table, 1)
+    assert v4 == 4
+    assert _bag(read_snapshot(spark, table)) == [(1, 1, "a"), (2, 2, "b")]
+    hist = snapshot_versions(spark, table)
+    assert hist[-1]["op"] == "restore"
+    # the change feed reports the rollback as delete+insert
+    ch = snapshot_changes(spark, table, from_version=3, to_version=4)
+    deletes = _bag(ch.where(F.col("_change_type") == "delete"))
+    assert deletes == [(9, 9, "oops"), (10, 1, "x")]
+    inserts = _bag(ch.where(F.col("_change_type") == "insert"))
+    assert inserts == [(1, 1, "a"), (2, 2, "b")]
+    # vacuum after restore: v1's manifest may drop, its FILES survive
+    # because the restore commit references them
+    vacuum_snapshots(spark, table, keep_last=1)
+    assert _bag(read_snapshot(spark, table)) == [(1, 1, "a"), (2, 2, "b")]
+    with pytest.raises(FileNotFoundError):
+        snapshot_restore(spark, table, 2)  # vacuumed version
+
+
+def test_snapshot_restore_cli(spark, table, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    snapshot_write(_df(spark, [(2, 2, "bad")]), table)
+    assert main(
+        ["snapshot-restore", "--table-path", table, "--version", "1"],
+        spark=spark,
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"version": 3, "restored_from": 1}
+    assert _bag(read_snapshot(spark, table)) == [(1, 1, "a")]
