@@ -100,7 +100,15 @@ def importance_weights(
     """(id_col, log_w): per-raw-document importance weight
     ``sum_g cnt_g * (log p_target(g) - log q_raw(g))``, exact-decimal
     summed."""
-    raw_feats = hashed_ngram_features(raw, text_col, id_col, buckets)
+    # The raw corpus' features feed BOTH the q distribution and the
+    # weight join; without a cut, the tokenize→explode→hash→aggregate
+    # pipeline (the expensive pass over every document) runs twice.
+    # Eager localCheckpoint materializes it once and truncates lineage
+    # (the repo's standard reuse pattern; plain persist() would leak
+    # storage past this lazy operator's return).
+    raw_feats = hashed_ngram_features(
+        raw, text_col, id_col, buckets
+    ).localCheckpoint(eager=True)
     p = fit_bucket_dist(
         hashed_ngram_features(target, text_col, id_col, buckets), buckets
     )

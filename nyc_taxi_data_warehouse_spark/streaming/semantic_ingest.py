@@ -75,10 +75,22 @@ def stream_semantic_dedup_ingest(
     probe_radius: int = 2,
     checkpoint: str | None = None,
     dedup_within_batch: bool = True,
+    max_bucket_size: int | None = None,
 ) -> None:
     """Drain ``vectors`` (a streaming DataFrame) through the semantic
     gate into ``kept_path`` + the ANN index at ``index_path``
-    (``init_semantic_index`` first)."""
+    (``init_semantic_index`` first).
+
+    ``max_bucket_size`` is the within-batch LSH skew dial and defaults
+    to ``None`` (exact: every same-bucket pair in the batch is
+    verified) — NOT ``embedding_near_dup``'s corpus default of 1000.
+    With the corpus default, a batch of >1000 near-identical vectors
+    overflows every bucket, the cap drops them from pair generation,
+    and the duplicates would all land as "kept" — the exact content
+    the gate exists to stop. Within one micro-batch the quadratic
+    worst case is batch-bounded, so exact is the right default; set
+    the dial only when batches are huge AND boilerplate floods are
+    handled upstream."""
     check_index_meta(spark, index_path, {"kind": "ann"})
     meta = read_index_meta(spark, index_path)
 
@@ -111,6 +123,7 @@ def stream_semantic_dedup_ingest(
                 survivors, threshold=threshold, id_col=id_col,
                 vec_col=vec_col, n_planes=meta["n_planes"],
                 dim=meta["dim"], n_tables=meta["n_tables"],
+                max_bucket_size=max_bucket_size,
             ).select("id_a", "id_b")
             losers = (
                 dup_clusters(pairs)

@@ -176,11 +176,23 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             man = _load_manifest(self._path, v)
             if prev_files is None:
                 parent = man["parent"]
-                prev_files = (
-                    set(_load_manifest(self._path, parent)["files"])
-                    if parent is not None
-                    else set()
-                )
+                if parent is None:
+                    prev_files = set()
+                else:
+                    # the offset version itself is the first diff's
+                    # parent; vacuum may have dropped exactly it
+                    try:
+                        prev_files = set(
+                            _load_manifest(self._path, parent)["files"]
+                        )
+                    except OSError:  # FileNotFoundError locally; plain
+                        # OSError from object-store pyarrow filesystems
+                        raise FileNotFoundError(
+                            f"snapshot version {parent} missing at "
+                            f"{self._path} — vacuumed past the stream's "
+                            "offset; restart with startingVersion=latest "
+                            "or retain more history"
+                        ) from None
             files = set(man["files"])
             removed = prev_files - files
             if removed:

@@ -90,6 +90,7 @@ def load_month(
     force: bool = False,
     backend: str = "managed",
     snapshot_path: str | None = None,
+    _loaded_months: set[tuple[int, int]] | None = None,
 ) -> LoadResult:
     """Load one monthly file into the partitioned fact table, idempotently.
 
@@ -119,17 +120,21 @@ def load_month(
     # session confs.
     from ..session import dynamic_partition_overwrite
 
-    already = (
-        _snapshot_loaded_months(spark, snapshot_path)
-        if backend == "snapshot"
-        else None
-    )
-    if not force and (
-        (year, month) in already
-        if already is not None
-        else _already_loaded(spark, year, month)
-    ):
-        return LoadResult(year, month, rows=0, skipped=True)
+    if not force:
+        # the whole-history manifest scan is skipped entirely under
+        # force (its result would be unused), and backfill threads its
+        # already-computed set through `_loaded_months` so M loads cost
+        # one scan, not M
+        if backend == "snapshot":
+            already = (
+                _loaded_months
+                if _loaded_months is not None
+                else _snapshot_loaded_months(spark, snapshot_path)
+            )
+            if (year, month) in already:
+                return LoadResult(year, month, rows=0, skipped=True)
+        elif _already_loaded(spark, year, month):
+            return LoadResult(year, month, rows=0, skipped=True)
 
     from pyspark.sql import Observation
 
@@ -180,22 +185,35 @@ def load_month(
 def _snapshot_loaded_months(
     spark: SparkSession, snapshot_path: str
 ) -> set[tuple[int, int]]:
-    """(year, month) pairs already landed in the snapshot table — read
-    from the commit manifests' ``load`` provenance records. Metadata
-    only: one small JSON per retained version, no data files touched.
-    A month vacuumed out of history re-loads (its data is gone too)."""
+    """(year, month) pairs present in the CURRENT table version —
+    REPLAYED from the commit manifests' ``load`` provenance in version
+    order, honoring ``snapshot_restore`` commits (a restore resets the
+    loaded set to the restored version's: months rolled back must
+    become loadable again, or they would stay silently missing while
+    the provenance says "loaded"). Metadata only: one small JSON per
+    retained version, no data files touched. Months whose provenance
+    (or restore target) was vacuumed out of history conservatively
+    re-load — replace_partitions makes the re-load idempotent."""
     from .snapshots import _list_manifests, _load_manifest
 
     try:
         versions = _list_manifests(spark, snapshot_path)
     except Exception:
         return set()
-    out: set[tuple[int, int]] = set()
+    states: dict[int, set[tuple[int, int]]] = {}
+    cur: set[tuple[int, int]] = set()
     for v in versions:
-        li = _load_manifest(spark, snapshot_path, v).get("load")
-        if li:
-            out.add((li["year"], li["month"]))
-    return out
+        man = _load_manifest(spark, snapshot_path, v)
+        rf = man.get("restored_from")
+        if rf is not None:
+            cur = set(states.get(rf, set()))
+        else:
+            cur = set(cur)
+            li = man.get("load")
+            if li:
+                cur.add((li["year"], li["month"]))
+        states[v] = cur
+    return cur
 
 
 def backfill(
@@ -214,6 +232,7 @@ def backfill(
     if not manifest:
         return []
     mdf = spark.createDataFrame(manifest, "source_path string, year int, month int")
+    loaded: set[tuple[int, int]] | None = None
     if backend == "snapshot":
         loaded = _snapshot_loaded_months(spark, snapshot_path)
         ldf = (
@@ -228,10 +247,14 @@ def backfill(
         .orderBy("year", "month")
         .collect()  # manifest is metadata-sized (one row per month-file)
     )
+    # thread the already-computed loaded set through: the anti-join
+    # above is the idempotency gate; without threading, every
+    # load_month call would redo the whole-history manifest scan
     return [
         load_month(
             spark, r.source_path, r.year, r.month,
             backend=backend, snapshot_path=snapshot_path,
+            _loaded_months=loaded,
         )
         for r in todo
     ]

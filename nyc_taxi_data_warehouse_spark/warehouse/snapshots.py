@@ -90,8 +90,9 @@ def _read_bytes(fs, jvm, jpath) -> bytes:
 #   retryable and the orphaned data files never corrupt reads), whereas
 #   the reverse — claiming success on an unconfirmed write — is not.
 #
-# Selectable per-call via the ``commit_mode`` arguments on the public
-# writers, or globally via SPARK_GRAFT_SNAPSHOT_COMMIT.
+# Selected globally via SPARK_GRAFT_SNAPSHOT_COMMIT (create|builder);
+# there is deliberately no per-call argument — mixing claim strategies
+# on one table would let two writers both win the same version.
 def _commit_mode() -> str:
     import os
 
@@ -1107,16 +1108,23 @@ def snapshot_update_rows(
 
     def fn(df):
         matched = F.col(col).isNotNull() & F.col(col).isin(values)
-        out = df.withColumn("_matched", matched)
-        for c, v in set_values.items():
-            expr = v if isinstance(v, Column) else F.lit(v)
-            out = out.withColumn(
-                c,
-                F.when(F.col("_matched"), expr.cast(fields[c])).otherwise(
-                    F.col(c)
-                ),
-            )
-        return out
+        # ONE select, every RHS resolved against the PRE-update row
+        # image (SQL UPDATE semantics): a sequential withColumn chain
+        # would let {'email': None, 'email_hash': sha2(col('email'))}
+        # hash the already-nulled value, silently dict-order dependent.
+        cols = []
+        for f in schema.fields:
+            if f.name in set_values:
+                v = set_values[f.name]
+                expr = v if isinstance(v, Column) else F.lit(v)
+                cols.append(
+                    F.when(matched, expr.cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols, matched.alias("_matched"))
 
     return _rewrite_matching_files(
         spark, path, col, values, fn, "update_rows"

@@ -159,3 +159,24 @@ def test_semantic_ingest_equals_sequential_batches(spark, tmp_path):
     )
     got = {r["vec_id"] for r in spark.read.parquet(kept_s).collect()}
     assert got == ref_kept
+
+
+def test_boilerplate_flood_within_one_batch_is_still_deduped(spark, tmp_path):
+    """The within-batch gate defaults to EXACT pair generation
+    (max_bucket_size=None): a single batch flooding one LSH bucket with
+    >1000 near-identical vectors must collapse to one kept vector, not
+    sail through a capped pair generator."""
+    rng = random.Random(7)
+    v = _vec(rng)
+    rows = [(i, v) for i in range(1200)] + [(5000, _vec(rng))]
+    src = str(tmp_path / "src_flood")
+    schema = _write_batches(spark, src, [rows])
+    idx = str(tmp_path / "idx_flood")
+    kept = str(tmp_path / "kept_flood")
+    init_semantic_index(spark, idx, **DIALS)
+    stream_semantic_dedup_ingest(
+        spark, _stream(spark, src, schema), idx, kept,
+        threshold=THRESHOLD, checkpoint=str(tmp_path / "ck_flood"),
+    )
+    got = sorted(r["vec_id"] for r in spark.read.parquet(kept).collect())
+    assert got == [0, 5000]  # 1200 clones -> min id kept

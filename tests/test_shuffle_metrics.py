@@ -185,3 +185,35 @@ def test_scaling_claim_is_generated_and_adjudicated():
         "`python tools/shuffle_audit.py --scaling SHUFFLES.json "
         "SHUFFLES_sf01.json --factor 10 --claim-out SCALING.json`"
     )
+
+
+def test_classify_scaling_handles_vanished_shuffle():
+    """A query whose shuffle exists at the small SF but disappears at
+    the big one (AQE broadcast crossover eliminating the exchange)
+    yields ratio 0.0 — the worst-linear tracker must not TypeError on
+    the tie against its seed, and the query classifies as linear."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "shuffle_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "shuffle_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    small = {
+        "q_gone": {"shuffle_bytes_written": 8192, "n_shuffles": 1,
+                   "shuffle_records_written": 10},
+        "q_live": {"shuffle_bytes_written": 8192, "n_shuffles": 1,
+                   "shuffle_records_written": 10},
+    }
+    big = {
+        "q_gone": {"shuffle_bytes_written": 0, "n_shuffles": 0,
+                   "shuffle_records_written": 0},
+        "q_live": {"shuffle_bytes_written": 40960, "n_shuffles": 1,
+                   "shuffle_records_written": 50},
+    }
+    res = mod.classify_scaling(small, big, factor=10)
+    assert res["worst_linear"]["query"] == "q_live"
+    assert res["super_linear"] == {}
+    assert "q_gone" in res["per_query"]

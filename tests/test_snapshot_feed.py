@@ -309,3 +309,24 @@ def test_snapshot_restore_cli(spark, table, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"version": 3, "restored_from": 1}
     assert _bag(read_snapshot(spark, table)) == [(1, 1, "a")]
+
+
+def test_stream_offset_version_vacuumed_fails_with_guidance(
+    spark, table, tmp_path
+):
+    """Vacuum dropping exactly the checkpointed offset version must
+    surface the crafted 'vacuumed past the stream's offset' error (the
+    offset version is the first diff's PARENT), not a raw missing-file
+    error from the manifest loader."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        vacuum_snapshots,
+    )
+
+    ckpt = str(tmp_path / "ck_vac")
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    _drain(spark, table, ckpt, "feed_vac_1")  # offset now = 1
+    for i in range(2, 6):
+        snapshot_write(_df(spark, [(i, 1, "x")]), table, mode="append")
+    vacuum_snapshots(spark, table, keep_last=2)  # drops v1..v3
+    with pytest.raises(Exception, match="vacuumed past the stream's offset"):
+        _drain(spark, table, ckpt, "feed_vac_2")

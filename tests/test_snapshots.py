@@ -718,3 +718,63 @@ def test_snapshot_update_cli(spark, table, capsys):
     assert out["rows_updated"] == 1
     got = {r["id"]: r["v"] for r in read_snapshot(spark, table).collect()}
     assert got == {1: "alice", 2: None}
+
+
+def test_update_rows_multi_column_sees_pre_update_image(spark, table):
+    """SQL UPDATE semantics: every RHS evaluates against the pre-update
+    row, so {'v': None, 'v_hash': sha2(v)} hashes the ORIGINAL value —
+    a sequential withColumn chain would hash the already-nulled column
+    (dict-order dependent, pseudonym silently lost)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot,
+        snapshot_update_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alice", None), (2, "bob", None)],
+        "id long, v string, v_hash string",
+    )
+    snapshot_write(df, table)
+    _, n = snapshot_update_rows(
+        spark, table, "id", [1],
+        {"v": None, "v_hash": F.sha2(F.col("v"), 256)},
+    )
+    assert n == 1
+    got = {r["id"]: (r["v"], r["v_hash"]) for r in read_snapshot(spark, table).collect()}
+    assert got[1][0] is None
+    assert got[1][1] is not None and len(got[1][1]) == 64  # sha2("alice")
+    assert got[2] == ("bob", None)
+
+
+def test_snapshot_load_restore_reopens_months(spark, table, tmp_path):
+    """After snapshot_restore rolls a load back, the loaded-months
+    provenance must replay the restore: the rolled-back month is
+    loadable again (not silently 'already loaded' while its rows are
+    gone)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.load import (
+        _snapshot_loaded_months,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_replace_partitions,
+        snapshot_restore,
+    )
+
+    def land(y, m):
+        df = spark.createDataFrame(
+            [(y * 100 + m, y, m)], "id long, year int, month int"
+        )
+        snapshot_replace_partitions(
+            df, table, ["year", "month"],
+            extra={"load": {"year": y, "month": m, "source_path": "s",
+                            "rows": 1}},
+        )
+
+    land(2025, 1)
+    land(2025, 2)
+    assert _snapshot_loaded_months(spark, table) == {(2025, 1), (2025, 2)}
+    snapshot_restore(spark, table, 1)  # roll back month 2's load
+    assert _snapshot_loaded_months(spark, table) == {(2025, 1)}
+    land(2025, 2)  # reload after rollback
+    assert _snapshot_loaded_months(spark, table) == {(2025, 1), (2025, 2)}

@@ -134,7 +134,9 @@ def classify_scaling(
     per_query: dict[str, dict] = {}
     super_linear: dict[str, dict] = {}
     ratios: list[float] = []
-    worst = (0.0, None)
+    worst = (-1.0, "")  # ratio can legitimately be 0.0 (AQE
+    # broadcast crossover eliminating the exchange at the big SF);
+    # a None tie-partner would TypeError inside max()
     spills = []
     for q in sorted(set(small) & set(big)):
         a, b = small[q], big[q]
@@ -184,11 +186,18 @@ def classify_scaling(
         )
         for q, r in sorted(super_linear.items())
     )
+    worst_txt = (
+        f"worst linear growth {worst[1]} at {round(worst[0], 1)}x "
+        f"(budget {factor * slack:g}x); "
+        if worst[1]
+        else "no query within the linear budget (see super-linear list); "
+        if per_query
+        else "no comparable queries; "
+    )
     claim = (
         f"Measured across {len(per_query)} comparable queries on "
         f"{factor:g}x the data: median shuffle-byte growth {med}x; "
-        f"worst linear growth {worst[1]} at {round(worst[0], 1)}x "
-        f"(budget {factor * slack:g}x); "
+        + worst_txt
         + (
             f"{len(super_linear)} super-linear delta(s), all KB-scale "
             f"and mechanically adjudicated benign: {adjudicated}; "
