@@ -150,6 +150,18 @@ def compact_index(
             f"{path}: no {META_FILE} sidecar — refusing to compact a "
             "directory this engine did not write"
         )
+    if meta.get("kind") == "minhash":
+        # The minhash index is TWO subtables with different schemas
+        # (buckets/, shingles/) under one sidecar; a root-level
+        # read+overwrite would merge the schemas and flatten the
+        # layout. Compact each subtable independently.
+        out = {"files_before": 0, "files_after": 0, "bytes": 0}
+        for sub in ("buckets", "shingles"):
+            r = _compact_flat_dir(spark, f"{path}/{sub}", target_mb)
+            for k in out:
+                out[k] += r[k]
+        write_index_meta(spark, path, meta)
+        return out
     jvm, fs, hpath = _fs_and_path(spark, path)
     part_col = None
     for st in fs.listStatus(hpath):
@@ -195,6 +207,31 @@ def compact_index(
     while it.hasNext():
         name = it.next().getPath().getName()
         if not name.startswith(("_", ".")):
+            n_after += 1
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}
+
+
+def _compact_flat_dir(spark, dir_path: str, target_mb: int) -> dict:
+    """Rewrite one unpartitioned parquet directory to
+    ceil(bytes/target) files (repartition, not coalesce — see
+    ``compact_index``). Shared by the minhash subtable path."""
+    jvm, fs, hpath = _fs_and_path(spark, dir_path)
+    n_before, total = 0, 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().startswith(("_", ".")):
+            continue
+        n_before += 1
+        total += f.getLen()
+    df = spark.read.parquet(dir_path)
+    n_target = max(1, -(-total // (target_mb * 2**20)))
+    compacted = df.repartition(n_target).localCheckpoint(eager=True)
+    compacted.write.mode("overwrite").parquet(dir_path)
+    n_after = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if not it.next().getPath().getName().startswith(("_", ".")):
             n_after += 1
     return {"files_before": n_before, "files_after": n_after, "bytes": total}
 

@@ -138,3 +138,52 @@ def test_compact_table_sweeps_only_fragmented_partitions(spark):
         assert digest() == before
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_index_minhash_two_subtables(spark, tmp_path):
+    """compact_index on a minhash index must compact buckets/ and
+    shingles/ INDEPENDENTLY — a root-level rewrite would merge the two
+    schemas and flatten the layout. Lookups identical, sidecar intact,
+    file counts drop."""
+    from nyc_taxi_data_warehouse_spark.operators.dedup import (
+        append_to_minhash_index,
+        incremental_minhash_pairs,
+        write_minhash_index,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.indexmeta import (
+        compact_index,
+        read_index_meta,
+    )
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(
+        spark, docs.where("doc_id % 4 = 0"), "text", "doc_id", idx
+    )
+    # fragment with several incremental appends
+    for k in (1, 2, 3):
+        append_to_minhash_index(
+            spark, docs.where(f"doc_id % 4 = {k}"), "text", "doc_id", idx
+        )
+    probe = docs.limit(30).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    before = sorted(
+        map(tuple, incremental_minhash_pairs(
+            spark, probe, "text", "doc_id", idx, jaccard_threshold=0.3
+        ).collect())
+    )
+    meta_before = read_index_meta(spark, idx)
+    stats = compact_index(spark, idx, target_mb=64)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 2  # one file per subtable at this size
+    assert read_index_meta(spark, idx) == meta_before
+    after = sorted(
+        map(tuple, incremental_minhash_pairs(
+            spark, probe, "text", "doc_id", idx, jaccard_threshold=0.3
+        ).collect())
+    )
+    assert after == before and len(before) > 0
