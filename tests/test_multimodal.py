@@ -481,3 +481,112 @@ def test_decoders_never_crash_on_garbage(junk):
             parse_wav_header,
         ):
             fn(payload)  # may return None/tuple; must not raise
+
+
+def _mk_bmp(width, height, pixels_rgb, bpp=24, top_down=False, palette=None):
+    """Independent test encoder: rows padded to 4 bytes, B,G,R(,A)
+    order, bottom-up unless top_down. pixels_rgb is row-major top-down
+    [(r,g,b[,a])...]."""
+    import struct
+
+    if palette is not None:
+        bytes_px = 1
+    else:
+        bytes_px = bpp // 8
+    stride = (width * bytes_px + 3) & ~3
+    pal_bytes = b""
+    n_pal = 0
+    if palette is not None:
+        n_pal = len(palette)
+        pal_bytes = b"".join(
+            bytes((b, g, r, 0)) for (r, g, b) in palette
+        )
+    data_off = 14 + 40 + len(pal_bytes)
+    rows = []
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = bytearray()
+        for x in range(width):
+            px = pixels_rgb[src_y * width + x]
+            if palette is not None:
+                row.append(px)  # already an index
+            elif bpp == 32:
+                r, g, b, a = px
+                row += bytes((b, g, r, a))
+            else:
+                r, g, b = px
+                row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    hdr = b"BM" + struct.pack(
+        "<IHHI", data_off + len(data), 0, 0, data_off
+    ) + struct.pack(
+        "<iiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        8 if palette is not None else bpp,
+        0,
+        len(data),
+        2835,
+        2835,
+        n_pal,
+        0,
+    )
+    return hdr + pal_bytes + data
+
+
+def test_bmp_decode_all_variants():
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import (
+        decode_bmp_pixels,
+    )
+
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90),
+          (1, 2, 3), (4, 5, 6), (7, 8, 9)]
+    for top_down in (False, True):
+        got = decode_bmp_pixels(_mk_bmp(3, 2, px, top_down=top_down))
+        assert got is not None
+        w, h, c, out = got
+        assert (w, h, c) == (3, 2, 3)
+        assert list(out) == [v for p in px for v in p]
+    # 32-bit with alpha
+    px4 = [(10, 20, 30, 255), (40, 50, 60, 128)]
+    w, h, c, out = decode_bmp_pixels(_mk_bmp(2, 1, px4, bpp=32))
+    assert (w, h, c) == (2, 1, 4)
+    assert list(out) == [v for p in px4 for v in p]
+    # 8-bit paletted
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = [0, 1, 2, 2, 1, 0]
+    w, h, c, out = decode_bmp_pixels(_mk_bmp(3, 2, idx, palette=pal))
+    assert (w, h, c) == (3, 2, 3)
+    assert list(out) == [v for i in idx for v in pal[i]]
+    # out-of-coverage and malformed: None, never an exception
+    good = _mk_bmp(3, 2, px)
+    assert decode_bmp_pixels(good[:30]) is None  # truncated
+    rle = bytearray(good)
+    rle[30] = 1  # BI_RLE8 compression
+    assert decode_bmp_pixels(bytes(rle)) is None
+    assert decode_bmp_pixels(b"NotABmpAtAll" * 10) is None
+
+
+def test_bmp_flows_through_pixel_stats(spark):
+    import statistics
+
+    from nyc_taxi_data_warehouse_spark.multimodal.binaryops import (
+        extract_pixel_stats,
+    )
+
+    px = [(0, 0, 0), (255, 255, 255), (10, 200, 30), (90, 14, 250)]
+    payload = _mk_bmp(2, 2, px)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = extract_pixel_stats(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    flat = [v for p in px for v in p]
+    assert (r["width"], r["height"], r["channels"]) == (2, 2, 3)
+    assert abs(r["mean_px"] - sum(flat) / len(flat)) < 1e-3
+    assert abs(r["std_px"] - statistics.pstdev(flat)) < 1e-3
