@@ -149,6 +149,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="JSON array of values, e.g. '[11,42]' or '[\"a\"]'",
     )
 
+    sc = sub.add_parser(
+        "snapshot-changes",
+        help="print the row-level change feed between two versions as "
+        "JSON rows (_change_type insert|delete, _commit_version)",
+    )
+    sc.add_argument("--table-path", required=True)
+    sc.add_argument("--from-version", required=True, type=int)
+    sc.add_argument("--to-version", type=int, default=None)
+    sc.add_argument("--limit", type=int, default=1000)
+
     sr = sub.add_parser(
         "snapshot-restore",
         help="roll a snapshot table back to an older version, published "
@@ -303,6 +313,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark, args.table_path, args.col, json.loads(args.values)
             )
             print(json.dumps({"version": v, "rows_deleted": n}))
+        elif args.cmd == "snapshot-changes":
+            from .warehouse.snapshots import snapshot_changes
+
+            ch = snapshot_changes(
+                spark, args.table_path, args.from_version, args.to_version
+            )
+            for r in ch.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "snapshot-restore":
             from .warehouse.snapshots import snapshot_restore
 

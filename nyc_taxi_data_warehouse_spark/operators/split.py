@@ -68,3 +68,49 @@ def cluster_aware_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += pct
     return labeled.withColumn("split", expr)
+
+
+def temporal_split(
+    df: DataFrame,
+    time_col: str,
+    val_start,
+    test_start,
+    purge_gap=None,
+) -> DataFrame:
+    """Time-based train/val/test split with optional PURGE GAPS — the
+    standard leakage control for temporally-correlated data (events,
+    market ticks, logs): random/hash splits let the model see the
+    future of its own evaluation window, so the split must be by time,
+    and rows within ``purge_gap`` BEFORE each boundary are dropped
+    entirely so trailing-window features computed on train rows cannot
+    overlap the next split's period (the "purged" split of the
+    time-series CV literature).
+
+    Returns the rows with a ``split`` column (``train``/``val``/
+    ``test``); purged rows are REMOVED, not labeled, and NULL
+    timestamps are dropped too (a row that cannot be placed in time
+    cannot be proven leak-free). ``val_start``/``test_start`` are
+    anything comparable to ``time_col`` after a cast-free comparison
+    (timestamps, dates, epoch numbers); ``purge_gap`` is a
+    ``pyspark.sql`` interval-compatible expression string (e.g.
+    ``"INTERVAL 1 HOUR"``) or a number for numeric time columns.
+
+    Narrow projection + filter: zero shuffles, trivially scale-safe.
+    """
+    t = F.col(time_col)
+    v, s = F.lit(val_start), F.lit(test_start)
+    if purge_gap is None:
+        in_purge = F.lit(False)
+    elif isinstance(purge_gap, str):
+        g = F.expr(purge_gap)
+        in_purge = ((t >= v - g) & (t < v)) | ((t >= s - g) & (t < s))
+    else:
+        g = F.lit(purge_gap)
+        in_purge = ((t >= v - g) & (t < v)) | ((t >= s - g) & (t < s))
+    return (
+        df.where(t.isNotNull() & ~in_purge)
+        .withColumn(
+            "split",
+            F.when(t < v, "train").when(t < s, "val").otherwise("test"),
+        )
+    )

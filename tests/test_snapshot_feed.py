@@ -388,3 +388,24 @@ def test_materialize_aggregate_equals_full_groupby(spark, tmp_path):
         materialize_aggregate(
             spark, src, dst, ["month"], {"a": ("avg", "id")}, ckpt
         )
+
+
+def test_snapshot_changes_cli(spark, table, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    snapshot_write(_df(spark, [(2, 2, "b")]), table, mode="append")
+    assert main(
+        ["snapshot-changes", "--table-path", table, "--from-version", "1"],
+        spark=spark,
+    ) == 0
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert lines == [
+        {"id": 2, "month": 2, "v": "b", "_change_type": "insert",
+         "_commit_version": 2}
+    ]

@@ -78,3 +78,47 @@ def test_split_with_no_pairs_degrades_to_per_doc_hash(spark):
     assert assigned.count() == docs.count()
     assert assigned.where(F.col("split").isNull()).count() == 0
     assert assigned.where(F.col("split_key") != F.col("doc_id")).count() == 0
+
+
+def test_temporal_split_boundaries_and_purge(spark):
+    from datetime import datetime
+
+    from nyc_taxi_data_warehouse_spark.operators.split import temporal_split
+
+    rows = [
+        (i, datetime(2025, 1, 1, hour)) for i, hour in enumerate(range(24))
+    ] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = temporal_split(
+        df, "ts",
+        val_start=datetime(2025, 1, 1, 12),
+        test_start=datetime(2025, 1, 1, 18),
+        purge_gap="INTERVAL 2 HOURS",
+    )
+    got = {r["id"]: r["split"] for r in out.collect()}
+    # purged: hours 10,11 (before val) and 16,17 (before test); null out
+    assert set(got) == set(range(24)) - {10, 11, 16, 17}
+    assert all(got[i] == "train" for i in range(0, 10))
+    assert all(got[i] == "val" for i in range(12, 16))
+    assert all(got[i] == "test" for i in range(18, 24))
+    # boundary rows land in the LATER split (half-open intervals)
+    assert got[12] == "val" and got[18] == "test"
+    # numeric time column + numeric gap
+    ndf = spark.createDataFrame([(i, i) for i in range(10)], "id long, t long")
+    ngot = {
+        r["id"]: r["split"]
+        for r in temporal_split(ndf, "t", 5, 8, purge_gap=1).collect()
+    }
+    assert ngot == {0: "train", 1: "train", 2: "train", 3: "train",
+                    5: "val", 6: "val", 8: "test", 9: "test"}
+    # no purge: everything labeled
+    allg = temporal_split(ndf, "t", 5, 8)
+    assert allg.count() == 10
+
+
+def test_temporal_split_zero_shuffle(spark):
+    from nyc_taxi_data_warehouse_spark.operators.split import temporal_split
+    from nyc_taxi_data_warehouse_spark.plans.audit import assert_no_exchange
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "id long, t long")
+    assert_no_exchange(temporal_split(df, "t", 50, 80, purge_gap=5))
