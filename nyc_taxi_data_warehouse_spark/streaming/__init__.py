@@ -21,6 +21,7 @@ from .snapshot_source import (  # noqa: F401
 from .materialize import (  # noqa: F401
     materialize_aggregate,
     materialize_incremental,
+    read_aggregate_view,
 )
 from .semantic_ingest import (  # noqa: F401
     init_semantic_index,

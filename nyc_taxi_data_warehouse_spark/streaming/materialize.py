@@ -67,13 +67,16 @@ def materialize_incremental(
 # unioned partials). Only MERGEABLE aggregates belong here: the derived
 # table stores partials, and a refresh folds batch partials into them
 # with the merge expr — count re-aggregates with SUM, sum with SUM,
-# min/max with themselves. avg is deliberately absent (not mergeable as
-# a scalar); derive it as sum/count downstream.
+# min/max with themselves, approx_distinct keeps a binary HLL sketch
+# column merged with hll_union_agg (read the estimate via
+# ``read_aggregate_view``). avg is deliberately absent (not mergeable
+# as a scalar); derive it as sum/count downstream.
 _MERGEABLE = {
     "count": (lambda c: F.count(F.lit(1)), F.sum),
     "sum": (lambda c: F.sum(c), F.sum),
     "min": (lambda c: F.min(c), F.min),
     "max": (lambda c: F.max(c), F.max),
+    "approx_distinct": (lambda c: F.hll_sketch_agg(c), F.hll_union_agg),
 }
 
 
@@ -86,6 +89,7 @@ def materialize_aggregate(
     checkpoint: str,
     stream_id: str = "agg_mv",
     starting_version: int | str = 0,
+    keep_versions: int | None = None,
 ) -> None:
     """Incrementally-maintained AGGREGATING view: ``dst`` holds
     ``src.groupBy(keys).agg(...)`` as mergeable partials, refreshed per
@@ -105,7 +109,14 @@ def materialize_aggregate(
     replayed epoch is skipped; a crash before the manifest flip leaves
     the old state for the replay to redo). Non-append source commits
     fail loudly: merged partials cannot un-merge deleted rows — rebuild
-    the view or restore the source."""
+    the view or restore the source.
+
+    ``keep_versions`` (>= 2) vacuums the derived table down to that
+    many versions after each refresh run — every refresh is one commit,
+    so an unvacuumed view's history grows per epoch forever. 2 is safe
+    for the replay guard: Structured Streaming replays at most the
+    LATEST uncommitted batch, whose manifest any retention keeps;
+    older epochs' manifests are only ever read as history."""
     from ..warehouse.snapshots import (
         _commit,
         _list_manifests,
@@ -163,6 +174,11 @@ def materialize_aggregate(
         spark, src_path, starting_version=starting_version,
         on_non_append="fail",
     )
+    if keep_versions is not None and keep_versions < 2:
+        raise ValueError(
+            "keep_versions must be >= 2 (the latest batch's manifest is "
+            "the replay guard)"
+        )
     q = (
         feed.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
@@ -170,3 +186,23 @@ def materialize_aggregate(
         .start()
     )
     q.awaitTermination()
+    if keep_versions is not None:
+        from ..warehouse.snapshots import vacuum_snapshots
+
+        if _list_manifests(spark, dst_path):
+            vacuum_snapshots(spark, dst_path, keep_last=keep_versions)
+
+
+def read_aggregate_view(
+    spark: SparkSession, dst_path: str, aggs: dict[str, tuple]
+) -> DataFrame:
+    """Read a ``materialize_aggregate`` view with sketch partials
+    resolved to consumable values — ``approx_distinct`` columns become
+    their HLL estimates (long); everything else reads as stored."""
+    from ..warehouse.snapshots import read_snapshot
+
+    df = read_snapshot(spark, dst_path)
+    for name, spec in aggs.items():
+        if spec[0] == "approx_distinct":
+            df = df.withColumn(name, F.hll_sketch_estimate(F.col(name)))
+    return df

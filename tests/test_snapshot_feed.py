@@ -409,3 +409,54 @@ def test_snapshot_changes_cli(spark, table, capsys):
         {"id": 2, "month": 2, "v": "b", "_change_type": "insert",
          "_commit_version": 2}
     ]
+
+
+def test_materialize_aggregate_hll_distinct_and_retention(spark, tmp_path):
+    """approx_distinct partials are HLL sketches merged across
+    refreshes: the estimate equals the exact distinct count at this
+    cardinality even when the same values recur in later commits
+    (a plain count would double-count); keep_versions bounds the view's
+    history."""
+    from nyc_taxi_data_warehouse_spark.streaming.materialize import (
+        materialize_aggregate,
+        read_aggregate_view,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_versions,
+    )
+
+    src = str(tmp_path / "h_src")
+    dst = str(tmp_path / "h_dst")
+    ckpt = str(tmp_path / "h_ckpt")
+    AGGS = {"cnt": ("count",), "uniq": ("approx_distinct", "v")}
+
+    snapshot_write(_df(spark, [(i, i % 2, f"u{i % 5}") for i in range(20)]),
+                   src)
+    materialize_aggregate(spark, src, dst, ["month"], AGGS, ckpt,
+                          keep_versions=2)
+    # same values recur + new ones appear, across two commits
+    snapshot_write(_df(spark, [(100 + i, i % 2, f"u{i % 7}") for i in range(20)]),
+                   src, mode="append")
+    snapshot_write(_df(spark, [(200, 0, "u-new")]), src, mode="append")
+    materialize_aggregate(spark, src, dst, ["month"], AGGS, ckpt,
+                          keep_versions=2)
+
+    got = {
+        r["month"]: (r["cnt"], r["uniq"])
+        for r in read_aggregate_view(spark, dst, AGGS).collect()
+    }
+    want = {
+        r["month"]: (r["c"], r["u"])
+        for r in read_snapshot(spark, src)
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.countDistinct("v").alias("u"))
+        .collect()
+    }
+    assert got == want
+    assert len(snapshot_versions(spark, dst)) <= 2  # retention applied
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_versions"):
+        materialize_aggregate(spark, src, dst, ["month"], AGGS, ckpt,
+                              keep_versions=1)
