@@ -669,3 +669,35 @@ def test_compact_index_ivf_and_unpartitioned_bloom(spark, emb, cents, tmp_path):
     spark.range(5).write.parquet(bare)
     with pytest.raises(IndexMetaError):
         compact_index(spark, bare)
+
+
+def test_postings_upsert_drops_exclusively_owned_term_partitions(spark, tmp_path):
+    """An edited document that was the ONLY holder of some terms must
+    take those term partitions with it: the merged plan has zero rows
+    for them, dynamic overwrite writes nothing there, and without the
+    explicit directory drop the dropped terms stayed retrievable
+    (found via the change-feed index sync; pre-existing upsert bug)."""
+    from nyc_taxi_data_warehouse_spark.operators.search import (
+        postings,
+        upsert_postings_for_docs,
+        write_postings_index,
+    )
+
+    idx = str(tmp_path / "own_idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (3, "secret token alpha")],
+        "doc_id long, text string",
+    )
+    write_postings_index(postings(docs, "text", "doc_id"), idx)
+    edited = spark.createDataFrame(
+        [(3, "redacted")], "doc_id long, text string"
+    )
+    upsert_postings_for_docs(postings(edited, "text", "doc_id"), idx)
+    got = sorted(
+        map(tuple, spark.read.parquet(idx).select("term", "doc_id").collect())
+    )
+    # secret/token gone entirely; alpha survives via doc 1 only
+    assert got == [("alpha", 1), ("beta", 1), ("redacted", 3)]
+    import os
+
+    assert not os.path.exists(f"{idx}/term=secret")
