@@ -742,8 +742,51 @@ def upsert_ivf_cells(
     # The write replaces partitions the plan is still reading from —
     # cut the lineage first (same reasoning as merge_upsert).
     merged = merged.localCheckpoint(eager=True)
+    # A migrating vector that was the SOLE occupant of its old cell
+    # leaves that touched cell with zero merged rows; dynamic overwrite
+    # writes nothing into it, so the stale row — the vector's OLD
+    # embedding — would stay on disk and keep answering probes (worse
+    # than stale: the id would exist twice with different vectors).
+    # Same emptied-partition hazard delete_from_ivf_index handles; diff
+    # touched vs merged cells (metadata-sized) and drop the emptied
+    # directories.
+    from .indexmeta import delete_partition_dirs
+
+    if assume_new_ids:
+        emptied: list = []  # new ids never empty an existing cell
+    else:
+        touched_cells = {
+            r["cell"]
+            for r in _ivf_touched_cells(
+                spark, assigned, path, id_col
+            ).collect()
+        }
+        merged_cells = {
+            r["cell"] for r in merged.select("cell").distinct().collect()
+        }
+        emptied = sorted(touched_cells - merged_cells)
     with dynamic_partition_overwrite(spark):
         merged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    if emptied:
+        delete_partition_dirs(spark, path, [f"cell={c}" for c in emptied])
+
+
+def _ivf_touched_cells(
+    spark, assigned: DataFrame, path: str, id_col: str
+) -> DataFrame:
+    """Cells an upsert batch touches: its newly-assigned cells plus any
+    currently holding a batch id (column-pruned scan)."""
+    index = spark.read.parquet(path)
+    old_cells = (
+        index.join(
+            F.broadcast(assigned.select(id_col).distinct()), id_col, "left_semi"
+        )
+        .select("cell")
+        .distinct()
+    )
+    return (
+        assigned.select("cell").distinct().unionByName(old_cells).distinct()
+    )
 
 
 def _ivf_upsert_merged(
@@ -760,16 +803,10 @@ def _ivf_upsert_merged(
     directories are never read, let alone rewritten)."""
     index = spark.read.parquet(path)
 
-    touched = assigned.select("cell").distinct()
-    if not assume_new_ids:
-        old_cells = (
-            index.join(
-                F.broadcast(assigned.select(id_col).distinct()), id_col, "left_semi"
-            )
-            .select("cell")
-            .distinct()
-        )
-        touched = touched.unionByName(old_cells).distinct()
+    if assume_new_ids:
+        touched = assigned.select("cell").distinct()
+    else:
+        touched = _ivf_touched_cells(spark, assigned, path, id_col)
 
     # Survivors: touched-cell rows whose id is not in the batch. The
     # broadcast semi on touched cells prunes the scan to those cells'
@@ -860,3 +897,77 @@ def ivf_topk_from_index(
         F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv"), "cell"
     )
     return _ivf_rank_candidates(q_cells, corpus_cells, k)
+
+
+def set_ivf_sync_cursor(spark, index_path: str, version: int) -> None:
+    """Record which snapshot-table version an IVF index reflects (the
+    ``synced_version`` cursor; see ``sync_ivf_from_snapshot``)."""
+    from .indexmeta import check_index_meta, read_index_meta, write_index_meta
+
+    check_index_meta(spark, index_path, {"kind": "ivf"})
+    meta = read_index_meta(spark, index_path)
+    meta["synced_version"] = int(version)
+    write_index_meta(spark, index_path, meta)
+
+
+def sync_ivf_from_snapshot(
+    spark,
+    table_path: str,
+    index_path: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    to_version: int | None = None,
+) -> dict:
+    """Propagate snapshot-table DML on an embeddings table into the IVF
+    index via the row-level change feed — the vector sibling of
+    ``search.sync_postings_from_snapshot`` (same cursor protocol, same
+    net-effect-per-id resolution, same crash-convergence argument:
+    upsert and delete are idempotent replacements, and the cursor
+    advances only after both land). Centroids must be the build-time
+    set (fingerprint-validated by the underlying upsert/delete)."""
+    from pyspark.sql.window import Window
+
+    from ..warehouse.snapshots import _list_manifests, snapshot_changes
+    from .indexmeta import check_index_meta, read_index_meta
+
+    check_index_meta(spark, index_path, {"kind": "ivf"})
+    from_v = read_index_meta(spark, index_path).get("synced_version")
+    if from_v is None:
+        raise ValueError(
+            f"{index_path}: no synced_version cursor — build the index "
+            "from read_snapshot(table, v) and record v with "
+            "set_ivf_sync_cursor first"
+        )
+    if to_version is None:
+        to_version = _list_manifests(spark, table_path)[-1]
+    if to_version <= from_v:
+        return {
+            "synced_from": from_v, "synced_to": from_v,
+            "vecs_upserted": 0, "vecs_deleted": 0,
+        }
+    ch = snapshot_changes(spark, table_path, from_v, to_version)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_commit_version"), F.desc("_change_type")
+    )
+    last = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    upserts = last.where(F.col("_change_type") == "insert").select(
+        id_col, vec_col
+    )
+    deletes = last.where(F.col("_change_type") == "delete").select(id_col)
+    n_del = deletes.count()
+    if n_del:
+        delete_from_ivf_index(deletes, index_path, id_col)
+    n_up = upserts.count()
+    if n_up:
+        upsert_ivf_cells(upserts, centroids, index_path, id_col, vec_col)
+    set_ivf_sync_cursor(spark, index_path, to_version)
+    return {
+        "synced_from": from_v, "synced_to": to_version,
+        "vecs_upserted": n_up, "vecs_deleted": n_del,
+    }

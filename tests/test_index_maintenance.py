@@ -701,3 +701,37 @@ def test_postings_upsert_drops_exclusively_owned_term_partitions(spark, tmp_path
     import os
 
     assert not os.path.exists(f"{idx}/term=secret")
+
+
+def test_ivf_upsert_drops_emptied_migration_cell(spark, tmp_path):
+    """A vector that was the SOLE occupant of its cell and migrates on
+    update must take the old cell with it — the stale row held the
+    vector's OLD embedding and kept answering probes (the id existed
+    twice with different vectors; pre-existing upsert bug, the delete
+    path already handled its half)."""
+    import os
+
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        upsert_ivf_cells,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_mig")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    write_ivf_index(corpus, cents, idx)
+    upd = spark.createDataFrame(
+        [(10, [0.05, 0.95])], "vec_id long, embedding array<float>"
+    )
+    upsert_ivf_cells(upd, cents, idx)
+    got = sorted(
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(idx).collect()
+    )
+    assert got == [(10, 1), (11, 1)]  # exactly once, in the NEW cell
+    assert not os.path.exists(f"{idx}/cell=0")

@@ -124,3 +124,68 @@ def test_sync_requires_cursor_and_update_in_one_range(spark, tmp_path):
     got_terms = {r["term"] for r in spark.read.parquet(idx).collect()}
     assert "ephemeral" not in got_terms
     assert "again" in got_terms
+
+
+def test_ivf_sync_follows_all_dml(spark, tmp_path):
+    """Embedding-table DML (append, vector update with cell migration,
+    delete, restore) reaches the IVF index via the change feed; probes
+    against the synced index equal probes against a full rebuild."""
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        ivf_topk_from_index,
+        set_ivf_sync_cursor,
+        sync_ivf_from_snapshot,
+        write_ivf_index,
+    )
+
+    def vecs(spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    table = str(tmp_path / "emb_tbl")
+    idx = str(tmp_path / "ivf_idx")
+    cents = vecs(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    v1 = snapshot_write_with_stats(
+        vecs(spark, [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [0.8, 0.2])]),
+        table,
+        stats_cols=["vec_id"],
+    )
+    write_ivf_index(read_snapshot(spark, table), cents, idx)
+    set_ivf_sync_cursor(spark, idx, v1)
+
+    # DML storm: append a new vector; delete one; update vector 10 with
+    # a CELL MIGRATION expressed as append-new-image, delete-all-images
+    # (both coexist between the two — bag semantics), re-append — the
+    # feed's per-id last-change resolution must land on the final image
+    snapshot_write(vecs(spark, [(13, [0.7, 0.3])]), table, mode="append")
+    snapshot_delete_rows(spark, table, "vec_id", [12])
+    snapshot_write(vecs(spark, [(10, [0.05, 0.95])]), table, mode="append")
+    snapshot_delete_rows(spark, table, "vec_id", [10])
+    snapshot_write(vecs(spark, [(10, [0.05, 0.95])]), table, mode="append")
+
+    res = sync_ivf_from_snapshot(spark, table, idx, cents)
+    assert res["vecs_deleted"] >= 1
+
+    q = vecs(spark, [(900, [0.0, 1.0]), (901, [1.0, 0.0])])
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk_from_index(
+                spark, idx, q, cents, k=2, n_probe=2
+            ).collect(),
+        )
+    )
+    ref = str(tmp_path / "ivf_ref")
+    write_ivf_index(read_snapshot(spark, table), cents, ref)
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk_from_index(
+                spark, ref, q, cents, k=2, n_probe=2
+            ).collect(),
+        )
+    )
+    assert got == want
+    # idempotent second sync
+    res2 = sync_ivf_from_snapshot(spark, table, idx, cents)
+    assert (res2["vecs_upserted"], res2["vecs_deleted"]) == (0, 0)
