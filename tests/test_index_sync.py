@@ -189,3 +189,56 @@ def test_ivf_sync_follows_all_dml(spark, tmp_path):
     # idempotent second sync
     res2 = sync_ivf_from_snapshot(spark, table, idx, cents)
     assert (res2["vecs_upserted"], res2["vecs_deleted"]) == (0, 0)
+
+
+def test_sync_fuzz_random_dml_sequences(spark, tmp_path):
+    """Property: after ANY sequence of snapshot DML, one sync converges
+    the postings index to the full-rebuild image. Deterministic seeded
+    sequences (cheaper than hypothesis here — each case costs several
+    Spark jobs) interleaving append/update/delete; restore has its own
+    dedicated propagation test above."""
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"fz_tbl_{seed}")
+        idx = str(tmp_path / f"fz_idx_{seed}")
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+        def txt():
+            return " ".join(rng.choice(words) for _ in range(rng.randint(2, 5)))
+
+        next_id = [0]
+        live: set = set()
+
+        def add(n):
+            rows = []
+            for _ in range(n):
+                rows.append((next_id[0], txt()))
+                live.add(next_id[0])
+                next_id[0] += 1
+            snapshot_write(_docs(spark, rows), table, mode="append")
+
+        add(4)
+        v1 = 1
+        write_postings_index(
+            postings(read_snapshot(spark, table), "text", "doc_id"), idx
+        )
+        set_postings_sync_cursor(spark, idx, v1)
+        for _ in range(5):
+            op = rng.choice(["append", "update", "delete"])
+            if op == "append":
+                add(rng.randint(1, 2))
+            elif op == "update" and live:
+                victim = rng.choice(sorted(live))
+                snapshot_update_rows(
+                    spark, table, "doc_id", [victim], {"text": txt()}
+                )
+            elif op == "delete" and live:
+                victim = rng.choice(sorted(live))
+                live.discard(victim)
+                snapshot_delete_rows(spark, table, "doc_id", [victim])
+        sync_postings_from_snapshot(spark, table, idx)
+        assert _index_rows(spark, idx) == _rebuild(
+            spark, table, tmp_path, f"fz_ref_{seed}"
+        ), seed
