@@ -971,3 +971,39 @@ def sync_ivf_from_snapshot(
         "synced_from": from_v, "synced_to": to_version,
         "vecs_upserted": n_up, "vecs_deleted": n_del,
     }
+
+
+def delete_from_ann_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Remove vectors from a ``write_ann_index`` table by id — the
+    decontamination path for the multi-table LSH index. Every id has
+    one row in EVERY ``tbl=`` partition, so unlike the IVF/postings
+    deletes there is no partition pruning to exploit: all table
+    directories are rewritten. That is still ~half a rebuild (the
+    surviving rows' codes are reused, no hyperplane math re-runs) and
+    it preserves the sidecar dials. The rewrite is STATIC-scoped and
+    lineage-cut, the same pattern as ``write_ann_index`` rebuilds; an
+    index emptied entirely still reads back (the typed-empty fallback
+    in ``_read_ann_rows`` covers zero-file layouts).
+    """
+    from ..session import static_partition_overwrite
+    from .indexmeta import check_index_meta, read_index_meta, write_index_meta
+
+    spark = ids.sparkSession
+    check_index_meta(spark, path, {"kind": "ann"})
+    meta = read_index_meta(spark, path)
+    victims = F.broadcast(
+        ids.select(F.col(id_col).alias("cid")).distinct()
+    )
+    survivors = (
+        _read_ann_rows(spark, path)
+        .join(victims, "cid", "left_anti")
+        .select("cid", "cv", "bucket", "tbl")
+        .localCheckpoint(eager=True)
+    )
+    with static_partition_overwrite(spark):
+        survivors.write.mode("overwrite").partitionBy("tbl").parquet(path)
+    write_index_meta(spark, path, meta)

@@ -735,3 +735,43 @@ def test_ivf_upsert_drops_emptied_migration_cell(spark, tmp_path):
     )
     assert got == [(10, 1), (11, 1)]  # exactly once, in the NEW cell
     assert not os.path.exists(f"{idx}/cell=0")
+
+
+def test_ann_delete_equals_rebuild_without_victims(spark, tmp_path):
+    """delete_from_ann_index == write_ann_index over the corpus minus
+    the victims: identical lookups, sidecar intact, empty-index edge
+    readable."""
+    from nyc_taxi_data_warehouse_spark.operators.indexmeta import (
+        read_index_meta,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        ann_topk_from_index,
+        delete_from_ann_index,
+        write_ann_index,
+    )
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dials = dict(n_planes=8, dim=64, n_tables=4)
+    idx = str(tmp_path / "ann_del")
+    write_ann_index(emb, idx, **dials)
+    victims = emb.where("vec_id % 5 = 0").select("vec_id")
+    delete_from_ann_index(victims, idx)
+    ref = str(tmp_path / "ann_ref")
+    write_ann_index(
+        emb.join(victims, "vec_id", "left_anti"), ref, **dials
+    )
+    q = emb.where("vec_id % 17 = 3").limit(5)
+    got = sorted(map(tuple, ann_topk_from_index(
+        spark, idx, q, k=3, probe_radius=1, **dials).collect()))
+    want = sorted(map(tuple, ann_topk_from_index(
+        spark, ref, q, k=3, probe_radius=1, **dials).collect()))
+    assert got == want and len(got) > 0
+    assert read_index_meta(spark, idx)["n_tables"] == 4
+    # deleting everything leaves a readable (typed-empty) index
+    delete_from_ann_index(emb.select("vec_id"), idx)
+    assert ann_topk_from_index(
+        spark, idx, q, k=3, probe_radius=1, **dials
+    ).count() == 0
