@@ -425,10 +425,11 @@ def decode_png_pixels(payload: bytes):
 
 def decode_bmp_pixels(payload: bytes):
     """Full-frame BMP decode with the stdlib only (BITMAPINFOHEADER,
-    BI_RGB): 24-bit BGR, 32-bit BGRA, and 8-bit paletted, bottom-up or
-    top-down, 4-byte row padding. Returns ``(width, height, channels,
-    pixels)`` — row-major top-down, RGB(A) sample order, the same
-    contract as ``decode_png_pixels`` — or None for payloads outside
+    BI_RGB): 24-bit, 32-bit (the reserved 4th byte is NOT alpha under
+    BI_RGB and is skipped), and 8-bit paletted; bottom-up or top-down,
+    4-byte row padding. Returns ``(width, height, 3, pixels)`` —
+    row-major top-down RGB, the same contract as
+    ``decode_png_pixels`` — or None for payloads outside
     that coverage (RLE/bitfield compression, 1/4/16-bit depths).
     Uncompressed BMP is pure byte layout, so this decoder is complete
     for the BI_RGB family, not a stand-in."""
@@ -459,8 +460,12 @@ def decode_bmp_pixels(payload: bytes):
         ]
         channels, bytes_px = 3, 1
     elif bpp in (24, 32):
+        # 32-bit BI_RGB's 4th byte is RESERVED, not alpha (alpha needs
+        # BI_BITFIELDS) — most writers zero it, so surfacing it as a
+        # channel would stream 25% zeros into pixel stats. Decode both
+        # depths to 3 RGB channels and skip the pad byte.
         palette = None
-        channels, bytes_px = bpp // 8, bpp // 8
+        channels, bytes_px = 3, bpp // 8
     else:
         return None
     stride = (width * bytes_px + 3) & ~3
@@ -481,13 +486,10 @@ def decode_bmp_pixels(payload: bytes):
                 dst += 3
             else:
                 o = src + x * bytes_px
-                b, g, r = payload[o], payload[o + 1], payload[o + 2]
-                if channels == 4:
-                    out[dst : dst + 4] = bytes((r, g, b, payload[o + 3]))
-                    dst += 4
-                else:
-                    out[dst : dst + 3] = bytes((r, g, b))
-                    dst += 3
+                out[dst : dst + 3] = bytes(
+                    (payload[o + 2], payload[o + 1], payload[o])
+                )
+                dst += 3
     return (width, height, channels, out)
 
 

@@ -737,8 +737,23 @@ def upsert_ivf_cells(
             "centroid_fp": centroid_fingerprint(centroids, id_col, vec_col),
         },
     )
-    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col)
-    merged = _ivf_upsert_merged(spark, assigned, path, id_col, vec_col, assume_new_ids)
+    # Assignment is computed once and lineage-cut (it feeds the merged
+    # plan AND the touched-cell discovery); the touched-cell set is
+    # collected ONCE (metadata-sized; its discovery scan is the only
+    # full-index read, column-pruned to (id, cell)) and reused for both
+    # the survivor plan — a STATIC partition filter, pruned at
+    # planning — and the emptied-cell diff.
+    assigned = ivf_assign(
+        new_vectors, centroids, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    if assume_new_ids:
+        touched_df = assigned.select("cell").distinct()
+    else:
+        touched_df = _ivf_touched_cells(spark, assigned, path, id_col)
+    touched_cells = sorted(r["cell"] for r in touched_df.collect())
+    merged = _ivf_upsert_merged(
+        spark, assigned, path, id_col, vec_col, touched_cells
+    )
     # The write replaces partitions the plan is still reading from —
     # cut the lineage first (same reasoning as merge_upsert).
     merged = merged.localCheckpoint(eager=True)
@@ -755,16 +770,10 @@ def upsert_ivf_cells(
     if assume_new_ids:
         emptied: list = []  # new ids never empty an existing cell
     else:
-        touched_cells = {
-            r["cell"]
-            for r in _ivf_touched_cells(
-                spark, assigned, path, id_col
-            ).collect()
-        }
         merged_cells = {
             r["cell"] for r in merged.select("cell").distinct().collect()
         }
-        emptied = sorted(touched_cells - merged_cells)
+        emptied = sorted(set(touched_cells) - merged_cells)
     with dynamic_partition_overwrite(spark):
         merged.write.mode("overwrite").partitionBy("cell").parquet(path)
     if emptied:
@@ -795,24 +804,16 @@ def _ivf_upsert_merged(
     path: str,
     id_col: str,
     vec_col: str,
-    assume_new_ids: bool,
+    touched_cells: list,
 ) -> DataFrame:
     """The upsert's merged-partitions plan (split out so the layout test
-    can assert its scan shape: the touched-cell semi-join must reach the
-    index scan as a dynamic-partition-pruning filter — untouched cells'
-    directories are never read, let alone rewritten)."""
+    can assert its scan shape: the collected touched-cell values land
+    as a STATIC partition filter on the index scan — untouched cells'
+    directories are pruned at planning, never read, let alone
+    rewritten)."""
     index = spark.read.parquet(path)
-
-    if assume_new_ids:
-        touched = assigned.select("cell").distinct()
-    else:
-        touched = _ivf_touched_cells(spark, assigned, path, id_col)
-
-    # Survivors: touched-cell rows whose id is not in the batch. The
-    # broadcast semi on touched cells prunes the scan to those cells'
-    # directories (DPP, plan-asserted).
     survivors = (
-        index.join(F.broadcast(touched), "cell", "left_semi")
+        index.where(F.col("cell").isin(touched_cells))
         .join(assigned.select(id_col).distinct(), id_col, "left_anti")
         .select(id_col, vec_col, "cell")
     )
@@ -998,6 +999,14 @@ def delete_from_ann_index(
     victims = F.broadcast(
         ids.select(F.col(id_col).alias("cid")).distinct()
     )
+    # redelivered / no-op batches (ids already gone, empty frame) must
+    # not pay the full rewrite — one id-pruned tbl=0 semi-join decides
+    if (
+        _ann_existing_ids(spark, path)
+        .join(victims, "cid", "left_semi")
+        .isEmpty()
+    ):
+        return
     survivors = (
         _read_ann_rows(spark, path)
         .join(victims, "cid", "left_anti")

@@ -97,15 +97,24 @@ def temporal_split(
 
     Narrow projection + filter: zero shuffles, trivially scale-safe.
     """
+    if not val_start < test_start:
+        # swapped boundaries would silently make the 'val' branch
+        # unreachable (every pre-test row labels train) and purge the
+        # wrong windows — a leakage-control utility must not fail quiet
+        raise ValueError(
+            f"val_start ({val_start!r}) must be < test_start "
+            f"({test_start!r})"
+        )
     t = F.col(time_col)
     v, s = F.lit(val_start), F.lit(test_start)
     if purge_gap is None:
         in_purge = F.lit(False)
-    elif isinstance(purge_gap, str):
-        g = F.expr(purge_gap)
-        in_purge = ((t >= v - g) & (t < v)) | ((t >= s - g) & (t < s))
     else:
-        g = F.lit(purge_gap)
+        g = (
+            F.expr(purge_gap)
+            if isinstance(purge_gap, str)
+            else F.lit(purge_gap)
+        )
         in_purge = ((t >= v - g) & (t < v)) | ((t >= s - g) & (t < s))
     return (
         df.where(t.isNotNull() & ~in_purge)

@@ -13,15 +13,22 @@ incremental-view-maintenance contract for append-only sources, with
 BOTH the read position (checkpointed offsets) and the write
 (manifest-recorded epochs) surviving crashes and replays.
 
-Scope: ``transform`` must be STATELESS and row-monotone (filter /
-project / enrich / explode — anything where transform(A ∪ ΔA) ==
-transform(A) ∪ transform(ΔA)). Aggregating views belong to
-``streaming/rollup_sink.py`` (incremental partial-agg merge), and
-row-level updates/deletes to the source are not expressible as an
-append feed — the source fails loudly on non-append commits
-(``onNonAppend='fail'`` is deliberately not exposed here; a rewritten
-source invalidates a derived table, which should be rebuilt or
-re-pointed, never silently skipped).
+Two view classes, both in this module:
+
+- ``materialize_incremental`` — STATELESS row-monotone transforms
+  (filter / project / enrich / explode — anything where
+  transform(A ∪ ΔA) == transform(A) ∪ transform(ΔA)); each refresh
+  appends the new rows' transform output.
+- ``materialize_aggregate`` — grouped aggregations kept as MERGEABLE
+  partials (count/sum/min/max/HLL-distinct); each refresh folds the
+  new rows' partials into the current state.
+
+(``streaming/rollup_sink.py`` remains the domain-specific hourly
+events rollup; this module is the generic machinery.) Row-level
+updates/deletes to the source are not expressible as an append feed —
+both views fail loudly on non-append commits (``onNonAppend='fail'``
+is deliberately not exposed; a rewritten source invalidates a derived
+table, which should be rebuilt or re-pointed, never silently skipped).
 """
 
 from __future__ import annotations
@@ -72,7 +79,10 @@ def materialize_incremental(
 # ``read_aggregate_view``). avg is deliberately absent (not mergeable
 # as a scalar); derive it as sum/count downstream.
 _MERGEABLE = {
-    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    # ("count",) = count(*); ("count", col) = non-null count of col —
+    # silently treating the second form as the first would diverge
+    # from the groupBy(...).agg(F.count(col)) the caller meant
+    "count": (lambda c: F.count(F.lit(1)) if c is None else F.count(c), F.sum),
     "sum": (lambda c: F.sum(c), F.sum),
     "min": (lambda c: F.min(c), F.min),
     "max": (lambda c: F.max(c), F.max),

@@ -296,28 +296,27 @@ def test_postings_upsert_matches_rebuild_both_layouts(spark, tmp_path):
         assert dump(inc) == dump(full)
 
 
-def test_upsert_scans_are_dynamic_partition_pruned(spark, emb, cents, tmp_path):
-    """The upserts' survivor reads must reach the index scan as a
-    dynamic-partition-pruning filter on the partition column — at corpus
-    scale an upsert touching 3 cells of 1024 must list 3 directories,
-    not scan the index. Asserted on the executed plan of the merged
-    DataFrame both operators write."""
+def test_upsert_scans_are_statically_partition_pruned(spark, emb, cents, tmp_path):
+    """The upserts' survivor reads must reach the index scan with the
+    collected touched-partition values as a STATIC PartitionFilters
+    entry — at corpus scale an upsert touching 3 cells of 1024 must
+    list 3 directories at planning time, not scan the index (and the
+    one discovery scan that finds the touched partitions must be
+    column-pruned to the id, never reading the payload)."""
     from nyc_taxi_data_warehouse_spark.operators.search import (
+        _postings_touched_partitions,
         _postings_upsert_merged,
         postings,
         write_postings_index,
     )
     from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        _ivf_touched_cells,
         _ivf_upsert_merged,
         ivf_assign,
         write_ivf_index,
     )
 
     def check_scans(df, part_col, payload_col):
-        """Survivor scans (they read the payload column) must be DPP-
-        pruned to touched partitions; the old-partition DISCOVERY scan
-        (assume_new=False) legitimately lists the whole index but must
-        be column-pruned to the id — the payload never leaves disk."""
         plan = df._jdf.queryExecution().executedPlan().toString()
         scans = [
             ln
@@ -326,15 +325,21 @@ def test_upsert_scans_are_dynamic_partition_pruned(spark, emb, cents, tmp_path):
         ]
         assert scans
         survivor = [ln for ln in scans if f"{payload_col}#" in ln]
-        discovery = [ln for ln in scans if f"{payload_col}#" not in ln]
-        assert survivor and all("dynamicpruning" in ln for ln in survivor), scans
-        assert all(payload_col not in ln.split("ReadSchema:")[-1] for ln in discovery), scans
+        assert survivor, scans
+        for ln in survivor:
+            part_filters = ln.split("PartitionFilters: [")[-1].split("]")[0]
+            assert f"{part_col}#" in part_filters, ln
+            assert " INSET " in part_filters or " IN " in part_filters, ln
 
     ivf_path = str(tmp_path / "ivf_dpp")
     write_ivf_index(emb.where(F.col("vec_id") < 480), cents, ivf_path)
     assigned = ivf_assign(emb.where(F.col("vec_id") >= 480), cents)
+    touched = sorted(
+        r["cell"]
+        for r in _ivf_touched_cells(spark, assigned, ivf_path, "vec_id").collect()
+    )
     merged = _ivf_upsert_merged(
-        spark, assigned, ivf_path, "vec_id", "embedding", assume_new_ids=False
+        spark, assigned, ivf_path, "vec_id", "embedding", touched
     )
     check_scans(merged, "cell", "embedding")
 
@@ -345,10 +350,26 @@ def test_upsert_scans_are_dynamic_partition_pruned(spark, emb, cents, tmp_path):
     new = postings(docs.where(F.col("doc_id") >= 450)).withColumn(
         "term_bkt", F.pmod(F.xxhash64("term"), F.lit(16))
     )
+    touched_p = sorted(
+        r["term_bkt"]
+        for r in _postings_touched_partitions(
+            spark, new, post_path, "term_bkt"
+        ).collect()
+    )
     merged_p = _postings_upsert_merged(
-        spark, new, post_path, "term_bkt", assume_new_docs=False
+        spark, new, post_path, "term_bkt", touched_p
     )
     check_scans(merged_p, "term_bkt", "tf")
+    # the discovery scan is column-pruned: payload never leaves disk
+    disc_plan = (
+        _postings_touched_partitions(spark, new, post_path, "term_bkt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for ln in disc_plan.splitlines():
+        if "FileScan" in ln and "ReadSchema:" in ln:
+            assert "tf" not in ln.split("ReadSchema:")[-1], ln
 
 
 def test_ann_append_guard_scan_is_pruned(spark, emb, tmp_path):
@@ -775,3 +796,34 @@ def test_ann_delete_equals_rebuild_without_victims(spark, tmp_path):
     assert ann_topk_from_index(
         spark, idx, q, k=3, probe_radius=1, **dials
     ).count() == 0
+
+
+def test_ann_delete_noop_batch_skips_rewrite(spark, tmp_path):
+    """Redelivered / no-op delete batches (ids already gone, empty
+    frame) must not pay the full index rewrite: the file listing is
+    byte-identical afterwards."""
+    import os
+
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        delete_from_ann_index,
+        write_ann_index,
+    )
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "ann_noop")
+    write_ann_index(emb, idx, n_planes=8, dim=64, n_tables=2)
+
+    def listing():
+        out = []
+        for root, _dirs, files in os.walk(idx):
+            out += [os.path.join(root, f) for f in files if not f.startswith("_")]
+        return sorted(out)
+
+    before = listing()
+    absent = spark.createDataFrame([(999999,)], "vec_id long")
+    delete_from_ann_index(absent, idx)
+    delete_from_ann_index(spark.createDataFrame([], "vec_id long"), idx)
+    assert listing() == before

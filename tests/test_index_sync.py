@@ -242,3 +242,27 @@ def test_sync_fuzz_random_dml_sequences(spark, tmp_path):
         assert _index_rows(spark, idx) == _rebuild(
             spark, table, tmp_path, f"fz_ref_{seed}"
         ), seed
+
+
+def test_sync_null_redaction_removes_all_postings(spark, tmp_path):
+    """A redaction that nulls the text (or leaves only punctuation)
+    produces ZERO postings rows for the doc — the upsert path derives
+    its doc set FROM the postings, so without the termless-docs-are-
+    index-deletes rule the old terms stayed retrievable forever."""
+    table = str(tmp_path / "nr_tbl")
+    idx = str(tmp_path / "nr_idx")
+    snapshot_write_with_stats(
+        _docs(spark, [(1, "keep these words"), (3, "secret token")]),
+        table,
+        stats_cols=["doc_id"],
+    )
+    write_postings_index(
+        postings(read_snapshot(spark, table), "text", "doc_id"), idx
+    )
+    set_postings_sync_cursor(spark, idx, 1)
+    snapshot_update_rows(spark, table, "doc_id", [3], {"text": None})
+    res = sync_postings_from_snapshot(spark, table, idx)
+    assert res["docs_deleted"] == 1  # termless doc counts as a delete
+    assert _index_rows(spark, idx) == _rebuild(spark, table, tmp_path, "nr_ref")
+    got_terms = {r["term"] for r in spark.read.parquet(idx).collect()}
+    assert "secret" not in got_terms and "keep" in got_terms

@@ -551,11 +551,12 @@ def test_bmp_decode_all_variants():
         w, h, c, out = got
         assert (w, h, c) == (3, 2, 3)
         assert list(out) == [v for p in px for v in p]
-    # 32-bit with alpha
-    px4 = [(10, 20, 30, 255), (40, 50, 60, 128)]
+    # 32-bit: the reserved 4th byte (zeroed by most writers, NOT alpha
+    # under BI_RGB) must be skipped, not surfaced as a channel
+    px4 = [(10, 20, 30, 0), (40, 50, 60, 0)]
     w, h, c, out = decode_bmp_pixels(_mk_bmp(2, 1, px4, bpp=32))
-    assert (w, h, c) == (2, 1, 4)
-    assert list(out) == [v for p in px4 for v in p]
+    assert (w, h, c) == (2, 1, 3)
+    assert list(out) == [v for p in px4 for v in p[:3]]
     # 8-bit paletted
     pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
     idx = [0, 1, 2, 2, 1, 0]

@@ -460,3 +460,29 @@ def test_materialize_aggregate_hll_distinct_and_retention(spark, tmp_path):
     with _pytest.raises(ValueError, match="keep_versions"):
         materialize_aggregate(spark, src, dst, ["month"], AGGS, ckpt,
                               keep_versions=1)
+
+
+def test_materialize_aggregate_count_column_is_nonnull_count(spark, tmp_path):
+    """('count', col) must count NON-NULL values of col, not rows —
+    silently giving count(*) semantics would diverge from the
+    groupBy(...).agg(F.count(col)) the caller meant."""
+    from nyc_taxi_data_warehouse_spark.streaming.materialize import (
+        materialize_aggregate,
+    )
+
+    src = str(tmp_path / "cn_src")
+    dst = str(tmp_path / "cn_dst")
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 1, None), (3, 2, None), (4, 2, "d")]),
+        src,
+    )
+    materialize_aggregate(
+        spark, src, dst, ["month"],
+        {"rows": ("count",), "n_v": ("count", "v")},
+        str(tmp_path / "cn_ck"),
+    )
+    got = {
+        r["month"]: (r["rows"], r["n_v"])
+        for r in read_snapshot(spark, dst).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1)}

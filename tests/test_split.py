@@ -122,3 +122,13 @@ def test_temporal_split_zero_shuffle(spark):
 
     df = spark.createDataFrame([(i, i) for i in range(100)], "id long, t long")
     assert_no_exchange(temporal_split(df, "t", 50, 80, purge_gap=5))
+
+
+def test_temporal_split_rejects_swapped_boundaries(spark):
+    import pytest
+
+    from nyc_taxi_data_warehouse_spark.operators.split import temporal_split
+
+    df = spark.createDataFrame([(1, 5)], "id long, t long")
+    with pytest.raises(ValueError, match="val_start"):
+        temporal_split(df, "t", val_start=8, test_start=5)
