@@ -535,3 +535,42 @@ def simhash_pairs(
             "hamming",
         )
     )
+
+
+def delete_from_minhash_index(
+    spark, ids: DataFrame, id_col: str, path: str
+) -> None:
+    """Remove documents from a persisted MinHash index — the dedup-side
+    decontamination path (a removed doc must stop suppressing future
+    near-duplicates of itself). Both subtables are unpartitioned by
+    design (see ``write_minhash_index``), so there is no partition
+    pruning to exploit: each rewrites once via anti-join, lineage-cut
+    before the overwrite, with the sidecar preserved — the same
+    full-rewrite-is-the-honest-cost contract as
+    ``similarity.delete_from_ann_index``. No-op batches (ids already
+    absent) skip the rewrite via one column-pruned id scan."""
+    from .indexmeta import IndexMetaError, read_index_meta, write_index_meta
+
+    meta = read_index_meta(spark, path)
+    if meta is None or meta.get("kind") != "minhash":
+        raise IndexMetaError(
+            f"{path}: not a minhash index written by this engine"
+        )
+    victims = F.broadcast(
+        ids.select(F.col(id_col).alias("_id")).distinct()
+    )
+    present = (
+        spark.read.parquet(f"{path}/shingles")
+        .select("_id")
+        .join(victims, "_id", "left_semi")
+    )
+    if present.isEmpty():
+        return
+    for sub in ("buckets", "shingles"):
+        survivors = (
+            spark.read.parquet(f"{path}/{sub}")
+            .join(victims, "_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        survivors.write.mode("overwrite").parquet(f"{path}/{sub}")
+    write_index_meta(spark, path, meta)

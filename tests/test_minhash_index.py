@@ -232,3 +232,63 @@ def test_write_time_skew_guard_drops_degenerate_buckets(spark, tmp_path):
         spark, probe_unique, "text", "doc_id", idx, 0.3
     )
     assert {r.corpus_id for r in hits.collect()} == {102}
+
+
+def test_delete_from_minhash_index_unsuppresses_victims(spark, tmp_path):
+    """Deleting a doc from the index must equal a rebuild without it:
+    a future near-duplicate of the victim is no longer suppressed
+    (the decontamination contract), the sidecar survives, and no-op
+    batches skip the rewrite (file listing unchanged)."""
+    import os
+
+    from nyc_taxi_data_warehouse_spark.operators.dedup import (
+        delete_from_minhash_index,
+        incremental_minhash_pairs,
+        write_minhash_index,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.indexmeta import (
+        read_index_meta,
+    )
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "mh_del")
+    write_minhash_index(spark, docs, "text", "doc_id", idx)
+    meta_before = read_index_meta(spark, idx)
+
+    # probe: near-copies of the corpus (the fixture's own texts with
+    # shifted ids) -> they collide with their originals
+    probe = docs.limit(40).withColumn("doc_id", F.col("doc_id") + 500000)
+    hits = incremental_minhash_pairs(
+        spark, probe, "text", "doc_id", idx, jaccard_threshold=0.5
+    )
+    suppressed = {r["corpus_id"] for r in hits.collect()}
+    assert suppressed, "fixture probe found no collisions; loosen threshold"
+    victims = sorted(suppressed)[:3]
+    vdf = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    delete_from_minhash_index(spark, vdf, "doc_id", idx)
+
+    # rebuild-equivalence: same pairs as an index built without victims
+    ref = str(tmp_path / "mh_ref")
+    write_minhash_index(
+        spark, docs.join(vdf, "doc_id", "left_anti"), "text", "doc_id", ref
+    )
+    after = sorted(map(tuple, incremental_minhash_pairs(
+        spark, probe, "text", "doc_id", idx, jaccard_threshold=0.5).collect()))
+    want = sorted(map(tuple, incremental_minhash_pairs(
+        spark, probe, "text", "doc_id", ref, jaccard_threshold=0.5).collect()))
+    assert after == want
+    assert not any(r[1] in victims for r in after)  # unsuppressed
+    assert read_index_meta(spark, idx) == meta_before
+
+    def listing():
+        out = []
+        for root, _d, files in os.walk(idx):
+            out += [os.path.join(root, f) for f in files if not f.startswith("_")]
+        return sorted(out)
+
+    before_files = listing()
+    delete_from_minhash_index(spark, vdf, "doc_id", idx)  # redelivery
+    assert listing() == before_files
