@@ -486,3 +486,34 @@ def test_materialize_aggregate_count_column_is_nonnull_count(spark, tmp_path):
         for r in read_snapshot(spark, dst).collect()
     }
     assert got == {1: (2, 1), 2: (2, 1)}
+
+
+def test_changes_across_schema_evolution(spark, table):
+    """The change feed normalizes every version's rows to the
+    to_version schema: rows from commits written BEFORE a column was
+    added surface it as NULL, and the apply-invariant still bridges
+    the evolving history."""
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "id long, v string"), table
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, v string, score double"
+        ),
+        table,
+        mode="append",
+    )
+    ch = snapshot_changes(spark, table, from_version=0)
+    rows = sorted(
+        (r["id"], r["v"], r["score"], r["_commit_version"])
+        for r in ch.collect()
+    )
+    assert rows == [(1, "a", None, 1), (2, "b", 9.5, 2)]
+    assert dict(ch.drop("_change_type", "_commit_version").dtypes) == {
+        "id": "bigint", "v": "string", "score": "double",
+    }
+    # streaming source follows the same contract
+    got = _drain(spark, table, str(table) + "_ck_ev", "feed_ev")
+    assert sorted(
+        (r["id"], r["score"]) for r in got.collect()
+    ) == [(1, None), (2, 9.5)]
