@@ -132,3 +132,42 @@ def test_temporal_split_rejects_swapped_boundaries(spark):
     df = spark.createDataFrame([(1, 5)], "id long, t long")
     with pytest.raises(ValueError, match="val_start"):
         temporal_split(df, "t", val_start=8, test_start=5)
+
+
+def test_temporal_split_property_vs_reference(spark):
+    """Property (numeric time axis): labels and purges match a direct
+    python evaluation of the half-open interval rules for arbitrary
+    boundaries and gaps."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from nyc_taxi_data_warehouse_spark.operators.split import temporal_split
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        v=st.integers(10, 40),
+        gap_after=st.integers(1, 30),
+        gap=st.integers(0, 8),
+    )
+    def run(v, gap_after, gap):
+        s = v + gap_after
+        df = spark.createDataFrame([(i, i) for i in range(60)], "id long, t long")
+        got = {
+            r["id"]: r["split"]
+            for r in temporal_split(
+                df, "t", v, s, purge_gap=gap or None
+            ).collect()
+        }
+        for t in range(60):
+            purged = gap and (v - gap <= t < v or s - gap <= t < s)
+            if purged:
+                assert t not in got, (t, v, s, gap)
+            else:
+                want = "train" if t < v else "val" if t < s else "test"
+                assert got[t] == want, (t, v, s, gap)
+
+    run()
