@@ -34,6 +34,9 @@ _OPS = st.lists(
         st.tuples(st.just("delete"), st.integers(0, 30)),
         st.tuples(st.just("update"), st.integers(0, 30)),
         st.tuples(st.just("compact"), st.just(0)),
+        # restore: roll back to a pseudo-random retained version (the
+        # payload indexes into the versions list at apply time)
+        st.tuples(st.just("restore"), st.integers(0, 7)),
     ),
     min_size=2,
     max_size=6,
@@ -86,6 +89,14 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             snapshot_update_rows(
                 spark, table, "id", [args[0]], {"v": "REDACTED"}
             )
+        elif kind == "restore":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                _list_manifests,
+                snapshot_restore,
+            )
+
+            vs = _list_manifests(spark, table)
+            snapshot_restore(spark, table, vs[args[0] % len(vs)])
         else:
             snapshot_compact(spark, table, partition_cols=pc)
 
