@@ -686,9 +686,12 @@ def write_ivf_index(
 
     spark = corpus.sparkSession
     with static_partition_overwrite(spark):
-        ivf_assign(corpus, centroids, id_col, vec_col).write.mode(
-            "overwrite"
-        ).partitionBy("cell").parquet(path)
+        # NULL/empty vectors are unindexable: they'd get a tie-broken
+        # cell anyway (null cosine + row_number) and then surface as
+        # null-sim candidates that FILL top-k slots at probe time
+        ivf_assign(corpus, centroids, id_col, vec_col).where(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+        ).write.mode("overwrite").partitionBy("cell").parquet(path)
     write_index_meta(
         spark,
         path,
@@ -751,9 +754,12 @@ def upsert_ivf_cells(
     else:
         touched_df = _ivf_touched_cells(spark, assigned, path, id_col)
     touched_cells = sorted(r["cell"] for r in touched_df.collect())
+    # The anti-join keeps EVERY batch id (so an id whose vector was
+    # redacted to NULL loses its old row), but unindexable rows never
+    # enter the written index — same rule as write_ivf_index
     merged = _ivf_upsert_merged(
         spark, assigned, path, id_col, vec_col, touched_cells
-    )
+    ).where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     # The write replaces partitions the plan is still reading from —
     # cut the lineage first (same reasoning as merge_upsert).
     merged = merged.localCheckpoint(eager=True)

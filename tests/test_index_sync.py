@@ -266,3 +266,43 @@ def test_sync_null_redaction_removes_all_postings(spark, tmp_path):
     assert _index_rows(spark, idx) == _rebuild(spark, table, tmp_path, "nr_ref")
     got_terms = {r["term"] for r in spark.read.parquet(idx).collect()}
     assert "secret" not in got_terms and "keep" in got_terms
+
+
+def test_ivf_sync_null_embedding_update_removes_old_vector(spark, tmp_path):
+    """An embedding UPDATED to NULL (vector redaction) must remove the
+    old vector from the IVF index AND must not leave a null-vector row
+    behind — a null row still gets a tie-broken cell assignment, so
+    without the unindexable-row filter it would surface as a null-sim
+    candidate that FILLS top-k slots at probe time. The anti-join keeps
+    the id (old row erased); the written index excludes the null row."""
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        ivf_topk_from_index,
+        set_ivf_sync_cursor,
+        sync_ivf_from_snapshot,
+        write_ivf_index,
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    table = str(tmp_path / "nv_tbl")
+    idx = str(tmp_path / "nv_idx")
+    cents = vecs([(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    v1 = snapshot_write_with_stats(
+        vecs([(10, [0.9, 0.1]), (11, [0.1, 0.9])]), table,
+        stats_cols=["vec_id"],
+    )
+    write_ivf_index(read_snapshot(spark, table), cents, idx)
+    set_ivf_sync_cursor(spark, idx, v1)
+    snapshot_update_rows(spark, table, "vec_id", [10], {"embedding": None})
+    sync_ivf_from_snapshot(spark, table, idx, cents)
+    rows = spark.read.parquet(idx).collect()
+    by_id = {r["vec_id"]: r["embedding"] for r in rows}
+    assert 10 not in by_id  # old vector erased, no null row written
+    assert by_id[11] is not None
+    # a probe near 10's OLD vector no longer returns it
+    q = vecs([(900, [0.9, 0.1])])
+    got = ivf_topk_from_index(spark, idx, q, cents, k=2, n_probe=2).collect()
+    assert [r["cid"] for r in got] == [11]
