@@ -149,6 +149,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="JSON array of values, e.g. '[11,42]' or '[\"a\"]'",
     )
 
+    ci = sub.add_parser(
+        "compact-index",
+        help="defragment a persisted index (ANN/IVF/postings/bloom/"
+        "minhash) in place, sidecar preserved — the standing repair "
+        "after N incremental ingest cycles",
+    )
+    ci.add_argument("--index-path", required=True)
+    ci.add_argument("--target-mb", type=int, default=64)
+
     sc = sub.add_parser(
         "snapshot-changes",
         help="print the row-level change feed between two versions as "
@@ -313,6 +322,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark, args.table_path, args.col, json.loads(args.values)
             )
             print(json.dumps({"version": v, "rows_deleted": n}))
+        elif args.cmd == "compact-index":
+            from .operators.indexmeta import compact_index
+
+            print(
+                json.dumps(
+                    compact_index(
+                        spark, args.index_path, target_mb=args.target_mb
+                    )
+                )
+            )
         elif args.cmd == "snapshot-changes":
             from .warehouse.snapshots import snapshot_changes
 

@@ -187,3 +187,34 @@ def test_compact_index_minhash_two_subtables(spark, tmp_path):
         ).collect())
     )
     assert after == before and len(before) > 0
+
+
+def test_compact_index_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        append_to_ann_index,
+        write_ann_index,
+    )
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "cli_idx")
+    write_ann_index(
+        emb.where("vec_id < 300"), idx, n_planes=8, dim=64, n_tables=2
+    )
+    for lo in (300, 350, 400):
+        append_to_ann_index(
+            emb.where(f"vec_id >= {lo} and vec_id < {lo + 50}"), idx
+        )
+    assert main(
+        ["compact-index", "--index-path", idx], spark=spark
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_after"] < out["files_before"]
+    assert spark.read.parquet(idx).count() == 2 * emb.where(
+        "vec_id < 450"
+    ).count()
