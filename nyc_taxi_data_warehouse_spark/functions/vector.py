@@ -32,3 +32,18 @@ def cosine(a: Column, b: Column) -> Column:
     # try_divide: a zero-norm vector yields NULL similarity instead of an
     # ANSI DIVIDE_BY_ZERO that would fail the whole job (hypothesis-found).
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def indexable(vec: Column) -> Column:
+    """True iff the vector can participate in cosine ranking: non-null,
+    non-empty, finite positive norm. Zero vectors yield NULL cosine
+    (try_divide) and NaN components sort FIRST under desc ordering —
+    both pollute top-k candidate lists, so index writers filter on
+    this predicate."""
+    n2 = dot(as_double(vec), as_double(vec))
+    return (
+        vec.isNotNull()
+        & (F.size(vec) > 0)
+        & ~F.isnan(n2)
+        & (n2 > 0.0)
+    )

@@ -346,6 +346,20 @@ def delete_from_minhash_index(spark, ids: DataFrame, id_col: str, path: str) -> 
 
     check_index_meta(spark, path, {"kind": "minhash"})
     victims = F.broadcast(ids.select(F.col(id_col).alias("_id")).distinct())
+    # Redelivered / no-op batches skip the full rewrite — but the
+    # presence probe must check BOTH subtables (a crash between the
+    # append's buckets and shingles writes can leave bucket-only ids;
+    # a shingles-only probe would declare them absent and the stale
+    # bucket rows would persist forever). Two column-pruned id scans.
+    present = any(
+        not spark.read.parquet(f"{path}/{t}")
+        .select("_id")
+        .join(victims, "_id", "left_semi")
+        .isEmpty()
+        for t in ("buckets", "shingles")
+    )
+    if not present:
+        return
     with static_partition_overwrite(spark):
         for table in ("buckets", "shingles"):
             df = spark.read.parquet(f"{path}/{table}")
@@ -537,40 +551,3 @@ def simhash_pairs(
     )
 
 
-def delete_from_minhash_index(
-    spark, ids: DataFrame, id_col: str, path: str
-) -> None:
-    """Remove documents from a persisted MinHash index — the dedup-side
-    decontamination path (a removed doc must stop suppressing future
-    near-duplicates of itself). Both subtables are unpartitioned by
-    design (see ``write_minhash_index``), so there is no partition
-    pruning to exploit: each rewrites once via anti-join, lineage-cut
-    before the overwrite, with the sidecar preserved — the same
-    full-rewrite-is-the-honest-cost contract as
-    ``similarity.delete_from_ann_index``. No-op batches (ids already
-    absent) skip the rewrite via one column-pruned id scan."""
-    from .indexmeta import IndexMetaError, read_index_meta, write_index_meta
-
-    meta = read_index_meta(spark, path)
-    if meta is None or meta.get("kind") != "minhash":
-        raise IndexMetaError(
-            f"{path}: not a minhash index written by this engine"
-        )
-    victims = F.broadcast(
-        ids.select(F.col(id_col).alias("_id")).distinct()
-    )
-    present = (
-        spark.read.parquet(f"{path}/shingles")
-        .select("_id")
-        .join(victims, "_id", "left_semi")
-    )
-    if present.isEmpty():
-        return
-    for sub in ("buckets", "shingles"):
-        survivors = (
-            spark.read.parquet(f"{path}/{sub}")
-            .join(victims, "_id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        survivors.write.mode("overwrite").parquet(f"{path}/{sub}")
-    write_index_meta(spark, path, meta)

@@ -686,11 +686,12 @@ def write_ivf_index(
 
     spark = corpus.sparkSession
     with static_partition_overwrite(spark):
-        # NULL/empty vectors are unindexable: they'd get a tie-broken
-        # cell anyway (null cosine + row_number) and then surface as
-        # null-sim candidates that FILL top-k slots at probe time
+        # Unindexable vectors (NULL/empty/zero-norm/NaN) would get a
+        # tie-broken cell anyway (null cosine + row_number) and then
+        # pollute probes: null sims FILL top-k slots, NaN sims sort
+        # FIRST under desc and hijack rank 1
         ivf_assign(corpus, centroids, id_col, vec_col).where(
-            F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+            V.indexable(F.col(vec_col))
         ).write.mode("overwrite").partitionBy("cell").parquet(path)
     write_index_meta(
         spark,
@@ -749,17 +750,36 @@ def upsert_ivf_cells(
     assigned = ivf_assign(
         new_vectors, centroids, id_col, vec_col
     ).localCheckpoint(eager=True)
+    # NEW-cell discovery uses only indexable rows — an unindexable
+    # (NULL/zero-norm/NaN) vector's tie-broken cell must not force a
+    # needless rewrite of that partition; OLD-cell discovery and the
+    # anti-join keep EVERY batch id, so a vector redacted to NULL still
+    # loses its old row, and unindexable rows never enter the written
+    # index — same rule as write_ivf_index.
+    indexable = assigned.where(V.indexable(F.col(vec_col)))
     if assume_new_ids:
-        touched_df = assigned.select("cell").distinct()
+        touched_df = indexable.select("cell").distinct()
     else:
-        touched_df = _ivf_touched_cells(spark, assigned, path, id_col)
+        index = spark.read.parquet(path)
+        old_cells = (
+            index.join(
+                F.broadcast(assigned.select(id_col).distinct()),
+                id_col,
+                "left_semi",
+            )
+            .select("cell")
+            .distinct()
+        )
+        touched_df = (
+            indexable.select("cell")
+            .distinct()
+            .unionByName(old_cells)
+            .distinct()
+        )
     touched_cells = sorted(r["cell"] for r in touched_df.collect())
-    # The anti-join keeps EVERY batch id (so an id whose vector was
-    # redacted to NULL loses its old row), but unindexable rows never
-    # enter the written index — same rule as write_ivf_index
     merged = _ivf_upsert_merged(
         spark, assigned, path, id_col, vec_col, touched_cells
-    ).where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    ).where(V.indexable(F.col(vec_col)))
     # The write replaces partitions the plan is still reading from —
     # cut the lineage first (same reasoning as merge_upsert).
     merged = merged.localCheckpoint(eager=True)
