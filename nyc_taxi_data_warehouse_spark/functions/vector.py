@@ -46,4 +46,7 @@ def indexable(vec: Column) -> Column:
         & (F.size(vec) > 0)
         & ~F.isnan(n2)
         & (n2 > 0.0)
+        # ±Inf components give n2 = inf (not NaN, > 0) yet still yield
+        # NaN/NULL cosine downstream — require a finite norm too.
+        & (n2 < F.lit(float("inf")))
     )

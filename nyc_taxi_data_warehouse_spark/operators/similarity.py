@@ -760,22 +760,7 @@ def upsert_ivf_cells(
     if assume_new_ids:
         touched_df = indexable.select("cell").distinct()
     else:
-        index = spark.read.parquet(path)
-        old_cells = (
-            index.join(
-                F.broadcast(assigned.select(id_col).distinct()),
-                id_col,
-                "left_semi",
-            )
-            .select("cell")
-            .distinct()
-        )
-        touched_df = (
-            indexable.select("cell")
-            .distinct()
-            .unionByName(old_cells)
-            .distinct()
-        )
+        touched_df = _ivf_touched_cells(spark, assigned, indexable, path, id_col)
     touched_cells = sorted(r["cell"] for r in touched_df.collect())
     merged = _ivf_upsert_merged(
         spark, assigned, path, id_col, vec_col, touched_cells
@@ -806,12 +791,33 @@ def upsert_ivf_cells(
         delete_partition_dirs(spark, path, [f"cell={c}" for c in emptied])
 
 
+def _read_ivf_like(spark, path: str, like: DataFrame) -> DataFrame:
+    """Read an IVF index, tolerating a ZERO-FILE layout: an index
+    bootstrapped from an empty table version (the sync_* docstrings'
+    recommended cursor-first setup) writes no parquet files, and a bare
+    ``spark.read.parquet`` would crash the first sync with
+    UNABLE_TO_INFER_SCHEMA. Fall back to a typed-empty frame shaped
+    like the incoming assignment — the same contract as
+    ``_read_ann_rows``."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path).select(*like.columns)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        return spark.createDataFrame([], like.schema)
+
+
 def _ivf_touched_cells(
-    spark, assigned: DataFrame, path: str, id_col: str
+    spark, assigned: DataFrame, indexable: DataFrame, path: str, id_col: str
 ) -> DataFrame:
-    """Cells an upsert batch touches: its newly-assigned cells plus any
-    currently holding a batch id (column-pruned scan)."""
-    index = spark.read.parquet(path)
+    """Cells an upsert batch touches: its newly-assigned INDEXABLE
+    cells — an unindexable row's tie-broken cell must not force a
+    rewrite — plus any cell currently holding a batch id (ALL batch
+    ids, including unindexable: a vector redacted to NULL must still
+    lose its old row; column-pruned scan)."""
+    index = _read_ivf_like(spark, path, assigned)
     old_cells = (
         index.join(
             F.broadcast(assigned.select(id_col).distinct()), id_col, "left_semi"
@@ -820,7 +826,7 @@ def _ivf_touched_cells(
         .distinct()
     )
     return (
-        assigned.select("cell").distinct().unionByName(old_cells).distinct()
+        indexable.select("cell").distinct().unionByName(old_cells).distinct()
     )
 
 
@@ -837,7 +843,9 @@ def _ivf_upsert_merged(
     as a STATIC partition filter on the index scan — untouched cells'
     directories are pruned at planning, never read, let alone
     rewritten)."""
-    index = spark.read.parquet(path)
+    index = _read_ivf_like(
+        spark, path, assigned.select(id_col, vec_col, "cell")
+    )
     survivors = (
         index.where(F.col("cell").isin(touched_cells))
         .join(assigned.select(id_col).distinct(), id_col, "left_anti")
@@ -868,7 +876,14 @@ def delete_from_ivf_index(
 
     spark = ids.sparkSession
     check_index_meta(spark, path, {"kind": "ivf"})
-    index = spark.read.parquet(path)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        index = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        return  # zero-file (bootstrap-empty) index: nothing to delete
     victim_ids = F.broadcast(ids.select(id_col).distinct())
 
     touched = (

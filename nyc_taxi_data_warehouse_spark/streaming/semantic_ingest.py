@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import vector as V
 from ..operators.dedup import dup_clusters
 from ..operators.indexmeta import check_index_meta, read_index_meta
 from ..operators.similarity import (
@@ -100,9 +101,16 @@ def stream_semantic_dedup_ingest(
         indexed = _ann_existing_ids(spark, index_path).withColumnRenamed(
             "cid", "_seen"
         )
-        fresh = batch.join(
-            indexed, batch[id_col] == indexed["_seen"], "left_anti"
-        ).localCheckpoint(eager=True)
+        # Unindexable vectors (null/empty/zero-norm/NaN/Inf) get NULL
+        # cosine in BOTH gates, so they would always "survive" and pile
+        # junk into the kept corpus and the ANN index. Drop them up
+        # front — the same contract as the IVF/ANN index writers, which
+        # refuse to index them.
+        fresh = (
+            batch.where(V.indexable(F.col(vec_col)))
+            .join(indexed, F.col(id_col) == indexed["_seen"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
         if fresh.isEmpty():
             return
 

@@ -252,3 +252,81 @@ def test_bloom_build_on_empty_table(spark, tmp_path):
     n = build_bloom_index(spark, tbl, "key", idx, m_bits=1024, k=3)
     assert n == 0
     assert bloom_candidate_files(spark, idx, "key", [7], m_bits=1024, k=3) == []
+
+
+def test_indexable_rejects_infinite_vectors(spark):
+    """The indexable() predicate must reject every vector that cannot
+    participate in cosine ranking: null, empty, zero-norm, NaN — and
+    ±Inf components, whose squared norm is inf (not NaN, > 0) yet
+    still yields NaN/NULL cosine downstream; without the finite-norm
+    clause they'd slip past the predicate into index writers."""
+    from nyc_taxi_data_warehouse_spark.functions import vector as V
+
+    inf = float("inf")
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),       # good
+            (2, None),             # null
+            (3, []),               # empty
+            (4, [0.0, 0.0]),       # zero norm
+            (5, [nan, 1.0]),       # NaN component
+            (6, [inf, 1.0]),       # +Inf component
+            (7, [-inf, 1.0]),      # -Inf component
+            (8, [1e38, 1e38]),     # huge but finite: n2 finite in double
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in df.where(V.indexable(F.col("embedding"))).collect()
+    )
+    assert kept == [1, 8]
+
+
+def test_semantic_ingest_drops_unindexable_vectors(spark, tmp_path):
+    """Unindexable vectors (null/empty/zero-norm/NaN/Inf) get NULL
+    cosine in both semantic-ingest gates, so without an explicit filter
+    they'd always 'survive' and pollute the kept corpus AND the ANN
+    index. They must be dropped up front — same contract as the
+    IVF/ANN index writers."""
+    from nyc_taxi_data_warehouse_spark.streaming.semantic_ingest import (
+        init_semantic_index,
+        stream_semantic_dedup_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ck = str(tmp_path / "ck")
+    dim = 4
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero norm
+        (3, None),                           # null
+        (4, [float("nan"), 1.0, 0.0, 0.0]),  # NaN
+        (5, [float("inf"), 1.0, 0.0, 0.0]),  # Inf
+        (6, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(src)
+    init_semantic_index(spark, idx, dim=dim)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(src)
+    )
+    stream_semantic_dedup_ingest(
+        spark, stream, idx, kept, threshold=0.95, checkpoint=ck
+    )
+    kept_ids = sorted(
+        r["vec_id"] for r in spark.read.parquet(kept).collect()
+    )
+    assert kept_ids == [1, 6]
+    # the ANN index holds exactly the kept (indexable) ids
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        _ann_existing_ids,
+    )
+    assert sorted(
+        r["cid"] for r in _ann_existing_ids(spark, idx).collect()
+    ) == [1, 6]

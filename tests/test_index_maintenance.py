@@ -333,10 +333,15 @@ def test_upsert_scans_are_statically_partition_pruned(spark, emb, cents, tmp_pat
 
     ivf_path = str(tmp_path / "ivf_dpp")
     write_ivf_index(emb.where(F.col("vec_id") < 480), cents, ivf_path)
+    from nyc_taxi_data_warehouse_spark.functions import vector as V
+
     assigned = ivf_assign(emb.where(F.col("vec_id") >= 480), cents)
+    indexable = assigned.where(V.indexable(F.col("embedding")))
     touched = sorted(
         r["cell"]
-        for r in _ivf_touched_cells(spark, assigned, ivf_path, "vec_id").collect()
+        for r in _ivf_touched_cells(
+            spark, assigned, indexable, ivf_path, "vec_id"
+        ).collect()
     )
     merged = _ivf_upsert_merged(
         spark, assigned, ivf_path, "vec_id", "embedding", touched

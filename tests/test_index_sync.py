@@ -306,3 +306,64 @@ def test_ivf_sync_null_embedding_update_removes_old_vector(spark, tmp_path):
     q = vecs([(900, [0.9, 0.1])])
     got = ivf_topk_from_index(spark, idx, q, cents, k=2, n_probe=2).collect()
     assert [r["cid"] for r in got] == [11]
+
+
+def test_sync_bootstrap_from_empty_table(spark, tmp_path):
+    """The sync docstrings' recommended setup — build the index from
+    ``read_snapshot(table, v)`` and set the cursor — must work when
+    that build version is EMPTY: the partitioned index write emits zero
+    parquet files, and the first sync's index reads must fall back to a
+    typed-empty frame (the `_read_ann_rows` contract) instead of
+    crashing with UNABLE_TO_INFER_SCHEMA. Covers both the postings and
+    the IVF paths."""
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        ivf_topk_from_index,
+        set_ivf_sync_cursor,
+        sync_ivf_from_snapshot,
+        write_ivf_index,
+    )
+
+    # --- postings: empty v1, then an append+delete storm, then sync
+    table = str(tmp_path / "boot_docs")
+    idx = str(tmp_path / "boot_post")
+    v1 = snapshot_write_with_stats(
+        _docs(spark, []), table, stats_cols=["doc_id"]
+    )
+    write_postings_index(
+        postings(read_snapshot(spark, table), "text", "doc_id"), idx
+    )
+    set_postings_sync_cursor(spark, idx, v1)
+    snapshot_write(
+        _docs(spark, [(1, "alpha beta"), (2, "beta gamma")]),
+        table,
+        mode="append",
+    )
+    snapshot_delete_rows(spark, table, "doc_id", [2])
+    res = sync_postings_from_snapshot(spark, table, idx)
+    assert res["docs_upserted"] == 1
+    assert _index_rows(spark, idx) == _rebuild(
+        spark, table, tmp_path, "boot_post_ref"
+    )
+
+    # --- IVF: same bootstrap, vectors
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    vtable = str(tmp_path / "boot_emb")
+    vidx = str(tmp_path / "boot_ivf")
+    cents = vecs([(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    w1 = snapshot_write_with_stats(
+        vecs([]), vtable, stats_cols=["vec_id"]
+    )
+    write_ivf_index(read_snapshot(spark, vtable), cents, vidx)
+    set_ivf_sync_cursor(spark, vidx, w1)
+    snapshot_write(
+        vecs([(10, [0.9, 0.1]), (11, [0.1, 0.9])]), vtable, mode="append"
+    )
+    res = sync_ivf_from_snapshot(spark, vtable, vidx, cents)
+    assert res["vecs_upserted"] == 2
+    q = vecs([(900, [1.0, 0.0])])
+    got = ivf_topk_from_index(spark, vidx, q, cents, k=1, n_probe=2).collect()
+    assert [r["cid"] for r in got] == [10]
