@@ -26,9 +26,14 @@ Two view classes, both in this module:
 (``streaming/rollup_sink.py`` remains the domain-specific hourly
 events rollup; this module is the generic machinery.) Row-level
 updates/deletes to the source are not expressible as an append feed —
-both views fail loudly on non-append commits (``onNonAppend='fail'``
-is deliberately not exposed; a rewritten source invalidates a derived
-table, which should be rebuilt or re-pointed, never silently skipped).
+both views fail loudly on row-changing non-append commits. The one
+rewrite shape routine operation WILL hit — ``snapshot_compact`` on the
+source — is row-neutral by construction, so the views consume the feed
+with ``onNonAppend='verify'``: a commit proven row-neutral (op ==
+"compact" with footer-equal row totals) streams zero rows and the view
+keeps refreshing; a genuine delete/update/replace still fails loudly
+(the dial is deliberately not exposed — silently skipping a
+row-changing rewrite would corrupt the derived table).
 """
 
 from __future__ import annotations
@@ -58,7 +63,7 @@ def materialize_incremental(
     commits is a no-op (no empty version is published)."""
     feed = read_snapshot_stream(
         spark, src_path, starting_version=starting_version,
-        on_non_append="fail",
+        on_non_append="verify",
     )
     stream_snapshot_append(
         spark,
@@ -112,14 +117,23 @@ def materialize_aggregate(
     classic partial-aggregation contract, so refresh cost is
     O(new data + |groups|), never O(source).
 
+    A key is either a source column name or a TIME BUCKET spec
+    ``(alias, unit, ts_col)`` — ``("ev_hour", "hour", "ts")`` groups by
+    ``date_trunc('hour', ts) AS ev_hour``. Because the stored values
+    are mergeable partials, a finer-bucketed view REMAINS re-aggregable
+    coarser at read time (hourly → daily is one groupBy over |groups|
+    rows, never the source) — so keep the view at the finest granule
+    any consumer needs and derive the rest.
+
     Exactly-once: the feed's offsets are checkpointed, and every
     publish records ``(stream_id, epoch)`` in the derived table's
     manifest — ``stream_snapshot_append``'s replay guard, except each
     epoch publishes a full OVERWRITE commit of the merged state (a
     replayed epoch is skipped; a crash before the manifest flip leaves
-    the old state for the replay to redo). Non-append source commits
-    fail loudly: merged partials cannot un-merge deleted rows — rebuild
-    the view or restore the source.
+    the old state for the replay to redo). Row-changing non-append
+    source commits fail loudly: merged partials cannot un-merge deleted
+    rows — rebuild the view or restore the source. Verified row-neutral
+    compactions pass (zero rows, see ``onNonAppend='verify'``).
 
     ``keep_versions`` (>= 2) vacuums the derived table down to that
     many versions after each refresh run — every refresh is one commit,
@@ -142,8 +156,18 @@ def materialize_aggregate(
                 f"{sorted(_MERGEABLE)} (derive avg as sum/count)"
             )
 
+    # a str key groups the raw batch by that column; a (alias, unit,
+    # ts_col) key by date_trunc. The MERGE side always groups by the
+    # output NAME — the partials table already carries the bucketed
+    # column under its alias.
+    group_exprs = [
+        k if isinstance(k, str) else F.date_trunc(k[1], k[2]).alias(k[0])
+        for k in keys
+    ]
+    key_names = [k if isinstance(k, str) else k[0] for k in keys]
+
     def partials(df: DataFrame) -> DataFrame:
-        return df.groupBy(*keys).agg(
+        return df.groupBy(*group_exprs).agg(
             *[
                 _MERGEABLE[s[0]][0](s[1] if len(s) > 1 else None).alias(n)
                 for n, s in aggs.items()
@@ -151,7 +175,7 @@ def materialize_aggregate(
         )
 
     def merge(cur: DataFrame, batch_p: DataFrame) -> DataFrame:
-        return cur.unionByName(batch_p).groupBy(*keys).agg(
+        return cur.unionByName(batch_p).groupBy(*key_names).agg(
             *[_MERGEABLE[s[0]][1](n).alias(n) for n, s in aggs.items()]
         )
 
@@ -182,7 +206,7 @@ def materialize_aggregate(
 
     feed = read_snapshot_stream(
         spark, src_path, starting_version=starting_version,
-        on_non_append="fail",
+        on_non_append="verify",
     )
     if keep_versions is not None and keep_versions < 2:
         raise ValueError(
@@ -204,15 +228,29 @@ def materialize_aggregate(
 
 
 def read_aggregate_view(
-    spark: SparkSession, dst_path: str, aggs: dict[str, tuple]
+    spark: SparkSession,
+    dst_path: str,
+    aggs: dict[str, tuple],
+    derived: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a ``materialize_aggregate`` view with sketch partials
     resolved to consumable values — ``approx_distinct`` columns become
-    their HLL estimates (long); everything else reads as stored."""
+    their HLL estimates (long); everything else reads as stored.
+
+    ``derived`` adds read-side RATIO measures over the stored partials
+    — the ergonomic face of "avg is not mergeable, store sum+count":
+    ``{"avg_x": ("sum_x", "cnt")}`` appends
+    ``sum_x / cnt AS avg_x`` (``try_divide``: an empty group reads as
+    NULL, exactly what ``avg`` over zero rows returns). Derivation
+    costs |groups| scalar divisions at read time, never a source scan,
+    and the stored partials stay mergeable for coarser re-aggregation.
+    """
     from ..warehouse.snapshots import read_snapshot
 
     df = read_snapshot(spark, dst_path)
     for name, spec in aggs.items():
         if spec[0] == "approx_distinct":
             df = df.withColumn(name, F.hll_sketch_estimate(F.col(name)))
+    for name, (num, den) in (derived or {}).items():
+        df = df.withColumn(name, F.try_divide(F.col(num), F.col(den)))
     return df

@@ -32,7 +32,13 @@ Scale design:
   delete, partition replacement) are not expressible as an insert-only
   feed — `onNonAppend=fail` (default) stops the stream loudly,
   `onNonAppend=skip` ignores them (correct for compaction, which
-  changes no rows; lossy for deletes — caller's explicit choice).
+  changes no rows; lossy for deletes — caller's explicit choice),
+  `onNonAppend=verify` streams zero rows from a commit PROVEN
+  row-neutral (op == "compact" and removed-file row totals equal
+  added-file row totals, read from parquet footers — metadata-only)
+  and still fails loudly on anything else. `verify` is what the
+  materialized views use: routine compaction of the source no longer
+  breaks every derived view, while a genuine delete/update still does.
 
 All filesystem access here uses `pyarrow.fs.FileSystem.from_uri`
 (local, HDFS, S3, GCS), because data-source code runs in plain Python
@@ -60,6 +66,38 @@ from pyspark.sql.types import StructType
 _VDIR = "_versions"
 
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _ensure_pickle_by_value() -> None:
+    """Make this module cloudpickle-by-VALUE so the Data Source survives
+    every deployment shape.
+
+    The registered DataSource class is cloudpickled at plan time and
+    unpickled inside Spark's python_streaming_source_runner subprocess.
+    Pickled by REFERENCE (the default for module-level classes), that
+    subprocess must be able to ``import nyc_taxi_data_warehouse_spark`` — true only
+    when the driver ran from the repo root or the package is installed,
+    and NOT fixed by ``addPyFile`` (which covers task workers, not the
+    source-runner). By-value registration embeds the class and the
+    module globals it uses into the pickle itself, so planning works
+    from any cwd with zero install — the same self-containedness bar
+    the Pandas-UDF paths meet via ``session._ship_package``.
+
+    Registered against pyspark's VENDORED cloudpickle (the one that
+    does the pickling); idempotent."""
+    try:
+        from pyspark import cloudpickle  # vendored; the serializer used
+    except ImportError:  # pragma: no cover - vendoring moved
+        import cloudpickle
+    import sys
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+try:
+    _ensure_pickle_by_value()
+except Exception:  # pragma: no cover - never block batch-side imports
+    pass
 
 
 def _pa_fs(path: str):
@@ -110,6 +148,16 @@ def _unescape_partition_value(v: str) -> str:
     return "".join(out)
 
 
+def _parquet_num_rows(file_uri: str) -> int:
+    """Row count from the parquet FOOTER — one small metadata read, no
+    data pages. Runs in the plain-Python planning process (no JVM)."""
+    import pyarrow.parquet as pq
+
+    fs, p = _pa_fs(file_uri)
+    with fs.open_input_file(p) as f:
+        return pq.ParquetFile(f).metadata.num_rows
+
+
 def _partition_values_from_path(rel_file: str) -> dict[str, str | None]:
     """``data/<uuid>/year=2023/month=5/part-0.parquet`` →
     {"year": "2023", "month": "5"} (None for the Hive null marker)."""
@@ -134,9 +182,10 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._path = options["path"]
         self._on_non_append = options.get("onnonappend", "fail").lower()
-        if self._on_non_append not in ("fail", "skip"):
+        if self._on_non_append not in ("fail", "skip", "verify"):
             raise ValueError(
-                f"onNonAppend must be fail|skip; got {self._on_non_append!r}"
+                "onNonAppend must be fail|skip|verify; got "
+                f"{self._on_non_append!r}"
             )
         start = str(options.get("startingversion", "0")).lower()
         if start == "latest":
@@ -200,9 +249,14 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     raise ValueError(
                         f"version {v} ({man.get('op')}) removes "
                         f"{len(removed)} file(s) — not an append; set "
-                        "onNonAppend=skip to ignore rewrite commits, or "
-                        "consume row-level changes with snapshot_changes()"
+                        "onNonAppend=verify to pass row-neutral rewrites "
+                        "(compaction), onNonAppend=skip to ignore all "
+                        "rewrite commits, or consume row-level changes "
+                        "with snapshot_changes()"
                     )
+                if self._on_non_append == "verify":
+                    self._verify_row_neutral(man, v, removed, files - prev_files)
+                # verified or skipped rewrite: stream zero rows from it
             else:
                 for f in sorted(files - prev_files):
                     parts.append(
@@ -214,6 +268,43 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     )
             prev_files = files
         return parts
+
+    def _verify_row_neutral(
+        self, man: dict, v: int, removed: set, added: set
+    ) -> None:
+        """Prove a file-removing commit changed no rows before letting
+        the feed pass it silently. Two gates, both required:
+
+        - the commit DECLARES itself a rewrite (``op == "compact"``) —
+          delete/update/replace/restore commits are row-changing by
+          intent and must keep failing loudly, even in the (common!)
+          case where an update's rewrite happens to preserve row counts;
+        - the removed files' row totals equal the added files' (parquet
+          footers: one metadata read per file in the diff, never data
+          pages — a compaction diff touches every live file once, the
+          same order of work the compaction itself just did).
+
+        A "compact" whose counts DON'T match is a corrupted/mislabeled
+        rewrite — that is exactly the case the fail-loud contract
+        exists for."""
+        op = man.get("op")
+        if op != "compact":
+            raise ValueError(
+                f"version {v} ({op}) removes {len(removed)} file(s) and "
+                "is not a compaction — row changes cannot stream through "
+                "an insert-only feed; rebuild the derived table or "
+                "consume row-level changes with snapshot_changes()"
+            )
+        n_removed = sum(
+            _parquet_num_rows(f"{self._path}/{f}") for f in removed
+        )
+        n_added = sum(_parquet_num_rows(f"{self._path}/{f}") for f in added)
+        if n_removed != n_added:
+            raise ValueError(
+                f"version {v} (compact) is not row-neutral: removed "
+                f"files hold {n_removed} rows but added files hold "
+                f"{n_added} — refusing to skip a row-changing rewrite"
+            )
 
     def read(self, partition: _FilePartition):
         """Executor-side: stream the file's Arrow batches, appending
@@ -255,7 +346,8 @@ class SnapshotFeedDataSource(DataSource):
     - ``path`` (required): snapshot table root
     - ``startingVersion``: int (exclusive; 0 = full retained history)
       or ``latest`` (tail only); default 0
-    - ``onNonAppend``: ``fail`` (default) | ``skip``
+    - ``onNonAppend``: ``fail`` (default) | ``skip`` | ``verify``
+      (pass PROVEN row-neutral compactions, fail everything else)
     """
 
     @classmethod

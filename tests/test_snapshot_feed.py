@@ -517,3 +517,191 @@ def test_changes_across_schema_evolution(spark, table):
     assert sorted(
         (r["id"], r["score"]) for r in got.collect()
     ) == [(1, None), (2, 9.5)]
+
+
+# ------------------------------------- verified row-neutral rewrites
+
+
+def test_stream_verify_passes_compaction_fails_deletes(spark, table, tmp_path):
+    """onNonAppend=verify: a genuine compaction (op == 'compact',
+    footer-equal row totals) streams zero rows and the feed continues
+    across it; a delete commit still fails loudly; a commit labeled
+    'compact' that actually changed rows fails the footer check."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _commit,
+        _list_manifests,
+        _load_manifest,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, "x") for i in range(6)]),
+        table,
+        partition_cols=["month"],
+    )
+    got = _drain(spark, table, str(tmp_path / "cv"), "feed_v1",
+                 on_non_append="verify")
+    assert got.count() == 6
+    # compaction mid-stream: verified row-neutral, zero rows delivered
+    snapshot_compact(spark, table, partition_cols=["month"])
+    got2 = _drain(spark, table, str(tmp_path / "cv"), "feed_v2",
+                  on_non_append="verify")
+    assert got2.count() == 0
+    # appends after the compaction flow normally (same checkpoint)
+    snapshot_write(_df(spark, [(99, 1, "y")]), table, mode="append",
+                   partition_cols=["month"])
+    got3 = _drain(spark, table, str(tmp_path / "cv"), "feed_v3",
+                  on_non_append="verify")
+    assert _bag(got3) == [(99, 1, "y")]
+    # a delete commit is NOT row-neutral: fail loudly
+    snapshot_delete_rows(spark, table, "id", [0])
+    with pytest.raises(Exception, match="not a compaction"):
+        _drain(spark, table, str(tmp_path / "cv"), "feed_v4",
+               on_non_append="verify")
+    # forge a 'compact' that drops a file's rows: footer check trips
+    latest = _list_manifests(spark, table)[-1]
+    man = _load_manifest(spark, table, latest)
+    _commit(
+        spark, table, man["files"][:-1], read_snapshot(spark, table).schema,
+        "compact", latest, partition_cols=["month"],
+    )
+    with pytest.raises(Exception, match="not row-neutral"):
+        # start just before the forged commit so the (legitimately
+        # failing) delete at the earlier version isn't what trips first
+        _drain(spark, table, str(tmp_path / "cv2"), "feed_v5",
+               on_non_append="verify", starting_version=latest)
+
+
+def test_materialize_views_survive_source_compaction(spark, tmp_path):
+    """Routine snapshot_compact on the SOURCE must not break derived
+    views: the refresh passes the verified row-neutral commit, keeps
+    consuming later appends, and stays ≡ a batch recompute. A delete
+    on the source still fails the refresh loudly."""
+    from nyc_taxi_data_warehouse_spark.streaming.materialize import (
+        materialize_aggregate,
+        materialize_incremental,
+        read_aggregate_view,
+    )
+
+    src = str(tmp_path / "cmp_src")
+    dst = str(tmp_path / "cmp_dst")
+    adst = str(tmp_path / "cmp_adst")
+
+    def xf(df):
+        return df.withColumn("vv", F.upper(F.col("v")))
+
+    aggs = {"n": ("count",), "sum_id": ("sum", "id")}
+    snapshot_write(_df(spark, [(i, i % 3, f"a{i}") for i in range(9)]), src)
+    materialize_incremental(spark, src, dst, xf, str(tmp_path / "ck1"))
+    materialize_aggregate(
+        spark, src, adst, ["month"], aggs, str(tmp_path / "ck2")
+    )
+    # compact the source, append more, refresh both views
+    snapshot_compact(spark, src)
+    snapshot_write(_df(spark, [(20, 1, "b20"), (21, 2, "b21")]), src,
+                   mode="append")
+    materialize_incremental(spark, src, dst, xf, str(tmp_path / "ck1"))
+    materialize_aggregate(
+        spark, src, adst, ["month"], aggs, str(tmp_path / "ck2")
+    )
+    got = sorted(map(tuple, read_snapshot(spark, dst).collect()))
+    want = sorted(map(tuple, xf(read_snapshot(spark, src)).collect()))
+    assert got == want
+    agot = sorted(
+        map(
+            tuple,
+            read_aggregate_view(spark, adst, aggs)
+            .select("month", "n", "sum_id")
+            .collect(),
+        )
+    )
+    awant = sorted(
+        map(
+            tuple,
+            read_snapshot(spark, src)
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id"))
+            .collect(),
+        )
+    )
+    assert agot == awant
+    # a genuine delete still fails the refresh
+    snapshot_delete_rows(spark, src, "id", [20])
+    with pytest.raises(Exception, match="not a compaction"):
+        materialize_incremental(spark, src, dst, xf, str(tmp_path / "ck1"))
+
+
+def test_materialize_aggregate_time_bucket_and_derived_avg(spark, tmp_path):
+    """Time-bucketed group keys + read-side derived measures: an
+    hourly sum/count view reads back with a derived avg EQUAL to
+    groupBy(date_trunc('hour'))...agg(avg) over the source, and the
+    stored hourly partials re-aggregate to a daily avg without
+    touching the source."""
+    from nyc_taxi_data_warehouse_spark.streaming.materialize import (
+        materialize_aggregate,
+        read_aggregate_view,
+    )
+
+    src = str(tmp_path / "tb_src")
+    dst = str(tmp_path / "tb_dst")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, amt double, ts timestamp"
+        ).withColumn("ts", F.col("ts"))
+
+    import datetime as dt
+
+    def t(day, h, m):
+        return dt.datetime(2024, 3, day, h, m)
+
+    snapshot_write(
+        mk(
+            [
+                (1, 10.0, t(1, 0, 5)),
+                (2, 20.0, t(1, 0, 55)),
+                (3, 7.0, t(1, 1, 10)),
+                (4, 1.0, t(2, 3, 0)),
+            ]
+        ),
+        src,
+    )
+    aggs = {"sum_amt": ("sum", "amt"), "cnt": ("count",)}
+    keys = [("ev_hour", "hour", "ts")]
+    materialize_aggregate(spark, src, dst, keys, aggs, str(tmp_path / "ck"))
+    # second commit lands in an EXISTING hour and a new one
+    snapshot_write(
+        mk([(5, 2.0, t(1, 0, 30)), (6, 9.0, t(2, 5, 1))]), src, mode="append"
+    )
+    materialize_aggregate(spark, src, dst, keys, aggs, str(tmp_path / "ck"))
+
+    view = read_aggregate_view(
+        spark, dst, aggs, derived={"avg_amt": ("sum_amt", "cnt")}
+    )
+    got = sorted(
+        (r["ev_hour"], r["cnt"], r["avg_amt"]) for r in view.collect()
+    )
+    want = sorted(
+        (r["ev_hour"], r["cnt"], r["avg_amt"])
+        for r in read_snapshot(spark, src)
+        .groupBy(F.date_trunc("hour", "ts").alias("ev_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"), F.avg("amt").alias("avg_amt")
+        )
+        .collect()
+    )
+    assert got == want
+    # hourly partials roll up to DAILY without a source scan
+    daily = (
+        view.groupBy(F.date_trunc("day", "ev_hour").alias("ev_day"))
+        .agg(F.sum("sum_amt").alias("s"), F.sum("cnt").alias("c"))
+        .withColumn("avg_amt", F.col("s") / F.col("c"))
+    )
+    got_d = sorted((r["ev_day"], r["avg_amt"]) for r in daily.collect())
+    want_d = sorted(
+        (r["ev_day"], r["avg_amt"])
+        for r in read_snapshot(spark, src)
+        .groupBy(F.date_trunc("day", "ts").alias("ev_day"))
+        .agg(F.avg("amt").alias("avg_amt"))
+        .collect()
+    )
+    assert got_d == want_d
