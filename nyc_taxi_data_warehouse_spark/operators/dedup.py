@@ -369,6 +369,113 @@ def delete_from_minhash_index(spark, ids: DataFrame, id_col: str, path: str) -> 
             survivors.write.mode("overwrite").parquet(f"{path}/{table}")
 
 
+def set_minhash_sync_cursor(spark, index_path: str, version: int) -> None:
+    """Record which snapshot-table version a MinHash dedup index
+    reflects (the ``synced_version`` cursor in the index sidecar). Call
+    once after building the index from ``read_snapshot(table, v)``;
+    ``sync_minhash_from_snapshot`` advances it on every sync."""
+    from .indexmeta import check_index_meta, read_index_meta, write_index_meta
+
+    check_index_meta(spark, index_path, {"kind": "minhash"})
+    meta = read_index_meta(spark, index_path)
+    meta["synced_version"] = int(version)
+    write_index_meta(spark, index_path, meta)
+
+
+def sync_minhash_from_snapshot(
+    spark,
+    table_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str | None = None,
+    to_version: int | None = None,
+) -> dict:
+    """Propagate snapshot-table DML into the MinHash dedup index by
+    consuming the row-level change feed since the index's
+    ``synced_version`` cursor — the third leg of the change-feed→index
+    triad (postings: ``search.sync_postings_from_snapshot``; IVF:
+    ``similarity.sync_ivf_from_snapshot``). Document updates,
+    redactions, deletes, and restores now reach dedup SUPPRESSION the
+    same way they reach retrieval and ANN: a withdrawn document stops
+    suppressing future near-identical ingests; an edited document
+    suppresses by its new text, not its old.
+
+    Net effect per document: its LAST change in the range wins (within
+    one commit an insert outranks the delete of the old image — that
+    pair IS an update). The apply order is DELETE-FIRST: every
+    final-state doc (updated or deleted) is removed from both index
+    subtables in ONE rewrite, then final-state inserts re-append their
+    fresh signatures. Delete-first also makes text-redacted docs
+    correct for free — a doc whose new text tokenizes to zero shingles
+    produces no signature row, so the delete removes its old signature
+    and the append simply adds nothing (the postings sync needs an
+    explicit termless-doc pass for this; here it falls out of the
+    order).
+
+    Cost: the feed reads only touched files; the append computes only
+    changed docs' signatures. The delete is a full rewrite of the two
+    unpartitioned subtables — ``delete_from_minhash_index``'s
+    documented trade for takedown-rare workloads.
+
+    Crash-safe and idempotent: the cursor advances only after both
+    mutations. A replay re-deletes (no-op once absent) and re-appends
+    (guarded by the shingle-table id probe), converging to the same
+    index a rebuild from the target version produces.
+    """
+    from pyspark.sql.window import Window
+
+    from ..warehouse.snapshots import _list_manifests, snapshot_changes
+    from .indexmeta import check_index_meta, read_index_meta
+
+    check_index_meta(spark, index_path, {"kind": "minhash"})
+    meta = read_index_meta(spark, index_path)
+    if id_col is None:
+        id_col = meta.get("id_col", "doc_id")
+    from_v = meta.get("synced_version")
+    if from_v is None:
+        raise ValueError(
+            f"{index_path}: no synced_version cursor — build the index "
+            "from read_snapshot(table, v) and record v with "
+            "set_minhash_sync_cursor first"
+        )
+    if to_version is None:
+        to_version = _list_manifests(spark, table_path)[-1]
+    if to_version <= from_v:
+        return {
+            "synced_from": from_v, "synced_to": from_v,
+            "docs_upserted": 0, "docs_deleted": 0,
+        }
+    ch = snapshot_changes(spark, table_path, from_v, to_version)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_commit_version"), F.desc("_change_type")
+    )
+    last = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    upserts = last.where(F.col("_change_type") == "insert").drop(
+        "_change_type", "_commit_version"
+    )
+    deletes = last.where(F.col("_change_type") == "delete").select(id_col)
+    n_up = upserts.count()
+    n_del = deletes.count()
+    # one combined rewrite: updated docs must lose their OLD signature
+    # before the append (whose redelivery guard would otherwise see the
+    # id present and skip the new text entirely)
+    victims = deletes.unionByName(upserts.select(id_col))
+    if n_up or n_del:
+        delete_from_minhash_index(spark, victims, id_col, index_path)
+    if n_up:
+        append_to_minhash_index(spark, upserts, text_col, id_col, index_path)
+    set_minhash_sync_cursor(spark, index_path, to_version)
+    return {
+        "synced_from": from_v, "synced_to": to_version,
+        "docs_upserted": n_up, "docs_deleted": n_del,
+    }
+
+
 def incremental_minhash_pairs(
     spark,
     new_df: DataFrame,

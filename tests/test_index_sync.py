@@ -193,16 +193,24 @@ def test_ivf_sync_follows_all_dml(spark, tmp_path):
 
 def test_sync_fuzz_random_dml_sequences(spark, tmp_path):
     """Property: after ANY sequence of snapshot DML, one sync converges
-    the postings index to the full-rebuild image. Deterministic seeded
-    sequences (cheaper than hypothesis here — each case costs several
-    Spark jobs) interleaving append/update/delete; restore has its own
-    dedicated propagation test above."""
+    the postings index AND the minhash dedup index to their
+    full-rebuild images. Deterministic seeded sequences (cheaper than
+    hypothesis here — each case costs several Spark jobs) interleaving
+    append/update/delete; restore has its own dedicated propagation
+    test above."""
     import random
+
+    from nyc_taxi_data_warehouse_spark.operators.dedup import (
+        set_minhash_sync_cursor,
+        sync_minhash_from_snapshot,
+        write_minhash_index,
+    )
 
     for seed in (3, 11):
         rng = random.Random(seed)
         table = str(tmp_path / f"fz_tbl_{seed}")
         idx = str(tmp_path / f"fz_idx_{seed}")
+        midx = str(tmp_path / f"fz_midx_{seed}")
         words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
 
         def txt():
@@ -225,6 +233,10 @@ def test_sync_fuzz_random_dml_sequences(spark, tmp_path):
             postings(read_snapshot(spark, table), "text", "doc_id"), idx
         )
         set_postings_sync_cursor(spark, idx, v1)
+        write_minhash_index(
+            spark, read_snapshot(spark, table), "text", "doc_id", midx
+        )
+        set_minhash_sync_cursor(spark, midx, v1)
         for _ in range(5):
             op = rng.choice(["append", "update", "delete"])
             if op == "append":
@@ -242,6 +254,12 @@ def test_sync_fuzz_random_dml_sequences(spark, tmp_path):
         assert _index_rows(spark, idx) == _rebuild(
             spark, table, tmp_path, f"fz_ref_{seed}"
         ), seed
+        sync_minhash_from_snapshot(spark, table, midx)
+        mref = str(tmp_path / f"fz_mref_{seed}")
+        write_minhash_index(
+            spark, read_snapshot(spark, table), "text", "doc_id", mref
+        )
+        assert _minhash_dump(spark, midx) == _minhash_dump(spark, mref), seed
 
 
 def test_sync_null_redaction_removes_all_postings(spark, tmp_path):
@@ -367,3 +385,125 @@ def test_sync_bootstrap_from_empty_table(spark, tmp_path):
     q = vecs([(900, [1.0, 0.0])])
     got = ivf_topk_from_index(spark, vidx, q, cents, k=1, n_probe=2).collect()
     assert [r["cid"] for r in got] == [10]
+
+
+def _minhash_dump(spark, path):
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{path}/buckets")
+            .select("_id", "band_idx", "key")
+            .collect(),
+        )
+    )
+    s = sorted(
+        (r["_id"], tuple(sorted(r["_shingles"])))
+        for r in spark.read.parquet(f"{path}/shingles").collect()
+    )
+    return b, s
+
+
+def test_minhash_sync_follows_all_dml(spark, tmp_path):
+    """Document DML (append, edit, redact-to-null, delete, restore-ish
+    re-append) reaches the MinHash dedup index via the change feed;
+    the synced index equals a full rebuild from the latest version,
+    and a second sync is a no-op."""
+    from nyc_taxi_data_warehouse_spark.operators.dedup import (
+        set_minhash_sync_cursor,
+        sync_minhash_from_snapshot,
+        write_minhash_index,
+    )
+
+    table = str(tmp_path / "mh_tbl")
+    idx = str(tmp_path / "mh_idx")
+    v1 = snapshot_write_with_stats(
+        _docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "pack my box with five dozen liquor jugs"),
+                (3, "secret tokens live in this document body here"),
+                (4, "sphinx of black quartz judge my vow today"),
+            ],
+        ),
+        table,
+        stats_cols=["doc_id"],
+    )
+    write_minhash_index(
+        spark, read_snapshot(spark, table), "text", "doc_id", idx
+    )
+    set_minhash_sync_cursor(spark, idx, v1)
+
+    # DML storm: append, edit, redact to null text, delete
+    snapshot_write(
+        _docs(spark, [(5, "a brand new document arrives after the build")]),
+        table,
+        mode="append",
+    )
+    snapshot_update_rows(
+        spark, table, "doc_id", [1],
+        {"text": "the quick brown fox now sleeps all day long"},
+    )
+    snapshot_update_rows(spark, table, "doc_id", [3], {"text": None})
+    snapshot_delete_rows(spark, table, "doc_id", [2])
+
+    res = sync_minhash_from_snapshot(spark, table, idx)
+    assert res["docs_upserted"] == 3  # docs 5, 1, 3 (final inserts)
+    assert res["docs_deleted"] == 1   # doc 2
+
+    ref = str(tmp_path / "mh_ref")
+    write_minhash_index(
+        spark, read_snapshot(spark, table), "text", "doc_id", ref
+    )
+    assert _minhash_dump(spark, idx) == _minhash_dump(spark, ref)
+    # redacted-to-null doc 3 is fully gone (no termless leak)
+    ids = {r["_id"] for r in spark.read.parquet(f"{idx}/shingles").collect()}
+    assert 3 not in ids and 2 not in ids
+
+    # idempotent second sync
+    res2 = sync_minhash_from_snapshot(spark, table, idx)
+    assert (res2["docs_upserted"], res2["docs_deleted"]) == (0, 0)
+
+
+def test_minhash_sync_restores_suppression_semantics(spark, tmp_path):
+    """The POINT of the sync: after a takedown propagates, the removed
+    document no longer suppresses near-identical future ingests, while
+    surviving documents still do (incremental_minhash_pairs probes)."""
+    from nyc_taxi_data_warehouse_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        set_minhash_sync_cursor,
+        sync_minhash_from_snapshot,
+        write_minhash_index,
+    )
+
+    table = str(tmp_path / "sup_tbl")
+    idx = str(tmp_path / "sup_idx")
+    kept = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+    ]
+    v1 = snapshot_write_with_stats(
+        _docs(spark, kept), table, stats_cols=["doc_id"]
+    )
+    write_minhash_index(
+        spark, read_snapshot(spark, table), "text", "doc_id", idx
+    )
+    set_minhash_sync_cursor(spark, idx, v1)
+    probe = _docs(
+        spark,
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (200, "one two three four five six seven eight nine"),
+        ],
+    )
+    hits = incremental_minhash_pairs(
+        spark, probe, "text", "doc_id", idx, jaccard_threshold=0.8
+    )
+    assert {r["new_id"] for r in hits.collect()} == {100, 200}
+    # takedown doc 1, sync, re-probe: only doc 2 still suppresses
+    snapshot_delete_rows(spark, table, "doc_id", [1])
+    sync_minhash_from_snapshot(spark, table, idx)
+    hits2 = incremental_minhash_pairs(
+        spark, probe, "text", "doc_id", idx, jaccard_threshold=0.8
+    )
+    assert {r["new_id"] for r in hits2.collect()} == {200}
