@@ -372,11 +372,128 @@ def read_snapshot(
         )
     man = _load_manifest(spark, path, version)
     schema = StructType.fromJson(man["schema"])
-    return _read_file_list(spark, path, man["files"], schema)
+    return _read_file_list(
+        spark, path, man["files"], schema,
+        partition_cols=_manifest_partition_cols(man),
+    )
+
+
+_FLAT_READ_THRESHOLD = 8
+
+
+def _flat_readable(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: StructType,
+    partition_cols: list[str],
+) -> bool:
+    """True iff every file can be read DIRECTLY under the target
+    schema in one scan: its partition-directory keys are exactly the
+    target layout, and every data column it stores has the target
+    type byte-for-byte (missing columns null-fill; anything needing a
+    cast — a widened/narrowed history — keeps the per-commit path).
+    One parquet FOOTER read per file, metadata-only, driver-side —
+    the same order of work as loading the manifests that listed them."""
+    from ..streaming.snapshot_source import (
+        _pa_fs,
+        _partition_values_from_path,
+    )
+
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+    except ImportError:  # pragma: no cover
+        return False
+    want_keys = set(partition_cols)
+    data_types = {
+        f.name: f.dataType
+        for f in schema.fields
+        if f.name not in want_keys
+    }
+    fs, root = _pa_fs(path)
+    for f in files:
+        if set(_partition_values_from_path(f)) != want_keys:
+            return False
+        try:
+            fschema = pq.read_schema(fs.open_input_file(f"{root}/{f}"))
+        except OSError:
+            return False
+        for fld in fschema:
+            want = data_types.get(fld.name)
+            if want is None:
+                return False  # dropped-column history needs the cast path
+            try:
+                have = from_arrow_type(fld.type)
+            except Exception:
+                return False
+            if have != want:
+                return False
+    return True
+
+
+def _read_file_list_flat(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: StructType,
+    partition_cols: list[str],
+) -> DataFrame:
+    """ONE scan over the whole file list (``_flat_readable`` verified).
+    Partition discovery cannot span commit dirs (each is its own hive
+    root — CONFLICTING_DIRECTORY_STRUCTURES), so it is disabled and the
+    partition-directory values ride in a broadcast (relpath → values)
+    lookup parsed driver-side from the manifest relpaths."""
+    from ..streaming.snapshot_source import _partition_values_from_path
+
+    pfields = {f.name: f for f in schema.fields if f.name in partition_cols}
+    data_fields = [f for f in schema.fields if f.name not in pfields]
+    scan = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(StructType(data_fields))
+        .parquet(*[f"{path}/{f}" for f in files])
+    )
+    if not pfields:
+        return scan.select(*[f.name for f in schema.fields])
+    lookup_rows = []
+    for f in files:
+        vals = _partition_values_from_path(f)
+        lookup_rows.append((f, *[vals.get(c) for c in partition_cols]))
+    lookup = spark.createDataFrame(
+        lookup_rows,
+        ", ".join(
+            ["_relpath string"] + [f"`{c}` string" for c in partition_cols]
+        ),
+    )
+    # greedy leading .* pins the LAST data/<hex32>/ occurrence: a table
+    # living under a directory named like a commit dir can't confuse
+    # the match, and the segments between the commit dir and the file
+    # are k=v partition dirs, never data/<hex32>
+    return (
+        scan.withColumn(
+            "_relpath",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "^.*/(data/[0-9a-f]{32}/.*)$", 1
+            ),
+        )
+        .join(F.broadcast(lookup), "_relpath")
+        .select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in pfields
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+    )
 
 
 def _read_file_list(
-    spark: SparkSession, path: str, files: list[str], schema: StructType
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: StructType,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Scan an explicit manifest file list, normalised to ``schema``."""
     if not files:
@@ -388,6 +505,21 @@ def _read_file_list(
     for f in files:
         commit = "/".join(f.split("/", 2)[:2])  # data/<uuid>
         by_commit.setdefault(commit, []).append(f)
+    # Long-history bound: past a handful of commit dirs the per-commit
+    # union's plan grows O(commit dirs) — a delete over a fragmented
+    # table, or read_snapshot after thousands of small appends, would
+    # pay a node per commit. When a footer sweep proves every file
+    # stores the target types at the target layout (the common case:
+    # stable schema), collapse the whole list into ONE scan; histories
+    # that genuinely need per-file normalisation (widened/narrowed/
+    # dropped columns, layout changes) keep the per-commit cast path,
+    # whose depth is then bounded by how unusual the history is.
+    if len(by_commit) > _FLAT_READ_THRESHOLD and _flat_readable(
+        spark, path, files, schema, partition_cols or []
+    ):
+        return _read_file_list_flat(
+            spark, path, files, schema, partition_cols or []
+        )
     parts = []
     for commit, flist in sorted(by_commit.items()):
         parts.append(
@@ -468,10 +600,25 @@ def snapshot_changes(
     # exclusive lower bound: from_version's manifest is needed only as
     # the parent of the first diff
     want = [v for v in sorted(needed) if v > from_version]
-    out_schema = StructType.fromJson(
-        _load_manifest(spark, path, to_version)["schema"]
-    )
+    target_man = _load_manifest(spark, path, to_version)
+    out_schema = StructType.fromJson(target_man["schema"])
+    target_schema_json = json.dumps(target_man["schema"], sort_keys=True)
     changes: list[DataFrame] = []
+    # Plan-growth bound: the per-commit loop below builds one DataFrame
+    # pair per commit, so a feed spanning thousands of commits would
+    # explode the driver-side plan O(commits). The overwhelmingly
+    # common commit in a long history is a pure APPEND at the current
+    # schema — those are BATCHED into one multi-path scan plus a
+    # broadcast (file → commit-version) lookup join, collapsing N
+    # append commits into a single scan node. Only rewrite commits
+    # (which need their per-commit exceptAll cancellation) and commits
+    # written under an older schema (whose files can't be read with
+    # the target schema directly) stay on the per-commit path, so the
+    # plan grows with the number of UNUSUAL commits, not the history
+    # length. The lookup is keyed by file RELPATH, not commit dir —
+    # a restore can re-add a file minted by an earlier in-range commit,
+    # and that row must carry the restore's version, not the original's.
+    batched: list[tuple[str, int]] = []
     for v in want:
         man = _load_manifest(spark, path, v)
         parent = man["parent"]
@@ -481,9 +628,21 @@ def snapshot_changes(
         files = set(man["files"])
         added = sorted(files - pfiles)
         removed = sorted(pfiles - files)
-        ins = _read_file_list(spark, path, added, out_schema)
+        if (
+            not removed
+            and json.dumps(man["schema"], sort_keys=True) == target_schema_json
+            and man.get("partition_cols") == target_man.get("partition_cols")
+        ):
+            batched.extend((f, v) for f in added)
+            continue
+        target_pcols = _manifest_partition_cols(target_man)
+        ins = _read_file_list(
+            spark, path, added, out_schema, partition_cols=target_pcols
+        )
         if removed:
-            dele = _read_file_list(spark, path, removed, out_schema)
+            dele = _read_file_list(
+                spark, path, removed, out_schema, partition_cols=target_pcols
+            )
             # cancel rewritten-but-unchanged rows (bag semantics)
             ins, dele = ins.exceptAll(dele), dele.exceptAll(ins)
             changes.append(
@@ -497,6 +656,64 @@ def snapshot_changes(
                     "_commit_version", F.lit(v)
                 )
             )
+    if batched:
+        # One scan over every batched commit's files. Partition
+        # discovery CANNOT span commit dirs (each commit dir is its own
+        # hive root — Spark raises CONFLICTING_DIRECTORY_STRUCTURES),
+        # so discovery is disabled (recursiveFileLookup) and the
+        # partition-directory values ride along in the broadcast lookup
+        # instead, parsed driver-side from the manifest relpaths — the
+        # same parse the streaming feed source does per input partition.
+        from ..streaming.snapshot_source import _partition_values_from_path
+
+        pcols = _manifest_partition_cols(target_man) or []
+        data_fields = [f for f in out_schema.fields if f.name not in pcols]
+        pfields = {f.name: f for f in out_schema.fields if f.name in pcols}
+        scan = (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema(StructType(data_fields))
+            .parquet(*[f"{path}/{f}" for f, _ in batched])
+        )
+        lookup_rows = []
+        for f, v in batched:
+            vals = _partition_values_from_path(f)
+            lookup_rows.append((f, v, *[vals.get(c) for c in pcols]))
+        lookup = spark.createDataFrame(
+            lookup_rows,
+            ", ".join(
+                ["_relpath string", "_commit_version int"]
+                + [f"`{c}` string" for c in pcols]
+            ),
+        )
+        # greedy leading .* pins the LAST data/<hex32>/ occurrence, so
+        # a table that itself lives under a directory named like a
+        # commit dir can't confuse the match; segments between the
+        # commit dir and the file are k=v partition dirs, never
+        # data/<hex32>
+        ins = (
+            scan.withColumn(
+                "_relpath",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    "^.*/(data/[0-9a-f]{32}/.*)$",
+                    1,
+                ),
+            )
+            .join(F.broadcast(lookup), "_relpath")
+            .drop("_relpath")
+        )
+        changes.append(
+            ins.select(
+                *[
+                    F.col(f.name).cast(pfields[f.name].dataType).alias(f.name)
+                    if f.name in pfields
+                    else F.col(f.name)
+                    for f in out_schema.fields
+                ],
+                F.lit("insert").alias("_change_type"),
+                F.col("_commit_version"),
+            )
+        )
     if not changes:
         empty = spark.createDataFrame([], out_schema)
         return empty.withColumn(
@@ -1024,7 +1241,10 @@ def _rewrite_matching_files(
     schema = StructType.fromJson(man["schema"])
     if not victims:
         return latest, 0
-    df = _read_file_list(spark, path, victims, schema)
+    df = _read_file_list(
+        spark, path, victims, schema,
+        partition_cols=_manifest_partition_cols(man),
+    )
     before = df.count()
     rewritten = fn(df)
     if "_matched" in rewritten.columns:

@@ -127,3 +127,56 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             else:
                 bag.append(t)
         assert sorted(bag) == final, v
+
+
+def test_changes_long_history_bounded_plan(spark, tmp_path_factory):
+    """A feed spanning a LONG mostly-append history must not build an
+    O(commits) driver-side plan: append-at-current-schema commits
+    collapse into one batched scan + broadcast file→version lookup, so
+    the optimized plan stays near-constant in the commit count while
+    the apply invariant keeps holding. The occasional rewrite commits
+    sprinkled in stay on the per-commit diff path."""
+    table = str(tmp_path_factory.mktemp("longhist") / "t")
+    pc = ["month"]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, month int, v string")
+
+    n_commits = 200
+    snapshot_write_with_stats(
+        mk([(0, 0, "v0")]), table, stats_cols=["id"], partition_cols=pc
+    )
+    for i in range(1, n_commits):
+        if i % 67 == 0:
+            snapshot_delete_rows(spark, table, "id", [i - 1])
+        else:
+            snapshot_write(
+                mk([(i, i % 4, f"v{i}")]), table, mode="append",
+                partition_cols=pc,
+            )
+    ch = snapshot_changes(spark, table, from_version=0)
+    plan = ch._jdf.queryExecution().optimizedPlan().toString()
+    # 2 delete commits → ≤ a handful of per-commit scan pairs; the
+    # ~197 appends must contribute ONE batched scan. An O(commits)
+    # plan regression blows far past this bound. (Count relation NODES
+    # — lines — not substrings: the batched scan's own path list
+    # contains hundreds of '.parquet' strings.)
+    n_scans = sum(
+        1 for ln in plan.splitlines() if "Relation" in ln
+    )
+    assert n_scans <= 16, f"{n_scans} relation nodes — plan grows O(commits)"
+    # apply invariant over the whole range
+    final = sorted(
+        (r["id"], r["month"], r["v"])
+        for r in read_snapshot(spark, table).collect()
+    )
+    bag: list = []
+    for r in sorted(
+        ch.collect(), key=lambda r: (r["_commit_version"], r["_change_type"])
+    ):
+        t = (r["id"], r["month"], r["v"])
+        if r["_change_type"] == "delete":
+            bag.remove(t)
+        else:
+            bag.append(t)
+    assert sorted(bag) == final
