@@ -511,6 +511,16 @@ def embedding_near_dup(
     keys — broadcast anti-joined, so the candidate join's own plan
     (broadcast at small scale, hash-partitioned at 100 TB) is untouched
     and vectors never enter the guard's shuffle.
+
+    When the guard is on, the bucketed table is localCheckpoint'ed
+    first: the hyperplane hashing would otherwise be recomputed three
+    times (guard branch + both join sides — the measured d06
+    regression; even the un-guarded path recomputes it twice). One
+    eager materialization to executor-local storage replaces every
+    recompute — it holds exactly the rows the candidate join was about
+    to shuffle anyway — and the guard's scalar aggregation plus the
+    hot-bucket anti-join still run BEFORE the join's exchange, so a
+    boilerplate flood still never enters a shuffle.
     """
     if n_tables > 1:
         # Multi-table recall path: pairs sharing a bucket in ANY table.
@@ -520,6 +530,7 @@ def embedding_near_dup(
         # this mode (a pair has up to n_tables of them).
         a = multi_table_buckets(df, id_col, vec_col, n_planes, dim, n_tables, "id_a", "av")
         if max_bucket_size is not None:
+            a = a.localCheckpoint(eager=True)
             hot = (
                 a.groupBy("tbl", "bucket")
                 .agg(F.count("*").alias("_n"))
@@ -546,6 +557,7 @@ def embedding_near_dup(
         )
     b = lsh_buckets(df, id_col, vec_col, n_planes, dim)
     if max_bucket_size is not None:
+        b = b.localCheckpoint(eager=True)
         hot = (
             b.groupBy("bucket")
             .agg(F.count("*").alias("_n"))

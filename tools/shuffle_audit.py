@@ -38,6 +38,142 @@ from nyc_taxi_data_warehouse_spark.queries import QUERIES  # noqa: E402
 from nyc_taxi_data_warehouse_spark.session import get_spark  # noqa: E402
 
 
+def _extra_ops() -> dict:
+    """Non-catalog curation operators with the same (spark, sf_dir) ->
+    DataFrame shape, so their shuffle volumes get the same two-SF
+    measured entries as the 104 catalog queries (their plan shapes are
+    already pinned in tests/test_round5_plans.py — this adds the
+    MEASURED companion). The index syncs are represented by their
+    probe/pair stages (the data-proportional part; the write side
+    rewrites only touched partitions, plan-asserted), and the snapshot
+    change feed by a real feed over a freshly-committed table."""
+    import tempfile
+
+    from nyc_taxi_data_warehouse_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        write_minhash_index,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.dsir import (
+        importance_resample,
+        importance_weights,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.semdedup import semantic_dedup
+    from nyc_taxi_data_warehouse_spark.operators.shuffle import (
+        shard_assignments,
+        shuffle_corpus,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        ann_topk_from_index,
+        write_ann_index,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.spandedup import (
+        decontaminate_spans,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.split import temporal_split
+    from nyc_taxi_data_warehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    def docs(spark, sf_dir):
+        return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def emb(spark, sf_dir):
+        return load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+
+    def x_semdedup(spark, sf_dir):
+        return semantic_dedup(emb(spark, sf_dir), threshold=0.95)
+
+    def x_dsir_weights(spark, sf_dir):
+        d = docs(spark, sf_dir)
+        return importance_weights(
+            d, d.where(F.col("doc_id") % 17 == 0), text_col="text"
+        )
+
+    def x_dsir_resample(spark, sf_dir):
+        d = docs(spark, sf_dir)
+        return importance_resample(
+            d, d.where(F.col("doc_id") % 17 == 0), k=200, text_col="text"
+        )
+
+    def x_corpus_shuffle(spark, sf_dir):
+        return shuffle_corpus(docs(spark, sf_dir), "doc_id", num_partitions=8)
+
+    def x_shard_split(spark, sf_dir):
+        return shard_assignments(docs(spark, sf_dir), "doc_id", 16)
+
+    def x_decontaminate_spans(spark, sf_dir):
+        d = docs(spark, sf_dir)
+        return decontaminate_spans(
+            d, d.where(F.col("doc_id") % 29 == 0), "text", "doc_id", n=8
+        )
+
+    def x_temporal_split(spark, sf_dir):
+        import datetime as dt
+
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+        span = hi - lo
+        return temporal_split(
+            ev,
+            "ts",
+            lo + dt.timedelta(seconds=span.total_seconds() * 0.7),
+            lo + dt.timedelta(seconds=span.total_seconds() * 0.85),
+            purge_gap="INTERVAL 1 HOUR",
+        )
+
+    def x_minhash_index_probe(spark, sf_dir):
+        d = docs(spark, sf_dir)
+        idx = tempfile.mkdtemp(prefix="audit_mh_")
+        write_minhash_index(
+            spark, d.where(F.col("doc_id") % 2 == 0), "text", "doc_id", idx
+        )
+        return incremental_minhash_pairs(
+            spark, d.where(F.col("doc_id") % 2 == 1), "text", "doc_id", idx,
+            jaccard_threshold=0.5,
+        )
+
+    def x_ann_index_probe(spark, sf_dir):
+        e = emb(spark, sf_dir)
+        idx = tempfile.mkdtemp(prefix="audit_ann_")
+        write_ann_index(
+            e.where(F.col("vec_id") % 2 == 0), idx, "vec_id", "embedding"
+        )
+        return ann_topk_from_index(
+            spark, idx, e.where(F.col("vec_id") % 2 == 1), "vec_id",
+            "embedding", k=3,
+        )
+
+    def x_snapshot_changes(spark, sf_dir):
+        from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+            snapshot_changes,
+            snapshot_delete_rows,
+            snapshot_write,
+        )
+
+        t = tempfile.mkdtemp(prefix="audit_feed_") + "/t"
+        d = docs(spark, sf_dir)
+        snapshot_write(d.where(F.col("doc_id") % 3 == 0), t)
+        snapshot_write(
+            d.where(F.col("doc_id") % 3 == 1), t, mode="append"
+        )
+        snapshot_delete_rows(spark, t, "doc_id", [0, 3, 6])
+        return snapshot_changes(spark, t, 0)
+
+    return {
+        "x_semdedup": x_semdedup,
+        "x_dsir_weights": x_dsir_weights,
+        "x_dsir_resample": x_dsir_resample,
+        "x_corpus_shuffle": x_corpus_shuffle,
+        "x_shard_split": x_shard_split,
+        "x_decontaminate_spans": x_decontaminate_spans,
+        "x_temporal_split": x_temporal_split,
+        "x_minhash_index_probe": x_minhash_index_probe,
+        "x_ann_index_probe": x_ann_index_probe,
+        "x_snapshot_changes": x_snapshot_changes,
+    }
+
+
 def audit(sf_dir: str, out_path: str) -> dict:
     spark = get_spark(
         app_name="shuffle_audit",
@@ -45,7 +181,11 @@ def audit(sf_dir: str, out_path: str) -> dict:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "4")),
     )
     results: dict[str, dict] = {}
-    for name, q in QUERIES.items():
+    extra = {
+        name: type("Q", (), {"spark": staticmethod(fn)})
+        for name, fn in _extra_ops().items()
+    }
+    for name, q in {**QUERIES, **extra}.items():
         t0 = time.monotonic()
         try:
             m = collect_with_metrics(q.spark(spark, sf_dir))
