@@ -123,6 +123,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--append", action="store_true",
         help="index only files not already indexed (incremental)",
     )
+    bi.add_argument(
+        "--snapshot", action="store_true",
+        help="table-path is a SNAPSHOT table: index/reconcile against "
+        "the latest manifest's live files (--append = sync)",
+    )
 
     sh = sub.add_parser(
         "snapshot-history",
@@ -289,17 +294,34 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from .warehouse.bloomindex import (
                 append_to_bloom_index,
                 build_bloom_index,
+                build_snapshot_bloom_index,
+                sync_bloom_with_snapshot,
             )
 
-            fn = append_to_bloom_index if args.append else build_bloom_index
-            n = fn(
-                spark,
-                args.table_path,
-                index_path=args.index_path,
-                key_col=args.key_col,
-                m_bits=args.m_bits,
-                k=args.k,
-            )
+            if args.snapshot and args.append:
+                res = sync_bloom_with_snapshot(
+                    spark, args.table_path, args.index_path
+                )
+                n = res["files_added"] + res["files_removed"]
+            elif args.snapshot:
+                n = build_snapshot_bloom_index(
+                    spark,
+                    args.table_path,
+                    key_col=args.key_col,
+                    index_path=args.index_path,
+                    m_bits=args.m_bits,
+                    k=args.k,
+                )
+            else:
+                fn = append_to_bloom_index if args.append else build_bloom_index
+                n = fn(
+                    spark,
+                    args.table_path,
+                    index_path=args.index_path,
+                    key_col=args.key_col,
+                    m_bits=args.m_bits,
+                    k=args.k,
+                )
             print(json.dumps({"status": "ok", "files_indexed": n}))
         elif args.cmd == "snapshot-history":
             from .warehouse.snapshots import snapshot_versions

@@ -249,3 +249,212 @@ def append_to_bloom_index(
     if n_new:
         add.write.mode("append").parquet(index_path)
     return n_new
+
+
+# --------------------------------------------------------------------------
+# Snapshot-table variant: Bloom skipping that respects the manifest.
+#
+# The path-based index above must NOT be pointed at a snapshot table
+# root: a raw directory read sees every commit dir ever written, so it
+# would index files REMOVED from the manifest — and a later candidate
+# scan of those files resurrects deleted/updated rows (or crashes on
+# vacuumed paths). The snapshot variant keys the index by manifest
+# RELPATH and reconciles against the manifest file list, which is the
+# natural maintenance grain here: data files are immutable, so a file's
+# Bloom rows are forever right; the only drift is WHICH files are live.
+# Reconciliation (`sync_bloom_with_snapshot`) is stateless against the
+# latest manifest — no cursor, idempotent, cost ∝ changed files.
+
+
+def _snapshot_live_files(spark: SparkSession, table_path: str) -> tuple:
+    from .snapshots import _list_manifests, _load_manifest
+
+    versions = _list_manifests(spark, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {table_path}")
+    man = _load_manifest(spark, table_path, versions[-1])
+    return man, versions[-1]
+
+
+def _bloom_rows_for_files(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    key_col: str,
+    key_type: str,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """(file=relpath, word, bits) Bloom rows for an explicit manifest
+    file list — ONE distributed pass, file identity recovered from
+    ``_metadata.file_path`` (greedy leading .*/ pins the commit dir's
+    ``data/<hex32>/``; see snapshots._read_file_list_flat). The key is
+    read UNDER THE MANIFEST TYPE (recorded in the sidecar) so probe
+    hashing matches even when older files stored a narrower physical
+    type; files that predate the column surface it as NULL and simply
+    contribute no rows — correct, their rows can never equal a probe."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    schema = StructType([StructField(key_col, _parse_datatype_string(key_type))])
+    src = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(schema)
+        .parquet(*[f"{table_path}/{f}" for f in files])
+    )
+    df = src.select(
+        F.col(key_col).alias("_k"),
+        F.regexp_extract(
+            F.col("_metadata.file_path"), "^.*/(data/[0-9a-f]{32}/.*)$", 1
+        ).alias("file"),
+    )
+    pairs = F.array(
+        *[
+            F.struct(w.alias("word"), msk.alias("mask"))
+            for w, msk in _probe_pairs(F.col("_k"), m_bits, k)
+        ]
+    )
+    return (
+        df.where(F.col("_k").isNotNull())
+        .select("file", F.explode(pairs).alias("p"))
+        .groupBy("file", F.col("p.word").alias("word"))
+        .agg(F.bit_or("p.mask").alias("bits"))
+    )
+
+
+def build_snapshot_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    index_path: str,
+    m_bits: int = 65536,
+    k: int = 7,
+) -> int:
+    """Bloom-index the LATEST manifest's live files of a snapshot
+    table. Keys that are partition columns refuse — partition pruning
+    already serves those lookups, and partitioned files do not store
+    the column."""
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    from pyspark.sql.types import StructType
+
+    man, version = _snapshot_live_files(spark, table_path)
+    pcols = man.get("partition_cols") or []
+    if key_col in pcols:
+        raise ValueError(
+            f"{key_col!r} is a partition column — partition pruning "
+            "already skips files for it; Bloom-index a non-layout column"
+        )
+    schema = StructType.fromJson(man["schema"])
+    key_type = schema[key_col].dataType.simpleString()
+    idx = _bloom_rows_for_files(
+        spark, table_path, man["files"], key_col, key_type, m_bits, k
+    )
+    idx.write.mode("overwrite").parquet(index_path)
+    write_index_meta(
+        spark,
+        index_path,
+        {
+            "kind": "bloom",
+            "scope": "snapshot",
+            "key_col": key_col,
+            "key_type": key_type,
+            "m_bits": m_bits,
+            "k": k,
+        },
+    )
+    return spark.read.parquet(index_path).select("file").distinct().count()
+
+
+def sync_bloom_with_snapshot(
+    spark: SparkSession, table_path: str, index_path: str
+) -> dict:
+    """Reconcile a snapshot Bloom index with the LATEST manifest:
+    departed files (deletes, compactions, restores) lose their Bloom
+    rows — a candidate list must never name a file whose rows are no
+    longer part of the table — and unindexed live files (appends,
+    rewrites' new files) gain theirs. Stateless and idempotent: no
+    cursor to advance, re-running is a no-op, and a crash between the
+    prune and the append leaves a state the next sync completes.
+    Returns {"files_added", "files_removed", "version"}."""
+    from ..session import static_partition_overwrite
+
+    check_index_meta(spark, index_path, {"kind": "bloom", "scope": "snapshot"})
+    meta = read_index_meta(spark, index_path)
+    man, version = _snapshot_live_files(spark, table_path)
+    live = set(man["files"])
+    indexed = {
+        r["file"]
+        for r in spark.read.parquet(index_path).select("file").distinct().collect()
+    }  # driver-sized: one string per live data file, same order as the
+    # manifest itself
+    departed = sorted(indexed - live)
+    to_add = sorted(live - indexed)
+    if departed:
+        live_df = F.broadcast(
+            spark.createDataFrame([(f,) for f in sorted(live)], "file string")
+        )
+        survivors = (
+            spark.read.parquet(index_path)
+            .join(live_df, "file", "left_semi")
+            .localCheckpoint(eager=True)  # the write replaces its input
+        )
+        with static_partition_overwrite(spark):
+            survivors.write.mode("overwrite").parquet(index_path)
+        # the root-dir overwrite clobbers the sidecar; restore it
+        write_index_meta(spark, index_path, meta)
+    if to_add:
+        _bloom_rows_for_files(
+            spark, table_path, to_add, meta["key_col"], meta["key_type"],
+            meta["m_bits"], meta["k"],
+        ).write.mode("append").parquet(index_path)
+    return {
+        "files_added": len(to_add),
+        "files_removed": len(departed),
+        "version": version,
+    }
+
+
+def read_snapshot_with_bloom(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    values: list,
+) -> DataFrame:
+    """Point lookup over a snapshot table scanning ONLY Bloom-candidate
+    files. Two guards keep the no-false-negatives contract under DML:
+    the index must COVER every live file (else a fresh append would be
+    silently unsearchable — fail with sync guidance), and candidates
+    are intersected with the manifest (a stale-but-covering index can
+    at worst over-scan live files, never resurrect removed ones).
+    Dials come from the sidecar; the residual predicate restores
+    exactness."""
+    from .snapshots import _read_file_list
+    from pyspark.sql.types import StructType
+
+    check_index_meta(spark, index_path, {"kind": "bloom", "scope": "snapshot"})
+    meta = read_index_meta(spark, index_path)
+    man, _ = _snapshot_live_files(spark, table_path)
+    live = set(man["files"])
+    indexed = {
+        r["file"]
+        for r in spark.read.parquet(index_path).select("file").distinct().collect()
+    }
+    uncovered = live - indexed
+    if uncovered:
+        raise ValueError(
+            f"{len(uncovered)} live file(s) not in the Bloom index — a "
+            "candidate lookup would silently miss their rows; run "
+            "sync_bloom_with_snapshot first"
+        )
+    cand = bloom_candidate_files(
+        spark, index_path, meta["key_col"], values,
+        m_bits=meta["m_bits"], k=meta["k"],
+    )
+    files = [f for f in cand if f in live]
+    schema = StructType.fromJson(man["schema"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return _read_file_list(
+        spark, table_path, files, schema,
+        partition_cols=man.get("partition_cols"),
+    ).where(F.col(meta["key_col"]).isin(values))

@@ -201,3 +201,145 @@ def test_probe_type_mismatch_fails_fast(spark, table, index):
         bloom_candidate_files(
             spark, index, "event_id", ["not-a-number"], m_bits=M, k=K
         )
+
+
+# ------------------------------------------- snapshot-aware variant
+
+
+def _sdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, month int, text string")
+
+
+def test_snapshot_bloom_follows_dml(spark, tmp_path):
+    """The snapshot variant keeps the no-false-negative contract under
+    DML: appends make reads fail loudly until synced (a fresh file
+    would otherwise be silently unsearchable), deletes stop returning
+    rows after sync (removed files lose their Bloom rows — no
+    resurrection), compaction reconciles cleanly, and a second sync is
+    a no-op."""
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        build_snapshot_bloom_index,
+        read_snapshot_with_bloom,
+        sync_bloom_with_snapshot,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_compact,
+        snapshot_delete_rows,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "sb_tbl")
+    idx = str(tmp_path / "sb_idx")
+    rows = [(i, i % 3, f"doc {i}") for i in range(30)]
+    snapshot_write(
+        _sdocs(spark, rows), t, partition_cols=["month"]
+    )
+    n = build_snapshot_bloom_index(spark, t, "doc_id", idx, m_bits=M, k=K)
+    assert n >= 3
+    got = read_snapshot_with_bloom(spark, t, idx, [7, 23]).collect()
+    assert sorted(r["doc_id"] for r in got) == [7, 23]
+    assert {r["text"] for r in got} == {"doc 7", "doc 23"}
+
+    # append: reads refuse until the index covers the new file
+    snapshot_write(
+        _sdocs(spark, [(100, 1, "doc 100")]), t, mode="append",
+        partition_cols=["month"],
+    )
+    with pytest.raises(ValueError, match="not in the Bloom index"):
+        read_snapshot_with_bloom(spark, t, idx, [100])
+    res = sync_bloom_with_snapshot(spark, t, idx)
+    assert res["files_added"] >= 1 and res["files_removed"] == 0
+    assert [
+        r["doc_id"]
+        for r in read_snapshot_with_bloom(spark, t, idx, [100]).collect()
+    ] == [100]
+
+    # delete: victim file rewritten; after sync the key is GONE
+    snapshot_delete_rows(spark, t, "doc_id", [7])
+    res = sync_bloom_with_snapshot(spark, t, idx)
+    assert res["files_removed"] >= 1
+    assert read_snapshot_with_bloom(spark, t, idx, [7]).count() == 0
+    assert read_snapshot_with_bloom(spark, t, idx, [23]).count() == 1
+
+    # compaction: full reconcile, lookups unchanged
+    snapshot_compact(spark, t, partition_cols=["month"])
+    res = sync_bloom_with_snapshot(spark, t, idx)
+    assert res["files_added"] >= 1 and res["files_removed"] >= 1
+    assert sorted(
+        r["doc_id"]
+        for r in read_snapshot_with_bloom(spark, t, idx, [23, 100]).collect()
+    ) == [23, 100]
+    # index file set == manifest file set; idempotent re-sync
+    res2 = sync_bloom_with_snapshot(spark, t, idx)
+    assert (res2["files_added"], res2["files_removed"]) == (0, 0)
+
+
+def test_snapshot_bloom_refuses_partition_key_and_prunes(spark, tmp_path):
+    """Partition-column keys refuse (layout pruning already serves
+    them); candidate scans touch a strict subset of live files on a
+    selective key."""
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        bloom_candidate_files,
+        build_snapshot_bloom_index,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "sbp_tbl")
+    idx = str(tmp_path / "sbp_idx")
+    snapshot_write(
+        _sdocs(spark, [(i, i % 5, f"d{i}") for i in range(50)]),
+        t,
+        partition_cols=["month"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        build_snapshot_bloom_index(spark, t, "month", idx)
+    build_snapshot_bloom_index(spark, t, "doc_id", idx, m_bits=M, k=K)
+    man = _load_manifest(spark, t, _list_manifests(spark, t)[-1])
+    cand = bloom_candidate_files(
+        spark, idx, "doc_id", [13], m_bits=M, k=K
+    )
+    assert 0 < len(cand) < len(man["files"])
+    assert all(f in set(man["files"]) for f in cand)
+
+
+def test_snapshot_bloom_cli(spark, tmp_path, capsys):
+    """CLI: `bloom-index --snapshot` builds against the latest
+    manifest; `--snapshot --append` reconciles after DML."""
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        read_snapshot_with_bloom,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "cli_tbl")
+    idx = str(tmp_path / "cli_idx")
+    snapshot_write(
+        _sdocs(spark, [(i, i % 3, f"d{i}") for i in range(20)]), t
+    )
+    rc = main(
+        [
+            "bloom-index", "--snapshot", "--table-path", t,
+            "--index-path", idx, "--key-col", "doc_id",
+            "--m-bits", str(M), "--k", str(K),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert read_snapshot_with_bloom(spark, t, idx, [5]).count() == 1
+    snapshot_delete_rows(spark, t, "doc_id", [5])
+    rc = main(
+        [
+            "bloom-index", "--snapshot", "--append", "--table-path", t,
+            "--index-path", idx, "--key-col", "doc_id",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert read_snapshot_with_bloom(spark, t, idx, [5]).count() == 0
