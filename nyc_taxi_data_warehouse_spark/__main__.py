@@ -135,6 +135,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     sh.add_argument("--table-path", required=True)
 
+    scp = sub.add_parser(
+        "snapshot-compact",
+        help="compact a snapshot table as a new commit (stats-preserving; "
+        "--cluster-by turns it into OPTIMIZE-with-clustering)",
+    )
+    scp.add_argument("--table-path", required=True)
+    scp.add_argument("--target-mb", type=int, default=256)
+    scp.add_argument(
+        "--cluster-by", nargs="+", default=None,
+        help="cluster output files on these columns (1 = range sort, "
+        "2+ = z-order) so recomputed stats prune tightly",
+    )
+    scp.add_argument("--n-files", type=int, default=None)
+
     sv = sub.add_parser(
         "snapshot-vacuum",
         help="drop old snapshot versions and delete unreferenced files",
@@ -327,6 +341,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from .warehouse.snapshots import snapshot_versions
 
             print(json.dumps(snapshot_versions(spark, args.table_path)))
+        elif args.cmd == "snapshot-compact":
+            from .warehouse.snapshots import snapshot_compact
+
+            v = snapshot_compact(
+                spark,
+                args.table_path,
+                target_mb=args.target_mb,
+                cluster_by=args.cluster_by,
+                n_files=args.n_files,
+            )
+            print(json.dumps({"version": v}))
         elif args.cmd == "snapshot-vacuum":
             from .warehouse.snapshots import vacuum_snapshots
 

@@ -890,12 +890,33 @@ def snapshot_compact(
     path: str,
     target_mb: int = 256,
     partition_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    zorder_bits: int = 8,
+    n_files: int | None = None,
 ) -> int:
     """Compaction as a COMMIT: rewrite the latest version's data into
     ceil(bytes/target) files per partition and publish the result as a
     new version. Unlike ``compact_partition`` (in-place), running
     readers keep their version's files untouched; ``vacuum_snapshots``
-    reclaims the fragmented ones later. Returns the new version."""
+    reclaims the fragmented ones later. Returns the new version.
+
+    Manifest stats SURVIVE compaction: when the parent tracked
+    ``stats_cols``, per-file min/max are recomputed for the new files —
+    without this, every compaction silently reset ``read_snapshot_pruned``
+    to a full scan (conservatively correct, catastrophically unpruned).
+
+    ``cluster_by`` upgrades the rewrite to the OPTIMIZE-with-clustering
+    shape: one column range-partitions + sorts on it; several columns
+    cluster on the interleaved ``zorder_value`` so every file covers a
+    compact region of the whole key space (``n_files`` overrides the
+    byte-derived output count — clustering often wants a fixed shard
+    layout). Because the recomputed stats
+    are collected from the CLUSTERED files, their [min,max] ranges come
+    out tight and disjoint — compaction then actively IMPROVES scan
+    pruning instead of merely not destroying it. With partition
+    columns, clustering applies within each partition (the range
+    exchange keys on partitions first). Row-neutral by construction
+    either way, so the feed's ``onNonAppend=verify`` passes it."""
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
@@ -906,19 +927,49 @@ def snapshot_compact(
         # compaction of a partitioned table would strip the partition
         # directories carried-file classification depends on
         partition_cols = _manifest_partition_cols(man)
-    fs, jvm = _fs(spark, path)
-    total = 0
-    for f in man["files"]:
-        total += fs.getFileStatus(_jp(jvm, path, f)).getLen()
-    n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+    if n_files is None:
+        fs, jvm = _fs(spark, path)
+        total = 0
+        for f in man["files"]:
+            total += fs.getFileStatus(_jp(jvm, path, f)).getLen()
+        n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
     df = read_snapshot(spark, path, latest)
-    if partition_cols:
+    drop_after = None
+    if cluster_by:
+        bad = [c for c in cluster_by if c in (partition_cols or [])]
+        if bad:
+            raise ValueError(
+                f"cluster_by {bad} are partition columns — the directory "
+                "layout already clusters them"
+            )
+        if len(cluster_by) == 1:
+            ckey = F.col(cluster_by[0])
+        else:
+            from .layout import zorder_value
+
+            df, drop_after = zorder_value(df, cluster_by, bits=zorder_bits)
+            ckey = F.col(drop_after)
+        range_keys = [F.col(c) for c in (partition_cols or [])] + [ckey]
+        df = df.repartitionByRange(n_files, *range_keys).sortWithinPartitions(
+            *range_keys
+        )
+        if drop_after:
+            df = df.drop(drop_after)
+    elif partition_cols:
         df = df.repartition(n_files, *partition_cols)
     else:
         df = df.repartition(n_files)
     _, files = _write_commit_files(df, path, partition_cols)
+    stats_cols = man.get("stats_cols") or []
+    extra = None
+    if stats_cols:
+        extra = {
+            "stats": collect_file_stats(spark, path, files, stats_cols),
+            "stats_cols": stats_cols,
+        }
     return _commit(
         spark, path, files, df.schema, "compact", latest,
+        extra=extra,
         partition_cols=partition_cols,
     )
 

@@ -778,3 +778,136 @@ def test_snapshot_load_restore_reopens_months(spark, table, tmp_path):
     assert _snapshot_loaded_months(spark, table) == {(2025, 1)}
     land(2025, 2)  # reload after rollback
     assert _snapshot_loaded_months(spark, table) == {(2025, 1), (2025, 2)}
+
+
+def test_compact_preserves_stats_and_pruning(spark, table):
+    """Manifest stats must SURVIVE compaction: without recomputation
+    every compact silently reset read_snapshot_pruned to a full scan.
+    After compacting a stats-tracked table, the pruned read still
+    returns exact results AND the new manifest carries stats for every
+    new file."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+        read_snapshot_pruned,
+        snapshot_compact,
+        snapshot_write_with_stats,
+    )
+
+    for lo in (0, 100, 200, 300):
+        df = spark.createDataFrame(
+            [(lo + i, 1, f"v{lo + i}") for i in range(50)],
+            "id long, month int, v string",
+        )
+        snapshot_write_with_stats(df, table, stats_cols=["id"], mode="append")
+    snapshot_compact(spark, table)
+    man = _load_manifest(spark, table, _list_manifests(spark, table)[-1])
+    assert man.get("stats_cols") == ["id"]
+    assert set(man.get("stats", {})) == set(man["files"])  # every new file
+    got = read_snapshot_pruned(spark, table, "id", 120, 130)
+    assert sorted(r.id for r in got.collect()) == list(range(120, 131))
+
+
+def test_compact_cluster_by_tightens_pruning(spark, table):
+    """cluster_by turns compaction into OPTIMIZE-with-clustering: data
+    written in id-interleaved commits (every file overlaps every id
+    range — pruning can skip nothing) compacts into range-clustered
+    files whose recomputed stats are tight and disjoint, so a narrow
+    range read opens FEWER files than live. Feed classification stays
+    row-neutral (clustered compact == empty change set)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+        _stat_norm,
+        read_snapshot_pruned,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_write_with_stats,
+    )
+
+    # 4 commits, hash-ordered so EVERY file spans ~the full id range
+    for off in range(4):
+        df = (
+            spark.createDataFrame(
+                [(off + 4 * i, 1, f"v{off + 4 * i}") for i in range(100)],
+                "id long, month int, v string",
+            )
+            .orderBy(F.xxhash64("id"))
+            .coalesce(4)
+        )
+        snapshot_write_with_stats(df, table, stats_cols=["id"], mode="append")
+
+    def files_kept(lo, hi):
+        man = _load_manifest(spark, table, _list_manifests(spark, table)[-1])
+        slo, shi = _stat_norm(lo, -1), _stat_norm(hi, 1)
+        kept = 0
+        for f in man["files"]:
+            st = man.get("stats", {}).get(f, {}).get("id")
+            if st is None or st[0] is None or not (st[1] < slo or st[0] > shi):
+                kept += 1
+        return kept, len(man["files"])
+
+    kept_before, total_before = files_kept(10, 20)
+    assert kept_before == total_before  # interleaved: nothing prunable
+    pre = _list_manifests(spark, table)[-1]
+    snapshot_compact(spark, table, cluster_by=["id"], n_files=8)
+    # row-neutral: the feed sees an empty change set across the compact
+    assert snapshot_changes(spark, table, pre).count() == 0
+    kept_after, total_after = files_kept(10, 20)
+    assert total_after > 1 and kept_after < total_after
+    got = read_snapshot_pruned(spark, table, "id", 10, 20)
+    assert sorted(r.id for r in got.collect()) == list(range(10, 21))
+
+
+def test_compact_zorder_multi_key_and_partition_guard(spark, table):
+    """Multi-column cluster_by routes through zorder_value; clustering
+    on a partition column refuses (the directory layout already
+    clusters it); rows and schema are unchanged by the rewrite."""
+    import pytest as _pytest
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot,
+        snapshot_compact,
+        snapshot_write_with_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 4, i * 7 % 100, f"v{i}") for i in range(200)],
+        "id long, month int, score int, v string",
+    )
+    snapshot_write_with_stats(
+        df, table, stats_cols=["id", "score"], partition_cols=["month"]
+    )
+    with _pytest.raises(ValueError, match="partition column"):
+        snapshot_compact(spark, table, cluster_by=["month"])
+    before = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    snapshot_compact(spark, table, cluster_by=["id", "score"])
+    after = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    assert after == before
+
+
+def test_snapshot_compact_cli(spark, table, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, 1, f"v{i}") for i in range(40)]), table,
+        stats_cols=["id"],
+    )
+    rc = main(
+        [
+            "snapshot-compact", "--table-path", table,
+            "--cluster-by", "id", "--n-files", "4",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 2
+    assert sorted(
+        r.id for r in read_snapshot(spark, table).collect()
+    ) == list(range(40))
