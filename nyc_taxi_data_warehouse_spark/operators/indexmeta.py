@@ -89,6 +89,36 @@ def check_index_meta(spark: SparkSession, path: str, expected: dict) -> None:
         )
 
 
+def read_index_parquet(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame | None:
+    """Read an index's parquet rows, tolerating the ZERO-FILE layout.
+
+    An index bootstrapped from an empty table version (the ``sync_*``
+    docstrings' recommended cursor-first setup) has a ``_meta.json``
+    sidecar but zero parquet footers — partitioned writes of zero rows
+    emit no files — so a bare ``spark.read.parquet`` crashes with
+    UNABLE_TO_INFER_SCHEMA; a data directory torn away entirely (a
+    crashed prune mid-rewrite) crashes with PATH_NOT_FOUND. With
+    ``schema`` (StructType or DDL string) both fall back to a
+    typed-empty frame; without it, returns ``None`` so delete-style
+    callers can early-out. One shared implementation for the
+    ANN/IVF/postings/bloom readers, so the bootstrap contract cannot
+    drift per index kind.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "UNABLE_TO_INFER_SCHEMA" not in msg and "PATH_NOT_FOUND" not in msg:
+            raise
+        if schema is None:
+            return None
+        return spark.createDataFrame([], schema)
+
+
 def delete_partition_dirs(spark: SparkSession, path: str, dirs: list[str]) -> None:
     """Remove emptied partition directories after an index delete.
 
@@ -150,6 +180,11 @@ def compact_index(
             f"{path}: no {META_FILE} sidecar — refusing to compact a "
             "directory this engine did not write"
         )
+    if meta.get("kind") == "bloom" and meta.get("scope") == "snapshot":
+        # Snapshot-bloom keeps its rows under rows/ so the reconcile
+        # prune can overwrite data without ever touching the sidecar
+        # (crash-safe sync); compact that subtable, sidecar untouched.
+        return _compact_flat_dir(spark, f"{path}/rows", target_mb)
     if meta.get("kind") == "minhash":
         # The minhash index is TWO subtables with different schemas
         # (buckets/, shingles/) under one sidecar; a root-level
@@ -224,6 +259,8 @@ def _compact_flat_dir(spark, dir_path: str, target_mb: int) -> dict:
             continue
         n_before += 1
         total += f.getLen()
+    if n_before == 0:  # zero-file bootstrap layout: nothing to move
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
     df = spark.read.parquet(dir_path)
     n_target = max(1, -(-total // (target_mb * 2**20)))
     compacted = df.repartition(n_target).localCheckpoint(eager=True)

@@ -357,17 +357,13 @@ def _read_ann_rows(spark, path: str) -> DataFrame:
     starts from one) has a ``_meta.json`` but zero parquet files —
     partitioned writes of zero rows emit no footers — so schema
     inference fails; fall back to a typed empty frame rather than make
-    every consumer special-case bootstrap."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    every consumer special-case bootstrap (shared
+    ``indexmeta.read_index_parquet``)."""
+    from .indexmeta import read_index_parquet
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
-            raise
-        return spark.createDataFrame(
-            [], "cid long, cv array<double>, tbl int, bucket bigint"
-        )
+    return read_index_parquet(
+        spark, path, "cid long, cv array<double>, tbl int, bucket bigint"
+    )
 
 
 def _ann_existing_ids(spark, path: str) -> DataFrame:
@@ -809,16 +805,11 @@ def _read_ivf_like(spark, path: str, like: DataFrame) -> DataFrame:
     recommended cursor-first setup) writes no parquet files, and a bare
     ``spark.read.parquet`` would crash the first sync with
     UNABLE_TO_INFER_SCHEMA. Fall back to a typed-empty frame shaped
-    like the incoming assignment — the same contract as
-    ``_read_ann_rows``."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    like the incoming assignment — delegated to the shared
+    ``indexmeta.read_index_parquet``."""
+    from .indexmeta import read_index_parquet
 
-    try:
-        return spark.read.parquet(path).select(*like.columns)
-    except AnalysisException as e:
-        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
-            raise
-        return spark.createDataFrame([], like.schema)
+    return read_index_parquet(spark, path, like.schema).select(*like.columns)
 
 
 def _ivf_touched_cells(
@@ -888,13 +879,10 @@ def delete_from_ivf_index(
 
     spark = ids.sparkSession
     check_index_meta(spark, path, {"kind": "ivf"})
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from .indexmeta import read_index_parquet
 
-    try:
-        index = spark.read.parquet(path)
-    except AnalysisException as e:
-        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
-            raise
+    index = read_index_parquet(spark, path)
+    if index is None:
         return  # zero-file (bootstrap-empty) index: nothing to delete
     victim_ids = F.broadcast(ids.select(id_col).distinct())
 

@@ -38,8 +38,40 @@ from pyspark.sql import functions as F
 from ..operators.indexmeta import (
     check_index_meta,
     read_index_meta,
+    read_index_parquet,
     write_index_meta,
 )
+
+_ROWS_DDL = "file string, word int, bits long"
+
+# Coverage sentinel: every indexed file gets one (file, -1, 0) row even
+# when it contributes no real Bloom rows (all-NULL keys, or a file that
+# predates the key column). Probe words are always >= 0, so sentinels
+# can never produce a candidate — but they DO record the file as
+# covered, so the read-path coverage check and the sync reconcile
+# converge instead of treating such files as forever-unindexed.
+_SENTINEL_WORD = -1
+
+
+def _sentinels(files_df: DataFrame) -> DataFrame:
+    """One (file, -1, 0) coverage row per distinct file."""
+    return files_df.select(
+        F.col("file"),
+        F.lit(_SENTINEL_WORD).cast("int").alias("word"),
+        F.lit(0).cast("long").alias("bits"),
+    )
+
+
+def _data_path(index_path: str, meta: dict | None) -> str:
+    """Where the (file, word, bits) rows live. The snapshot variant
+    keeps them under ``rows/`` so the reconcile prune can overwrite
+    data without ever touching the ``_meta.json`` sidecar at the root
+    (a crash mid-prune then leaves a PARTIAL rows table the next sync
+    completes, instead of a sidecar-less directory every reader
+    rejects)."""
+    if meta is not None and meta.get("scope") == "snapshot":
+        return f"{index_path}/rows"
+    return index_path
 
 
 def _probe_pairs(key, m_bits: int, k: int):
@@ -93,6 +125,7 @@ def build_bloom_index(
         .select("file", F.explode(pairs).alias("p"))
         .groupBy("file", F.col("p.word").alias("word"))
         .agg(F.bit_or("p.mask").alias("bits"))
+        .unionByName(_sentinels(df.select("file").distinct()))
     )
     idx.write.mode("overwrite").parquet(index_path)
     write_index_meta(
@@ -131,7 +164,8 @@ def bloom_candidate_files(
         index_path,
         {"kind": "bloom", "key_col": key_col, "m_bits": m_bits, "k": k},
     )
-    key_type = (read_index_meta(spark, index_path) or {}).get("key_type")
+    meta = read_index_meta(spark, index_path) or {}
+    key_type = meta.get("key_type")
     if key_type is None:
         raise ValueError(
             f"{index_path}: sidecar lacks key_type — rebuild the index "
@@ -155,7 +189,9 @@ def bloom_candidate_files(
         "_k", F.col("p.word").alias("word"), F.col("p.mask").alias("mask")
     )
     words = [r.word for r in needed.select("word").distinct().collect()]
-    idx = spark.read.parquet(index_path).where(F.col("word").isin(words))
+    idx = read_index_parquet(
+        spark, _data_path(index_path, meta), _ROWS_DDL
+    ).where(F.col("word").isin(words))
     # a file covers a key iff ALL k probe bits are set in its words
     hit = (
         needed.join(F.broadcast(idx), "word")
@@ -243,6 +279,9 @@ def append_to_bloom_index(
         .select("file", F.explode(pairs).alias("p"))
         .groupBy("file", F.col("p.word").alias("word"))
         .agg(F.bit_or("p.mask").alias("bits"))
+        # sentinel rows mark even all-NULL-key files as covered, so they
+        # are not rescanned on every later append
+        .unionByName(_sentinels(fresh.select("file").distinct()))
         .localCheckpoint(eager=True)  # cut lineage off the index scan
     )
     n_new = add.select("file").distinct().count()
@@ -291,10 +330,14 @@ def _bloom_rows_for_files(
     ``data/<hex32>/``; see snapshots._read_file_list_flat). The key is
     read UNDER THE MANIFEST TYPE (recorded in the sidecar) so probe
     hashing matches even when older files stored a narrower physical
-    type; files that predate the column surface it as NULL and simply
-    contribute no rows — correct, their rows can never equal a probe."""
+    type; files that predate the column surface it as NULL and
+    contribute no REAL rows (correct — their rows can never equal a
+    probe) but still get a coverage sentinel, so the read-path coverage
+    check and the sync reconcile see them as indexed."""
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
+    if not files:
+        return spark.createDataFrame([], _ROWS_DDL)
     schema = StructType([StructField(key_col, _parse_datatype_string(key_type))])
     src = (
         spark.read.option("recursiveFileLookup", "true")
@@ -313,11 +356,16 @@ def _bloom_rows_for_files(
             for w, msk in _probe_pairs(F.col("_k"), m_bits, k)
         ]
     )
+    sentinels = spark.createDataFrame(
+        [(f, _SENTINEL_WORD, 0) for f in files], _ROWS_DDL
+    )  # driver-sized: one row per manifest relpath, same order as the
+    # manifest itself
     return (
         df.where(F.col("_k").isNotNull())
         .select("file", F.explode(pairs).alias("p"))
         .groupBy("file", F.col("p.word").alias("word"))
         .agg(F.bit_or("p.mask").alias("bits"))
+        .unionByName(sentinels)
     )
 
 
@@ -349,20 +397,32 @@ def build_snapshot_bloom_index(
     idx = _bloom_rows_for_files(
         spark, table_path, man["files"], key_col, key_type, m_bits, k
     )
-    idx.write.mode("overwrite").parquet(index_path)
+    # Sidecar FIRST, then rows (both under rows/ so reconciles never
+    # touch the sidecar — see _data_path): a crash mid-build leaves new
+    # dials over a partial/empty rows table, which the coverage check
+    # rejects loudly and sync_bloom_with_snapshot completes under the
+    # CORRECT dials. The reverse order could leave new rows under the
+    # old sidecar's dials — silent false negatives.
     write_index_meta(
         spark,
         index_path,
         {
             "kind": "bloom",
             "scope": "snapshot",
+            "layout": "rows-subdir",
             "key_col": key_col,
             "key_type": key_type,
             "m_bits": m_bits,
             "k": k,
         },
     )
-    return spark.read.parquet(index_path).select("file").distinct().count()
+    idx.write.mode("overwrite").parquet(f"{index_path}/rows")
+    return (
+        read_index_parquet(spark, f"{index_path}/rows", _ROWS_DDL)
+        .select("file")
+        .distinct()
+        .count()
+    )
 
 
 def sync_bloom_with_snapshot(
@@ -374,17 +434,22 @@ def sync_bloom_with_snapshot(
     longer part of the table — and unindexed live files (appends,
     rewrites' new files) gain theirs. Stateless and idempotent: no
     cursor to advance, re-running is a no-op, and a crash between the
-    prune and the append leaves a state the next sync completes.
+    prune and the append leaves a state the next sync completes — the
+    rows live under ``rows/`` precisely so the prune's overwrite can
+    never clobber the root ``_meta.json`` (a torn prune is a partial
+    rows table the next sync reconciles, not a sidecar-less directory
+    every reader rejects).
     Returns {"files_added", "files_removed", "version"}."""
     from ..session import static_partition_overwrite
 
     check_index_meta(spark, index_path, {"kind": "bloom", "scope": "snapshot"})
     meta = read_index_meta(spark, index_path)
+    rows_path = _data_path(index_path, meta)
     man, version = _snapshot_live_files(spark, table_path)
     live = set(man["files"])
+    rows = read_index_parquet(spark, rows_path, _ROWS_DDL)
     indexed = {
-        r["file"]
-        for r in spark.read.parquet(index_path).select("file").distinct().collect()
+        r["file"] for r in rows.select("file").distinct().collect()
     }  # driver-sized: one string per live data file, same order as the
     # manifest itself
     departed = sorted(indexed - live)
@@ -394,19 +459,16 @@ def sync_bloom_with_snapshot(
             spark.createDataFrame([(f,) for f in sorted(live)], "file string")
         )
         survivors = (
-            spark.read.parquet(index_path)
-            .join(live_df, "file", "left_semi")
+            rows.join(live_df, "file", "left_semi")
             .localCheckpoint(eager=True)  # the write replaces its input
         )
         with static_partition_overwrite(spark):
-            survivors.write.mode("overwrite").parquet(index_path)
-        # the root-dir overwrite clobbers the sidecar; restore it
-        write_index_meta(spark, index_path, meta)
+            survivors.write.mode("overwrite").parquet(rows_path)
     if to_add:
         _bloom_rows_for_files(
             spark, table_path, to_add, meta["key_col"], meta["key_type"],
             meta["m_bits"], meta["k"],
-        ).write.mode("append").parquet(index_path)
+        ).write.mode("append").parquet(rows_path)
     return {
         "files_added": len(to_add),
         "files_removed": len(departed),
@@ -437,7 +499,12 @@ def read_snapshot_with_bloom(
     live = set(man["files"])
     indexed = {
         r["file"]
-        for r in spark.read.parquet(index_path).select("file").distinct().collect()
+        for r in read_index_parquet(
+            spark, _data_path(index_path, meta), _ROWS_DDL
+        )
+        .select("file")
+        .distinct()
+        .collect()
     }
     uncovered = live - indexed
     if uncovered:

@@ -381,6 +381,17 @@ def read_snapshot(
 _FLAT_READ_THRESHOLD = 8
 
 
+# Footer cache for _flat_readable: data files are IMMUTABLE once
+# written (content-addressed commit dirs, never rewritten in place), so
+# a file's parquet schema can be remembered for the process lifetime —
+# repeated reads of a long-history table pay footer I/O only for files
+# not yet seen, instead of one serial driver-side footer read per file
+# per read. Keyed (root, relpath); bounded by wholesale clear (entries
+# are tiny, the bound is a runaway guard, not an LRU).
+_FOOTER_CACHE: dict[tuple[str, str], tuple] = {}
+_FOOTER_CACHE_MAX = 1 << 20
+
+
 def _flat_readable(
     spark: SparkSession,
     path: str,
@@ -393,8 +404,10 @@ def _flat_readable(
     target layout, and every data column it stores has the target
     type byte-for-byte (missing columns null-fill; anything needing a
     cast — a widened/narrowed history — keeps the per-commit path).
-    One parquet FOOTER read per file, metadata-only, driver-side —
-    the same order of work as loading the manifests that listed them."""
+    At most one parquet FOOTER read per file EVER (metadata-only,
+    cached — see ``_FOOTER_CACHE``), fetched through a small thread
+    pool so an object store's per-open latency is paid concurrently,
+    not serially."""
     from ..streaming.snapshot_source import (
         _pa_fs,
         _partition_values_from_path,
@@ -412,19 +425,39 @@ def _flat_readable(
         if f.name not in want_keys
     }
     fs, root = _pa_fs(path)
+    missing = [f for f in files if (root, f) not in _FOOTER_CACHE]
+    if missing:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def probe(f: str):
+            try:
+                with fs.open_input_file(f"{root}/{f}") as fh:
+                    return f, tuple(
+                        (fld.name, fld.type) for fld in pq.read_schema(fh)
+                    )
+            except OSError:
+                return f, None  # transient/missing: NOT cached
+
+        with ThreadPoolExecutor(
+            max_workers=min(16, len(missing))
+        ) as pool:
+            probed = dict(pool.map(probe, missing))
+        good = {f: v for f, v in probed.items() if v is not None}
+        if len(_FOOTER_CACHE) + len(good) > _FOOTER_CACHE_MAX:
+            _FOOTER_CACHE.clear()
+        for f, fields in good.items():
+            _FOOTER_CACHE[(root, f)] = fields
+        if len(good) != len(probed):
+            return False
     for f in files:
         if set(_partition_values_from_path(f)) != want_keys:
             return False
-        try:
-            fschema = pq.read_schema(fs.open_input_file(f"{root}/{f}"))
-        except OSError:
-            return False
-        for fld in fschema:
-            want = data_types.get(fld.name)
+        for name, atype in _FOOTER_CACHE[(root, f)]:
+            want = data_types.get(name)
             if want is None:
                 return False  # dropped-column history needs the cast path
             try:
-                have = from_arrow_type(fld.type)
+                have = from_arrow_type(atype)
             except Exception:
                 return False
             if have != want:
@@ -438,12 +471,20 @@ def _read_file_list_flat(
     files: list[str],
     schema: StructType,
     partition_cols: list[str],
+    versions: list[int] | None = None,
 ) -> DataFrame:
     """ONE scan over the whole file list (``_flat_readable`` verified).
     Partition discovery cannot span commit dirs (each is its own hive
     root — CONFLICTING_DIRECTORY_STRUCTURES), so it is disabled and the
     partition-directory values ride in a broadcast (relpath → values)
-    lookup parsed driver-side from the manifest relpaths."""
+    lookup parsed driver-side from the manifest relpaths.
+
+    ``versions`` (parallel to ``files``) is the change-feed variant: the
+    lookup gains a ``_commit_version`` column carried into the output.
+    The SAME relpath may then appear at several versions (a restore
+    re-adding a file whose original append is also in range) — the scan
+    reads each distinct file ONCE and the lookup join fans its rows out
+    to one copy per listed version, never rows × paths × lookup-rows."""
     from ..streaming.snapshot_source import _partition_values_from_path
 
     pfields = {f.name: f for f in schema.fields if f.name in partition_cols}
@@ -451,24 +492,40 @@ def _read_file_list_flat(
     scan = (
         spark.read.option("recursiveFileLookup", "true")
         .schema(StructType(data_fields))
-        .parquet(*[f"{path}/{f}" for f in files])
+        # dedupe: Spark reads a path listed twice TWICE (no dedup), so a
+        # repeated relpath would double its physical rows before the
+        # lookup join multiplied them again
+        .parquet(*dict.fromkeys(f"{path}/{f}" for f in files))
     )
-    if not pfields:
+    if not pfields and versions is None:
         return scan.select(*[f.name for f in schema.fields])
     lookup_rows = []
-    for f in files:
+    for i, f in enumerate(files):
         vals = _partition_values_from_path(f)
-        lookup_rows.append((f, *[vals.get(c) for c in partition_cols]))
+        row = [f]
+        if versions is not None:
+            row.append(versions[i])
+        lookup_rows.append((*row, *[vals.get(c) for c in partition_cols]))
     lookup = spark.createDataFrame(
         lookup_rows,
         ", ".join(
-            ["_relpath string"] + [f"`{c}` string" for c in partition_cols]
+            ["_relpath string"]
+            + (["_commit_version int"] if versions is not None else [])
+            + [f"`{c}` string" for c in partition_cols]
         ),
     )
     # greedy leading .* pins the LAST data/<hex32>/ occurrence: a table
     # living under a directory named like a commit dir can't confuse
     # the match, and the segments between the commit dir and the file
     # are k=v partition dirs, never data/<hex32>
+    out_cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in pfields
+        else F.col(f.name)
+        for f in schema.fields
+    ]
+    if versions is not None:
+        out_cols.append(F.col("_commit_version"))
     return (
         scan.withColumn(
             "_relpath",
@@ -477,14 +534,7 @@ def _read_file_list_flat(
             ),
         )
         .join(F.broadcast(lookup), "_relpath")
-        .select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in pfields
-                else F.col(f.name)
-                for f in schema.fields
-            ]
-        )
+        .select(*out_cols)
     )
 
 
@@ -657,59 +707,22 @@ def snapshot_changes(
                 )
             )
     if batched:
-        # One scan over every batched commit's files. Partition
-        # discovery CANNOT span commit dirs (each commit dir is its own
-        # hive root — Spark raises CONFLICTING_DIRECTORY_STRUCTURES),
-        # so discovery is disabled (recursiveFileLookup) and the
-        # partition-directory values ride along in the broadcast lookup
-        # instead, parsed driver-side from the manifest relpaths — the
-        # same parse the streaming feed source does per input partition.
-        from ..streaming.snapshot_source import _partition_values_from_path
-
-        pcols = _manifest_partition_cols(target_man) or []
-        data_fields = [f for f in out_schema.fields if f.name not in pcols]
-        pfields = {f.name: f for f in out_schema.fields if f.name in pcols}
-        scan = (
-            spark.read.option("recursiveFileLookup", "true")
-            .schema(StructType(data_fields))
-            .parquet(*[f"{path}/{f}" for f, _ in batched])
-        )
-        lookup_rows = []
-        for f, v in batched:
-            vals = _partition_values_from_path(f)
-            lookup_rows.append((f, v, *[vals.get(c) for c in pcols]))
-        lookup = spark.createDataFrame(
-            lookup_rows,
-            ", ".join(
-                ["_relpath string", "_commit_version int"]
-                + [f"`{c}` string" for c in pcols]
-            ),
-        )
-        # greedy leading .* pins the LAST data/<hex32>/ occurrence, so
-        # a table that itself lives under a directory named like a
-        # commit dir can't confuse the match; segments between the
-        # commit dir and the file are k=v partition dirs, never
-        # data/<hex32>
-        ins = (
-            scan.withColumn(
-                "_relpath",
-                F.regexp_extract(
-                    F.col("_metadata.file_path"),
-                    "^.*/(data/[0-9a-f]{32}/.*)$",
-                    1,
-                ),
-            )
-            .join(F.broadcast(lookup), "_relpath")
-            .drop("_relpath")
+        # One scan over every batched commit's files, shared with the
+        # long-history read path (``_read_file_list_flat``): partition
+        # values and the commit version ride in the broadcast relpath
+        # lookup, and a relpath re-added by an in-range restore is read
+        # once and fanned out per version by the join.
+        ins = _read_file_list_flat(
+            spark,
+            path,
+            [f for f, _ in batched],
+            out_schema,
+            _manifest_partition_cols(target_man) or [],
+            versions=[v for _, v in batched],
         )
         changes.append(
             ins.select(
-                *[
-                    F.col(f.name).cast(pfields[f.name].dataType).alias(f.name)
-                    if f.name in pfields
-                    else F.col(f.name)
-                    for f in out_schema.fields
-                ],
+                *[F.col(f.name) for f in out_schema.fields],
                 F.lit("insert").alias("_change_type"),
                 F.col("_commit_version"),
             )

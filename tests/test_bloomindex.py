@@ -274,6 +274,142 @@ def test_snapshot_bloom_follows_dml(spark, tmp_path):
     assert (res2["files_added"], res2["files_removed"]) == (0, 0)
 
 
+def test_snapshot_bloom_allnull_key_file_converges(spark, tmp_path):
+    """A commit whose rows all carry NULL keys contributes no real
+    Bloom rows — the coverage SENTINEL must still mark its file as
+    indexed, or sync re-adds it forever and the read path permanently
+    raises 'run sync first' (review r6)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        build_snapshot_bloom_index,
+        read_snapshot_with_bloom,
+        sync_bloom_with_snapshot,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "nk_tbl")
+    idx = str(tmp_path / "nk_idx")
+    snapshot_write(_sdocs(spark, [(i, 1, f"d{i}") for i in range(10)]), t)
+    build_snapshot_bloom_index(spark, t, "doc_id", idx, m_bits=M, k=K)
+    snapshot_write(
+        _sdocs(spark, [(None, 1, "null-keyed")]), t, mode="append"
+    )
+    res = sync_bloom_with_snapshot(spark, t, idx)
+    assert res["files_added"] >= 1
+    # converged: the all-NULL file is covered, re-sync is a true no-op
+    res2 = sync_bloom_with_snapshot(spark, t, idx)
+    assert (res2["files_added"], res2["files_removed"]) == (0, 0)
+    # and the read path works (NULL rows can never match a probe)
+    assert read_snapshot_with_bloom(spark, t, idx, [3]).count() == 1
+
+
+def test_snapshot_bloom_torn_prune_self_heals(spark, tmp_path):
+    """The reconcile prune overwrites rows/ only — the root _meta.json
+    is never in the blast radius, so a crash mid-prune (simulated by
+    deleting rows/ outright) leaves an index the NEXT sync completes,
+    not a sidecar-less directory every reader rejects (review r6)."""
+    import shutil
+
+    from nyc_taxi_data_warehouse_spark.operators.indexmeta import (
+        read_index_meta,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        build_snapshot_bloom_index,
+        read_snapshot_with_bloom,
+        sync_bloom_with_snapshot,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tp_tbl")
+    idx = str(tmp_path / "tp_idx")
+    snapshot_write(_sdocs(spark, [(i, i % 3, f"d{i}") for i in range(30)]), t)
+    build_snapshot_bloom_index(spark, t, "doc_id", idx, m_bits=M, k=K)
+    snapshot_delete_rows(spark, t, "doc_id", [7])
+    # worst-case torn prune: the whole rows table is gone mid-rewrite
+    shutil.rmtree(f"{idx}/rows")
+    assert read_index_meta(spark, idx) is not None  # sidecar untouched
+    res = sync_bloom_with_snapshot(spark, t, idx)  # completes, no crash
+    assert res["files_added"] >= 1
+    assert read_snapshot_with_bloom(spark, t, idx, [7]).count() == 0
+    assert read_snapshot_with_bloom(spark, t, idx, [23]).count() == 1
+    res2 = sync_bloom_with_snapshot(spark, t, idx)
+    assert (res2["files_added"], res2["files_removed"]) == (0, 0)
+
+
+def test_snapshot_bloom_bootstrap_from_empty_table(spark, tmp_path):
+    """Build against an EMPTY snapshot table writes a zero-file rows
+    layout; reads tolerate it (no UNABLE_TO_INFER_SCHEMA), and the
+    first sync after data arrives brings the index up (review r6 — the
+    same typed-empty contract the postings/IVF bootstrap got)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        build_snapshot_bloom_index,
+        read_snapshot_with_bloom,
+        sync_bloom_with_snapshot,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_write,
+    )
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+    )
+
+    t = str(tmp_path / "eb_tbl")
+    idx = str(tmp_path / "eb_idx")
+    snapshot_write(_sdocs(spark, []), t)
+    n = build_snapshot_bloom_index(spark, t, "doc_id", idx, m_bits=M, k=K)
+    # an empty table may still mint zero-row files; every live file is
+    # covered (by sentinel if keyless), none invented
+    man = _load_manifest(spark, t, _list_manifests(spark, t)[-1])
+    assert n == len(man["files"])
+    # empty table, empty index: lookup answers empty, typed
+    got = read_snapshot_with_bloom(spark, t, idx, [1])
+    assert got.count() == 0 and "text" in got.columns
+    snapshot_write(_sdocs(spark, [(1, 1, "one")]), t, mode="append")
+    with pytest.raises(ValueError, match="not in the Bloom index"):
+        read_snapshot_with_bloom(spark, t, idx, [1])
+    assert sync_bloom_with_snapshot(spark, t, idx)["files_added"] >= 1
+    assert read_snapshot_with_bloom(spark, t, idx, [1]).count() == 1
+
+
+def test_snapshot_bloom_compact_index_preserves_layout(spark, tmp_path):
+    """compact_index on the snapshot variant compacts rows/ (not the
+    root — a root rewrite would flatten the subdir layout) and lookups
+    are unchanged."""
+    from nyc_taxi_data_warehouse_spark.operators.indexmeta import (
+        compact_index,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        build_snapshot_bloom_index,
+        read_snapshot_with_bloom,
+        sync_bloom_with_snapshot,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "ci_tbl")
+    idx = str(tmp_path / "ci_idx")
+    snapshot_write(_sdocs(spark, [(i, i % 3, f"d{i}") for i in range(30)]), t)
+    build_snapshot_bloom_index(spark, t, "doc_id", idx, m_bits=M, k=K)
+    for j in range(3):  # fragment the rows table with appends
+        snapshot_write(
+            _sdocs(spark, [(100 + j, 1, f"x{j}")]), t, mode="append"
+        )
+        sync_bloom_with_snapshot(spark, t, idx)
+    r = compact_index(spark, idx, target_mb=64)
+    assert r["files_after"] <= r["files_before"]
+    assert read_snapshot_with_bloom(spark, t, idx, [101]).count() == 1
+    assert read_snapshot_with_bloom(spark, t, idx, [7]).count() == 1
+    res = sync_bloom_with_snapshot(spark, t, idx)
+    assert (res["files_added"], res["files_removed"]) == (0, 0)
+
+
 def test_snapshot_bloom_refuses_partition_key_and_prunes(spark, tmp_path):
     """Partition-column keys refuse (layout pruning already serves
     them); candidate scans touch a strict subset of live files on a

@@ -295,6 +295,41 @@ def test_restore_rolls_back_as_a_new_commit(spark, table):
         snapshot_restore(spark, table, 2)  # vacuumed version
 
 
+def test_changes_restore_readds_same_file_once_per_version(spark, table):
+    """A restore can re-add the very FILE an earlier in-range append
+    minted. The batched append scan must read that file once and fan
+    rows out once per listed version via the lookup join — listing the
+    path twice would double the physical rows AND double-match the
+    lookup, yielding 4x inserts (regression: duplicated scan paths)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_restore,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a"), (2, 2, "b")]), table)  # v1
+    # v2: delete EVERY row -> removes v1's files, adds none
+    snapshot_delete_rows(spark, table, "id", [1, 2])
+    assert read_snapshot(spark, table).count() == 0
+    # v3: restore to v1 -> re-adds v1's exact files, removed=[] (a
+    # pure-append-shaped commit, batched together with v1's append)
+    v3 = snapshot_restore(spark, table, 1)
+    assert v3 == 3
+    ch = snapshot_changes(spark, table, from_version=0)
+    per_version = {
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in ch.collect()
+    }
+    counts = ch.groupBy("_commit_version", "_change_type").count().collect()
+    assert {(r["_commit_version"], r["_change_type"], r["count"])
+            for r in counts} == {
+        (1, "insert", 2),
+        (2, "delete", 2),
+        (3, "insert", 2),
+    }
+    assert (1, "insert", 1) in per_version and (3, "insert", 1) in per_version
+    # apply invariant from empty
+    assert _apply([], ch) == [(1, 1, "a"), (2, 2, "b")]
+
+
 def test_snapshot_restore_cli(spark, table, capsys):
     import json as _json
 
