@@ -212,6 +212,34 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help='JSON object column->literal, e.g. \'{"email": null}\'',
     )
 
+    br = sub.add_parser(
+        "branch",
+        help="branch/tag lifecycle on a snapshot table: create/list/"
+        "publish/drop branches, create/list/delete tags — all "
+        "metadata-only (zero data movement at any table size)",
+    )
+    br.add_argument("--table-path", required=True)
+    br.add_argument(
+        "--action", required=True,
+        choices=[
+            "create", "list", "publish", "drop",
+            "tag", "tags", "untag",
+        ],
+    )
+    br.add_argument("--name", help="branch or tag name")
+    br.add_argument(
+        "--at-version", type=int, default=None,
+        help="fork/pin point (default: latest)",
+    )
+    br.add_argument(
+        "--force", action="store_true",
+        help="publish even when main diverged (last-writer-wins)",
+    )
+    br.add_argument(
+        "--reclaim", action="store_true",
+        help="on drop: also delete data files only this branch references",
+    )
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -396,6 +424,38 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     {"version": v, "restored_from": args.version}
                 )
             )
+        elif args.cmd == "branch":
+            from .warehouse import branching as B
+
+            t = args.table_path
+            if args.action == "create":
+                ref = B.create_branch(
+                    spark, t, args.name, at_version=args.at_version
+                )
+                print(json.dumps({"ref": ref}))
+            elif args.action == "list":
+                print(
+                    json.dumps(
+                        {
+                            "branches": B.list_branches(spark, t),
+                            "tags": B.list_tags(spark, t),
+                        }
+                    )
+                )
+            elif args.action == "publish":
+                v = B.publish_branch(spark, t, args.name, force=args.force)
+                print(json.dumps({"version": v, "from_branch": args.name}))
+            elif args.action == "drop":
+                n = B.drop_branch(spark, t, args.name, reclaim=args.reclaim)
+                print(json.dumps({"dropped": args.name, "files_deleted": n}))
+            elif args.action == "tag":
+                v = B.create_tag(spark, t, args.name, version=args.at_version)
+                print(json.dumps({"tag": args.name, "version": v}))
+            elif args.action == "tags":
+                print(json.dumps(B.list_tags(spark, t)))
+            elif args.action == "untag":
+                B.delete_tag(spark, t, args.name)
+                print(json.dumps({"deleted_tag": args.name}))
         elif args.cmd == "snapshot-update":
             from .warehouse.snapshots import snapshot_update_rows
 

@@ -47,6 +47,43 @@ from pyspark.sql.types import StructType
 
 _VDIR = "_versions"
 _DDIR = "data"
+_BDIR = "_branches"
+_TDIR = "_tags"
+
+# Branch refs: "<table-path>#<branch>" — '#' begins the fragment in any
+# URI, so no real filesystem/object-store path contains one, making it
+# an unambiguous separator. A ref routes MANIFESTS to the branch's own
+# version chain (_branches/<name>/_versions/) while data files always
+# live in the table root's shared data/ pool (commit dirs are
+# uuid-named, so branch writers can never collide with main or with
+# each other on a data path). Every snapshot function that takes a
+# table path accepts a ref; see ``warehouse/branching.py`` for the
+# public branch/tag API.
+_REF_SEP = "#"
+
+
+def _split_ref(path: str) -> tuple[str, str]:
+    """(table root, manifest dir relative to root) for a path-or-ref."""
+    if _REF_SEP not in path:
+        return path, _VDIR
+    root, _, branch = path.rpartition(_REF_SEP)
+    _check_ref_name(branch)
+    return root, f"{_BDIR}/{branch}/{_VDIR}"
+
+
+def _root(path: str) -> str:
+    """The table root of a path-or-ref (where data files live)."""
+    return _split_ref(path)[0]
+
+
+def _check_ref_name(name: str) -> None:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+        raise ValueError(
+            f"invalid branch/tag name {name!r}: use letters, digits, "
+            "'.', '_', '-' (must start alphanumeric)"
+        )
 
 
 class SnapshotConflict(RuntimeError):
@@ -136,8 +173,9 @@ def _write_bytes_exclusive(fs, jpath, data: bytes) -> bool:
 
 
 def _list_manifests(spark: SparkSession, path: str) -> list[int]:
-    fs, jvm = _fs(spark, path)
-    vdir = _jp(jvm, path, _VDIR)
+    root, mdir = _split_ref(path)
+    fs, jvm = _fs(spark, root)
+    vdir = _jp(jvm, root, mdir)
     if not fs.exists(vdir):
         return []
     out = []
@@ -149,8 +187,9 @@ def _list_manifests(spark: SparkSession, path: str) -> list[int]:
 
 
 def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
-    fs, jvm = _fs(spark, path)
-    jpath = _jp(jvm, path, _VDIR, f"{version:08d}.json")
+    root, mdir = _split_ref(path)
+    fs, jvm = _fs(spark, root)
+    jpath = _jp(jvm, root, mdir, f"{version:08d}.json")
     # The committer claims the manifest name with an exclusive create,
     # then writes the (small) body in one buffered write+close. A reader
     # can glimpse the claimed-but-unfinished file for a moment; a short
@@ -170,7 +209,9 @@ def _write_commit_files(
     df: DataFrame, path: str, partition_cols: list[str] | None
 ) -> tuple[str, list[str]]:
     """Write ``df`` as a new immutable commit dir; returns (commit id,
-    file paths RELATIVE to the table root)."""
+    file paths RELATIVE to the table root). Branch refs write into the
+    same root data/ pool as main (uuid commit dirs cannot collide)."""
+    path = _root(path)
     commit = uuid.uuid4().hex
     dest = f"{path}/{_DDIR}/{commit}"
     writer = df.write.mode("error")
@@ -202,7 +243,8 @@ def _commit(
     extra: dict | None = None,
     partition_cols: list[str] | None = None,
 ) -> int:
-    fs, jvm = _fs(spark, path)
+    root, mdir = _split_ref(path)
+    fs, jvm = _fs(spark, root)
     version = (parent or 0) + 1
     manifest = {
         "version": version,
@@ -219,7 +261,7 @@ def _commit(
         **(extra or {}),
     }
     data = json.dumps(manifest, sort_keys=True).encode("utf-8")
-    jpath = _jp(jvm, path, _VDIR, f"{version:08d}.json")
+    jpath = _jp(jvm, root, mdir, f"{version:08d}.json")
     if not _write_bytes_exclusive(fs, jpath, data):
         raise SnapshotConflict(
             f"version {version} of {path} was committed concurrently"
@@ -413,6 +455,8 @@ def _flat_readable(
         _partition_values_from_path,
     )
 
+    path = _root(path)
+
     try:
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_type
@@ -487,6 +531,8 @@ def _read_file_list_flat(
     to one copy per listed version, never rows × paths × lookup-rows."""
     from ..streaming.snapshot_source import _partition_values_from_path
 
+    path = _root(path)
+
     pfields = {f.name: f for f in schema.fields if f.name in partition_cols}
     data_fields = [f for f in schema.fields if f.name not in pfields]
     scan = (
@@ -546,6 +592,7 @@ def _read_file_list(
     partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Scan an explicit manifest file list, normalised to ``schema``."""
+    path = _root(path)
     if not files:
         return spark.createDataFrame([], schema)
     # Partition values live in the directory names UNDER each commit
@@ -798,6 +845,36 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+def _branch_names(spark: SparkSession, path: str) -> list[str]:
+    """Branch names under the table's _branches/ dir (metadata-only)."""
+    fs, jvm = _fs(spark, path)
+    bdir = _jp(jvm, path, _BDIR)
+    if not fs.exists(bdir):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(bdir)
+        if st.isDirectory()
+    )
+
+
+def _tag_versions(spark: SparkSession, path: str) -> dict[str, int]:
+    """{tag name: pinned main-chain version} (metadata-only)."""
+    fs, jvm = _fs(spark, path)
+    tdir = _jp(jvm, path, _TDIR)
+    if not fs.exists(tdir):
+        return {}
+    out = {}
+    for st in fs.listStatus(tdir):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            doc = json.loads(
+                _read_bytes(fs, jvm, st.getPath()).decode("utf-8")
+            )
+            out[name[:-5]] = doc["version"]
+    return out
+
+
 def vacuum_snapshots(
     spark: SparkSession, path: str, keep_last: int = 2
 ) -> dict:
@@ -806,15 +883,32 @@ def vacuum_snapshots(
     versions is gone afterwards (their manifests are removed) — run
     when no reader is pinned below the cutoff, the same contract as any
     manifest-log VACUUM. Returns {"versions_dropped", "files_deleted"}.
-    """
+
+    Branch/tag aware: TAGGED versions are never dropped regardless of
+    ``keep_last`` (delete the tag first), and files referenced by ANY
+    branch manifest survive — a live branch's history stays readable
+    through a main-chain vacuum. Vacuum targets the TABLE; a branch ref
+    is refused (``drop_branch`` removes a branch's manifests, after
+    which its unshared files are ordinary vacuum candidates)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if _REF_SEP in path:
+        raise ValueError(
+            "vacuum the table root, not a branch ref — use drop_branch "
+            "to retire a branch, then vacuum the table"
+        )
     fs, jvm = _fs(spark, path)
     versions = _list_manifests(spark, path)
-    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    tagged = set(_tag_versions(spark, path).values())
+    drop = [v for v in versions[:-keep_last] if v not in tagged]
+    keep = [v for v in versions if v not in drop]
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_load_manifest(spark, path, v)["files"])
+    for b in _branch_names(spark, path):
+        ref = f"{path}{_REF_SEP}{b}"
+        for bv in _list_manifests(spark, ref):
+            referenced.update(_load_manifest(spark, ref, bv)["files"])
     deleted = 0
     for v in drop:
         for f in _load_manifest(spark, path, v)["files"]:
@@ -941,10 +1035,10 @@ def snapshot_compact(
         # directories carried-file classification depends on
         partition_cols = _manifest_partition_cols(man)
     if n_files is None:
-        fs, jvm = _fs(spark, path)
+        fs, jvm = _fs(spark, _root(path))
         total = 0
         for f in man["files"]:
-            total += fs.getFileStatus(_jp(jvm, path, f)).getLen()
+            total += fs.getFileStatus(_jp(jvm, _root(path), f)).getLen()
         n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
     df = read_snapshot(spark, path, latest)
     drop_after = None
@@ -1075,6 +1169,7 @@ def collect_file_stats(
     {relpath: {col: [min, max]}} in native (order-preserving) JSON
     form. One small aggregation grouped by ``_metadata.file_path`` —
     runs once at commit time."""
+    path = _root(path)
     if not files or not stats_cols:
         return {}
     df = spark.read.parquet(*[f"{path}/{f}" for f in files])
@@ -1195,6 +1290,7 @@ def read_snapshot_pruned(
     if len(keep) == len(man["files"]):
         pruned = base
     else:
+        path = _root(path)  # data joins below; manifests already read
         by_commit: dict[str, list[str]] = {}
         for f in keep:
             commit = "/".join(f.split("/", 2)[:2])
