@@ -155,6 +155,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     sv.add_argument("--table-path", required=True)
     sv.add_argument("--keep-last", type=int, default=2)
+    sv.add_argument(
+        "--sweep-orphans", action="store_true",
+        help="also delete data files no retained manifest references "
+        "(crashed-commit debris), age-gated by --orphan-grace-seconds",
+    )
+    sv.add_argument(
+        "--orphan-grace-seconds", type=float, default=7 * 24 * 3600,
+        help="minimum age before an unreferenced file is deletable; "
+        "must exceed the longest write-to-manifest-claim window",
+    )
 
     sd = sub.add_parser(
         "snapshot-delete",
@@ -381,15 +391,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             print(json.dumps({"version": v}))
         elif args.cmd == "snapshot-vacuum":
-            from .warehouse.snapshots import vacuum_snapshots
+            from .warehouse.snapshots import sweep_orphans, vacuum_snapshots
 
-            print(
-                json.dumps(
-                    vacuum_snapshots(
-                        spark, args.table_path, keep_last=args.keep_last
-                    )
-                )
+            out = vacuum_snapshots(
+                spark, args.table_path, keep_last=args.keep_last
             )
+            if args.sweep_orphans:
+                sw = sweep_orphans(
+                    spark,
+                    args.table_path,
+                    grace_seconds=args.orphan_grace_seconds,
+                )
+                out.update({f"orphan_{k}": v for k, v in sw.items()})
+            print(json.dumps(out))
         elif args.cmd == "snapshot-delete":
             from .warehouse.snapshots import snapshot_delete_rows
 

@@ -926,6 +926,84 @@ def vacuum_snapshots(
     return {"versions_dropped": len(drop), "files_deleted": deleted}
 
 
+def sweep_orphans(
+    spark: SparkSession, path: str, grace_seconds: float = 7 * 24 * 3600
+) -> dict:
+    """Delete data files referenced by NO retained manifest — the
+    debris of crashed commits (files written, the manifest create lost
+    or never attempted: vacuum can't find them because they appear in
+    no manifest at all) and of metadata-only ``drop_branch`` calls.
+
+    The AGE GATE is the safety mechanism: every commit protocol in
+    this module writes data files BEFORE claiming its manifest, so an
+    unreferenced-but-younger-than-grace file may be an in-flight
+    commit and is left alone. ``grace_seconds`` must exceed the
+    longest plausible write-to-claim window (default: 7 days, the
+    usual object-store retention posture). A commit dir whose every
+    non-hidden file was orphan-deleted is removed entirely (including
+    its _SUCCESS-style markers, which otherwise keep it alive through
+    vacuum's empty-dir sweep).
+
+    The referenced set spans the MAIN chain, every BRANCH chain, and —
+    because tagged versions' manifests are retained by vacuum — every
+    tag. Metadata-proportional driver work: one file listing of data/
+    plus one manifest read per retained version. Returns
+    {"files_deleted", "dirs_deleted", "files_kept_young"}."""
+    import time
+
+    if _REF_SEP in path:
+        raise ValueError("sweep the table root, not a branch ref")
+    fs, jvm = _fs(spark, path)
+    referenced: set[str] = set()
+    for v in _list_manifests(spark, path):
+        referenced.update(_load_manifest(spark, path, v)["files"])
+    for b in _branch_names(spark, path):
+        ref = f"{path}{_REF_SEP}{b}"
+        for bv in _list_manifests(spark, ref):
+            referenced.update(_load_manifest(spark, ref, bv)["files"])
+    ddir = _jp(jvm, path, _DDIR)
+    if not fs.exists(ddir):
+        return {"files_deleted": 0, "dirs_deleted": 0, "files_kept_young": 0}
+    root_uri = fs.makeQualified(_jp(jvm, path)).toString().rstrip("/")
+    cutoff_ms = (time.time() - grace_seconds) * 1000.0
+    files_deleted = dirs_deleted = kept_young = 0
+    for st in fs.listStatus(ddir):
+        if not st.isDirectory():
+            continue
+        any_referenced = any_young = False
+        orphans = []
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            fst = it.next()
+            p = fst.getPath().toString()
+            name = p.rsplit("/", 1)[-1]
+            if name.startswith("_") or name.startswith("."):
+                continue  # markers ride with their dir's fate
+            rel = p[len(root_uri) + 1 :] if p.startswith(root_uri + "/") else p
+            if rel in referenced:
+                any_referenced = True
+            elif fst.getModificationTime() > cutoff_ms:
+                any_young = True
+                kept_young += 1
+            else:
+                orphans.append(fst.getPath())
+        if not any_referenced and not any_young:
+            # whole commit dir is orphaned debris: remove it, markers too
+            if orphans:
+                fs.delete(st.getPath(), True)
+                files_deleted += len(orphans)
+                dirs_deleted += 1
+        else:
+            for op in orphans:
+                if fs.delete(op, False):
+                    files_deleted += 1
+    return {
+        "files_deleted": files_deleted,
+        "dirs_deleted": dirs_deleted,
+        "files_kept_young": kept_young,
+    }
+
+
 def stream_snapshot_append(
     spark: SparkSession,
     stream_df: DataFrame,

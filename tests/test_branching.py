@@ -332,3 +332,83 @@ def test_publish_carries_branch_relayout(spark, table):
         partition_cols=["month"],
     )
     assert (99, 1, "x") in _rows(spark, table)
+
+
+def test_sweep_orphans_reclaims_crash_debris_only(spark, table):
+    """Orphan GC: a crashed commit's files (written, manifest never
+    claimed) are invisible to vacuum — sweep_orphans deletes them once
+    older than the grace window, leaves referenced and young files
+    alone, and removes fully-orphaned commit dirs marker files and all."""
+    import os
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _write_commit_files,
+        sweep_orphans,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a"), (2, 2, "b")]), table)
+    # a "crashed" commit: files written, no manifest ever claims them
+    commit, orphan_files = _write_commit_files(
+        _df(spark, [(9, 9, "crash")]), table, None
+    )
+    assert orphan_files
+    # a dropped branch without reclaim leaves its minted files behind
+    ref = create_branch(spark, table, "gone")
+    snapshot_write(_df(spark, [(7, 7, "g")]), ref, mode="append")
+    drop_branch(spark, table, "gone")  # metadata-only
+    # young files survive the sweep
+    res = sweep_orphans(spark, table, grace_seconds=3600)
+    assert res["files_deleted"] == 0 and res["files_kept_young"] >= 2
+    # age them out and sweep for real
+    res = sweep_orphans(spark, table, grace_seconds=0)
+    assert res["files_deleted"] >= 2 and res["dirs_deleted"] >= 2
+    assert not os.path.exists(f"{table}/data/{commit}")
+    # the live table is untouched
+    assert _rows(spark, table) == [(1, 1, "a"), (2, 2, "b")]
+    # idempotent
+    res = sweep_orphans(spark, table, grace_seconds=0)
+    assert res["files_deleted"] == 0 and res["dirs_deleted"] == 0
+
+
+def test_sweep_orphans_spares_branch_and_tag_references(spark, table):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        sweep_orphans,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)  # v1
+    create_tag(spark, table, "pin")
+    ref = create_branch(spark, table, "live")
+    snapshot_write(_df(spark, [(5, 5, "b")]), ref, mode="append")
+    snapshot_write(_df(spark, [(2, 2, "c")]), table)  # overwrite main
+    vacuum_snapshots(spark, table, keep_last=1)  # v1 manifest kept (tag)
+    res = sweep_orphans(spark, table, grace_seconds=0)
+    assert res["files_deleted"] == 0
+    assert read_tag(spark, table, "pin").count() == 1
+    assert _rows(spark, ref) == [(1, 1, "a"), (5, 5, "b")]
+    with pytest.raises(ValueError, match="table root"):
+        sweep_orphans(spark, branch_ref(table, "live"), grace_seconds=0)
+
+
+def test_vacuum_cli_with_orphan_sweep(spark, table, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _write_commit_files,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    snapshot_write(_df(spark, [(2, 2, "b")]), table)
+    _write_commit_files(_df(spark, [(9, 9, "crash")]), table, None)
+    assert main(
+        [
+            "snapshot-vacuum", "--table-path", table, "--keep-last", "1",
+            "--sweep-orphans", "--orphan-grace-seconds", "0",
+        ],
+        spark=spark,
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["versions_dropped"] == 1
+    assert out["orphan_files_deleted"] >= 1
+    assert out["orphan_dirs_deleted"] >= 1
+    assert _rows(spark, table) == [(2, 2, "b")]
