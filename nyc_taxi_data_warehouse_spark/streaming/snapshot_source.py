@@ -100,6 +100,20 @@ except Exception:  # pragma: no cover - never block batch-side imports
     pass
 
 
+def _ref_parts(path: str) -> tuple[str, str]:
+    """(table root, manifest dir) for a path-or-branch-ref. Mirrors
+    ``warehouse.snapshots._split_ref`` (kept dependency-free: this
+    module runs in the plain-Python Data Source planning subprocess):
+    ``table#branch`` routes manifests to the branch's chain while data
+    relpaths always resolve against the root. Split BEFORE any
+    ``_pa_fs`` call — '#' is a URI fragment and ``from_uri`` would eat
+    it."""
+    if "#" not in path:
+        return path, _VDIR
+    root, _, branch = path.rpartition("#")
+    return root, f"_branches/{branch}/{_VDIR}"
+
+
 def _pa_fs(path: str):
     """(pyarrow FileSystem, fs-local path) for a URI or bare path."""
     import pyarrow.fs as pafs
@@ -112,8 +126,9 @@ def _pa_fs(path: str):
 def _list_versions(path: str) -> list[int]:
     import pyarrow.fs as pafs
 
-    fs, root = _pa_fs(path)
-    sel = pafs.FileSelector(f"{root}/{_VDIR}", allow_not_found=True)
+    tbl, mdir = _ref_parts(path)
+    fs, root = _pa_fs(tbl)
+    sel = pafs.FileSelector(f"{root}/{mdir}", allow_not_found=True)
     out = []
     for info in fs.get_file_info(sel):
         name = info.base_name
@@ -126,8 +141,9 @@ def _list_versions(path: str) -> list[int]:
 
 
 def _load_manifest(path: str, version: int) -> dict:
-    fs, root = _pa_fs(path)
-    with fs.open_input_stream(f"{root}/{_VDIR}/{version:08d}.json") as f:
+    tbl, mdir = _ref_parts(path)
+    fs, root = _pa_fs(tbl)
+    with fs.open_input_stream(f"{root}/{mdir}/{version:08d}.json") as f:
         return json.loads(f.read().decode("utf-8"))
 
 
@@ -181,6 +197,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self._path = options["path"]
+        self._root = _ref_parts(self._path)[0]  # data files live here
         self._on_non_append = options.get("onnonappend", "fail").lower()
         if self._on_non_append not in ("fail", "skip", "verify"):
             raise ValueError(
@@ -261,7 +278,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 for f in sorted(files - prev_files):
                     parts.append(
                         _FilePartition(
-                            f"{self._path}/{f}",
+                            f"{self._root}/{f}",
                             _partition_values_from_path(f),
                             v,
                         )
@@ -296,9 +313,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 "consume row-level changes with snapshot_changes()"
             )
         n_removed = sum(
-            _parquet_num_rows(f"{self._path}/{f}") for f in removed
+            _parquet_num_rows(f"{self._root}/{f}") for f in removed
         )
-        n_added = sum(_parquet_num_rows(f"{self._path}/{f}") for f in added)
+        n_added = sum(_parquet_num_rows(f"{self._root}/{f}") for f in added)
         if n_removed != n_added:
             raise ValueError(
                 f"version {v} (compact) is not row-neutral: removed "

@@ -412,3 +412,46 @@ def test_vacuum_cli_with_orphan_sweep(spark, table, capsys):
     assert out["orphan_files_deleted"] >= 1
     assert out["orphan_dirs_deleted"] >= 1
     assert _rows(spark, table) == [(2, 2, "b")]
+
+
+def test_streaming_feed_and_append_over_branch_ref(spark, table, tmp_path):
+    """The streaming surface follows refs too: stream_snapshot_append
+    lands micro-batches on a BRANCH (exactly-once per chain), the feed
+    source reads a branch's own history, and main never sees either
+    until publish."""
+    from nyc_taxi_data_warehouse_spark.streaming.snapshot_source import (
+        read_snapshot_stream,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        stream_snapshot_append,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    ref = create_branch(spark, table, "ingest")
+    src_dir = str(tmp_path / "src")
+    _df(spark, [(2, 2, "b"), (3, 3, "c")]).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("id long, month int, v string")
+        .parquet(src_dir)
+    )
+    stream_snapshot_append(
+        spark, stream, ref, str(tmp_path / "ck1"), stream_id="s1"
+    )
+    assert len(_rows(spark, ref)) == 3
+    assert _rows(spark, table) == [(1, 1, "a")]  # main isolated
+
+    # the feed source reads the BRANCH chain from version 0
+    rows: list = []
+    q = (
+        read_snapshot_stream(spark, ref)
+        .writeStream.foreachBatch(lambda b, e: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted((r.id, r.month, r.v) for r in rows) == [
+        (1, 1, "a"), (2, 2, "b"), (3, 3, "c"),
+    ]
+    publish_branch(spark, table, "ingest")
+    assert len(_rows(spark, table)) == 3
