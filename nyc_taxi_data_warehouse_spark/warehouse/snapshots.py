@@ -243,6 +243,8 @@ def _commit(
     extra: dict | None = None,
     partition_cols: list[str] | None = None,
 ) -> int:
+    import time
+
     root, mdir = _split_ref(path)
     fs, jvm = _fs(spark, root)
     version = (parent or 0) + 1
@@ -250,6 +252,12 @@ def _commit(
         "version": version,
         "parent": parent,
         "op": op,
+        # wall-clock commit time (driver): powers timestamp time travel
+        # (``snapshot_version_at``). Ordering is by VERSION, not this
+        # field — clock skew between writers cannot reorder history, it
+        # only blurs which version a given timestamp resolves to, the
+        # same contract every manifest-log store documents.
+        "committed_at_ms": int(time.time() * 1000),
         "files": files,
         "schema": json.loads(schema.json()),
         # The table's partition LAYOUT is part of the manifest: carried
@@ -302,33 +310,56 @@ def snapshot_write(
     path: str,
     mode: str = "overwrite",
     partition_cols: list[str] | None = None,
+    retries: int = 0,
 ) -> int:
     """Publish ``df`` as a new table version; returns the version
     number. ``mode='overwrite'`` makes the new commit the whole table;
     ``'append'`` unions it with the parent version's files. Raises
     ``SnapshotConflict`` if another writer claims the version number
-    first (data files are orphaned, never corrupting — re-run)."""
+    first (data files are orphaned, never corrupting — re-run).
+
+    ``retries``: on conflict, re-derive the parent and RECOMMIT THE
+    SAME already-written data files against the new head — the
+    standard lakehouse transaction retry. The expensive write job runs
+    once; each retry is metadata-only (one manifest read + one
+    exclusive create). Semantically safe for both modes: an overwrite
+    means "this df is the whole table" regardless of head, and an
+    append's union with the NEW parent's file list composes with any
+    concurrent commit (a concurrent delete's rewrite is in the new
+    parent; this append's files are disjoint by construction)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append; got {mode!r}")
     spark = df.sparkSession
     versions = _list_manifests(spark, path)
     parent = versions[-1] if versions else None
     if mode == "append" and parent is not None:
+        # fail fast BEFORE the expensive data write
         _require_same_layout(
             _load_manifest(spark, path, parent), partition_cols, "append"
         )
-    _, files = _write_commit_files(df, path, partition_cols)
-    if mode == "append" and parent is not None:
-        files = sorted(_load_manifest(spark, path, parent)["files"] + files)
-    return _commit(
-        spark, path, files, df.schema, mode, parent,
-        partition_cols=partition_cols,
-    )
+    _, new_files = _write_commit_files(df, path, partition_cols)
+    for attempt in range(retries + 1):
+        files = new_files
+        if mode == "append" and parent is not None:
+            pman = _load_manifest(spark, path, parent)
+            _require_same_layout(pman, partition_cols, "append")
+            files = sorted(pman["files"] + new_files)
+        try:
+            return _commit(
+                spark, path, files, df.schema, mode, parent,
+                partition_cols=partition_cols,
+            )
+        except SnapshotConflict:
+            if attempt == retries:
+                raise
+            versions = _list_manifests(spark, path)
+            parent = versions[-1] if versions else None
 
 
 def snapshot_replace_partitions(
     df: DataFrame, path: str, partition_cols: list[str],
     extra=None,
+    retries: int = 0,
 ) -> int:
     """Dynamic-partition-overwrite semantics, versioned: the new commit
     replaces the parent's files ONLY in the partitions present in
@@ -363,46 +394,142 @@ def snapshot_replace_partitions(
             "replace_partitions",
         )
     _, new_files = _write_commit_files(df, path, partition_cols)
-    carried = []
-    if parent is not None:
-        prefixes = tuple(f"{c}=" for c in partition_cols)
-        for f in _load_manifest(spark, path, parent)["files"]:
-            rel = f.split("/", 2)[-1]  # strip data/<commit>/
-            dirs = rel.split("/")[:-1]
-            # A parent file without the expected partition directories
-            # (written unpartitioned by a legacy rewrite) cannot be
-            # classified — carrying it would keep stale rows of touched
-            # partitions alive. Fail fast; such files no longer occur
-            # (every rewrite reproduces the recorded layout).
-            if len(dirs) != len(partition_cols) or any(
-                not d.startswith(p) for d, p in zip(dirs, prefixes)
-            ):
-                raise ValueError(
-                    f"replace_partitions: parent file {f} is not laid "
-                    f"out by {partition_cols}; rebuild the table with a "
-                    "consistent layout (snapshot_compact)"
-                )
-            pdir = rel.rsplit("/", 1)[0] if "/" in rel else ""
-            if pdir not in touched:
-                carried.append(f)
-    return _commit(
-        spark,
-        path,
-        sorted(carried + new_files),
-        df.schema,
-        "replace_partitions",
-        parent,
-        extra=extra() if callable(extra) else extra,
-        partition_cols=partition_cols,
+    extra_doc = extra() if callable(extra) else extra
+    seen_files = (
+        set(_load_manifest(spark, path, parent)["files"])
+        if parent is not None
+        else set()
     )
+    for attempt in range(retries + 1):
+        carried = []
+        if parent is not None:
+            prefixes = tuple(f"{c}=" for c in partition_cols)
+            for f in _load_manifest(spark, path, parent)["files"]:
+                rel = f.split("/", 2)[-1]  # strip data/<commit>/
+                dirs = rel.split("/")[:-1]
+                # A parent file without the expected partition
+                # directories (written unpartitioned by a legacy
+                # rewrite) cannot be classified — carrying it would
+                # keep stale rows of touched partitions alive. Fail
+                # fast; such files no longer occur (every rewrite
+                # reproduces the recorded layout).
+                if len(dirs) != len(partition_cols) or any(
+                    not d.startswith(p) for d, p in zip(dirs, prefixes)
+                ):
+                    raise ValueError(
+                        f"replace_partitions: parent file {f} is not laid "
+                        f"out by {partition_cols}; rebuild the table with a "
+                        "consistent layout (snapshot_compact)"
+                    )
+                pdir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+                if pdir not in touched:
+                    carried.append(f)
+        try:
+            return _commit(
+                spark,
+                path,
+                sorted(carried + new_files),
+                df.schema,
+                "replace_partitions",
+                parent,
+                extra=extra_doc,
+                partition_cols=partition_cols,
+            )
+        except SnapshotConflict:
+            # transaction retry: the replacement files are already
+            # written and stay valid — only the CARRIED set depends on
+            # the parent, and it is recomputed from the new head above
+            # (metadata-only), composing with concurrent appends or
+            # rewrites of OTHER partitions. A concurrent change inside
+            # one of OUR touched partitions is a true write-write
+            # conflict: blindly recommitting would silently discard it,
+            # so that keeps raising even with retries left.
+            if attempt == retries:
+                raise
+            versions = _list_manifests(spark, path)
+            parent = versions[-1] if versions else None
+            head_files: set[str] = set()
+            if parent is not None:
+                pman = _load_manifest(spark, path, parent)
+                _require_same_layout(
+                    pman, partition_cols, "replace_partitions"
+                )
+                head_files = set(pman["files"])
+            for f in head_files ^ seen_files:
+                rel = f.split("/", 2)[-1]
+                pdir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+                if pdir in touched:
+                    raise SnapshotConflict(
+                        f"partition {pdir!r} was modified concurrently "
+                        "— write-write conflict; re-run the load "
+                        "against the current table state"
+                    ) from None
+            seen_files = head_files
+
+
+def _to_epoch_ms(ts) -> int:
+    """Epoch milliseconds from a datetime, ISO-8601 string, or numeric
+    epoch SECONDS (floats keep sub-second precision)."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        return int(ts.timestamp() * 1000)
+    if isinstance(ts, str):
+        return int(_dt.datetime.fromisoformat(ts).timestamp() * 1000)
+    return int(float(ts) * 1000)
+
+
+def snapshot_version_at(spark: SparkSession, path: str, ts) -> int:
+    """The latest retained version committed at or before ``ts``
+    (datetime | ISO string | epoch seconds) — Delta's TIMESTAMP AS OF.
+    Commit times come from the manifests' ``committed_at_ms`` (driver
+    wall clock at claim time; manifests predating the field fall back
+    to the manifest file's modification time). Resolution walks the
+    retained manifest list — metadata-proportional, bounded by
+    retention, like every history API here. Raises when ``ts`` predates
+    the oldest retained commit (vacuum may have dropped the version
+    that was live then — guessing would silently serve newer data)."""
+    ts_ms = _to_epoch_ms(ts)
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    root, mdir = _split_ref(path)
+    fs, jvm = _fs(spark, root)
+    best = None
+    for v in versions:
+        t = _load_manifest(spark, path, v).get("committed_at_ms")
+        if t is None:
+            t = fs.getFileStatus(
+                _jp(jvm, root, mdir, f"{v:08d}.json")
+            ).getModificationTime()
+        if t <= ts_ms:
+            best = v
+        else:
+            break  # per-chain commit times are monotone (one writer
+            # wins each claim; skew only blurs the boundary)
+    if best is None:
+        raise FileNotFoundError(
+            f"no version of {path} existed at or before {ts!r} (oldest "
+            f"retained is v{versions[0]}); history below it was vacuumed"
+        )
+    return best
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    at_timestamp=None,
 ) -> DataFrame:
-    """The table at ``version`` (default: latest). Partition columns
-    come back from the directory names (``basePath``), exactly like a
-    plain partitioned read."""
+    """The table at ``version`` (default: latest), or as of
+    ``at_timestamp`` (datetime | ISO string | epoch seconds — resolved
+    via ``snapshot_version_at``). Partition columns come back from the
+    directory names (``basePath``), exactly like a plain partitioned
+    read."""
+    if version is not None and at_timestamp is not None:
+        raise ValueError("pass version OR at_timestamp, not both")
+    if at_timestamp is not None:
+        version = snapshot_version_at(spark, path, at_timestamp)
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
@@ -1011,6 +1138,7 @@ def stream_snapshot_append(
     checkpoint: str,
     stream_id: str,
     partition_cols: list[str] | None = None,
+    retries: int = 3,
 ) -> None:
     """Land a stream into a snapshot table, one APPEND VERSION per
     micro-batch, exactly once across checkpoint replays.
@@ -1037,29 +1165,34 @@ def stream_snapshot_append(
                 applied.add(man.get("epoch"))
         if epoch in applied:
             return
-        versions = _list_manifests(spark, path)
-        parent = versions[-1] if versions else None
-        if parent is not None:
-            _require_same_layout(
-                _load_manifest(spark, path, parent),
-                partition_cols,
-                "stream_append",
-            )
-        _, files = _write_commit_files(batch, path, partition_cols)
-        if parent is not None:
-            files = sorted(
-                _load_manifest(spark, path, parent)["files"] + files
-            )
-        _commit(
-            spark,
-            path,
-            files,
-            batch.schema,
-            "stream_append",
-            parent,
-            extra={"stream_id": stream_id, "epoch": epoch},
-            partition_cols=partition_cols,
-        )
+        _, new_files = _write_commit_files(batch, path, partition_cols)
+        # transaction retry (default on for streams: concurrent batch
+        # writers or a second stream on the same table are the NORM,
+        # not an error): the batch's files are written once; each
+        # retry re-derives the head and recommits metadata-only
+        for attempt in range(retries + 1):
+            versions = _list_manifests(spark, path)
+            parent = versions[-1] if versions else None
+            files = new_files
+            if parent is not None:
+                pman = _load_manifest(spark, path, parent)
+                _require_same_layout(pman, partition_cols, "stream_append")
+                files = sorted(pman["files"] + new_files)
+            try:
+                _commit(
+                    spark,
+                    path,
+                    files,
+                    batch.schema,
+                    "stream_append",
+                    parent,
+                    extra={"stream_id": stream_id, "epoch": epoch},
+                    partition_cols=partition_cols,
+                )
+                return
+            except SnapshotConflict:
+                if attempt == retries:
+                    raise
 
     (
         stream_df.writeStream.foreachBatch(apply_batch)

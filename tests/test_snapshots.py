@@ -911,3 +911,208 @@ def test_snapshot_compact_cli(spark, table, capsys):
     assert sorted(
         r.id for r in read_snapshot(spark, table).collect()
     ) == list(range(40))
+
+
+def test_commit_retries_are_metadata_only(spark, table):
+    """snapshot_write(retries=N): the data files are written ONCE; a
+    conflict re-derives the head and recommits the same files — unlike
+    the re-run-the-whole-write loop, no orphan files accumulate. Eight
+    racing appenders with retries all land exactly once with zero
+    orphans (every data file under data/ is referenced by the head)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+    )
+
+    snapshot_write(_df(spark, [(0, 0, "seed")]), table)
+
+    def append(i):
+        return snapshot_write(
+            _df(spark, [(100 + i, i, f"w{i}")]),
+            table,
+            mode="append",
+            retries=50,
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(append, range(8)))
+    assert sorted(versions) == list(range(2, 10))
+    got = sorted(r.id for r in read_snapshot(spark, table).collect())
+    assert got == [0] + [100 + i for i in range(8)]
+    # zero orphans: every file on disk is in the head manifest
+    import os
+
+    head = _load_manifest(spark, table, _list_manifests(spark, table)[-1])
+    on_disk = set()
+    for root, _dirs, files in os.walk(f"{table}/data"):
+        for f in files:
+            if not f.startswith("_") and not f.startswith("."):
+                rel = os.path.relpath(os.path.join(root, f), table)
+                on_disk.add(rel)
+    assert on_disk == set(head["files"])
+
+
+
+
+def _stale_once(monkeypatch, module):
+    """Patch ``module._list_manifests`` to serve a one-version-stale
+    view on the FIRST call only — the deterministic image of 'another
+    writer committed between my head derivation and my manifest
+    claim'."""
+    real = module._list_manifests
+    calls = {"n": 0}
+
+    def flaky(sp, p):
+        vs = real(sp, p)
+        calls["n"] += 1
+        if calls["n"] == 1 and len(vs) > 1:
+            return vs[:-1]
+        return vs
+
+    monkeypatch.setattr(module, "_list_manifests", flaky)
+
+
+def test_overwrite_retry_wins_after_stale_head(spark, table, monkeypatch):
+    """Deterministic conflict: the writer derives a stale head, loses
+    the exclusive create to the concurrent commit, and with retries=1
+    re-derives and lands on the next version; with retries=0 the same
+    situation surfaces SnapshotConflict to the caller."""
+    from nyc_taxi_data_warehouse_spark.warehouse import snapshots as S
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    snapshot_write(_df(spark, [(2, 2, "b")]), table, mode="append")  # v2
+
+    _stale_once(monkeypatch, S)
+    v = snapshot_write(_df(spark, [(9, 9, "z")]), table, retries=1)
+    assert v == 3
+    assert [r.id for r in read_snapshot(spark, table).collect()] == [9]
+
+    _stale_once(monkeypatch, S)
+    with pytest.raises(SnapshotConflict):
+        snapshot_write(_df(spark, [(8, 8, "y")]), table, mode="append")
+
+
+def test_append_retry_composes_with_concurrent_delete(spark, table, monkeypatch):
+    """An append that retries against a head containing a concurrent
+    DELETE's rewrite must not resurrect the deleted rows: the union is
+    taken against the NEW parent's file list."""
+    from nyc_taxi_data_warehouse_spark.warehouse import snapshots as S
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a"), (2, 2, "b")]), table)
+    snapshot_delete_rows(spark, table, "id", [1])  # v2 = concurrent DML
+
+    _stale_once(monkeypatch, S)
+    v = snapshot_write(
+        _df(spark, [(3, 3, "c")]), table, mode="append", retries=2
+    )
+    assert v == 3
+    got = sorted(r.id for r in read_snapshot(spark, table).collect())
+    assert got == [2, 3]  # deleted row stays dead, append landed
+
+
+def test_replace_retry_composes_but_detects_write_write(
+    spark, table, monkeypatch
+):
+    """replace_partitions(retries=N): a concurrent commit to OTHER
+    partitions composes on retry (carried set recomputed from the new
+    head); a concurrent change INSIDE a touched partition is a true
+    write-write conflict and raises despite retries left."""
+    from nyc_taxi_data_warehouse_spark.warehouse import snapshots as S
+
+    base = _df(spark, [(1, 1, "m1"), (2, 2, "m2"), (3, 3, "m3")])
+    snapshot_write(base, table, partition_cols=["month"])
+    # concurrent commit replacing month=3 (disjoint from our month=1)
+    snapshot_replace_partitions(
+        _df(spark, [(30, 3, "m3-new")]), table, ["month"]
+    )  # v2
+
+    _stale_once(monkeypatch, S)
+    v = snapshot_replace_partitions(
+        _df(spark, [(10, 1, "m1-new")]), table, ["month"], retries=2
+    )
+    assert v == 3
+    got = sorted(
+        (r.id, r.month) for r in read_snapshot(spark, table).collect()
+    )
+    assert got == [(2, 2), (10, 1), (30, 3)]  # both replacements landed
+
+    # concurrent commit inside OUR touched partition: write-write
+    snapshot_replace_partitions(
+        _df(spark, [(21, 2, "m2-theirs")]), table, ["month"]
+    )  # v4
+    _stale_once(monkeypatch, S)
+    with pytest.raises(SnapshotConflict, match="write-write"):
+        snapshot_replace_partitions(
+            _df(spark, [(22, 2, "m2-ours")]), table, ["month"], retries=5
+        )
+    # their write survived untouched
+    got = sorted(
+        (r.id, r.month) for r in read_snapshot(spark, table).collect()
+    )
+    assert got == [(10, 1), (21, 2), (30, 3)]
+
+
+def test_timestamp_time_travel(spark, table):
+    """read_snapshot(at_timestamp=...) resolves through the manifests'
+    committed_at_ms: between-commit timestamps serve the earlier
+    version, pre-history timestamps refuse (vacuum may have dropped
+    what was live then), and datetime/ISO/epoch forms all resolve."""
+    import datetime as dt
+    import time
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_version_at,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    t1 = time.time()
+    time.sleep(0.05)
+    snapshot_write(_df(spark, [(2, 2, "b")]), table, mode="append")
+    time.sleep(0.05)
+    t2 = time.time()
+
+    assert snapshot_version_at(spark, table, t1) == 1
+    assert snapshot_version_at(spark, table, t2) == 2
+    assert [
+        r.id for r in read_snapshot(spark, table, at_timestamp=t1).collect()
+    ] == [1]
+    assert sorted(
+        r.id for r in read_snapshot(spark, table, at_timestamp=t2).collect()
+    ) == [1, 2]
+    # datetime and ISO forms
+    assert snapshot_version_at(
+        spark, table, dt.datetime.fromtimestamp(t2)
+    ) == 2
+    assert snapshot_version_at(
+        spark, table, dt.datetime.fromtimestamp(t2).isoformat()
+    ) == 2
+    with pytest.raises(FileNotFoundError, match="existed at or before"):
+        snapshot_version_at(spark, table, t1 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, table, version=1, at_timestamp=t1)
+
+
+def test_timestamp_time_travel_legacy_manifest_fallback(spark, table):
+    """Manifests written before committed_at_ms existed resolve via
+    the manifest FILE's modification time."""
+    import json as _json
+    import time
+
+    from nyc_taxi_data_warehouse_spark.warehouse import snapshots as S
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    # strip the field, rewriting the manifest in place (legacy image)
+    fs, jvm = S._fs(spark, table)
+    jp = S._jp(jvm, table, S._VDIR, "00000001.json")
+    man = S._load_manifest(spark, table, 1)
+    man.pop("committed_at_ms")
+    fs.delete(jp, False)
+    out = fs.create(jp, True)
+    out.write(bytearray(_json.dumps(man, sort_keys=True).encode()))
+    out.close()
+    assert S.snapshot_version_at(spark, table, time.time()) == 1
