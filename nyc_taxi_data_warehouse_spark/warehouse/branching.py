@@ -237,7 +237,13 @@ def write_audit_publish(
     dropped; on veto, ``AuditFailed`` raises and main is untouched —
     the failed branch is kept for debugging by default (drop it, or
     pass ``keep_branch_on_failure=False``). A crash anywhere leaves
-    main unchanged: the branch is the only mutated state."""
+    main unchanged: the branch is the only mutated state.
+
+    A ``SnapshotConflict`` from the final publish (main advanced while
+    the run executed) deliberately KEEPS the branch regardless of
+    ``keep_branch_on_failure`` — the audited work is valid, only the
+    fast-forward lost; the caller re-branches from the new head or
+    publishes with ``force=True`` rather than repaying the write."""
     ref = create_branch(spark, path, name)
     try:
         write(ref)

@@ -469,7 +469,12 @@ def snapshot_replace_partitions(
 
 def _to_epoch_ms(ts) -> int:
     """Epoch milliseconds from a datetime, ISO-8601 string, or numeric
-    epoch SECONDS (floats keep sub-second precision)."""
+    epoch SECONDS (floats keep sub-second precision). Naive datetimes
+    and ISO strings are interpreted in the DRIVER's local timezone
+    (Python's ``.timestamp()`` default) — the same clock that stamped
+    ``committed_at_ms``, so naive-in/naive-out round-trips on one
+    machine; pass an aware datetime or a ``+HH:MM`` ISO offset when
+    resolving against a table committed from another timezone."""
     import datetime as _dt
 
     if isinstance(ts, _dt.datetime):
