@@ -296,10 +296,16 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
           delete/update/replace/restore commits are row-changing by
           intent and must keep failing loudly, even in the (common!)
           case where an update's rewrite happens to preserve row counts;
-        - the removed files' row totals equal the added files' (parquet
-          footers: one metadata read per file in the diff, never data
-          pages — a compaction diff touches every live file once, the
-          same order of work the compaction itself just did).
+        - the removed files' row totals equal the added files'. Counts
+          come from the commit's own recorded ``rows_removed``/
+          ``rows_added`` when present (``snapshot_compact`` writes them
+          at commit time — essential once ``vacuum_snapshots`` has
+          deleted the superseded files this gate would otherwise
+          re-read: a lagging feed must still pass a legitimate
+          compaction); parquet footers are the fallback for older
+          commits without recorded totals. Recorded-total equality is
+          exactly diff-neutrality even if files carry over: carried
+          rows appear in both totals.
 
         A "compact" whose counts DON'T match is a corrupted/mislabeled
         rewrite — that is exactly the case the fail-loud contract
@@ -312,10 +318,16 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 "an insert-only feed; rebuild the derived table or "
                 "consume row-level changes with snapshot_changes()"
             )
-        n_removed = sum(
-            _parquet_num_rows(f"{self._root}/{f}") for f in removed
-        )
-        n_added = sum(_parquet_num_rows(f"{self._root}/{f}") for f in added)
+        if man.get("rows_removed") is not None and man.get("rows_added") is not None:
+            n_removed = man["rows_removed"]
+            n_added = man["rows_added"]
+        else:
+            n_removed = sum(
+                _parquet_num_rows(f"{self._root}/{f}") for f in removed
+            )
+            n_added = sum(
+                _parquet_num_rows(f"{self._root}/{f}") for f in added
+            )
         if n_removed != n_added:
             raise ValueError(
                 f"version {v} (compact) is not row-neutral: removed "

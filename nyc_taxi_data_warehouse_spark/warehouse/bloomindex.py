@@ -221,15 +221,21 @@ def read_with_bloom(
     the exact residual predicate (Bloom false positives filtered here;
     false negatives impossible by construction). An empty candidate set
     short-circuits to an empty typed DataFrame without touching data."""
+    from urllib.parse import unquote
+
     files = bloom_candidate_files(
         spark, index_path, key_col, values, m_bits, k
     )
     schema = spark.read.parquet(table_path).schema
     if not files:
         return spark.createDataFrame([], schema)
+    # candidate keys are _metadata.file_path strings (URI-encoded:
+    # space → %20); Hadoop Path(String) wants the DECODED form, so
+    # percent-decode before reading (unquote, NOT form-decoding — a
+    # literal '+' must stay '+')
     return (
         spark.read.option("basePath", table_path)
-        .parquet(*files)
+        .parquet(*[unquote(f) for f in files])
         .where(F.col(key_col).isin(values))
         .select(*[f.name for f in schema.fields])
     )
@@ -333,9 +339,18 @@ def _bloom_rows_for_files(
     type; files that predate the column surface it as NULL and
     contribute no REAL rows (correct — their rows can never equal a
     probe) but still get a coverage sentinel, so the read-path coverage
-    check and the sync reconcile see them as indexed."""
-    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+    check and the sync reconcile see them as indexed.
 
+    Output ``file`` keys are RAW manifest relpaths: ``_metadata.
+    file_path`` is URI-encoded (space → %20), so real rows are mapped
+    back through a broadcast (encoded → raw) lookup to byte-match the
+    sentinels and the manifest — otherwise files under URI-escapable
+    partition values desync the candidate∩live intersection and the
+    sync reconcile forever."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+    from .snapshots import _relpath_from_file_path, _root, _uri_encode_relpath
+
+    table_path = _root(table_path)  # accept 'table#branch' refs
     if not files:
         return spark.createDataFrame([], _ROWS_DDL)
     schema = StructType([StructField(key_col, _parse_datatype_string(key_type))])
@@ -344,11 +359,33 @@ def _bloom_rows_for_files(
         .schema(schema)
         .parquet(*[f"{table_path}/{f}" for f in files])
     )
-    df = src.select(
-        F.col(key_col).alias("_k"),
-        F.regexp_extract(
-            F.col("_metadata.file_path"), "^.*/(data/[0-9a-f]{32}/.*)$", 1
-        ).alias("file"),
+    raw = F.broadcast(
+        spark.createDataFrame(
+            [(_uri_encode_relpath(f), f) for f in files], "_enc string, file string"
+        )
+    )
+    # LEFT join + raise on a miss: an inner join would silently drop an
+    # unmapped file's real rows while its sentinel (raw relpath, below)
+    # still marked it covered — Bloom false negatives. Encoding drift
+    # must fail loudly at index-build time instead. The raise lives IN
+    # the file column so pruning can never optimize the check away.
+    df = (
+        src.select(
+            F.col(key_col).alias("_k"),
+            _relpath_from_file_path(F.col("_metadata.file_path")).alias(
+                "_enc"
+            ),
+        )
+        .join(raw, "_enc", "left")
+        .withColumn(
+            "file",
+            F.when(F.col("file").isNull(), F.raise_error(F.concat(
+                F.lit("bloom scan path matches no manifest relpath "
+                      "(_uri_encode_relpath drifted from Spark's "
+                      "_metadata.file_path encoding): "),
+                F.col("_enc"),
+            ))).otherwise(F.col("file")),
+        )
     )
     pairs = F.array(
         *[

@@ -493,7 +493,12 @@ def snapshot_version_at(spark: SparkSession, path: str, ts) -> int:
     retained manifest list — metadata-proportional, bounded by
     retention, like every history API here. Raises when ``ts`` predates
     the oldest retained commit (vacuum may have dropped the version
-    that was live then — guessing would silently serve newer data)."""
+    that was live then — guessing would silently serve newer data), and
+    likewise for any ``ts`` inside a retention GAP (tag-pinned vacuum
+    drops untagged middles): the dropped versions' commit times are
+    gone with their manifests, so the whole (t(best), t(next)) window
+    refuses rather than risk serving a version older than what was
+    live at ``ts``."""
     ts_ms = _to_epoch_ms(ts)
     versions = _list_manifests(spark, path)
     if not versions:
@@ -501,8 +506,10 @@ def snapshot_version_at(spark: SparkSession, path: str, ts) -> int:
     root, mdir = _split_ref(path)
     fs, jvm = _fs(spark, root)
     best = None
+    next_man = None
     for v in versions:
-        t = _load_manifest(spark, path, v).get("committed_at_ms")
+        man = _load_manifest(spark, path, v)
+        t = man.get("committed_at_ms")
         if t is None:
             t = fs.getFileStatus(
                 _jp(jvm, root, mdir, f"{v:08d}.json")
@@ -510,12 +517,24 @@ def snapshot_version_at(spark: SparkSession, path: str, ts) -> int:
         if t <= ts_ms:
             best = v
         else:
-            break  # per-chain commit times are monotone (one writer
-            # wins each claim; skew only blurs the boundary)
+            next_man = man  # per-chain commit times are monotone (one
+            # writer wins each claim; skew only blurs the boundary)
+            break
     if best is None:
         raise FileNotFoundError(
             f"no version of {path} existed at or before {ts!r} (oldest "
             f"retained is v{versions[0]}); history below it was vacuumed"
+        )
+    # Retention GAP guard: tag-pinned retention can leave holes in the
+    # middle of the chain (vacuum drops untagged versions between a tag
+    # and the kept tail). If the next retained version's parent is not
+    # ``best``, some DROPPED version was live during (t(best), ts] —
+    # serving ``best`` would silently time-travel too far back.
+    if next_man is not None and next_man.get("parent") != best:
+        raise FileNotFoundError(
+            f"the version of {path} live at {ts!r} was vacuumed (retained "
+            f"chain jumps v{best} -> v{next_man.get('parent')}'s child); "
+            "refusing to serve older data"
         )
     return best
 
@@ -641,6 +660,39 @@ def _flat_readable(
     return True
 
 
+# ASCII characters Spark's scan metadata percent-encodes in
+# ``_metadata.file_path`` (the Java URI path grammar's illegal set:
+# control chars, space, and "<>%?#[]\^`{|}"). Everything else —
+# including '+' and non-ASCII — passes through RAW, so url_decode
+# (form decoding: '+' → space) would corrupt round-trips; instead we
+# encode manifest relpaths to the URI form and join on that.
+# Verified empirically on pyspark 4.1.2: disk 'name=a b' → meta
+# 'name=a%20b', disk 'name=a%23b' → meta 'name=a%2523b', disk
+# 'name=a+b' / 'name=héllo' → unchanged.
+_URI_ILLEGAL = set(' "<>%?#[]\\^`{|}\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _uri_encode_relpath(rel: str) -> str:
+    """A manifest relpath (on-disk form) → the exact string
+    ``_metadata.file_path`` carries for that file (URI path form)."""
+    out = []
+    for ch in rel:
+        if ch in _URI_ILLEGAL:
+            out.append("".join("%%%02X" % b for b in ch.encode("utf-8")))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _relpath_from_file_path(col):
+    """``data/<hex32>/...`` relpath (URI-encoded form) from a
+    ``_metadata.file_path`` column. Greedy leading ``.*`` pins the LAST
+    ``data/<hex32>/`` occurrence: a table living under a directory named
+    like a commit dir can't confuse the match. Join keys built from this
+    must be ``_uri_encode_relpath``-encoded manifest relpaths."""
+    return F.regexp_extract(col, "^.*/(data/[0-9a-f]{32}/.*)$", 1)
+
+
 def _read_file_list_flat(
     spark: SparkSession,
     path: str,
@@ -680,7 +732,10 @@ def _read_file_list_flat(
     lookup_rows = []
     for i, f in enumerate(files):
         vals = _partition_values_from_path(f)
-        row = [f]
+        # key by the URI-encoded form — _metadata.file_path percent-
+        # encodes e.g. spaces, so a raw-relpath join silently drops
+        # every row of files under such partition dirs
+        row = [_uri_encode_relpath(f)]
         if versions is not None:
             row.append(versions[i])
         lookup_rows.append((*row, *[vals.get(c) for c in partition_cols]))
@@ -692,10 +747,6 @@ def _read_file_list_flat(
             + [f"`{c}` string" for c in partition_cols]
         ),
     )
-    # greedy leading .* pins the LAST data/<hex32>/ occurrence: a table
-    # living under a directory named like a commit dir can't confuse
-    # the match, and the segments between the commit dir and the file
-    # are k=v partition dirs, never data/<hex32>
     out_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name)
         if f.name in pfields
@@ -706,10 +757,7 @@ def _read_file_list_flat(
         out_cols.append(F.col("_commit_version"))
     return (
         scan.withColumn(
-            "_relpath",
-            F.regexp_extract(
-                F.col("_metadata.file_path"), "^.*/(data/[0-9a-f]{32}/.*)$", 1
-            ),
+            "_relpath", _relpath_from_file_path(F.col("_metadata.file_path"))
         )
         .join(F.broadcast(lookup), "_relpath")
         .select(*out_cols)
@@ -1000,9 +1048,22 @@ def _tag_versions(spark: SparkSession, path: str) -> dict[str, int]:
     for st in fs.listStatus(tdir):
         name = st.getPath().getName()
         if name.endswith(".json"):
-            doc = json.loads(
-                _read_bytes(fs, jvm, st.getPath()).decode("utf-8")
-            )
+            # same claimed-but-unfinished window as _load_manifest:
+            # create_tag claims the name with an exclusive create, then
+            # writes the body — retry over the torn glimpse so routine
+            # tag creation can't crash a concurrent vacuum/list_tags
+            for attempt in range(5):
+                try:
+                    doc = json.loads(
+                        _read_bytes(fs, jvm, st.getPath()).decode("utf-8")
+                    )
+                    break
+                except (ValueError, UnicodeDecodeError):
+                    if attempt == 4:
+                        raise
+                    import time
+
+                    time.sleep(0.05 * (attempt + 1))
             out[name[:-5]] = doc["version"]
     return out
 
@@ -1102,7 +1163,7 @@ def sweep_orphans(
     for st in fs.listStatus(ddir):
         if not st.isDirectory():
             continue
-        any_referenced = any_young = False
+        any_referenced = any_young = marker_young = False
         orphans = []
         it = fs.listFiles(st.getPath(), True)
         while it.hasNext():
@@ -1110,7 +1171,11 @@ def sweep_orphans(
             p = fst.getPath().toString()
             name = p.rsplit("/", 1)[-1]
             if name.startswith("_") or name.startswith("."):
-                continue  # markers ride with their dir's fate
+                # markers ride with their dir's fate — but their age
+                # still gates marker-ONLY dirs below
+                if fst.getModificationTime() > cutoff_ms:
+                    marker_young = True
+                continue
             rel = p[len(root_uri) + 1 :] if p.startswith(root_uri + "/") else p
             if rel in referenced:
                 any_referenced = True
@@ -1125,6 +1190,17 @@ def sweep_orphans(
                 fs.delete(st.getPath(), True)
                 files_deleted += len(orphans)
                 dirs_deleted += 1
+            elif (
+                not marker_young
+                and st.getModificationTime() <= cutoff_ms
+            ):
+                # marker-only (or empty) AGED dir: a crashed commit
+                # whose data files never landed. Without this branch
+                # it survives both GC paths forever — vacuum's
+                # empty-dir sweep sees the markers, and the orphan
+                # loop above has nothing to delete.
+                if fs.delete(st.getPath(), True):
+                    dirs_deleted += 1
         else:
             for op in orphans:
                 if fs.delete(op, False):
@@ -1163,12 +1239,22 @@ def stream_snapshot_append(
     def apply_batch(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
-        applied = set()
-        for v in _list_manifests(spark, path):
-            man = _load_manifest(spark, path, v)
-            if man.get("stream_id") == stream_id:
-                applied.add(man.get("epoch"))
-        if epoch in applied:
+        checked: set[int] = set()
+
+        def epoch_applied(versions: list[int]) -> bool:
+            for v in versions:
+                if v in checked:
+                    continue
+                checked.add(v)
+                man = _load_manifest(spark, path, v)
+                if (
+                    man.get("stream_id") == stream_id
+                    and man.get("epoch") == epoch
+                ):
+                    return True
+            return False
+
+        if epoch_applied(_list_manifests(spark, path)):
             return
         _, new_files = _write_commit_files(batch, path, partition_cols)
         # transaction retry (default on for streams: concurrent batch
@@ -1177,6 +1263,14 @@ def stream_snapshot_append(
         # retry re-derives the head and recommits metadata-only
         for attempt in range(retries + 1):
             versions = _list_manifests(spark, path)
+            # re-check the exactly-once guard against manifests that
+            # appeared since the last look: the conflicting commit may
+            # BE this epoch, landed by a replayed/zombie instance of
+            # this same stream while we were writing files or retrying
+            # — recommitting would double the batch. Our orphan commit
+            # dir stays invisible to readers (GC reclaims it later).
+            if epoch_applied(versions):
+                return
             parent = versions[-1] if versions else None
             files = new_files
             if parent is not None:
@@ -1206,6 +1300,32 @@ def stream_snapshot_append(
         .start()
         .awaitTermination()
     )
+
+
+def _footer_row_total(spark: SparkSession, root: str, files: list[str]) -> int:
+    """Sum of parquet-footer ``num_rows`` over manifest relpaths — ONE
+    distributed metadata-only job (footers, never data pages). A serial
+    driver loop here would stall a large compaction for hours (~10^5+
+    sequential object-store opens); executors fan the opens out instead.
+    The mapper closes over nothing from this package, so it pickles by
+    value and runs on untuned sessions too."""
+    if not files:
+        return 0
+    uris = [f"{root}/{f}" for f in files]
+
+    def _count(uri: str) -> int:
+        import pyarrow.fs as pafs
+        import pyarrow.parquet as pq
+
+        if "://" in uri:
+            fs, p = pafs.FileSystem.from_uri(uri)
+        else:
+            fs, p = pafs.LocalFileSystem(), uri
+        with fs.open_input_file(p) as f:
+            return pq.ParquetFile(f).metadata.num_rows
+
+    n_slices = min(len(uris), max(2, spark.sparkContext.defaultParallelism))
+    return spark.sparkContext.parallelize(uris, n_slices).map(_count).sum()
 
 
 def snapshot_compact(
@@ -1284,15 +1404,24 @@ def snapshot_compact(
         df = df.repartition(n_files)
     _, files = _write_commit_files(df, path, partition_cols)
     stats_cols = man.get("stats_cols") or []
-    extra = None
+    extra = {}
     if stats_cols:
         extra = {
             "stats": collect_file_stats(spark, path, files, stats_cols),
             "stats_cols": stats_cols,
         }
+    # Record row totals IN the commit: the feed's onNonAppend=verify
+    # gate proves row-neutrality from these, so a feed that lags behind
+    # a compact + vacuum (which deletes exactly the superseded files it
+    # would otherwise re-read) still verifies from metadata instead of
+    # hard-failing on vanished footers. Counted from footers at commit
+    # time, while both sides still exist.
+    root = _root(path)
+    extra["rows_removed"] = _footer_row_total(spark, root, man["files"])
+    extra["rows_added"] = _footer_row_total(spark, root, files)
     return _commit(
         spark, path, files, df.schema, "compact", latest,
-        extra=extra,
+        extra=extra or None,
         partition_cols=partition_cols,
     )
 
@@ -1401,16 +1530,33 @@ def collect_file_stats(
         .agg(*aggs)
         .collect()
     )
-    fs, jvm = _fs(spark, path)
-    root_uri = fs.makeQualified(_jp(jvm, path)).toString().rstrip("/")
+    import re
+
+    # _metadata.file_path is URI-encoded (space → %20, % → %25); the
+    # manifest keys are on-disk form — map back through the encoded
+    # form or a mis-keyed file keeps its [None, None] seed below and
+    # pruned reads would silently exclude it
+    enc2raw = {_uri_encode_relpath(f): f for f in files}
+    rel_re = re.compile(r"^.*/(data/[0-9a-f]{32}/.*)$")
     # seed EVERY commit file with null-endpoint stats: an empty file
     # yields no aggregation row, and "recorded, endpoints null" is the
     # provably-excludable state (vs "no entry" = conservatively kept)
     out: dict = {f: {c: [None, None] for c in present} for f in files}
     for r in rows:
-        rel = r["_f"]
-        if rel.startswith(root_uri + "/"):
-            rel = rel[len(root_uri) + 1 :]
+        m = rel_re.match(r["_f"])
+        rel = enc2raw.get(m.group(1)) if m else None
+        if rel is None:
+            # An unmapped aggregation row means a NON-EMPTY file would
+            # keep its [None, None] seed — the provably-excludable
+            # state — and pruned reads / stats-guided deletes would
+            # silently lose its rows. Encoding drift (a Spark upgrade
+            # changing the file_path grammar) must fail HERE, at commit
+            # time, not as silent row loss later.
+            raise RuntimeError(
+                f"file stats row {r['_f']!r} matches no manifest "
+                "relpath — _uri_encode_relpath no longer mirrors "
+                "Spark's _metadata.file_path encoding"
+            )
         out[rel] = {
             c: [
                 _stat_norm(r[f"_mn_{c}"], widen=-1),

@@ -455,3 +455,73 @@ def test_streaming_feed_and_append_over_branch_ref(spark, table, tmp_path):
     ]
     publish_branch(spark, table, "ingest")
     assert len(_rows(spark, table)) == 3
+
+
+def test_satellite_indexes_follow_branch_refs(spark, tmp_path):
+    """Worklist #4 (round 7): a WAP curation run keeps its SATELLITE
+    indexes in sync on the branch before publish — Bloom build/read/
+    sync and the postings change-feed sync all drive from a
+    'table#branch' ref; after the fast-forward publish, the same
+    index serves MAIN unchanged (a reconcile against main is a strict
+    no-op, because publish moved zero data files)."""
+    from nyc_taxi_data_warehouse_spark.operators.search import (
+        lookup_postings,
+        postings,
+        set_postings_sync_cursor,
+        sync_postings_from_snapshot,
+        write_postings_index,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        build_snapshot_bloom_index,
+        read_snapshot_with_bloom,
+        sync_bloom_with_snapshot,
+    )
+
+    table = str(tmp_path / "wap_docs")
+    bidx = str(tmp_path / "wap_bloom")
+    pidx = str(tmp_path / "wap_postings")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "secret delta")],
+        "doc_id long, text string",
+    )
+    snapshot_write(docs, table)
+    ref = create_branch(spark, table, "curation")
+    # postings index forked at branch v1 (the fork-point state)
+    write_postings_index(
+        postings(read_snapshot(spark, ref), "text", "doc_id"), pidx
+    )
+    set_postings_sync_cursor(spark, pidx, 1)
+
+    # curation DML happens ON THE BRANCH: append + takedown
+    snapshot_write(
+        spark.createDataFrame([(4, "omega alpha")], "doc_id long, text string"),
+        ref, mode="append",
+    )
+    snapshot_delete_rows(spark, ref, "doc_id", [3])
+
+    # Bloom: build from the ref, lookup through the ref
+    build_snapshot_bloom_index(spark, ref, "doc_id", bidx)
+    got = read_snapshot_with_bloom(spark, ref, bidx, [4, 3])
+    assert [(r.doc_id, r.text) for r in got.collect()] == [(4, "omega alpha")]
+
+    # postings: change-feed sync driven from the ref
+    res = sync_postings_from_snapshot(spark, ref, pidx)
+    assert res["docs_upserted"] == 1 and res["docs_deleted"] == 1
+    hits = lookup_postings(spark, pidx, ["omega", "secret"])
+    terms = {r["term"] for r in hits.collect()}
+    assert terms == {"omega"}
+
+    # main is UNTOUCHED until publish
+    assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) \
+        == [1, 2, 3]
+    publish_branch(spark, table, "curation")
+    assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) \
+        == [1, 2, 4]
+    # the branch-built Bloom index serves MAIN as-is: reconcile is a
+    # no-op (publish carried the exact same data files) and lookups
+    # through the main path hit
+    out = sync_bloom_with_snapshot(spark, table, bidx)
+    assert (out["files_added"], out["files_removed"]) == (0, 0)
+    got_main = read_snapshot_with_bloom(spark, table, bidx, [4])
+    assert [(r.doc_id, r.text) for r in got_main.collect()] \
+        == [(4, "omega alpha")]

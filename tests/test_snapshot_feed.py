@@ -740,3 +740,43 @@ def test_materialize_aggregate_time_bucket_and_derived_avg(spark, tmp_path):
         .collect()
     )
     assert got_d == want_d
+
+
+def test_stream_verify_survives_lost_superseded_files(spark, table, tmp_path):
+    """A feed lagging behind a compaction must verify row-neutrality
+    from the compact commit's RECORDED row totals, not by re-reading
+    the removed files' footers: retention (vacuum of a dropped version,
+    or any out-of-band policy) deletes exactly those superseded files,
+    and the old footer-only gate then hard-failed a legitimate
+    compaction with rebuild as the only recovery. (Vacuum that drops
+    the feed's offset MANIFEST is a separate, already-loud planner
+    error with restart guidance.)"""
+    import os
+    import shutil
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, "x") for i in range(6)]),
+        table,
+        partition_cols=["month"],
+    )
+    v1_files = _load_manifest(spark, table, 1)["files"]
+    got = _drain(spark, table, str(tmp_path / "vv"), "feed_vv1",
+                 on_non_append="verify")
+    assert got.count() == 6
+    # the feed is now BEHIND: compact, append, then superseded data
+    # files vanish (simulated external retention)
+    snapshot_compact(spark, table, partition_cols=["month"])
+    snapshot_write(_df(spark, [(50, 0, "y")]), table, mode="append",
+                   partition_cols=["month"])
+    for f in v1_files:
+        os.remove(os.path.join(table, f))
+    for d in {os.path.dirname(os.path.join(table, f)) for f in v1_files}:
+        shutil.rmtree(d, ignore_errors=True)
+    got2 = _drain(spark, table, str(tmp_path / "vv"), "feed_vv2",
+                  on_non_append="verify")
+    assert _bag(got2) == [(50, 0, "y")]  # compaction passed, zero rows

@@ -1116,3 +1116,79 @@ def test_timestamp_time_travel_legacy_manifest_fallback(spark, table):
     out.write(bytearray(_json.dumps(man, sort_keys=True).encode()))
     out.close()
     assert S.snapshot_version_at(spark, table, time.time()) == 1
+
+
+def test_timestamp_travel_refuses_retention_gap(spark, table):
+    """Tag-pinned vacuum leaves a GAP in the retained chain; a ts whose
+    live version fell in the gap must refuse (the dropped versions'
+    commit times are gone with their manifests), not silently serve
+    the older tagged version. Timestamps at or after the gap's far
+    edge resolve normally."""
+    import json as _json
+    import os
+
+    from nyc_taxi_data_warehouse_spark.warehouse.branching import create_tag
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_version_at,
+        vacuum_snapshots,
+    )
+
+    for i in range(5):
+        snapshot_write(
+            _df(spark, [(i, i, "x")]), table,
+            mode="append" if i else "overwrite",
+        )
+    # deterministic, well-separated commit times: v(N) at N*1000 ms
+    for v in range(1, 6):
+        mp = os.path.join(table, "_versions", f"{v:08d}.json")
+        with open(mp) as f:
+            man = _json.load(f)
+        man["committed_at_ms"] = v * 1000
+        with open(mp, "w") as f:
+            _json.dump(man, f)
+        # out-of-band rewrite invalidates Hadoop's local checksum
+        crc = os.path.join(table, "_versions", f".{v:08d}.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    create_tag(spark, table, "pin", version=2)
+    vacuum_snapshots(spark, table, keep_last=2)  # retained: [2, 4, 5]
+    assert snapshot_versions(spark, table) == [
+        {**h, "version": h["version"]} for h in snapshot_versions(spark, table)
+    ]  # sanity: API still serves
+    assert [h["version"] for h in snapshot_versions(spark, table)] == [2, 4, 5]
+    # after the gap: normal resolution (parent linkage intact 4 -> 5)
+    assert snapshot_version_at(spark, table, 4.5) == 4
+    assert snapshot_version_at(spark, table, 99.0) == 5
+    # inside the gap (v3 was live at 3.5 but is vacuumed): refuse —
+    # and conservatively also just after t(v2), where v2 *was* live
+    # but the dropped v3's commit time can no longer prove it
+    for ts in (3.5, 2.5):
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            snapshot_version_at(spark, table, ts)
+    # before all history: the existing oldest-retained refusal
+    with pytest.raises(FileNotFoundError, match="existed at or before"):
+        snapshot_version_at(spark, table, 0.5)
+
+
+def test_stats_and_bloom_fail_loud_on_encoding_drift(spark, table, tmp_path, monkeypatch):
+    """If _uri_encode_relpath ever stops mirroring Spark's
+    _metadata.file_path encoding (a Spark upgrade), stats collection
+    and Bloom row building must fail at build time — never silently
+    key a non-empty file as 'provably excludable' or 'covered but
+    empty'."""
+    import nyc_taxi_data_warehouse_spark.warehouse.snapshots as snap
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        build_snapshot_bloom_index,
+    )
+
+    snapshot_write(_df(spark, [(1, 1, "a"), (2, 2, "b")]), table)
+    man_files = snap._load_manifest(spark, table, 1)["files"]
+    monkeypatch.setattr(
+        snap, "_uri_encode_relpath", lambda rel: "DRIFTED/" + rel
+    )
+    with pytest.raises(RuntimeError, match="matches no manifest relpath"):
+        snap.collect_file_stats(spark, table, man_files, ["id"])
+    with pytest.raises(Exception, match="no manifest relpath"):
+        build_snapshot_bloom_index(
+            spark, table, "id", str(tmp_path / "drift_bloom")
+        )
