@@ -31,6 +31,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     lm.add_argument("--year", type=int, required=True)
     lm.add_argument("--month", type=int, required=True)
     lm.add_argument("--force", action="store_true", help="re-overwrite the partition")
+    lm.add_argument(
+        "--snapshot-path",
+        help="load into a snapshot-versioned table at this path instead "
+        "of the managed fact table",
+    )
+    lm.add_argument(
+        "--wap",
+        action="store_true",
+        help="write-audit-publish: land the month on an isolated branch, "
+        "audit schema + row count, publish only on approval "
+        "(requires --snapshot-path)",
+    )
 
     bf = sub.add_parser("backfill", help="load every undiscovered month under a root")
     bf.add_argument("--raw-root", required=True)
@@ -193,8 +205,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "JSON rows (_change_type insert|delete, _commit_version)",
     )
     sc.add_argument("--table-path", required=True)
-    sc.add_argument("--from-version", required=True, type=int)
+    sc.add_argument("--from-version", type=int, default=None)
     sc.add_argument("--to-version", type=int, default=None)
+    sc.add_argument(
+        "--from-timestamp",
+        default=None,
+        help="changes since the state live at this time (ISO-8601 or "
+        "epoch seconds) — alternative to --from-version",
+    )
+    sc.add_argument(
+        "--to-timestamp",
+        default=None,
+        help="upper bound as a timestamp — alternative to --to-version",
+    )
     sc.add_argument("--limit", type=int, default=1000)
 
     sr = sub.add_parser(
@@ -263,8 +286,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             init_warehouse(spark)
             print(json.dumps({"status": "ok"}))
         elif args.cmd == "load-month":
-            init_warehouse(spark)
-            r = load_month(spark, args.path, args.year, args.month, force=args.force)
+            if args.snapshot_path:
+                from .warehouse.branching import AuditFailed
+
+                try:
+                    r = load_month(
+                        spark, args.path, args.year, args.month,
+                        force=args.force, backend="snapshot",
+                        snapshot_path=args.snapshot_path, wap=args.wap,
+                    )
+                except AuditFailed as e:
+                    print(json.dumps({"status": "audit_failed",
+                                      "error": str(e)}))
+                    return 1
+            else:
+                if args.wap:
+                    raise SystemExit("--wap requires --snapshot-path")
+                init_warehouse(spark)
+                r = load_month(
+                    spark, args.path, args.year, args.month, force=args.force
+                )
             print(json.dumps(r.__dict__))
             return 0 if (r.rows > 0 or r.skipped) else 1
         elif args.cmd == "backfill":
@@ -424,8 +465,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.cmd == "snapshot-changes":
             from .warehouse.snapshots import snapshot_changes
 
+            def _ts(s):
+                if s is None:
+                    return None
+                try:
+                    return float(s)  # epoch seconds
+                except ValueError:
+                    return s  # ISO-8601 string
+
             ch = snapshot_changes(
-                spark, args.table_path, args.from_version, args.to_version
+                spark,
+                args.table_path,
+                args.from_version,
+                args.to_version,
+                from_timestamp=_ts(args.from_timestamp),
+                to_timestamp=_ts(args.to_timestamp),
             )
             for r in ch.limit(args.limit).collect():
                 print(json.dumps(r.asDict(), default=str))

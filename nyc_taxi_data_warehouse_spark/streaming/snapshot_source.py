@@ -400,8 +400,25 @@ def read_snapshot_stream(
     path: str,
     starting_version: int | str = 0,
     on_non_append: str = "fail",
+    starting_timestamp=None,
 ):
-    """Register the source (idempotent) and open the stream."""
+    """Register the source (idempotent) and open the stream.
+
+    ``starting_timestamp`` ("changes since yesterday 09:00") resolves
+    ONCE, here at stream definition, to the version live at that time
+    via ``snapshot_version_at`` — which then acts as the usual
+    exclusive ``startingVersion``. Resolution inherits the
+    retention-gap refusal; pass it instead of (not alongside) an
+    explicit ``starting_version``."""
+    if starting_timestamp is not None:
+        from ..warehouse.snapshots import snapshot_version_at
+
+        if starting_version not in (0, "0"):
+            raise ValueError(
+                "starting_version and starting_timestamp are mutually "
+                "exclusive"
+            )
+        starting_version = snapshot_version_at(spark, path, starting_timestamp)
     spark.dataSource.register(SnapshotFeedDataSource)
     return (
         spark.readStream.format("snapshot_feed")

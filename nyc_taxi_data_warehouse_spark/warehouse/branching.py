@@ -206,6 +206,14 @@ def publish_branch(
     if head.get("stats") is not None:
         extra["stats"] = head["stats"]
         extra["stats_cols"] = head.get("stats_cols")
+    if head.get("load") is not None:
+        # carry ingest provenance (load_month's (year, month, rows))
+        # through the fast-forward, or the manifest-replay
+        # already-loaded check would re-load every WAP'd month. The
+        # squash keeps only the HEAD commit's provenance — a branch
+        # that loaded several months re-checks the earlier ones
+        # (idempotent replace_partitions makes that safe, just unskipped)
+        extra["load"] = head["load"]
     return _commit(
         spark,
         path,

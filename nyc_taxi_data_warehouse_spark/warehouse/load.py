@@ -90,6 +90,8 @@ def load_month(
     force: bool = False,
     backend: str = "managed",
     snapshot_path: str | None = None,
+    wap: bool = False,
+    audit=None,
     _loaded_months: set[tuple[int, int]] | None = None,
 ) -> LoadResult:
     """Load one monthly file into the partitioned fact table, idempotently.
@@ -108,11 +110,25 @@ def load_month(
       records its ``(year, month, source_path, rows)`` provenance, so
       no separate ingest log is needed and the already-loaded check is
       a metadata-only manifest scan.
+
+    ``wap=True`` (snapshot backend only) routes the load through
+    write-audit-publish: the month lands on an isolated branch, the
+    ``audit`` callback inspects the branch head (default: schema
+    matches the transform's output and the observed row count is
+    positive), and only an approved load fast-forwards main — the
+    engine-native answer to the reference's validate-by-inspection
+    step (/root/reference/README.md:77, "check the data" before
+    exposing it). A failed audit raises ``branching.AuditFailed`` and
+    leaves main exactly at the prior month (the poisoned branch is
+    dropped). ``audit`` receives the branch-head DataFrame and returns
+    truthy to approve.
     """
     if backend not in ("managed", "snapshot"):
         raise ValueError(f"backend must be managed|snapshot; got {backend!r}")
     if backend == "snapshot" and not snapshot_path:
         raise ValueError("backend='snapshot' requires snapshot_path")
+    if wap and backend != "snapshot":
+        raise ValueError("wap=True requires backend='snapshot'")
     # The partition-replacing write below is only safe under
     # partitionOverwriteMode=dynamic — on an untuned session Spark's
     # static default would drop every OTHER month on overwrite. Scoped
@@ -159,7 +175,7 @@ def load_month(
         rows_holder: dict[str, int] = {}
 
         def _load_extra() -> dict:
-            rows_holder["rows"] = int(obs.get["rows"])
+            rows_holder["rows"] = _obs_rows(obs)
             return {
                 "load": {
                     "year": year,
@@ -169,17 +185,68 @@ def load_month(
                 }
             }
 
-        snapshot_replace_partitions(
-            out, snapshot_path, ["year", "month"], extra=_load_extra
-        )
+        if wap:
+            from .branching import write_audit_publish
+            from .snapshots import _list_manifests, snapshot_write
+
+            if not _list_manifests(spark, snapshot_path):
+                # WAP forks from an existing head; a first-ever load
+                # publishes an EMPTY v1 to branch from, so a vetoed
+                # first month still leaves main a readable empty table.
+                # Built fresh (not out.limit(0)): ``out`` carries the
+                # Observation, which is single-use per action
+                snapshot_write(
+                    spark.createDataFrame([], out.schema), snapshot_path,
+                    partition_cols=["year", "month"],
+                )
+
+            def _wap_write(ref: str) -> None:
+                snapshot_replace_partitions(
+                    out, ref, ["year", "month"], extra=_load_extra
+                )
+
+            def _default_audit(df) -> bool:
+                want = {
+                    (f.name, f.dataType.simpleString())
+                    for f in out.schema.fields
+                }
+                got = {
+                    (f.name, f.dataType.simpleString())
+                    for f in df.schema.fields
+                }
+                return got == want and rows_holder["rows"] > 0
+
+            write_audit_publish(
+                spark,
+                snapshot_path,
+                f"load-{year}-{month:02d}",
+                _wap_write,
+                audit or _default_audit,
+                keep_branch_on_failure=False,
+            )
+        else:
+            snapshot_replace_partitions(
+                out, snapshot_path, ["year", "month"], extra=_load_extra
+            )
         return LoadResult(year, month, rows=rows_holder["rows"], skipped=False)
     # Dynamic partition overwrite: only the (year, month) partition in this
     # DataFrame is replaced; all other months are untouched.
     with dynamic_partition_overwrite(spark):
         out.write.mode("overwrite").insertInto(FACT_TABLE)
-    rows = int(obs.get["rows"])
+    rows = _obs_rows(obs)
     _record(spark, path, year, month, rows)
     return LoadResult(year, month, rows=rows, skipped=False)
+
+
+def _obs_rows(obs) -> int:
+    """The observed row count, tolerating the zero-task case: a write
+    of an empty month can schedule no tasks at all, the CollectMetrics
+    node then never executes, and ``Observation.get`` fails JVM-side —
+    but no tasks means no rows, so 0 is exact, not a guess."""
+    try:
+        return int(obs.get["rows"])
+    except Exception:
+        return 0
 
 
 def _snapshot_loaded_months(

@@ -824,10 +824,21 @@ def _read_file_list(
 def snapshot_changes(
     spark: SparkSession,
     path: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Row-level change feed between two retained versions.
+
+    Bounds can be given as versions or as TIMESTAMPS (datetime | ISO
+    string | epoch seconds, resolved via ``snapshot_version_at``):
+    ``from_timestamp=yesterday_9am`` means "changes SINCE the state
+    that was live then" — the resolved version is the exclusive lower
+    bound, exactly like ``from_version``. Timestamp resolution inherits
+    the retention-gap refusal (never silently serves extra history).
+    Exactly one of ``from_version``/``from_timestamp`` is required;
+    ``to_version``/``to_timestamp`` are mutually exclusive.
 
     Returns the table's columns (at ``to_version``'s schema) plus
     ``_change_type`` (``'insert'`` | ``'delete'``) and
@@ -853,6 +864,16 @@ def snapshot_changes(
     version in the requested range must still be retained (loud
     ``FileNotFoundError`` otherwise).
     """
+    if (from_version is None) == (from_timestamp is None):
+        raise ValueError(
+            "exactly one of from_version / from_timestamp is required"
+        )
+    if to_version is not None and to_timestamp is not None:
+        raise ValueError("to_version and to_timestamp are mutually exclusive")
+    if from_timestamp is not None:
+        from_version = snapshot_version_at(spark, path, from_timestamp)
+    if to_timestamp is not None:
+        to_version = snapshot_version_at(spark, path, to_timestamp)
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")

@@ -780,3 +780,70 @@ def test_stream_verify_survives_lost_superseded_files(spark, table, tmp_path):
     got2 = _drain(spark, table, str(tmp_path / "vv"), "feed_vv2",
                   on_non_append="verify")
     assert _bag(got2) == [(50, 0, "y")]  # compaction passed, zero rows
+
+
+def _stamp_commit_times(table, times_ms):
+    """Doctor committed_at_ms per version (test-only, deterministic)."""
+    import json as _json
+    import os
+
+    for v, t in times_ms.items():
+        mp = os.path.join(table, "_versions", f"{v:08d}.json")
+        with open(mp) as f:
+            man = _json.load(f)
+        man["committed_at_ms"] = t
+        with open(mp, "w") as f:
+            _json.dump(man, f)
+        crc = os.path.join(table, "_versions", f".{v:08d}.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+
+def test_changes_and_feed_by_timestamp(spark, table, tmp_path, capsys):
+    """'Changes since yesterday 09:00': snapshot_changes and the
+    streaming feed accept timestamps, resolved to the version live at
+    that moment (exclusive lower bound), on the API and the CLI."""
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    snapshot_write(_df(spark, [(1, 1, "a")]), table)
+    snapshot_write(_df(spark, [(2, 1, "b")]), table, mode="append")
+    snapshot_write(_df(spark, [(3, 2, "c")]), table, mode="append")
+    _stamp_commit_times(table, {1: 1000, 2: 2000, 3: 3000})
+
+    # since t=1.5s: v1 was live -> changes are v2 and v3
+    ch = snapshot_changes(spark, table, from_timestamp=1.5)
+    assert _bag(ch) == [(2, 1, "b"), (3, 2, "c")]
+    # bounded window (1.5s, 2.5s]: just v2
+    ch2 = snapshot_changes(spark, table, from_timestamp=1.5,
+                           to_timestamp=2.5)
+    assert _bag(ch2) == [(2, 1, "b")]
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_changes(spark, table)
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_changes(spark, table, 1, from_timestamp=1.5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        snapshot_changes(spark, table, from_timestamp=1.5, to_version=2,
+                         to_timestamp=2.5)
+
+    # streaming feed from a timestamp
+    got = _drain(spark, table, str(tmp_path / "ts_ck"), "feed_ts",
+                 starting_timestamp=1.5)
+    assert _bag(got) == [(2, 1, "b"), (3, 2, "c")]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_snapshot_stream(spark, table, starting_version=1,
+                             starting_timestamp=1.5)
+
+    # CLI surface
+    import json as _json
+
+    assert main(
+        ["snapshot-changes", "--table-path", table,
+         "--from-timestamp", "1.5", "--to-timestamp", "2.5"],
+        spark=spark,
+    ) == 0
+    rows = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [(r["id"], r["_change_type"], r["_commit_version"])
+            for r in rows] == [(2, "insert", 2)]

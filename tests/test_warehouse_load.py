@@ -539,3 +539,87 @@ def test_backfill_snapshot_backend_manifest_anti_join(
     assert read_snapshot(spark, snap).count() == 350
     # a second backfill is a complete no-op
     assert backfill(spark, manifest, backend="snapshot", snapshot_path=snap) == []
+
+
+def test_load_month_wap_publish_and_veto(warehouse, raw_root, tmp_path):
+    """wap=True routes the monthly load through write-audit-publish:
+    an approved load fast-forwards main (and its provenance survives
+    the squash, so the re-run skips); a vetoed load raises and leaves
+    main exactly at the prior month with the poisoned branch dropped."""
+    from nyc_taxi_data_warehouse_spark.warehouse.branching import (
+        AuditFailed,
+        list_branches,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    spark = warehouse
+    snap = str(tmp_path / "wap_fact")
+    p1 = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    p2 = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-02.parquet")
+
+    res = load_month(spark, p1, 2025, 1, backend="snapshot",
+                     snapshot_path=snap, wap=True)
+    assert not res.skipped and res.rows == 200
+    assert read_snapshot(spark, snap).count() == 200
+    # bootstrap empty v1 + the published month
+    assert [h["op"] for h in snapshot_versions(spark, snap)] \
+        == ["overwrite", "publish"]
+    # provenance carried through the publish squash -> re-run skips
+    assert load_month(spark, p1, 2025, 1, backend="snapshot",
+                      snapshot_path=snap, wap=True).skipped
+
+    # vetoed month: main untouched, branch dropped
+    with pytest.raises(AuditFailed):
+        load_month(spark, p2, 2025, 2, backend="snapshot",
+                   snapshot_path=snap, wap=True,
+                   audit=lambda df: False)
+    tbl = read_snapshot(spark, snap)
+    assert tbl.count() == 200
+    assert tbl.where("month = 2").count() == 0
+    assert list_branches(spark, snap) == []
+
+    # approved month (default audit): published
+    res2 = load_month(spark, p2, 2025, 2, backend="snapshot",
+                      snapshot_path=snap, wap=True)
+    assert not res2.skipped and res2.rows == 150
+    assert read_snapshot(spark, snap).count() == 350
+
+
+def test_load_month_wap_cli(warehouse, raw_root, tmp_path, capsys):
+    """CLI e2e: --snapshot-path --wap publishes a good month (exit 0);
+    a month whose default audit fails (zero rows) exits 1 and leaves
+    main at the prior month."""
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot,
+    )
+
+    spark = warehouse
+    snap = str(tmp_path / "wap_cli_fact")
+    p1 = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    cli = lambda *a: main(list(a), spark=spark)  # noqa: E731
+
+    assert cli(
+        "load-month", "--path", p1, "--year", "2025", "--month", "1",
+        "--snapshot-path", snap, "--wap",
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 200 and not out["skipped"]
+    assert read_snapshot(spark, snap).count() == 200
+
+    # an EMPTY month: default audit (rows > 0) vetoes, exit 1
+    p_empty = str(tmp_path / "fhvhv_tripdata_2025-03.parquet")
+    _make_raw_month(spark, p_empty, 2025, 3, n=0)
+    assert cli(
+        "load-month", "--path", p_empty, "--year", "2025", "--month", "3",
+        "--snapshot-path", snap, "--wap",
+    ) == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "audit_failed"
+    tbl = read_snapshot(spark, snap)
+    assert tbl.count() == 200 and tbl.where("month = 3").count() == 0
