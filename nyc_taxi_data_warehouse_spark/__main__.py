@@ -189,6 +189,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--values", required=True,
         help="JSON array of values, e.g. '[11,42]' or '[\"a\"]'",
     )
+    sd.add_argument(
+        "--dv", action="store_true",
+        help="merge-on-read: commit (file, row) tombstones instead of "
+        "rewriting victim files; fold away later with snapshot-compact",
+    )
 
     ci = sub.add_parser(
         "compact-index",
@@ -446,9 +451,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 out.update({f"orphan_{k}": v for k, v in sw.items()})
             print(json.dumps(out))
         elif args.cmd == "snapshot-delete":
-            from .warehouse.snapshots import snapshot_delete_rows
+            from .warehouse.snapshots import (
+                snapshot_delete_rows,
+                snapshot_delete_rows_dv,
+            )
 
-            v, n = snapshot_delete_rows(
+            fn = snapshot_delete_rows_dv if args.dv else snapshot_delete_rows
+            v, n = fn(
                 spark, args.table_path, args.col, json.loads(args.values)
             )
             print(json.dumps({"version": v, "rows_deleted": n}))

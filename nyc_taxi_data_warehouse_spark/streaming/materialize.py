@@ -202,6 +202,7 @@ def materialize_aggregate(
             "agg_refresh",
             versions[-1] if versions else None,
             extra={"stream_id": stream_id, "epoch": epoch},
+            dv_files=None,  # full rewrite each refresh, nothing carried
         )
 
     feed = read_snapshot_stream(

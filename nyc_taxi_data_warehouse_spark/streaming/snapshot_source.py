@@ -232,6 +232,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             return [p for p in parts]
         have = set(_list_versions(self._path))
         prev_files: set[str] | None = None
+        prev_dvs: set[str] = set()
         for v in range(lo + 1, hi + 1):
             if v not in have:
                 raise FileNotFoundError(
@@ -248,9 +249,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     # the offset version itself is the first diff's
                     # parent; vacuum may have dropped exactly it
                     try:
-                        prev_files = set(
-                            _load_manifest(self._path, parent)["files"]
-                        )
+                        pman = _load_manifest(self._path, parent)
+                        prev_files = set(pman["files"])
+                        prev_dvs = set(pman.get("dv_files") or [])
                     except OSError:  # FileNotFoundError locally; plain
                         # OSError from object-store pyarrow filesystems
                         raise FileNotFoundError(
@@ -260,6 +261,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                             "or retain more history"
                         ) from None
             files = set(man["files"])
+            dvs = set(man.get("dv_files") or [])
             removed = prev_files - files
             if removed:
                 if self._on_non_append == "fail":
@@ -274,6 +276,21 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 if self._on_non_append == "verify":
                     self._verify_row_neutral(man, v, removed, files - prev_files)
                 # verified or skipped rewrite: stream zero rows from it
+            elif dvs != prev_dvs:
+                # deletion-vector delta with no file changes: added
+                # tombstones are row DELETES (delete_rows_dv), removed
+                # tombstones are row RESURRECTIONS (a restore past the
+                # delete) — neither is expressible on an insert-only
+                # feed, and unlike a compaction they are never
+                # row-neutral, so 'verify' must fail too
+                if self._on_non_append != "skip":
+                    raise ValueError(
+                        f"version {v} ({man.get('op')}) changes deletion "
+                        "vectors — row deletes/resurrections cannot "
+                        "stream through an insert-only feed; consume "
+                        "row-level changes with snapshot_changes() or "
+                        "set onNonAppend=skip to ignore rewrites"
+                    )
             else:
                 for f in sorted(files - prev_files):
                     parts.append(
@@ -284,6 +301,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         )
                     )
             prev_files = files
+            prev_dvs = dvs
         return parts
 
     def _verify_row_neutral(

@@ -561,4 +561,8 @@ def read_snapshot_with_bloom(
     return _read_file_list(
         spark, table_path, files, schema,
         partition_cols=man.get("partition_cols"),
+        # merge-on-read deletes: Bloom rows index PHYSICAL rows, so a
+        # candidate may hold only tombstoned matches — the DV anti-join
+        # keeps lookups exact (over-scan only, never resurrection)
+        dv_files=man.get("dv_files"),
     ).where(F.col(meta["key_col"]).isin(values))

@@ -115,6 +115,10 @@ def create_branch(
             ),
         },
         partition_cols=_manifest_partition_cols(man),
+        # the fork carries the base state's deletion vectors — branch
+        # v1 has no parent to inherit from, and dropping them would
+        # resurrect the base's deleted rows on the branch
+        dv_files=man.get("dv_files"),
     )
     return ref
 
@@ -223,6 +227,9 @@ def publish_branch(
         mhead,
         extra=extra,
         partition_cols=_manifest_partition_cols(head),
+        # the BRANCH HEAD's deletion vectors, never main's (the
+        # fast-forward is a whole-state replacement)
+        dv_files=head.get("dv_files"),
     )
 
 

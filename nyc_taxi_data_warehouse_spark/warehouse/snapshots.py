@@ -233,6 +233,9 @@ def _write_commit_files(
     return commit, sorted(files)
 
 
+_DV_INHERIT = "inherit"
+
+
 def _commit(
     spark: SparkSession,
     path: str,
@@ -242,11 +245,27 @@ def _commit(
     parent: int | None,
     extra: dict | None = None,
     partition_cols: list[str] | None = None,
+    dv_files=_DV_INHERIT,
 ) -> int:
+    """``dv_files`` — the DELETION-VECTOR sidecars active at this
+    version (parquet relpaths of (file, pos) tombstones, merged at
+    read; see ``snapshot_delete_rows_dv``). Default is INHERIT from
+    the parent: DV entries are keyed by (relpath, row position) and
+    data files are immutable + uuid-unique, so a stale entry for a
+    file the commit dropped is inert — while an entry for a carried
+    file MUST keep riding or its deleted rows resurrect. Commits that
+    replace the whole table state (overwrite, compact, restore,
+    publish) pass an explicit list/None instead."""
     import time
 
     root, mdir = _split_ref(path)
     fs, jvm = _fs(spark, root)
+    if dv_files == _DV_INHERIT:
+        dv_files = (
+            _load_manifest(spark, path, parent).get("dv_files")
+            if parent is not None
+            else None
+        )
     version = (parent or 0) + 1
     manifest = {
         "version": version,
@@ -266,6 +285,7 @@ def _commit(
         # ``_require_same_layout``) and rewrites (delete/compact) must
         # reproduce it.
         "partition_cols": list(partition_cols) if partition_cols else None,
+        **({"dv_files": sorted(dv_files)} if dv_files else {}),
         **(extra or {}),
     }
     data = json.dumps(manifest, sort_keys=True).encode("utf-8")
@@ -348,6 +368,7 @@ def snapshot_write(
             return _commit(
                 spark, path, files, df.schema, mode, parent,
                 partition_cols=partition_cols,
+                dv_files=_DV_INHERIT if mode == "append" else None,
             )
         except SnapshotConflict:
             if attempt == retries:
@@ -568,6 +589,7 @@ def read_snapshot(
     return _read_file_list(
         spark, path, man["files"], schema,
         partition_cols=_manifest_partition_cols(man),
+        dv_files=man.get("dv_files"),
     )
 
 
@@ -700,6 +722,7 @@ def _read_file_list_flat(
     schema: StructType,
     partition_cols: list[str],
     versions: list[int] | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """ONE scan over the whole file list (``_flat_readable`` verified).
     Partition discovery cannot span commit dirs (each is its own hive
@@ -712,7 +735,11 @@ def _read_file_list_flat(
     The SAME relpath may then appear at several versions (a restore
     re-adding a file whose original append is also in range) — the scan
     reads each distinct file ONCE and the lookup join fans its rows out
-    to one copy per listed version, never rows × paths × lookup-rows."""
+    to one copy per listed version, never rows × paths × lookup-rows.
+
+    ``row_ids=True`` appends the stable row identity the deletion-
+    vector layer is keyed by: ``_dv_file`` (raw manifest relpath) and
+    ``_dv_pos`` (``_metadata.row_index``)."""
     from ..streaming.snapshot_source import _partition_values_from_path
 
     path = _root(path)
@@ -727,7 +754,7 @@ def _read_file_list_flat(
         # lookup join multiplied them again
         .parquet(*dict.fromkeys(f"{path}/{f}" for f in files))
     )
-    if not pfields and versions is None:
+    if not pfields and versions is None and not row_ids:
         return scan.select(*[f.name for f in schema.fields])
     lookup_rows = []
     for i, f in enumerate(files):
@@ -738,12 +765,15 @@ def _read_file_list_flat(
         row = [_uri_encode_relpath(f)]
         if versions is not None:
             row.append(versions[i])
+        if row_ids:
+            row.append(f)
         lookup_rows.append((*row, *[vals.get(c) for c in partition_cols]))
     lookup = spark.createDataFrame(
         lookup_rows,
         ", ".join(
             ["_relpath string"]
             + (["_commit_version int"] if versions is not None else [])
+            + (["_dv_file string"] if row_ids else [])
             + [f"`{c}` string" for c in partition_cols]
         ),
     )
@@ -755,13 +785,17 @@ def _read_file_list_flat(
     ]
     if versions is not None:
         out_cols.append(F.col("_commit_version"))
-    return (
-        scan.withColumn(
-            "_relpath", _relpath_from_file_path(F.col("_metadata.file_path"))
-        )
-        .join(F.broadcast(lookup), "_relpath")
-        .select(*out_cols)
+    if row_ids:
+        out_cols.extend([F.col("_dv_file"), F.col("_dv_pos")])
+    scan = scan.withColumn(
+        "_relpath", _relpath_from_file_path(F.col("_metadata.file_path"))
     )
+    if row_ids:
+        scan = scan.withColumn("_dv_pos", F.col("_metadata.row_index"))
+    return scan.join(F.broadcast(lookup), "_relpath").select(*out_cols)
+
+
+_DV_COLS = ("_dv_file", "_dv_pos")
 
 
 def _read_file_list(
@@ -770,11 +804,41 @@ def _read_file_list(
     files: list[str],
     schema: StructType,
     partition_cols: list[str] | None = None,
+    dv_files: list[str] | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
-    """Scan an explicit manifest file list, normalised to ``schema``."""
+    """Scan an explicit manifest file list, normalised to ``schema``.
+
+    ``dv_files`` are the manifest's deletion-vector sidecars (parquet
+    relpaths of ``(_dv_file, _dv_pos)`` tombstones): their rows are
+    anti-joined away here, so EVERY reader that threads the manifest's
+    ``dv_files`` through gets merge-on-read deletes for free.
+    ``row_ids=True`` keeps the ``_dv_file``/``_dv_pos`` identity
+    columns in the output (for writers that need to address rows)."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
     path = _root(path)
+    want_ids = bool(row_ids or dv_files)
+    if want_ids:
+        clash = [f.name for f in schema.fields if f.name in _DV_COLS]
+        if clash:
+            raise ValueError(
+                f"columns {clash} are reserved for the deletion-vector "
+                "row identity; rename them to use DV reads"
+            )
     if not files:
-        return spark.createDataFrame([], schema)
+        out = StructType(
+            list(schema.fields)
+            + (
+                [
+                    StructField("_dv_file", StringType()),
+                    StructField("_dv_pos", LongType()),
+                ]
+                if row_ids
+                else []
+            )
+        )
+        return spark.createDataFrame([], out)
     # Partition values live in the directory names UNDER each commit
     # dir, so each commit is its own basePath: one read per commit
     # (bounded by retained versions, not data size), unioned by name.
@@ -794,16 +858,24 @@ def _read_file_list(
     if len(by_commit) > _FLAT_READ_THRESHOLD and _flat_readable(
         spark, path, files, schema, partition_cols or []
     ):
-        return _read_file_list_flat(
-            spark, path, files, schema, partition_cols or []
+        df = _read_file_list_flat(
+            spark, path, files, schema, partition_cols or [],
+            row_ids=want_ids,
         )
+        return _apply_dvs(spark, path, df, dv_files, keep_ids=row_ids)
     parts = []
     for commit, flist in sorted(by_commit.items()):
-        parts.append(
-            spark.read.option("basePath", f"{path}/{commit}").parquet(
-                *[f"{path}/{f}" for f in flist]
-            )
+        p = spark.read.option("basePath", f"{path}/{commit}").parquet(
+            *[f"{path}/{f}" for f in flist]
         )
+        if want_ids:
+            # row identity must come from each leaf scan (_metadata is
+            # per-scan, unreachable after the union)
+            p = p.withColumn(
+                "_dv_enc",
+                _relpath_from_file_path(F.col("_metadata.file_path")),
+            ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+        parts.append(p)
     # allowMissingColumns: an appended commit written AFTER a column was
     # added carries the new column; older carried-over commits surface
     # it as null — schema evolution without rewriting history. The
@@ -816,9 +888,50 @@ def _read_file_list(
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
     # pin the manifest's types (an int widened to bigint by a newer
     # writer reads back as bigint everywhere)
-    return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-    )
+    out_cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields
+    ]
+    if want_ids:
+        out_cols.extend([F.col("_dv_enc"), F.col("_dv_pos")])
+    df = df.select(*out_cols)
+    if want_ids:
+        enc2raw = F.broadcast(
+            spark.createDataFrame(
+                [(_uri_encode_relpath(f), f) for f in files],
+                "_dv_enc string, _dv_file string",
+            )
+        )
+        df = df.join(enc2raw, "_dv_enc").drop("_dv_enc")
+    return _apply_dvs(spark, path, df, dv_files, keep_ids=row_ids)
+
+
+def _apply_dvs(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    dv_files: list[str] | None,
+    keep_ids: bool,
+) -> DataFrame:
+    """Merge-on-read: anti-join the deletion-vector tombstones on
+    (file, row position). DV sidecars hold only deleted keys, so they
+    broadcast in the overwhelmingly common case; past a size threshold
+    the join falls back to a shuffle rather than risk the driver."""
+    if dv_files:
+        root = _root(root)
+        dv = (
+            spark.read.parquet(*[f"{root}/{p}" for p in dv_files])
+            .select("_dv_file", "_dv_pos")
+        )
+        fs, jvm = _fs(spark, root)
+        total = sum(
+            fs.getFileStatus(_jp(jvm, root, p)).getLen() for p in dv_files
+        )
+        if total <= 64 << 20:
+            dv = F.broadcast(dv)
+        df = df.join(dv, list(_DV_COLS), "left_anti")
+    if not keep_ids:
+        df = df.drop(*_DV_COLS)
+    return df
 
 
 def snapshot_changes(
@@ -921,25 +1034,75 @@ def snapshot_changes(
         man = _load_manifest(spark, path, v)
         parent = man["parent"]
         pfiles: set[str] = set()
+        pdvs: list[str] = []
         if parent is not None:
-            pfiles = set(_load_manifest(spark, path, parent)["files"])
+            pman = _load_manifest(spark, path, parent)
+            pfiles = set(pman["files"])
+            pdvs = pman.get("dv_files") or []
+        cdvs = man.get("dv_files") or []
         files = set(man["files"])
         added = sorted(files - pfiles)
         removed = sorted(pfiles - files)
+        dv_same = set(cdvs) == set(pdvs)
         if (
             not removed
+            and dv_same
             and json.dumps(man["schema"], sort_keys=True) == target_schema_json
             and man.get("partition_cols") == target_man.get("partition_cols")
         ):
             batched.extend((f, v) for f in added)
             continue
         target_pcols = _manifest_partition_cols(target_man)
+        # Deletion-vector deltas on files present on BOTH sides: new
+        # tombstones are row DELETES; tombstones that vanished (a
+        # restore to a pre-delete state) RESURRECT their rows as
+        # inserts. Reads are masked by the matching side's DV set —
+        # parent's for what was live before, the commit's for what is
+        # live now — which also makes equivalent-tombstone swaps
+        # (delete, restore past it, delete again) cancel to zero.
+        common = files & pfiles
+        for delta_dvs, mask_dvs, ctype in (
+            (sorted(set(cdvs) - set(pdvs)), pdvs, "delete"),
+            (sorted(set(pdvs) - set(cdvs)), cdvs, "insert"),
+        ):
+            if not delta_dvs or not common:
+                continue
+            ent = spark.read.parquet(
+                *[f"{_root(path)}/{p}" for p in delta_dvs]
+            ).select("_dv_file", "_dv_pos")
+            aff = sorted(
+                common
+                & {r["_dv_file"] for r in ent.select("_dv_file").distinct().collect()}
+            )
+            if not aff:
+                continue
+            fs, jvm = _fs(spark, _root(path))
+            if sum(
+                fs.getFileStatus(_jp(jvm, _root(path), p)).getLen()
+                for p in delta_dvs
+            ) <= 64 << 20:
+                ent = F.broadcast(ent)
+            rows = _read_file_list(
+                spark, path, aff, out_schema,
+                partition_cols=target_pcols,
+                dv_files=sorted(mask_dvs), row_ids=True,
+            ).join(ent, list(_DV_COLS), "left_semi")
+            changes.append(
+                rows.drop(*_DV_COLS)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_version", F.lit(v))
+            )
         ins = _read_file_list(
-            spark, path, added, out_schema, partition_cols=target_pcols
+            spark, path, added, out_schema, partition_cols=target_pcols,
+            dv_files=sorted(cdvs),
         )
         if removed:
             dele = _read_file_list(
-                spark, path, removed, out_schema, partition_cols=target_pcols
+                spark, path, removed, out_schema,
+                partition_cols=target_pcols,
+                # the PARENT's tombstones: consumers hold the parent
+                # state, so rows already dead there must not re-delete
+                dv_files=sorted(pdvs),
             )
             # cancel rewritten-but-unchanged rows (bag semantics)
             ins, dele = ins.exceptAll(dele), dele.exceptAll(ins)
@@ -1027,6 +1190,9 @@ def snapshot_restore(
             }
         ),
         partition_cols=_manifest_partition_cols(man),
+        # the RESTORED state's tombstones, never the abandoned head's
+        # (whose DVs may reference exactly the files being restored)
+        dv_files=man.get("dv_files"),
     )
 
 
@@ -1117,15 +1283,22 @@ def vacuum_snapshots(
     drop = [v for v in versions[:-keep_last] if v not in tagged]
     keep = [v for v in versions if v not in drop]
     referenced: set[str] = set()
+
+    def _refs(man: dict) -> list[str]:
+        # deletion-vector sidecars are referenced storage exactly like
+        # data files: deleting a retained version's DVs would
+        # RESURRECT its deleted rows
+        return man["files"] + (man.get("dv_files") or [])
+
     for v in keep:
-        referenced.update(_load_manifest(spark, path, v)["files"])
+        referenced.update(_refs(_load_manifest(spark, path, v)))
     for b in _branch_names(spark, path):
         ref = f"{path}{_REF_SEP}{b}"
         for bv in _list_manifests(spark, ref):
-            referenced.update(_load_manifest(spark, ref, bv)["files"])
+            referenced.update(_refs(_load_manifest(spark, ref, bv)))
     deleted = 0
     for v in drop:
-        for f in _load_manifest(spark, path, v)["files"]:
+        for f in _refs(_load_manifest(spark, path, v)):
             if f not in referenced:
                 if fs.delete(_jp(jvm, path, f), False):
                     deleted += 1
@@ -1170,11 +1343,13 @@ def sweep_orphans(
     fs, jvm = _fs(spark, path)
     referenced: set[str] = set()
     for v in _list_manifests(spark, path):
-        referenced.update(_load_manifest(spark, path, v)["files"])
+        man = _load_manifest(spark, path, v)
+        referenced.update(man["files"] + (man.get("dv_files") or []))
     for b in _branch_names(spark, path):
         ref = f"{path}{_REF_SEP}{b}"
         for bv in _list_manifests(spark, ref):
-            referenced.update(_load_manifest(spark, ref, bv)["files"])
+            bman = _load_manifest(spark, ref, bv)
+            referenced.update(bman["files"] + (bman.get("dv_files") or []))
     ddir = _jp(jvm, path, _DDIR)
     if not fs.exists(ddir):
         return {"files_deleted": 0, "dirs_deleted": 0, "files_kept_young": 0}
@@ -1349,6 +1524,27 @@ def _footer_row_total(spark: SparkSession, root: str, files: list[str]) -> int:
     return spark.sparkContext.parallelize(uris, n_slices).map(_count).sum()
 
 
+def _dv_entry_count(
+    spark: SparkSession,
+    root: str,
+    dv_files: list[str] | None,
+    files: list[str],
+) -> int:
+    """Tombstones in ``dv_files`` that target one of ``files`` — the
+    manifest-relpath semi-join ignores inert entries whose data file
+    has since been rewritten away."""
+    if not dv_files:
+        return 0
+    live = F.broadcast(
+        spark.createDataFrame([(f,) for f in files], "_dv_file string")
+    )
+    return (
+        spark.read.parquet(*[f"{_root(root)}/{p}" for p in dv_files])
+        .join(live, "_dv_file", "left_semi")
+        .count()
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
@@ -1438,12 +1634,20 @@ def snapshot_compact(
     # hard-failing on vanished footers. Counted from footers at commit
     # time, while both sides still exist.
     root = _root(path)
-    extra["rows_removed"] = _footer_row_total(spark, root, man["files"])
+    # LIVE rows on the removed side: physical footer totals minus the
+    # parent's deletion-vector tombstones (compaction folds DVs away —
+    # the rewrite came from the DV-applied read, so the added side is
+    # live-only by construction and the equality must compare like
+    # with like)
+    extra["rows_removed"] = _footer_row_total(
+        spark, root, man["files"]
+    ) - _dv_entry_count(spark, root, man.get("dv_files"), man["files"])
     extra["rows_added"] = _footer_row_total(spark, root, files)
     return _commit(
         spark, path, files, df.schema, "compact", latest,
         extra=extra or None,
         partition_cols=partition_cols,
+        dv_files=None,  # folded into the rewrite
     )
 
 
@@ -1624,6 +1828,7 @@ def snapshot_write_with_stats(
         parent,
         extra={"stats": stats, "stats_cols": stats_cols},
         partition_cols=partition_cols,
+        dv_files=_DV_INHERIT if mode == "append" else None,
     )
 
 
@@ -1673,31 +1878,15 @@ def read_snapshot_pruned(
     if len(keep) == len(man["files"]):
         pruned = base
     else:
-        path = _root(path)  # data joins below; manifests already read
-        by_commit: dict[str, list[str]] = {}
-        for f in keep:
-            commit = "/".join(f.split("/", 2)[:2])
-            by_commit.setdefault(commit, []).append(f)
-        parts = []
-        for commit, fl in sorted(by_commit.items()):
-            parts.append(
-                spark.read.option("basePath", f"{path}/{commit}").parquet(
-                    *[f"{path}/{f}" for f in fl]
-                )
-            )
-        pruned = parts[0]
-        for p in parts[1:]:
-            pruned = pruned.unionByName(p, allowMissingColumns=True)
-        for fld in base.schema.fields:
-            if fld.name not in pruned.columns:
-                pruned = pruned.withColumn(
-                    fld.name, F.lit(None).cast(fld.dataType)
-                )
-        pruned = pruned.select(
-            *[
-                F.col(fld.name).cast(fld.dataType).alias(fld.name)
-                for fld in base.schema.fields
-            ]
+        # the same normalised explicit-list scan every snapshot read
+        # uses (per-commit basePath or the flat path), deletion vectors
+        # applied — stats may keep a file whose matching rows are all
+        # tombstoned (over-scan only; the residual predicate plus the
+        # DV anti-join keep exactness)
+        pruned = _read_file_list(
+            spark, path, keep, base.schema,
+            partition_cols=_manifest_partition_cols(man),
+            dv_files=man.get("dv_files"),
         )
     return pruned.where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
@@ -1733,6 +1922,77 @@ def snapshot_delete_rows(
     return _rewrite_matching_files(
         spark, path, col, values, fn, "delete_rows"
     )
+
+
+def snapshot_delete_rows_dv(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+) -> tuple[int, int]:
+    """``snapshot_delete_rows`` semantics via DELETION VECTORS
+    (merge-on-read): instead of rewriting every stats-selected
+    candidate file whole — at 100 TB a one-key takedown on a
+    non-clustered column rewrites a large share of the table — the
+    commit writes only the matched rows' (file, row position)
+    tombstones as a parquet sidecar and carries EVERY data file by
+    reference. Readers anti-join the tombstones at scan time (see
+    ``_read_file_list``); ``snapshot_compact`` folds them back into
+    physical files. Write cost ∝ deleted rows, never victim-file
+    bytes. Returns ``(new_version, rows_deleted)``.
+
+    Same NULL semantics as the rewrite path (NULL never matches IN),
+    same erasure caveat (older versions still hold the rows until
+    vacuumed — and the tombstoned rows' BYTES remain in the current
+    version's files until a compact; for physical erasure of the live
+    version, compact after deleting).
+    """
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    victims, _carried = _victims_by_stats(man, col, values)
+    if not victims:
+        return latest, 0
+    schema = StructType.fromJson(man["schema"])
+    df = _read_file_list(
+        spark, path, victims, schema,
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=man.get("dv_files"),  # never tombstone a row twice
+        row_ids=True,
+    )
+    matched = (
+        df.where(F.col(col).isNotNull() & F.col(col).isin(values))
+        .select("_dv_file", "_dv_pos")
+        .localCheckpoint(eager=True)  # one scan feeds count AND write
+    )
+    n = matched.count()
+    if n == 0:
+        return latest, 0
+    # ~4M tombstones (~a few hundred MB raw) per sidecar file
+    _, new_dvs = _write_commit_files(
+        matched.repartition(max(1, n // 4_000_000 + (n % 4_000_000 > 0))),
+        path,
+        None,
+    )
+    stats_extra = (
+        {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
+        if man.get("stats") is not None
+        else {}
+    )
+    version = _commit(
+        spark,
+        path,
+        man["files"],  # every data file carried by reference
+        schema,
+        "delete_rows_dv",
+        latest,
+        extra={"dv_added": new_dvs, "dv_rows_added": n, **stats_extra},
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=sorted((man.get("dv_files") or []) + new_dvs),
+    )
+    return version, n
 
 
 def _victims_by_stats(
@@ -1787,6 +2047,10 @@ def _rewrite_matching_files(
     df = _read_file_list(
         spark, path, victims, schema,
         partition_cols=_manifest_partition_cols(man),
+        # merge-on-read: already-tombstoned rows must not resurrect
+        # into the rewritten files (the carried DV entries for the
+        # rewritten victims become inert once their files drop out)
+        dv_files=man.get("dv_files"),
     )
     before = df.count()
     rewritten = fn(df)

@@ -1,0 +1,356 @@
+"""Deletion vectors (merge-on-read deletes) on snapshot tables.
+
+``snapshot_delete_rows_dv`` commits (file, row-position) tombstones as
+parquet sidecars instead of rewriting victim files; readers anti-join
+them at scan time; ``snapshot_compact`` folds them into physical files.
+The contract under test: DV deletes are ROW-FOR-ROW equivalent to the
+copy-on-write path on every read surface (plain, pruned, Bloom, time
+travel, change feed, branches), compose with the whole DML/maintenance
+matrix (update, replace, restore, compact, vacuum, GC), and actually
+deliver the write-amplification win they exist for.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+    read_snapshot,
+    read_snapshot_pruned,
+    snapshot_changes,
+    snapshot_compact,
+    snapshot_delete_rows,
+    snapshot_delete_rows_dv,
+    snapshot_restore,
+    snapshot_update_rows,
+    snapshot_versions,
+    snapshot_write,
+    snapshot_write_with_stats,
+    sweep_orphans,
+    vacuum_snapshots,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, month int, v string")
+
+
+def _bag(df):
+    return sorted((r.id, r.month, r.v) for r in df.collect())
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "dv_table")
+
+
+def _commit_dir_bytes(table, known_dirs):
+    """Bytes in data/ commit dirs NOT in known_dirs (the new commits)."""
+    total = 0
+    droot = os.path.join(table, "data")
+    for d in os.listdir(droot):
+        if d in known_dirs:
+            continue
+        for dp, _, fs in os.walk(os.path.join(droot, d)):
+            for f in fs:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(dp, f))
+    return total
+
+
+# --------------------------------------------- equivalence with CoW
+
+
+def test_dv_equals_rewrite_over_dml_storm(spark, tmp_path):
+    """The same DML storm, deletes via DV on one table and via rewrite
+    on the other: bags equal after every step, and both agree with a
+    pure-python reference."""
+    a = str(tmp_path / "via_dv")
+    b = str(tmp_path / "via_rw")
+    rows = [(i, i % 3, f"v{i}") for i in range(30)]
+    for t in (a, b):
+        snapshot_write_with_stats(
+            _df(spark, rows), t, stats_cols=["id"], partition_cols=["month"]
+        )
+    ref = {(i, m, v) for i, m, v in rows}
+
+    def check():
+        assert _bag(read_snapshot(spark, a)) == _bag(read_snapshot(spark, b))
+        assert _bag(read_snapshot(spark, a)) == sorted(ref)
+
+    va, na = snapshot_delete_rows_dv(spark, a, "id", [3, 17, 999])
+    vb, nb = snapshot_delete_rows(spark, b, "id", [3, 17, 999])
+    assert na == nb == 2
+    ref -= {(3, 0, "v3"), (17, 2, "v17")}
+    check()
+
+    # append lands normally on both; DV entries keep masking old files
+    for t in (a, b):
+        snapshot_write(_df(spark, [(100, 1, "new")]), t, mode="append",
+                       partition_cols=["month"])
+    ref.add((100, 1, "new"))
+    check()
+
+    # second DV delete stacks on the first (and the duplicate value
+    # 17 is already gone -> only the fresh matches count)
+    _, na = snapshot_delete_rows_dv(spark, a, "id", [17, 100, 5])
+    _, nb = snapshot_delete_rows(spark, b, "id", [17, 100, 5])
+    assert na == nb == 2
+    ref -= {(100, 1, "new"), (5, 2, "v5")}
+    check()
+
+    # CoW update on the DV table must not resurrect tombstoned rows
+    for t in (a, b):
+        snapshot_update_rows(spark, t, "id", [7], {"v": "patched"})
+    ref = {(i, m, "patched") if i == 7 else (i, m, v) for i, m, v in ref}
+    check()
+
+    # compact folds the DVs away physically; bags unchanged
+    snapshot_compact(spark, a, partition_cols=["month"])
+    check()
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+    )
+
+    head = _load_manifest(spark, a, _list_manifests(spark, a)[-1])
+    assert not head.get("dv_files")  # folded
+    assert head["rows_removed"] == head["rows_added"] == len(ref)
+
+    # deleting already-deleted values again: no-op, no new version
+    n_vers = len(snapshot_versions(spark, a))
+    v, n = snapshot_delete_rows_dv(spark, a, "id", [3, 17])
+    assert n == 0 and len(snapshot_versions(spark, a)) == n_vers
+
+
+def test_dv_null_safety(spark, table):
+    """NULL keys never match an IN list — same contract as the
+    rewrite path."""
+    spark.createDataFrame(
+        [(1, "a"), (None, "keepme"), (2, "b")], "id long, v string"
+    ).transform(lambda d: d)  # explicit schema w/ null id
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (None, 1, "keepme"), (2, 1, "b")],
+        "id long, month int, v string",
+    )
+    snapshot_write(df, table)
+    _, n = snapshot_delete_rows_dv(spark, table, "id", [1, 2])
+    assert n == 2
+    got = read_snapshot(spark, table).collect()
+    assert [(r.id, r.v) for r in got] == [(None, "keepme")]
+
+
+def test_dv_read_surfaces(spark, table, tmp_path):
+    """Pruned reads, Bloom lookups, and time travel all respect DVs."""
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        build_snapshot_bloom_index,
+        read_snapshot_with_bloom,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(20)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    idx = str(tmp_path / "dv_bloom")
+    build_snapshot_bloom_index(spark, table, "id", idx)
+    v1 = 1
+    _, n = snapshot_delete_rows_dv(spark, table, "id", [4, 5, 6])
+    assert n == 3
+    # pruned range read: tombstoned rows excluded, others exact
+    got = read_snapshot_pruned(spark, table, "id", 3, 8)
+    assert sorted(r.id for r in got.collect()) == [3, 7, 8]
+    # Bloom point lookup: physical candidate, zero live matches
+    assert read_snapshot_with_bloom(spark, table, idx, [5]).count() == 0
+    assert read_snapshot_with_bloom(spark, table, idx, [7]).count() == 1
+    # time travel: the pre-delete version still shows the rows
+    assert read_snapshot(spark, table, version=v1).count() == 20
+    assert read_snapshot(spark, table).count() == 17
+
+
+# --------------------------------------------------- change feed
+
+
+def test_dv_change_feed_and_restore_resurrection(spark, table):
+    """A DV delete emits row-level 'delete' changes; restoring past it
+    emits the SAME rows back as inserts (tombstone removal =
+    resurrection); compaction after a DV delete is an empty change
+    set; the apply-invariant holds across the whole history."""
+    base = [(i, i % 2, f"v{i}") for i in range(10)]
+    snapshot_write_with_stats(
+        _df(spark, base), table, stats_cols=["id"], partition_cols=["month"]
+    )
+    snapshot_delete_rows_dv(spark, table, "id", [2, 7])  # v2
+    ch = snapshot_changes(spark, table, from_version=1, to_version=2)
+    assert sorted(
+        (r.id, r._change_type) for r in ch.collect()
+    ) == [(2, "delete"), (7, "delete")]
+
+    snapshot_restore(spark, table, 1)  # v3: resurrect 2 and 7
+    ch2 = snapshot_changes(spark, table, from_version=2, to_version=3)
+    assert sorted(
+        (r.id, r._change_type) for r in ch2.collect()
+    ) == [(2, "insert"), (7, "insert")]
+
+    snapshot_delete_rows_dv(spark, table, "id", [0])  # v4
+    snapshot_compact(spark, table, partition_cols=["month"])  # v5 folds
+    assert snapshot_changes(
+        spark, table, from_version=4, to_version=5
+    ).count() == 0
+
+    # apply-invariant over the full range
+    def apply(bag, ch_df):
+        bag = list(bag)
+        for r in sorted(
+            ch_df.collect(),
+            key=lambda r: (r["_commit_version"], r["_change_type"]),
+        ):
+            t = (r.id, r.month, r.v)
+            bag.remove(t) if r._change_type == "delete" else bag.append(t)
+        return sorted(bag)
+
+    full = snapshot_changes(spark, table, from_version=1)
+    assert apply(
+        _bag(read_snapshot(spark, table, version=1)), full
+    ) == _bag(read_snapshot(spark, table))
+
+
+def test_dv_feed_classification(spark, table, tmp_path):
+    """The insert-only streaming feed fails loudly on a DV commit
+    (fail AND verify — tombstones are never row-neutral), skips it
+    under skip, and passes a DV-folding compaction under verify."""
+    from tests.test_snapshot_feed import _drain
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 2, "x") for i in range(6)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    got = _drain(spark, table, str(tmp_path / "dvf"), "dv_f1",
+                 on_non_append="verify")
+    assert got.count() == 6
+    snapshot_delete_rows_dv(spark, table, "id", [1])
+    for mode, ck in (("fail", "dvf_f"), ("verify", "dvf")):
+        with pytest.raises(Exception, match="deletion vectors"):
+            _drain(spark, table, str(tmp_path / ck), f"dv_{mode}",
+                   on_non_append=mode)
+    got2 = _drain(spark, table, str(tmp_path / "dvf_s"), "dv_skip",
+                  on_non_append="skip")
+    assert got2.count() == 6  # initial snapshot; the DV commit skipped
+    # a consumer positioned PAST the DV commit (offset advanced by the
+    # skip drain above) then meets a compaction that FOLDS the DVs:
+    # verify passes it as row-neutral — recorded totals count LIVE
+    # rows on both sides — and later appends flow normally
+    snapshot_compact(spark, table, partition_cols=["month"])
+    snapshot_write(_df(spark, [(50, 0, "y")]), table, mode="append",
+                   partition_cols=["month"])
+    got3 = _drain(spark, table, str(tmp_path / "dvf_s"), "dv_f2",
+                  on_non_append="verify")
+    assert [(r.id, r.month, r.v) for r in got3.collect()] == [(50, 0, "y")]
+
+
+# ------------------------------------------- branches, GC, vacuum
+
+
+def test_dv_branches_and_publish(spark, table):
+    """create_branch carries the base's DVs; a DV delete on the branch
+    stays isolated from main; publish fast-forwards main to the
+    branch's DV state."""
+    from nyc_taxi_data_warehouse_spark.warehouse.branching import (
+        create_branch,
+        publish_branch,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, 1, f"v{i}") for i in range(8)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    snapshot_delete_rows_dv(spark, table, "id", [0])  # main v2
+    ref = create_branch(spark, table, "work")
+    assert read_snapshot(spark, ref).count() == 7  # fork carries DVs
+    snapshot_delete_rows_dv(spark, ref, "id", [1, 2])
+    assert read_snapshot(spark, ref).count() == 5
+    assert read_snapshot(spark, table).count() == 7  # main isolated
+    publish_branch(spark, table, "work")
+    assert sorted(r.id for r in read_snapshot(spark, table).collect()) \
+        == [3, 4, 5, 6, 7]
+
+
+def test_dv_survives_vacuum_and_sweep(spark, table):
+    """DV sidecars are REFERENCED storage: vacuum keeps a retained
+    version's DVs (and reclaims them with the version), sweep_orphans
+    never deletes a live sidecar however old it is."""
+    import time
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, 1, f"v{i}") for i in range(10)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    snapshot_delete_rows_dv(spark, table, "id", [3])  # v2 (dv commit)
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+    )
+
+    dvs = _load_manifest(spark, table, 2)["dv_files"]
+    assert dvs
+    snapshot_write(_df(spark, [(90, 1, "z")]), table, mode="append",
+                   partition_cols=["month"])  # v3
+    vacuum_snapshots(spark, table, keep_last=2)  # drops v1
+    for f in dvs:
+        assert os.path.exists(os.path.join(table, f)), f
+    # age everything, then sweep: live sidecars stay
+    past = time.time() - 30 * 24 * 3600
+    for dp, _, fs in os.walk(os.path.join(table, "data")):
+        for f in fs:
+            os.utime(os.path.join(dp, f), (past, past))
+        os.utime(dp, (past, past))
+    sweep_orphans(spark, table, grace_seconds=3600)
+    for f in dvs:
+        assert os.path.exists(os.path.join(table, f)), f
+    assert read_snapshot(spark, table).count() == 10  # 10 - 1 + 1
+    # compact folds DVs; vacuum then reclaims the orphaned sidecars
+    snapshot_compact(spark, table, partition_cols=["month"])
+    vacuum_snapshots(spark, table, keep_last=1)
+    for f in dvs:
+        assert not os.path.exists(os.path.join(table, f)), f
+    assert read_snapshot(spark, table).count() == 10
+
+
+# ------------------------------------------------- the actual win
+
+
+def test_dv_write_amplification_win(spark, table):
+    """Planted wide-spread victims (one matching row in EVERY file):
+    the rewrite path rewrites the whole table; the DV path writes a
+    tombstone sidecar orders of magnitude smaller. This is the
+    measured reason the feature exists."""
+    import uuid as _uuid
+
+    pad = "x" * 2000
+    rows = [(i, i % 8, pad + _uuid.uuid4().hex) for i in range(4000)]
+    snapshot_write_with_stats(
+        _df(spark, rows), table, stats_cols=["id"], partition_cols=["month"]
+    )
+    before_dirs = set(os.listdir(os.path.join(table, "data")))
+    # victims spread across the id range -> every file holds one
+    victims = list(range(0, 4000, 500))
+    _, n = snapshot_delete_rows_dv(spark, table, "id", victims)
+    assert n == len(victims)
+    dv_bytes = _commit_dir_bytes(table, before_dirs)
+
+    # same delete on a fresh copy via rewrite
+    table2 = table + "_rw"
+    snapshot_write_with_stats(
+        _df(spark, rows), table2, stats_cols=["id"], partition_cols=["month"]
+    )
+    before2 = set(os.listdir(os.path.join(table2, "data")))
+    _, n2 = snapshot_delete_rows(spark, table2, "id", victims)
+    assert n2 == n
+    rw_bytes = _commit_dir_bytes(table2, before2)
+
+    assert _bag(read_snapshot(spark, table)) == _bag(
+        read_snapshot(spark, table2)
+    )
+    assert dv_bytes * 20 < rw_bytes, (dv_bytes, rw_bytes)

@@ -1,6 +1,7 @@
 """Property fuzz for the snapshot change feed: ANY sequence of commits
-(append / partition replacement / targeted delete / targeted update /
-compaction) must satisfy, at every cut point v,
+(append / partition replacement / targeted delete — copy-on-write AND
+deletion-vector — / targeted update / compaction / restore) must
+satisfy, at every cut point v,
 
     table@v  +  changes(v, latest)  ==  table@latest     (as bags)
 
@@ -32,6 +33,7 @@ _OPS = st.lists(
         st.tuples(st.just("append"), st.integers(0, 2), st.integers(1, 3)),
         st.tuples(st.just("replace"), st.integers(0, 2), st.integers(0, 2)),
         st.tuples(st.just("delete"), st.integers(0, 30)),
+        st.tuples(st.just("delete_dv"), st.integers(0, 30)),
         st.tuples(st.just("update"), st.integers(0, 30)),
         st.tuples(st.just("compact"), st.just(0)),
         # restore: roll back to a pseudo-random retained version (the
@@ -85,6 +87,14 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             )
         elif kind == "delete":
             snapshot_delete_rows(spark, table, "id", [args[0], args[0] + 1])
+        elif kind == "delete_dv":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                snapshot_delete_rows_dv,
+            )
+
+            snapshot_delete_rows_dv(
+                spark, table, "id", [args[0], args[0] + 1]
+            )
         elif kind == "update":
             snapshot_update_rows(
                 spark, table, "id", [args[0]], {"v": "REDACTED"}
