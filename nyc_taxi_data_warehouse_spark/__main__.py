@@ -160,6 +160,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "2+ = z-order) so recomputed stats prune tightly",
     )
     scp.add_argument("--n-files", type=int, default=None)
+    scp.add_argument(
+        "--dv-only", action="store_true",
+        help="consolidate deletion-vector sidecars only (metadata + "
+        "sidecar commit; data files untouched)",
+    )
 
     sv = sub.add_parser(
         "snapshot-vacuum",
@@ -248,6 +253,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     su.add_argument(
         "--set", required=True, dest="set_json",
         help='JSON object column->literal, e.g. \'{"email": null}\'',
+    )
+    su.add_argument(
+        "--dv", action="store_true",
+        help="merge-on-read: tombstone old images + append patched "
+        "ones instead of rewriting victim files",
     )
 
     br = sub.add_parser(
@@ -426,15 +436,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             print(json.dumps(snapshot_versions(spark, args.table_path)))
         elif args.cmd == "snapshot-compact":
-            from .warehouse.snapshots import snapshot_compact
-
-            v = snapshot_compact(
-                spark,
-                args.table_path,
-                target_mb=args.target_mb,
-                cluster_by=args.cluster_by,
-                n_files=args.n_files,
+            from .warehouse.snapshots import (
+                snapshot_compact,
+                snapshot_compact_dvs,
             )
+
+            if args.dv_only:
+                v = snapshot_compact_dvs(
+                    spark, args.table_path, target_mb=args.target_mb
+                )
+            else:
+                v = snapshot_compact(
+                    spark,
+                    args.table_path,
+                    target_mb=args.target_mb,
+                    cluster_by=args.cluster_by,
+                    n_files=args.n_files,
+                )
             print(json.dumps({"version": v}))
         elif args.cmd == "snapshot-vacuum":
             from .warehouse.snapshots import sweep_orphans, vacuum_snapshots
@@ -534,9 +552,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 B.delete_tag(spark, t, args.name)
                 print(json.dumps({"deleted_tag": args.name}))
         elif args.cmd == "snapshot-update":
-            from .warehouse.snapshots import snapshot_update_rows
+            from .warehouse.snapshots import (
+                snapshot_update_rows,
+                snapshot_update_rows_dv,
+            )
 
-            v, n = snapshot_update_rows(
+            v, n = (snapshot_update_rows_dv if args.dv else snapshot_update_rows)(
                 spark,
                 args.table_path,
                 args.col,

@@ -282,8 +282,19 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 # tombstones are row RESURRECTIONS (a restore past the
                 # delete) — neither is expressible on an insert-only
                 # feed, and unlike a compaction they are never
-                # row-neutral, so 'verify' must fail too
-                if self._on_non_append != "skip":
+                # row-neutral, so 'verify' must fail too. The ONE
+                # neutral case is a declared sidecar CONSOLIDATION
+                # (op == "compact_dvs") whose recorded live-tombstone
+                # counts match on both sides — same trust model as the
+                # data compaction's recorded row totals.
+                if (
+                    self._on_non_append == "verify"
+                    and man.get("op") == "compact_dvs"
+                    and man.get("dv_rows_before") is not None
+                    and man.get("dv_rows_before") == man.get("dv_rows_after")
+                ):
+                    pass  # verified tombstone-set swap: zero rows
+                elif self._on_non_append != "skip":
                     raise ValueError(
                         f"version {v} ({man.get('op')}) changes deletion "
                         "vectors — row deletes/resurrections cannot "

@@ -1703,6 +1703,99 @@ def snapshot_merge_upsert(
     return snapshot_replace_partitions(merged, path, partition_cols)
 
 
+def snapshot_merge_upsert_dv(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str],
+    version_col: str | None = None,
+) -> int:
+    """``snapshot_merge_upsert`` semantics via deletion vectors: ONE
+    commit tombstones the superseded target rows and appends only the
+    surviving update images — write cost ∝ |updates| + |matched rows|,
+    never touched-PARTITION bytes (the CoW merge rewrites every touched
+    partition whole to replace a handful of keys; on a 100 TB table a
+    small CDC batch scattered across partitions rewrote all of them).
+    Unmatched target rows are never rewritten — they stay in their
+    files and simply aren't tombstoned.
+
+    Same contracts as the CoW merge: keys must be partition-stable;
+    with ``version_col``, max-version-wins across target and updates
+    (an older redelivered update loses to the target row it would have
+    replaced — including its physical copy staying live), and
+    duplicate-key rows collapse to the single winner exactly as the
+    CoW path's ``row_number`` does."""
+    from pyspark.sql.window import Window
+
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    _require_same_layout(man, partition_cols, "merge_dv")
+    schema = StructType.fromJson(man["schema"])
+    cols = [f.name for f in schema.fields]
+    touched = updates.select(*partition_cols).distinct()
+    target = _read_file_list(
+        spark, path, man["files"], schema,
+        partition_cols=partition_cols,
+        dv_files=man.get("dv_files"),
+        row_ids=True,
+    ).join(F.broadcast(touched), partition_cols, "left_semi")
+    if version_col is not None:
+        tagged = target.withColumn("_src", F.lit(0)).unionByName(
+            updates.select(*cols).withColumn("_src", F.lit(1)),
+            allowMissingColumns=True,  # updates carry NULL row ids
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc(), F.col("_src").asc()
+        )
+        ranked = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .localCheckpoint(eager=True)  # one shuffle feeds both sides
+        )
+        tombs = ranked.where(
+            (F.col("_src") == 0) & (F.col("_rn") > 1)
+        ).select(*_DV_COLS)
+        new_rows = ranked.where(
+            (F.col("_src") == 1) & (F.col("_rn") == 1)
+        ).select(*cols)
+    else:
+        tombs = target.join(
+            updates.select(*keys).distinct(), keys, "left_semi"
+        ).select(*_DV_COLS)
+        new_rows = updates.select(*cols)
+    tombs = tombs.localCheckpoint(eager=True)
+    n_tombs = tombs.count()
+    new_rows = new_rows.localCheckpoint(eager=True)
+    _, new_files = _write_commit_files(new_rows, path, partition_cols)
+    new_dvs: list[str] = []
+    if n_tombs:
+        _, new_dvs = _write_commit_files(
+            tombs.repartition(max(1, -(-n_tombs // 4_000_000))), path, None
+        )
+    stats_cols = man.get("stats_cols") or []
+    extra: dict = {"dv_added": new_dvs, "dv_rows_added": n_tombs}
+    if stats_cols:
+        extra["stats"] = {
+            **man.get("stats", {}),
+            **collect_file_stats(spark, path, new_files, stats_cols),
+        }
+        extra["stats_cols"] = stats_cols
+    return _commit(
+        spark,
+        path,
+        sorted(man["files"] + new_files),
+        schema,
+        "merge_dv",
+        latest,
+        extra=extra,
+        partition_cols=partition_cols,
+        dv_files=sorted((man.get("dv_files") or []) + new_dvs),
+    )
+
+
 # ---------------------------------------------------------------------------
 # File-level column statistics: manifest-side scan planning
 # ---------------------------------------------------------------------------
@@ -2155,4 +2248,162 @@ def snapshot_update_rows(
 
     return _rewrite_matching_files(
         spark, path, col, values, fn, "update_rows"
+    )
+
+
+def snapshot_update_rows_dv(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    set_values: dict,
+) -> tuple[int, int]:
+    """``snapshot_update_rows`` semantics via deletion vectors: ONE
+    commit tombstones the matched rows' old images and appends new
+    files holding only the patched images — write cost ∝ matched rows,
+    never victim-file bytes (the CoW path rewrites every candidate
+    file whole to patch a handful of rows). Non-matching rows are
+    never touched, read, or rewritten. The change feed reports the
+    commit as delete(old image) + insert(new image), exactly like a
+    CoW update. Partition values are preserved (partition columns
+    refuse, as in the CoW path), so the patched images land in their
+    original partitions."""
+    from pyspark.sql import Column
+
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    schema = StructType.fromJson(man["schema"])
+    fields = {f.name: f.dataType for f in schema.fields}
+    unknown = set(set_values) - set(fields)
+    if unknown:
+        raise ValueError(f"update targets unknown columns {sorted(unknown)}")
+    pc = _manifest_partition_cols(man) or []
+    touched_pc = set(set_values) & set(pc)
+    if touched_pc:
+        raise ValueError(
+            f"cannot update partition column(s) {sorted(touched_pc)} — "
+            "rows would have to MOVE directories; use "
+            "snapshot_merge_upsert for key-preserving repartitioning "
+            "updates"
+        )
+    victims, _carried = _victims_by_stats(man, col, values)
+    if not victims:
+        return latest, 0
+    matched_rows = (
+        _read_file_list(
+            spark, path, victims, schema,
+            partition_cols=pc or None,
+            dv_files=man.get("dv_files"),
+            row_ids=True,
+        )
+        .where(F.col(col).isNotNull() & F.col(col).isin(values))
+        .localCheckpoint(eager=True)  # one scan feeds count + 2 writes
+    )
+    n = matched_rows.count()
+    if n == 0:
+        return latest, 0
+    out_cols = []
+    for f in schema.fields:
+        if f.name in set_values:
+            v = set_values[f.name]
+            expr = v if isinstance(v, Column) else F.lit(v)
+            out_cols.append(expr.cast(f.dataType).alias(f.name))
+        else:
+            out_cols.append(F.col(f.name))
+    _, new_files = _write_commit_files(
+        matched_rows.select(*out_cols), path, pc or None
+    )
+    _, new_dvs = _write_commit_files(
+        matched_rows.select("_dv_file", "_dv_pos").repartition(
+            max(1, -(-n // 4_000_000))
+        ),
+        path,
+        None,
+    )
+    stats_cols = man.get("stats_cols") or []
+    extra: dict = {"dv_added": new_dvs, "dv_rows_added": n}
+    if stats_cols:
+        extra["stats"] = {
+            **man.get("stats", {}),
+            **collect_file_stats(spark, path, new_files, stats_cols),
+        }
+        extra["stats_cols"] = stats_cols
+    version = _commit(
+        spark,
+        path,
+        sorted(man["files"] + new_files),
+        schema,
+        "update_rows_dv",
+        latest,
+        extra=extra,
+        partition_cols=pc or None,
+        dv_files=sorted((man.get("dv_files") or []) + new_dvs),
+    )
+    return version, n
+
+
+def snapshot_compact_dvs(
+    spark: SparkSession, path: str, target_mb: int = 64
+) -> int:
+    """Consolidate a table's deletion-vector sidecars into one compact
+    set WITHOUT touching data files: read every live tombstone (inert
+    entries for since-rewritten files are dropped), rewrite them as one
+    right-sized sidecar, publish as a metadata+sidecar commit. Use when
+    many small DV deletes have accumulated and full ``snapshot_compact``
+    (which folds tombstones into data rewrites) is not worth the IO
+    yet. Row-neutral by construction — the commit records live-entry
+    counts on both sides so the feed's verify gate can pass it, like a
+    data compaction. Returns the new version (or the current one when
+    there is nothing to consolidate)."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    dvs = man.get("dv_files") or []
+    if len(dvs) <= 1:
+        return latest
+    root = _root(path)
+    live = F.broadcast(
+        spark.createDataFrame(
+            [(f,) for f in man["files"]], "_dv_file string"
+        )
+    )
+    entries = (
+        spark.read.parquet(*[f"{root}/{p}" for p in dvs])
+        .select("_dv_file", "_dv_pos")
+        .join(live, "_dv_file", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n = entries.count()
+    fs, jvm = _fs(spark, root)
+    total = sum(fs.getFileStatus(_jp(jvm, root, p)).getLen() for p in dvs)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    _, new_dvs = _write_commit_files(entries.repartition(n_out), path, None)
+    # count the REWRITTEN sidecars from disk: equality with the live
+    # entries of the old set proves the consolidation lost nothing
+    n_after = _dv_entry_count(spark, root, new_dvs, man["files"])
+    if n_after != n:
+        raise RuntimeError(
+            f"DV consolidation wrote {n_after} live tombstones, "
+            f"expected {n} — aborting before the commit"
+        )
+    extra = {"dv_rows_before": n, "dv_rows_after": n_after}
+    if man.get("stats") is not None:
+        extra.update(
+            {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
+        )
+    return _commit(
+        spark,
+        path,
+        man["files"],
+        StructType.fromJson(man["schema"]),
+        "compact_dvs",
+        latest,
+        extra=extra,
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=new_dvs,
     )

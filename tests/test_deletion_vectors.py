@@ -354,3 +354,173 @@ def test_dv_write_amplification_win(spark, table):
         read_snapshot(spark, table2)
     )
     assert dv_bytes * 20 < rw_bytes, (dv_bytes, rw_bytes)
+
+
+# ----------------------------------------- merge-on-read UPDATE
+
+
+def test_update_dv_equals_rewrite(spark, tmp_path):
+    """snapshot_update_rows_dv ≡ the CoW update row-for-row: one
+    commit tombstones old images and appends patched ones; the change
+    feed reports delete(old) + insert(new); expression-valued set
+    works; tombstoned rows never resurrect through it."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_update_rows_dv,
+    )
+
+    a = str(tmp_path / "udv")
+    b = str(tmp_path / "urw")
+    rows = [(i, i % 2, f"v{i}") for i in range(20)]
+    for t in (a, b):
+        snapshot_write_with_stats(
+            _df(spark, rows), t, stats_cols=["id"], partition_cols=["month"]
+        )
+        snapshot_delete_rows_dv(spark, t, "id", [4])  # pre-existing DV
+    va, na = snapshot_update_rows_dv(
+        spark, a, "id", [3, 4, 7],
+        {"v": F.concat(F.lit("R:"), F.col("v"))},
+    )
+    vb, nb = snapshot_update_rows(
+        spark, b, "id", [3, 4, 7],
+        {"v": F.concat(F.lit("R:"), F.col("v"))},
+    )
+    assert na == nb == 2  # id 4 is already deleted on both
+    assert _bag(read_snapshot(spark, a)) == _bag(read_snapshot(spark, b))
+    assert (3, 1, "R:v3") in _bag(read_snapshot(spark, a))
+    # change feed: delete old image + insert new image, same version
+    ch = snapshot_changes(spark, a, from_version=2, to_version=va)
+    got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+    assert got == [
+        (3, "R:v3", "insert"), (3, "v3", "delete"),
+        (7, "R:v7", "insert"), (7, "v7", "delete"),
+    ]
+    # partition-column update refuses, same as CoW
+    with pytest.raises(ValueError, match="partition column"):
+        snapshot_update_rows_dv(spark, a, "id", [1], {"month": 9})
+    # stats recorded for the patched files keep pruned reads exact
+    assert sorted(
+        r.id for r in read_snapshot_pruned(spark, a, "id", 3, 7).collect()
+    ) == [3, 5, 6, 7]
+
+
+def test_compact_dvs_consolidates_sidecars(spark, table, tmp_path):
+    """Many small DV deletes -> one consolidated sidecar set, data
+    files untouched; inert entries dropped; change feed across the
+    consolidation is EMPTY; the verify-mode feed passes it; vacuum
+    reclaims the superseded sidecars."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+        snapshot_compact_dvs,
+    )
+    from tests.test_snapshot_feed import _drain
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(20)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    for k in (1, 5, 9):
+        snapshot_delete_rows_dv(spark, table, "id", [k])
+    man = _load_manifest(spark, table, _list_manifests(spark, table)[-1])
+    old_dvs = man["dv_files"]
+    assert len(old_dvs) == 3
+    before = _bag(read_snapshot(spark, table))
+
+    # feed positioned past the DV deletes (skip drain advances offset)
+    ck = str(tmp_path / "cdv")
+    _drain(spark, table, ck, "cdv1", on_non_append="skip")
+
+    v = snapshot_compact_dvs(spark, table)
+    man2 = _load_manifest(spark, table, v)
+    assert man2["files"] == man["files"]  # data untouched
+    assert len(man2["dv_files"]) == 1
+    assert man2["dv_rows_before"] == man2["dv_rows_after"] == 3
+    assert _bag(read_snapshot(spark, table)) == before
+    assert snapshot_changes(
+        spark, table, from_version=v - 1, to_version=v
+    ).count() == 0
+    # verify-mode feed passes the declared, count-verified consolidation
+    snapshot_write(_df(spark, [(90, 0, "z")]), table, mode="append",
+                   partition_cols=["month"])
+    got = _drain(spark, table, ck, "cdv2", on_non_append="verify")
+    assert _bag(got) == [(90, 0, "z")]
+    # vacuum reclaims the superseded sidecars once their versions drop
+    vacuum_snapshots(spark, table, keep_last=2)
+    for f in old_dvs:
+        assert not os.path.exists(os.path.join(table, f)), f
+    assert _bag(read_snapshot(spark, table)) == sorted(
+        before + [(90, 0, "z")]
+    )
+    # nothing to consolidate -> same version back
+    assert snapshot_compact_dvs(spark, table) == _list_manifests(
+        spark, table
+    )[-1]
+
+
+def test_merge_dv_equals_cow_merge(spark, tmp_path):
+    """snapshot_merge_upsert_dv ≡ the CoW merge, both flavors:
+    plain replace-matched/insert-unmatched, and version_col
+    max-version-wins (older redelivered updates lose; duplicate keys
+    collapse to the winner). Unmatched target files are carried, only
+    tombstones + update images are written."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+        snapshot_merge_upsert,
+        snapshot_merge_upsert_dv,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, month int, v string, ver int"
+        )
+
+    base = [(i, i % 3, f"v{i}", 1) for i in range(12)]
+    upd = [
+        (3, 0, "u3", 2),     # replaces id 3
+        (100, 1, "u100", 2),  # brand-new key
+        (6, 0, "stale", 0),   # OLDER than target: loses under version_col
+    ]
+    a = str(tmp_path / "mdv")
+    b = str(tmp_path / "mrw")
+    for t in (a, b):
+        snapshot_write_with_stats(
+            mk(base), t, stats_cols=["id"], partition_cols=["month"]
+        )
+        snapshot_delete_rows_dv(spark, t, "id", [9])  # pre-existing DV
+
+    # ---- version_col flavor
+    va = snapshot_merge_upsert_dv(
+        spark, a, mk(upd), ["id"], ["month"], version_col="ver"
+    )
+    snapshot_merge_upsert(
+        spark, b, mk(upd), ["id"], ["month"], version_col="ver"
+    )
+    bag = lambda t: sorted(  # noqa: E731
+        (r.id, r.month, r.v, r.ver)
+        for r in read_snapshot(spark, t).collect()
+    )
+    assert bag(a) == bag(b)
+    assert (3, 0, "u3", 2) in bag(a) and (6, 0, "v6", 1) in bag(a)
+    assert (100, 1, "u100", 2) in bag(a)
+    man = _load_manifest(spark, a, va)
+    assert man["dv_rows_added"] == 1  # only id 3's old image tombstoned
+    # redelivery is a no-op on CONTENT (rows identical after re-merge)
+    snapshot_merge_upsert_dv(
+        spark, a, mk(upd), ["id"], ["month"], version_col="ver"
+    )
+    assert bag(a) == bag(b)
+
+    # ---- plain flavor on fresh tables
+    c = str(tmp_path / "pdv")
+    d = str(tmp_path / "prw")
+    for t in (c, d):
+        snapshot_write(mk(base), t, partition_cols=["month"])
+    upd2 = [(0, 0, "u0", 9), (200, 2, "u200", 9)]
+    snapshot_merge_upsert_dv(spark, c, mk(upd2), ["id"], ["month"])
+    snapshot_merge_upsert(spark, d, mk(upd2), ["id"], ["month"])
+    assert bag(c) == bag(d)
+    # DV merge carried every original data file by reference
+    man_c = _load_manifest(spark, c, _list_manifests(spark, c)[-1])
+    man_c1 = _load_manifest(spark, c, 1)
+    assert set(man_c1["files"]) <= set(man_c["files"])

@@ -507,3 +507,51 @@ def test_minhash_sync_restores_suppression_semantics(spark, tmp_path):
         spark, probe, "text", "doc_id", idx, jaccard_threshold=0.8
     )
     assert {r["new_id"] for r in hits2.collect()} == {200}
+
+
+def test_postings_sync_follows_dv_deletes_and_updates(spark, tmp_path):
+    """Deletion-vector DML reaches the satellite indexes through the
+    SAME change feed as copy-on-write DML: a DV delete drops the doc's
+    postings, a DV update re-postings the new text, and the synced
+    index equals a full rebuild from the latest version."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows_dv,
+        snapshot_update_rows_dv,
+    )
+
+    table = str(tmp_path / "dv_docs")
+    idx = str(tmp_path / "dv_postings")
+    v1 = snapshot_write_with_stats(
+        _docs(
+            spark,
+            [
+                (1, "alpha beta"),
+                (2, "beta gamma secret"),
+                (3, "delta epsilon"),
+            ],
+        ),
+        table,
+        stats_cols=["doc_id"],
+    )
+    write_postings_index(
+        postings(read_snapshot(spark, table), "text", "doc_id"), idx
+    )
+    set_postings_sync_cursor(spark, idx, v1)
+
+    snapshot_delete_rows_dv(spark, table, "doc_id", [2])
+    snapshot_update_rows_dv(
+        spark, table, "doc_id", [3], {"text": "omega"}
+    )
+    res = sync_postings_from_snapshot(spark, table, idx)
+    assert res["docs_deleted"] == 1 and res["docs_upserted"] == 1
+    rows = sorted(
+        (r.term, r.doc_id) for r in spark.read.parquet(idx).collect()
+    )
+    rebuild = sorted(
+        (r.term, r.doc_id)
+        for r in postings(
+            read_snapshot(spark, table), "text", "doc_id"
+        ).collect()
+    )
+    assert rows == rebuild
+    assert ("secret", 2) not in rows and ("omega", 3) in rows

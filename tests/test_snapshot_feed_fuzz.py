@@ -34,6 +34,8 @@ _OPS = st.lists(
         st.tuples(st.just("replace"), st.integers(0, 2), st.integers(0, 2)),
         st.tuples(st.just("delete"), st.integers(0, 30)),
         st.tuples(st.just("delete_dv"), st.integers(0, 30)),
+        st.tuples(st.just("update_dv"), st.integers(0, 30)),
+        st.tuples(st.just("compact_dvs"), st.just(0)),
         st.tuples(st.just("update"), st.integers(0, 30)),
         st.tuples(st.just("compact"), st.just(0)),
         # restore: roll back to a pseudo-random retained version (the
@@ -95,6 +97,20 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             snapshot_delete_rows_dv(
                 spark, table, "id", [args[0], args[0] + 1]
             )
+        elif kind == "update_dv":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                snapshot_update_rows_dv,
+            )
+
+            snapshot_update_rows_dv(
+                spark, table, "id", [args[0]], {"v": "DV_REDACTED"}
+            )
+        elif kind == "compact_dvs":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                snapshot_compact_dvs,
+            )
+
+            snapshot_compact_dvs(spark, table)
         elif kind == "update":
             snapshot_update_rows(
                 spark, table, "id", [args[0]], {"v": "REDACTED"}

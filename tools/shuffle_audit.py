@@ -167,6 +167,25 @@ def _extra_ops() -> dict:
         snapshot_delete_rows(spark, t, "doc_id", [0, 3, 6])
         return snapshot_changes(spark, t, 0)
 
+    def x_dv_delete_read(spark, sf_dir):
+        # merge-on-read deletes: a DV delete (tombstone write cost
+        # ~ deleted rows) followed by the full DV-masked read — the
+        # measured cost of the anti-join every reader pays while
+        # tombstones are outstanding
+        from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+            read_snapshot,
+            snapshot_delete_rows_dv,
+            snapshot_write_with_stats,
+        )
+
+        t = tempfile.mkdtemp(prefix="audit_dv_") + "/t"
+        d = docs(spark, sf_dir)
+        snapshot_write_with_stats(d, t, stats_cols=["doc_id"])
+        snapshot_delete_rows_dv(
+            spark, t, "doc_id", [i * 7 for i in range(40)]
+        )
+        return read_snapshot(spark, t)
+
     return {
         "x_semdedup": x_semdedup,
         "x_dsir_weights": x_dsir_weights,
@@ -178,6 +197,7 @@ def _extra_ops() -> dict:
         "x_minhash_index_probe": x_minhash_index_probe,
         "x_ann_index_probe": x_ann_index_probe,
         "x_snapshot_changes": x_snapshot_changes,
+        "x_dv_delete_read": x_dv_delete_read,
     }
 
 
