@@ -495,10 +495,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             def _ts(s):
                 if s is None:
                     return None
+                # ISO first: '20240101' is a valid compact ISO date and
+                # must not be misread as epoch seconds (~1970); real
+                # epoch stamps (10 digits) don't parse as ISO and fall
+                # through to float
+                import datetime as _dt
+
                 try:
-                    return float(s)  # epoch seconds
+                    _dt.datetime.fromisoformat(s)
+                    return s
                 except ValueError:
-                    return s  # ISO-8601 string
+                    return float(s)  # epoch seconds
 
             ch = snapshot_changes(
                 spark,

@@ -198,6 +198,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._path = options["path"]
         self._root = _ref_parts(self._path)[0]  # data files live here
+        self._dv_targets: dict[str, frozenset] = {}  # sidecar -> files
         self._on_non_append = options.get("onnonappend", "fail").lower()
         if self._on_non_append not in ("fail", "skip", "verify"):
             raise ValueError(
@@ -303,17 +304,63 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         "set onNonAppend=skip to ignore rewrites"
                     )
             else:
-                for f in sorted(files - prev_files):
-                    parts.append(
-                        _FilePartition(
-                            f"{self._root}/{f}",
-                            _partition_values_from_path(f),
-                            v,
+                added_now = files - prev_files
+                if dvs and added_now:
+                    # a restore can RE-ADD an old file some carried
+                    # sidecar targets; streaming it whole would deliver
+                    # its tombstoned rows. Fresh appends (new uuid
+                    # commit dirs) can never be targeted, so this
+                    # sidecar read triggers only on re-add histories.
+                    hit = added_now & self._dv_target_files(dvs)
+                    if hit and self._on_non_append != "skip":
+                        raise ValueError(
+                            f"version {v} ({man.get('op')}) re-adds "
+                            f"{len(hit)} file(s) carrying deletion-"
+                            "vector tombstones — their dead rows cannot "
+                            "stream through an insert-only feed; consume "
+                            "row-level changes with snapshot_changes() "
+                            "or set onNonAppend=skip"
                         )
-                    )
+                    if not hit:
+                        for f in sorted(added_now):
+                            parts.append(
+                                _FilePartition(
+                                    f"{self._root}/{f}",
+                                    _partition_values_from_path(f),
+                                    v,
+                                )
+                            )
+                else:
+                    for f in sorted(added_now):
+                        parts.append(
+                            _FilePartition(
+                                f"{self._root}/{f}",
+                                _partition_values_from_path(f),
+                                v,
+                            )
+                        )
             prev_files = files
             prev_dvs = dvs
         return parts
+
+    def _dv_target_files(self, dvs: set) -> set:
+        """Union of data-file relpaths the given sidecars tombstone.
+        Sidecars are immutable, so each is read ONCE per reader and
+        cached; cost ∝ outstanding tombstones, paid only for commits
+        that both carry DVs and add files."""
+        import pyarrow.parquet as pq
+
+        out: set = set()
+        for rel in sorted(dvs):
+            if rel not in self._dv_targets:
+                fs, p = _pa_fs(f"{self._root}/{rel}")
+                with fs.open_input_file(p) as f:
+                    cols = pq.ParquetFile(f).read(columns=["_dv_file"])
+                self._dv_targets[rel] = frozenset(
+                    cols.column("_dv_file").to_pylist()
+                )
+            out |= self._dv_targets[rel]
+        return out
 
     def _verify_row_neutral(
         self, man: dict, v: int, removed: set, added: set

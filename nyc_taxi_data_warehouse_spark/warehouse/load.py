@@ -241,12 +241,17 @@ def load_month(
 def _obs_rows(obs) -> int:
     """The observed row count, tolerating the zero-task case: a write
     of an empty month can schedule no tasks at all, the CollectMetrics
-    node then never executes, and ``Observation.get`` fails JVM-side —
-    but no tasks means no rows, so 0 is exact, not a guess."""
+    node then never executes, and ``Observation.get`` fails JVM-side
+    with an AssertionError — no tasks means no rows, so 0 is exact,
+    not a guess. Any OTHER failure re-raises: a blanket 0 would
+    permanently record wrong provenance for a committed non-empty
+    load (and a WAP audit would veto a perfectly good branch)."""
     try:
         return int(obs.get["rows"])
-    except Exception:
-        return 0
+    except Exception as e:
+        if "AssertionError" in str(e):
+            return 0
+        raise
 
 
 def _snapshot_loaded_months(

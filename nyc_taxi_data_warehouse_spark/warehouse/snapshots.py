@@ -791,7 +791,20 @@ def _read_file_list_flat(
         "_relpath", _relpath_from_file_path(F.col("_metadata.file_path"))
     )
     if row_ids:
+        # LEFT join + in-column raise on an unmapped scan path (see
+        # _require_mapped): the row identity feeds the DV anti-join /
+        # tombstone writers, so encoding drift must fail loudly there,
+        # never silently drop a file's rows. The plain (no row-id)
+        # reads keep the inner join — their encoder is pinned by
+        # tests/test_uri_relpaths.py against the running Spark.
         scan = scan.withColumn("_dv_pos", F.col("_metadata.row_index"))
+        return (
+            scan.join(F.broadcast(lookup), "_relpath", "left")
+            .withColumn(
+                "_dv_file", _require_mapped(F.col("_dv_file"), "_relpath")
+            )
+            .select(*out_cols)
+        )
     return scan.join(F.broadcast(lookup), "_relpath").select(*out_cols)
 
 
@@ -862,6 +875,8 @@ def _read_file_list(
             spark, path, files, schema, partition_cols or [],
             row_ids=want_ids,
         )
+        if not want_ids:
+            return df  # never touch user columns when no DV machinery ran
         return _apply_dvs(spark, path, df, dv_files, keep_ids=row_ids)
     parts = []
     for commit, flist in sorted(by_commit.items()):
@@ -894,15 +909,43 @@ def _read_file_list(
     if want_ids:
         out_cols.extend([F.col("_dv_enc"), F.col("_dv_pos")])
     df = df.select(*out_cols)
-    if want_ids:
-        enc2raw = F.broadcast(
-            spark.createDataFrame(
-                [(_uri_encode_relpath(f), f) for f in files],
-                "_dv_enc string, _dv_file string",
-            )
+    if not want_ids:
+        return df  # never touch user columns when no DV machinery ran
+    enc2raw = F.broadcast(
+        spark.createDataFrame(
+            [(_uri_encode_relpath(f), f) for f in files],
+            "_dv_enc string, _dv_file string",
         )
-        df = df.join(enc2raw, "_dv_enc").drop("_dv_enc")
+    )
+    # LEFT join + in-column raise: a silent inner join would let
+    # encoding drift (see _uri_encode_relpath) drop whole files from
+    # DV-masked reads and the DML victim reads — the same fail-loud
+    # rule collect_file_stats and the Bloom builder enforce.
+    df = (
+        df.join(enc2raw, "_dv_enc", "left")
+        .withColumn("_dv_file", _require_mapped(F.col("_dv_file"), "_dv_enc"))
+        .drop("_dv_enc")
+    )
     return _apply_dvs(spark, path, df, dv_files, keep_ids=row_ids)
+
+
+def _require_mapped(mapped, enc_col: str):
+    """``mapped`` unless NULL — then raise AT SCAN TIME naming the
+    unmapped encoded relpath. Living inside the output column keeps
+    column pruning from optimizing the check away."""
+    return F.when(
+        mapped.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "scan path matches no manifest relpath "
+                    "(_uri_encode_relpath drifted from Spark's "
+                    "_metadata.file_path encoding): "
+                ),
+                F.col(enc_col),
+            )
+        ),
+    ).otherwise(mapped)
 
 
 def _apply_dvs(
@@ -1044,9 +1087,17 @@ def snapshot_changes(
         added = sorted(files - pfiles)
         removed = sorted(pfiles - files)
         dv_same = set(cdvs) == set(pdvs)
+        # the batched fast path reads added files with NO dv masking —
+        # safe only when the commit carries no tombstones at all. With
+        # outstanding DVs, a restore can re-add an OLD file some
+        # carried sidecar targets (fresh uuid-dir appends can never be
+        # targeted, but structurally proving "not a re-add" costs more
+        # than the per-commit path it would save), and the unmasked
+        # batched read would resurrect its dead rows as inserts.
         if (
             not removed
             and dv_same
+            and not cdvs
             and json.dumps(man["schema"], sort_keys=True) == target_schema_json
             and man.get("partition_cols") == target_man.get("partition_cols")
         ):

@@ -524,3 +524,100 @@ def test_merge_dv_equals_cow_merge(spark, tmp_path):
     man_c = _load_manifest(spark, c, _list_manifests(spark, c)[-1])
     man_c1 = _load_manifest(spark, c, 1)
     assert set(man_c1["files"]) <= set(man_c["files"])
+
+
+def _readd_history(spark, table):
+    """v1 write, v2 DV-delete, v3 CoW-delete of every remaining row in
+    month 0 (its file DROPS with no replacement), v4 restore(v2):
+    v3->v4 RE-ADDS a file that carries outstanding tombstones while
+    the DV set is unchanged — the trap for any 'append' fast path."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, 0 if i < 6 else 1, f"v{i}") for i in range(12)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    snapshot_delete_rows_dv(spark, table, "id", [1, 3])          # v2
+    snapshot_delete_rows(spark, table, "id", [0, 2, 4, 5])       # v3
+    man3 = _load_manifest(spark, table, 3)
+    assert man3.get("dv_files")  # tombstones still carried
+    snapshot_restore(spark, table, 2)                            # v4
+    man4 = _load_manifest(spark, table, 4)
+    assert set(man4["dv_files"]) == set(man3["dv_files"])  # dv_same
+    assert set(man4["files"]) - set(man3["files"])  # file re-added
+    assert _list_manifests(spark, table)[-1] == 4
+    return sorted(
+        (r.id, r.month, r.v)
+        for r in read_snapshot(spark, table, version=2).collect()
+    )
+
+
+def test_changes_readded_tombstoned_file_no_resurrection(spark, table):
+    """The change feed must NOT emit a re-added file's tombstoned rows
+    as inserts when the DV set is unchanged across the re-add (the
+    batched append fast path is only safe for commits carrying no
+    tombstones at all)."""
+    live_v2 = _readd_history(spark, table)
+    ch = snapshot_changes(spark, table, from_version=3, to_version=4)
+    ins = sorted(
+        (r.id, r.month, r.v)
+        for r in ch.where("_change_type = 'insert'").collect()
+    )
+    # exactly the rows live at v2 in the re-added file (month 0 minus
+    # the DV-deleted 1 and 3) — never the tombstoned ones
+    assert ins == [t for t in live_v2 if t[1] == 0]
+    assert not any(i in (1, 3) for i, _, _ in ins)
+    # whole-range apply invariant still bridges
+    bag = sorted(
+        (r.id, r.month, r.v)
+        for r in read_snapshot(spark, table, version=1).collect()
+    )
+    for r in sorted(
+        snapshot_changes(spark, table, from_version=1).collect(),
+        key=lambda r: (r["_commit_version"], r["_change_type"]),
+    ):
+        t = (r.id, r.month, r.v)
+        bag.remove(t) if r._change_type == "delete" else bag.append(t)
+    assert sorted(bag) == _bag(read_snapshot(spark, table))
+
+
+def test_feed_readded_tombstoned_file_refuses(spark, table, tmp_path):
+    """The streaming feed must refuse (fail/verify) or skip a commit
+    that re-adds a tombstone-carrying file — streaming it whole would
+    deliver dead rows; a PURE append while tombstones are outstanding
+    still streams (no false positive)."""
+    from tests.test_snapshot_feed import _drain
+
+    _readd_history(spark, table)
+    ck = str(tmp_path / "radd")
+    got = _drain(spark, table, ck, "radd1", on_non_append="skip")
+    # v1 snapshot streamed; v2/v3/v4 all skipped (dv delta, rewrite,
+    # re-add of a tombstoned file)
+    assert got.count() == 12
+    for mode in ("fail", "verify"):
+        with pytest.raises(Exception, match="deletion"):
+            _drain(spark, table, str(tmp_path / f"radd_{mode}"),
+                   f"radd_{mode}", on_non_append=mode)
+    # pure append with outstanding DVs: streams normally
+    snapshot_write(_df(spark, [(50, 1, "new")]), table, mode="append",
+                   partition_cols=["month"])
+    got2 = _drain(spark, table, ck, "radd2", on_non_append="skip")
+    assert _bag(got2) == [(50, 1, "new")]
+
+
+def test_plain_reads_keep_user_dv_named_columns(spark, table):
+    """A table whose schema happens to contain a column named
+    ``_dv_file`` reads back intact when no DV machinery is engaged;
+    engaging DVs on it refuses loudly."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, _dv_file string"
+    )
+    snapshot_write(df, table)
+    got = read_snapshot(spark, table)
+    assert sorted((r.id, r._dv_file) for r in got.collect()) \
+        == [(1, "x"), (2, "y")]
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_delete_rows_dv(spark, table, "id", [1])
