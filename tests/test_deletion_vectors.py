@@ -621,3 +621,27 @@ def test_plain_reads_keep_user_dv_named_columns(spark, table):
         == [(1, "x"), (2, "y")]
     with pytest.raises(ValueError, match="reserved"):
         snapshot_delete_rows_dv(spark, table, "id", [1])
+
+
+def test_dv_read_plan_is_broadcast_only(spark, tmp_path):
+    """The merge-on-read anti-join must never shuffle the TABLE: the
+    tombstone side broadcasts, so a DV-masked scan costs zero
+    exchanges beyond the broadcast — the property that makes
+    outstanding tombstones cheap at 100 TB. Measured from the executed
+    plan, not asserted in prose (shuffle-audit entry x_dv_delete_read
+    is the cross-SF companion)."""
+    from nyc_taxi_data_warehouse_spark.plans.audit import (
+        collect_with_metrics,
+    )
+
+    table = str(tmp_path / "dv_plan")
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 3, f"v{i}") for i in range(600)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    snapshot_delete_rows_dv(spark, table, "id", [5, 50, 500])
+    got = read_snapshot(spark, table)
+    m = collect_with_metrics(got)
+    assert m["n_shuffles"] == 0, m
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
