@@ -321,15 +321,18 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                             "row-level changes with snapshot_changes() "
                             "or set onNonAppend=skip"
                         )
-                    if not hit:
-                        for f in sorted(added_now):
-                            parts.append(
-                                _FilePartition(
-                                    f"{self._root}/{f}",
-                                    _partition_values_from_path(f),
-                                    v,
-                                )
+                    # skip mode drops ONLY the tombstone-targeted
+                    # re-adds; fresh untargeted appends in the same
+                    # commit still stream (the skip contract is
+                    # "ignore rewrites", not "ignore the commit")
+                    for f in sorted(added_now - hit):
+                        parts.append(
+                            _FilePartition(
+                                f"{self._root}/{f}",
+                                _partition_values_from_path(f),
+                                v,
                             )
+                        )
                 else:
                     for f in sorted(added_now):
                         parts.append(

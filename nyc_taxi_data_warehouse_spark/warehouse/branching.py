@@ -147,19 +147,27 @@ def drop_branch(
         raise FileNotFoundError(f"no branch {name!r} at {path}")
     deleted = 0
     if reclaim:
+        # deletion-vector sidecars count exactly like data files on
+        # BOTH sides: a branch-minted sidecar no other ref holds is
+        # this branch's storage to reclaim, while one shared with main
+        # (fork carry / publish) must survive or its deleted rows
+        # resurrect on the surviving refs
+        def _refs(man: dict) -> list[str]:
+            return man["files"] + (man.get("dv_files") or [])
+
         mine: set[str] = set()
         ref = branch_ref(path, name)
         for v in _list_manifests(spark, ref):
-            mine.update(_load_manifest(spark, ref, v)["files"])
+            mine.update(_refs(_load_manifest(spark, ref, v)))
         referenced: set[str] = set()
         for v in _list_manifests(spark, path):
-            referenced.update(_load_manifest(spark, path, v)["files"])
+            referenced.update(_refs(_load_manifest(spark, path, v)))
         for other in _branch_names(spark, path):
             if other == name:
                 continue
             oref = branch_ref(path, other)
             for v in _list_manifests(spark, oref):
-                referenced.update(_load_manifest(spark, oref, v)["files"])
+                referenced.update(_refs(_load_manifest(spark, oref, v)))
         for f in sorted(mine - referenced):
             if fs.delete(_jp(jvm, path, f), False):
                 deleted += 1

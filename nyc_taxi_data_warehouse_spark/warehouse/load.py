@@ -186,7 +186,7 @@ def load_month(
             }
 
         if wap:
-            from .branching import write_audit_publish
+            from .branching import drop_branch, write_audit_publish
             from .snapshots import _list_manifests, snapshot_write
 
             if not _list_manifests(spark, snapshot_path):
@@ -216,10 +216,23 @@ def load_month(
                 }
                 return got == want and rows_holder["rows"] > 0
 
+            wap_branch = f"load-{year}-{month:02d}"
+            # Self-healing retries: a publish-time SnapshotConflict
+            # (which deliberately keeps the branch) or a crash before
+            # drop_branch leaves `load-YYYY-MM` behind, and the fixed
+            # name would then fail every retry of the same month in
+            # create_branch. A leftover here is always debris — the
+            # month's load either never published (so its branch state
+            # is superseded by this re-run) or did publish (in which
+            # case the manifest-replay skip above already returned).
+            try:
+                drop_branch(spark, snapshot_path, wap_branch, reclaim=True)
+            except FileNotFoundError:
+                pass
             write_audit_publish(
                 spark,
                 snapshot_path,
-                f"load-{year}-{month:02d}",
+                wap_branch,
                 _wap_write,
                 audit or _default_audit,
                 keep_branch_on_failure=False,
@@ -241,15 +254,28 @@ def load_month(
 def _obs_rows(obs) -> int:
     """The observed row count, tolerating the zero-task case: a write
     of an empty month can schedule no tasks at all, the CollectMetrics
-    node then never executes, and ``Observation.get`` fails JVM-side
-    with an AssertionError — no tasks means no rows, so 0 is exact,
-    not a guess. Any OTHER failure re-raises: a blanket 0 would
-    permanently record wrong provenance for a committed non-empty
-    load (and a WAP audit would veto a perfectly good branch)."""
+    node then never executes, and ``Observation.get`` fails JVM-side —
+    no tasks means no rows, so 0 is exact, not a guess.
+
+    The zero-task case is detected by PROBING THE JVM OBSERVATION
+    STATE, not by substring-matching the exception text: an unrelated
+    JVM assertion raised during ``get`` would otherwise be
+    misclassified and permanently record rows=0 provenance for a
+    committed non-empty load (and a WAP audit would veto a perfectly
+    good branch). Never-populated state is a schema-less empty
+    ``GenericRow`` from ``getRow()`` (size 0 — observed on Spark
+    4.1.2; ``getOrEmpty`` NPEs on it, so it can't be the probe); a
+    populated observation always carries ``GenericRowWithSchema`` with
+    one field per metric. Any failure with a populated row re-raises."""
     try:
         return int(obs.get["rows"])
-    except Exception as e:
-        if "AssertionError" in str(e):
+    except Exception:
+        try:
+            jrow = obs._jo.getRow()
+            never_populated = jrow is None or int(jrow.size()) == 0
+        except Exception:
+            never_populated = False
+        if never_populated:
             return 0
         raise
 

@@ -2397,7 +2397,10 @@ def snapshot_update_rows_dv(
 
 
 def snapshot_compact_dvs(
-    spark: SparkSession, path: str, target_mb: int = 64
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 64,
+    min_dead_fraction: float = 0.25,
 ) -> int:
     """Consolidate a table's deletion-vector sidecars into one compact
     set WITHOUT touching data files: read every live tombstone (inert
@@ -2408,16 +2411,31 @@ def snapshot_compact_dvs(
     yet. Row-neutral by construction — the commit records live-entry
     counts on both sides so the feed's verify gate can pass it, like a
     data compaction. Returns the new version (or the current one when
-    there is nothing to consolidate)."""
+    there is nothing to consolidate).
+
+    A SINGLE sidecar is still a candidate when a material fraction of
+    its entries has gone inert (their target files since rewritten
+    away — e.g. a partition purge after a scattered DV delete): the
+    dead weight is re-read by every DV-masked scan until shed.
+    ``min_dead_fraction`` gates that case (footer row total vs live
+    semi-join count) so a fully-live sidecar is never pointlessly
+    rewritten."""
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
     dvs = man.get("dv_files") or []
-    if len(dvs) <= 1:
-        return latest
     root = _root(path)
+    if not dvs:
+        return latest
+    if len(dvs) == 1:
+        total_entries = _footer_row_total(spark, root, dvs)
+        n_live = _dv_entry_count(spark, root, dvs, man["files"])
+        if total_entries == 0 or (
+            (total_entries - n_live) / total_entries < min_dead_fraction
+        ):
+            return latest
     live = F.broadcast(
         spark.createDataFrame(
             [(f,) for f in man["files"]], "_dv_file string"
@@ -2430,18 +2448,28 @@ def snapshot_compact_dvs(
         .localCheckpoint(eager=True)
     )
     n = entries.count()
-    fs, jvm = _fs(spark, root)
-    total = sum(fs.getFileStatus(_jp(jvm, root, p)).getLen() for p in dvs)
-    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
-    _, new_dvs = _write_commit_files(entries.repartition(n_out), path, None)
-    # count the REWRITTEN sidecars from disk: equality with the live
-    # entries of the old set proves the consolidation lost nothing
-    n_after = _dv_entry_count(spark, root, new_dvs, man["files"])
-    if n_after != n:
-        raise RuntimeError(
-            f"DV consolidation wrote {n_after} live tombstones, "
-            f"expected {n} — aborting before the commit"
+    if n == 0:
+        # every entry was inert: the table has NO live tombstones —
+        # publish a DV-free manifest instead of an empty sidecar
+        new_dvs, n_after = None, 0
+    else:
+        fs, jvm = _fs(spark, root)
+        total = sum(
+            fs.getFileStatus(_jp(jvm, root, p)).getLen() for p in dvs
         )
+        n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+        _, new_dvs = _write_commit_files(
+            entries.repartition(n_out), path, None
+        )
+        # count the REWRITTEN sidecars from disk: equality with the
+        # live entries of the old set proves the consolidation lost
+        # nothing
+        n_after = _dv_entry_count(spark, root, new_dvs, man["files"])
+        if n_after != n:
+            raise RuntimeError(
+                f"DV consolidation wrote {n_after} live tombstones, "
+                f"expected {n} — aborting before the commit"
+            )
     extra = {"dv_rows_before": n, "dv_rows_after": n_after}
     if man.get("stats") is not None:
         extra.update(

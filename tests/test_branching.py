@@ -525,3 +525,44 @@ def test_satellite_indexes_follow_branch_refs(spark, tmp_path):
     got_main = read_snapshot_with_bloom(spark, table, bidx, [4])
     assert [(r.doc_id, r.text) for r in got_main.collect()] \
         == [(4, "omega alpha")]
+
+
+def test_drop_branch_reclaim_sweeps_branch_minted_dv_sidecars(
+    spark, table
+):
+    """ADVICE r7: reclaim=True must treat deletion-vector sidecars
+    exactly like data files on BOTH sides of the reference check — a
+    branch-minted sidecar is reclaimed with the branch (no other ref
+    holds it), while a sidecar shared with main (fork carry) survives
+    or main's deleted rows would resurrect."""
+    import os
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+        snapshot_delete_rows_dv,
+    )
+
+    snapshot_write(_df(spark, [(i, i % 2, f"d{i}") for i in range(10)]), table)
+    # a MAIN-minted sidecar, carried into the fork
+    snapshot_delete_rows_dv(spark, table, "id", [2])
+    main_dv = _load_manifest(
+        spark, table, _list_manifests(spark, table)[-1]
+    )["dv_files"]
+    assert len(main_dv) == 1
+    ref = create_branch(spark, table, "tmp")
+    # a BRANCH-minted sidecar on top
+    snapshot_delete_rows_dv(spark, ref, "id", [5])
+    bman = _load_manifest(spark, ref, _list_manifests(spark, ref)[-1])
+    branch_dv = sorted(set(bman["dv_files"]) - set(main_dv))
+    assert len(branch_dv) == 1
+    assert os.path.exists(os.path.join(table, branch_dv[0]))
+
+    drop_branch(spark, table, "tmp", reclaim=True)
+    # branch-minted sidecar reclaimed; shared fork-carry sidecar intact
+    assert not os.path.exists(os.path.join(table, branch_dv[0]))
+    assert os.path.exists(os.path.join(table, main_dv[0]))
+    # main still reads with its own tombstones applied
+    assert _rows(spark, table) == sorted(
+        (i, i % 2, f"d{i}") for i in range(10) if i != 2
+    )

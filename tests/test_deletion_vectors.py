@@ -645,3 +645,112 @@ def test_dv_read_plan_is_broadcast_only(spark, tmp_path):
     assert m["n_shuffles"] == 0, m
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_feed_skip_streams_untargeted_appends_alongside_readd(
+    spark, table, tmp_path
+):
+    """ADVICE r7: in onNonAppend=skip mode a commit that re-adds a
+    tombstone-targeted file AND appends fresh untargeted files must
+    still stream the fresh files — the skip contract is "ignore
+    rewrites", not "ignore the whole commit"."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _commit,
+        _list_manifests,
+        _load_manifest,
+        _write_commit_files,
+    )
+    from pyspark.sql.types import StructType
+    from tests.test_snapshot_feed import _drain
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(10)]),
+        table, partition_cols=["month"],
+    )                                                          # v1
+    snapshot_delete_rows_dv(spark, table, "id", [0])           # v2
+    man2 = _load_manifest(spark, table, 2)
+    targeted = [f for f in man2["files"] if "month=0" in f]
+    snapshot_delete_rows(spark, table, "id", [2, 4, 6, 8])     # v3 CoW
+    man3 = _load_manifest(spark, table, 3)
+    readd = sorted(set(targeted) - set(man3["files"]))
+    assert readd  # the tombstoned month-0 file left the manifest
+    # v4: one commit = re-add of the targeted file + a FRESH append
+    _, fresh = _write_commit_files(
+        _df(spark, [(50, 2, "new"), (51, 2, "new2")]), table, ["month"]
+    )
+    _commit(
+        spark, table,
+        sorted(man3["files"] + readd[:1] + fresh),
+        StructType.fromJson(man3["schema"]),
+        "weird_mixed_readd", 3, partition_cols=["month"],
+    )
+    # skip mode: fresh files stream, the re-added tombstoned file not
+    got = _drain(
+        spark, table, str(tmp_path / "mix_skip"), "mix_skip",
+        on_non_append="skip", starting_version=3,
+    )
+    assert _bag(got) == [(50, 2, "new"), (51, 2, "new2")]
+    # fail mode still refuses the same commit loudly
+    with pytest.raises(Exception, match="re-adds"):
+        _drain(
+            spark, table, str(tmp_path / "mix_fail"), "mix_fail",
+            on_non_append="fail", starting_version=3,
+        )
+
+
+def test_compact_dvs_single_sidecar_inert_dominated(spark, table):
+    """ADVICE r7: a SINGLE sidecar dominated by inert entries (targets
+    since rewritten away) must still consolidate — its dead weight is
+    re-read by every DV-masked scan otherwise; a fully-live single
+    sidecar stays a no-op; an all-inert one yields a DV-FREE manifest."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _dv_entry_count,
+        _footer_row_total,
+        _list_manifests,
+        _load_manifest,
+        snapshot_compact_dvs,
+        snapshot_replace_partitions,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(20)]),
+        table, partition_cols=["month"],
+    )
+    snapshot_delete_rows_dv(spark, table, "id", [0, 2, 4, 6, 8])  # month 0
+    snapshot_delete_rows_dv(spark, table, "id", [1])              # month 1
+    v = snapshot_compact_dvs(spark, table)
+    man = _load_manifest(spark, table, v)
+    assert len(man["dv_files"]) == 1
+    assert _footer_row_total(spark, table, man["dv_files"]) == 6
+
+    # fully-live single sidecar: no pointless rewrite
+    assert snapshot_compact_dvs(spark, table) == v
+
+    # replace month 0 -> 5 of 6 entries go inert
+    snapshot_replace_partitions(
+        _df(spark, [(100 + i, 0, f"n{i}") for i in range(4)]),
+        table, ["month"],
+    )
+    v2 = snapshot_compact_dvs(spark, table)
+    assert v2 == _list_manifests(spark, table)[-1] > v
+    man2 = _load_manifest(spark, table, v2)
+    assert len(man2["dv_files"]) == 1
+    assert _footer_row_total(spark, table, man2["dv_files"]) == 1
+    assert man2["dv_rows_before"] == man2["dv_rows_after"] == 1
+    expect = sorted(
+        [(i, i % 2, f"v{i}") for i in range(20) if i % 2 == 1 and i != 1]
+        + [(100 + i, 0, f"n{i}") for i in range(4)]
+    )
+    assert _bag(read_snapshot(spark, table)) == expect
+
+    # replace month 1 too -> the last entry goes inert -> DV-free commit
+    snapshot_replace_partitions(
+        _df(spark, [(200, 1, "m")]), table, ["month"]
+    )
+    v3 = snapshot_compact_dvs(spark, table)
+    man3 = _load_manifest(spark, table, v3)
+    assert v3 > v2 and not man3.get("dv_files")
+    assert man3["dv_rows_before"] == man3["dv_rows_after"] == 0
+    assert _bag(read_snapshot(spark, table)) == sorted(
+        [(100 + i, 0, f"n{i}") for i in range(4)] + [(200, 1, "m")]
+    )

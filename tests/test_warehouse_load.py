@@ -623,3 +623,87 @@ def test_load_month_wap_cli(warehouse, raw_root, tmp_path, capsys):
     assert out["status"] == "audit_failed"
     tbl = read_snapshot(spark, snap)
     assert tbl.count() == 200 and tbl.where("month = 3").count() == 0
+
+
+def test_load_month_wap_self_heals_leftover_branch(
+    warehouse, raw_root, tmp_path
+):
+    """ADVICE r7: a leftover `load-YYYY-MM` branch (publish-time
+    conflict keeps the branch; a crash can strand it too) must not
+    brick every retry of that month — WAP entry drops the debris and
+    the retry publishes normally."""
+    from nyc_taxi_data_warehouse_spark.warehouse.branching import (
+        create_branch,
+        list_branches,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot,
+        snapshot_write,
+    )
+
+    spark = warehouse
+    snap = str(tmp_path / "wap_heal")
+    p1 = os.path.join(raw_root, "2025", "fhvhv_tripdata_2025-01.parquet")
+    # bootstrap a head to branch from, then strand a same-name branch
+    # with divergent junk on it (as a crashed/conflicted run would)
+    snapshot_write(
+        spark.createDataFrame([], "trip_miles double, year int, month int"),
+        snap,
+        partition_cols=["year", "month"],
+    )
+    create_branch(spark, snap, "load-2025-01")
+    assert list_branches(spark, snap) == ["load-2025-01"]
+
+    res = load_month(spark, p1, 2025, 1, backend="snapshot",
+                     snapshot_path=snap, wap=True)
+    assert not res.skipped and res.rows == 200
+    assert read_snapshot(spark, snap).where(
+        "year=2025 AND month=1"
+    ).count() == 200
+    assert list_branches(spark, snap) == []  # healed AND cleaned up
+
+
+def test_obs_rows_probes_jvm_state_not_exception_text():
+    """ADVICE r7: the zero-task detection must come from the JVM
+    Observation's metrics map being UNPOPULATED, not from substring-
+    matching 'AssertionError' — an unrelated JVM assertion with a
+    populated map must re-raise, never record rows=0 provenance."""
+    from nyc_taxi_data_warehouse_spark.warehouse.load import _obs_rows
+
+    class _Row:
+        # Spark 4.1.2: a never-populated Observation's getRow() is a
+        # schema-less GenericRow of size 0 (getOrEmpty NPEs on it)
+        def __init__(self, size):
+            self._size = size
+
+        def size(self):
+            return self._size
+
+    class _JO:
+        def __init__(self, size):
+            self._size = size
+
+        def getRow(self):
+            return _Row(self._size)
+
+    class _Obs:
+        def __init__(self, size):
+            self._jo = _JO(size)
+
+        @property
+        def get(self):
+            raise RuntimeError(
+                "java.lang.AssertionError: assertion failed mid-write"
+            )
+
+    # metrics never populated (empty row) -> the zero-task case -> 0
+    assert _obs_rows(_Obs(size=0)) == 0
+    # populated row + AssertionError TEXT: a real failure, re-raises
+    with pytest.raises(RuntimeError, match="assertion failed"):
+        _obs_rows(_Obs(size=1))
+
+    class _Happy:
+        _jo = None
+        get = {"rows": 7}
+
+    assert _obs_rows(_Happy()) == 7
