@@ -199,6 +199,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="merge-on-read: commit (file, row) tombstones instead of "
         "rewriting victim files; fold away later with snapshot-compact",
     )
+    sd.add_argument(
+        "--mode", choices=["auto", "dv", "rewrite"], default=None,
+        help="strategy dispatch (overrides --dv): auto picks DV when "
+        "the stats-selected victim files exceed the rewrite threshold",
+    )
 
     ci = sub.add_parser(
         "compact-index",
@@ -258,6 +263,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--dv", action="store_true",
         help="merge-on-read: tombstone old images + append patched "
         "ones instead of rewriting victim files",
+    )
+    su.add_argument(
+        "--mode", choices=["auto", "dv", "rewrite"], default=None,
+        help="strategy dispatch (overrides --dv): auto picks DV when "
+        "the stats-selected victim files exceed the rewrite threshold",
     )
 
     br = sub.add_parser(
@@ -470,14 +480,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(json.dumps(out))
         elif args.cmd == "snapshot-delete":
             from .warehouse.snapshots import (
+                snapshot_delete,
                 snapshot_delete_rows,
                 snapshot_delete_rows_dv,
             )
 
-            fn = snapshot_delete_rows_dv if args.dv else snapshot_delete_rows
-            v, n = fn(
-                spark, args.table_path, args.col, json.loads(args.values)
-            )
+            if args.mode is not None:
+                v, n = snapshot_delete(
+                    spark, args.table_path, args.col,
+                    json.loads(args.values), mode=args.mode,
+                )
+            else:
+                fn = (
+                    snapshot_delete_rows_dv
+                    if args.dv
+                    else snapshot_delete_rows
+                )
+                v, n = fn(
+                    spark, args.table_path, args.col,
+                    json.loads(args.values),
+                )
             print(json.dumps({"version": v, "rows_deleted": n}))
         elif args.cmd == "compact-index":
             from .operators.indexmeta import compact_index
@@ -560,17 +582,32 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(json.dumps({"deleted_tag": args.name}))
         elif args.cmd == "snapshot-update":
             from .warehouse.snapshots import (
+                snapshot_update,
                 snapshot_update_rows,
                 snapshot_update_rows_dv,
             )
 
-            v, n = (snapshot_update_rows_dv if args.dv else snapshot_update_rows)(
-                spark,
-                args.table_path,
-                args.col,
-                json.loads(args.values),
-                json.loads(args.set_json),
-            )
+            if args.mode is not None:
+                v, n = snapshot_update(
+                    spark,
+                    args.table_path,
+                    args.col,
+                    json.loads(args.values),
+                    json.loads(args.set_json),
+                    mode=args.mode,
+                )
+            else:
+                v, n = (
+                    snapshot_update_rows_dv
+                    if args.dv
+                    else snapshot_update_rows
+                )(
+                    spark,
+                    args.table_path,
+                    args.col,
+                    json.loads(args.values),
+                    json.loads(args.set_json),
+                )
             print(json.dumps({"version": v, "rows_updated": n}))
         elif args.cmd == "sample":
             from .operators.sampling import mixture_sample

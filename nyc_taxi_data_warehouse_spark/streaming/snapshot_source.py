@@ -63,6 +63,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from ..warehouse import manifestlog
+
 _VDIR = "_versions"
 
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
@@ -84,7 +86,11 @@ def _ensure_pickle_by_value() -> None:
     the Pandas-UDF paths meet via ``session._ship_package``.
 
     Registered against pyspark's VENDORED cloudpickle (the one that
-    does the pickling); idempotent."""
+    does the pickling); idempotent. ``manifestlog`` (the incremental
+    manifest codec this module reconstructs states through) must ride
+    by value too — a by-reference pickle of it would force the
+    source-runner subprocess to import the package from disk, exactly
+    the failure mode by-value registration exists to remove."""
     try:
         from pyspark import cloudpickle  # vendored; the serializer used
     except ImportError:  # pragma: no cover - vendoring moved
@@ -92,6 +98,7 @@ def _ensure_pickle_by_value() -> None:
     import sys
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(manifestlog)
 
 
 try:
@@ -140,11 +147,53 @@ def _list_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _load_manifest(path: str, version: int) -> dict:
+def _read_doc(path: str, version: int) -> dict | None:
     tbl, mdir = _ref_parts(path)
     fs, root = _pa_fs(tbl)
-    with fs.open_input_stream(f"{root}/{mdir}/{version:08d}.json") as f:
-        return json.loads(f.read().decode("utf-8"))
+    try:
+        with fs.open_input_stream(f"{root}/{mdir}/{version:08d}.json") as f:
+            return json.loads(f.read().decode("utf-8"))
+    except OSError:  # FileNotFoundError locally; plain OSError from
+        return None  # object-store pyarrow filesystems
+
+
+def _read_blob(path: str, name: str) -> bytes | None:
+    tbl, mdir = _ref_parts(path)
+    fs, root = _pa_fs(tbl)
+    try:
+        with fs.open_input_stream(f"{root}/{mdir}/{name}") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+# reconstructed-state LRU shared across readers in this planning
+# process; keyed by uuid manifest_id, so never stale (manifests are
+# immutable once their exclusive create lands)
+_STATE_CACHE = manifestlog.StateCache(maxsize=64)
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    """Full manifest dict for ``version`` — reconstructs O(change)
+    delta docs through ``manifestlog`` exactly like the warehouse
+    layer, but over the pyarrow filesystem (this module plans inside
+    Spark's plain-Python Data Source subprocess: no JVM gateway).
+    Stats are pruned at the checkpoint-parquet layer — the feed
+    planner only ever reads file lists and per-commit scalars."""
+    doc = _read_doc(path, version)
+    if doc is None:
+        raise FileNotFoundError(
+            f"snapshot version {version} missing at {path}"
+        )
+    if "files" in doc:
+        return doc
+    return manifestlog.reconstruct(
+        doc,
+        lambda v: _read_doc(path, v),
+        lambda name: _read_blob(path, name),
+        _STATE_CACHE,
+        want_stats=False,
+    )
 
 
 def _unescape_partition_value(v: str) -> str:
@@ -309,9 +358,19 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     # a restore can RE-ADD an old file some carried
                     # sidecar targets; streaming it whole would deliver
                     # its tombstoned rows. Fresh appends (new uuid
-                    # commit dirs) can never be targeted, so this
-                    # sidecar read triggers only on re-add histories.
-                    hit = added_now & self._dv_target_files(dvs)
+                    # commit dirs) can never be targeted. The target
+                    # set comes from the MANIFEST's dv_targets (∝
+                    # targeted files, recorded at DV-commit time — a
+                    # legal superset of the live targets: uuid dirs
+                    # make relpath reuse impossible, so it can never
+                    # claim a fresh file); opening sidecars is only the
+                    # legacy-manifest fallback.
+                    tgts = man.get("dv_targets")
+                    hit = added_now & (
+                        set(tgts)
+                        if tgts is not None
+                        else self._dv_target_files(dvs)
+                    )
                     if hit and self._on_non_append != "skip":
                         raise ValueError(
                             f"version {v} ({man.get('op')}) re-adds "
@@ -347,21 +406,28 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         return parts
 
     def _dv_target_files(self, dvs: set) -> set:
-        """Union of data-file relpaths the given sidecars tombstone.
-        Sidecars are immutable, so each is read ONCE per reader and
-        cached; cost ∝ outstanding tombstones, paid only for commits
-        that both carry DVs and add files."""
+        """Union of data-file relpaths the given sidecars tombstone —
+        LEGACY fallback for manifests predating the recorded
+        ``dv_targets`` list. Sidecars are immutable, so each is read
+        ONCE per reader and cached. Deduplication happens per ROW
+        GROUP inside Arrow (``unique()``): only the distinct target
+        relpaths ever materialize as Python strings, never one string
+        per tombstone row — planning stays ∝ targeted FILES."""
         import pyarrow.parquet as pq
 
         out: set = set()
         for rel in sorted(dvs):
             if rel not in self._dv_targets:
+                vals: set = set()
                 fs, p = _pa_fs(f"{self._root}/{rel}")
                 with fs.open_input_file(p) as f:
-                    cols = pq.ParquetFile(f).read(columns=["_dv_file"])
-                self._dv_targets[rel] = frozenset(
-                    cols.column("_dv_file").to_pylist()
-                )
+                    pf = pq.ParquetFile(f)
+                    for i in range(pf.metadata.num_row_groups):
+                        col = pf.read_row_group(
+                            i, columns=["_dv_file"]
+                        ).column("_dv_file")
+                        vals.update(col.unique().to_pylist())
+                self._dv_targets[rel] = frozenset(vals)
             out |= self._dv_targets[rel]
         return out
 

@@ -565,4 +565,5 @@ def read_snapshot_with_bloom(
         # candidate may hold only tombstoned matches — the DV anti-join
         # keeps lookups exact (over-scan only, never resurrection)
         dv_files=man.get("dv_files"),
+        dv_targets=man.get("dv_targets"),
     ).where(F.col(meta["key_col"]).isin(values))

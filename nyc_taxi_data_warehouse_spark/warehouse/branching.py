@@ -58,6 +58,7 @@ from .snapshots import (
     _branch_names,
     _check_ref_name,
     _commit,
+    _dv_targets_for,
     _fs,
     _jp,
     _list_manifests,
@@ -119,6 +120,7 @@ def create_branch(
         # v1 has no parent to inherit from, and dropping them would
         # resurrect the base's deleted rows on the branch
         dv_files=man.get("dv_files"),
+        dv_targets=_dv_targets_for(man),
     )
     return ref
 
@@ -238,6 +240,7 @@ def publish_branch(
         # the BRANCH HEAD's deletion vectors, never main's (the
         # fast-forward is a whole-state replacement)
         dv_files=head.get("dv_files"),
+        dv_targets=_dv_targets_for(head),
     )
 
 

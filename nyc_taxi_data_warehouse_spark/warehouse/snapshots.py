@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from . import manifestlog
+
 _VDIR = "_versions"
 _DDIR = "data"
 _BDIR = "_branches"
@@ -186,10 +188,18 @@ def _list_manifests(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
-def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
+def _read_doc(
+    spark: SparkSession, path: str, version: int, must: bool = True
+) -> dict | None:
+    """The RAW manifest JSON body of one version — a delta/checkpoint
+    doc (see ``manifestlog``) or a legacy full manifest. ``must=False``
+    returns None when the version's manifest no longer exists
+    (vacuumed) instead of raising."""
     root, mdir = _split_ref(path)
     fs, jvm = _fs(spark, root)
     jpath = _jp(jvm, root, mdir, f"{version:08d}.json")
+    if not must and not fs.exists(jpath):
+        return None
     # The committer claims the manifest name with an exclusive create,
     # then writes the (small) body in one buffered write+close. A reader
     # can glimpse the claimed-but-unfinished file for a moment; a short
@@ -203,6 +213,53 @@ def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
             import time
 
             time.sleep(0.05 * (attempt + 1))
+
+
+def _read_blob(spark: SparkSession, path: str, name: str) -> bytes | None:
+    """A manifest-dir sidecar blob (checkpoint parquet); None if gone."""
+    root, mdir = _split_ref(path)
+    fs, jvm = _fs(spark, root)
+    jpath = _jp(jvm, root, mdir, name)
+    if not fs.exists(jpath):
+        return None
+    return _read_bytes(fs, jvm, jpath)
+
+
+def _write_blob(spark: SparkSession, path: str, name: str, data: bytes):
+    root, mdir = _split_ref(path)
+    fs, jvm = _fs(spark, root)
+    jpath = _jp(jvm, root, mdir, name)
+    fs.mkdirs(jpath.getParent())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+# Reconstructed-state LRU (see manifestlog.StateCache): keyed by the
+# commit's uuid manifest_id, so hits can never be stale — across
+# sessions, branches, and dropped-and-recreated tables alike. Makes
+# ascending history walks (snapshot_versions, the change feed, vacuum)
+# O(1) folds per version instead of O(chain) re-reads.
+_STATE_CACHE = manifestlog.StateCache(maxsize=256)
+
+
+def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    """The full manifest dict of one version — per-commit scalars plus
+    the reconstructed state (files / dv_files / dv_targets / stats):
+    the commit docs on disk are O(change) deltas with periodic parquet
+    checkpoints (``manifestlog``), so no reader ever depends on a
+    full-table JSON being rewritten per commit."""
+    doc = _read_doc(spark, path, version, must=True)
+    if "files" in doc:
+        return doc  # legacy full manifest: state inline
+    return manifestlog.reconstruct(
+        doc,
+        lambda v: _read_doc(spark, path, v, must=False),
+        lambda name: _read_blob(spark, path, name),
+        _STATE_CACHE,
+    )
 
 
 def _write_commit_files(
@@ -236,6 +293,20 @@ def _write_commit_files(
 _DV_INHERIT = "inherit"
 
 
+def _dv_targets_for(man: dict, new_targets=()) -> object:
+    """The ``dv_targets`` value for a commit that carries ``man``'s
+    sidecars (plus optionally new ones tombstoning ``new_targets``):
+    the recorded list unioned with the additions — or the INHERIT
+    sentinel when ``man`` is a legacy manifest with sidecars but no
+    recorded target list, making ``_commit`` derive it from the
+    sidecar footprint once (after which it stays recorded)."""
+    if man.get("dv_files") and man.get("dv_targets") is None:
+        return _DV_INHERIT
+    if not (man.get("dv_targets") or new_targets):
+        return None
+    return sorted(set(man.get("dv_targets") or ()) | set(new_targets))
+
+
 def _commit(
     spark: SparkSession,
     path: str,
@@ -246,6 +317,7 @@ def _commit(
     extra: dict | None = None,
     partition_cols: list[str] | None = None,
     dv_files=_DV_INHERIT,
+    dv_targets=_DV_INHERIT,
 ) -> int:
     """``dv_files`` — the DELETION-VECTOR sidecars active at this
     version (parquet relpaths of (file, pos) tombstones, merged at
@@ -255,19 +327,64 @@ def _commit(
     file the commit dropped is inert — while an entry for a carried
     file MUST keep riding or its deleted rows resurrect. Commits that
     replace the whole table state (overwrite, compact, restore,
-    publish) pass an explicit list/None instead."""
+    publish) pass an explicit list/None instead.
+
+    ``dv_targets`` — the distinct data files the sidecars tombstone,
+    recorded in the manifest so readers can split scans (untargeted
+    files skip the anti-join entirely) and the streaming feed planner
+    never opens a sidecar. Same inherit semantics; a SUPERSET of the
+    live targets is legal (readers intersect with ``files`` — uuid
+    commit dirs make relpath reuse impossible, so a superset can
+    never claim a fresh file). A caller passing explicit sidecars
+    without targets gets them derived from the sidecar footprint
+    (one metadata-sized distinct per commit).
+
+    METADATA IS O(CHANGE): the on-disk doc is a delta against the
+    parent's reconstructed state (adds/removes of files, sidecars,
+    targets, stats entries) with a full parquet checkpoint every
+    ``manifestlog.checkpoint_every()`` commits and at every chain
+    start — see ``manifestlog`` for the format and scale math. The
+    checkpoint blob is written BEFORE the exclusive manifest claim,
+    so a doc that references one can always resolve it; a losing
+    racer's blob is debris for ``sweep_orphans``."""
     import time
 
     root, mdir = _split_ref(path)
     fs, jvm = _fs(spark, root)
+    pman = _load_manifest(spark, path, parent) if parent is not None else None
     if dv_files == _DV_INHERIT:
-        dv_files = (
-            _load_manifest(spark, path, parent).get("dv_files")
-            if parent is not None
-            else None
+        dv_files = pman.get("dv_files") if pman else None
+        if dv_targets == _DV_INHERIT:
+            dv_targets = pman.get("dv_targets") if pman else None
+    if dv_targets == _DV_INHERIT:
+        dv_targets = None
+    if dv_files and not dv_targets:
+        dv_targets = sorted(
+            r[0]
+            for r in spark.read.parquet(*[f"{root}/{p}" for p in dv_files])
+            .select("_dv_file")
+            .distinct()
+            .collect()
         )
+    if not dv_files:
+        dv_targets = None
+    files = sorted(files)
+    if len(set(files)) != len(files):
+        raise ValueError(f"duplicate relpaths in commit file list at {path}")
     version = (parent or 0) + 1
-    manifest = {
+    extra = dict(extra or {})
+    stats = extra.pop("stats", None)
+    stats_cols = extra.pop("stats_cols", None)
+    if stats is None:
+        stats_cols = None
+    state = {
+        "files": files,
+        "dv_files": sorted(dv_files) if dv_files else None,
+        "dv_targets": sorted(set(dv_targets)) if dv_targets else None,
+        "stats": stats,
+        "stats_cols": stats_cols,
+    }
+    scalars = {
         "version": version,
         "parent": parent,
         "op": op,
@@ -277,7 +394,10 @@ def _commit(
         # only blurs which version a given timestamp resolves to, the
         # same contract every manifest-log store documents.
         "committed_at_ms": int(time.time() * 1000),
-        "files": files,
+        # immutable uuid identity: chains the delta log (children
+        # record parent_id), keys the reconstruction cache, and binds
+        # checkpoint blobs to the manifest that references them
+        "manifest_id": uuid.uuid4().hex,
         "schema": json.loads(schema.json()),
         # The table's partition LAYOUT is part of the manifest: carried
         # files are classified by their partition directories, so every
@@ -285,15 +405,23 @@ def _commit(
         # ``_require_same_layout``) and rewrites (delete/compact) must
         # reproduce it.
         "partition_cols": list(partition_cols) if partition_cols else None,
-        **({"dv_files": sorted(dv_files)} if dv_files else {}),
-        **(extra or {}),
+        **extra,
     }
-    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    if pman is not None and pman.get("manifest_id"):
+        scalars["parent_id"] = pman["manifest_id"]
+    parent_state = (
+        manifestlog.state_from_manifest(pman) if pman is not None else None
+    )
+    doc, ckpt = manifestlog.encode_commit(scalars, state, parent_state)
+    if ckpt is not None:
+        _write_blob(spark, path, doc["ckpt"], ckpt)
+    data = json.dumps(doc, sort_keys=True).encode("utf-8")
     jpath = _jp(jvm, root, mdir, f"{version:08d}.json")
     if not _write_bytes_exclusive(fs, jpath, data):
         raise SnapshotConflict(
             f"version {version} of {path} was committed concurrently"
         )
+    _STATE_CACHE.put(doc["manifest_id"], state)
     return version
 
 
@@ -590,6 +718,7 @@ def read_snapshot(
         spark, path, man["files"], schema,
         partition_cols=_manifest_partition_cols(man),
         dv_files=man.get("dv_files"),
+        dv_targets=man.get("dv_targets"),
     )
 
 
@@ -819,6 +948,7 @@ def _read_file_list(
     partition_cols: list[str] | None = None,
     dv_files: list[str] | None = None,
     row_ids: bool = False,
+    dv_targets: list[str] | None = None,
 ) -> DataFrame:
     """Scan an explicit manifest file list, normalised to ``schema``.
 
@@ -827,10 +957,39 @@ def _read_file_list(
     anti-joined away here, so EVERY reader that threads the manifest's
     ``dv_files`` through gets merge-on-read deletes for free.
     ``row_ids=True`` keeps the ``_dv_file``/``_dv_pos`` identity
-    columns in the output (for writers that need to address rows)."""
+    columns in the output (for writers that need to address rows).
+
+    ``dv_targets`` (the manifest's recorded distinct tombstoned files;
+    a superset of the live targets is legal) SPLITS the scan: files
+    with no outstanding tombstones bypass the anti-join — and, unless
+    ``row_ids`` is asked for, the whole row-identity machinery
+    (``_metadata`` projection, relpath decode join) — entirely. Only
+    the targeted files pay. At 100 TB with a few tombstoned files,
+    the read plan is a plain scan unioned with one small anti-join,
+    instead of every row of the table flowing through the join (the
+    >64 MB sidecar fallback was a full-table shuffle)."""
     from pyspark.sql.types import LongType, StringType, StructField
 
     path = _root(path)
+    if dv_files and dv_targets is not None:
+        tset = set(dv_targets)
+        tomb = [f for f in files if f in tset]
+        if not tomb:
+            dv_files = None  # every tombstone is inert: clean scan
+        elif len(tomb) < len(files):
+            clean = [f for f in files if f not in tset]
+            return _read_file_list(
+                spark, path, clean, schema,
+                partition_cols=partition_cols,
+                dv_files=None, row_ids=row_ids,
+            ).unionByName(
+                _read_file_list(
+                    spark, path, tomb, schema,
+                    partition_cols=partition_cols,
+                    dv_files=dv_files, row_ids=row_ids,
+                )
+            )
+        # else: every file is targeted — fall through whole
     want_ids = bool(row_ids or dv_files)
     if want_ids:
         clash = [f.name for f in schema.fields if f.name in _DV_COLS]
@@ -1112,9 +1271,15 @@ def snapshot_changes(
         # live now — which also makes equivalent-tombstone swaps
         # (delete, restore past it, delete again) cancel to zero.
         common = files & pfiles
-        for delta_dvs, mask_dvs, ctype in (
-            (sorted(set(cdvs) - set(pdvs)), pdvs, "delete"),
-            (sorted(set(pdvs) - set(cdvs)), cdvs, "insert"),
+        ptgts = pman.get("dv_targets") if parent is not None else None
+        for delta_dvs, mask_dvs, mask_tgts, ctype in (
+            (sorted(set(cdvs) - set(pdvs)), pdvs, ptgts, "delete"),
+            (
+                sorted(set(pdvs) - set(cdvs)),
+                cdvs,
+                man.get("dv_targets"),
+                "insert",
+            ),
         ):
             if not delta_dvs or not common:
                 continue
@@ -1137,6 +1302,7 @@ def snapshot_changes(
                 spark, path, aff, out_schema,
                 partition_cols=target_pcols,
                 dv_files=sorted(mask_dvs), row_ids=True,
+                dv_targets=mask_tgts,
             ).join(ent, list(_DV_COLS), "left_semi")
             changes.append(
                 rows.drop(*_DV_COLS)
@@ -1146,6 +1312,7 @@ def snapshot_changes(
         ins = _read_file_list(
             spark, path, added, out_schema, partition_cols=target_pcols,
             dv_files=sorted(cdvs),
+            dv_targets=man.get("dv_targets"),
         )
         if removed:
             dele = _read_file_list(
@@ -1154,6 +1321,7 @@ def snapshot_changes(
                 # the PARENT's tombstones: consumers hold the parent
                 # state, so rows already dead there must not re-delete
                 dv_files=sorted(pdvs),
+                dv_targets=ptgts,
             )
             # cancel rewritten-but-unchanged rows (bag semantics)
             ins, dele = ins.exceptAll(dele), dele.exceptAll(ins)
@@ -1244,6 +1412,7 @@ def snapshot_restore(
         # the RESTORED state's tombstones, never the abandoned head's
         # (whose DVs may reference exactly the files being restored)
         dv_files=man.get("dv_files"),
+        dv_targets=_dv_targets_for(man),
     )
 
 
@@ -1347,13 +1516,55 @@ def vacuum_snapshots(
         ref = f"{path}{_REF_SEP}{b}"
         for bv in _list_manifests(spark, ref):
             referenced.update(_refs(_load_manifest(spark, ref, bv)))
+    # RESCUE pass, while every ancestor manifest is still present: a
+    # retained DELTA doc whose parent is about to be dropped (the
+    # retention tail, or a tagged island in dropped history) could
+    # never reconstruct afterwards — write its full state as a
+    # checkpoint blob bound to its manifest_id. keep is ascending, so
+    # a retained parent is itself made self-sufficient first and the
+    # induction holds; re-vacuums are no-ops (exclusive create).
+    keep_set = set(keep)
+    for v in keep:
+        doc = _read_doc(spark, path, v, must=True)
+        if "files" in doc or doc.get("ckpt"):
+            continue  # legacy full / checkpoint commit: terminal
+        if doc.get("parent") in keep_set:
+            continue  # parent retained (and rescued if it needed it)
+        name = manifestlog.rescue_name(v, doc["manifest_id"])
+        jpath = _jp(jvm, path, _VDIR, name)
+        if fs.exists(jpath):
+            continue  # a prior vacuum already rescued this version
+        man = _load_manifest(spark, path, v)
+        _write_bytes_exclusive(
+            fs,
+            jpath,
+            manifestlog.encode_checkpoint(
+                manifestlog.state_from_manifest(man)
+            ),
+        )
+    # collect the dropped versions' file refs and metadata blobs
+    # BEFORE deleting any manifest: a delta doc's reconstruction may
+    # need an earlier manifest that is itself being dropped
+    drop_refs: dict[int, list[str]] = {}
+    drop_blobs: list[str] = []
+    for v in drop:
+        doc = _read_doc(spark, path, v, must=True)
+        drop_refs[v] = _refs(_load_manifest(spark, path, v))
+        if doc.get("ckpt"):
+            drop_blobs.append(doc["ckpt"])
+        if "manifest_id" in doc:
+            drop_blobs.append(
+                manifestlog.rescue_name(v, doc["manifest_id"])
+            )
     deleted = 0
     for v in drop:
-        for f in _refs(_load_manifest(spark, path, v)):
+        for f in drop_refs[v]:
             if f not in referenced:
                 if fs.delete(_jp(jvm, path, f), False):
                     deleted += 1
         fs.delete(_jp(jvm, path, _VDIR, f"{v:08d}.json"), False)
+    for name in drop_blobs:
+        fs.delete(_jp(jvm, path, _VDIR, name), False)
     # sweep now-empty commit dirs (metadata-only listing)
     ddir = _jp(jvm, path, _DDIR)
     if fs.exists(ddir):
@@ -1392,18 +1603,28 @@ def sweep_orphans(
     if _REF_SEP in path:
         raise ValueError("sweep the table root, not a branch ref")
     fs, jvm = _fs(spark, path)
+    cutoff_ms_meta = (time.time() - grace_seconds) * 1000.0
     referenced: set[str] = set()
-    for v in _list_manifests(spark, path):
-        man = _load_manifest(spark, path, v)
-        referenced.update(man["files"] + (man.get("dv_files") or []))
-    for b in _branch_names(spark, path):
-        ref = f"{path}{_REF_SEP}{b}"
-        for bv in _list_manifests(spark, ref):
-            bman = _load_manifest(spark, ref, bv)
-            referenced.update(bman["files"] + (bman.get("dv_files") or []))
+    meta_deleted = 0
+    for mref in [path] + [
+        f"{path}{_REF_SEP}{b}" for b in _branch_names(spark, path)
+    ]:
+        for v in _list_manifests(spark, mref):
+            man = _load_manifest(spark, mref, v)
+            referenced.update(man["files"] + (man.get("dv_files") or []))
+        # checkpoint-blob debris: a commit writes its checkpoint BEFORE
+        # the exclusive manifest claim, so a losing racer (or a crash
+        # between blob and claim) strands a blob no manifest
+        # references. Same age gate as data files — an in-flight
+        # commit's just-written blob is never swept.
+        meta_deleted += _sweep_ckpt_debris(spark, mref, cutoff_ms_meta)
     ddir = _jp(jvm, path, _DDIR)
     if not fs.exists(ddir):
-        return {"files_deleted": 0, "dirs_deleted": 0, "files_kept_young": 0}
+        return {
+            "files_deleted": meta_deleted,
+            "dirs_deleted": 0,
+            "files_kept_young": 0,
+        }
     root_uri = fs.makeQualified(_jp(jvm, path)).toString().rstrip("/")
     cutoff_ms = (time.time() - grace_seconds) * 1000.0
     files_deleted = dirs_deleted = kept_young = 0
@@ -1453,10 +1674,53 @@ def sweep_orphans(
                 if fs.delete(op, False):
                     files_deleted += 1
     return {
-        "files_deleted": files_deleted,
+        "files_deleted": files_deleted + meta_deleted,
         "dirs_deleted": dirs_deleted,
         "files_kept_young": kept_young,
     }
+
+
+def _sweep_ckpt_debris(
+    spark: SparkSession, path: str, cutoff_ms: float
+) -> int:
+    """Delete AGED ``*.ckpt.parquet`` blobs in a chain's manifest dir
+    that no committed manifest references: the leavings of commit
+    races lost after the blob landed (regular checkpoints are written
+    pre-claim) and of superseded rescues. A kept blob is exactly one a
+    retained manifest names — its own ``ckpt`` key, or the rescue name
+    bound to its manifest_id."""
+    root, mdir = _split_ref(path)
+    fs, jvm = _fs(spark, root)
+    vdir = _jp(jvm, root, mdir)
+    if not fs.exists(vdir):
+        return 0
+    live: dict[int, set[str]] = {}
+    deleted = 0
+    for st in fs.listStatus(vdir):
+        name = st.getPath().getName()
+        if not name.endswith(".ckpt.parquet"):
+            continue
+        if st.getModificationTime() > cutoff_ms:
+            continue  # possibly an in-flight commit's blob
+        try:
+            v = int(name.split(".", 1)[0])
+        except ValueError:
+            continue
+        if v not in live:
+            doc = _read_doc(spark, path, v, must=False)
+            names: set[str] = set()
+            if doc is not None:
+                if doc.get("ckpt"):
+                    names.add(doc["ckpt"])
+                if doc.get("manifest_id"):
+                    names.add(
+                        manifestlog.rescue_name(v, doc["manifest_id"])
+                    )
+            live[v] = names
+        if name not in live[v]:
+            if fs.delete(st.getPath(), False):
+                deleted += 1
+    return deleted
 
 
 def stream_snapshot_append(
@@ -1793,6 +2057,7 @@ def snapshot_merge_upsert_dv(
         partition_cols=partition_cols,
         dv_files=man.get("dv_files"),
         row_ids=True,
+        dv_targets=man.get("dv_targets"),
     ).join(F.broadcast(touched), partition_cols, "left_semi")
     if version_col is not None:
         tagged = target.withColumn("_src", F.lit(0)).unionByName(
@@ -1822,10 +2087,14 @@ def snapshot_merge_upsert_dv(
     new_rows = new_rows.localCheckpoint(eager=True)
     _, new_files = _write_commit_files(new_rows, path, partition_cols)
     new_dvs: list[str] = []
+    new_tgts: list[str] = []
     if n_tombs:
         _, new_dvs = _write_commit_files(
             tombs.repartition(max(1, -(-n_tombs // 4_000_000))), path, None
         )
+        new_tgts = [
+            r[0] for r in tombs.select("_dv_file").distinct().collect()
+        ]
     stats_cols = man.get("stats_cols") or []
     extra: dict = {"dv_added": new_dvs, "dv_rows_added": n_tombs}
     if stats_cols:
@@ -1844,6 +2113,7 @@ def snapshot_merge_upsert_dv(
         extra=extra,
         partition_cols=partition_cols,
         dv_files=sorted((man.get("dv_files") or []) + new_dvs),
+        dv_targets=_dv_targets_for(man, new_tgts),
     )
 
 
@@ -2031,6 +2301,7 @@ def read_snapshot_pruned(
             spark, path, keep, base.schema,
             partition_cols=_manifest_partition_cols(man),
             dv_files=man.get("dv_files"),
+            dv_targets=man.get("dv_targets"),
         )
     return pruned.where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
@@ -2105,6 +2376,7 @@ def snapshot_delete_rows_dv(
         partition_cols=_manifest_partition_cols(man),
         dv_files=man.get("dv_files"),  # never tombstone a row twice
         row_ids=True,
+        dv_targets=man.get("dv_targets"),
     )
     matched = (
         df.where(F.col(col).isNotNull() & F.col(col).isin(values))
@@ -2120,6 +2392,12 @@ def snapshot_delete_rows_dv(
         path,
         None,
     )
+    # metadata-sized (∝ targeted files): recorded in the manifest so
+    # readers split clean files past the anti-join and the feed
+    # planner never opens a sidecar
+    new_tgts = [
+        r[0] for r in matched.select("_dv_file").distinct().collect()
+    ]
     stats_extra = (
         {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
         if man.get("stats") is not None
@@ -2135,6 +2413,7 @@ def snapshot_delete_rows_dv(
         extra={"dv_added": new_dvs, "dv_rows_added": n, **stats_extra},
         partition_cols=_manifest_partition_cols(man),
         dv_files=sorted((man.get("dv_files") or []) + new_dvs),
+        dv_targets=_dv_targets_for(man, new_tgts),
     )
     return version, n
 
@@ -2195,6 +2474,7 @@ def _rewrite_matching_files(
         # into the rewritten files (the carried DV entries for the
         # rewritten victims become inert once their files drop out)
         dv_files=man.get("dv_files"),
+        dv_targets=man.get("dv_targets"),
     )
     before = df.count()
     rewritten = fn(df)
@@ -2349,6 +2629,7 @@ def snapshot_update_rows_dv(
             partition_cols=pc or None,
             dv_files=man.get("dv_files"),
             row_ids=True,
+            dv_targets=man.get("dv_targets"),
         )
         .where(F.col(col).isNotNull() & F.col(col).isin(values))
         .localCheckpoint(eager=True)  # one scan feeds count + 2 writes
@@ -2382,6 +2663,10 @@ def snapshot_update_rows_dv(
             **collect_file_stats(spark, path, new_files, stats_cols),
         }
         extra["stats_cols"] = stats_cols
+    new_tgts = [
+        r[0]
+        for r in matched_rows.select("_dv_file").distinct().collect()
+    ]
     version = _commit(
         spark,
         path,
@@ -2392,6 +2677,7 @@ def snapshot_update_rows_dv(
         extra=extra,
         partition_cols=pc or None,
         dv_files=sorted((man.get("dv_files") or []) + new_dvs),
+        dv_targets=_dv_targets_for(man, new_tgts),
     )
     return version, n
 
@@ -2451,7 +2737,7 @@ def snapshot_compact_dvs(
     if n == 0:
         # every entry was inert: the table has NO live tombstones —
         # publish a DV-free manifest instead of an empty sidecar
-        new_dvs, n_after = None, 0
+        new_dvs, n_after, new_tgts = None, 0, None
     else:
         fs, jvm = _fs(spark, root)
         total = sum(
@@ -2470,6 +2756,11 @@ def snapshot_compact_dvs(
                 f"DV consolidation wrote {n_after} live tombstones, "
                 f"expected {n} — aborting before the commit"
             )
+        # the consolidation point is where the recorded target list
+        # SHRINKS back to the live footprint (inert targets shed)
+        new_tgts = sorted(
+            r[0] for r in entries.select("_dv_file").distinct().collect()
+        )
     extra = {"dv_rows_before": n, "dv_rows_after": n_after}
     if man.get("stats") is not None:
         extra.update(
@@ -2485,4 +2776,119 @@ def snapshot_compact_dvs(
         extra=extra,
         partition_cols=_manifest_partition_cols(man),
         dv_files=new_dvs,
+        dv_targets=new_tgts,
+    )
+
+
+def _maybe_auto_compact_dvs(
+    spark: SparkSession, path: str, auto_compact_files: int | None
+) -> None:
+    """Opportunistic sidecar consolidation after a DV-writing commit:
+    once ``auto_compact_files`` sidecars have accumulated, fold them
+    into a right-sized set so read-side tombstone merging never
+    degrades unbounded under a stream of small DML commits. The
+    COUNT trigger (not bytes) bounds amortized maintenance cost: a
+    consolidation re-reads every live tombstone, so firing it per
+    commit would make each DML ∝ total tombstones — at every N
+    commits the re-read amortizes to 1/N per commit, the standard
+    log-structured-merge tradeoff. Failures (a concurrent writer
+    winning the version) are swallowed: the DML already committed,
+    and the next DV commit re-triggers."""
+    if not auto_compact_files:
+        return
+    versions = _list_manifests(spark, path)
+    man = _load_manifest(spark, path, versions[-1])
+    if len(man.get("dv_files") or []) >= auto_compact_files:
+        try:
+            snapshot_compact_dvs(spark, path)
+        except SnapshotConflict:
+            pass
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    mode: str = "auto",
+    dv_threshold_mb: int = 64,
+    auto_compact_files: int | None = 12,
+) -> tuple[int, int]:
+    """Unified targeted delete (``col IN values``) with strategy
+    dispatch — the front door for DML; returns ``(version, rows)``.
+
+    - ``mode="rewrite"``: copy-on-write (``snapshot_delete_rows``) —
+      victim files rewritten whole; no tombstone debt, no read-side
+      join; right when victims are few/small.
+    - ``mode="dv"``: merge-on-read (``snapshot_delete_rows_dv``) —
+      write ∝ deleted rows; right when the stats-selected victim set
+      is large (a scattered one-key takedown on a 100 TB table).
+    - ``mode="auto"``: choose by the bytes the rewrite would copy —
+      the stats-selected victim files' total size. Above
+      ``dv_threshold_mb``, tombstones win (rewrite cost dominates);
+      below it, the rewrite wins (small victim sets keep the table
+      join-free). The decision is metadata-only: file sizes from the
+      filesystem, victims from manifest stats.
+
+    DV-mode commits then consolidate sidecars past
+    ``auto_compact_files`` (see ``_maybe_auto_compact_dvs``)."""
+    if mode not in ("auto", "dv", "rewrite"):
+        raise ValueError(f"mode must be auto|dv|rewrite; got {mode!r}")
+    if mode == "auto":
+        mode = (
+            "dv"
+            if _victim_bytes(spark, path, col, values)
+            > dv_threshold_mb * 1024 * 1024
+            else "rewrite"
+        )
+    if mode == "rewrite":
+        return snapshot_delete_rows(spark, path, col, values)
+    out = snapshot_delete_rows_dv(spark, path, col, values)
+    _maybe_auto_compact_dvs(spark, path, auto_compact_files)
+    return out
+
+
+def snapshot_update(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    set_values: dict,
+    mode: str = "auto",
+    dv_threshold_mb: int = 64,
+    auto_compact_files: int | None = 12,
+) -> tuple[int, int]:
+    """Unified targeted update — same strategy dispatch as
+    ``snapshot_delete`` (the DV path writes tombstones + only the
+    updated row images; the rewrite path copies victim files whole)."""
+    if mode not in ("auto", "dv", "rewrite"):
+        raise ValueError(f"mode must be auto|dv|rewrite; got {mode!r}")
+    if mode == "auto":
+        mode = (
+            "dv"
+            if _victim_bytes(spark, path, col, values)
+            > dv_threshold_mb * 1024 * 1024
+            else "rewrite"
+        )
+    if mode == "rewrite":
+        return snapshot_update_rows(spark, path, col, values, set_values)
+    out = snapshot_update_rows_dv(spark, path, col, values, set_values)
+    _maybe_auto_compact_dvs(spark, path, auto_compact_files)
+    return out
+
+
+def _victim_bytes(
+    spark: SparkSession, path: str, col: str, values: list
+) -> int:
+    """Total on-disk bytes of the stats-selected victim files — what a
+    copy-on-write DML would rewrite. Metadata-only."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    man = _load_manifest(spark, path, versions[-1])
+    victims, _carried = _victims_by_stats(man, col, values)
+    root = _root(path)
+    fs, jvm = _fs(spark, root)
+    return sum(
+        fs.getFileStatus(_jp(jvm, root, f)).getLen() for f in victims
     )

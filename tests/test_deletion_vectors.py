@@ -754,3 +754,145 @@ def test_compact_dvs_single_sidecar_inert_dominated(spark, table):
     assert _bag(read_snapshot(spark, table)) == sorted(
         [(100 + i, 0, f"n{i}") for i in range(4)] + [(200, 1, "m")]
     )
+
+
+def test_snapshot_delete_mode_auto_dispatch(spark, table):
+    """mode='auto' picks by the bytes the rewrite would copy: below
+    the threshold it rewrites (no tombstone debt), above it writes
+    tombstones — both row-for-row equivalent, op recorded."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+        snapshot_delete,
+        snapshot_update,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(20)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    # victims are tiny vs a huge threshold -> rewrite
+    v1, n1 = snapshot_delete(spark, table, "id", [4], dv_threshold_mb=1024)
+    assert n1 == 1
+    assert _load_manifest(spark, table, v1)["op"] == "delete_rows"
+    assert not _load_manifest(spark, table, v1).get("dv_files")
+    # threshold 0 -> any victim bytes exceed it -> DV
+    v2, n2 = snapshot_delete(spark, table, "id", [7], dv_threshold_mb=0)
+    assert n2 == 1
+    man2 = _load_manifest(spark, table, v2)
+    assert man2["op"] == "delete_rows_dv" and man2["dv_files"]
+    # explicit modes still available through the front door
+    v3, n3 = snapshot_delete(spark, table, "id", [8], mode="rewrite")
+    assert _load_manifest(spark, table, v3)["op"] == "delete_rows"
+    # update dispatch mirrors delete's
+    v4, n4 = snapshot_update(
+        spark, table, "id", [9], {"v": None}, dv_threshold_mb=0
+    )
+    assert n4 == 1
+    assert _load_manifest(spark, table, v4)["op"] == "update_rows_dv"
+    expect = sorted(
+        (i, i % 2, None if i == 9 else f"v{i}")
+        for i in range(20)
+        if i not in (4, 7, 8)
+    )
+    assert _bag(read_snapshot(spark, table)) == expect
+    with pytest.raises(ValueError, match="auto|dv|rewrite"):
+        snapshot_delete(spark, table, "id", [1], mode="bogus")
+
+
+def test_auto_compact_consolidates_sidecar_pileup(spark, table):
+    """A stream of small DV deletes through the front door never lets
+    sidecars pile up unbounded: past auto_compact_files the set is
+    consolidated in a follow-on compact_dvs commit, results intact."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+        snapshot_delete,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(30)]),
+        table, partition_cols=["month"],
+    )
+    deleted = []
+    for i in range(5):
+        snapshot_delete(
+            spark, table, "id", [i], mode="dv", auto_compact_files=3
+        )
+        deleted.append(i)
+        man = _load_manifest(
+            spark, table, _list_manifests(spark, table)[-1]
+        )
+        assert len(man.get("dv_files") or []) < 3 + 1
+    man = _load_manifest(spark, table, _list_manifests(spark, table)[-1])
+    # consolidation ran at least once (compact_dvs op in history)
+    assert "compact_dvs" in {
+        h["op"] for h in snapshot_versions(spark, table)
+    }
+    assert _bag(read_snapshot(spark, table)) == sorted(
+        (i, i % 2, f"v{i}") for i in range(30) if i not in deleted
+    )
+
+
+def test_replace_partitions_with_outstanding_dvs(spark, table):
+    """VERDICT r7 worklist pin: dynamic partition replacement on a
+    table with outstanding tombstones — the replaced partition's
+    tombstones go inert (fresh files are never masked), carried
+    partitions stay masked, the recorded dv_targets survive as a
+    harmless superset, and the change feed stays consistent."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+        snapshot_compact_dvs,
+        snapshot_replace_partitions,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(12)]),
+        table, partition_cols=["month"],
+    )
+    # tombstones in BOTH partitions
+    v_dv, n = snapshot_delete_rows_dv(spark, table, "id", [0, 1])
+    assert n == 2
+    man = _load_manifest(spark, table, v_dv)
+    assert man["dv_files"] and len(man["dv_targets"]) >= 2
+    # replace month=0 wholesale
+    v_rp = snapshot_replace_partitions(
+        _df(spark, [(100, 0, "n0"), (102, 0, "n2")]), table, ["month"]
+    )
+    man_rp = _load_manifest(spark, table, v_rp)
+    # DVs inherit through the replacement (month=1's tombstone must
+    # keep riding); the target list is now a superset (month=0's
+    # entry went inert with its file)
+    assert man_rp["dv_files"] == man["dv_files"]
+    assert man_rp["dv_targets"] == man["dv_targets"]
+    expect = sorted(
+        [(i, i % 2, f"v{i}") for i in range(12) if i not in (0, 1)
+         if i % 2 == 1]
+        + [(i, i % 2, f"v{i}") for i in range(12) if i % 2 == 0
+           and i != 0]
+        + [(100, 0, "n0"), (102, 0, "n2")]
+    )
+    # month=0 old rows replaced; id=1 (month 1) still tombstoned
+    expect = sorted(
+        [(i, 1, f"v{i}") for i in range(12) if i % 2 == 1 and i != 1]
+        + [(100, 0, "n0"), (102, 0, "n2")]
+    )
+    assert _bag(read_snapshot(spark, table)) == expect
+    # the feed across the replacement: month=0's delta, id=1 NOT
+    # resurrected, tombstoned id=0 NOT re-deleted (already dead)
+    ch = snapshot_changes(spark, table, from_version=v_dv)
+    got = sorted(
+        (r.id, r._change_type) for r in ch.collect()
+    )
+    assert got == sorted(
+        [(i, "delete") for i in range(12) if i % 2 == 0 and i != 0]
+        + [(100, "insert"), (102, "insert")]
+    )
+    # consolidation sheds the inert month=0 entry
+    v_c = snapshot_compact_dvs(spark, table, min_dead_fraction=0.1)
+    man_c = _load_manifest(spark, table, v_c)
+    assert v_c > v_rp
+    assert len(man_c["dv_targets"]) == 1
+    assert all("month=1" in t for t in man_c["dv_targets"])
+    assert _bag(read_snapshot(spark, table)) == expect
