@@ -205,6 +205,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "the stats-selected victim files exceed the rewrite threshold",
     )
 
+    sa = sub.add_parser(
+        "snapshot-alter",
+        help="metadata-only schema DDL on a snapshot table: add or "
+        "drop a column (zero data movement; dropped bytes shed at the "
+        "next snapshot-compact)",
+    )
+    sa.add_argument("--table-path", required=True)
+    g = sa.add_mutually_exclusive_group(required=True)
+    g.add_argument(
+        "--add", metavar="NAME:TYPE",
+        help="add a column, e.g. score:double or tags:array<string>",
+    )
+    g.add_argument("--drop", metavar="NAME", help="drop a column")
+
     ci = sub.add_parser(
         "compact-index",
         help="defragment a persisted index (ANN/IVF/postings/bloom/"
@@ -501,6 +515,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     json.loads(args.values),
                 )
             print(json.dumps({"version": v, "rows_deleted": n}))
+        elif args.cmd == "snapshot-alter":
+            from .warehouse.snapshots import (
+                snapshot_add_column,
+                snapshot_drop_column,
+            )
+
+            if args.add is not None:
+                name, _, dtype = args.add.partition(":")
+                if not dtype:
+                    raise SystemExit(
+                        "--add needs NAME:TYPE (e.g. score:double)"
+                    )
+                v = snapshot_add_column(spark, args.table_path, name, dtype)
+                print(json.dumps({"version": v, "added": name}))
+            else:
+                v = snapshot_drop_column(spark, args.table_path, args.drop)
+                print(json.dumps({"version": v, "dropped": args.drop}))
         elif args.cmd == "compact-index":
             from .operators.indexmeta import compact_index
 

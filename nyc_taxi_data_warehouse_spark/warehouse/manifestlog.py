@@ -361,16 +361,22 @@ def reconstruct(
     dv_targets / stats / stats_cols.
 
     ``want_stats=False`` skips the checkpoint's stats column — valid
-    only for readers that never touch ``stats`` (states reconstructed
-    this way are NOT cached, so a stats-wanting reader can't be served
-    a stats-stripped state)."""
+    only for readers that never touch ``stats``. Stripped states cache
+    under a distinct key suffix, so a shared cache never serves a
+    stats-stripped state to a stats-wanting reader (or vice versa)."""
     if "files" in doc:  # legacy full manifest: state inline
         return doc
+
+    def _key(mid: str | None) -> str | None:
+        if not mid:
+            return None
+        return mid if want_stats else f"{mid}!nostats"
+
     pending: list[dict] = []
     cur = doc
     base: dict | None = None
     while base is None:
-        hit = cache.get(cur.get("manifest_id")) if cache else None
+        hit = cache.get(_key(cur.get("manifest_id"))) if cache else None
         if hit is not None:
             base = hit
             break
@@ -418,10 +424,10 @@ def reconstruct(
     state = base
     for d in reversed(pending):
         state = fold_delta(d, state)
-        if cache and want_stats:
-            cache.put(d.get("manifest_id"), state)
-    if cache and want_stats and not pending:
-        cache.put(doc.get("manifest_id"), state)
+        if cache:
+            cache.put(_key(d.get("manifest_id")), state)
+    if cache and not pending:
+        cache.put(_key(doc.get("manifest_id")), state)
     return manifest_dict(doc, state)
 
 

@@ -10,17 +10,26 @@ never mutate data files, only publish new MANIFESTS:
 ```
 table/
   data/<commit-uuid>/...            immutable parquet, written once
-  _versions/00000001.json           {"files": [...], "schema": ..., ...}
-  _versions/00000002.json
+  _versions/00000001.json           checkpoint commit: {"ckpt": <blob>}
+  _versions/00000001.<id>.ckpt.parquet   full state, zstd parquet
+  _versions/00000002.json           delta commit: {"files_add": [...]}
 ```
 
-- A table VERSION is a JSON manifest listing exactly the data files it
-  comprises (plus the schema, so empty tables read back typed).
+- A table VERSION is a JSON manifest resolving to exactly the data
+  files it comprises (plus the schema, so empty tables read back
+  typed). The on-disk doc is an O(CHANGE) DELTA against its parent —
+  adds/removes of files, DV sidecars, stats entries — with a full
+  columnar checkpoint blob every ``manifestlog.checkpoint_every()``
+  commits and at every chain start; see ``manifestlog`` for the
+  format, reconstruction, and the 100 TB metadata math.
 - The LATEST version is simply the highest-numbered manifest — no
   pointer file, so publishing a version is ONE atomic exclusive create
   (``FileSystem.create(overwrite=false)``): readers see the old
   version or the new one, never a mix, and two racing writers cannot
   both claim a version number (the loser retries on the next number).
+  Checkpoint blobs are written BEFORE the claim, so a committed doc's
+  blob always exists; a losing racer's blob is aged debris for
+  ``sweep_orphans``.
 - Readers resolve a manifest, then scan an explicit file list; a
   concurrent commit cannot change files out from under a running scan
   because data files are never rewritten or deleted by commits.
@@ -1430,6 +1439,89 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
             }
         )
     return out
+
+
+def snapshot_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table's FILES metadata as a queryable DataFrame (the
+    ``table.files`` / ``DESCRIBE DETAIL`` surface every lakehouse
+    exposes): one row per live data file with its size, partition
+    values, tombstone flag, and per-column min/max stats as a JSON
+    string. Built from the manifest + one filesystem status per file
+    (metadata-only, no data reads) — and DISTRIBUTED once built, so
+    operational queries over a million-file table ("bytes per
+    partition", "files with stale stats", "tombstoned share") run as
+    ordinary Spark SQL instead of a driver loop."""
+    from ..streaming.snapshot_source import _partition_values_from_path
+
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    man = _load_manifest(spark, path, version)
+    root = _root(path)
+    fs, jvm = _fs(spark, root)
+    stats = man.get("stats") or {}
+    tgts = set(man.get("dv_targets") or ())
+    rows = []
+    for f in man["files"]:
+        pv = _partition_values_from_path(f)
+        rows.append(
+            (
+                f,
+                int(fs.getFileStatus(_jp(jvm, root, f)).getLen()),
+                json.dumps(pv, sort_keys=True) if pv else None,
+                f in tgts,
+                json.dumps(stats[f], sort_keys=True) if f in stats else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, bytes long, partition_values string, "
+        "has_tombstones boolean, stats string",
+    )
+
+
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """The commit history as a queryable DataFrame (``DESCRIBE
+    HISTORY``): version, op, parent, commit timestamp, file/DV counts,
+    and the op-specific annotations (rows added/removed, DV rows,
+    restore target, load provenance) as a JSON string. One manifest
+    reconstruction per retained version — ascending, so the state
+    cache makes the walk O(1) folds per version."""
+    scalar_skip = {
+        "version", "parent", "op", "committed_at_ms", "schema",
+        "partition_cols", "manifest_id", "parent_id", "files",
+        "dv_files", "dv_targets", "stats", "stats_cols",
+    }
+    rows = []
+    for v in _list_manifests(spark, path):
+        man = _load_manifest(spark, path, v)
+        extras = {
+            k: val for k, val in man.items() if k not in scalar_skip
+        }
+        rows.append(
+            (
+                v,
+                man.get("op"),
+                man.get("parent"),
+                man.get("committed_at_ms"),
+                len(man["files"]),
+                len(man.get("dv_files") or ()),
+                json.dumps(extras, sort_keys=True) if extras else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, parent int, committed_at_ms long, "
+        "n_files int, n_dv_files int, extras string",
+    )
 
 
 def _branch_names(spark: SparkSession, path: str) -> list[str]:
@@ -2875,6 +2967,109 @@ def snapshot_update(
     out = snapshot_update_rows_dv(spark, path, col, values, set_values)
     _maybe_auto_compact_dvs(spark, path, auto_compact_files)
     return out
+
+
+def snapshot_add_column(
+    spark: SparkSession, path: str, name: str, dtype
+) -> int:
+    """METADATA-ONLY ``ALTER TABLE ADD COLUMN``: publish a new version
+    with the same files and a widened schema — zero data bytes move at
+    any table size. Existing rows surface the column as NULL (the
+    explicit-list readers null-fill manifest columns absent from a
+    file); subsequent writers include it like any other column.
+    ``dtype`` is a DataType or a DDL string (``"int"``,
+    ``"array<double>"``). Returns the new version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    if isinstance(dtype, str):
+        dtype = _parse_datatype_string(dtype)
+    if name in _DV_COLS:
+        raise ValueError(
+            f"column name {name!r} is reserved for the deletion-vector "
+            "row identity"
+        )
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    schema = StructType.fromJson(man["schema"])
+    if name in {f.name for f in schema.fields}:
+        raise ValueError(f"column {name!r} already exists at {path}")
+    from pyspark.sql.types import StructField
+
+    new_schema = StructType(list(schema.fields) + [StructField(name, dtype)])
+    return _commit(
+        spark,
+        path,
+        man["files"],
+        new_schema,
+        "add_column",
+        latest,
+        extra={
+            "altered_column": name,
+            **(
+                {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
+                if man.get("stats") is not None
+                else {}
+            ),
+        },
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=man.get("dv_files"),
+        dv_targets=_dv_targets_for(man),
+    )
+
+
+def snapshot_drop_column(
+    spark: SparkSession, path: str, name: str
+) -> int:
+    """METADATA-ONLY ``ALTER TABLE DROP COLUMN``: publish a new version
+    with the same files and a narrowed schema. The column's bytes stay
+    in the files (readers project them away — the explicit-list scan
+    selects exactly the manifest schema) until the next
+    ``snapshot_compact`` physically rewrites; time travel below the
+    drop still reads it. Partition columns refuse (their values ARE
+    the directory layout); the column's per-file stats entries drop
+    with it. Returns the new version."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    schema = StructType.fromJson(man["schema"])
+    if name not in {f.name for f in schema.fields}:
+        raise ValueError(f"column {name!r} does not exist at {path}")
+    pc = _manifest_partition_cols(man) or []
+    if name in pc:
+        raise ValueError(
+            f"cannot drop partition column {name!r} — its values are "
+            "the directory layout; rewrite the table with a new layout "
+            "(snapshot_compact) first"
+        )
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+    if not new_schema.fields:
+        raise ValueError("cannot drop the last column")
+    extra: dict = {"altered_column": name}
+    if man.get("stats") is not None:
+        extra["stats"] = {
+            f: {c: v for c, v in st.items() if c != name}
+            for f, st in man["stats"].items()
+        }
+        extra["stats_cols"] = [
+            c for c in (man.get("stats_cols") or []) if c != name
+        ]
+    return _commit(
+        spark,
+        path,
+        man["files"],
+        new_schema,
+        "drop_column",
+        latest,
+        extra=extra,
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=man.get("dv_files"),
+        dv_targets=_dv_targets_for(man),
+    )
 
 
 def _victim_bytes(

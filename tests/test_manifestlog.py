@@ -516,3 +516,26 @@ def test_branch_fork_is_checkpoint_and_carries_dv_targets(
     drop_branch(spark, table, "dev", reclaim=True)
     assert not glob.glob(os.path.join(table, "_branches", "dev", "**"))
     assert read_snapshot(spark, table).count() == 8
+
+
+def test_manifest_scale_artifact_is_committed_and_sane():
+    """MANIFEST_SCALE.json (generated by tools/manifest_meter.py) is
+    the measured record behind the O(change) metadata claim: delta
+    commit bytes flat across a 10x table-file scale-up while the old
+    full-JSON format scales linearly. A stale/implausible artifact
+    flips this test, not just the SURVEY prose."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    doc = json.load(open(os.path.join(root, "MANIFEST_SCALE.json")))
+    claim = doc["claim"]
+    assert claim["file_scale_factor"] >= 10
+    # steady-state append doc must NOT grow with the table
+    assert claim["delta_bytes_ratio"] < 2.0, claim
+    # the format it replaced DID grow ~linearly (sanity that the meter
+    # measured something real)
+    assert claim["legacy_bytes_ratio"] > claim["file_scale_factor"] / 2
+    assert claim["steady_state_win_at_largest"] > 100
+    for row in doc["rows"]:
+        # checkpoint amortizes: blob bytes / cadence stays well under
+        # the legacy per-commit write
+        amortized = row["ckpt_bytes_max"] / row["ckpt_every"]
+        assert amortized < row["legacy_bytes_per_commit"] / 10, row

@@ -1192,3 +1192,184 @@ def test_stats_and_bloom_fail_loud_on_encoding_drift(spark, table, tmp_path, mon
         build_snapshot_bloom_index(
             spark, table, "id", str(tmp_path / "drift_bloom")
         )
+
+
+def test_schema_ddl_add_and_drop_column(spark, table):
+    """Metadata-only ALTER: add surfaces NULL on old rows and rides
+    new writes; drop projects the column away (bytes stay until
+    compact), strips its stats, keeps time travel; partition columns
+    and duplicates refuse. Zero data movement either way."""
+    import glob
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_add_column,
+        snapshot_compact,
+        snapshot_drop_column,
+        snapshot_update_rows,
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(1, 0, "a"), (2, 1, "b")]), table,
+        stats_cols=["id"], partition_cols=["month"],
+    )
+    files_before = set(
+        glob.glob(os.path.join(table, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    v2 = snapshot_add_column(spark, table, "score", "double")
+    # metadata-only: not one data file moved
+    assert set(
+        glob.glob(os.path.join(table, "data", "**", "*.parquet"),
+                  recursive=True)
+    ) == files_before
+    got = read_snapshot(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "month", "v", "score"]
+    assert sorted((r.id, r.score) for r in got.collect()) \
+        == [(1, None), (2, None)]
+    # refusals
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_add_column(spark, table, "score", "int")
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_add_column(spark, table, "_dv_file", "string")
+    with pytest.raises(ValueError, match="partition column"):
+        snapshot_drop_column(spark, table, "month")
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_drop_column(spark, table, "nope")
+    # stats for a dropped stats-col are stripped; other cols' survive
+    v3 = snapshot_drop_column(spark, table, "id")
+    man3 = _load_manifest(spark, table, v3)
+    assert man3.get("stats_cols") == []
+    assert all("id" not in st for st in man3.get("stats", {}).values())
+    got = read_snapshot(spark, table)
+    assert [f.name for f in got.schema.fields] == ["month", "v", "score"]
+    # time travel below the drop still reads the column
+    assert sorted(
+        r.id for r in read_snapshot(spark, table, version=v2).collect()
+    ) == [1, 2]
+    # new writes carry the added column; old files still null-fill
+    snapshot_write(
+        spark.createDataFrame(
+            [(0, "c", 0.5)], "month int, v string, score double"
+        ),
+        table, mode="append", partition_cols=["month"],
+    )
+    assert sorted(
+        (r.v, r.score) for r in read_snapshot(spark, table).collect()
+    ) == [("a", None), ("b", None), ("c", 0.5)]
+    snapshot_drop_column(spark, table, "v")
+    # DML after the alters works on the current schema
+    snapshot_update_rows(spark, table, "score", [0.5], {"score": None})
+    assert sorted(
+        (r.month, r.score) for r in read_snapshot(spark, table).collect()
+    ) == [(0, None), (0, None), (1, None)]
+    # compact physically sheds the dropped columns
+    snapshot_compact(spark, table)
+    got = read_snapshot(spark, table)
+    assert [f.name for f in got.schema.fields] == ["month", "score"]
+    assert got.count() == 3
+
+
+def test_snapshot_alter_cli(spark, table, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    snapshot_write(_df(spark, [(1, 0, "a")]), table)
+    assert main(
+        ["snapshot-alter", "--table-path", table, "--add", "score:double"],
+        spark=spark,
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["added"] == "score"
+    assert main(
+        ["snapshot-alter", "--table-path", table, "--drop", "v"],
+        spark=spark,
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dropped"] == "v"
+    got = read_snapshot(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "month", "score"]
+
+
+def test_schema_ddl_change_feed_and_stream_classification(spark, table):
+    """An alter commit moves zero files: the row-level change feed
+    emits nothing for it (pre-alter commits read under the target
+    schema — added columns null-fill, dropped columns project away),
+    and the insert-only streaming feed passes it as an empty append
+    even under onNonAppend=fail."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_add_column,
+        snapshot_changes,
+        snapshot_drop_column,
+    )
+
+    snapshot_write(_df(spark, [(1, 0, "a")]), table, partition_cols=["month"])
+    snapshot_add_column(spark, table, "score", "double")       # v2
+    snapshot_write(
+        spark.createDataFrame(
+            [(2, 1, "b", 0.5)],
+            "id long, month int, v string, score double",
+        ),
+        table, mode="append", partition_cols=["month"],
+    )                                                          # v3
+    snapshot_drop_column(spark, table, "v")                    # v4
+    ch = snapshot_changes(spark, table, from_version=0)
+    rows = sorted(
+        (r.id, r.score, r._change_type, r._commit_version)
+        for r in ch.collect()
+    )
+    # only the two data commits appear; the target (v4) schema applies
+    assert rows == [(1, None, "insert", 1), (2, 0.5, "insert", 3)]
+    assert [f.name for f in ch.schema.fields] == [
+        "id", "month", "score", "_change_type", "_commit_version",
+    ]
+
+
+def test_metadata_tables_files_and_history(spark, table):
+    """snapshot_files / snapshot_history: the operational metadata
+    surface as DataFrames — file sizes, partition values, tombstone
+    flags, per-file stats, and per-commit annotations, all queryable
+    with ordinary Spark SQL."""
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows_dv,
+        snapshot_files,
+        snapshot_history,
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 2, f"a{i}") for i in range(8)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    snapshot_delete_rows_dv(spark, table, "id", [0])
+    files = snapshot_files(spark, table)
+    rows = files.collect()
+    assert all(r.bytes > 0 for r in rows)
+    pvs = { _json.loads(r.partition_values)["month"] for r in rows }
+    assert pvs == {"0", "1"}
+    # tombstone flag marks exactly the targeted files
+    assert files.where("has_tombstones").count() >= 1
+    tomb_pv = {
+        _json.loads(r.partition_values)["month"]
+        for r in files.where("has_tombstones").collect()
+    }
+    assert tomb_pv == {"0"}
+    # stats ride as JSON and are queryable
+    st = _json.loads(rows[0].stats)
+    assert "id" in st and len(st["id"]) == 2
+    # time travel: v1 has no tombstoned files
+    assert snapshot_files(spark, table, version=1) \
+        .where("has_tombstones").count() == 0
+    with pytest.raises(FileNotFoundError):
+        snapshot_files(spark, table, version=42)
+
+    hist = snapshot_history(spark, table).collect()
+    assert [(h.version, h.op) for h in hist] \
+        == [(1, "overwrite"), (2, "delete_rows_dv")]
+    assert hist[1].n_dv_files == 1 and hist[1].parent == 1
+    extras = _json.loads(hist[1].extras)
+    assert extras["dv_rows_added"] == 1
