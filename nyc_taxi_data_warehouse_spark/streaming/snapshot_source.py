@@ -147,14 +147,30 @@ def _list_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def _is_not_found(e: OSError) -> bool:
+    """Only genuinely-missing paths map to None: local filesystems
+    raise FileNotFoundError, object-store pyarrow filesystems a plain
+    OSError whose message names the missing path. Anything else —
+    throttling, permissions, transient network — must PROPAGATE: a
+    503 misdiagnosed as 'vacuumed history' would tell the operator to
+    restart with startingVersion=latest, permanently skipping feed
+    data over a retryable error."""
+    if isinstance(e, FileNotFoundError):
+        return True
+    msg = str(e).lower()
+    return "not exist" in msg or "not found" in msg or "no such file" in msg
+
+
 def _read_doc(path: str, version: int) -> dict | None:
     tbl, mdir = _ref_parts(path)
     fs, root = _pa_fs(tbl)
     try:
         with fs.open_input_stream(f"{root}/{mdir}/{version:08d}.json") as f:
             return json.loads(f.read().decode("utf-8"))
-    except OSError:  # FileNotFoundError locally; plain OSError from
-        return None  # object-store pyarrow filesystems
+    except OSError as e:
+        if _is_not_found(e):
+            return None
+        raise
 
 
 def _read_blob(path: str, name: str) -> bytes | None:
@@ -163,8 +179,10 @@ def _read_blob(path: str, name: str) -> bytes | None:
     try:
         with fs.open_input_stream(f"{root}/{mdir}/{name}") as f:
             return f.read()
-    except OSError:
-        return None
+    except OSError as e:
+        if _is_not_found(e):
+            return None
+        raise
 
 
 # reconstructed-state LRU shared across readers in this planning

@@ -59,6 +59,7 @@ from .snapshots import (
     _check_ref_name,
     _commit,
     _dv_targets_for,
+    _storage_refs,
     _fs,
     _jp,
     _list_manifests,
@@ -149,27 +150,26 @@ def drop_branch(
         raise FileNotFoundError(f"no branch {name!r} at {path}")
     deleted = 0
     if reclaim:
-        # deletion-vector sidecars count exactly like data files on
-        # BOTH sides: a branch-minted sidecar no other ref holds is
-        # this branch's storage to reclaim, while one shared with main
-        # (fork carry / publish) must survive or its deleted rows
-        # resurrect on the surviving refs
-        def _refs(man: dict) -> list[str]:
-            return man["files"] + (man.get("dv_files") or [])
-
+        # _storage_refs counts deletion-vector sidecars exactly like
+        # data files on BOTH sides: a branch-minted sidecar no other
+        # ref holds is this branch's storage to reclaim, while one
+        # shared with main (fork carry / publish) must survive or its
+        # deleted rows resurrect on the surviving refs
         mine: set[str] = set()
         ref = branch_ref(path, name)
         for v in _list_manifests(spark, ref):
-            mine.update(_refs(_load_manifest(spark, ref, v)))
+            mine.update(_storage_refs(_load_manifest(spark, ref, v)))
         referenced: set[str] = set()
         for v in _list_manifests(spark, path):
-            referenced.update(_refs(_load_manifest(spark, path, v)))
+            referenced.update(_storage_refs(_load_manifest(spark, path, v)))
         for other in _branch_names(spark, path):
             if other == name:
                 continue
             oref = branch_ref(path, other)
             for v in _list_manifests(spark, oref):
-                referenced.update(_refs(_load_manifest(spark, oref, v)))
+                referenced.update(
+                    _storage_refs(_load_manifest(spark, oref, v))
+                )
         for f in sorted(mine - referenced):
             if fs.delete(_jp(jvm, path, f), False):
                 deleted += 1

@@ -193,8 +193,11 @@ def decode_checkpoint(data: bytes, want_stats: bool = True) -> dict:
         "files": files,
         "dv_files": dvs or None,
         "dv_targets": tgts or None,
+        # stats and stats_cols travel as a PAIR: a stripped read
+        # (want_stats=False) returns the structural no-stats shape,
+        # never a half-populated one
         "stats": (stats if has_stats and want_stats else None),
-        "stats_cols": stats_cols if has_stats else None,
+        "stats_cols": (stats_cols if has_stats and want_stats else None),
     }
 
 
@@ -424,6 +427,13 @@ def reconstruct(
     state = base
     for d in reversed(pending):
         state = fold_delta(d, state)
+        if not want_stats:
+            # a fold over a stats-stripped base would otherwise carry a
+            # PARTIAL stats dict (just the delta's stats_put) that looks
+            # complete — force the structural "no stats" shape instead
+            # of a silently-wrong one
+            state["stats"] = None
+            state["stats_cols"] = None
         if cache:
             cache.put(_key(d.get("manifest_id")), state)
     if cache and not pending:

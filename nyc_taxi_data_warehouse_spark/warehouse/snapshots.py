@@ -50,6 +50,8 @@ from __future__ import annotations
 import json
 import uuid
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -1466,7 +1468,6 @@ def snapshot_files(
         )
     man = _load_manifest(spark, path, version)
     root = _root(path)
-    fs, jvm = _fs(spark, root)
     stats = man.get("stats") or {}
     tgts = set(man.get("dv_targets") or ())
     rows = []
@@ -1475,16 +1476,45 @@ def snapshot_files(
         rows.append(
             (
                 f,
-                int(fs.getFileStatus(_jp(jvm, root, f)).getLen()),
                 json.dumps(pv, sort_keys=True) if pv else None,
                 f in tgts,
                 json.dumps(stats[f], sort_keys=True) if f in stats else None,
             )
         )
-    return spark.createDataFrame(
+    base = spark.createDataFrame(
         rows,
-        "file string, bytes long, partition_values string, "
+        "file string, partition_values string, "
         "has_tombstones boolean, stats string",
+    )
+
+    # file sizes come from the EXECUTORS (Arrow-batched pyarrow
+    # file-info, one batched call per partition) — a serial driver
+    # getFileStatus loop is one object-store RPC per file, hours at
+    # 10^6 files. Everything else above is already in the manifest.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sizes(paths: pd.Series) -> pd.Series:
+        import pandas as pd
+        import pyarrow.fs as pafs
+
+        if len(paths) == 0:
+            return pd.Series([], dtype="int64")
+        first = paths.iloc[0]
+        if "://" in first:
+            fs2, _ = pafs.FileSystem.from_uri(first)
+            rel = paths.str.replace(r"^[a-z0-9+.-]+://", "", regex=True)
+        else:
+            fs2, rel = pafs.LocalFileSystem(), paths
+        infos = fs2.get_file_info(list(rel))
+        return pd.Series([i.size for i in infos], dtype="int64")
+
+    return base.select(
+        "file",
+        _sizes(F.concat(F.lit(f"{root}/"), F.col("file"))).alias("bytes"),
+        "partition_values",
+        "has_tombstones",
+        "stats",
     )
 
 
@@ -1595,19 +1625,14 @@ def vacuum_snapshots(
     drop = [v for v in versions[:-keep_last] if v not in tagged]
     keep = [v for v in versions if v not in drop]
     referenced: set[str] = set()
-
-    def _refs(man: dict) -> list[str]:
-        # deletion-vector sidecars are referenced storage exactly like
-        # data files: deleting a retained version's DVs would
-        # RESURRECT its deleted rows
-        return man["files"] + (man.get("dv_files") or [])
-
     for v in keep:
-        referenced.update(_refs(_load_manifest(spark, path, v)))
+        referenced.update(_storage_refs(_load_manifest(spark, path, v)))
     for b in _branch_names(spark, path):
         ref = f"{path}{_REF_SEP}{b}"
         for bv in _list_manifests(spark, ref):
-            referenced.update(_refs(_load_manifest(spark, ref, bv)))
+            referenced.update(
+                _storage_refs(_load_manifest(spark, ref, bv))
+            )
     # RESCUE pass, while every ancestor manifest is still present: a
     # retained DELTA doc whose parent is about to be dropped (the
     # retention tail, or a tagged island in dropped history) could
@@ -1641,7 +1666,7 @@ def vacuum_snapshots(
     drop_blobs: list[str] = []
     for v in drop:
         doc = _read_doc(spark, path, v, must=True)
-        drop_refs[v] = _refs(_load_manifest(spark, path, v))
+        drop_refs[v] = _storage_refs(_load_manifest(spark, path, v))
         if doc.get("ckpt"):
             drop_blobs.append(doc["ckpt"])
         if "manifest_id" in doc:
@@ -1702,8 +1727,9 @@ def sweep_orphans(
         f"{path}{_REF_SEP}{b}" for b in _branch_names(spark, path)
     ]:
         for v in _list_manifests(spark, mref):
-            man = _load_manifest(spark, mref, v)
-            referenced.update(man["files"] + (man.get("dv_files") or []))
+            referenced.update(
+                _storage_refs(_load_manifest(spark, mref, v))
+            )
         # checkpoint-blob debris: a commit writes its checkpoint BEFORE
         # the exclusive manifest claim, so a losing racer (or a crash
         # between blob and claim) strands a blob no manifest
@@ -1929,6 +1955,45 @@ def _footer_row_total(spark: SparkSession, root: str, files: list[str]) -> int:
 
     n_slices = min(len(uris), max(2, spark.sparkContext.defaultParallelism))
     return spark.sparkContext.parallelize(uris, n_slices).map(_count).sum()
+
+
+def _file_bytes_total(
+    spark: SparkSession, root: str, files: list[str]
+) -> int:
+    """Total on-disk bytes of manifest relpaths. Small lists stat on
+    the driver; past a threshold the file-info calls fan out to
+    executors (same shape as ``_footer_row_total``) — a serial driver
+    loop is one object-store RPC per file, hours at the 10^5–10^6-file
+    design point."""
+    if not files:
+        return 0
+    if len(files) <= 256:
+        fs, jvm = _fs(spark, root)
+        return sum(
+            fs.getFileStatus(_jp(jvm, root, f)).getLen() for f in files
+        )
+    uris = [f"{root}/{f}" for f in files]
+
+    def _size(uri: str) -> int:
+        import pyarrow.fs as pafs
+
+        if "://" in uri:
+            fs, p = pafs.FileSystem.from_uri(uri)
+        else:
+            fs, p = pafs.LocalFileSystem(), uri
+        return fs.get_file_info(p).size
+
+    n_slices = min(len(uris), max(2, spark.sparkContext.defaultParallelism))
+    return spark.sparkContext.parallelize(uris, n_slices).map(_size).sum()
+
+
+def _storage_refs(man: dict) -> list[str]:
+    """EVERY storage relpath a manifest references — data files plus
+    deletion-vector sidecars (deleting a retained version's DVs would
+    RESURRECT its deleted rows). The single definition all three GC
+    paths (vacuum, orphan sweep, branch reclaim) share: a new sidecar
+    kind added here is automatically protected everywhere."""
+    return man["files"] + (man.get("dv_files") or [])
 
 
 def _dv_entry_count(
@@ -2807,13 +2872,6 @@ def snapshot_compact_dvs(
     root = _root(path)
     if not dvs:
         return latest
-    if len(dvs) == 1:
-        total_entries = _footer_row_total(spark, root, dvs)
-        n_live = _dv_entry_count(spark, root, dvs, man["files"])
-        if total_entries == 0 or (
-            (total_entries - n_live) / total_entries < min_dead_fraction
-        ):
-            return latest
     live = F.broadcast(
         spark.createDataFrame(
             [(f,) for f in man["files"]], "_dv_file string"
@@ -2826,6 +2884,15 @@ def snapshot_compact_dvs(
         .localCheckpoint(eager=True)
     )
     n = entries.count()
+    if len(dvs) == 1:
+        # single sidecar: consolidate only when materially inert (the
+        # gate reuses the live semi-join already materialized above —
+        # one sidecar scan total, not two)
+        total_entries = _footer_row_total(spark, root, dvs)
+        if total_entries == 0 or (
+            (total_entries - n) / total_entries < min_dead_fraction
+        ):
+            return latest
     if n == 0:
         # every entry was inert: the table has NO live tombstones —
         # publish a DV-free manifest instead of an empty sidecar
@@ -2873,7 +2940,10 @@ def snapshot_compact_dvs(
 
 
 def _maybe_auto_compact_dvs(
-    spark: SparkSession, path: str, auto_compact_files: int | None
+    spark: SparkSession,
+    path: str,
+    auto_compact_files: int | None,
+    target_mb: int = 64,
 ) -> None:
     """Opportunistic sidecar consolidation after a DV-writing commit:
     once ``auto_compact_files`` sidecars have accumulated, fold them
@@ -2883,18 +2953,36 @@ def _maybe_auto_compact_dvs(
     consolidation re-reads every live tombstone, so firing it per
     commit would make each DML ∝ total tombstones — at every N
     commits the re-read amortizes to 1/N per commit, the standard
-    log-structured-merge tradeoff. Failures (a concurrent writer
-    winning the version) are swallowed: the DML already committed,
-    and the next DV commit re-triggers."""
+    log-structured-merge tradeoff.
+
+    The trigger also requires consolidation to actually HELP: once
+    live tombstones exceed ``auto_compact_files × target_mb`` the
+    consolidated output is itself ≥ the trigger count of right-sized
+    sidecars, and firing on count alone would re-read the whole
+    tombstone set on EVERY subsequent DML — the exact per-commit
+    blowup the cadence exists to avoid. Requiring the predicted
+    output count to be at most half the current count keeps every
+    fired consolidation a genuine 2× reduction (fragmentation-driven),
+    and a table with a legitimately huge tombstone set stops
+    auto-firing (a physical ``snapshot_compact`` is the right
+    maintenance there). Failures (a concurrent writer winning the
+    version) are swallowed: the DML already committed, and the next
+    DV commit re-triggers."""
     if not auto_compact_files:
         return
     versions = _list_manifests(spark, path)
     man = _load_manifest(spark, path, versions[-1])
-    if len(man.get("dv_files") or []) >= auto_compact_files:
-        try:
-            snapshot_compact_dvs(spark, path)
-        except SnapshotConflict:
-            pass
+    dvs = man.get("dv_files") or []
+    if len(dvs) < auto_compact_files:
+        return
+    total = _file_bytes_total(spark, _root(path), dvs)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    if n_out * 2 > len(dvs):
+        return  # consolidation would not materially reduce the count
+    try:
+        snapshot_compact_dvs(spark, path, target_mb=target_mb)
+    except SnapshotConflict:
+        pass
 
 
 def snapshot_delete(
@@ -3074,16 +3162,18 @@ def snapshot_drop_column(
 
 def _victim_bytes(
     spark: SparkSession, path: str, col: str, values: list
-) -> int:
+) -> float:
     """Total on-disk bytes of the stats-selected victim files — what a
-    copy-on-write DML would rewrite. Metadata-only."""
+    copy-on-write DML would rewrite. Metadata-only; file sizes fan out
+    to executors past a small count (``_file_bytes_total``). When the
+    stats can't exclude ANYTHING (stats-less table, un-statted column)
+    the rewrite would copy the whole table — that's infinity for the
+    dispatch decision, no need to stat a single file."""
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
     man = _load_manifest(spark, path, versions[-1])
-    victims, _carried = _victims_by_stats(man, col, values)
-    root = _root(path)
-    fs, jvm = _fs(spark, root)
-    return sum(
-        fs.getFileStatus(_jp(jvm, root, f)).getLen() for f in victims
-    )
+    victims, carried = _victims_by_stats(man, col, values)
+    if victims and not carried:
+        return float("inf")
+    return _file_bytes_total(spark, _root(path), victims)

@@ -539,3 +539,83 @@ def test_manifest_scale_artifact_is_committed_and_sane():
         # the legacy per-commit write
         amortized = row["ckpt_bytes_max"] / row["ckpt_every"]
         assert amortized < row["legacy_bytes_per_commit"] / 10, row
+
+
+def test_stripped_reconstruction_never_partial_stats(spark, table, ckpt3):
+    """REVIEW r8: a want_stats=False reconstruction folding deltas over
+    a stats-stripped checkpoint base must return the structural
+    no-stats shape — never a partial dict holding only the latest
+    commit's stats_put (a future stats consumer in the planning
+    subprocess would silently read wrong per-file stats)."""
+    from nyc_taxi_data_warehouse_spark.streaming.snapshot_source import (
+        _load_manifest as feed_load,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 2, f"a{i}") for i in range(6)]),
+        table, ["id"], partition_cols=["month"],
+    )                                                        # v1 ckpt
+    for k in range(2, 6):                                    # deltas + ckpt
+        snapshot_write_with_stats(
+            _df(spark, [(100 + k, k % 2, f"b{k}")]),
+            table, ["id"], mode="append", partition_cols=["month"],
+        )
+    head = _list_manifests(spark, table)[-1]
+    assert not _read_doc(spark, table, head).get("ckpt")  # delta head
+    # JVM-side (full) reconstruction carries complete stats
+    full = _load_manifest(spark, table, head)
+    assert len(full["stats"]) == len(full["files"])
+    # planner-side (stripped) reconstruction: no stats AT ALL
+    stripped = feed_load(table, head)
+    assert "stats" not in stripped and "stats_cols" not in stripped
+    assert stripped["files"] == full["files"]
+
+
+def test_feed_read_doc_propagates_non_notfound_oserrors():
+    """REVIEW r8: only genuinely-missing manifests map to None —
+    throttling/permission OSErrors must propagate, or a transient 503
+    reads as 'vacuumed history' and the operator skips feed data."""
+    from nyc_taxi_data_warehouse_spark.streaming import snapshot_source as ss
+
+    assert ss._is_not_found(FileNotFoundError("x"))
+    assert ss._is_not_found(OSError("Path does not exist 's3://b/k'"))
+    assert ss._is_not_found(OSError("key Not Found"))
+    assert not ss._is_not_found(OSError("AWS Error SLOW_DOWN (503)"))
+    assert not ss._is_not_found(PermissionError("denied"))
+
+
+def test_auto_compact_skips_when_consolidation_cannot_reduce(
+    spark, table, monkeypatch
+):
+    """REVIEW r8: once live tombstones exceed auto_compact_files x
+    target_mb, count-triggered consolidation would re-read the whole
+    set on EVERY DML — the trigger must require a genuine >=2x count
+    reduction and otherwise stand down."""
+    from nyc_taxi_data_warehouse_spark.warehouse import snapshots as sn
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(40)]),
+        table, partition_cols=["month"],
+    )
+    for i in range(4):
+        sn.snapshot_delete(
+            spark, table, "id", [i], mode="dv", auto_compact_files=None
+        )
+    man = _load_manifest(spark, table, _list_manifests(spark, table)[-1])
+    n_dvs = len(man["dv_files"])
+    assert n_dvs >= 4
+    calls = []
+    monkeypatch.setattr(
+        sn, "snapshot_compact_dvs",
+        lambda *a, **k: calls.append(1) or _list_manifests(spark, table)[-1],
+    )
+    # total bytes >> target: predicted n_out ~ len(dvs) -> stands down
+    monkeypatch.setattr(
+        sn, "_file_bytes_total", lambda *a, **k: n_dvs * 64 * 1024 * 1024
+    )
+    sn._maybe_auto_compact_dvs(spark, table, auto_compact_files=2)
+    assert not calls  # n_out == n_dvs: no reduction, no fire
+    # genuinely fragmented set (tiny bytes): fires
+    monkeypatch.setattr(sn, "_file_bytes_total", lambda *a, **k: 1024)
+    sn._maybe_auto_compact_dvs(spark, table, auto_compact_files=2)
+    assert calls == [1]
