@@ -619,3 +619,118 @@ def test_auto_compact_skips_when_consolidation_cannot_reduce(
     monkeypatch.setattr(sn, "_file_bytes_total", lambda *a, **k: 1024)
     sn._maybe_auto_compact_dvs(spark, table, auto_compact_files=2)
     assert calls == [1]
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: metadata-only commit storms vs a pure-python shadow
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# (op, payload): append n files / overwrite n files / dv-commit /
+# clear-dvs / tag current head / vacuum keep_last
+_META_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 3)),
+        st.tuples(st.just("overwrite"), st.integers(1, 3)),
+        st.tuples(st.just("dv"), st.integers(1, 2)),
+        st.tuples(st.just("cleardv"), st.just(0)),
+        st.tuples(st.just("tag"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=4,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_META_OPS, ckpt_every=st.integers(1, 5))
+def test_reconstruction_matches_shadow_ledger_under_any_history(
+    spark, tmp_path_factory, ops, ckpt_every, monkeypatch
+):
+    """Every RETAINED version's reconstructed state must equal a
+    pure-python shadow ledger after ANY interleaving of appends,
+    overwrites, DV commits, DV clears, tags and vacuums, at any
+    checkpoint cadence — including reconstruction across vacuum gaps
+    (rescue checkpoints) and tagged delta islands. Metadata-only:
+    commits record synthetic relpaths, so the fuzz drives the manifest
+    log itself, not parquet IO."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from nyc_taxi_data_warehouse_spark.warehouse import snapshots as sn
+    from nyc_taxi_data_warehouse_spark.warehouse.branching import (
+        create_tag,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_CKPT_EVERY", str(ckpt_every))
+    table = str(tmp_path_factory.mktemp("mfuzz") / "t")
+    schema = StructType([StructField("id", LongType())])
+    shadow: dict[int, dict] = {}  # version -> {"files", "dvs", "tgts"}
+    cur_files: list[str] = []
+    cur_dvs: list[str] = []
+    cur_tgts: list[str] = []
+    seq = 0
+    parent = None
+    tagged = 0
+
+    def commit(files, dvs, tgts, op):
+        nonlocal parent
+        v = sn._commit(
+            spark, table, files, schema, op, parent,
+            dv_files=list(dvs) or None,
+            dv_targets=list(tgts) or None,
+        )
+        shadow[v] = {
+            "files": sorted(files),
+            "dvs": sorted(dvs),
+            "tgts": sorted(tgts),
+        }
+        parent = v
+
+    def fresh(n, kind="f"):
+        nonlocal seq
+        out = [
+            f"data/{'c' * 24}{seq + i:08x}/{kind}-{seq + i}.parquet"
+            for i in range(n)
+        ]
+        seq += n
+        return out
+
+    commit(fresh(2), [], [], "overwrite")  # v1 chain start
+    for op, arg in ops:
+        if op == "append":
+            cur_files = sorted(set(shadow[parent]["files"]) | set(fresh(arg)))
+            commit(cur_files, shadow[parent]["dvs"],
+                   shadow[parent]["tgts"], "append")
+        elif op == "overwrite":
+            commit(fresh(arg), [], [], "overwrite")
+        elif op == "dv":
+            prev = shadow[parent]
+            new_dvs = fresh(arg, "dv")
+            tgts = sorted(set(prev["tgts"]) | set(prev["files"][:1]))
+            commit(prev["files"],
+                   sorted(set(prev["dvs"]) | set(new_dvs)), tgts, "dvc")
+        elif op == "cleardv":
+            prev = shadow[parent]
+            commit(prev["files"], [], [], "compact_dvs")
+        elif op == "tag":
+            if tagged < 3:  # tag names are immutable; a few suffice
+                create_tag(spark, table, f"pin{tagged}", parent)
+                tagged += 1
+        elif op == "vacuum":
+            sn.vacuum_snapshots(spark, table, keep_last=arg)
+    # cold cache: reconstruction from DISK alone, every retained version
+    sn._STATE_CACHE.__setstate__({"maxsize": 256})
+    retained = sn._list_manifests(spark, table)
+    assert parent in retained
+    for v in retained:
+        man = sn._load_manifest(spark, table, v)
+        want = shadow[v]
+        assert man["files"] == want["files"], (v, "files")
+        assert sorted(man.get("dv_files") or []) == want["dvs"], (v, "dvs")
+        assert sorted(man.get("dv_targets") or []) == want["tgts"], (v, "tgts")
