@@ -149,16 +149,21 @@ def _list_versions(path: str) -> list[int]:
 
 def _is_not_found(e: OSError) -> bool:
     """Only genuinely-missing paths map to None: local filesystems
-    raise FileNotFoundError, object-store pyarrow filesystems a plain
-    OSError whose message names the missing path. Anything else —
-    throttling, permissions, transient network — must PROPAGATE: a
-    503 misdiagnosed as 'vacuumed history' would tell the operator to
+    raise FileNotFoundError (or ENOENT), object-store pyarrow
+    filesystems a plain OSError phrased ``Path does not exist ...``.
+    Anything else — throttling, permissions, transient network, a
+    MISSING BUCKET ('The specified bucket does not exist' is a config
+    error, not vacuumed history) — must PROPAGATE: a retryable error
+    misdiagnosed as 'vacuumed history' would tell the operator to
     restart with startingVersion=latest, permanently skipping feed
-    data over a retryable error."""
+    data."""
+    import errno
+
     if isinstance(e, FileNotFoundError):
         return True
-    msg = str(e).lower()
-    return "not exist" in msg or "not found" in msg or "no such file" in msg
+    if getattr(e, "errno", None) == errno.ENOENT:
+        return True
+    return "path does not exist" in str(e).lower()
 
 
 def _read_doc(path: str, version: int) -> dict | None:

@@ -1493,21 +1493,13 @@ def snapshot_files(
     # 10^6 files. Everything else above is already in the manifest.
     from pyspark.sql.functions import pandas_udf
 
+    sizer = _make_batch_sizer()
+
     @pandas_udf("long")
     def _sizes(paths: pd.Series) -> pd.Series:
         import pandas as pd
-        import pyarrow.fs as pafs
 
-        if len(paths) == 0:
-            return pd.Series([], dtype="int64")
-        first = paths.iloc[0]
-        if "://" in first:
-            fs2, _ = pafs.FileSystem.from_uri(first)
-            rel = paths.str.replace(r"^[a-z0-9+.-]+://", "", regex=True)
-        else:
-            fs2, rel = pafs.LocalFileSystem(), paths
-        infos = fs2.get_file_info(list(rel))
-        return pd.Series([i.size for i in infos], dtype="int64")
+        return pd.Series(sizer(paths.tolist()), dtype="int64")
 
     return base.select(
         "file",
@@ -1957,14 +1949,53 @@ def _footer_row_total(spark: SparkSession, root: str, files: list[str]) -> int:
     return spark.sparkContext.parallelize(uris, n_slices).map(_count).sum()
 
 
+def _make_batch_sizer():
+    """Factory for the executor-side batched file-size function shared
+    by ``_file_bytes_total`` and ``snapshot_files``: ONE FileSystem
+    construction and ONE batched ``get_file_info`` call per batch of
+    URIs (a per-file ``from_uri`` rebuilds the object-store client —
+    the RPC storm the fan-out exists to avoid, just moved). The
+    fs-local path prefix is derived from ``from_uri``'s own resolution
+    of the first URI, which handles authority-bearing schemes (HDFS
+    ``hdfs://nn:8020/x`` → ``/x``) and bucket-in-path ones (S3
+    ``s3://b/k`` → ``b/k``) alike — naive ``scheme://`` stripping
+    breaks the former. Returned as a closure so Spark pickles it by
+    value (no package import needed on untuned workers)."""
+
+    def batch_sizes(uris: list) -> list:
+        import pyarrow.fs as pafs
+
+        uris = list(uris)
+        if not uris:
+            return []
+        first = uris[0]
+        if "://" in first:
+            fs, first_path = pafs.FileSystem.from_uri(first)
+            off = len(first) - len(first_path)
+            rels = [u[off:] for u in uris]
+        else:
+            fs, rels = pafs.LocalFileSystem(), uris
+        infos = fs.get_file_info(rels)
+        out = []
+        for u, info in zip(uris, infos):
+            if info.size is None:
+                # a NotFound info would otherwise surface as an opaque
+                # int64-cast failure downstream
+                raise FileNotFoundError(f"cannot stat {u}")
+            out.append(info.size)
+        return out
+
+    return batch_sizes
+
+
 def _file_bytes_total(
     spark: SparkSession, root: str, files: list[str]
 ) -> int:
     """Total on-disk bytes of manifest relpaths. Small lists stat on
     the driver; past a threshold the file-info calls fan out to
-    executors (same shape as ``_footer_row_total``) — a serial driver
-    loop is one object-store RPC per file, hours at the 10^5–10^6-file
-    design point."""
+    executors in per-partition BATCHES (same shape as
+    ``_footer_row_total``) — a serial driver loop is one object-store
+    RPC per file, hours at the 10^5–10^6-file design point."""
     if not files:
         return 0
     if len(files) <= 256:
@@ -1973,18 +2004,13 @@ def _file_bytes_total(
             fs.getFileStatus(_jp(jvm, root, f)).getLen() for f in files
         )
     uris = [f"{root}/{f}" for f in files]
-
-    def _size(uri: str) -> int:
-        import pyarrow.fs as pafs
-
-        if "://" in uri:
-            fs, p = pafs.FileSystem.from_uri(uri)
-        else:
-            fs, p = pafs.LocalFileSystem(), uri
-        return fs.get_file_info(p).size
-
+    sizer = _make_batch_sizer()
     n_slices = min(len(uris), max(2, spark.sparkContext.defaultParallelism))
-    return spark.sparkContext.parallelize(uris, n_slices).map(_size).sum()
+    return (
+        spark.sparkContext.parallelize(uris, n_slices)
+        .mapPartitions(lambda it: sizer(it))
+        .sum()
+    )
 
 
 def _storage_refs(man: dict) -> list[str]:
@@ -2862,7 +2888,11 @@ def snapshot_compact_dvs(
     dead weight is re-read by every DV-masked scan until shed.
     ``min_dead_fraction`` gates that case (footer row total vs live
     semi-join count) so a fully-live sidecar is never pointlessly
-    rewritten."""
+    rewritten — the gate is a COUNT-only scan, nothing materializes
+    on a stand-down. The consolidated output is sized by LIVE bytes
+    (raw bytes × live fraction), never dead-inclusive raw bytes — a
+    mostly-inert set must shrink to its live footprint, not
+    re-fragment at its old size."""
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
@@ -2877,18 +2907,15 @@ def snapshot_compact_dvs(
             [(f,) for f in man["files"]], "_dv_file string"
         )
     )
-    entries = (
+    entries_plan = (
         spark.read.parquet(*[f"{root}/{p}" for p in dvs])
         .select("_dv_file", "_dv_pos")
         .join(live, "_dv_file", "left_semi")
-        .localCheckpoint(eager=True)
     )
-    n = entries.count()
+    total_entries = _footer_row_total(spark, root, dvs)
+    n = entries_plan.count()
     if len(dvs) == 1:
-        # single sidecar: consolidate only when materially inert (the
-        # gate reuses the live semi-join already materialized above —
-        # one sidecar scan total, not two)
-        total_entries = _footer_row_total(spark, root, dvs)
+        # single sidecar: consolidate only when materially inert
         if total_entries == 0 or (
             (total_entries - n) / total_entries < min_dead_fraction
         ):
@@ -2898,11 +2925,11 @@ def snapshot_compact_dvs(
         # publish a DV-free manifest instead of an empty sidecar
         new_dvs, n_after, new_tgts = None, 0, None
     else:
-        fs, jvm = _fs(spark, root)
-        total = sum(
-            fs.getFileStatus(_jp(jvm, root, p)).getLen() for p in dvs
-        )
-        n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+        # one scan feeds the write AND the distinct-target collect
+        entries = entries_plan.localCheckpoint(eager=True)
+        total = _file_bytes_total(spark, root, dvs)
+        live_bytes = total * n / max(1, total_entries)
+        n_out = max(1, -(-int(live_bytes) // (target_mb * 1024 * 1024)))
         _, new_dvs = _write_commit_files(
             entries.repartition(n_out), path, None
         )
@@ -2955,19 +2982,20 @@ def _maybe_auto_compact_dvs(
     commits the re-read amortizes to 1/N per commit, the standard
     log-structured-merge tradeoff.
 
-    The trigger also requires consolidation to actually HELP: once
-    live tombstones exceed ``auto_compact_files × target_mb`` the
-    consolidated output is itself ≥ the trigger count of right-sized
-    sidecars, and firing on count alone would re-read the whole
-    tombstone set on EVERY subsequent DML — the exact per-commit
-    blowup the cadence exists to avoid. Requiring the predicted
-    output count to be at most half the current count keeps every
-    fired consolidation a genuine 2× reduction (fragmentation-driven),
-    and a table with a legitimately huge tombstone set stops
-    auto-firing (a physical ``snapshot_compact`` is the right
-    maintenance there). Failures (a concurrent writer winning the
-    version) are swallowed: the DML already committed, and the next
-    DV commit re-triggers."""
+    The amortization guarantee is CADENCE-based, not count-based
+    alone: when live tombstones exceed ``auto_compact_files ×
+    (rows per right-sized sidecar)`` the consolidated output itself
+    stays at or above the trigger count, and a count-only trigger
+    would then re-read the whole tombstone set on EVERY subsequent
+    DML — the exact per-commit blowup the trigger exists to avoid.
+    So the gate also stands down whenever a ``compact_dvs`` commit
+    already sits within the last ``auto_compact_files`` versions:
+    consolidations are at least N commits apart, re-read cost
+    amortizes to 1/N per commit regardless of the live floor, and
+    (unlike a predicted-reduction gate on raw bytes) a mostly-INERT
+    sidecar set still consolidates and sheds its dead weight.
+    Failures (a concurrent writer winning the version) are swallowed:
+    the DML already committed, and the next DV commit re-triggers."""
     if not auto_compact_files:
         return
     versions = _list_manifests(spark, path)
@@ -2975,10 +3003,11 @@ def _maybe_auto_compact_dvs(
     dvs = man.get("dv_files") or []
     if len(dvs) < auto_compact_files:
         return
-    total = _file_bytes_total(spark, _root(path), dvs)
-    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
-    if n_out * 2 > len(dvs):
-        return  # consolidation would not materially reduce the count
+    # scalar-doc walk (cached): recent consolidation -> stand down
+    for v in versions[-auto_compact_files:]:
+        doc = _read_doc(spark, path, v, must=False)
+        if doc is not None and doc.get("op") == "compact_dvs":
+            return
     try:
         snapshot_compact_dvs(spark, path, target_mb=target_mb)
     except SnapshotConflict:
@@ -3162,18 +3191,17 @@ def snapshot_drop_column(
 
 def _victim_bytes(
     spark: SparkSession, path: str, col: str, values: list
-) -> float:
+) -> int:
     """Total on-disk bytes of the stats-selected victim files — what a
     copy-on-write DML would rewrite. Metadata-only; file sizes fan out
-    to executors past a small count (``_file_bytes_total``). When the
-    stats can't exclude ANYTHING (stats-less table, un-statted column)
-    the rewrite would copy the whole table — that's infinity for the
-    dispatch decision, no need to stat a single file."""
+    to executors in batches past a small count (``_file_bytes_total``),
+    so even the stats-can't-exclude-anything case (stats-less table,
+    un-statted column — every file a victim) is one parallel stat job,
+    and a genuinely SMALL table still gets its cheap join-free rewrite
+    under the threshold instead of being forced onto tombstones."""
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
     man = _load_manifest(spark, path, versions[-1])
-    victims, carried = _victims_by_stats(man, col, values)
-    if victims and not carried:
-        return float("inf")
+    victims, _carried = _victims_by_stats(man, col, values)
     return _file_bytes_total(spark, _root(path), victims)

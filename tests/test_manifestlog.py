@@ -577,20 +577,27 @@ def test_feed_read_doc_propagates_non_notfound_oserrors():
     reads as 'vacuumed history' and the operator skips feed data."""
     from nyc_taxi_data_warehouse_spark.streaming import snapshot_source as ss
 
+    import errno
+
     assert ss._is_not_found(FileNotFoundError("x"))
     assert ss._is_not_found(OSError("Path does not exist 's3://b/k'"))
-    assert ss._is_not_found(OSError("key Not Found"))
+    assert ss._is_not_found(OSError(errno.ENOENT, "No such file"))
     assert not ss._is_not_found(OSError("AWS Error SLOW_DOWN (503)"))
     assert not ss._is_not_found(PermissionError("denied"))
+    # a missing BUCKET is a config error, never vacuumed history
+    assert not ss._is_not_found(
+        OSError("The specified bucket does not exist")
+    )
 
 
-def test_auto_compact_skips_when_consolidation_cannot_reduce(
-    spark, table, monkeypatch
-):
-    """REVIEW r8: once live tombstones exceed auto_compact_files x
-    target_mb, count-triggered consolidation would re-read the whole
-    set on EVERY DML — the trigger must require a genuine >=2x count
-    reduction and otherwise stand down."""
+def test_auto_compact_cadence_gate(spark, table, monkeypatch):
+    """REVIEW r8 (both passes): count-only triggering thrashes once the
+    live floor exceeds the trigger count (every DML re-reads all
+    tombstones), and a predicted-reduction gate on raw bytes never
+    fires for mostly-INERT sets. The cadence gate fixes both: fire on
+    count, but never within auto_compact_files versions of the last
+    compact_dvs commit — amortized 1/N regardless of the floor, inert
+    weight still shed."""
     from nyc_taxi_data_warehouse_spark.warehouse import snapshots as sn
 
     snapshot_write(
@@ -602,23 +609,42 @@ def test_auto_compact_skips_when_consolidation_cannot_reduce(
             spark, table, "id", [i], mode="dv", auto_compact_files=None
         )
     man = _load_manifest(spark, table, _list_manifests(spark, table)[-1])
-    n_dvs = len(man["dv_files"])
-    assert n_dvs >= 4
+    assert len(man["dv_files"]) >= 4
     calls = []
     monkeypatch.setattr(
         sn, "snapshot_compact_dvs",
         lambda *a, **k: calls.append(1) or _list_manifests(spark, table)[-1],
     )
-    # total bytes >> target: predicted n_out ~ len(dvs) -> stands down
-    monkeypatch.setattr(
-        sn, "_file_bytes_total", lambda *a, **k: n_dvs * 64 * 1024 * 1024
-    )
-    sn._maybe_auto_compact_dvs(spark, table, auto_compact_files=2)
-    assert not calls  # n_out == n_dvs: no reduction, no fire
-    # genuinely fragmented set (tiny bytes): fires
-    monkeypatch.setattr(sn, "_file_bytes_total", lambda *a, **k: 1024)
+    # sidecar pileup, no recent consolidation: fires
     sn._maybe_auto_compact_dvs(spark, table, auto_compact_files=2)
     assert calls == [1]
+    # a REAL consolidation lands, leaving the live floor >= trigger
+    monkeypatch.undo()
+    v_c = snapshot_compact_dvs(spark, table)
+    man_c = _load_manifest(spark, table, v_c)
+    assert man_c["dv_files"]  # live tombstones remain
+    calls2 = []
+    monkeypatch.setattr(
+        sn, "snapshot_compact_dvs",
+        lambda *a, **k: calls2.append(1) or v_c,
+    )
+    # within the cadence window of the compact_dvs commit: stands down
+    # even though the count trigger is met
+    sn._maybe_auto_compact_dvs(spark, table, auto_compact_files=1)
+    assert not calls2
+    # more DML pushes the consolidation out of the window: fires again
+    monkeypatch.undo()
+    for i in range(10, 13):
+        sn.snapshot_delete(
+            spark, table, "id", [i], mode="dv", auto_compact_files=None
+        )
+    calls3 = []
+    monkeypatch.setattr(
+        sn, "snapshot_compact_dvs",
+        lambda *a, **k: calls3.append(1) or v_c,
+    )
+    sn._maybe_auto_compact_dvs(spark, table, auto_compact_files=2)
+    assert calls3 == [1]
 
 
 # ---------------------------------------------------------------------------
@@ -671,9 +697,6 @@ def test_reconstruction_matches_shadow_ledger_under_any_history(
     table = str(tmp_path_factory.mktemp("mfuzz") / "t")
     schema = StructType([StructField("id", LongType())])
     shadow: dict[int, dict] = {}  # version -> {"files", "dvs", "tgts"}
-    cur_files: list[str] = []
-    cur_dvs: list[str] = []
-    cur_tgts: list[str] = []
     seq = 0
     parent = None
     tagged = 0
@@ -704,8 +727,8 @@ def test_reconstruction_matches_shadow_ledger_under_any_history(
     commit(fresh(2), [], [], "overwrite")  # v1 chain start
     for op, arg in ops:
         if op == "append":
-            cur_files = sorted(set(shadow[parent]["files"]) | set(fresh(arg)))
-            commit(cur_files, shadow[parent]["dvs"],
+            grown = sorted(set(shadow[parent]["files"]) | set(fresh(arg)))
+            commit(grown, shadow[parent]["dvs"],
                    shadow[parent]["tgts"], "append")
         elif op == "overwrite":
             commit(fresh(arg), [], [], "overwrite")
