@@ -161,6 +161,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     scp.add_argument("--n-files", type=int, default=None)
     scp.add_argument(
+        "--min-file-mb", type=float, default=None,
+        help="targeted mode: bin-pack ONLY files smaller than this; "
+        "right-sized files are carried by reference untouched "
+        "(rewrite cost ∝ fragmented bytes, never the table)",
+    )
+    scp.add_argument(
         "--dv-only", action="store_true",
         help="consolidate deletion-vector sidecars only (metadata + "
         "sidecar commit; data files untouched)",
@@ -181,6 +187,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--orphan-grace-seconds", type=float, default=7 * 24 * 3600,
         help="minimum age before an unreferenced file is deletable; "
         "must exceed the longest write-to-manifest-claim window",
+    )
+
+    sn = sub.add_parser(
+        "snapshot-count",
+        help="exact live row count from manifest metadata (per-file "
+        "footer counts recorded at commit time, DV-corrected) — no "
+        "data pages scanned",
+    )
+    sn.add_argument("--table-path", required=True)
+    sn.add_argument("--version", type=int, default=None)
+    sn.add_argument(
+        "--at-timestamp", default=None,
+        help="count as of this time (ISO string or epoch seconds)",
     )
 
     sd = sub.add_parser(
@@ -476,6 +495,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     target_mb=args.target_mb,
                     cluster_by=args.cluster_by,
                     n_files=args.n_files,
+                    min_file_mb=args.min_file_mb,
                 )
             print(json.dumps({"version": v}))
         elif args.cmd == "snapshot-vacuum":
@@ -492,6 +512,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
                 out.update({f"orphan_{k}": v for k, v in sw.items()})
             print(json.dumps(out))
+        elif args.cmd == "snapshot-count":
+            from .warehouse.snapshots import snapshot_count
+
+            ts = args.at_timestamp
+            if ts is not None:
+                try:
+                    ts = float(ts)
+                except ValueError:
+                    pass  # ISO string — snapshot_version_at parses it
+            n = snapshot_count(
+                spark, args.table_path,
+                version=args.version, at_timestamp=ts,
+            )
+            print(json.dumps({"rows": n}))
         elif args.cmd == "snapshot-delete":
             from .warehouse.snapshots import (
                 snapshot_delete,

@@ -70,6 +70,7 @@ _DELTA_KEYS = frozenset(
         "has_stats",
         "stats_put",
         "stats_del",
+        "rows_put",
     }
 )
 
@@ -77,8 +78,12 @@ _DELTA_KEYS = frozenset(
 # "dv_files" the deletion-vector sidecars; "dv_targets" the distinct
 # data files those sidecars tombstone (a SUPERSET of the live targets
 # is allowed — readers intersect with "files"); "stats"/"stats_cols"
-# the per-file min/max planning stats.
-_STATE_KEYS = ("files", "dv_files", "dv_targets", "stats", "stats_cols")
+# the per-file min/max planning stats; "rows" the per-file parquet
+# row counts (PHYSICAL rows — a file's count never changes once
+# written, so the delta only ever carries counts for added files; the
+# map may be PARTIAL: legacy history and forged test commits have no
+# counts, and readers self-heal from footers for the gap).
+_STATE_KEYS = ("files", "dv_files", "dv_targets", "stats", "stats_cols", "rows")
 
 
 def checkpoint_every() -> int:
@@ -115,6 +120,7 @@ def state_from_manifest(man: dict) -> dict:
         ),
         "stats": man.get("stats"),
         "stats_cols": man.get("stats_cols"),
+        "rows": dict(man["rows"]) if man.get("rows") else None,
     }
 
 
@@ -131,19 +137,23 @@ def encode_checkpoint(state: dict) -> bytes:
     dvs = state.get("dv_files") or []
     tgts = state.get("dv_targets") or []
     stats = state.get("stats")
+    rows = state.get("rows") or {}
     kinds = ["f"] * len(files) + ["d"] * len(dvs) + ["t"] * len(tgts)
     paths = list(files) + list(dvs) + list(tgts)
     stat_col: list[str | None] = []
+    rows_col: list[int | None] = []
     for k, p in zip(kinds, paths):
         if stats is not None and k == "f" and p in stats:
             stat_col.append(json.dumps(stats[p], sort_keys=True))
         else:
             stat_col.append(None)
+        rows_col.append(rows.get(p) if k == "f" else None)
     tbl = pa.table(
         {
             "kind": pa.array(kinds, pa.string()),
             "path": pa.array(paths, pa.string()),
             "stats": pa.array(stat_col, pa.string()),
+            "rows": pa.array(rows_col, pa.int64()),
         }
     )
     tbl = tbl.replace_schema_metadata(
@@ -164,7 +174,14 @@ def decode_checkpoint(data: bytes, want_stats: bool = True) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    schema_names = pq.read_schema(pa.BufferReader(data)).names
     cols = ["kind", "path"] + (["stats"] if want_stats else [])
+    # "rows" is tiny (one int64 per file) and the stripped (planner)
+    # reader may use it for verify-from-totals — read it in both
+    # modes; legacy blobs predate the column
+    has_rows_col = "rows" in schema_names
+    if has_rows_col:
+        cols.append("rows")
     tbl = pq.read_table(pa.BufferReader(data), columns=cols)
     meta = tbl.schema.metadata or {}
     has_stats = meta.get(b"has_stats", b"0") == b"1"
@@ -174,15 +191,21 @@ def decode_checkpoint(data: bytes, want_stats: bool = True) -> dict:
     stat_col = (
         tbl.column("stats").to_pylist() if want_stats else [None] * len(paths)
     )
+    rows_col = (
+        tbl.column("rows").to_pylist() if has_rows_col else [None] * len(paths)
+    )
     files: list[str] = []
     dvs: list[str] = []
     tgts: list[str] = []
     stats: dict = {}
-    for k, p, s in zip(kinds, paths, stat_col):
+    rows: dict = {}
+    for k, p, s, r in zip(kinds, paths, stat_col, rows_col):
         if k == "f":
             files.append(p)
             if s is not None:
                 stats[p] = json.loads(s)
+            if r is not None:
+                rows[p] = r
         elif k == "d":
             dvs.append(p)
         elif k == "t":
@@ -198,6 +221,7 @@ def decode_checkpoint(data: bytes, want_stats: bool = True) -> dict:
         # never a half-populated one
         "stats": (stats if has_stats and want_stats else None),
         "stats_cols": (stats_cols if has_stats and want_stats else None),
+        "rows": rows or None,
     }
 
 
@@ -255,6 +279,14 @@ def encode_commit(
         if dele:
             doc["stats_del"] = dele
         doc["stats_cols"] = state.get("stats_cols")
+    rows = state.get("rows") or {}
+    prow = parent_state.get("rows") or {}
+    # per-file row counts: a file's physical count never changes, so
+    # the delta carries counts only for paths the parent didn't know;
+    # deletions are implied by files_del (fold prunes to live files)
+    rows_put = {k: v for k, v in rows.items() if prow.get(k) != v}
+    if rows_put:
+        doc["rows_put"] = rows_put
     return doc, None
 
 
@@ -280,12 +312,22 @@ def fold_delta(doc: dict, parent_state: dict) -> dict:
         stats_cols = doc.get("stats_cols")
     else:
         stats, stats_cols = None, None
+    fset = set(files)
+    rows = {
+        k: v
+        for k, v in (parent_state.get("rows") or {}).items()
+        if k in fset
+    }
+    for k, v in (doc.get("rows_put") or {}).items():
+        if k in fset:
+            rows[k] = v
     return {
         "files": files,
         "dv_files": dvs or None,
         "dv_targets": tgts or None,
         "stats": stats,
         "stats_cols": stats_cols,
+        "rows": rows or None,
     }
 
 
@@ -341,6 +383,7 @@ def _legacy_state(doc: dict) -> dict:
         "dv_targets": doc.get("dv_targets"),
         "stats": doc.get("stats"),
         "stats_cols": doc.get("stats_cols"),
+        "rows": doc.get("rows"),
     }
 
 
@@ -406,6 +449,7 @@ def reconstruct(
                 "dv_targets": None,
                 "stats": None,
                 "stats_cols": None,
+                "rows": None,
             }
             break
         nxt = read_doc(parent)
@@ -454,4 +498,6 @@ def manifest_dict(doc: dict, state: dict) -> dict:
         out["stats_cols"] = state.get("stats_cols")
     else:
         out.pop("stats_cols", None)
+    if state.get("rows"):
+        out["rows"] = state["rows"]
     return out

@@ -329,6 +329,7 @@ def _commit(
     partition_cols: list[str] | None = None,
     dv_files=_DV_INHERIT,
     dv_targets=_DV_INHERIT,
+    known_rows: dict[str, int] | None = None,
 ) -> int:
     """``dv_files`` — the DELETION-VECTOR sidecars active at this
     version (parquet relpaths of (file, pos) tombstones, merged at
@@ -388,12 +389,35 @@ def _commit(
     stats_cols = extra.pop("stats_cols", None)
     if stats is None:
         stats_cols = None
+    # Per-file row counts: carry the parent's entries for carried
+    # files, read footers ONLY for paths the parent didn't know —
+    # O(change) per commit, like every other manifest field. Counts
+    # for legacy history stay absent until those files churn (readers
+    # self-heal from footers); forged metadata-only commits (tests)
+    # simply record none (missing_ok skips not-found footers).
+    parent_rows = (pman.get("rows") if pman else None) or {}
+    parent_files = set(pman["files"]) if pman else set()
+    rows = {f: parent_rows[f] for f in files if f in parent_rows}
+    if known_rows:  # caller already read these footers — don't repeat
+        rows.update(
+            {f: known_rows[f] for f in files if f in known_rows}
+        )
+    # strictly files NEW TO THE TABLE: a carried file the (legacy)
+    # parent tracked without a count stays a gap — backfilling here
+    # would make one upgrade commit O(table) footer reads; readers
+    # (snapshot_count) self-heal the gap per call instead
+    new_files = [
+        f for f in files if f not in rows and f not in parent_files
+    ]
+    if new_files:
+        rows.update(_rows_for_files(spark, root, new_files, missing_ok=True))
     state = {
         "files": files,
         "dv_files": sorted(dv_files) if dv_files else None,
         "dv_targets": sorted(set(dv_targets)) if dv_targets else None,
         "stats": stats,
         "stats_cols": stats_cols,
+        "rows": rows or None,
     }
     scalars = {
         "version": version,
@@ -1470,12 +1494,16 @@ def snapshot_files(
     root = _root(path)
     stats = man.get("stats") or {}
     tgts = set(man.get("dv_targets") or ())
+    frows = man.get("rows") or {}
     rows = []
     for f in man["files"]:
         pv = _partition_values_from_path(f)
         rows.append(
             (
                 f,
+                # physical footer row count from the manifest (null for
+                # files predating row tracking — see snapshot_count)
+                frows.get(f),
                 json.dumps(pv, sort_keys=True) if pv else None,
                 f in tgts,
                 json.dumps(stats[f], sort_keys=True) if f in stats else None,
@@ -1483,7 +1511,7 @@ def snapshot_files(
         )
     base = spark.createDataFrame(
         rows,
-        "file string, partition_values string, "
+        "file string, rows long, partition_values string, "
         "has_tombstones boolean, stats string",
     )
 
@@ -1504,10 +1532,51 @@ def snapshot_files(
     return base.select(
         "file",
         _sizes(F.concat(F.lit(f"{root}/"), F.col("file"))).alias("bytes"),
+        "rows",
         "partition_values",
         "has_tombstones",
         "stats",
     )
+
+
+def snapshot_count(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    at_timestamp=None,
+) -> int:
+    """Exact live row count of the table at ``version`` (default:
+    latest) WITHOUT scanning data pages: per-file footer counts ride
+    in the manifest (recorded at commit time, O(new files) each — see
+    ``_commit``), so the physical total is one metadata fold; the
+    deletion-vector correction semi-joins the tombstone sidecars
+    against the live file list (∝ tombstone rows, never table rows).
+    On a 100 TB / 10^6-file table this answers COUNT(*) from a few
+    KB of metadata plus the (usually tiny) sidecars, where a scan —
+    even a parquet-optimized one — opens every file.
+
+    Files predating row tracking (legacy history) self-heal: only the
+    MISSING footers are read (fail-loud — a manifest-referenced file
+    that cannot be opened is corruption, not a gap). The correction
+    term means the count is exact under merge-on-read DML too."""
+    if version is not None and at_timestamp is not None:
+        raise ValueError("pass version OR at_timestamp, not both")
+    if at_timestamp is not None:
+        version = snapshot_version_at(spark, path, at_timestamp)
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    man = _load_manifest(spark, path, version)
+    root = _root(path)
+    return _physical_row_total(
+        spark, root, man, man["files"]
+    ) - _dv_entry_count(spark, root, man.get("dv_files"), man["files"])
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
@@ -1520,7 +1589,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     scalar_skip = {
         "version", "parent", "op", "committed_at_ms", "schema",
         "partition_cols", "manifest_id", "parent_id", "files",
-        "dv_files", "dv_targets", "stats", "stats_cols",
+        "dv_files", "dv_targets", "stats", "stats_cols", "rows",
     }
     rows = []
     for v in _list_manifests(spark, path):
@@ -1841,9 +1910,21 @@ def stream_snapshot_append(
     stream_id: str,
     partition_cols: list[str] | None = None,
     retries: int = 3,
+    auto_compact_rows: int | None = None,
+    auto_compact_trigger: int = 16,
 ) -> None:
     """Land a stream into a snapshot table, one APPEND VERSION per
     micro-batch, exactly once across checkpoint replays.
+
+    ``auto_compact_rows`` opts into small-file maintenance: after each
+    batch commit, once ``auto_compact_trigger`` fragments with fewer
+    recorded rows than this have piled up, a TARGETED compaction
+    bin-packs them (carried files untouched, cadence-gated — see
+    ``_maybe_auto_compact_small``). Streaming ingest is the canonical
+    small-file generator; without maintenance a month of micro-batches
+    is 10^5 tiny files and every read pays the open() storm.
+    Downstream feed readers should use ``onNonAppend="verify"`` (the
+    compact commits are row-neutral with recorded totals).
 
     foreachBatch is at-least-once; exactly-once falls out of making the
     apply idempotent: every stream commit records ``(stream_id, epoch)``
@@ -1909,6 +1990,10 @@ def stream_snapshot_append(
                     extra={"stream_id": stream_id, "epoch": epoch},
                     partition_cols=partition_cols,
                 )
+                _maybe_auto_compact_small(
+                    spark, path, auto_compact_rows,
+                    trigger_files=auto_compact_trigger,
+                )
                 return
             except SnapshotConflict:
                 if attempt == retries:
@@ -1947,6 +2032,72 @@ def _footer_row_total(spark: SparkSession, root: str, files: list[str]) -> int:
 
     n_slices = min(len(uris), max(2, spark.sparkContext.defaultParallelism))
     return spark.sparkContext.parallelize(uris, n_slices).map(_count).sum()
+
+
+def _rows_for_files(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    missing_ok: bool = False,
+) -> dict[str, int]:
+    """Per-file parquet-footer row counts (metadata-only, never data
+    pages). Small lists read footers on the driver; past a threshold
+    the opens fan out to executors (same shape as ``_file_bytes_total``
+    — a serial loop is one object-store round-trip per file).
+
+    ``missing_ok=True`` SKIPS files whose footer cannot be found
+    instead of raising — used by ``_commit`` to keep forged metadata
+    histories (tests that commit synthetic relpaths) valid: the
+    manifest ``rows`` map is legally partial and readers self-heal
+    from footers. Any error other than not-found still propagates —
+    throttling must never silently degrade the map."""
+    if not files:
+        return {}
+
+    def _count(uri: str) -> int | None:
+        import pyarrow.fs as pafs
+        import pyarrow.parquet as pq
+
+        if "://" in uri:
+            fs, p = pafs.FileSystem.from_uri(uri)
+        else:
+            fs, p = pafs.LocalFileSystem(), uri
+        try:
+            with fs.open_input_file(p) as f:
+                return pq.ParquetFile(f).metadata.num_rows
+        except FileNotFoundError:
+            if missing_ok:
+                return None
+            raise
+
+    uris = [f"{root}/{f}" for f in files]
+    if len(files) <= 256:
+        counted = map(_count, uris)
+    else:
+        n_slices = min(
+            len(uris), max(2, spark.sparkContext.defaultParallelism)
+        )
+        counted = (
+            spark.sparkContext.parallelize(uris, n_slices)
+            .map(_count)
+            .collect()
+        )
+    return {f: n for f, n in zip(files, counted) if n is not None}
+
+
+def _physical_row_total(
+    spark: SparkSession, root: str, man: dict, files: list[str]
+) -> int:
+    """Physical (pre-DV) row total of ``files`` — from the manifest's
+    recorded per-file counts, footer-reading ONLY the gap (legacy
+    history; fail-loud, a referenced file that cannot be opened is
+    corruption, never a silent under-count)."""
+    rows = man.get("rows") or {}
+    total = sum(rows[f] for f in files if f in rows)
+    missing = [f for f in files if f not in rows]
+    if missing:
+        total += sum(_rows_for_files(spark, root, missing).values())
+    return total
 
 
 def _make_batch_sizer():
@@ -2013,6 +2164,31 @@ def _file_bytes_total(
     )
 
 
+def _file_sizes(
+    spark: SparkSession, root: str, files: list[str]
+) -> dict[str, int]:
+    """Per-file on-disk bytes of manifest relpaths — the aligned
+    variant of ``_file_bytes_total`` for callers that need each size
+    (targeted compaction's victim selection). Same scale shape: driver
+    stats up to a small count, batched executor fan-out beyond."""
+    if not files:
+        return {}
+    if len(files) <= 256:
+        fs, jvm = _fs(spark, root)
+        return {
+            f: fs.getFileStatus(_jp(jvm, root, f)).getLen() for f in files
+        }
+    uris = [f"{root}/{f}" for f in files]
+    sizer = _make_batch_sizer()
+    n_slices = min(len(uris), max(2, spark.sparkContext.defaultParallelism))
+    sizes = (
+        spark.sparkContext.parallelize(uris, n_slices)
+        .mapPartitions(lambda it: sizer(list(it)))
+        .collect()
+    )
+    return dict(zip(files, sizes))
+
+
 def _storage_refs(man: dict) -> list[str]:
     """EVERY storage relpath a manifest references — data files plus
     deletion-vector sidecars (deleting a retained version's DVs would
@@ -2043,6 +2219,24 @@ def _dv_entry_count(
     )
 
 
+def _fragment_victims(files: list[str], is_frag) -> list[str]:
+    """Fragments worth bin-packing: only PARTITIONS holding >= 2 of
+    them qualify — packing a lone fragment reproduces one
+    under-threshold file (bin-packing cannot merge across partition
+    dirs), so this selection makes every targeted pass strictly
+    reduce the file count and the fixpoint a true no-op."""
+    from ..streaming.snapshot_source import _partition_values_from_path
+
+    frags: dict[tuple, list[str]] = {}
+    for f in files:
+        if is_frag(f):
+            key = tuple(sorted(_partition_values_from_path(f).items()))
+            frags.setdefault(key, []).append(f)
+    return sorted(
+        f for group in frags.values() if len(group) >= 2 for f in group
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
@@ -2051,6 +2245,8 @@ def snapshot_compact(
     cluster_by: list[str] | None = None,
     zorder_bits: int = 8,
     n_files: int | None = None,
+    min_file_mb: float | None = None,
+    min_file_rows: int | None = None,
 ) -> int:
     """Compaction as a COMMIT: rewrite the latest version's data into
     ceil(bytes/target) files per partition and publish the result as a
@@ -2074,24 +2270,84 @@ def snapshot_compact(
     pruning instead of merely not destroying it. With partition
     columns, clustering applies within each partition (the range
     exchange keys on partitions first). Row-neutral by construction
-    either way, so the feed's ``onNonAppend=verify`` passes it."""
+    either way, so the feed's ``onNonAppend=verify`` passes it.
+
+    ``min_file_mb`` makes the compaction TARGETED: only files smaller
+    than the threshold are bin-packed; every right-sized file is
+    carried BY REFERENCE, untouched. Rewrite cost is ∝ the fragmented
+    bytes, never the table — on a 100 TB table where a streaming
+    ingest left a few thousand 5 MB files among 512 MB ones, the full
+    rewrite copies 100 TB; the targeted one copies the few GB of
+    fragments. Deletion-vector sidecars are KEPT (entries for the
+    rewritten fragments go inert — uuid relpaths never recur; entries
+    for carried files keep masking), and recorded dv_targets shrink to
+    the carried intersection — unless nothing carried is targeted, in
+    which case the sidecars fold away entirely. Per-file stats are
+    carried for carried files, recomputed for the packed ones. Only
+    partitions holding >= 2 fragments pack (a lone fragment would just
+    be rewritten in place — thrash, not progress); when none qualify
+    the call is a no-op (returns the current version, no commit).
+    Targeted mode requires the table's recorded partition layout
+    (carried files are classified by directory).
+
+    ``min_file_rows`` is the METADATA-ONLY fragment threshold: victims
+    come from the manifest's recorded per-file row counts — zero
+    filesystem stats, so an automated maintenance trigger can evaluate
+    it on every commit for free (``_maybe_auto_compact_small``). Files
+    whose count is unrecorded (legacy history) are conservatively
+    carried. Mutually exclusive with ``min_file_mb``."""
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
+    root = _root(path)
     if partition_cols is None:
         # default to the table's recorded layout — an unpartitioned
         # compaction of a partitioned table would strip the partition
         # directories carried-file classification depends on
         partition_cols = _manifest_partition_cols(man)
+    if min_file_mb is not None and min_file_rows is not None:
+        raise ValueError("pass min_file_mb OR min_file_rows, not both")
+    targeted = min_file_mb is not None or min_file_rows is not None
+    victims, carried = list(man["files"]), []
+    if targeted:
+        _require_same_layout(
+            man, partition_cols, "snapshot_compact(targeted)"
+        )
+        if min_file_mb is not None:
+            sizes = _file_sizes(spark, root, man["files"])
+            cut = min_file_mb * 1024 * 1024
+            victims = _fragment_victims(
+                man["files"], lambda f: sizes[f] < cut
+            )
+        else:
+            frows = man.get("rows") or {}
+            victims = _fragment_victims(
+                man["files"],
+                lambda f: f in frows and frows[f] < min_file_rows,
+            )
+        carried = [f for f in man["files"] if f not in set(victims)]
+        if not victims:
+            return latest  # nothing to bin-pack
     if n_files is None:
-        fs, jvm = _fs(spark, _root(path))
-        total = 0
-        for f in man["files"]:
-            total += fs.getFileStatus(_jp(jvm, _root(path), f)).getLen()
+        if min_file_mb is not None:
+            total = sum(sizes[f] for f in victims)
+        elif targeted:  # rows mode: stat only the victims
+            total = sum(_file_sizes(spark, root, victims).values())
+        else:
+            total = _file_bytes_total(spark, root, man["files"])
         n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
-    df = read_snapshot(spark, path, latest)
+    if not targeted:
+        df = read_snapshot(spark, path, latest)
+    else:
+        schema = StructType.fromJson(man["schema"])
+        df = _read_file_list(
+            spark, path, victims, schema,
+            partition_cols=partition_cols,
+            dv_files=man.get("dv_files"),
+            dv_targets=man.get("dv_targets"),
+        )
     drop_after = None
     if cluster_by:
         bad = [c for c in cluster_by if c in (partition_cols or [])]
@@ -2121,31 +2377,53 @@ def snapshot_compact(
     stats_cols = man.get("stats_cols") or []
     extra = {}
     if stats_cols:
-        extra = {
-            "stats": collect_file_stats(spark, path, files, stats_cols),
-            "stats_cols": stats_cols,
-        }
+        new_stats = collect_file_stats(spark, path, files, stats_cols)
+        if carried:
+            pstats = man.get("stats") or {}
+            new_stats = {
+                **{f: pstats[f] for f in carried if f in pstats},
+                **new_stats,
+            }
+        extra = {"stats": new_stats, "stats_cols": stats_cols}
     # Record row totals IN the commit: the feed's onNonAppend=verify
     # gate proves row-neutrality from these, so a feed that lags behind
     # a compact + vacuum (which deletes exactly the superseded files it
     # would otherwise re-read) still verifies from metadata instead of
-    # hard-failing on vanished footers. Counted from footers at commit
-    # time, while both sides still exist.
-    root = _root(path)
-    # LIVE rows on the removed side: physical footer totals minus the
-    # parent's deletion-vector tombstones (compaction folds DVs away —
-    # the rewrite came from the DV-applied read, so the added side is
-    # live-only by construction and the equality must compare like
-    # with like)
-    extra["rows_removed"] = _footer_row_total(
-        spark, root, man["files"]
-    ) - _dv_entry_count(spark, root, man.get("dv_files"), man["files"])
-    extra["rows_added"] = _footer_row_total(spark, root, files)
+    # hard-failing on vanished footers. Counted while both sides still
+    # exist — recorded manifest counts for the removed side, fresh
+    # footers for the added side (reused by _commit via known_rows).
+    # LIVE rows on the removed side: physical totals minus the
+    # parent's deletion-vector tombstones targeting the REWRITTEN
+    # files (their tombstones fold — the rewrite came from the
+    # DV-applied read, so the added side is live-only by construction
+    # and the equality must compare like with like)
+    rows_new = _rows_for_files(spark, root, files)
+    extra["rows_removed"] = _physical_row_total(
+        spark, root, man, victims
+    ) - _dv_entry_count(spark, root, man.get("dv_files"), victims)
+    extra["rows_added"] = sum(rows_new.values())
+    if not targeted:
+        dv_files, dv_targets = None, None  # folded into the rewrite
+    else:
+        extra["files_compacted"] = len(victims)
+        extra["files_carried"] = len(carried)
+        live_tgts = set(man.get("dv_targets") or ()) & set(carried)
+        if man.get("dv_files") and man.get("dv_targets") is None:
+            # legacy manifest: sidecars without a recorded target list
+            # — keep them and let _commit derive the footprint (a
+            # superset including the rewritten fragments is legal)
+            dv_files, dv_targets = man["dv_files"], None
+        elif live_tgts:
+            dv_files, dv_targets = man["dv_files"], sorted(live_tgts)
+        else:
+            dv_files, dv_targets = None, None  # every entry went inert
     return _commit(
-        spark, path, files, df.schema, "compact", latest,
+        spark, path, carried + files, df.schema, "compact", latest,
         extra=extra or None,
         partition_cols=partition_cols,
-        dv_files=None,  # folded into the rewrite
+        dv_files=dv_files,
+        dv_targets=dv_targets,
+        known_rows=rows_new,
     )
 
 
@@ -3010,6 +3288,48 @@ def _maybe_auto_compact_dvs(
             return
     try:
         snapshot_compact_dvs(spark, path, target_mb=target_mb)
+    except SnapshotConflict:
+        pass
+
+
+def _maybe_auto_compact_small(
+    spark: SparkSession,
+    path: str,
+    min_file_rows: int | None,
+    trigger_files: int = 16,
+    target_mb: int = 256,
+) -> None:
+    """Opportunistic small-file maintenance after an append: once
+    ``trigger_files`` bin-packable fragments (recorded row count under
+    ``min_file_rows``, in partitions holding >= 2 of them) have
+    accumulated, fold them with a TARGETED compaction — rewrite cost
+    ∝ fragment bytes, carried files untouched. The whole trigger
+    evaluates from the manifest's recorded per-file row counts: zero
+    filesystem stats per commit, so a streaming ingest can afford it
+    per micro-batch. Cadence stand-down mirrors
+    ``_maybe_auto_compact_dvs``: never within ``trigger_files``
+    versions of the last compact commit, bounding maintenance to 1/N
+    per commit even when the ingest rate outruns packing. Conflicts
+    are swallowed — the append already committed; the next batch
+    re-triggers."""
+    if not min_file_rows:
+        return
+    versions = _list_manifests(spark, path)
+    man = _load_manifest(spark, path, versions[-1])
+    frows = man.get("rows") or {}
+    victims = _fragment_victims(
+        man["files"], lambda f: f in frows and frows[f] < min_file_rows
+    )
+    if len(victims) < trigger_files:
+        return
+    for v in versions[-trigger_files:]:
+        doc = _read_doc(spark, path, v, must=False)
+        if doc is not None and doc.get("op") == "compact":
+            return
+    try:
+        snapshot_compact(
+            spark, path, target_mb=target_mb, min_file_rows=min_file_rows
+        )
     except SnapshotConflict:
         pass
 

@@ -70,22 +70,27 @@ def ckpt3(monkeypatch):
 def test_checkpoint_roundtrip_all_state_shapes():
     shapes = [
         {"files": [], "dv_files": None, "dv_targets": None,
-         "stats": None, "stats_cols": None},
+         "stats": None, "stats_cols": None, "rows": None},
         {"files": ["data/a/x.parquet"], "dv_files": None,
-         "dv_targets": None, "stats": None, "stats_cols": None},
+         "dv_targets": None, "stats": None, "stats_cols": None,
+         "rows": None},
         {"files": ["data/a/x.parquet", "data/b/m=1/y y.parquet"],
          "dv_files": ["data/c/dv.parquet"],
          "dv_targets": ["data/a/x.parquet"],
          "stats": {"data/a/x.parquet": {"id": [1, 9]},
                    "data/b/m=1/y y.parquet": {"id": [None, None]}},
-         "stats_cols": ["id"]},
+         "stats_cols": ["id"],
+         # rows map may be PARTIAL (legacy history has no counts)
+         "rows": {"data/a/x.parquet": 12345}},
         # stats present but EMPTY dict is a distinct state from None
         {"files": ["data/a/x.parquet"], "dv_files": None,
-         "dv_targets": None, "stats": {}, "stats_cols": ["id"]},
+         "dv_targets": None, "stats": {}, "stats_cols": ["id"],
+         "rows": {"data/a/x.parquet": 7}},
     ]
     for st in shapes:
         assert ml.decode_checkpoint(ml.encode_checkpoint(st)) == st
-    # stats pruning: file lists intact, stats dropped
+    # stats pruning: file lists intact, stats dropped, rows KEPT (the
+    # stripped planner reader may verify from totals)
     got = ml.decode_checkpoint(
         ml.encode_checkpoint(shapes[2]), want_stats=False
     )
@@ -93,6 +98,7 @@ def test_checkpoint_roundtrip_all_state_shapes():
     assert got["dv_files"] == shapes[2]["dv_files"]
     assert got["dv_targets"] == shapes[2]["dv_targets"]
     assert got["stats"] is None
+    assert got["rows"] == shapes[2]["rows"]
 
 
 def test_encode_fold_random_transition_equivalence():
@@ -101,7 +107,7 @@ def test_encode_fold_random_transition_equivalence():
     format's core invariant."""
     rng = random.Random(7)
     state = {"files": [], "dv_files": None, "dv_targets": None,
-             "stats": None, "stats_cols": None}
+             "stats": None, "stats_cols": None, "rows": None}
     pool = [f"data/{i:02d}/p.parquet" for i in range(40)]
     for step in range(1, 60):
         files = set(state["files"])
@@ -116,12 +122,22 @@ def test_encode_fold_random_transition_equivalence():
             if has_stats
             else None
         )
+        # rows invariant: a live file's count never changes or
+        # disappears; new entries may appear for new files AND for
+        # previously-unknown live files (self-heal backfill). Some
+        # files stay unknown (legacy / forged history).
+        prev_rows = state.get("rows") or {}
+        rows = {f: prev_rows[f] for f in files if f in prev_rows}
+        for f in files:
+            if f not in rows and rng.random() < 0.7:
+                rows[f] = rng.randrange(1, 10_000)
         target = {
             "files": sorted(files),
             "dv_files": dvs or None,
             "dv_targets": tgts or None,
             "stats": stats,
             "stats_cols": ["id"] if has_stats else None,
+            "rows": rows or None,
         }
         scalars = {"version": step, "parent": step - 1, "op": "t",
                    "manifest_id": f"m{step}"}
@@ -645,6 +661,109 @@ def test_auto_compact_cadence_gate(spark, table, monkeypatch):
     )
     sn._maybe_auto_compact_dvs(spark, table, auto_compact_files=2)
     assert calls3 == [1]
+
+
+# ---------------------------------------------------------------------------
+# Per-file row counts in the manifest -> metadata-only COUNT(*)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_count_metadata_only_across_dml_storm(
+    spark, table, ckpt3
+):
+    """snapshot_count == read_snapshot().count() at EVERY version of a
+    history spanning append / DV delete / DV update / CoW delete /
+    compact / restore — while the manifest rows map stays O(change)
+    per commit (an append's delta carries counts only for its new
+    files) and the count itself never opens a data page beyond the
+    tombstone sidecars."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_compact,
+        snapshot_count,
+        snapshot_update_rows_dv,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"a{i}") for i in range(10)]),
+        table, partition_cols=["month"],
+    )
+    snapshot_write(
+        _df(spark, [(100 + i, i % 2, f"b{i}") for i in range(4)]),
+        table, mode="append", partition_cols=["month"],
+    )
+    snapshot_delete_rows_dv(spark, table, "id", [1, 3])
+    snapshot_update_rows_dv(spark, table, "id", [100], {"v": "patched"})
+    snapshot_delete_rows(spark, table, "id", [5])  # copy-on-write
+    snapshot_compact(spark, table, target_mb=1)
+    snapshot_restore(spark, table, 3)
+    for v in _list_manifests(spark, table):
+        assert snapshot_count(spark, table, version=v) \
+            == read_snapshot(spark, table, version=v).count(), v
+    # the delta doc of the append carries counts ONLY for its new files
+    doc2 = _read_doc(spark, table, 2)
+    assert set(doc2["rows_put"]) == set(doc2["files_add"])
+    # a pure-DV commit adds no files, so no counts either
+    doc3 = _read_doc(spark, table, 3)
+    assert "rows_put" not in doc3 and "files_add" not in doc3
+    # snapshot_files surfaces the recorded per-file counts
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_files,
+    )
+
+    fr = snapshot_files(spark, table).collect()
+    assert all(r.rows is not None and r.rows > 0 for r in fr)
+    assert sum(r.rows for r in fr) >= snapshot_count(spark, table)
+    with pytest.raises(ValueError):
+        snapshot_count(spark, table, version=1, at_timestamp=0)
+
+
+def test_snapshot_count_self_heals_legacy_and_fails_loud(
+    spark, table
+):
+    """A legacy manifest (no rows map) counts by reading ONLY the
+    missing footers; a manifest-referenced file that cannot be opened
+    raises instead of under-counting."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_count,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"a{i}") for i in range(6)]),
+        table, partition_cols=["month"],
+    )
+    man = _load_manifest(spark, table, 1)
+    legacy = {
+        "version": 1, "parent": None, "op": "overwrite",
+        "committed_at_ms": man["committed_at_ms"],
+        "files": man["files"], "schema": man["schema"],
+        "partition_cols": ["month"],
+    }
+    for blob in glob.glob(
+        os.path.join(table, "_versions", "*.ckpt.parquet")
+    ):
+        os.remove(blob)
+    _hand_write(table, 1, legacy)
+    assert "rows" not in _load_manifest(spark, table, 1)
+    assert snapshot_count(spark, table) == 6  # footer self-heal
+    # the next commit records counts for ITS files only (legacy gap
+    # stays a gap — strictly O(change) commits, no backfill storm)
+    snapshot_write(
+        _df(spark, [(50, 0, "x")]), table, mode="append",
+        partition_cols=["month"],
+    )
+    doc2 = _read_doc(spark, table, 2)
+    assert set(doc2["rows_put"]) == set(doc2["files_add"])
+    assert snapshot_count(spark, table) == 7
+    # fail-loud: a referenced file with neither a recorded count nor a
+    # readable footer is corruption, never a silent under-count
+    legacy_bad = dict(legacy)
+    legacy_bad["files"] = legacy["files"] + ["data/nope/x.parquet"]
+    _hand_write(table, 1, legacy_bad)
+    import nyc_taxi_data_warehouse_spark.warehouse.snapshots as sn
+
+    sn._STATE_CACHE._d.clear()
+    with pytest.raises(FileNotFoundError):
+        snapshot_count(spark, table, version=1)
 
 
 # ---------------------------------------------------------------------------

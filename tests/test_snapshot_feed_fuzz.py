@@ -38,6 +38,10 @@ _OPS = st.lists(
         st.tuples(st.just("compact_dvs"), st.just(0)),
         st.tuples(st.just("update"), st.integers(0, 30)),
         st.tuples(st.just("compact"), st.just(0)),
+        # targeted compaction: bin-pack only sub-threshold fragments,
+        # carry everything else by reference (threshold generous, so
+        # most files qualify and DV interplay gets exercised)
+        st.tuples(st.just("compact_small"), st.just(0)),
         # restore: roll back to a pseudo-random retained version (the
         # payload indexes into the versions list at apply time)
         st.tuples(st.just("restore"), st.integers(0, 7)),
@@ -114,6 +118,10 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
         elif kind == "update":
             snapshot_update_rows(
                 spark, table, "id", [args[0]], {"v": "REDACTED"}
+            )
+        elif kind == "compact_small":
+            snapshot_compact(
+                spark, table, partition_cols=pc, min_file_mb=0.5
             )
         elif kind == "restore":
             from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (

@@ -221,6 +221,74 @@ def test_stream_snapshot_append_exactly_once(spark, tmp_path, table):
     assert all(h["op"] == "stream_append" for h in hist)
 
 
+def test_auto_compact_small_files_metadata_trigger(spark, tmp_path, table):
+    """Small-file maintenance: the trigger evaluates purely from the
+    manifest's recorded per-file row counts (min_file_rows — zero
+    filesystem stats), packs only qualifying fragments, stands down on
+    cadence, and composes with streaming ingest (the canonical
+    fragment generator) without breaking exactly-once."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        _maybe_auto_compact_small,
+        snapshot_compact,
+        stream_snapshot_append,
+    )
+
+    for i in range(5):
+        snapshot_write(
+            _df(spark, [(i, 1, f"r{i}")]), table, mode="append",
+            partition_cols=["month"],
+        )
+    assert len(_load_manifest(spark, table, 5)["files"]) == 5
+    # below trigger: no-op
+    _maybe_auto_compact_small(spark, table, 100, trigger_files=6)
+    assert snapshot_versions(spark, table)[-1]["version"] == 5
+    # at trigger: packs the fragments into one file per partition
+    _maybe_auto_compact_small(spark, table, 100, trigger_files=4)
+    hist = snapshot_versions(spark, table)
+    assert hist[-1]["op"] == "compact" and hist[-1]["version"] == 6
+    man = _load_manifest(spark, table, 6)
+    assert len(man["files"]) == 1
+    assert {r.id for r in read_snapshot(spark, table).collect()} \
+        == set(range(5))
+    # the packed residue is a LONE fragment per partition: no victims,
+    # no thrash — and the cadence gate stands down anyway
+    _maybe_auto_compact_small(spark, table, 100, trigger_files=1)
+    assert snapshot_versions(spark, table)[-1]["version"] == 6
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_compact(
+            spark, table, min_file_mb=1.0, min_file_rows=10
+        )
+
+    # streaming ingest with maintenance opted in
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_count,
+    )
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    schema = "id long, month int, v string"
+    for k in range(4):
+        _df(spark, [(100 + k, 1, f"s{k}")]).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{k}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    stream_snapshot_append(
+        spark, stream, table, str(tmp_path / "ckpt"), "ingest-s",
+        partition_cols=["month"],
+        auto_compact_rows=100, auto_compact_trigger=2,
+    )
+    ops = [h["op"] for h in snapshot_versions(spark, table)]
+    assert "compact" in ops[6:], ops  # maintenance ran mid-stream
+    assert {r.id for r in read_snapshot(spark, table).collect()} \
+        == set(range(5)) | {100, 101, 102, 103}
+    assert snapshot_count(spark, table) == 9
+
+
 def test_snapshot_cli_history_and_vacuum(spark, table, capsys):
     import json as _json
 
@@ -256,6 +324,88 @@ def test_snapshot_compact_is_a_commit_not_a_rewrite(spark, table):
     assert got == {(i, f"r{i}") for i in range(4)}
     # a reader planned before the compaction still drains the old files
     assert {r.id for r in pinned.collect()} == {0, 1, 2, 3}
+
+
+def test_targeted_compact_bin_packs_only_fragments(spark, table):
+    """snapshot_compact(min_file_mb=...) rewrites ONLY the fragmented
+    files: right-sized files are carried by reference (same relpaths,
+    zero bytes copied), deletion vectors targeting carried files keep
+    masking while tombstones for the packed fragments fold away, stats
+    carry + recompute, and the recorded row totals stay verify-exact.
+    The 100 TB claim under test: rewrite cost ∝ fragment bytes."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _file_sizes,
+        _load_manifest,
+        _root,
+        snapshot_compact,
+        snapshot_count,
+        snapshot_delete_rows_dv,
+        snapshot_write_with_stats,
+    )
+
+    # one comfortably-large file per month + a stream of 1-row shards
+    big = spark.createDataFrame(
+        [(i, i % 2, "x" * 40) for i in range(20_000)],
+        "id long, month int, v string",
+    ).repartition(2, "month")
+    snapshot_write_with_stats(
+        big, table, stats_cols=["id"], partition_cols=["month"],
+    )
+    for i in range(4):
+        snapshot_write_with_stats(
+            _df(spark, [(100_000 + i, i % 2, f"s{i}")]),
+            table, ["id"], mode="append", partition_cols=["month"],
+        )
+    # DV-delete one row in a BIG (to-be-carried) file and one row in a
+    # fragment (to-be-packed): the first tombstone must keep riding,
+    # the second folds into the rewrite
+    snapshot_delete_rows_dv(spark, table, "id", [7])
+    snapshot_delete_rows_dv(spark, table, "id", [100_000])
+    man0 = _load_manifest(
+        spark, table, snapshot_versions(spark, table)[-1]["version"]
+    )
+    sizes0 = _file_sizes(spark, _root(table), man0["files"])
+    big_files = {f for f, s in sizes0.items() if s >= 20 * 1024}
+    frag_files = set(man0["files"]) - big_files
+    assert len(big_files) == 2 and len(frag_files) == 4, sizes0
+    expect = {
+        (r.id, r.month, r.v) for r in read_snapshot(spark, table).collect()
+    }
+    n_before = snapshot_count(spark, table)
+
+    v = snapshot_compact(spark, table, min_file_mb=0.02)
+    man = _load_manifest(spark, table, v)
+    # carried by reference: the big files' relpaths are UNCHANGED
+    assert big_files < set(man["files"])
+    assert not (frag_files & set(man["files"]))
+    new_files = set(man["files"]) - big_files
+    # bytes copied ∝ fragments, not the table
+    new_bytes = sum(
+        _file_sizes(spark, _root(table), sorted(new_files)).values()
+    )
+    assert new_bytes < min(sizes0[f] for f in big_files)
+    # content identical, both DV deletes still masked
+    got = {(r.id, r.month, r.v) for r in read_snapshot(spark, table).collect()}
+    assert got == expect
+    assert snapshot_count(spark, table) == n_before
+    # sidecars kept for the carried target only; fragment tombstone
+    # folded with its file
+    assert man.get("dv_files"), "carried-file tombstone must keep riding"
+    assert all(t in big_files for t in man["dv_targets"])
+    # verify-exact recorded totals: removed live fragments == added
+    assert man["rows_removed"] == man["rows_added"] == 3
+    assert man["files_compacted"] == 4 and man["files_carried"] == 2
+    # stats carried + recomputed: pruning still exact over both kinds
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot_pruned,
+    )
+
+    assert read_snapshot_pruned(spark, table, "id", 100_001, 100_003) \
+        .count() == 3
+    assert set(man["stats"]) == set(man["files"])
+    # a second targeted pass has <2 fragments left: no-op, no commit
+    assert snapshot_compact(spark, table, min_file_mb=0.02) == v
+    assert snapshot_versions(spark, table)[-1]["version"] == v
 
 
 def test_snapshot_merge_upsert_versions_and_prunes(spark, table):
