@@ -189,6 +189,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "must exceed the longest write-to-manifest-claim window",
     )
 
+    sp = sub.add_parser(
+        "snapshot-props",
+        help="show or alter table properties (metadata-only commits); "
+        "CHECK constraints ride properties via --add-constraint "
+        "NAME 'SQL expr' (validates existing data once, then every "
+        "commit validates its added files) / --drop-constraint NAME",
+    )
+    sp.add_argument("--table-path", required=True)
+    sp.add_argument(
+        "--set", nargs="+", default=None, metavar="K=V",
+        help="set properties, e.g. --set owner=etl retention.days=30",
+    )
+    sp.add_argument("--unset", nargs="+", default=None, metavar="K")
+    sp.add_argument(
+        "--add-constraint", nargs=2, default=None,
+        metavar=("NAME", "EXPR"),
+    )
+    sp.add_argument("--drop-constraint", default=None, metavar="NAME")
+
     sn = sub.add_parser(
         "snapshot-count",
         help="exact live row count from manifest metadata (per-file "
@@ -512,6 +531,35 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
                 out.update({f"orphan_{k}": v for k, v in sw.items()})
             print(json.dumps(out))
+        elif args.cmd == "snapshot-props":
+            from .warehouse.snapshots import (
+                snapshot_add_constraint,
+                snapshot_drop_constraint,
+                snapshot_properties,
+                snapshot_set_properties,
+            )
+
+            out = {}
+            if args.add_constraint:
+                out["version"] = snapshot_add_constraint(
+                    spark, args.table_path, *args.add_constraint
+                )
+            elif args.drop_constraint:
+                out["version"] = snapshot_drop_constraint(
+                    spark, args.table_path, args.drop_constraint
+                )
+            elif args.set or args.unset:
+                kv = {}
+                for item in args.set or []:
+                    k, eq, v = item.partition("=")
+                    if not eq:
+                        raise SystemExit(f"--set needs K=V, got {item!r}")
+                    kv[k] = v
+                out["version"] = snapshot_set_properties(
+                    spark, args.table_path, kv or None, args.unset
+                )
+            out["properties"] = snapshot_properties(spark, args.table_path)
+            print(json.dumps(out, sort_keys=True))
         elif args.cmd == "snapshot-count":
             from .warehouse.snapshots import snapshot_count
 

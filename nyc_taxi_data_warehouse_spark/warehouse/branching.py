@@ -116,6 +116,7 @@ def create_branch(
                 else {}
             ),
         },
+        props=man.get("props"),
         partition_cols=_manifest_partition_cols(man),
         # the fork carries the base state's deletion vectors — branch
         # v1 has no parent to inherit from, and dropping them would
@@ -237,10 +238,11 @@ def publish_branch(
         mhead,
         extra=extra,
         partition_cols=_manifest_partition_cols(head),
-        # the BRANCH HEAD's deletion vectors, never main's (the
-        # fast-forward is a whole-state replacement)
+        # the BRANCH HEAD's deletion vectors and properties, never
+        # main's (the fast-forward is a whole-state replacement)
         dv_files=head.get("dv_files"),
         dv_targets=_dv_targets_for(head),
+        props=head.get("props"),
     )
 
 

@@ -71,6 +71,8 @@ _DELTA_KEYS = frozenset(
         "stats_put",
         "stats_del",
         "rows_put",
+        "props_put",
+        "props_del",
     }
 )
 
@@ -82,8 +84,14 @@ _DELTA_KEYS = frozenset(
 # row counts (PHYSICAL rows — a file's count never changes once
 # written, so the delta only ever carries counts for added files; the
 # map may be PARTIAL: legacy history and forged test commits have no
-# counts, and readers self-heal from footers for the gap).
-_STATE_KEYS = ("files", "dv_files", "dv_targets", "stats", "stats_cols", "rows")
+# counts, and readers self-heal from footers for the gap); "props"
+# the table properties (string->string; CHECK constraints live under
+# "constraint.<name>"), carried commit-to-commit like every other
+# state key.
+_STATE_KEYS = (
+    "files", "dv_files", "dv_targets", "stats", "stats_cols", "rows",
+    "props",
+)
 
 
 def checkpoint_every() -> int:
@@ -121,6 +129,7 @@ def state_from_manifest(man: dict) -> dict:
         "stats": man.get("stats"),
         "stats_cols": man.get("stats_cols"),
         "rows": dict(man["rows"]) if man.get("rows") else None,
+        "props": dict(man["props"]) if man.get("props") else None,
     }
 
 
@@ -160,6 +169,9 @@ def encode_checkpoint(state: dict) -> bytes:
         {
             "has_stats": "1" if stats is not None else "0",
             "stats_cols": json.dumps(state.get("stats_cols")),
+            # table properties are small (a handful of strings) —
+            # they ride the blob's metadata, not a column
+            "props": json.dumps(state.get("props")),
         }
     )
     buf = pa.BufferOutputStream()
@@ -186,6 +198,7 @@ def decode_checkpoint(data: bytes, want_stats: bool = True) -> dict:
     meta = tbl.schema.metadata or {}
     has_stats = meta.get(b"has_stats", b"0") == b"1"
     stats_cols = json.loads(meta.get(b"stats_cols", b"null").decode("utf-8"))
+    props = json.loads(meta.get(b"props", b"null").decode("utf-8"))
     kinds = tbl.column("kind").to_pylist()
     paths = tbl.column("path").to_pylist()
     stat_col = (
@@ -222,6 +235,7 @@ def decode_checkpoint(data: bytes, want_stats: bool = True) -> dict:
         "stats": (stats if has_stats and want_stats else None),
         "stats_cols": (stats_cols if has_stats and want_stats else None),
         "rows": rows or None,
+        "props": props or None,
     }
 
 
@@ -287,6 +301,14 @@ def encode_commit(
     rows_put = {k: v for k, v in rows.items() if prow.get(k) != v}
     if rows_put:
         doc["rows_put"] = rows_put
+    props = state.get("props") or {}
+    pprops = parent_state.get("props") or {}
+    put = {k: v for k, v in props.items() if pprops.get(k) != v}
+    dele = sorted(k for k in pprops if k not in props)
+    if put:
+        doc["props_put"] = put
+    if dele:
+        doc["props_del"] = dele
     return doc, None
 
 
@@ -321,6 +343,12 @@ def fold_delta(doc: dict, parent_state: dict) -> dict:
     for k, v in (doc.get("rows_put") or {}).items():
         if k in fset:
             rows[k] = v
+    props = {
+        k: v
+        for k, v in (parent_state.get("props") or {}).items()
+        if k not in set(doc.get("props_del") or ())
+    }
+    props.update(doc.get("props_put") or {})
     return {
         "files": files,
         "dv_files": dvs or None,
@@ -328,6 +356,7 @@ def fold_delta(doc: dict, parent_state: dict) -> dict:
         "stats": stats,
         "stats_cols": stats_cols,
         "rows": rows or None,
+        "props": props or None,
     }
 
 
@@ -384,6 +413,7 @@ def _legacy_state(doc: dict) -> dict:
         "stats": doc.get("stats"),
         "stats_cols": doc.get("stats_cols"),
         "rows": doc.get("rows"),
+        "props": doc.get("props"),
     }
 
 
@@ -450,6 +480,7 @@ def reconstruct(
                 "stats": None,
                 "stats_cols": None,
                 "rows": None,
+                "props": None,
             }
             break
         nxt = read_doc(parent)
@@ -500,4 +531,6 @@ def manifest_dict(doc: dict, state: dict) -> dict:
         out.pop("stats_cols", None)
     if state.get("rows"):
         out["rows"] = state["rows"]
+    if state.get("props"):
+        out["props"] = state["props"]
     return out

@@ -330,6 +330,7 @@ def _commit(
     dv_files=_DV_INHERIT,
     dv_targets=_DV_INHERIT,
     known_rows: dict[str, int] | None = None,
+    props=_DV_INHERIT,
 ) -> int:
     """``dv_files`` — the DELETION-VECTOR sidecars active at this
     version (parquet relpaths of (file, pos) tombstones, merged at
@@ -411,6 +412,22 @@ def _commit(
     ]
     if new_files:
         rows.update(_rows_for_files(spark, root, new_files, missing_ok=True))
+    # Table properties CARRY like every other state key (the INHERIT
+    # default); whole-state commits (branch fork, publish) and the
+    # property DDL pass an explicit dict. CHECK constraints live under
+    # "constraint.<name>" and are enforced here — the single choke
+    # point every commit flows through — against the files NEW TO THE
+    # TABLE (O(change) data read; restores re-validate resurrected
+    # files against the CURRENT constraints). A failed check leaves
+    # the written files as sweep_orphans debris, never a version.
+    if props == _DV_INHERIT:
+        props = pman.get("props") if pman else None
+    props = dict(props) if props else None
+    if props:
+        added = [f for f in files if f not in parent_files]
+        _enforce_constraints(
+            spark, root, added, schema, partition_cols, props
+        )
     state = {
         "files": files,
         "dv_files": sorted(dv_files) if dv_files else None,
@@ -418,6 +435,7 @@ def _commit(
         "stats": stats,
         "stats_cols": stats_cols,
         "rows": rows or None,
+        "props": props,
     }
     scalars = {
         "version": version,
@@ -723,17 +741,60 @@ def snapshot_version_at(spark: SparkSession, path: str, ts) -> int:
     return best
 
 
+def _partition_pruned_files(man: dict, partitions: dict) -> list[str]:
+    """Manifest-resident partition pruning: the files of ``man`` whose
+    partition-directory values match ``partitions`` ({col: value or
+    list-of-values}; ``None`` selects the Hive null partition). Pure
+    driver-side string work over relpaths the manifest already holds —
+    no listing, no stats, no data I/O — so a one-partition read of a
+    10^6-file table plans from metadata alone. Values compare as the
+    DIRECTORY strings Spark wrote (callers pass primitives; ``str()``
+    normalizes), which is exactly Hive/Iceberg partition-predicate
+    semantics. Unknown columns refuse: a typo'd key silently matching
+    nothing would read as 'partition is empty'."""
+    from ..streaming.snapshot_source import _partition_values_from_path
+
+    pc = set(_manifest_partition_cols(man) or [])
+    bad = sorted(set(partitions) - pc)
+    if bad:
+        raise ValueError(
+            f"partition filter on non-partition column(s) {bad} — table "
+            f"layout is {sorted(pc) or 'unpartitioned'}"
+        )
+    want: dict[str, set] = {}
+    for k, val in partitions.items():
+        vs = val if isinstance(val, (list, tuple, set, frozenset)) else [val]
+        want[k] = {None if v is None else str(v) for v in vs}
+    return [
+        f
+        for f in man["files"]
+        if all(
+            _partition_values_from_path(f).get(k) in vs
+            for k, vs in want.items()
+        )
+    ]
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     at_timestamp=None,
+    partitions: dict | None = None,
 ) -> DataFrame:
     """The table at ``version`` (default: latest), or as of
     ``at_timestamp`` (datetime | ISO string | epoch seconds — resolved
     via ``snapshot_version_at``). Partition columns come back from the
     directory names (``basePath``), exactly like a plain partitioned
-    read."""
+    read.
+
+    ``partitions`` ({col: value or list}) prunes AT THE MANIFEST: only
+    matching files enter the scan (``df.inputFiles()`` shows exactly
+    them). This matters on the flat read path, where partition values
+    ride a broadcast lookup join rather than Hive directory discovery
+    — a WHERE on the joined column cannot skip files there, so without
+    manifest pruning a one-partition query of a 100 TB table opens
+    every file."""
     if version is not None and at_timestamp is not None:
         raise ValueError("pass version OR at_timestamp, not both")
     if at_timestamp is not None:
@@ -749,8 +810,11 @@ def read_snapshot(
         )
     man = _load_manifest(spark, path, version)
     schema = StructType.fromJson(man["schema"])
+    files = man["files"]
+    if partitions:
+        files = _partition_pruned_files(man, partitions)
     return _read_file_list(
-        spark, path, man["files"], schema,
+        spark, path, files, schema,
         partition_cols=_manifest_partition_cols(man),
         dv_files=man.get("dv_files"),
         dv_targets=man.get("dv_targets"),
@@ -1544,6 +1608,7 @@ def snapshot_count(
     path: str,
     version: int | None = None,
     at_timestamp=None,
+    partitions: dict | None = None,
 ) -> int:
     """Exact live row count of the table at ``version`` (default:
     latest) WITHOUT scanning data pages: per-file footer counts ride
@@ -1558,7 +1623,11 @@ def snapshot_count(
     Files predating row tracking (legacy history) self-heal: only the
     MISSING footers are read (fail-loud — a manifest-referenced file
     that cannot be opened is corruption, not a gap). The correction
-    term means the count is exact under merge-on-read DML too."""
+    term means the count is exact under merge-on-read DML too.
+
+    ``partitions`` scopes the count to matching partition directories
+    (manifest-pruned — see ``_partition_pruned_files``), still without
+    touching data pages."""
     if version is not None and at_timestamp is not None:
         raise ValueError("pass version OR at_timestamp, not both")
     if at_timestamp is not None:
@@ -1574,9 +1643,15 @@ def snapshot_count(
         )
     man = _load_manifest(spark, path, version)
     root = _root(path)
+    files = man["files"]
+    if partitions:
+        # partition-scoped count stays metadata-only too: prune the
+        # file list first, correct by the tombstones targeting exactly
+        # those files (the sidecar semi-join keys on relpath)
+        files = _partition_pruned_files(man, partitions)
     return _physical_row_total(
-        spark, root, man, man["files"]
-    ) - _dv_entry_count(spark, root, man.get("dv_files"), man["files"])
+        spark, root, man, files
+    ) - _dv_entry_count(spark, root, man.get("dv_files"), files)
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
@@ -1590,6 +1665,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
         "version", "parent", "op", "committed_at_ms", "schema",
         "partition_cols", "manifest_id", "parent_id", "files",
         "dv_files", "dv_targets", "stats", "stats_cols", "rows",
+        "props",
     }
     rows = []
     for v in _list_manifests(spark, path):
@@ -2237,6 +2313,183 @@ def _fragment_victims(files: list[str], is_frag) -> list[str]:
     )
 
 
+def _constraint_exprs(props: dict | None) -> dict[str, str]:
+    """name -> SQL expr of the CHECK constraints in a props dict."""
+    pre = "constraint."
+    return {
+        k[len(pre):]: v
+        for k, v in (props or {}).items()
+        if k.startswith(pre)
+    }
+
+
+def _enforce_constraints(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: StructType,
+    partition_cols: list[str] | None,
+    props: dict,
+) -> None:
+    """Refuse data that violates a recorded CHECK constraint. Scans
+    ONLY ``files`` (the commit's additions — O(change), never the
+    table) with SQL CHECK semantics: a row passes unless the
+    expression is literally FALSE (NULL passes, like every SQL
+    engine). Early-exits on the first violating row per constraint."""
+    checks = _constraint_exprs(props)
+    if not checks or not files:
+        return
+    df = _read_file_list(
+        spark, path, files, schema, partition_cols=partition_cols
+    )
+    for name in sorted(checks):
+        expr = checks[name]
+        bad = (
+            df.where(
+                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"committed data; first offender: {bad[0].asDict()}"
+            )
+
+
+def snapshot_properties(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict[str, str]:
+    """The table properties at ``version`` (default: latest) — carried
+    commit-to-commit in the manifest state, metadata-only to read."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    return dict(_load_manifest(spark, path, v).get("props") or {})
+
+
+def snapshot_set_properties(
+    spark: SparkSession,
+    path: str,
+    set_props: dict[str, str] | None = None,
+    unset: list[str] | None = None,
+) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES as a metadata-only commit:
+    same files, same schema, zero data movement. Keys under
+    ``constraint.`` refuse here — constraints change enforcement
+    semantics, so they go through ``snapshot_add_constraint`` (which
+    validates existing data) / ``snapshot_drop_constraint``."""
+    set_props = dict(set_props or {})
+    unset = list(unset or [])
+    if not set_props and not unset:
+        raise ValueError("nothing to set or unset")
+    guarded = [
+        k for k in list(set_props) + unset if k.startswith("constraint.")
+    ]
+    if guarded:
+        raise ValueError(
+            f"properties {guarded} are CHECK constraints — use "
+            "snapshot_add_constraint / snapshot_drop_constraint"
+        )
+    bad_vals = {k: v for k, v in set_props.items() if not isinstance(v, str)}
+    if bad_vals:
+        raise ValueError(
+            f"property values must be strings: {sorted(bad_vals)}"
+        )
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    man = _load_manifest(spark, path, versions[-1])
+    props = dict(man.get("props") or {})
+    missing = [k for k in unset if k not in props]
+    if missing:
+        raise ValueError(f"cannot unset absent properties {missing}")
+    for k in unset:
+        props.pop(k)
+    props.update(set_props)
+    return _commit(
+        spark, path, man["files"], StructType.fromJson(man["schema"]),
+        "set_properties", versions[-1],
+        extra={"props_set": sorted(set_props), "props_unset": unset},
+        partition_cols=_manifest_partition_cols(man),
+        props=props,
+    )
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (CHECK): validates the EXISTING data
+    once (one full scan — the documented cost of adding a constraint
+    to a populated table, same as Delta's), then records the
+    expression as a carried table property. From then on EVERY commit
+    validates its added files at the ``_commit`` choke point —
+    appends, stream batches, merges, update images, restores — at
+    O(new files) data read, and violating writes refuse before a
+    version exists."""
+    if not name or "/" in name or name != name.strip():
+        raise ValueError(f"bad constraint name {name!r}")
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    man = _load_manifest(spark, path, versions[-1])
+    props = dict(man.get("props") or {})
+    key = f"constraint.{name}"
+    if key in props:
+        raise ValueError(
+            f"constraint {name!r} already exists ({props[key]!r}); drop "
+            "it first"
+        )
+    # validate existing rows under SQL CHECK semantics (NULL passes)
+    df = read_snapshot(spark, path, versions[-1])
+    bad = (
+        df.where(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing "
+            f"data violates it, e.g. {bad[0].asDict()}"
+        )
+    props[key] = expr
+    return _commit(
+        spark, path, man["files"], StructType.fromJson(man["schema"]),
+        "add_constraint", versions[-1],
+        extra={"constraint": name, "expr": expr},
+        partition_cols=_manifest_partition_cols(man),
+        props=props,
+    )
+
+
+def snapshot_drop_constraint(
+    spark: SparkSession, path: str, name: str
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT — metadata-only."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    man = _load_manifest(spark, path, versions[-1])
+    props = dict(man.get("props") or {})
+    key = f"constraint.{name}"
+    if key not in props:
+        raise ValueError(f"no constraint named {name!r} on {path}")
+    props.pop(key)
+    return _commit(
+        spark, path, man["files"], StructType.fromJson(man["schema"]),
+        "drop_constraint", versions[-1],
+        extra={"constraint": name},
+        partition_cols=_manifest_partition_cols(man),
+        props=props,
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
@@ -2714,11 +2967,15 @@ def read_snapshot_pruned(
     lo,
     hi,
     version: int | None = None,
+    partitions: dict | None = None,
 ) -> DataFrame:
     """Range read ``lo <= col <= hi`` planned against the MANIFEST: only
     files whose recorded [min, max] overlaps the range are opened (a
     file without stats for ``col`` is conservatively kept — never a
     false negative), then the exact residual predicate applies.
+    ``partitions`` composes directory pruning with the stats pruning —
+    both dimensions resolve driver-side from the manifest before any
+    file opens.
 
     Stats live in an order-preserving JSON image (numbers native, date/
     timestamp as ISO strings, Decimal as outward-widened floats), and
@@ -2732,11 +2989,14 @@ def read_snapshot_pruned(
         version = versions[-1]
     man = _load_manifest(spark, path, version)
     stats = man.get("stats", {})
+    candidates = man["files"]
+    if partitions:
+        candidates = _partition_pruned_files(man, partitions)
     # widen the QUERY interval outward too (Decimal bounds): pruning
     # may only ever keep extra files, never drop a matching one
     slo, shi = _stat_norm(lo, widen=-1), _stat_norm(hi, widen=1)
     keep = []
-    for f in man["files"]:
+    for f in candidates:
         st = stats.get(f, {}).get(col)
         if st is None:
             keep.append(f)  # no stats -> cannot exclude
@@ -3486,6 +3746,22 @@ def snapshot_drop_column(
     new_schema = StructType([f for f in schema.fields if f.name != name])
     if not new_schema.fields:
         raise ValueError("cannot drop the last column")
+    # a CHECK constraint referencing the dropped column would pass the
+    # alter (no new files to scan) and then fail every future append
+    # with an unresolved-column error — refuse up front instead, by
+    # analyzing each constraint against the NARROWED schema
+    for cname, cexpr in sorted(
+        _constraint_exprs(man.get("props")).items()
+    ):
+        probe = spark.createDataFrame([], new_schema)
+        try:
+            probe.select(F.expr(cexpr))  # analysis-only, no job
+        except Exception:
+            raise ValueError(
+                f"cannot drop column {name!r}: CHECK constraint "
+                f"{cname!r} ({cexpr}) references it — drop the "
+                "constraint first"
+            ) from None
     extra: dict = {"altered_column": name}
     if man.get("stats") is not None:
         extra["stats"] = {

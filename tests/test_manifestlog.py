@@ -70,10 +70,12 @@ def ckpt3(monkeypatch):
 def test_checkpoint_roundtrip_all_state_shapes():
     shapes = [
         {"files": [], "dv_files": None, "dv_targets": None,
-         "stats": None, "stats_cols": None, "rows": None},
+         "stats": None, "stats_cols": None, "rows": None,
+         "props": None},
         {"files": ["data/a/x.parquet"], "dv_files": None,
          "dv_targets": None, "stats": None, "stats_cols": None,
-         "rows": None},
+         "rows": None,
+         "props": {"owner": "etl", "constraint.pos": "id >= 0"}},
         {"files": ["data/a/x.parquet", "data/b/m=1/y y.parquet"],
          "dv_files": ["data/c/dv.parquet"],
          "dv_targets": ["data/a/x.parquet"],
@@ -81,11 +83,12 @@ def test_checkpoint_roundtrip_all_state_shapes():
                    "data/b/m=1/y y.parquet": {"id": [None, None]}},
          "stats_cols": ["id"],
          # rows map may be PARTIAL (legacy history has no counts)
-         "rows": {"data/a/x.parquet": 12345}},
+         "rows": {"data/a/x.parquet": 12345},
+         "props": None},
         # stats present but EMPTY dict is a distinct state from None
         {"files": ["data/a/x.parquet"], "dv_files": None,
          "dv_targets": None, "stats": {}, "stats_cols": ["id"],
-         "rows": {"data/a/x.parquet": 7}},
+         "rows": {"data/a/x.parquet": 7}, "props": None},
     ]
     for st in shapes:
         assert ml.decode_checkpoint(ml.encode_checkpoint(st)) == st
@@ -99,6 +102,10 @@ def test_checkpoint_roundtrip_all_state_shapes():
     assert got["dv_targets"] == shapes[2]["dv_targets"]
     assert got["stats"] is None
     assert got["rows"] == shapes[2]["rows"]
+    got1 = ml.decode_checkpoint(
+        ml.encode_checkpoint(shapes[1]), want_stats=False
+    )
+    assert got1["props"] == shapes[1]["props"]
 
 
 def test_encode_fold_random_transition_equivalence():
@@ -107,7 +114,8 @@ def test_encode_fold_random_transition_equivalence():
     format's core invariant."""
     rng = random.Random(7)
     state = {"files": [], "dv_files": None, "dv_targets": None,
-             "stats": None, "stats_cols": None, "rows": None}
+             "stats": None, "stats_cols": None, "rows": None,
+             "props": None}
     pool = [f"data/{i:02d}/p.parquet" for i in range(40)]
     for step in range(1, 60):
         files = set(state["files"])
@@ -131,6 +139,13 @@ def test_encode_fold_random_transition_equivalence():
         for f in files:
             if f not in rows and rng.random() < 0.7:
                 rows[f] = rng.randrange(1, 10_000)
+        # props churn freely (set / overwrite / unset)
+        props = dict(state.get("props") or {})
+        r = rng.random()
+        if r < 0.3:
+            props[f"k{rng.randrange(3)}"] = f"v{rng.randrange(5)}"
+        elif r < 0.45 and props:
+            props.pop(rng.choice(sorted(props)))
         target = {
             "files": sorted(files),
             "dv_files": dvs or None,
@@ -138,6 +153,7 @@ def test_encode_fold_random_transition_equivalence():
             "stats": stats,
             "stats_cols": ["id"] if has_stats else None,
             "rows": rows or None,
+            "props": props or None,
         }
         scalars = {"version": step, "parent": step - 1, "op": "t",
                    "manifest_id": f"m{step}"}

@@ -221,6 +221,199 @@ def test_stream_snapshot_append_exactly_once(spark, tmp_path, table):
     assert all(h["op"] == "stream_append" for h in hist)
 
 
+def test_table_properties_and_check_constraints(spark, table):
+    """Table properties carry commit-to-commit in the manifest state;
+    CHECK constraints ride them and are enforced at the _commit choke
+    point against each commit's ADDED files (O(change)) — appends, DV
+    update images, and restores all refuse violating data before a
+    version exists, with SQL CHECK null semantics (NULL passes)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_add_constraint,
+        snapshot_delete_rows,
+        snapshot_drop_column,
+        snapshot_drop_constraint,
+        snapshot_properties,
+        snapshot_restore,
+        snapshot_set_properties,
+        snapshot_update_rows_dv,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"a{i}") for i in range(6)]),
+        table, partition_cols=["month"],
+    )
+    # plain properties: metadata-only commit, carried through later DML
+    v = snapshot_set_properties(spark, table, {"owner": "etl"})
+    assert snapshot_properties(spark, table) == {"owner": "etl"}
+    assert snapshot_versions(spark, table)[-1]["op"] == "set_properties"
+    with pytest.raises(ValueError, match="cannot unset absent"):
+        snapshot_set_properties(spark, table, unset=["nope"])
+    with pytest.raises(ValueError, match="snapshot_add_constraint"):
+        snapshot_set_properties(spark, table, {"constraint.x": "id > 0"})
+
+    # adding a constraint the existing data violates refuses
+    with pytest.raises(ValueError, match="existing data violates"):
+        snapshot_add_constraint(spark, table, "small", "id < 3")
+    assert snapshot_versions(spark, table)[-1]["version"] == v
+    snapshot_add_constraint(spark, table, "nonneg", "id >= 0")
+    assert snapshot_properties(spark, table)["constraint.nonneg"] \
+        == "id >= 0"
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_add_constraint(spark, table, "nonneg", "id >= 1")
+
+    # appends: good data passes, violating data refuses with NO version
+    snapshot_write(
+        _df(spark, [(100, 0, "ok")]), table, mode="append",
+        partition_cols=["month"],
+    )
+    head = snapshot_versions(spark, table)[-1]["version"]
+    with pytest.raises(ValueError, match="CHECK constraint 'nonneg'"):
+        snapshot_write(
+            _df(spark, [(-1, 0, "bad")]), table, mode="append",
+            partition_cols=["month"],
+        )
+    assert snapshot_versions(spark, table)[-1]["version"] == head
+    # SQL CHECK semantics: NULL passes
+    null_id = spark.createDataFrame(
+        [(None, 0, "n")], "id long, month int, v string"
+    )
+    snapshot_write(null_id, table, mode="append", partition_cols=["month"])
+
+    # merge-on-read UPDATE goes through the same gate (patched images
+    # are the commit's added files)
+    snapshot_add_constraint(spark, table, "vocab", "v != 'BAD'")
+    with pytest.raises(ValueError, match="CHECK constraint 'vocab'"):
+        snapshot_update_rows_dv(spark, table, "id", [100], {"v": "BAD"})
+    snapshot_update_rows_dv(spark, table, "id", [100], {"v": "GOOD"})
+
+    # a restore that would resurrect now-violating rows refuses: the
+    # re-added files are validated against the CURRENT constraints
+    pre = snapshot_versions(spark, table)[-1]["version"]
+    snapshot_delete_rows(spark, table, "id", [5])  # CoW: files change
+    snapshot_add_constraint(spark, table, "cap", "id <= 4 or id = 100")
+    with pytest.raises(ValueError, match="CHECK constraint 'cap'"):
+        snapshot_restore(spark, table, pre)
+    snapshot_drop_constraint(spark, table, "cap")
+    snapshot_restore(spark, table, pre)  # now fine
+
+    # dropping a column a constraint references refuses up front
+    with pytest.raises(ValueError, match="constraint 'vocab'"):
+        snapshot_drop_column(spark, table, "v")
+    snapshot_drop_constraint(spark, table, "vocab")
+    snapshot_drop_column(spark, table, "v")
+    # 'nonneg' survives the schema DDL and still enforces
+    with pytest.raises(ValueError, match="CHECK constraint 'nonneg'"):
+        snapshot_write(
+            spark.createDataFrame([(-2, 0)], "id long, month int"),
+            table, mode="append", partition_cols=["month"],
+        )
+
+
+def test_properties_follow_branches_and_cli(spark, table, capsys):
+    """Branch forks carry the base's properties, publish carries the
+    branch head's back (whole-state semantics, like DVs); the CLI
+    surfaces show/set/constraint ops."""
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+    from nyc_taxi_data_warehouse_spark.warehouse.branching import (
+        create_branch,
+        drop_branch,
+        publish_branch,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_properties,
+        snapshot_set_properties,
+    )
+
+    snapshot_write(
+        _df(spark, [(1, 0, "a"), (2, 1, "b")]), table,
+        partition_cols=["month"],
+    )
+    snapshot_set_properties(spark, table, {"owner": "etl"})
+    ref = create_branch(spark, table, "dev")
+    assert snapshot_properties(spark, ref) == {"owner": "etl"}
+    snapshot_set_properties(spark, ref, {"owner": "science"})
+    assert snapshot_properties(spark, table) == {"owner": "etl"}
+    publish_branch(spark, table, "dev")
+    assert snapshot_properties(spark, table) == {"owner": "science"}
+    drop_branch(spark, table, "dev")
+
+    cli = lambda *a: main(list(a), spark=spark)  # noqa: E731
+    assert cli(
+        "snapshot-props", "--table-path", table,
+        "--set", "retention.days=30", "--unset", "owner",
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["properties"] == {"retention.days": "30"}
+    assert cli(
+        "snapshot-props", "--table-path", table,
+        "--add-constraint", "nonneg", "id >= 0",
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["properties"]["constraint.nonneg"] == "id >= 0"
+    assert cli("snapshot-props", "--table-path", table) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["properties"]) == {"retention.days", "constraint.nonneg"}
+
+
+def test_partition_pruned_reads_from_manifest(spark, table):
+    """read_snapshot(partitions=...) plans a one-partition read from
+    the manifest alone: df.inputFiles() is exactly that partition's
+    files — including on the FLAT read path (long stable-schema
+    history), where partition values ride a lookup join and a plain
+    WHERE cannot skip files. DV masks still apply inside the pruned
+    subset; snapshot_count(partitions=...) stays metadata-only."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_count,
+        snapshot_delete_rows_dv,
+    )
+
+    # 10 commits >> _FLAT_READ_THRESHOLD so the flat path engages
+    for i in range(10):
+        snapshot_write(
+            _df(spark, [(2 * i, 0, f"a{i}"), (2 * i + 1, 1, f"b{i}")]),
+            table, mode="append", partition_cols=["month"],
+        )
+    snapshot_delete_rows_dv(spark, table, "id", [4])  # month=0 victim
+    pruned = read_snapshot(spark, table, partitions={"month": 0})
+    # file plan ∝ the partition, not the table (the one extra input is
+    # the DV sidecar the anti-join merges)
+    data_inputs = [f for f in pruned.inputFiles() if "/month=" in f]
+    assert len(data_inputs) == 10, pruned.inputFiles()
+    assert all("/month=0/" in f for f in data_inputs)
+    got = {(r.id, r.month) for r in pruned.collect()}
+    assert got == {(2 * i, 0) for i in range(10)} - {(4, 0)}
+    # list values + the scoped metadata count
+    both = read_snapshot(spark, table, partitions={"month": [0, 1]})
+    assert both.count() == 19
+    assert snapshot_count(spark, table, partitions={"month": 0}) == 9
+    assert snapshot_count(spark, table, partitions={"month": 1}) == 10
+    # unknown partition column refuses (a typo must never read as
+    # "empty partition")
+    with pytest.raises(ValueError, match="non-partition column"):
+        read_snapshot(spark, table, partitions={"mnth": 0})
+    # stats pruning composes with partition pruning
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot_pruned,
+    )
+
+    rp = read_snapshot_pruned(
+        spark, table, "id", 0, 5, partitions={"month": 0}
+    )
+    rp_inputs = [f for f in rp.inputFiles() if "/month=" in f]
+    assert rp_inputs and all("/month=0/" in f for f in rp_inputs)
+    assert {r.id for r in rp.collect()} == {0, 2}  # 4 is DV-deleted
+    # null partition directory selectable with None
+    null_rows = spark.createDataFrame(
+        [(999, None, "n")], "id long, month int, v string"
+    )
+    snapshot_write(null_rows, table, mode="append", partition_cols=["month"])
+    nul = read_snapshot(spark, table, partitions={"month": None})
+    assert [(r.id, r.month) for r in nul.collect()] == [(999, None)]
+    assert snapshot_count(spark, table, partitions={"month": None}) == 1
+
+
 def test_auto_compact_small_files_metadata_trigger(spark, tmp_path, table):
     """Small-file maintenance: the trigger evaluates purely from the
     manifest's recorded per-file row counts (min_file_rows — zero
