@@ -177,7 +177,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="drop old snapshot versions and delete unreferenced files",
     )
     sv.add_argument("--table-path", required=True)
-    sv.add_argument("--keep-last", type=int, default=2)
+    sv.add_argument(
+        "--keep-last", type=int, default=None,
+        help="versions to retain; default resolves the table's "
+        "retention.keep_last property, else 2",
+    )
     sv.add_argument(
         "--sweep-orphans", action="store_true",
         help="also delete data files no retained manifest references "
@@ -539,6 +543,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 snapshot_set_properties,
             )
 
+            if (args.add_constraint or args.drop_constraint) and (
+                args.set or args.unset
+            ):
+                raise SystemExit(
+                    "--set/--unset cannot combine with a constraint op "
+                    "in one call (each is its own commit) — run them "
+                    "separately"
+                )
             out = {}
             if args.add_constraint:
                 out["version"] = snapshot_add_constraint(

@@ -283,6 +283,41 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             self._start = vs[-1] if vs else 0
         else:
             self._start = int(start)
+        # partition scope: the consumer sees ONLY matching partition
+        # directories — appends elsewhere stream nothing, and (the real
+        # win) rewrites confined elsewhere pass even under
+        # onNonAppend=fail, because the scoped file delta is empty.
+        raw_scope = options.get("partitions")
+        self._scope: dict[str, set] | None = None
+        if raw_scope:
+            import json as _json
+
+            def _norm(v):
+                if v is None:
+                    return None
+                if isinstance(v, bool):  # Spark writes 'true'/'false'
+                    return "true" if v else "false"
+                return str(v)
+
+            parsed = _json.loads(raw_scope)
+            if not isinstance(parsed, dict) or not parsed:
+                raise ValueError(
+                    "partitions option must be a non-empty JSON object "
+                    "of {column: value | [values]}"
+                )
+            self._scope = {
+                k: {
+                    _norm(x)
+                    for x in (v if isinstance(v, list) else [v])
+                }
+                for k, v in parsed.items()
+            }
+
+    def _in_scope(self, rel_file: str) -> bool:
+        if self._scope is None:
+            return True
+        pv = _partition_values_from_path(rel_file)
+        return all(pv.get(k) in vs for k, vs in self._scope.items())
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -306,6 +341,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         have = set(_list_versions(self._path))
         prev_files: set[str] | None = None
         prev_dvs: set[str] = set()
+        prev_tgts: set[str] = set()
         for v in range(lo + 1, hi + 1):
             if v not in have:
                 raise FileNotFoundError(
@@ -323,8 +359,12 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     # parent; vacuum may have dropped exactly it
                     try:
                         pman = _load_manifest(self._path, parent)
-                        prev_files = set(pman["files"])
+                        prev_files = {
+                            f for f in pman["files"] if self._in_scope(f)
+                        }
                         prev_dvs = set(pman.get("dv_files") or [])
+                        if self._scope is not None:
+                            prev_tgts = self._targets_of(pman, prev_dvs)
                     except OSError:  # FileNotFoundError locally; plain
                         # OSError from object-store pyarrow filesystems
                         raise FileNotFoundError(
@@ -333,7 +373,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                             "offset; restart with startingVersion=latest "
                             "or retain more history"
                         ) from None
-            files = set(man["files"])
+            files = {f for f in man["files"] if self._in_scope(f)}
             dvs = set(man.get("dv_files") or [])
             removed = prev_files - files
             if removed:
@@ -347,9 +387,14 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         "with snapshot_changes()"
                     )
                 if self._on_non_append == "verify":
-                    self._verify_row_neutral(man, v, removed, files - prev_files)
+                    self._verify_row_neutral(
+                        man, v, removed, files - prev_files,
+                        prev_dvs=prev_dvs, new_dvs=dvs,
+                    )
                 # verified or skipped rewrite: stream zero rows from it
-            elif dvs != prev_dvs:
+            elif dvs != prev_dvs and not self._dv_delta_out_of_scope(
+                man, dvs, prev_tgts
+            ):
                 # deletion-vector delta with no file changes: added
                 # tombstones are row DELETES (delete_rows_dv), removed
                 # tombstones are row RESURRECTIONS (a restore past the
@@ -426,7 +471,62 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         )
             prev_files = files
             prev_dvs = dvs
+            if self._scope is not None:
+                prev_tgts = self._targets_of(man, dvs)
         return parts
+
+    def _targets_of(self, man: dict, dvs: set) -> set:
+        """The data files ``man``'s sidecars tombstone — recorded
+        dv_targets when present (∝ targeted files), sidecar-derived
+        (cached) for legacy manifests."""
+        if not dvs:
+            return set()
+        tgts = man.get("dv_targets")
+        return set(tgts) if tgts is not None else set(
+            self._dv_target_files(dvs)
+        )
+
+    def _dv_delta_out_of_scope(
+        self, man: dict, dvs: set, prev_tgts: set
+    ) -> bool:
+        """True when this reader is partition-scoped and a deletion-
+        vector delta cannot touch any in-scope file: every target of
+        the old AND new sidecar sets lies outside the scope, so the
+        consumer's rows are untouched and the commit needs no
+        fail/verify/skip treatment (its in-scope additions still
+        stream through the normal append path)."""
+        if self._scope is None:
+            return False
+        now = self._targets_of(man, dvs)
+        return not any(self._in_scope(t) for t in (prev_tgts | now))
+
+    def _dv_entries_for(self, dvs: set, files: set) -> int:
+        """Tombstone rows in ``dvs`` that target one of ``files`` —
+        planner-side pyarrow, per row group, only the ``_dv_file``
+        column ever materializes."""
+        if not dvs or not files:
+            return 0
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        value_set = pa.array(sorted(files))
+        total = 0
+        for rel in sorted(dvs):
+            fs, p = _pa_fs(f"{self._root}/{rel}")
+            with fs.open_input_file(p) as f:
+                pf = pq.ParquetFile(f)
+                for i in range(pf.metadata.num_row_groups):
+                    col = pf.read_row_group(
+                        i, columns=["_dv_file"]
+                    ).column("_dv_file")
+                    total += (
+                        pc.sum(
+                            pc.is_in(col, value_set=value_set)
+                        ).as_py()
+                        or 0
+                    )
+        return total
 
     def _dv_target_files(self, dvs: set) -> set:
         """Union of data-file relpaths the given sidecars tombstone —
@@ -455,7 +555,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         return out
 
     def _verify_row_neutral(
-        self, man: dict, v: int, removed: set, added: set
+        self,
+        man: dict,
+        v: int,
+        removed: set,
+        added: set,
+        prev_dvs: set = frozenset(),
+        new_dvs: set = frozenset(),
     ) -> None:
         """Prove a file-removing commit changed no rows before letting
         the feed pass it silently. Two gates, both required:
@@ -486,7 +592,25 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 "an insert-only feed; rebuild the derived table or "
                 "consume row-level changes with snapshot_changes()"
             )
-        if man.get("rows_removed") is not None and man.get("rows_added") is not None:
+        if self._scope is not None:
+            # recorded totals are TABLE-global — a scoped consumer
+            # needs this commit row-neutral WITHIN its scope, so count
+            # live rows of exactly the scoped removed/added files:
+            # footers minus the tombstones targeting them under each
+            # side's sidecar set (a targeted compact folds victims'
+            # tombstones — live-for-live is the honest comparison).
+            # Requires superseded footers to still exist: a scoped
+            # verify feed must not lag behind compact + vacuum.
+            n_removed = sum(
+                _parquet_num_rows(f"{self._root}/{f}") for f in removed
+            ) - self._dv_entries_for(prev_dvs, removed)
+            n_added = sum(
+                _parquet_num_rows(f"{self._root}/{f}") for f in added
+            ) - self._dv_entries_for(new_dvs, added)
+        elif (
+            man.get("rows_removed") is not None
+            and man.get("rows_added") is not None
+        ):
             n_removed = man["rows_removed"]
             n_added = man["rows_added"]
         else:
@@ -545,6 +669,10 @@ class SnapshotFeedDataSource(DataSource):
       or ``latest`` (tail only); default 0
     - ``onNonAppend``: ``fail`` (default) | ``skip`` | ``verify``
       (pass PROVEN row-neutral compactions, fail everything else)
+    - ``partitions``: JSON object ``{col: value | [values]}`` scoping
+      the feed to matching partition directories; out-of-scope
+      rewrites and DV churn pass silently (see
+      ``read_snapshot_stream``)
     """
 
     @classmethod
@@ -569,6 +697,7 @@ def read_snapshot_stream(
     starting_version: int | str = 0,
     on_non_append: str = "fail",
     starting_timestamp=None,
+    partitions: dict | None = None,
 ):
     """Register the source (idempotent) and open the stream.
 
@@ -577,7 +706,16 @@ def read_snapshot_stream(
     via ``snapshot_version_at`` — which then acts as the usual
     exclusive ``startingVersion``. Resolution inherits the
     retention-gap refusal; pass it instead of (not alongside) an
-    explicit ``starting_version``."""
+    explicit ``starting_version``.
+
+    ``partitions`` ({col: value | [values]}) scopes the feed to
+    matching partition directories: appends elsewhere stream nothing,
+    and rewrites / DV churn confined elsewhere PASS even under
+    ``onNonAppend="fail"`` (the scoped file delta is empty) — one
+    consumer per tenant/shard survives global table maintenance.
+    Scoped ``verify`` counts live rows of the scoped removed/added
+    files from footers + sidecars (recorded totals are table-global),
+    so it must not lag behind compact + vacuum."""
     if starting_timestamp is not None:
         from ..warehouse.snapshots import snapshot_version_at
 
@@ -588,10 +726,14 @@ def read_snapshot_stream(
             )
         starting_version = snapshot_version_at(spark, path, starting_timestamp)
     spark.dataSource.register(SnapshotFeedDataSource)
-    return (
+    reader = (
         spark.readStream.format("snapshot_feed")
         .option("path", path)
         .option("startingVersion", str(starting_version))
         .option("onNonAppend", on_non_append)
-        .load()
     )
+    if partitions is not None:
+        import json as _json
+
+        reader = reader.option("partitions", _json.dumps(partitions))
+    return reader.load()

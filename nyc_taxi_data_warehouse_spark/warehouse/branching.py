@@ -117,6 +117,12 @@ def create_branch(
             ),
         },
         props=man.get("props"),
+        # the fork's parent is None (a fresh chain), so without the
+        # base's recorded row counts _commit would treat every carried
+        # file as new and open 10^6 footers per fork — the exact
+        # O(table) cost a metadata-only branch must never pay
+        known_rows=man.get("rows"),
+        carried_only=True,
         partition_cols=_manifest_partition_cols(man),
         # the fork carries the base state's deletion vectors — branch
         # v1 has no parent to inherit from, and dropping them would
@@ -243,6 +249,10 @@ def publish_branch(
         dv_files=head.get("dv_files"),
         dv_targets=_dv_targets_for(head),
         props=head.get("props"),
+        # branch-minted files already have counts in the branch head's
+        # manifest — reuse them instead of re-reading footers
+        known_rows=head.get("rows"),
+        carried_only=True,
     )
 
 

@@ -331,6 +331,7 @@ def _commit(
     dv_targets=_DV_INHERIT,
     known_rows: dict[str, int] | None = None,
     props=_DV_INHERIT,
+    carried_only: bool = False,
 ) -> int:
     """``dv_files`` — the DELETION-VECTOR sidecars active at this
     version (parquet relpaths of (file, pos) tombstones, merged at
@@ -406,10 +407,15 @@ def _commit(
     # strictly files NEW TO THE TABLE: a carried file the (legacy)
     # parent tracked without a count stays a gap — backfilling here
     # would make one upgrade commit O(table) footer reads; readers
-    # (snapshot_count) self-heal the gap per call instead
-    new_files = [
-        f for f in files if f not in rows and f not in parent_files
-    ]
+    # (snapshot_count) self-heal the gap per call instead.
+    # ``carried_only`` marks whole-state carries whose files all come
+    # from some other validated manifest (branch fork with parent=None,
+    # publish, restore): their row-count gaps must stay gaps too.
+    new_files = (
+        []
+        if carried_only
+        else [f for f in files if f not in rows and f not in parent_files]
+    )
     if new_files:
         rows.update(_rows_for_files(spark, root, new_files, missing_ok=True))
     # Table properties CARRY like every other state key (the INHERIT
@@ -420,14 +426,44 @@ def _commit(
     # TABLE (O(change) data read; restores re-validate resurrected
     # files against the CURRENT constraints). A failed check leaves
     # the written files as sweep_orphans debris, never a version.
+    # Branch forks and publishes are exempt: they are whole-state
+    # carries of an already-validated state (props travel WITH it, so
+    # enforcement history is consistent), and validating them would
+    # re-scan the table per fork.
     if props == _DV_INHERIT:
         props = pman.get("props") if pman else None
     props = dict(props) if props else None
-    if props:
+    if props and op not in ("branch", "publish"):
         added = [f for f in files if f not in parent_files]
         _enforce_constraints(
             spark, root, added, schema, partition_cols, props
         )
+        # Rows can also go live WITHOUT a new file: a commit that
+        # DROPS tombstone sidecars (restore rolling back past a DV
+        # delete) resurrects previously-masked rows in carried files.
+        # Detect it metadata-only (a sidecar left the dv set) and
+        # re-validate the parent's targeted files that remain live,
+        # under the NEW dv masking, so still-deleted rows never
+        # false-positive. compact_dvs is exempt: consolidation proves
+        # its live tombstone set unchanged by count round-trip.
+        removed_dvs = set((pman or {}).get("dv_files") or ()) - set(
+            dv_files or ()
+        )
+        if removed_dvs and op != "compact_dvs":
+            fset = set(files)
+            if pman is not None and pman.get("dv_targets") is not None:
+                suspects = set(pman["dv_targets"])
+            else:  # legacy parent: no recorded targets — be safe
+                suspects = set((pman or {}).get("files") or ())
+            suspects = sorted((suspects & fset) - set(added or ()))
+            if suspects:
+                _enforce_constraints(
+                    spark, root, suspects, schema, partition_cols, props,
+                    dv_files=sorted(dv_files) if dv_files else None,
+                    dv_targets=sorted(set(dv_targets))
+                    if dv_targets
+                    else None,
+                )
     state = {
         "files": files,
         "dv_files": sorted(dv_files) if dv_files else None,
@@ -761,10 +797,19 @@ def _partition_pruned_files(man: dict, partitions: dict) -> list[str]:
             f"partition filter on non-partition column(s) {bad} — table "
             f"layout is {sorted(pc) or 'unpartitioned'}"
         )
+    def norm(v) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            # Spark writes boolean partition dirs as 'true'/'false';
+            # Python str(True) is 'True' — a silent zero-file match
+            return "true" if v else "false"
+        return str(v)
+
     want: dict[str, set] = {}
     for k, val in partitions.items():
         vs = val if isinstance(val, (list, tuple, set, frozenset)) else [val]
-        want[k] = {None if v is None else str(v) for v in vs}
+        want[k] = {norm(v) for v in vs}
     return [
         f
         for f in man["files"]
@@ -1512,6 +1557,12 @@ def snapshot_restore(
         # (whose DVs may reference exactly the files being restored)
         dv_files=man.get("dv_files"),
         dv_targets=_dv_targets_for(man),
+        # the restored manifest already holds its files' row counts —
+        # without this, restoring across a compact re-reads every
+        # restored footer (the O(table) storm row tracking must never
+        # pay on a zero-data-movement op)
+        known_rows=man.get("rows"),
+        carried_only=True,
     )
 
 
@@ -1735,7 +1786,7 @@ def _tag_versions(spark: SparkSession, path: str) -> dict[str, int]:
 
 
 def vacuum_snapshots(
-    spark: SparkSession, path: str, keep_last: int = 2
+    spark: SparkSession, path: str, keep_last: int | None = None
 ) -> dict:
     """Drop all but the newest ``keep_last`` versions and delete data
     files no surviving version references. Time travel to dropped
@@ -1743,14 +1794,18 @@ def vacuum_snapshots(
     when no reader is pinned below the cutoff, the same contract as any
     manifest-log VACUUM. Returns {"versions_dropped", "files_deleted"}.
 
+    ``keep_last=None`` (the default) resolves from the table's own
+    ``retention.keep_last`` property when set, else 2 — so a table
+    owner declares retention ONCE (``snapshot_set_properties``) and
+    every maintenance job honors it without plumbing a number through
+    schedulers; an explicit argument still wins.
+
     Branch/tag aware: TAGGED versions are never dropped regardless of
     ``keep_last`` (delete the tag first), and files referenced by ANY
     branch manifest survive — a live branch's history stays readable
     through a main-chain vacuum. Vacuum targets the TABLE; a branch ref
     is refused (``drop_branch`` removes a branch's manifests, after
     which its unshared files are ordinary vacuum candidates)."""
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
     if _REF_SEP in path:
         raise ValueError(
             "vacuum the table root, not a branch ref — use drop_branch "
@@ -1758,6 +1813,18 @@ def vacuum_snapshots(
         )
     fs, jvm = _fs(spark, path)
     versions = _list_manifests(spark, path)
+    if keep_last is None:
+        head = _load_manifest(spark, path, versions[-1]) if versions else {}
+        raw = (head.get("props") or {}).get("retention.keep_last", "2")
+        try:
+            keep_last = int(raw)
+        except ValueError as e:
+            raise ValueError(
+                f"table property retention.keep_last={raw!r} is not an "
+                "int"
+            ) from e
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
     tagged = set(_tag_versions(spark, path).values())
     drop = [v for v in versions[:-keep_last] if v not in tagged]
     keep = [v for v in versions if v not in drop]
@@ -2085,29 +2152,12 @@ def stream_snapshot_append(
 
 
 def _footer_row_total(spark: SparkSession, root: str, files: list[str]) -> int:
-    """Sum of parquet-footer ``num_rows`` over manifest relpaths — ONE
-    distributed metadata-only job (footers, never data pages). A serial
-    driver loop here would stall a large compaction for hours (~10^5+
-    sequential object-store opens); executors fan the opens out instead.
-    The mapper closes over nothing from this package, so it pickles by
-    value and runs on untuned sessions too."""
-    if not files:
-        return 0
-    uris = [f"{root}/{f}" for f in files]
-
-    def _count(uri: str) -> int:
-        import pyarrow.fs as pafs
-        import pyarrow.parquet as pq
-
-        if "://" in uri:
-            fs, p = pafs.FileSystem.from_uri(uri)
-        else:
-            fs, p = pafs.LocalFileSystem(), uri
-        with fs.open_input_file(p) as f:
-            return pq.ParquetFile(f).metadata.num_rows
-
-    n_slices = min(len(uris), max(2, spark.sparkContext.defaultParallelism))
-    return spark.sparkContext.parallelize(uris, n_slices).map(_count).sum()
+    """Sum of parquet-footer ``num_rows`` over manifest relpaths —
+    metadata-only, distributed past a small count (the per-file
+    variant ``_rows_for_files`` holds the single copy of the footer
+    logic; a serial driver loop here would stall a large compaction
+    for hours at 10^5+ sequential object-store opens)."""
+    return sum(_rows_for_files(spark, root, files).values())
 
 
 def _rows_for_files(
@@ -2218,26 +2268,12 @@ def _make_batch_sizer():
 def _file_bytes_total(
     spark: SparkSession, root: str, files: list[str]
 ) -> int:
-    """Total on-disk bytes of manifest relpaths. Small lists stat on
-    the driver; past a threshold the file-info calls fan out to
-    executors in per-partition BATCHES (same shape as
-    ``_footer_row_total``) — a serial driver loop is one object-store
-    RPC per file, hours at the 10^5–10^6-file design point."""
-    if not files:
-        return 0
-    if len(files) <= 256:
-        fs, jvm = _fs(spark, root)
-        return sum(
-            fs.getFileStatus(_jp(jvm, root, f)).getLen() for f in files
-        )
-    uris = [f"{root}/{f}" for f in files]
-    sizer = _make_batch_sizer()
-    n_slices = min(len(uris), max(2, spark.sparkContext.defaultParallelism))
-    return (
-        spark.sparkContext.parallelize(uris, n_slices)
-        .mapPartitions(lambda it: sizer(it))
-        .sum()
-    )
+    """Total on-disk bytes of manifest relpaths (``_file_sizes`` holds
+    the single copy of the stat logic: driver below a threshold,
+    batched executor fan-out beyond — a serial driver loop is one
+    object-store RPC per file, hours at the 10^5–10^6-file design
+    point)."""
+    return sum(_file_sizes(spark, root, files).values())
 
 
 def _file_sizes(
@@ -2330,17 +2366,23 @@ def _enforce_constraints(
     schema: StructType,
     partition_cols: list[str] | None,
     props: dict,
+    dv_files: list[str] | None = None,
+    dv_targets: list[str] | None = None,
 ) -> None:
     """Refuse data that violates a recorded CHECK constraint. Scans
     ONLY ``files`` (the commit's additions — O(change), never the
     table) with SQL CHECK semantics: a row passes unless the
     expression is literally FALSE (NULL passes, like every SQL
-    engine). Early-exits on the first violating row per constraint."""
+    engine). Early-exits on the first violating row per constraint.
+    ``dv_files``/``dv_targets`` apply the commit's deletion-vector
+    masking for the resurrection re-check (a still-tombstoned row is
+    not live and must not fail the check)."""
     checks = _constraint_exprs(props)
     if not checks or not files:
         return
     df = _read_file_list(
-        spark, path, files, schema, partition_cols=partition_cols
+        spark, path, files, schema, partition_cols=partition_cols,
+        dv_files=dv_files, dv_targets=dv_targets,
     )
     for name in sorted(checks):
         expr = checks[name]
@@ -2591,6 +2633,21 @@ def snapshot_compact(
         else:
             total = _file_bytes_total(spark, root, man["files"])
         n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+        if targeted:
+            # cap the derived output count so each packed file
+            # averages AT OR ABOVE the fragment threshold — without
+            # this, an unpartitioned (or clustered) pack of many
+            # mid-size fragments can emit n_files outputs that all
+            # still qualify as fragments, and the auto cadence would
+            # rewrite the same bytes forever instead of converging.
+            # (Partitioned hash-repartition packs collapse to one file
+            # per partition regardless, but the cap is harmless there.)
+            if min_file_mb is not None:
+                cap = int(total // (min_file_mb * 1024 * 1024))
+            else:
+                vic_rows = sum(frows[f] for f in victims)
+                cap = vic_rows // min_file_rows
+            n_files = max(1, min(n_files, cap))
     if not targeted:
         df = read_snapshot(spark, path, latest)
     else:

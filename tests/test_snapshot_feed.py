@@ -847,3 +847,79 @@ def test_changes_and_feed_by_timestamp(spark, table, tmp_path, capsys):
     ]
     assert [(r["id"], r["_change_type"], r["_commit_version"])
             for r in rows] == [(2, "insert", 2)]
+
+
+def test_partition_scoped_feed(spark, table, tmp_path):
+    """partitions= scopes the feed: only matching directories stream,
+    and — the scale win — rewrites and DV churn confined to OTHER
+    partitions pass even under onNonAppend=fail, so one consumer per
+    tenant survives global table maintenance. In-scope DV churn still
+    fails loudly, and scoped verify proves row-neutrality from the
+    scoped files themselves (recorded totals are table-global)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_compact,
+        snapshot_delete_rows_dv,
+        snapshot_replace_partitions,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"a{i}") for i in range(6)]),
+        table, partition_cols=["month"],
+    )
+    ckpt = str(tmp_path / "scoped")
+    got = _drain(
+        spark, table, ckpt, "sc1", partitions={"month": 0},
+    )
+    assert _bag(got) == [(0, 0, "a0"), (2, 0, "a2"), (4, 0, "a4")]
+
+    # out-of-scope append: zero rows, no error
+    snapshot_write(
+        _df(spark, [(101, 1, "b1")]), table, mode="append",
+        partition_cols=["month"],
+    )
+    assert _drain(
+        spark, table, ckpt, "sc2", partitions={"month": 0},
+    ).count() == 0
+    # out-of-scope REWRITE passes even in fail mode (the win): an
+    # unscoped fail-mode feed refuses this same commit
+    snapshot_replace_partitions(
+        _df(spark, [(102, 1, "b2")]), table, partition_cols=["month"],
+    )
+    assert _drain(
+        spark, table, ckpt, "sc3", partitions={"month": 0},
+    ).count() == 0
+    with pytest.raises(Exception, match="not an append"):
+        _drain(spark, table, str(tmp_path / "unscoped"), "sc3u")
+    # out-of-scope DV churn passes; in-scope DV churn fails loudly
+    snapshot_delete_rows_dv(spark, table, "id", [102])  # month=1
+    assert _drain(
+        spark, table, ckpt, "sc4", partitions={"month": 0},
+    ).count() == 0
+    snapshot_delete_rows_dv(spark, table, "id", [4])  # month=0: in scope
+    with pytest.raises(Exception, match="deletion vectors"):
+        _drain(spark, table, ckpt, "sc5", partitions={"month": 0})
+    # scoped verify: a full compact (folds both tombstones) is
+    # row-neutral WITHIN the scope measured live-for-live. Start at
+    # the current head — replaying the in-scope DV delete above would
+    # (correctly) refuse under verify too.
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+    )
+
+    head = _list_manifests(spark, table)[-1]
+    ck2 = str(tmp_path / "scoped_v")
+    snapshot_compact(spark, table, partition_cols=["month"])
+    assert _drain(
+        spark, table, ck2, "sc7", partitions={"month": 0},
+        on_non_append="verify", starting_version=head,
+    ).count() == 0
+    # in-scope appends still stream after all the churn
+    snapshot_write(
+        _df(spark, [(200, 0, "z")]), table, mode="append",
+        partition_cols=["month"],
+    )
+    got2 = _drain(
+        spark, table, ck2, "sc8", partitions={"month": 0},
+        on_non_append="verify",
+    )
+    assert _bag(got2) == [(200, 0, "z")]

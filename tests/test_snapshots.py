@@ -296,6 +296,26 @@ def test_table_properties_and_check_constraints(spark, table):
     snapshot_drop_constraint(spark, table, "cap")
     snapshot_restore(spark, table, pre)  # now fine
 
+    # the DV flavor of the same hazard: a merge-on-read delete leaves
+    # the FILE in place (only tombstones mask the row), so a restore
+    # past it changes no files — resurrection rides a dv-set change
+    # and must be caught by the tombstone-removal re-check
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows_dv,
+    )
+
+    pre_dv = snapshot_versions(spark, table)[-1]["version"]
+    snapshot_delete_rows_dv(spark, table, "id", [4])
+    snapshot_add_constraint(spark, table, "cap4", "id != 4")
+    with pytest.raises(ValueError, match="CHECK constraint 'cap4'"):
+        snapshot_restore(spark, table, pre_dv)  # would resurrect id=4
+    # but a restore whose resurrected rows PASS the check still works
+    snapshot_drop_constraint(spark, table, "cap4")
+    snapshot_add_constraint(spark, table, "cap5", "id <= 100")
+    snapshot_restore(spark, table, pre_dv)
+    assert 4 in {r.id for r in read_snapshot(spark, table).collect()}
+    snapshot_drop_constraint(spark, table, "cap5")
+
     # dropping a column a constraint references refuses up front
     with pytest.raises(ValueError, match="constraint 'vocab'"):
         snapshot_drop_column(spark, table, "v")
@@ -355,6 +375,23 @@ def test_properties_follow_branches_and_cli(spark, table, capsys):
     assert cli("snapshot-props", "--table-path", table) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(out["properties"]) == {"retention.days", "constraint.nonneg"}
+
+    # declared retention: vacuum's default keep_last comes from the
+    # table's own property (an explicit argument still wins)
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+    )
+
+    snapshot_set_properties(spark, table, {"retention.keep_last": "1"})
+    assert len(_list_manifests(spark, table)) > 1
+    out = vacuum_snapshots(spark, table)  # no keep_last passed
+    assert out["versions_dropped"] > 0
+    assert len(_list_manifests(spark, table)) == 1
+    with pytest.raises(ValueError, match="not an\n?.*int|not an int"):
+        snapshot_set_properties(
+            spark, table, {"retention.keep_last": "soon"}
+        )
+        vacuum_snapshots(spark, table)
 
 
 def test_partition_pruned_reads_from_manifest(spark, table):
@@ -599,6 +636,37 @@ def test_targeted_compact_bin_packs_only_fragments(spark, table):
     # a second targeted pass has <2 fragments left: no-op, no commit
     assert snapshot_compact(spark, table, min_file_mb=0.02) == v
     assert snapshot_versions(spark, table)[-1]["version"] == v
+
+
+def test_targeted_compact_converges_unpartitioned(spark, table, monkeypatch):
+    """On an unpartitioned table, the derived output count is capped
+    so packed files average at or above the fragment threshold —
+    repeated passes strictly converge instead of re-packing the same
+    mid-size fragments forever (the bytes/target_mb derivation alone
+    can emit n outputs that are ALL still sub-threshold)."""
+    import nyc_taxi_data_warehouse_spark.warehouse.snapshots as sn
+
+    for i in range(6):
+        snapshot_write(
+            _df(spark, [(10 * i + j, 0, "x" * 30) for j in range(10)]),
+            table, mode="append",
+        )
+    # pretend each 10-row fragment is 300 MB: bytes/256MB would derive
+    # 8 outputs (every one of them still under the 25-row threshold —
+    # permanent thrash); the rows cap forces floor(60/25)=2
+    real_sizes = sn._file_sizes
+    monkeypatch.setattr(
+        sn, "_file_sizes",
+        lambda spark, root, files: {f: 300 << 20 for f in files},
+    )
+    v = sn.snapshot_compact(spark, table, min_file_rows=25, target_mb=256)
+    monkeypatch.setattr(sn, "_file_sizes", real_sizes)
+    man = sn._load_manifest(spark, table, v)
+    assert len(man["files"]) == 2, man["files"]
+    assert all(n >= 25 for n in man["rows"].values()), man["rows"]
+    # fixpoint: nothing qualifies any more
+    assert sn.snapshot_compact(spark, table, min_file_rows=25) == v
+    assert read_snapshot(spark, table).count() == 60
 
 
 def test_snapshot_merge_upsert_versions_and_prunes(spark, table):
