@@ -1287,8 +1287,16 @@ def snapshot_changes(
     to_version: int | None = None,
     from_timestamp=None,
     to_timestamp=None,
+    partitions: dict | None = None,
 ) -> DataFrame:
     """Row-level change feed between two retained versions.
+
+    ``partitions`` ({col: value | list}) scopes the feed to matching
+    partition directories — every per-commit file diff is pruned at
+    the manifest before any read, so a one-tenant CDC consumer of a
+    100 TB table plans and scans only its tenant's files, and commits
+    confined to other partitions contribute nothing (zero scan nodes,
+    not just zero rows).
 
     Bounds can be given as versions or as TIMESTAMPS (datetime | ISO
     string | epoch seconds, resolved via ``snapshot_version_at``):
@@ -1375,6 +1383,15 @@ def snapshot_changes(
     # length. The lookup is keyed by file RELPATH, not commit dir —
     # a restore can re-add a file minted by an earlier in-range commit,
     # and that row must carry the restore's version, not the original's.
+    def _scoped(man: dict) -> set[str]:
+        if not partitions:
+            return set(man["files"])
+        return set(_partition_pruned_files(man, partitions))
+
+    if partitions:
+        # validate the filter keys once, loudly (a typo'd column must
+        # never read as "no changes")
+        _partition_pruned_files(target_man, partitions)
     batched: list[tuple[str, int]] = []
     for v in want:
         man = _load_manifest(spark, path, v)
@@ -1383,10 +1400,10 @@ def snapshot_changes(
         pdvs: list[str] = []
         if parent is not None:
             pman = _load_manifest(spark, path, parent)
-            pfiles = set(pman["files"])
+            pfiles = _scoped(pman)
             pdvs = pman.get("dv_files") or []
         cdvs = man.get("dv_files") or []
-        files = set(man["files"])
+        files = _scoped(man)
         added = sorted(files - pfiles)
         removed = sorted(pfiles - files)
         dv_same = set(cdvs) == set(pdvs)
@@ -1703,6 +1720,68 @@ def snapshot_count(
     return _physical_row_total(
         spark, root, man, files
     ) - _dv_entry_count(spark, root, man.get("dv_files"), files)
+
+
+def snapshot_minmax(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    version: int | None = None,
+    partitions: dict | None = None,
+):
+    """``(min, max)`` of ``col`` over the live table — answered from
+    the manifest's per-file stats when that is PROVABLY exact: every
+    (scoped) live file carries stats for the column and no deletion
+    vector targets any of them (a tombstoned row could hold the
+    extreme). Otherwise falls back to an exact scan of exactly the
+    uncovered surface. The metadata path returns values in the stats
+    image's normalized domain (numbers native, date/timestamp as ISO
+    strings — see ``collect_file_stats``); the scan path returns
+    Spark-typed values. All-null (or empty) tables return
+    ``(None, None)`` on both paths."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    man = _load_manifest(spark, path, version)
+    files = (
+        _partition_pruned_files(man, partitions)
+        if partitions
+        else man["files"]
+    )
+    stats = man.get("stats") or {}
+    tgts = set(man.get("dv_targets") or ())
+    if man.get("dv_files") and man.get("dv_targets") is None:
+        tgts = set(files)  # legacy: unknown targets — assume any
+    exact = (
+        col in (man.get("stats_cols") or [])
+        and all(f in stats and col in stats[f] for f in files)
+        and not (tgts & set(files))
+    )
+    if exact:
+        los = [
+            stats[f][col][0] for f in files if stats[f][col][0] is not None
+        ]
+        his = [
+            stats[f][col][1] for f in files if stats[f][col][1] is not None
+        ]
+        return (min(los) if los else None, max(his) if his else None)
+    schema = StructType.fromJson(man["schema"])
+    df = _read_file_list(
+        spark, path, files, schema,
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=man.get("dv_files"),
+        dv_targets=man.get("dv_targets"),
+    )
+    row = df.agg(
+        F.min(F.col(col)).alias("lo"), F.max(F.col(col)).alias("hi")
+    ).first()
+    return (row["lo"], row["hi"])
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:

@@ -923,3 +923,59 @@ def test_partition_scoped_feed(spark, table, tmp_path):
         on_non_append="verify",
     )
     assert _bag(got2) == [(200, 0, "z")]
+
+
+def test_changes_partition_scoped_equals_filtered_feed(spark, table):
+    """snapshot_changes(partitions=...) == the unscoped feed filtered
+    on the partition column, as bags — across appends, a replace, a
+    CoW delete and DV churn in BOTH partitions — while commits
+    confined to other partitions contribute zero scan nodes."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows,
+        snapshot_delete_rows_dv,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"a{i}") for i in range(8)]),
+        table, partition_cols=["month"],
+    )
+    snapshot_write(
+        _df(spark, [(100, 0, "x"), (101, 1, "y")]), table,
+        mode="append", partition_cols=["month"],
+    )
+    snapshot_replace_partitions(
+        _df(spark, [(200, 1, "z")]), table, partition_cols=["month"],
+    )
+    snapshot_delete_rows(spark, table, "id", [2])       # month=0 CoW
+    snapshot_delete_rows_dv(spark, table, "id", [101])  # gone w/ replace
+    snapshot_delete_rows_dv(spark, table, "id", [100])  # month=0 DV
+
+    def bag(df):
+        return sorted(
+            (r.id, r.month, r.v, r._change_type, r._commit_version)
+            for r in df.collect()
+        )
+
+    full = snapshot_changes(spark, table, from_version=0)
+    scoped = snapshot_changes(
+        spark, table, from_version=0, partitions={"month": 0}
+    )
+    assert bag(scoped) == bag(full.where("month = 0"))
+    # and both replay to the right final state
+    final0 = sorted(
+        (r.id, r.v)
+        for r in read_snapshot(spark, table).where("month = 0").collect()
+    )
+    replay: list = []
+    for t in sorted(
+        scoped.collect(), key=lambda r: (r._commit_version, r._change_type)
+    ):
+        if t._change_type == "delete":
+            replay.remove((t.id, t.v))
+        else:
+            replay.append((t.id, t.v))
+    assert sorted(replay) == final0
+    with pytest.raises(ValueError, match="non-partition column"):
+        snapshot_changes(
+            spark, table, from_version=0, partitions={"mnth": 0}
+        )

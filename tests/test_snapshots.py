@@ -451,6 +451,42 @@ def test_partition_pruned_reads_from_manifest(spark, table):
     assert snapshot_count(spark, table, partitions={"month": None}) == 1
 
 
+def test_snapshot_minmax_metadata_vs_scan(spark, table):
+    """snapshot_minmax answers from per-file stats when provably exact
+    (full stats coverage, no tombstones on the scoped files) and falls
+    back to an exact scan when a deletion vector might hide the
+    extreme or coverage is partial."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows_dv,
+        snapshot_minmax,
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 2, f"a{i}") for i in range(10)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    assert snapshot_minmax(spark, table, "id") == (0, 9)
+    assert snapshot_minmax(
+        spark, table, "id", partitions={"month": 0}
+    ) == (0, 8)
+    # no stats for 'v': scan fallback still exact
+    assert snapshot_minmax(spark, table, "v") == ("a0", "a9")
+    # DV-delete the max: stats would lie, the tombstone check forces
+    # the scan path, which sees the live extreme
+    snapshot_delete_rows_dv(spark, table, "id", [9])
+    assert snapshot_minmax(spark, table, "id") == (0, 8)
+    # the untombstoned partition... the tombstone lives in month=1, so
+    # month=0 stays on the metadata path
+    assert snapshot_minmax(
+        spark, table, "id", partitions={"month": 0}
+    ) == (0, 8)
+    # empty scope
+    assert snapshot_minmax(
+        spark, table, "id", partitions={"month": 7}
+    ) == (None, None)
+
+
 def test_auto_compact_small_files_metadata_trigger(spark, tmp_path, table):
     """Small-file maintenance: the trigger evaluates purely from the
     manifest's recorded per-file row counts (min_file_rows — zero
