@@ -247,6 +247,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "the stats-selected victim files exceed the rewrite threshold",
     )
 
+    smt = sub.add_parser(
+        "snapshot-maintain",
+        help="run the table's DECLARED maintenance policy: targeted "
+        "compaction, DV consolidation, vacuum, orphan sweep — each "
+        "only when its table property is set (maintain.min_file_mb, "
+        "maintain.dv_compact_files, retention.keep_last, "
+        "maintain.orphan_grace_hours)",
+    )
+    smt.add_argument("--table-path", required=True)
+
+    sdp = sub.add_parser(
+        "snapshot-drop-partitions",
+        help="metadata-only partition delete: drop every file in the "
+        "matching partition directories — zero data bytes move; "
+        "rows_deleted exact from recorded footer counts minus live "
+        "tombstones; complete after vacuum",
+    )
+    sdp.add_argument("--table-path", required=True)
+    sdp.add_argument(
+        "--partitions", required=True,
+        help="JSON object {col: value | [values]}, conjunctive across "
+        "columns; null selects the Hive null partition, "
+        "e.g. '{\"month\": [1, 2]}'",
+    )
+
     sa = sub.add_parser(
         "snapshot-alter",
         help="metadata-only schema DDL on a snapshot table: add or "
@@ -608,6 +633,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     spark, args.table_path, args.col,
                     json.loads(args.values),
                 )
+            print(json.dumps({"version": v, "rows_deleted": n}))
+        elif args.cmd == "snapshot-maintain":
+            from .warehouse.snapshots import snapshot_maintain
+
+            print(json.dumps(snapshot_maintain(spark, args.table_path)))
+        elif args.cmd == "snapshot-drop-partitions":
+            from .warehouse.snapshots import snapshot_drop_partitions
+
+            v, n = snapshot_drop_partitions(
+                spark, args.table_path, json.loads(args.partitions)
+            )
             print(json.dumps({"version": v, "rows_deleted": n}))
         elif args.cmd == "snapshot-alter":
             from .warehouse.snapshots import (

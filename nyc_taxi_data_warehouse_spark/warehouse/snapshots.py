@@ -2081,6 +2081,83 @@ def sweep_orphans(
     }
 
 
+def snapshot_maintain(spark: SparkSession, path: str) -> dict:
+    """One-call table maintenance, driven ENTIRELY by the table's own
+    declared properties — the owner writes policy once
+    (``snapshot_set_properties``) and any scheduler can run a bare
+    ``snapshot_maintain`` / ``snapshot-maintain`` on every table it
+    knows about without plumbing per-table knobs:
+
+    - ``maintain.min_file_mb`` — targeted compaction: bin-pack
+      partitions holding >=2 fragments below this size (rewrite cost
+      ∝ fragmented bytes, see ``snapshot_compact(min_file_mb=)``).
+    - ``maintain.dv_compact_files`` — consolidate deletion-vector
+      sidecars once this many have accumulated AND consolidation
+      would materially shrink the set (``_maybe_auto_compact_dvs``'s
+      gates, applied at maintenance time instead of per-DML).
+    - ``retention.keep_last`` — vacuum old versions + unreferenced
+      files. Vacuum runs ONLY when the owner has declared retention:
+      an undeclared policy means "keep history", never "apply a
+      default cutoff" — maintenance must not be the thing that
+      silently destroys time travel.
+    - ``maintain.orphan_grace_hours`` — sweep crashed-commit debris
+      older than the grace window (age gate per ``sweep_orphans``).
+
+    Every step is opportunistic: a concurrent writer winning a commit
+    race skips that step for this run (the next run retries) rather
+    than failing the whole sweep — maintenance never contends with
+    ingest. Returns {step: result | "skipped" | "conflict"} so
+    schedulers can log what actually happened. Undeclared steps cost
+    nothing but one manifest read (shared, metadata-only)."""
+    props = snapshot_properties(spark, path)
+    report: dict = {}
+
+    def _num(key):
+        raw = props.get(key)
+        if raw is None:
+            return None
+        try:
+            return float(raw)
+        except ValueError:
+            raise ValueError(
+                f"table property {key}={raw!r} is not a number"
+            ) from None
+
+    min_file_mb = _num("maintain.min_file_mb")
+    if min_file_mb is not None:
+        try:
+            report["compact"] = {
+                "version": snapshot_compact(
+                    spark, path, min_file_mb=min_file_mb
+                )
+            }
+        except SnapshotConflict:
+            report["compact"] = "conflict"
+    else:
+        report["compact"] = "skipped"
+    dv_files_n = _num("maintain.dv_compact_files")
+    if dv_files_n is not None:
+        try:
+            _maybe_auto_compact_dvs(spark, path, int(dv_files_n))
+            report["compact_dvs"] = "evaluated"
+        except SnapshotConflict:  # pragma: no cover - swallowed inside
+            report["compact_dvs"] = "conflict"
+    else:
+        report["compact_dvs"] = "skipped"
+    if props.get("retention.keep_last") is not None:
+        report["vacuum"] = vacuum_snapshots(spark, path)
+    else:
+        report["vacuum"] = "skipped"
+    grace_h = _num("maintain.orphan_grace_hours")
+    if grace_h is not None:
+        report["sweep_orphans"] = sweep_orphans(
+            spark, path, grace_seconds=grace_h * 3600.0
+        )
+    else:
+        report["sweep_orphans"] = "skipped"
+    return report
+
+
 def _sweep_ckpt_debris(
     spark: SparkSession, path: str, cutoff_ms: float
 ) -> int:
@@ -3730,6 +3807,100 @@ def _maybe_auto_compact_small(
         pass
 
 
+def snapshot_drop_partitions(
+    spark: SparkSession,
+    path: str,
+    partitions: dict,
+) -> tuple[int, int]:
+    """METADATA-ONLY partition delete: remove every live file whose
+    partition-directory values match ``partitions`` ({col: value |
+    list-of-values}, conjunctive across columns, ``None`` = the Hive
+    null partition — the same contract as ``read_snapshot``'s
+    pruning). Returns ``(new_version, rows_deleted)``.
+
+    This is the ``DELETE WHERE month = 5`` every warehouse retires
+    data with, and it must move zero data bytes at any table size: a
+    partition directory's value IS the column value for every row in
+    it (nulls included — they land in the null partition), so file
+    membership proves the predicate row-exactly with no read, no
+    rewrite, no tombstones. The commit is a pure manifest edit —
+    carried files by reference, dropped files' stats/row entries fall
+    away, deletion-vector entries targeting dropped files go inert
+    (recorded ``dv_targets`` shrink to the carried intersection; a
+    sidecar set gone fully inert drops entirely, restoring clean
+    scans). ``rows_deleted`` is exact and metadata-only: recorded
+    per-file counts (footers read only for legacy gaps — O(change))
+    minus the live tombstones already masking rows in the dropped
+    files.
+
+    Non-partition columns refuse (``_partition_pruned_files``) — a
+    typo'd column must never read as "empty partition, 0 rows". The
+    change feed emits the dropped rows as deletes (file-diff
+    semantics, cost ∝ dropped bytes, only when a consumer asks);
+    streaming feeds classify it like any other delete commit
+    (out-of-scope drops pass a partition-scoped feed untouched).
+    Erasure caveat as every manifest-log design: older versions still
+    reference the files until ``vacuum_snapshots``."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    matched = _partition_pruned_files(man, partitions)
+    if not matched:
+        return latest, 0
+    root = _root(path)
+    dropped = set(matched)
+    carried = [f for f in man["files"] if f not in dropped]
+    rows_deleted = _physical_row_total(
+        spark, root, man, matched
+    ) - _dv_entry_count(spark, root, man.get("dv_files"), matched)
+    dv_files: object = _DV_INHERIT
+    dv_targets: object = _DV_INHERIT
+    if man.get("dv_files") and man.get("dv_targets") is not None:
+        live_tgts = set(man["dv_targets"]) & set(carried)
+        if live_tgts:
+            dv_targets = sorted(live_tgts)
+        else:  # every tombstone targeted a dropped file: all inert
+            dv_files, dv_targets = None, None
+    stats_extra = (
+        {
+            "stats": {
+                f: st
+                for f, st in man["stats"].items()
+                if f not in dropped
+            },
+            "stats_cols": man.get("stats_cols"),
+        }
+        if man.get("stats") is not None
+        else {}
+    )
+    version = _commit(
+        spark,
+        path,
+        carried,
+        StructType.fromJson(man["schema"]),
+        "drop_partitions",
+        latest,
+        extra={
+            # provenance, values verbatim (primitives — JSON-clean)
+            "dropped_partitions": {
+                k: sorted(v, key=lambda x: (x is None, str(x)))
+                if isinstance(v, (list, tuple, set, frozenset))
+                else v
+                for k, v in partitions.items()
+            },
+            "rows_deleted": rows_deleted,
+            "files_removed": len(matched),
+            **stats_extra,
+        },
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=dv_files,
+        dv_targets=dv_targets,
+    )
+    return version, rows_deleted
+
+
 def snapshot_delete(
     spark: SparkSession,
     path: str,
@@ -3756,10 +3927,24 @@ def snapshot_delete(
       filesystem, victims from manifest stats.
 
     DV-mode commits then consolidate sidecars past
-    ``auto_compact_files`` (see ``_maybe_auto_compact_dvs``)."""
+    ``auto_compact_files`` (see ``_maybe_auto_compact_dvs``).
+
+    When ``col`` is a PARTITION column of the table, ``mode="auto"``
+    dispatches to ``snapshot_drop_partitions`` instead of either data
+    path: every row under a matching partition directory matches the
+    predicate by construction (the directory value IS the column
+    value, nulls included — they land in the Hive null partition), so
+    the delete is a pure manifest edit that moves ZERO data bytes at
+    any table size. Explicit ``mode="dv"``/``"rewrite"`` still honor
+    the requested physical strategy."""
     if mode not in ("auto", "dv", "rewrite"):
         raise ValueError(f"mode must be auto|dv|rewrite; got {mode!r}")
     if mode == "auto":
+        versions = _list_manifests(spark, path)
+        if versions:
+            man = _load_manifest(spark, path, versions[-1])
+            if col in (_manifest_partition_cols(man) or ()):
+                return snapshot_drop_partitions(spark, path, {col: values})
         mode = (
             "dv"
             if _victim_bytes(spark, path, col, values)

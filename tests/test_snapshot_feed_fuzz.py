@@ -42,6 +42,9 @@ _OPS = st.lists(
         # carry everything else by reference (threshold generous, so
         # most files qualify and DV interplay gets exercised)
         st.tuples(st.just("compact_small"), st.just(0)),
+        # metadata-only partition delete: whole matching directories
+        # leave the manifest with zero data I/O
+        st.tuples(st.just("drop_partition"), st.integers(0, 2)),
         # restore: roll back to a pseudo-random retained version (the
         # payload indexes into the versions list at apply time)
         st.tuples(st.just("restore"), st.integers(0, 7)),
@@ -119,6 +122,12 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             snapshot_update_rows(
                 spark, table, "id", [args[0]], {"v": "REDACTED"}
             )
+        elif kind == "drop_partition":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                snapshot_drop_partitions,
+            )
+
+            snapshot_drop_partitions(spark, table, {"month": args[0]})
         elif kind == "compact_small":
             snapshot_compact(
                 spark, table, partition_cols=pc, min_file_mb=0.5

@@ -451,6 +451,199 @@ def test_partition_pruned_reads_from_manifest(spark, table):
     assert snapshot_count(spark, table, partitions={"month": None}) == 1
 
 
+def _data_files(table):
+    import pathlib
+
+    return {
+        str(p)
+        for p in pathlib.Path(table, "data").rglob("*")
+        if p.is_file()
+    }
+
+
+def test_drop_partitions_metadata_only(spark, table):
+    """snapshot_drop_partitions is a pure manifest edit: DELETE of a
+    whole partition moves ZERO data bytes (the data/ tree is untouched
+    by the commit), rows_deleted is exact from recorded counts minus
+    the live tombstones already masking dropped files, DV bookkeeping
+    shrinks (targets intersect carried; an all-inert sidecar set drops
+    entirely), stats entries for dropped files fall away, time travel
+    still serves the partition, and the change feed emits exactly the
+    live dropped rows as deletes."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_changes,
+        snapshot_count,
+        snapshot_delete_rows_dv,
+        snapshot_drop_partitions,
+        snapshot_write_with_stats,
+    )
+
+    for i in range(3):  # months 0..2, 4 rows each, stats on id
+        snapshot_write_with_stats(
+            _df(
+                spark,
+                [(4 * i + j, i, f"m{i}r{j}") for j in range(4)],
+            ),
+            table, ["id"], mode="append", partition_cols=["month"],
+        )
+    # tombstones in BOTH a dropped and a surviving partition
+    snapshot_delete_rows_dv(spark, table, "id", [1, 5])  # month 0, 1
+    pre_files = _data_files(table)
+    pre_version = snapshot_versions(spark, table)[-1]["version"]
+
+    v, n = snapshot_drop_partitions(spark, table, {"month": 0})
+    assert v == pre_version + 1
+    assert n == 3  # 4 physical rows, 1 already tombstoned
+    # ZERO data bytes moved: no new file under data/, none deleted
+    assert _data_files(table) == pre_files
+    # table state: month 0 gone, earlier DV delete still applied
+    got = {(r.id, r.month) for r in read_snapshot(spark, table).collect()}
+    assert got == {(4, 1), (6, 1), (7, 1), (8, 2), (9, 2), (10, 2), (11, 2)}
+    # metadata-only count agrees post-drop
+    assert snapshot_count(spark, table) == 7
+    # manifest bookkeeping: carried files only, stats pruned, dv
+    # targets shrunk to the surviving partition's file
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+    )
+
+    man = _load_manifest(spark, table, v)
+    assert man["op"] == "drop_partitions"
+    assert all("month=0" not in f for f in man["files"])
+    assert all("month=0" not in f for f in (man.get("stats") or {}))
+    assert man["dv_files"]  # month-1 tombstone still live
+    assert all("month=0" not in f for f in man["dv_targets"])
+    assert man["rows_deleted"] == 3 and man["files_removed"] >= 1
+    # time travel: the dropped partition is still served below v
+    old = read_snapshot(spark, table, version=pre_version, partitions={"month": 0})
+    assert {r.id for r in old.collect()} == {0, 2, 3}
+    # change feed: exactly the LIVE dropped rows, as deletes
+    ch = snapshot_changes(spark, table, from_version=pre_version).collect()
+    assert {(r.id, r._change_type, r._commit_version) for r in ch} == {
+        (0, "delete", v), (2, "delete", v), (3, "delete", v)
+    }
+    # dropping the partition holding the LAST live tombstone folds the
+    # sidecar set away entirely — clean scans come back
+    v2, n2 = snapshot_drop_partitions(spark, table, {"month": 1})
+    man2 = _load_manifest(spark, table, v2)
+    assert n2 == 3
+    assert not man2.get("dv_files") and not man2.get("dv_targets")
+    # no-match is a no-op (no new version); typo'd column refuses
+    assert snapshot_drop_partitions(spark, table, {"month": 77}) == (v2, 0)
+    assert snapshot_versions(spark, table)[-1]["version"] == v2
+    with pytest.raises(ValueError, match="non-partition column"):
+        snapshot_drop_partitions(spark, table, {"mnth": 0})
+
+
+def test_snapshot_delete_auto_dispatches_partition_drop(spark, table):
+    """The DML front door recognises a partition-column predicate in
+    mode=auto and takes the metadata-only path — no data read, no
+    rewrite, no tombstones — while explicit modes keep their physical
+    strategy."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete,
+    )
+
+    for i in range(2):
+        snapshot_write(
+            _df(spark, [(2 * i, i, "x"), (2 * i + 1, i, "y")]),
+            table, mode="append", partition_cols=["month"],
+        )
+    pre_files = _data_files(table)
+    v, n = snapshot_delete(spark, table, "month", [0], mode="auto")
+    assert n == 2
+    assert _data_files(table) == pre_files
+    man = _load_manifest(spark, table, v)
+    assert man["op"] == "drop_partitions"
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {2, 3}
+    # explicit rewrite mode still honors the requested strategy
+    v2, n2 = snapshot_delete(spark, table, "month", [1], mode="rewrite")
+    assert n2 == 2
+    assert _load_manifest(spark, table, v2)["op"] == "delete_rows"
+    assert read_snapshot(spark, table).count() == 0
+
+
+def test_snapshot_drop_partitions_cli(spark, table, capsys):
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 2, "b")]),
+        table, mode="append", partition_cols=["month"],
+    )
+    main(
+        [
+            "snapshot-drop-partitions",
+            "--table-path", table,
+            "--partitions", '{"month": [1]}',
+        ],
+        spark=spark,
+    )
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"version": 2, "rows_deleted": 1}
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {2}
+
+
+def test_snapshot_maintain_runs_declared_policy_only(spark, table, capsys):
+    """snapshot_maintain executes exactly the steps the table's own
+    properties declare: undeclared policy means every step skips (and
+    in particular vacuum NEVER applies a default cutoff — maintenance
+    must not silently destroy time travel); a declared policy compacts
+    fragments, honors retention, and sweeps aged orphans, all from one
+    argument-free call any scheduler can run blind."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_maintain,
+        snapshot_set_properties,
+    )
+
+    for i in range(4):  # 4 fragment appends in one partition
+        snapshot_write(
+            _df(spark, [(i, 1, "x" * 50)]), table, mode="append",
+            partition_cols=["month"],
+        )
+    n_versions = len(snapshot_versions(spark, table))
+    # undeclared policy: everything skips, nothing is dropped
+    rep = snapshot_maintain(spark, table)
+    assert rep == {
+        "compact": "skipped", "compact_dvs": "skipped",
+        "vacuum": "skipped", "sweep_orphans": "skipped",
+    }
+    assert len(snapshot_versions(spark, table)) == n_versions
+    # declare policy once; maintain executes it
+    snapshot_set_properties(
+        spark, table,
+        {
+            "maintain.min_file_mb": "1",
+            "maintain.dv_compact_files": "4",
+            "retention.keep_last": "3",
+            "maintain.orphan_grace_hours": "0",
+        },
+    )
+    before = read_snapshot(spark, table).collect()
+    rep = snapshot_maintain(spark, table)
+    assert isinstance(rep["compact"], dict)  # fragments packed
+    assert rep["compact_dvs"] == "evaluated"
+    assert rep["vacuum"]["versions_dropped"] > 0
+    assert isinstance(rep["sweep_orphans"], dict)
+    man_files = read_snapshot(spark, table).inputFiles()
+    assert len(man_files) == 1  # 4 fragments → 1 packed file
+    assert sorted(r.id for r in read_snapshot(spark, table).collect()) == sorted(
+        r.id for r in before
+    )
+    # retention honored: exactly 3 versions survive
+    assert len(snapshot_versions(spark, table)) == 3
+    # CLI surface
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    main(["snapshot-maintain", "--table-path", table], spark=spark)
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"compact", "compact_dvs", "vacuum", "sweep_orphans"}
+
+
 def test_snapshot_minmax_metadata_vs_scan(spark, table):
     """snapshot_minmax answers from per-file stats when provably exact
     (full stats coverage, no tombstones on the scoped files) and falls
