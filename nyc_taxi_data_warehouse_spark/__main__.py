@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     q = sub.add_parser("sql", help="run a SQL statement and print JSON rows")
     q.add_argument("statement")
     q.add_argument("--limit", type=int, default=100)
+    q.add_argument(
+        "--snapshot", action="append", default=[], metavar="NAME=PATH[@V]",
+        help="register a snapshot table as a temp view before running "
+        "(repeatable); @V pins a version, e.g. trips=/wh/trips@7",
+    )
 
     cp = sub.add_parser(
         "compact", help="rewrite fragmented partitions to healthy file counts"
@@ -223,6 +228,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sn.add_argument(
         "--at-timestamp", default=None,
         help="count as of this time (ISO string or epoch seconds)",
+    )
+    sn.add_argument(
+        "--col", default=None,
+        help="count non-null rows of this column (COUNT(col)) from "
+        "recorded row + null counts, scanning only unprovable files",
     )
 
     sd = sub.add_parser(
@@ -421,6 +431,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             results = backfill(spark, discover_local(args.raw_root))
             print(json.dumps([r.__dict__ for r in results]))
         elif args.cmd == "sql":
+            for spec in args.snapshot:
+                from .warehouse.snapshots import snapshot_register
+
+                name, _, ref = spec.partition("=")
+                if not name or not ref:
+                    raise SystemExit(
+                        f"--snapshot wants NAME=PATH[@V]; got {spec!r}"
+                    )
+                tpath, at, ver = ref.rpartition("@")
+                if at and ver.isdigit():
+                    snapshot_register(spark, tpath, name, version=int(ver))
+                else:
+                    snapshot_register(spark, ref, name)
             rows = spark.sql(args.statement).limit(args.limit).collect()
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))
@@ -606,10 +629,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     ts = float(ts)
                 except ValueError:
                     pass  # ISO string — snapshot_version_at parses it
-            n = snapshot_count(
-                spark, args.table_path,
-                version=args.version, at_timestamp=ts,
-            )
+            if args.col is not None:
+                from .warehouse.snapshots import (
+                    snapshot_count_nonnull,
+                    snapshot_version_at,
+                )
+
+                ver = args.version
+                if ts is not None:
+                    ver = snapshot_version_at(spark, args.table_path, ts)
+                n = snapshot_count_nonnull(
+                    spark, args.table_path, args.col, version=ver
+                )
+            else:
+                n = snapshot_count(
+                    spark, args.table_path,
+                    version=args.version, at_timestamp=ts,
+                )
             print(json.dumps({"rows": n}))
         elif args.cmd == "snapshot-delete":
             from .warehouse.snapshots import (

@@ -866,6 +866,33 @@ def read_snapshot(
     )
 
 
+def snapshot_register(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    at_timestamp=None,
+    partitions: dict | None = None,
+) -> None:
+    """Register the snapshot table as a session temp view so plain
+    ``spark.sql`` can query it — the ad-hoc-SQL surface over versioned
+    tables (``SELECT ... FROM name``), with the same version /
+    timestamp / partition-scope selection as ``read_snapshot``. The
+    view captures the version RESOLVED NOW: a later commit does not
+    leak into an already-registered view (reader isolation carries
+    into SQL), and omitting ``version`` pins the current latest —
+    re-register to follow the head."""
+    if version is None and at_timestamp is None:
+        version = _list_manifests(spark, path)[-1:]
+        if not version:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+        version = version[0]
+    read_snapshot(
+        spark, path, version=version, at_timestamp=at_timestamp,
+        partitions=partitions,
+    ).createOrReplaceTempView(name)
+
+
 _FLAT_READ_THRESHOLD = 8
 
 
@@ -1758,30 +1785,94 @@ def snapshot_minmax(
     tgts = set(man.get("dv_targets") or ())
     if man.get("dv_files") and man.get("dv_targets") is None:
         tgts = set(files)  # legacy: unknown targets — assume any
-    exact = (
-        col in (man.get("stats_cols") or [])
-        and all(f in stats and col in stats[f] for f in files)
-        and not (tgts & set(files))
+    covered = [
+        f
+        for f in files
+        if f in stats and col in stats[f] and f not in tgts
+    ]
+    uncovered = [f for f in files if f not in set(covered)]
+    los = [stats[f][col][0] for f in covered]
+    his = [stats[f][col][1] for f in covered]
+    if uncovered:
+        # scan ONLY the files metadata cannot answer for — partial
+        # stats coverage or outstanding tombstones on the file. On a
+        # mostly-statted table one DV'd file costs one small scan, not
+        # a full-table aggregate. Scan extremes join the metadata ones
+        # through the same normalization the stats were recorded in
+        # (order-preserving, so the combined min/max stays exact).
+        schema = StructType.fromJson(man["schema"])
+        df = _read_file_list(
+            spark, path, uncovered, schema,
+            partition_cols=_manifest_partition_cols(man),
+            dv_files=man.get("dv_files"),
+            dv_targets=man.get("dv_targets"),
+        )
+        row = df.agg(
+            F.min(F.col(col)).alias("lo"), F.max(F.col(col)).alias("hi")
+        ).first()
+        if not covered:
+            return (row["lo"], row["hi"])  # pure scan: Spark-typed
+        los.append(_stat_norm(row["lo"], widen=-1))
+        his.append(_stat_norm(row["hi"], widen=1))
+    los = [v for v in los if v is not None]
+    his = [v for v in his if v is not None]
+    return (min(los) if los else None, max(his) if his else None)
+
+
+def snapshot_count_nonnull(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    version: int | None = None,
+    partitions: dict | None = None,
+) -> int:
+    """Exact ``COUNT(col)`` (non-null rows) — metadata-only wherever
+    provable: a file with a recorded row count, a recorded null count
+    for ``col`` (stats third element), and no outstanding tombstones
+    contributes ``rows - nulls`` without being opened; only the
+    uncovered remainder (legacy stats, missing counts, DV'd files) is
+    scanned, with tombstone masking applied. Completes the
+    metadata-aggregate family: COUNT(*) (``snapshot_count``), MIN/MAX
+    (``snapshot_minmax``), COUNT(col)."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    man = _load_manifest(spark, path, version)
+    files = (
+        _partition_pruned_files(man, partitions)
+        if partitions
+        else man["files"]
     )
-    if exact:
-        los = [
-            stats[f][col][0] for f in files if stats[f][col][0] is not None
-        ]
-        his = [
-            stats[f][col][1] for f in files if stats[f][col][1] is not None
-        ]
-        return (min(los) if los else None, max(his) if his else None)
-    schema = StructType.fromJson(man["schema"])
-    df = _read_file_list(
-        spark, path, files, schema,
-        partition_cols=_manifest_partition_cols(man),
-        dv_files=man.get("dv_files"),
-        dv_targets=man.get("dv_targets"),
-    )
-    row = df.agg(
-        F.min(F.col(col)).alias("lo"), F.max(F.col(col)).alias("hi")
-    ).first()
-    return (row["lo"], row["hi"])
+    stats = man.get("stats") or {}
+    rows = man.get("rows") or {}
+    tgts = set(man.get("dv_targets") or ())
+    if man.get("dv_files") and man.get("dv_targets") is None:
+        tgts = set(files)  # legacy: unknown targets — assume any
+    covered = [
+        f
+        for f in files
+        if f in rows
+        and f not in tgts
+        and len(stats.get(f, {}).get(col) or ()) >= 3
+    ]
+    total = sum(rows[f] - stats[f][col][2] for f in covered)
+    uncovered = [f for f in files if f not in set(covered)]
+    if uncovered:
+        schema = StructType.fromJson(man["schema"])
+        df = _read_file_list(
+            spark, path, uncovered, schema,
+            partition_cols=_manifest_partition_cols(man),
+            dv_files=man.get("dv_files"),
+            dv_targets=man.get("dv_targets"),
+        )
+        total += df.agg(F.count(F.col(col)).alias("c")).first()["c"]
+    return total
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
@@ -3076,10 +3167,19 @@ def _stat_norm(v, widen: int = 0):
 def collect_file_stats(
     spark: SparkSession, path: str, files: list[str], stats_cols: list[str]
 ) -> dict:
-    """Per-file min/max for ``stats_cols`` over the given commit files:
-    {relpath: {col: [min, max]}} in native (order-preserving) JSON
-    form. One small aggregation grouped by ``_metadata.file_path`` —
-    runs once at commit time."""
+    """Per-file min/max + null count for ``stats_cols`` over the given
+    commit files: {relpath: {col: [min, max, nulls]}} in native
+    (order-preserving) JSON form. One small aggregation grouped by
+    ``_metadata.file_path`` — runs once at commit time.
+
+    The NULL COUNT (third element; legacy two-element entries keep
+    reading — every consumer indexes [0]/[1] and gates extras on
+    length) is what upgrades min/max from range pruning to WHOLE-FILE
+    PROOFS: ``min == max == v`` says every non-null row equals ``v``,
+    but only ``nulls == 0`` makes that every ROW — the difference
+    between "this file may contain matches" and "this file IS the
+    match", which lets a delete drop the file by reference instead of
+    rewriting it (see ``_full_match_files``)."""
     path = _root(path)
     if not files or not stats_cols:
         return {}
@@ -3091,6 +3191,9 @@ def collect_file_stats(
     for c in present:
         aggs.append(F.min(F.col(c)).alias(f"_mn_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"_mx_{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nl_{c}")
+        )
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("_f"))
         .agg(*aggs)
@@ -3107,7 +3210,7 @@ def collect_file_stats(
     # seed EVERY commit file with null-endpoint stats: an empty file
     # yields no aggregation row, and "recorded, endpoints null" is the
     # provably-excludable state (vs "no entry" = conservatively kept)
-    out: dict = {f: {c: [None, None] for c in present} for f in files}
+    out: dict = {f: {c: [None, None, 0] for c in present} for f in files}
     for r in rows:
         m = rel_re.match(r["_f"])
         rel = enc2raw.get(m.group(1)) if m else None
@@ -3127,6 +3230,7 @@ def collect_file_stats(
             c: [
                 _stat_norm(r[f"_mn_{c}"], widen=-1),
                 _stat_norm(r[f"_mx_{c}"], widen=1),
+                int(r[f"_nl_{c}"] or 0),
             ]
             for c in present
         }
@@ -3269,7 +3373,7 @@ def snapshot_delete_rows(
         return df.where(F.col(col).isNull() | ~F.col(col).isin(values))
 
     return _rewrite_matching_files(
-        spark, path, col, values, fn, "delete_rows"
+        spark, path, col, values, fn, "delete_rows", full_drop=True
     )
 
 
@@ -3295,6 +3399,14 @@ def snapshot_delete_rows_dv(
     vacuumed — and the tombstoned rows' BYTES remain in the current
     version's files until a compact; for physical erasure of the live
     version, compact after deleting).
+
+    Files whose stats PROVE every row matches (``_full_match_files``:
+    min == max == a deleted value, zero nulls) are DROPPED from the
+    manifest instead of tombstoned — writing one (file, pos) entry per
+    row of a wholly-dead file is pure waste on both sides (sidecar
+    bytes ∝ its rows now, anti-join work at every read later). A
+    clustered-key takedown then writes NO tombstones at all; only
+    boundary files where matches mix with survivors get entries.
     """
     versions = _list_manifests(spark, path)
     if not versions:
@@ -3305,51 +3417,97 @@ def snapshot_delete_rows_dv(
     if not victims:
         return latest, 0
     schema = StructType.fromJson(man["schema"])
-    df = _read_file_list(
-        spark, path, victims, schema,
-        partition_cols=_manifest_partition_cols(man),
-        dv_files=man.get("dv_files"),  # never tombstone a row twice
-        row_ids=True,
-        dv_targets=man.get("dv_targets"),
-    )
-    matched = (
-        df.where(F.col(col).isNotNull() & F.col(col).isin(values))
-        .select("_dv_file", "_dv_pos")
-        .localCheckpoint(eager=True)  # one scan feeds count AND write
-    )
-    n = matched.count()
-    if n == 0:
-        return latest, 0
-    # ~4M tombstones (~a few hundred MB raw) per sidecar file
-    _, new_dvs = _write_commit_files(
-        matched.repartition(max(1, n // 4_000_000 + (n % 4_000_000 > 0))),
-        path,
-        None,
-    )
-    # metadata-sized (∝ targeted files): recorded in the manifest so
-    # readers split clean files past the anti-join and the feed
-    # planner never opens a sidecar
-    new_tgts = [
-        r[0] for r in matched.select("_dv_file").distinct().collect()
-    ]
+    fullset = set(_full_match_files(man, col, values))
+    dropped = sorted(f for f in victims if f in fullset)
+    victims = [f for f in victims if f not in fullset]
+    drop_rows = 0
+    if dropped:
+        drop_rows = _physical_row_total(
+            spark, _root(path), man, dropped
+        ) - _dv_entry_count(
+            spark, _root(path), man.get("dv_files"), dropped
+        )
+    dset = set(dropped)
+    files_after = [f for f in man["files"] if f not in dset]
     stats_extra = (
-        {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
+        {
+            "stats": {
+                f: s for f, s in man["stats"].items() if f not in dset
+            },
+            "stats_cols": man.get("stats_cols"),
+        }
         if man.get("stats") is not None
         else {}
     )
+    drop_extra = (
+        {"files_dropped_by_stats": len(dropped), "rows_dropped": drop_rows}
+        if dropped
+        else {}
+    )
+    n = 0
+    new_dvs: list[str] = []
+    new_tgts: list[str] = []
+    if victims:
+        df = _read_file_list(
+            spark, path, victims, schema,
+            partition_cols=_manifest_partition_cols(man),
+            dv_files=man.get("dv_files"),  # never tombstone a row twice
+            row_ids=True,
+            dv_targets=man.get("dv_targets"),
+        )
+        matched = (
+            df.where(F.col(col).isNotNull() & F.col(col).isin(values))
+            .select("_dv_file", "_dv_pos")
+            .localCheckpoint(eager=True)  # one scan feeds count AND write
+        )
+        n = matched.count()
+        if n:
+            # ~4M tombstones (~a few hundred MB raw) per sidecar file
+            _, new_dvs = _write_commit_files(
+                matched.repartition(
+                    max(1, n // 4_000_000 + (n % 4_000_000 > 0))
+                ),
+                path,
+                None,
+            )
+            # metadata-sized (∝ targeted files): recorded in the
+            # manifest so readers split clean files past the anti-join
+            # and the feed planner never opens a sidecar
+            new_tgts = [
+                r[0]
+                for r in matched.select("_dv_file").distinct().collect()
+            ]
+    if n == 0 and not dropped:
+        return latest, 0
+    dv_files: object = sorted((man.get("dv_files") or []) + new_dvs)
+    dv_targets = _dv_targets_for(man, new_tgts)
+    if isinstance(dv_targets, list) and dset:
+        # recorded targets shrink with the dropped files (their
+        # entries go inert); an all-inert carried set with no new
+        # sidecars folds away entirely, restoring clean scans
+        dv_targets = sorted(
+            (set(dv_targets) - dset) | set(new_tgts)
+        )
+        if not dv_targets and not new_dvs:
+            dv_files, dv_targets = None, None
     version = _commit(
         spark,
         path,
-        man["files"],  # every data file carried by reference
+        files_after,
         schema,
         "delete_rows_dv",
         latest,
-        extra={"dv_added": new_dvs, "dv_rows_added": n, **stats_extra},
+        extra={
+            "dv_added": new_dvs,
+            "dv_rows_added": n,
+            **drop_extra,
+            **stats_extra,
+        },
         partition_cols=_manifest_partition_cols(man),
-        dv_files=sorted((man.get("dv_files") or []) + new_dvs),
-        dv_targets=_dv_targets_for(man, new_tgts),
+        dv_files=dv_files,
+        dv_targets=dv_targets,
     )
-    return version, n
+    return version, n + drop_rows
 
 
 def _victims_by_stats(
@@ -3378,6 +3536,33 @@ def _victims_by_stats(
     return victims, carried
 
 
+def _full_match_files(man: dict, col: str, values: list) -> list[str]:
+    """Files where EVERY row provably matches ``col IN values`` from
+    stats alone: ``min == max == some value`` (every non-null row is
+    that value) AND a recorded null count of 0 (so "every non-null
+    row" means every row — ``NULL IN (...)`` never matches, and a
+    min/max pair says nothing about nulls). Legacy two-element stats
+    entries never qualify (no null count — conservative). Decimal
+    columns never qualify either: their endpoints are stored WIDENED
+    (``_stat_norm``), so recorded min can never equal recorded max —
+    again conservative, never wrong."""
+    stats = man.get("stats") or {}
+    norm = {_stat_norm(v, widen=0) for v in values if v is not None}
+    out = []
+    for f in man["files"]:
+        st = stats.get(f, {}).get(col)
+        if (
+            st is not None
+            and len(st) >= 3
+            and st[2] == 0
+            and st[0] is not None
+            and st[0] == st[1]
+            and st[0] in norm
+        ):
+            out.append(f)
+    return out
+
+
 def _rewrite_matching_files(
     spark: SparkSession,
     path: str,
@@ -3385,13 +3570,23 @@ def _rewrite_matching_files(
     values: list,
     fn,
     op: str,
+    full_drop: bool = False,
 ) -> tuple[int, int]:
     """Shared DML rewrite: apply ``fn`` to the rows of every file that
     may contain ``col IN values``; carry every other file by reference;
     publish as one commit. Returns ``(new_version, rows_affected)``
     where rows_affected = victim rows before - surviving rows after for
     a delete, and matching rows for an update (fn reports via the
-    returned frame's ``_matched`` column when present)."""
+    returned frame's ``_matched`` column when present).
+
+    ``full_drop=True`` (delete semantics only): victim files whose
+    stats PROVE every row matches (``_full_match_files``) are dropped
+    from the manifest by reference — never read, never rewritten. A
+    delete keyed on a well-clustered column (the common retire-a-key
+    case after a cluster_by compact) then rewrites only the boundary
+    files where matches mix with survivors; the bulk of the victim
+    bytes move nowhere. Their deleted-row count comes from recorded
+    footer counts minus live tombstones — exact, metadata-only."""
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
@@ -3399,40 +3594,63 @@ def _rewrite_matching_files(
     man = _load_manifest(spark, path, latest)
     victims, carried = _victims_by_stats(man, col, values)
     schema = StructType.fromJson(man["schema"])
-    if not victims:
+    dropped: list[str] = []
+    drop_rows = 0
+    if full_drop and victims:
+        fullset = set(_full_match_files(man, col, values))
+        if fullset:
+            dropped = sorted(f for f in victims if f in fullset)
+            victims = [f for f in victims if f not in fullset]
+            drop_rows = _physical_row_total(
+                spark, _root(path), man, dropped
+            ) - _dv_entry_count(
+                spark, _root(path), man.get("dv_files"), dropped
+            )
+    if not victims and not dropped:
         return latest, 0
-    df = _read_file_list(
-        spark, path, victims, schema,
-        partition_cols=_manifest_partition_cols(man),
-        # merge-on-read: already-tombstoned rows must not resurrect
-        # into the rewritten files (the carried DV entries for the
-        # rewritten victims become inert once their files drop out)
-        dv_files=man.get("dv_files"),
-        dv_targets=man.get("dv_targets"),
-    )
-    before = df.count()
-    rewritten = fn(df)
-    if "_matched" in rewritten.columns:
-        rewritten = rewritten.localCheckpoint(eager=True)
-        affected = rewritten.where("_matched").count()
-        rewritten = rewritten.drop("_matched")
-    else:
-        rewritten = rewritten.localCheckpoint(eager=True)
-        affected = before - rewritten.count()
-    # rewrite in the TABLE'S layout: an unpartitioned rewrite would
-    # leave files without partition directories, which
-    # replace_partitions/merge would then always carry — stale rows
-    pc = _manifest_partition_cols(man)
-    _, new_files = _write_commit_files(rewritten, path, pc)
+    if victims:
+        df = _read_file_list(
+            spark, path, victims, schema,
+            partition_cols=_manifest_partition_cols(man),
+            # merge-on-read: already-tombstoned rows must not resurrect
+            # into the rewritten files (the carried DV entries for the
+            # rewritten victims become inert once their files drop out)
+            dv_files=man.get("dv_files"),
+            dv_targets=man.get("dv_targets"),
+        )
+        before = df.count()
+        rewritten = fn(df)
+        if "_matched" in rewritten.columns:
+            rewritten = rewritten.localCheckpoint(eager=True)
+            affected = rewritten.where("_matched").count()
+            rewritten = rewritten.drop("_matched")
+        else:
+            rewritten = rewritten.localCheckpoint(eager=True)
+            affected = before - rewritten.count()
+        # rewrite in the TABLE'S layout: an unpartitioned rewrite would
+        # leave files without partition directories, which
+        # replace_partitions/merge would then always carry — stale rows
+        pc = _manifest_partition_cols(man)
+        _, new_files = _write_commit_files(rewritten, path, pc)
+    else:  # every victim full-dropped: a pure manifest edit
+        pc = _manifest_partition_cols(man)
+        new_files, affected = [], 0
     # rewritten files' stats are recomputed when columns are tracked
     stats_cols = man.get("stats_cols") or []
     new_stats = {
         f: s for f, s in man.get("stats", {}).items() if f in set(carried)
     }
-    if stats_cols:
+    if stats_cols and new_files:
         new_stats.update(
             collect_file_stats(spark, path, new_files, stats_cols)
         )
+    extra: dict = (
+        {"stats": new_stats, "stats_cols": stats_cols}
+        if new_stats or stats_cols
+        else {}
+    )
+    if dropped:
+        extra["files_dropped_by_stats"] = len(dropped)
     version = _commit(
         spark,
         path,
@@ -3440,12 +3658,10 @@ def _rewrite_matching_files(
         schema,
         op,
         latest,
-        extra={"stats": new_stats, "stats_cols": stats_cols}
-        if new_stats or stats_cols
-        else None,
+        extra=extra or None,
         partition_cols=pc,
     )
-    return version, affected
+    return version, affected + drop_rows
 
 
 def snapshot_update_rows(
@@ -3947,7 +4163,7 @@ def snapshot_delete(
                 return snapshot_drop_partitions(spark, path, {col: values})
         mode = (
             "dv"
-            if _victim_bytes(spark, path, col, values)
+            if _victim_bytes(spark, path, col, values, full_drop=True)
             > dv_threshold_mb * 1024 * 1024
             else "rewrite"
         )
@@ -4107,7 +4323,8 @@ def snapshot_drop_column(
 
 
 def _victim_bytes(
-    spark: SparkSession, path: str, col: str, values: list
+    spark: SparkSession, path: str, col: str, values: list,
+    full_drop: bool = False,
 ) -> int:
     """Total on-disk bytes of the stats-selected victim files — what a
     copy-on-write DML would rewrite. Metadata-only; file sizes fan out
@@ -4121,4 +4338,12 @@ def _victim_bytes(
         raise FileNotFoundError(f"no snapshot versions at {path}")
     man = _load_manifest(spark, path, versions[-1])
     victims, _carried = _victims_by_stats(man, col, values)
+    if full_drop:
+        # delete only: files whose every row provably matches rewrite
+        # for FREE (dropped by reference) — only boundary files where
+        # matches mix with survivors cost copy bytes, so only they
+        # weigh against the tombstone threshold. An update must still
+        # rewrite them, so its estimate keeps them.
+        full = set(_full_match_files(man, col, values))
+        victims = [f for f in victims if f not in full]
     return _file_bytes_total(spark, _root(path), victims)

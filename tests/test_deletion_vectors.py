@@ -223,8 +223,11 @@ def test_dv_feed_classification(spark, table, tmp_path):
     under skip, and passes a DV-folding compaction under verify."""
     from tests.test_snapshot_feed import _drain
 
+    # one MIXED file per month dir: the DV delete below must write a
+    # tombstone (a single-valued victim file would full-drop by stats
+    # proof and the commit would classify as a file removal instead)
     snapshot_write_with_stats(
-        _df(spark, [(i, i % 2, "x") for i in range(6)]),
+        _df(spark, [(i, i % 2, "x") for i in range(6)]).coalesce(1),
         table, stats_cols=["id"], partition_cols=["month"],
     )
     got = _drain(spark, table, str(tmp_path / "dvf"), "dv_f1",

@@ -478,12 +478,15 @@ def test_drop_partitions_metadata_only(spark, table):
         snapshot_write_with_stats,
     )
 
-    for i in range(3):  # months 0..2, 4 rows each, stats on id
+    for i in range(3):  # months 0..2, one MIXED 4-row file each
+        # (coalesce: single-valued victim files would full-drop at the
+        # DV delete below instead of getting the tombstones this test
+        # plants in both a dropped and a surviving partition)
         snapshot_write_with_stats(
             _df(
                 spark,
                 [(4 * i + j, i, f"m{i}r{j}") for j in range(4)],
-            ),
+            ).coalesce(1),
             table, ["id"], mode="append", partition_cols=["month"],
         )
     # tombstones in BOTH a dropped and a surviving partition
@@ -644,6 +647,165 @@ def test_snapshot_maintain_runs_declared_policy_only(spark, table, capsys):
     assert set(out) == {"compact", "compact_dvs", "vacuum", "sweep_orphans"}
 
 
+def test_snapshot_register_sql_view_pins_version(spark, table, capsys):
+    """snapshot_register exposes a versioned table to plain spark.sql;
+    the view pins the version resolved at registration (a later commit
+    never leaks into it), and the CLI's sql --snapshot NAME=PATH[@V]
+    registers before running."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_register,
+    )
+
+    snapshot_write(
+        _df(spark, [(1, 1, "a")]), table, mode="append",
+        partition_cols=["month"],
+    )
+    snapshot_register(spark, table, "snap_v")
+    assert spark.sql("SELECT count(*) c FROM snap_v").collect()[0].c == 1
+    snapshot_write(
+        _df(spark, [(2, 2, "b")]), table, mode="append",
+        partition_cols=["month"],
+    )
+    # reader isolation carries into SQL: the view still serves v1
+    assert spark.sql("SELECT count(*) c FROM snap_v").collect()[0].c == 1
+    snapshot_register(spark, table, "snap_v")  # re-register follows head
+    assert spark.sql("SELECT count(*) c FROM snap_v").collect()[0].c == 2
+    # CLI: version pin via @V
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    main(
+        [
+            "sql", "SELECT id FROM t1 ORDER BY id",
+            "--snapshot", f"t1={table}@1",
+        ],
+        spark=spark,
+    )
+    import json as _json
+
+    out = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert out == [{"id": 1}]
+
+
+def test_delete_full_match_files_drop_by_reference(spark, table):
+    """Stats now record a per-file NULL COUNT, upgrading min/max from
+    range pruning to whole-file proofs: a delete whose predicate
+    provably matches EVERY row of a file (min == max == value, zero
+    nulls) drops that file from the manifest without reading it —
+    only boundary files where matches mix with survivors get
+    rewritten. A null row defeats the proof (NULL never matches IN,
+    so the row must survive) and forces the rewrite path."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete_rows,
+        snapshot_write_with_stats,
+    )
+
+    # one append per key → single-valued files (min == max)
+    for k in (1, 2):
+        snapshot_write_with_stats(
+            _df(spark, [(k, 1, f"r{j}") for j in range(4)]).coalesce(1),
+            table, ["id"], mode="append", partition_cols=["month"],
+        )
+    # a MIXED file (ids 5 and 6 together) — only ever partially matches
+    snapshot_write_with_stats(
+        _df(spark, [(5, 1, "a"), (6, 1, "b")]).coalesce(1),
+        table, ["id"], mode="append", partition_cols=["month"],
+    )
+    pre = _data_files(table)
+    v, n = snapshot_delete_rows(spark, table, "id", [2])
+    assert n == 4
+    assert _data_files(table) == pre  # pure manifest edit: no rewrite
+    man = _load_manifest(spark, table, v)
+    assert man["files_dropped_by_stats"] == 1
+    assert sorted(r.id for r in read_snapshot(spark, table).collect()) == [
+        1, 1, 1, 1, 5, 6
+    ]
+    # mixed file: drop proof fails (min != max) → rewrite path
+    v2, n2 = snapshot_delete_rows(spark, table, "id", [5])
+    assert n2 == 1
+    assert _data_files(table) > pre  # a survivor file was written
+    assert "files_dropped_by_stats" not in _load_manifest(spark, table, v2)
+    assert sorted(r.id for r in read_snapshot(spark, table).collect()) == [
+        1, 1, 1, 1, 6
+    ]
+
+
+def test_dv_delete_full_match_files_drop_instead_of_tombstoning(
+    spark, table
+):
+    """The merge-on-read delete also uses the whole-file proof: a
+    wholly-dead file leaves the manifest by reference instead of
+    getting one tombstone per row — a clustered-key takedown writes
+    no sidecar at all, and a mixed boundary file still gets exactly
+    its matching rows tombstoned."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete_rows_dv,
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(2, 1, f"r{j}") for j in range(4)]).coalesce(1),
+        table, ["id"], mode="append", partition_cols=["month"],
+    )
+    snapshot_write_with_stats(
+        _df(spark, [(5, 1, "a"), (6, 1, "b")]).coalesce(1),
+        table, ["id"], mode="append", partition_cols=["month"],
+    )
+    # clustered-key takedown: NO sidecar written, file dropped
+    v, n = snapshot_delete_rows_dv(spark, table, "id", [2])
+    assert n == 4
+    man = _load_manifest(spark, table, v)
+    assert man["files_dropped_by_stats"] == 1 and man["rows_dropped"] == 4
+    assert man["dv_rows_added"] == 0 and not man.get("dv_files")
+    assert sorted(r.id for r in read_snapshot(spark, table).collect()) == [
+        5, 6
+    ]
+    # boundary case: full file dropped AND one tombstone for the
+    # mixed file's matching row, in one commit
+    snapshot_write_with_stats(
+        _df(spark, [(6, 1, "c"), (6, 1, "d")]).coalesce(1),
+        table, ["id"], mode="append", partition_cols=["month"],
+    )
+    v2, n2 = snapshot_delete_rows_dv(spark, table, "id", [6])
+    man2 = _load_manifest(spark, table, v2)
+    assert n2 == 3  # 2 dropped + 1 tombstoned
+    assert man2["files_dropped_by_stats"] == 1
+    assert man2["dv_rows_added"] == 1 and man2["dv_files"]
+    assert [r.id for r in read_snapshot(spark, table).collect()] == [5]
+
+
+def test_delete_full_match_blocked_by_null_rows(spark, table):
+    """A file whose non-null rows all equal the deleted value but which
+    holds a NULL row must NOT be dropped whole: NULL IN (v) never
+    matches, so the null row survives via the rewrite path."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete_rows,
+        snapshot_write_with_stats,
+    )
+
+    rows = spark.createDataFrame(
+        [(9, 1, "x"), (9, 1, "y"), (None, 1, "keep-me")],
+        "id long, month int, v string",
+    )
+    snapshot_write_with_stats(
+        rows.coalesce(1), table, ["id"], mode="append",
+        partition_cols=["month"],
+    )
+    man0 = _load_manifest(spark, table, 1)
+    st = next(iter(man0["stats"].values()))["id"]
+    assert st[0] == st[1] == 9 and st[2] == 1  # nulls recorded
+    v, n = snapshot_delete_rows(spark, table, "id", [9])
+    assert n == 2
+    assert "files_dropped_by_stats" not in _load_manifest(spark, table, v)
+    out = read_snapshot(spark, table).collect()
+    assert [(r.id, r.v) for r in out] == [(None, "keep-me")]
+
+
 def test_snapshot_minmax_metadata_vs_scan(spark, table):
     """snapshot_minmax answers from per-file stats when provably exact
     (full stats coverage, no tombstones on the scoped files) and falls
@@ -678,6 +840,40 @@ def test_snapshot_minmax_metadata_vs_scan(spark, table):
     assert snapshot_minmax(
         spark, table, "id", partitions={"month": 7}
     ) == (None, None)
+
+
+def test_snapshot_count_nonnull_and_hybrid_minmax(spark, table):
+    """COUNT(col) answers from recorded row counts minus recorded null
+    counts for every provable file, scanning only the uncovered
+    remainder (DV'd files); snapshot_minmax likewise scans ONLY the
+    files metadata cannot answer for instead of the whole table."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_count_nonnull,
+        snapshot_delete_rows_dv,
+        snapshot_minmax,
+        snapshot_write_with_stats,
+    )
+
+    rows = spark.createDataFrame(
+        [(0, 0, "a"), (1, 0, None), (2, 1, "c"), (None, 1, "d")],
+        "id long, month int, v string",
+    )
+    snapshot_write_with_stats(
+        rows, table, stats_cols=["id", "v"], partition_cols=["month"]
+    )
+    assert snapshot_count_nonnull(spark, table, "id") == 3
+    assert snapshot_count_nonnull(spark, table, "v") == 3
+    assert snapshot_count_nonnull(
+        spark, table, "id", partitions={"month": 0}
+    ) == 2
+    # DV-delete a non-null id in month=0: its file goes uncovered and
+    # is scanned with the tombstone applied; month=1 stays metadata
+    snapshot_delete_rows_dv(spark, table, "id", [0])
+    assert snapshot_count_nonnull(spark, table, "id") == 2
+    assert snapshot_count_nonnull(spark, table, "v") == 2
+    # hybrid minmax: the DV'd file is scanned, the covered files
+    # answer from stats, and the combination is live-exact
+    assert snapshot_minmax(spark, table, "id") == (1, 2)
 
 
 def test_auto_compact_small_files_metadata_trigger(spark, tmp_path, table):
@@ -811,8 +1007,14 @@ def test_targeted_compact_bin_packs_only_fragments(spark, table):
         big, table, stats_cols=["id"], partition_cols=["month"],
     )
     for i in range(4):
+        # two-row MIXED shards: the fragment tombstone planted below
+        # must stay a tombstone (a 1-row shard would full-drop at
+        # delete time by the stats whole-file proof)
         snapshot_write_with_stats(
-            _df(spark, [(100_000 + i, i % 2, f"s{i}")]),
+            _df(
+                spark,
+                [(100_000 + i, i % 2, f"s{i}"), (200_000 + i, i % 2, f"t{i}")],
+            ).coalesce(1),
             table, ["id"], mode="append", partition_cols=["month"],
         )
     # DV-delete one row in a BIG (to-be-carried) file and one row in a
@@ -852,7 +1054,8 @@ def test_targeted_compact_bin_packs_only_fragments(spark, table):
     assert man.get("dv_files"), "carried-file tombstone must keep riding"
     assert all(t in big_files for t in man["dv_targets"])
     # verify-exact recorded totals: removed live fragments == added
-    assert man["rows_removed"] == man["rows_added"] == 3
+    # (4 shards x 2 rows, one row tombstoned)
+    assert man["rows_removed"] == man["rows_added"] == 7
     assert man["files_compacted"] == 4 and man["files_carried"] == 2
     # stats carried + recomputed: pruning still exact over both kinds
     from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
@@ -1981,8 +2184,11 @@ def test_metadata_tables_files_and_history(spark, table):
         snapshot_write_with_stats,
     )
 
+    # one file per partition dir, several ids each: the delete below
+    # must hit a MIXED file so a tombstone is actually written (a
+    # single-valued file would full-drop by stats proof instead)
     snapshot_write_with_stats(
-        _df(spark, [(i, i % 2, f"a{i}") for i in range(8)]),
+        _df(spark, [(i, i % 2, f"a{i}") for i in range(8)]).coalesce(1),
         table, stats_cols=["id"], partition_cols=["month"],
     )
     snapshot_delete_rows_dv(spark, table, "id", [0])
@@ -2000,7 +2206,7 @@ def test_metadata_tables_files_and_history(spark, table):
     assert tomb_pv == {"0"}
     # stats ride as JSON and are queryable
     st = _json.loads(rows[0].stats)
-    assert "id" in st and len(st["id"]) == 2
+    assert "id" in st and len(st["id"]) == 3  # [min, max, nulls]
     # time travel: v1 has no tombstoned files
     assert snapshot_files(spark, table, version=1) \
         .where("has_tombstones").count() == 0
