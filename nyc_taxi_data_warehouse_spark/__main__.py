@@ -439,11 +439,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     raise SystemExit(
                         f"--snapshot wants NAME=PATH[@V]; got {spec!r}"
                     )
-                tpath, at, ver = ref.rpartition("@")
-                if at and ver.isdigit():
-                    snapshot_register(spark, tpath, name, version=int(ver))
-                else:
+                # a literal path wins over the @V reading: a real
+                # table directory that happens to end in '@digits'
+                # must never be silently reinterpreted as a version
+                # pin of a different table
+                try:
                     snapshot_register(spark, ref, name)
+                except FileNotFoundError:
+                    tpath, at, ver = ref.rpartition("@")
+                    if not (at and ver.isdigit()):
+                        raise
+                    snapshot_register(spark, tpath, name, version=int(ver))
             rows = spark.sql(args.statement).limit(args.limit).collect()
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))
@@ -637,6 +643,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
                 ver = args.version
                 if ts is not None:
+                    if ver is not None:  # same refusal as the no-col path
+                        raise SystemExit(
+                            "pass --version OR --at-timestamp, not both"
+                        )
                     ver = snapshot_version_at(spark, args.table_path, ts)
                 n = snapshot_count_nonnull(
                     spark, args.table_path, args.col, version=ver

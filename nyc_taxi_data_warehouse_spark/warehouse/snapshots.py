@@ -882,11 +882,9 @@ def snapshot_register(
     leak into an already-registered view (reader isolation carries
     into SQL), and omitting ``version`` pins the current latest —
     re-register to follow the head."""
-    if version is None and at_timestamp is None:
-        version = _list_manifests(spark, path)[-1:]
-        if not version:
-            raise FileNotFoundError(f"no snapshot versions at {path}")
-        version = version[0]
+    # read_snapshot resolves + pins the head itself: the concrete file
+    # list is baked into the DataFrame at call time, so the view is
+    # version-stable without pre-resolving here
     read_snapshot(
         spark, path, version=version, at_timestamp=at_timestamp,
         partitions=partitions,
@@ -1785,12 +1783,11 @@ def snapshot_minmax(
     tgts = set(man.get("dv_targets") or ())
     if man.get("dv_files") and man.get("dv_targets") is None:
         tgts = set(files)  # legacy: unknown targets — assume any
-    covered = [
-        f
-        for f in files
-        if f in stats and col in stats[f] and f not in tgts
-    ]
-    uncovered = [f for f in files if f not in set(covered)]
+    cov = {
+        f for f in files if f in stats and col in stats[f] and f not in tgts
+    }
+    covered = [f for f in files if f in cov]
+    uncovered = [f for f in files if f not in cov]
     los = [stats[f][col][0] for f in covered]
     his = [stats[f][col][1] for f in covered]
     if uncovered:
@@ -1798,8 +1795,13 @@ def snapshot_minmax(
         # stats coverage or outstanding tombstones on the file. On a
         # mostly-statted table one DV'd file costs one small scan, not
         # a full-table aggregate. Scan extremes join the metadata ones
-        # through the same normalization the stats were recorded in
-        # (order-preserving, so the combined min/max stays exact).
+        # through the same order-preserving normalization the stats
+        # were recorded in — UNWIDENED (widen=0): these are exact
+        # observed endpoints, and padding them outward (as the
+        # recorded Decimal bounds are) would return a value not
+        # present in the data. The combined result can still surface
+        # a covered file's widened Decimal bound — that is the
+        # documented metadata-path contract.
         schema = StructType.fromJson(man["schema"])
         df = _read_file_list(
             spark, path, uncovered, schema,
@@ -1812,8 +1814,8 @@ def snapshot_minmax(
         ).first()
         if not covered:
             return (row["lo"], row["hi"])  # pure scan: Spark-typed
-        los.append(_stat_norm(row["lo"], widen=-1))
-        his.append(_stat_norm(row["hi"], widen=1))
+        los.append(_stat_norm(row["lo"]))
+        his.append(_stat_norm(row["hi"]))
     los = [v for v in los if v is not None]
     his = [v for v in his if v is not None]
     return (min(los) if los else None, max(his) if his else None)
@@ -1854,15 +1856,15 @@ def snapshot_count_nonnull(
     tgts = set(man.get("dv_targets") or ())
     if man.get("dv_files") and man.get("dv_targets") is None:
         tgts = set(files)  # legacy: unknown targets — assume any
-    covered = [
+    cov = {
         f
         for f in files
         if f in rows
         and f not in tgts
         and len(stats.get(f, {}).get(col) or ()) >= 3
-    ]
-    total = sum(rows[f] - stats[f][col][2] for f in covered)
-    uncovered = [f for f in files if f not in set(covered)]
+    }
+    total = sum(rows[f] - stats[f][col][2] for f in cov)
+    uncovered = [f for f in files if f not in cov]
     if uncovered:
         schema = StructType.fromJson(man["schema"])
         df = _read_file_list(
@@ -3364,6 +3366,12 @@ def snapshot_delete_rows(
     ``vacuum_snapshots`` drops those versions — erasure is complete
     only after the vacuum.
     """
+    # NULL never matches an IN list — a None VALUE selects nothing.
+    # It must also not reach ``~isin``: a null in the IN list makes
+    # the predicate NULL for every non-matching row and where() would
+    # then silently erase rows the delete never asked for.
+    values = [v for v in values if v is not None]
+
     def fn(df):
         # NULL-safe: ``~isin`` evaluates to NULL for NULL col values
         # and where() would drop them — silently erasing rows the
@@ -3518,6 +3526,11 @@ def _victims_by_stats(
     metadata-only planning with no false negatives (stats-less files
     are conservatively victims)."""
     stats = man.get("stats", {})
+    # NULL never matches an IN list: None values select nothing, and
+    # left in they would TypeError against the stats endpoints
+    values = [v for v in values if v is not None]
+    if not values:
+        return [], list(man["files"])
     norm = sorted(_stat_norm(v, widen=0) for v in values)
     lo, hi = norm[0], norm[-1]
     victims, carried = [], []
@@ -4149,21 +4162,36 @@ def snapshot_delete(
     dispatches to ``snapshot_drop_partitions`` instead of either data
     path: every row under a matching partition directory matches the
     predicate by construction (the directory value IS the column
-    value, nulls included — they land in the Hive null partition), so
-    the delete is a pure manifest edit that moves ZERO data bytes at
-    any table size. Explicit ``mode="dv"``/``"rewrite"`` still honor
+    value), so the delete is a pure manifest edit that moves ZERO
+    data bytes at any table size. The dispatch preserves SQL DELETE
+    semantics exactly: ``None`` values are filtered first (``NULL IN``
+    never matches — the raw ``snapshot_drop_partitions`` API, by
+    contrast, lets ``None`` select the null partition deliberately),
+    and only int/str/bool values qualify — those have one canonical
+    directory-string form, while e.g. ``5.0`` against an int month
+    renders ``"5.0" != "5"`` and would silently no-op where the data
+    paths' Spark-typed equality deletes; such values fall through to
+    the data paths. Explicit ``mode="dv"``/``"rewrite"`` always honor
     the requested physical strategy."""
     if mode not in ("auto", "dv", "rewrite"):
         raise ValueError(f"mode must be auto|dv|rewrite; got {mode!r}")
+    man = None
     if mode == "auto":
         versions = _list_manifests(spark, path)
         if versions:
             man = _load_manifest(spark, path, versions[-1])
-            if col in (_manifest_partition_cols(man) or ()):
-                return snapshot_drop_partitions(spark, path, {col: values})
+            vals = [v for v in values if v is not None]
+            if (
+                col in (_manifest_partition_cols(man) or ())
+                and vals
+                and all(type(v) in (int, str, bool) for v in vals)
+            ):
+                return snapshot_drop_partitions(spark, path, {col: vals})
         mode = (
             "dv"
-            if _victim_bytes(spark, path, col, values, full_drop=True)
+            if _victim_bytes(
+                spark, path, col, values, full_drop=True, man=man
+            )
             > dv_threshold_mb * 1024 * 1024
             else "rewrite"
         )
@@ -4325,6 +4353,7 @@ def snapshot_drop_column(
 def _victim_bytes(
     spark: SparkSession, path: str, col: str, values: list,
     full_drop: bool = False,
+    man: dict | None = None,
 ) -> int:
     """Total on-disk bytes of the stats-selected victim files — what a
     copy-on-write DML would rewrite. Metadata-only; file sizes fan out
@@ -4333,10 +4362,11 @@ def _victim_bytes(
     un-statted column — every file a victim) is one parallel stat job,
     and a genuinely SMALL table still gets its cheap join-free rewrite
     under the threshold instead of being forced onto tombstones."""
-    versions = _list_manifests(spark, path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions at {path}")
-    man = _load_manifest(spark, path, versions[-1])
+    if man is None:  # callers with the head manifest in hand pass it
+        versions = _list_manifests(spark, path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+        man = _load_manifest(spark, path, versions[-1])
     victims, _carried = _victims_by_stats(man, col, values)
     if full_drop:
         # delete only: files whose every row provably matches rewrite

@@ -567,6 +567,41 @@ def test_snapshot_delete_auto_dispatches_partition_drop(spark, table):
     assert read_snapshot(spark, table).count() == 0
 
 
+def test_snapshot_delete_auto_null_and_type_form_semantics(spark, table):
+    """The partition-drop dispatch must preserve SQL DELETE semantics
+    exactly: NULL IN never matches (a None value deletes nothing, even
+    though the raw drop API would select the null partition), and a
+    value whose string form differs from the directory form (5.0 vs
+    dir 'month=5') falls through to the Spark-typed data path instead
+    of silently no-opping."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b"), (3, None, "nullpart")],
+        "id long, month int, v string",
+    )
+    snapshot_write(rows, table, mode="append", partition_cols=["month"])
+    # NULL value: deletes nothing anywhere, null-partition row survives
+    v, n = snapshot_delete(spark, table, "month", [None], mode="auto")
+    assert n == 0
+    assert read_snapshot(spark, table).count() == 3
+    # float form against int month: data path, row actually deleted
+    v2, n2 = snapshot_delete(spark, table, "month", [1.0], mode="auto")
+    assert n2 == 1
+    assert _load_manifest(spark, table, v2)["op"] != "drop_partitions"
+    got = {(r.id, r.month) for r in read_snapshot(spark, table).collect()}
+    assert got == {(1, 0), (3, None)}
+    # mixed None + int: the int partition drops, None selects nothing
+    v3, n3 = snapshot_delete(spark, table, "month", [None, 0], mode="auto")
+    assert n3 == 1
+    assert _load_manifest(spark, table, v3)["op"] == "drop_partitions"
+    assert [(r.id, r.month) for r in read_snapshot(spark, table).collect()] \
+        == [(3, None)]
+
+
 def test_snapshot_drop_partitions_cli(spark, table, capsys):
     from nyc_taxi_data_warehouse_spark.__main__ import main
 
