@@ -241,10 +241,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "stats-selected victim files only; complete after vacuum",
     )
     sd.add_argument("--table-path", required=True)
-    sd.add_argument("--col", required=True)
+    sd.add_argument("--col")
     sd.add_argument(
-        "--values", required=True,
+        "--values",
         help="JSON array of values, e.g. '[11,42]' or '[\"a\"]'",
+    )
+    sd.add_argument(
+        "--where",
+        help="conjunctive JSON predicates {col: [values], ...} — "
+        "composite-key DELETE; alternative to --col/--values",
     )
     sd.add_argument(
         "--dv", action="store_true",
@@ -662,9 +667,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 snapshot_delete,
                 snapshot_delete_rows,
                 snapshot_delete_rows_dv,
+                snapshot_delete_where,
             )
 
-            if args.mode is not None:
+            if (args.where is None) == (args.col is None) or (
+                args.col is not None and args.values is None
+            ):
+                raise SystemExit(
+                    "snapshot-delete wants --col/--values OR --where"
+                )
+            if args.where is not None:
+                v, n = snapshot_delete_where(
+                    spark, args.table_path, json.loads(args.where),
+                    mode=args.mode or "auto",
+                )
+            elif args.mode is not None:
                 v, n = snapshot_delete(
                     spark, args.table_path, args.col,
                     json.loads(args.values), mode=args.mode,

@@ -3366,22 +3366,35 @@ def snapshot_delete_rows(
     ``vacuum_snapshots`` drops those versions — erasure is complete
     only after the vacuum.
     """
-    # NULL never matches an IN list — a None VALUE selects nothing.
-    # It must also not reach ``~isin``: a null in the IN list makes
-    # the predicate NULL for every non-matching row and where() would
-    # then silently erase rows the delete never asked for.
-    values = [v for v in values if v is not None]
+    return snapshot_delete_rows_where(spark, path, {col: values})
+
+
+def snapshot_delete_rows_where(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+) -> tuple[int, int]:
+    """Conjunctive copy-on-write delete: erase rows matching ``col IN
+    values AND ...`` across any number of columns ({col: values}) —
+    the composite-key takedown (``tenant`` AND ``user_id``). Same
+    machinery as the single-column path: per-column stats exclusion
+    intersects (excludable by ANY column carries the file),
+    whole-file proofs must hold for EVERY column to drop a file by
+    reference, and NULL semantics are SQL's (a None value matches
+    nothing; NULL-keyed rows always survive — the match expression is
+    null-guarded so ``~match`` never silently erases)."""
+    preds = _sanitize_predicates(predicates)
+    if not preds:
+        versions = _list_manifests(spark, path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+        return versions[-1], 0
 
     def fn(df):
-        # NULL-safe: ``~isin`` evaluates to NULL for NULL col values
-        # and where() would drop them — silently erasing rows the
-        # delete was never asked to touch (and overcounting
-        # rows_deleted). NULL never matches an IN list, so NULL-keyed
-        # rows always survive.
-        return df.where(F.col(col).isNull() | ~F.col(col).isin(values))
+        return df.where(~_match_expr(preds))
 
     return _rewrite_matching_files(
-        spark, path, col, values, fn, "delete_rows", full_drop=True
+        spark, path, preds, fn, "delete_rows", full_drop=True
     )
 
 
@@ -3416,16 +3429,33 @@ def snapshot_delete_rows_dv(
     clustered-key takedown then writes NO tombstones at all; only
     boundary files where matches mix with survivors get entries.
     """
+    return _delete_rows_dv_where(spark, path, {col: values})
+
+
+def _delete_rows_dv_where(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+) -> tuple[int, int]:
+    """Conjunctive merge-on-read delete — the engine behind
+    ``snapshot_delete_rows_dv`` (single column) and
+    ``snapshot_delete_where(mode="dv")`` (composite key). Same
+    structure: per-column stats intersection plans the victims,
+    per-column whole-file proofs drop wholly-dead files by reference,
+    and only boundary rows get (file, pos) tombstones."""
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
-    victims, _carried = _victims_by_stats(man, col, values)
+    predicates = _sanitize_predicates(predicates)
+    if not predicates:
+        return latest, 0
+    victims, _carried = _victims_by_stats_where(man, predicates)
     if not victims:
         return latest, 0
     schema = StructType.fromJson(man["schema"])
-    fullset = set(_full_match_files(man, col, values))
+    fullset = set(_full_match_files_where(man, predicates))
     dropped = sorted(f for f in victims if f in fullset)
     victims = [f for f in victims if f not in fullset]
     drop_rows = 0
@@ -3464,7 +3494,7 @@ def snapshot_delete_rows_dv(
             dv_targets=man.get("dv_targets"),
         )
         matched = (
-            df.where(F.col(col).isNotNull() & F.col(col).isin(values))
+            df.where(_match_expr(predicates))
             .select("_dv_file", "_dv_pos")
             .localCheckpoint(eager=True)  # one scan feeds count AND write
         )
@@ -3576,21 +3606,78 @@ def _full_match_files(man: dict, col: str, values: list) -> list[str]:
     return out
 
 
+def _sanitize_predicates(predicates: dict) -> dict:
+    """{col: values} with None values stripped per column (NULL never
+    matches an IN list, and a null inside the list poisons ``~isin``
+    to NULL). A column whose list empties means the conjunction can
+    match NOTHING — callers short-circuit to a no-op on {}."""
+    if not predicates:
+        raise ValueError("predicates must name at least one column")
+    out = {}
+    for c, vals in predicates.items():
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            return {}
+        out[c] = vals
+    return out
+
+
+def _victims_by_stats_where(
+    man: dict, predicates: dict
+) -> tuple[list[str], list[str]]:
+    """Conjunctive (victims, carried): a file may match ``col IN vals
+    AND ...`` only if EVERY predicate's stats admit it — excludable by
+    any one column carries the file. Composes the single-column
+    planner, keeping its no-false-negatives contract per column."""
+    alive = set(man["files"])
+    for col, vals in predicates.items():
+        v, _ = _victims_by_stats(man, col, vals)
+        alive &= set(v)
+    victims = [f for f in man["files"] if f in alive]
+    carried = [f for f in man["files"] if f not in alive]
+    return victims, carried
+
+
+def _full_match_files_where(man: dict, predicates: dict) -> list[str]:
+    """Files where EVERY row provably matches the whole conjunction:
+    the per-column whole-file proof (min == max == a value, zero
+    nulls) must hold for EVERY predicate column."""
+    full: set | None = None
+    for col, vals in predicates.items():
+        s = set(_full_match_files(man, col, vals))
+        full = s if full is None else (full & s)
+        if not full:
+            return []
+    return sorted(full or ())
+
+
+def _match_expr(predicates: dict):
+    """The conjunctive row-match Column: AND over columns of
+    (isNotNull AND isin) — never NULL (each conjunct's isNotNull guard
+    collapses SQL three-valued logic to plain booleans), so both
+    ``where(match)`` and ``where(~match)`` partition rows exactly."""
+    expr = None
+    for c, vals in predicates.items():
+        term = F.col(c).isNotNull() & F.col(c).isin(vals)
+        expr = term if expr is None else (expr & term)
+    return expr
+
+
 def _rewrite_matching_files(
     spark: SparkSession,
     path: str,
-    col: str,
-    values: list,
+    predicates: dict,
     fn,
     op: str,
     full_drop: bool = False,
 ) -> tuple[int, int]:
     """Shared DML rewrite: apply ``fn`` to the rows of every file that
-    may contain ``col IN values``; carry every other file by reference;
-    publish as one commit. Returns ``(new_version, rows_affected)``
-    where rows_affected = victim rows before - surviving rows after for
-    a delete, and matching rows for an update (fn reports via the
-    returned frame's ``_matched`` column when present).
+    may match the conjunctive ``predicates`` ({col: values}); carry
+    every other file by reference; publish as one commit. Returns
+    ``(new_version, rows_affected)`` where rows_affected = victim rows
+    before - surviving rows after for a delete, and matching rows for
+    an update (fn reports via the returned frame's ``_matched`` column
+    when present).
 
     ``full_drop=True`` (delete semantics only): victim files whose
     stats PROVE every row matches (``_full_match_files``) are dropped
@@ -3605,12 +3692,15 @@ def _rewrite_matching_files(
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
-    victims, carried = _victims_by_stats(man, col, values)
+    predicates = _sanitize_predicates(predicates)
+    if not predicates:  # some column's values were all None: no match
+        return latest, 0
+    victims, carried = _victims_by_stats_where(man, predicates)
     schema = StructType.fromJson(man["schema"])
     dropped: list[str] = []
     drop_rows = 0
     if full_drop and victims:
-        fullset = set(_full_match_files(man, col, values))
+        fullset = set(_full_match_files_where(man, predicates))
         if fullset:
             dropped = sorted(f for f in victims if f in fullset)
             victims = [f for f in victims if f not in fullset]
@@ -3741,7 +3831,7 @@ def snapshot_update_rows(
         return df.select(*cols, matched.alias("_matched"))
 
     return _rewrite_matching_files(
-        spark, path, col, values, fn, "update_rows"
+        spark, path, {col: values}, fn, "update_rows"
     )
 
 
@@ -4040,6 +4130,7 @@ def snapshot_drop_partitions(
     spark: SparkSession,
     path: str,
     partitions: dict,
+    retries: int = 0,
 ) -> tuple[int, int]:
     """METADATA-ONLY partition delete: remove every live file whose
     partition-directory values match ``partitions`` ({col: value |
@@ -4069,7 +4160,20 @@ def snapshot_drop_partitions(
     streaming feeds classify it like any other delete commit
     (out-of-scope drops pass a partition-scoped feed untouched).
     Erasure caveat as every manifest-log design: older versions still
-    reference the files until ``vacuum_snapshots``."""
+    reference the files until ``vacuum_snapshots``.
+
+    ``retries``: on a lost commit race the WHOLE computation reruns
+    against the new head — it is metadata-only (no data written, no
+    orphans possible), so a retry is a clean re-serialization: the
+    drop simply lands after the racer, deleting whatever the matching
+    partitions hold THEN (an append racing into a matched partition is
+    the append-then-delete ordering, exactly what retrying a DELETE
+    means)."""
+    for attempt in range(retries):
+        try:
+            return snapshot_drop_partitions(spark, path, partitions)
+        except SnapshotConflict:
+            continue
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
@@ -4198,6 +4302,59 @@ def snapshot_delete(
     if mode == "rewrite":
         return snapshot_delete_rows(spark, path, col, values)
     out = snapshot_delete_rows_dv(spark, path, col, values)
+    _maybe_auto_compact_dvs(spark, path, auto_compact_files)
+    return out
+
+
+def snapshot_delete_where(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    mode: str = "auto",
+    dv_threshold_mb: int = 64,
+    auto_compact_files: int | None = 12,
+) -> tuple[int, int]:
+    """Conjunctive DML front door: DELETE WHERE ``col IN values AND
+    ...`` across any number of columns ({col: values}) with the same
+    strategy dispatch as ``snapshot_delete`` — and the same fast
+    paths, generalized:
+
+    - every predicate column a partition column (+ canonical int/str/
+      bool values) → ``snapshot_drop_partitions``: the whole delete is
+      a manifest edit (multi-column partition dirs prove the
+      conjunction row-exactly);
+    - otherwise ``auto`` weighs the copy-on-write bytes (victims from
+      the per-column stats INTERSECTION, minus files the per-column
+      whole-file proofs drop for free) against ``dv_threshold_mb``;
+    - NULL semantics are SQL's throughout: a None value matches
+      nothing (a column whose list is all-None makes the whole
+      conjunction a no-op)."""
+    if mode not in ("auto", "dv", "rewrite"):
+        raise ValueError(f"mode must be auto|dv|rewrite; got {mode!r}")
+    preds = _sanitize_predicates(predicates)
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if not preds:
+        return versions[-1], 0
+    man = None
+    if mode == "auto":
+        man = _load_manifest(spark, path, versions[-1])
+        pc = set(_manifest_partition_cols(man) or ())
+        if set(preds) <= pc and all(
+            type(v) in (int, str, bool) for vals in preds.values()
+            for v in vals
+        ):
+            return snapshot_drop_partitions(spark, path, preds)
+        victims, _ = _victims_by_stats_where(man, preds)
+        full = set(_full_match_files_where(man, preds))
+        cost = _file_bytes_total(
+            spark, _root(path), [f for f in victims if f not in full]
+        )
+        mode = "dv" if cost > dv_threshold_mb * 1024 * 1024 else "rewrite"
+    if mode == "rewrite":
+        return snapshot_delete_rows_where(spark, path, preds)
+    out = _delete_rows_dv_where(spark, path, preds)
     _maybe_auto_compact_dvs(spark, path, auto_compact_files)
     return out
 

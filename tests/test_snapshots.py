@@ -602,6 +602,104 @@ def test_snapshot_delete_auto_null_and_type_form_semantics(spark, table):
         == [(3, None)]
 
 
+def test_snapshot_delete_where_conjunctive(spark, table, capsys):
+    """Composite-key DELETE: predicates across several columns AND
+    together — per-column stats exclusion intersects, whole-file
+    proofs must hold for every column to drop a file by reference,
+    all-partition-column predicates go metadata-only, a None value
+    anywhere makes the conjunction match nothing, and both physical
+    strategies agree with the oracle row set."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete_where,
+        snapshot_write_with_stats,
+    )
+
+    rows = [
+        (1, 0, "a"), (1, 0, "b"), (1, 1, "c"), (2, 0, "d"), (2, 1, "e"),
+    ]
+    snapshot_write_with_stats(
+        spark.createDataFrame(rows, "id long, month int, v string"),
+        table, stats_cols=["id", "v"], partition_cols=["month"],
+    )
+    # conjunction: id=1 AND v IN (a, c) → exactly rows a (month 0)
+    # and c (month 1); d/e (id=2) and b (v=b) survive
+    v, n = snapshot_delete_where(
+        spark, table, {"id": [1], "v": ["a", "c"]}
+    )
+    assert n == 2
+    got = {(r.id, r.month, r.v) for r in read_snapshot(spark, table).collect()}
+    assert got == {(1, 0, "b"), (2, 0, "d"), (2, 1, "e")}
+    # a None value in any column: the whole conjunction matches nothing
+    v2, n2 = snapshot_delete_where(
+        spark, table, {"id": [2], "v": [None]}
+    )
+    assert n2 == 0 and read_snapshot(spark, table).count() == 3
+    # all-partition-column predicate → metadata-only drop
+    v3, n3 = snapshot_delete_where(spark, table, {"month": [1]})
+    assert n3 == 1
+    assert _load_manifest(spark, table, v3)["op"] == "drop_partitions"
+    # DV mode agrees with the same predicate shape
+    v4, n4 = snapshot_delete_where(
+        spark, table, {"id": [2], "v": ["d"]}, mode="dv"
+    )
+    assert n4 == 1
+    assert [(r.id, r.v) for r in read_snapshot(spark, table).collect()] \
+        == [(1, "b")]
+    # CLI --where
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    main(
+        [
+            "snapshot-delete", "--table-path", table,
+            "--where", '{"id": [1], "v": ["b"]}',
+        ],
+        spark=spark,
+    )
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_deleted"] == 1
+    assert read_snapshot(spark, table).count() == 0
+
+
+def test_delete_where_full_drop_requires_every_column(spark, table):
+    """The conjunctive whole-file proof is per-column ALL-columns: a
+    file single-valued in one predicate column but mixed in another
+    must be rewritten, not dropped — dropping it would erase rows the
+    second predicate excludes."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete_where,
+        snapshot_write_with_stats,
+    )
+
+    # one file: id constant (full proof holds), v mixed (proof fails)
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(7, 1, "x"), (7, 1, "y")], "id long, month int, v string"
+        ).coalesce(1),
+        table, ["id", "v"], mode="append", partition_cols=["month"],
+    )
+    # another file: id AND v both constant → drops by reference
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(7, 1, "x"), (7, 1, "x")], "id long, month int, v string"
+        ).coalesce(1),
+        table, ["id", "v"], mode="append", partition_cols=["month"],
+    )
+    pre = _data_files(table)
+    v, n = snapshot_delete_where(
+        spark, table, {"id": [7], "v": ["x"]}, mode="rewrite"
+    )
+    assert n == 3  # both rows of file 2, one row of file 1
+    man = _load_manifest(spark, table, v)
+    assert man["files_dropped_by_stats"] == 1
+    assert _data_files(table) > pre  # file 1 was rewritten (survivor y)
+    assert [(r.id, r.v) for r in read_snapshot(spark, table).collect()] \
+        == [(7, "y")]
+
+
 def test_snapshot_drop_partitions_cli(spark, table, capsys):
     from nyc_taxi_data_warehouse_spark.__main__ import main
 
