@@ -676,10 +676,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 raise SystemExit(
                     "snapshot-delete wants --col/--values OR --where"
                 )
+            if args.where is not None and args.values is not None:
+                raise SystemExit(
+                    "--values belongs to --col; with --where, put the "
+                    "values in the JSON predicates"
+                )
             if args.where is not None:
+                # --dv is the legacy strategy flag: honor it (a user
+                # asking for merge-on-read must never get a silent
+                # copy-on-write rewrite); an explicit --mode wins
                 v, n = snapshot_delete_where(
                     spark, args.table_path, json.loads(args.where),
-                    mode=args.mode or "auto",
+                    mode=args.mode or ("dv" if args.dv else "auto"),
                 )
             elif args.mode is not None:
                 v, n = snapshot_delete(

@@ -3607,32 +3607,57 @@ def _full_match_files(man: dict, col: str, values: list) -> list[str]:
 
 
 def _sanitize_predicates(predicates: dict) -> dict:
-    """{col: values} with None values stripped per column (NULL never
-    matches an IN list, and a null inside the list poisons ``~isin``
-    to NULL). A column whose list empties means the conjunction can
-    match NOTHING — callers short-circuit to a no-op on {}."""
+    """{col: values} with scalars normalized to one-element lists and
+    None values stripped per column (NULL never matches an IN list,
+    and a null inside the list poisons ``~isin`` to NULL). Scalar
+    normalization matters for STRINGS especially: naively iterating
+    ``{"tenant": "acme"}`` would explode into the characters
+    ``["a","c","m","e"]`` — a silently WRONG delete. A column whose
+    list empties means the conjunction can match NOTHING — callers
+    short-circuit to a no-op on {}."""
     if not predicates:
         raise ValueError("predicates must name at least one column")
     out = {}
     for c, vals in predicates.items():
+        if not isinstance(vals, (list, tuple, set, frozenset)):
+            vals = [vals]
         vals = [v for v in vals if v is not None]
         if not vals:
             return {}
-        out[c] = vals
+        out[c] = list(vals)
     return out
+
+
+def _canonical_partition_values(man: dict, col: str, vals: list) -> bool:
+    """Whether ``col IN vals`` can be answered EXACTLY from partition
+    directories: ``col`` is a partition column and every value has one
+    canonical directory-string form (int/str/bool — a float like 5.0
+    renders '5.0' against an int column's 'month=5' dir and would
+    falsely exclude files Spark-typed equality matches)."""
+    return col in set(_manifest_partition_cols(man) or ()) and all(
+        type(v) in (int, str, bool) for v in vals
+    )
 
 
 def _victims_by_stats_where(
     man: dict, predicates: dict
 ) -> tuple[list[str], list[str]]:
     """Conjunctive (victims, carried): a file may match ``col IN vals
-    AND ...`` only if EVERY predicate's stats admit it — excludable by
-    any one column carries the file. Composes the single-column
-    planner, keeping its no-false-negatives contract per column."""
+    AND ...`` only if EVERY predicate admits it — excludable by any
+    one column carries the file. Partition-column predicates exclude
+    from the DIRECTORY values (exact and free — without this, a mixed
+    ``tenant AND user_id`` delete on an unstatted partition column
+    would rewrite byte-identical files in every other tenant whose
+    user_id range happens to admit the key); the rest use the
+    single-column stats planner, keeping its no-false-negatives
+    contract per column."""
     alive = set(man["files"])
     for col, vals in predicates.items():
-        v, _ = _victims_by_stats(man, col, vals)
-        alive &= set(v)
+        if _canonical_partition_values(man, col, vals):
+            alive &= set(_partition_pruned_files(man, {col: vals}))
+        else:
+            v, _ = _victims_by_stats(man, col, vals)
+            alive &= set(v)
     victims = [f for f in man["files"] if f in alive]
     carried = [f for f in man["files"] if f not in alive]
     return victims, carried
@@ -3640,11 +3665,16 @@ def _victims_by_stats_where(
 
 def _full_match_files_where(man: dict, predicates: dict) -> list[str]:
     """Files where EVERY row provably matches the whole conjunction:
-    the per-column whole-file proof (min == max == a value, zero
-    nulls) must hold for EVERY predicate column."""
+    the per-column whole-file proof must hold for EVERY predicate
+    column. For a partition column the directory IS the proof (every
+    row in ``month=5/`` has month 5, non-null); data columns need the
+    stats proof (min == max == a value, zero nulls)."""
     full: set | None = None
     for col, vals in predicates.items():
-        s = set(_full_match_files(man, col, vals))
+        if _canonical_partition_values(man, col, vals):
+            s = set(_partition_pruned_files(man, {col: vals}))
+        else:
+            s = set(_full_match_files(man, col, vals))
         full = s if full is None else (full & s)
         if not full:
             return []
@@ -4169,11 +4199,17 @@ def snapshot_drop_partitions(
     partitions hold THEN (an append racing into a matched partition is
     the append-then-delete ordering, exactly what retrying a DELETE
     means)."""
-    for attempt in range(retries):
+    for _ in range(retries):
         try:
-            return snapshot_drop_partitions(spark, path, partitions)
+            return _drop_partitions_once(spark, path, partitions)
         except SnapshotConflict:
             continue
+    return _drop_partitions_once(spark, path, partitions)
+
+
+def _drop_partitions_once(
+    spark: SparkSession, path: str, partitions: dict
+) -> tuple[int, int]:
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
@@ -4276,34 +4312,16 @@ def snapshot_delete(
     renders ``"5.0" != "5"`` and would silently no-op where the data
     paths' Spark-typed equality deletes; such values fall through to
     the data paths. Explicit ``mode="dv"``/``"rewrite"`` always honor
-    the requested physical strategy."""
-    if mode not in ("auto", "dv", "rewrite"):
-        raise ValueError(f"mode must be auto|dv|rewrite; got {mode!r}")
-    man = None
-    if mode == "auto":
-        versions = _list_manifests(spark, path)
-        if versions:
-            man = _load_manifest(spark, path, versions[-1])
-            vals = [v for v in values if v is not None]
-            if (
-                col in (_manifest_partition_cols(man) or ())
-                and vals
-                and all(type(v) in (int, str, bool) for v in vals)
-            ):
-                return snapshot_drop_partitions(spark, path, {col: vals})
-        mode = (
-            "dv"
-            if _victim_bytes(
-                spark, path, col, values, full_drop=True, man=man
-            )
-            > dv_threshold_mb * 1024 * 1024
-            else "rewrite"
-        )
-    if mode == "rewrite":
-        return snapshot_delete_rows(spark, path, col, values)
-    out = snapshot_delete_rows_dv(spark, path, col, values)
-    _maybe_auto_compact_dvs(spark, path, auto_compact_files)
-    return out
+    the requested physical strategy.
+
+    One-column delegate of ``snapshot_delete_where`` — a single
+    dispatch engine, so strategy/threshold fixes can never diverge
+    between the single- and composite-key front doors."""
+    return snapshot_delete_where(
+        spark, path, {col: values}, mode=mode,
+        dv_threshold_mb=dv_threshold_mb,
+        auto_compact_files=auto_compact_files,
+    )
 
 
 def snapshot_delete_where(
@@ -4346,11 +4364,7 @@ def snapshot_delete_where(
             for v in vals
         ):
             return snapshot_drop_partitions(spark, path, preds)
-        victims, _ = _victims_by_stats_where(man, preds)
-        full = set(_full_match_files_where(man, preds))
-        cost = _file_bytes_total(
-            spark, _root(path), [f for f in victims if f not in full]
-        )
+        cost = _victim_bytes(spark, path, preds, full_drop=True, man=man)
         mode = "dv" if cost > dv_threshold_mb * 1024 * 1024 else "rewrite"
     if mode == "rewrite":
         return snapshot_delete_rows_where(spark, path, preds)
@@ -4377,7 +4391,7 @@ def snapshot_update(
     if mode == "auto":
         mode = (
             "dv"
-            if _victim_bytes(spark, path, col, values)
+            if _victim_bytes(spark, path, {col: values})
             > dv_threshold_mb * 1024 * 1024
             else "rewrite"
         )
@@ -4508,29 +4522,31 @@ def snapshot_drop_column(
 
 
 def _victim_bytes(
-    spark: SparkSession, path: str, col: str, values: list,
+    spark: SparkSession, path: str, predicates: dict,
     full_drop: bool = False,
     man: dict | None = None,
 ) -> int:
-    """Total on-disk bytes of the stats-selected victim files — what a
-    copy-on-write DML would rewrite. Metadata-only; file sizes fan out
-    to executors in batches past a small count (``_file_bytes_total``),
-    so even the stats-can't-exclude-anything case (stats-less table,
-    un-statted column — every file a victim) is one parallel stat job,
-    and a genuinely SMALL table still gets its cheap join-free rewrite
-    under the threshold instead of being forced onto tombstones."""
+    """Total on-disk bytes of the stats-selected victim files for the
+    conjunctive ``predicates`` — what a copy-on-write DML would
+    rewrite. Metadata-only; file sizes fan out to executors in batches
+    past a small count (``_file_bytes_total``), so even the
+    stats-can't-exclude-anything case (stats-less table, un-statted
+    column — every file a victim) is one parallel stat job, and a
+    genuinely SMALL table still gets its cheap join-free rewrite
+    under the threshold instead of being forced onto tombstones.
+
+    ``full_drop`` (delete only): files whose every row provably
+    matches rewrite for FREE (dropped by reference) — only boundary
+    files where matches mix with survivors cost copy bytes, so only
+    they weigh against the tombstone threshold. An update must still
+    rewrite them, so its estimate keeps them."""
     if man is None:  # callers with the head manifest in hand pass it
         versions = _list_manifests(spark, path)
         if not versions:
             raise FileNotFoundError(f"no snapshot versions at {path}")
         man = _load_manifest(spark, path, versions[-1])
-    victims, _carried = _victims_by_stats(man, col, values)
+    victims, _carried = _victims_by_stats_where(man, predicates)
     if full_drop:
-        # delete only: files whose every row provably matches rewrite
-        # for FREE (dropped by reference) — only boundary files where
-        # matches mix with survivors cost copy bytes, so only they
-        # weigh against the tombstone threshold. An update must still
-        # rewrite them, so its estimate keeps them.
-        full = set(_full_match_files(man, col, values))
+        full = set(_full_match_files_where(man, predicates))
         victims = [f for f in victims if f not in full]
     return _file_bytes_total(spark, _root(path), victims)

@@ -663,6 +663,77 @@ def test_snapshot_delete_where_conjunctive(spark, table, capsys):
     assert read_snapshot(spark, table).count() == 0
 
 
+def test_delete_where_scalar_values_and_partition_pruning(spark, table):
+    """A scalar predicate value means ONE value — a bare string must
+    never explode into its characters (silently wrong DELETE); and a
+    mixed partition+data conjunction excludes other partitions from
+    the directory values, so files there are neither read nor
+    rewritten even when the data column's stats admit the key."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_delete_where,
+        snapshot_write_with_stats,
+    )
+
+    # same id range in both months: without partition pruning the
+    # month=0 file is a stats victim for id and gets rewritten
+    for m in (0, 1):
+        snapshot_write_with_stats(
+            spark.createDataFrame(
+                [(7, m, "a"), (8, m, "b")], "id long, month int, v string"
+            ).coalesce(1),
+            table, ["id"], mode="append", partition_cols=["month"],
+        )
+    man0_files = set(
+        _load_manifest(spark, table, 2)["files"]
+    )
+    month0 = {f for f in man0_files if "month=0" in f}
+    v, n = snapshot_delete_where(
+        spark, table, {"month": 1, "id": 7}, mode="rewrite"
+    )  # scalars, not lists — and month=1 only
+    assert n == 1
+    man = _load_manifest(spark, table, v)
+    # month=0's file carried untouched; only month=1 was rewritten
+    assert month0 < set(man["files"])
+    assert {(r.id, r.month) for r in read_snapshot(spark, table).collect()} \
+        == {(7, 0), (8, 0), (8, 1)}
+    # scalar string predicate: one value, not four characters
+    v2, n2 = snapshot_delete_where(spark, table, {"v": "b"})
+    assert n2 == 2
+    assert [(r.id, r.v) for r in read_snapshot(spark, table).collect()] \
+        == [(7, "a")]
+
+
+def test_drop_partitions_retries_reserialize_cleanly(spark, table, monkeypatch):
+    """A lost commit race reruns the metadata-only computation against
+    the new head: retries=1 lands the drop after the racer; retries=0
+    keeps raising the conflict."""
+    import nyc_taxi_data_warehouse_spark.warehouse.snapshots as sn
+
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 2, "b")]), table, mode="append",
+        partition_cols=["month"],
+    )
+    real = sn._write_bytes_exclusive
+    fails = {"n": 1}
+
+    def flaky(fs, jpath, data):
+        if fails["n"]:
+            fails["n"] -= 1
+            return False  # lost the exclusive-create race
+        return real(fs, jpath, data)
+
+    monkeypatch.setattr(sn, "_write_bytes_exclusive", flaky)
+    with pytest.raises(sn.SnapshotConflict):
+        sn.snapshot_drop_partitions(spark, table, {"month": [1]})
+    fails["n"] = 1
+    v, n = sn.snapshot_drop_partitions(
+        spark, table, {"month": [1]}, retries=1
+    )
+    assert n == 1
+    assert [r.id for r in read_snapshot(spark, table).collect()] == [2]
+
+
 def test_delete_where_full_drop_requires_every_column(spark, table):
     """The conjunctive whole-file proof is per-column ALL-columns: a
     file single-valued in one predicate column but mixed in another
