@@ -346,10 +346,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "erase the field, keep the row)",
     )
     su.add_argument("--table-path", required=True)
-    su.add_argument("--col", required=True)
+    su.add_argument("--col")
     su.add_argument(
-        "--values", required=True,
+        "--values",
         help="JSON array of matching key values",
+    )
+    su.add_argument(
+        "--where",
+        help="conjunctive JSON predicates {col: [values], ...} — "
+        "composite-key UPDATE; alternative to --col/--values",
     )
     su.add_argument(
         "--set", required=True, dest="set_json",
@@ -817,9 +822,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 snapshot_update,
                 snapshot_update_rows,
                 snapshot_update_rows_dv,
+                snapshot_update_where,
             )
 
-            if args.mode is not None:
+            if (args.where is None) == (args.col is None) or (
+                args.col is not None and args.values is None
+            ):
+                raise SystemExit(
+                    "snapshot-update wants --col/--values OR --where"
+                )
+            if args.where is not None and args.values is not None:
+                raise SystemExit(
+                    "--values belongs to --col; with --where, put the "
+                    "values in the JSON predicates"
+                )
+            if args.where is not None:
+                v, n = snapshot_update_where(
+                    spark, args.table_path, json.loads(args.where),
+                    json.loads(args.set_json),
+                    mode=args.mode or ("dv" if args.dv else "auto"),
+                )
+            elif args.mode is not None:
                 v, n = snapshot_update(
                     spark,
                     args.table_path,

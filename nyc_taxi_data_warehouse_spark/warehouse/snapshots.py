@@ -3819,6 +3819,21 @@ def snapshot_update_rows(
     raise. Returns ``(new_version, rows_updated)``. Old versions still
     hold the pre-update rows until ``vacuum_snapshots`` — same
     erasure-completes-at-vacuum caveat as delete."""
+    return snapshot_update_rows_where(
+        spark, path, {col: values}, set_values
+    )
+
+
+def snapshot_update_rows_where(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    set_values: dict,
+) -> tuple[int, int]:
+    """Conjunctive copy-on-write update — ``snapshot_update_rows``
+    across any number of AND-ed columns ({col: values}); the shared
+    planner partition-prunes partition-column predicates and
+    intersects stats exclusion for the rest."""
     from pyspark.sql import Column
 
     versions = _list_manifests(spark, path)
@@ -3840,8 +3855,12 @@ def snapshot_update_rows(
             "updates"
         )
 
+    preds = _sanitize_predicates(predicates)
+    if not preds:
+        return versions[-1], 0
+
     def fn(df):
-        matched = F.col(col).isNotNull() & F.col(col).isin(values)
+        matched = _match_expr(preds)
         # ONE select, every RHS resolved against the PRE-update row
         # image (SQL UPDATE semantics): a sequential withColumn chain
         # would let {'email': None, 'email_hash': sha2(col('email'))}
@@ -3861,7 +3880,7 @@ def snapshot_update_rows(
         return df.select(*cols, matched.alias("_matched"))
 
     return _rewrite_matching_files(
-        spark, path, {col: values}, fn, "update_rows"
+        spark, path, preds, fn, "update_rows"
     )
 
 
@@ -3882,6 +3901,17 @@ def snapshot_update_rows_dv(
     CoW update. Partition values are preserved (partition columns
     refuse, as in the CoW path), so the patched images land in their
     original partitions."""
+    return _update_rows_dv_where(spark, path, {col: values}, set_values)
+
+
+def _update_rows_dv_where(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    set_values: dict,
+) -> tuple[int, int]:
+    """Conjunctive merge-on-read update — the engine behind
+    ``snapshot_update_rows_dv`` and ``snapshot_update_where(mode="dv")``."""
     from pyspark.sql import Column
 
     versions = _list_manifests(spark, path)
@@ -3903,7 +3933,10 @@ def snapshot_update_rows_dv(
             "snapshot_merge_upsert for key-preserving repartitioning "
             "updates"
         )
-    victims, _carried = _victims_by_stats(man, col, values)
+    predicates = _sanitize_predicates(predicates)
+    if not predicates:
+        return latest, 0
+    victims, _carried = _victims_by_stats_where(man, predicates)
     if not victims:
         return latest, 0
     matched_rows = (
@@ -3914,7 +3947,7 @@ def snapshot_update_rows_dv(
             row_ids=True,
             dv_targets=man.get("dv_targets"),
         )
-        .where(F.col(col).isNotNull() & F.col(col).isin(values))
+        .where(_match_expr(predicates))
         .localCheckpoint(eager=True)  # one scan feeds count + 2 writes
     )
     n = matched_rows.count()
@@ -4385,19 +4418,47 @@ def snapshot_update(
 ) -> tuple[int, int]:
     """Unified targeted update — same strategy dispatch as
     ``snapshot_delete`` (the DV path writes tombstones + only the
-    updated row images; the rewrite path copies victim files whole)."""
+    updated row images; the rewrite path copies victim files whole).
+    One-column delegate of ``snapshot_update_where``."""
+    return snapshot_update_where(
+        spark, path, {col: values}, set_values, mode=mode,
+        dv_threshold_mb=dv_threshold_mb,
+        auto_compact_files=auto_compact_files,
+    )
+
+
+def snapshot_update_where(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    set_values: dict,
+    mode: str = "auto",
+    dv_threshold_mb: int = 64,
+    auto_compact_files: int | None = 12,
+) -> tuple[int, int]:
+    """Conjunctive UPDATE front door: patch rows matching ``col IN
+    values AND ...`` across any number of columns, with the same
+    auto/dv/rewrite dispatch as ``snapshot_delete_where``. No
+    metadata-only fast path exists for updates (rows change, bytes
+    must move), but partition-column predicates still prune the
+    victim set from directory values, so an update scoped to one
+    tenant never reads another tenant's files. The cost estimate
+    keeps provably-all-matching files (``full_drop=False``): an
+    update must rewrite them, unlike a delete."""
     if mode not in ("auto", "dv", "rewrite"):
         raise ValueError(f"mode must be auto|dv|rewrite; got {mode!r}")
     if mode == "auto":
         mode = (
             "dv"
-            if _victim_bytes(spark, path, {col: values})
+            if _victim_bytes(spark, path, predicates)
             > dv_threshold_mb * 1024 * 1024
             else "rewrite"
         )
     if mode == "rewrite":
-        return snapshot_update_rows(spark, path, col, values, set_values)
-    out = snapshot_update_rows_dv(spark, path, col, values, set_values)
+        return snapshot_update_rows_where(
+            spark, path, predicates, set_values
+        )
+    out = _update_rows_dv_where(spark, path, predicates, set_values)
     _maybe_auto_compact_dvs(spark, path, auto_compact_files)
     return out
 
@@ -4540,6 +4601,9 @@ def _victim_bytes(
     files where matches mix with survivors cost copy bytes, so only
     they weigh against the tombstone threshold. An update must still
     rewrite them, so its estimate keeps them."""
+    predicates = _sanitize_predicates(predicates)
+    if not predicates:  # some column all-None: nothing can match
+        return 0
     if man is None:  # callers with the head manifest in hand pass it
         versions = _list_manifests(spark, path)
         if not versions:

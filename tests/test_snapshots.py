@@ -704,6 +704,54 @@ def test_delete_where_scalar_values_and_partition_pruning(spark, table):
         == [(7, "a")]
 
 
+def test_snapshot_update_where_conjunctive(spark, table, capsys):
+    """Composite-key UPDATE through the same predicate engine: both
+    physical strategies patch exactly the conjunction's rows,
+    partition-column predicates prune the victim files, and the CLI
+    --where path honors --dv."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_update_where,
+        snapshot_write_with_stats,
+    )
+
+    for m in (0, 1):
+        snapshot_write_with_stats(
+            spark.createDataFrame(
+                [(7, m, "a"), (8, m, "b")], "id long, month int, v string"
+            ).coalesce(1),
+            table, ["id"], mode="append", partition_cols=["month"],
+        )
+    v, n = snapshot_update_where(
+        spark, table, {"month": 1, "id": 7}, {"v": "X"}, mode="rewrite"
+    )
+    assert n == 1
+    got = {(r.id, r.month, r.v) for r in read_snapshot(spark, table).collect()}
+    assert got == {(7, 0, "a"), (8, 0, "b"), (7, 1, "X"), (8, 1, "b")}
+    # DV mode: tombstone + patched image, same predicate shape
+    v2, n2 = snapshot_update_where(
+        spark, table, {"month": [0], "v": ["b"]}, {"v": None}, mode="dv"
+    )
+    assert n2 == 1
+    got = {(r.id, r.month, r.v) for r in read_snapshot(spark, table).collect()}
+    assert got == {(7, 0, "a"), (8, 0, None), (7, 1, "X"), (8, 1, "b")}
+    # CLI --where with --dv
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    main(
+        [
+            "snapshot-update", "--table-path", table,
+            "--where", '{"id": [7]}', "--set", '{"v": "Z"}', "--dv",
+        ],
+        spark=spark,
+    )
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_updated"] == 2
+    got = {(r.id, r.v) for r in read_snapshot(spark, table).collect()}
+    assert got == {(7, "Z"), (8, None), (8, "b")}
+
+
 def test_drop_partitions_retries_reserialize_cleanly(spark, table, monkeypatch):
     """A lost commit race reruns the metadata-only computation against
     the new head: retries=1 lands the drop after the racer; retries=0
