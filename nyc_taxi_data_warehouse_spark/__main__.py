@@ -20,6 +20,21 @@ import json
 import sys
 
 
+def _col_xor_where(args, cmd: str) -> None:
+    """Shared --col/--values/--where exclusivity for the DML
+    subcommands — one copy, so a combo-validation fix can never land
+    in snapshot-delete and miss snapshot-update (or vice versa)."""
+    if (args.where is None) == (args.col is None) or (
+        args.col is not None and args.values is None
+    ):
+        raise SystemExit(f"{cmd} wants --col/--values OR --where")
+    if args.where is not None and args.values is not None:
+        raise SystemExit(
+            "--values belongs to --col; with --where, put the "
+            "values in the JSON predicates"
+        )
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(prog="nyc_taxi_data_warehouse_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -675,17 +690,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 snapshot_delete_where,
             )
 
-            if (args.where is None) == (args.col is None) or (
-                args.col is not None and args.values is None
-            ):
-                raise SystemExit(
-                    "snapshot-delete wants --col/--values OR --where"
-                )
-            if args.where is not None and args.values is not None:
-                raise SystemExit(
-                    "--values belongs to --col; with --where, put the "
-                    "values in the JSON predicates"
-                )
+            _col_xor_where(args, "snapshot-delete")
             if args.where is not None:
                 # --dv is the legacy strategy flag: honor it (a user
                 # asking for merge-on-read must never get a silent
@@ -825,17 +830,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 snapshot_update_where,
             )
 
-            if (args.where is None) == (args.col is None) or (
-                args.col is not None and args.values is None
-            ):
-                raise SystemExit(
-                    "snapshot-update wants --col/--values OR --where"
-                )
-            if args.where is not None and args.values is not None:
-                raise SystemExit(
-                    "--values belongs to --col; with --where, put the "
-                    "values in the JSON predicates"
-                )
+            _col_xor_where(args, "snapshot-update")
             if args.where is not None:
                 v, n = snapshot_update_where(
                     spark, args.table_path, json.loads(args.where),

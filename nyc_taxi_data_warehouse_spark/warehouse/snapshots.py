@@ -3824,22 +3824,13 @@ def snapshot_update_rows(
     )
 
 
-def snapshot_update_rows_where(
-    spark: SparkSession,
-    path: str,
-    predicates: dict,
-    set_values: dict,
-) -> tuple[int, int]:
-    """Conjunctive copy-on-write update — ``snapshot_update_rows``
-    across any number of AND-ed columns ({col: values}); the shared
-    planner partition-prunes partition-column predicates and
-    intersects stats exclusion for the rest."""
-    from pyspark.sql import Column
-
-    versions = _list_manifests(spark, path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions at {path}")
-    man = _load_manifest(spark, path, versions[-1])
+def _check_update_targets(man: dict, set_values: dict) -> StructType:
+    """Shared validation for BOTH update engines (CoW and
+    merge-on-read — one copy, so a validation fix can never apply to
+    one physical path and not the other): ``set_values`` columns must
+    exist, and partition columns refuse (rows would have to MOVE
+    directories; ``snapshot_merge_upsert`` handles key-preserving
+    repartitioning updates). Returns the table schema."""
     schema = StructType.fromJson(man["schema"])
     fields = {f.name: f.dataType for f in schema.fields}
     unknown = set(set_values) - set(fields)
@@ -3854,6 +3845,35 @@ def snapshot_update_rows_where(
             "snapshot_merge_upsert for key-preserving repartitioning "
             "updates"
         )
+    return schema
+
+
+def _set_value_expr(v, dtype):
+    """The RHS expression for one updated column: a literal (None
+    nulls it) or a ``pyspark.sql.Column`` evaluated per row, cast to
+    the column's EXISTING type — shared by both update engines so the
+    cast/expression semantics cannot diverge."""
+    from pyspark.sql import Column
+
+    expr = v if isinstance(v, Column) else F.lit(v)
+    return expr.cast(dtype)
+
+
+def snapshot_update_rows_where(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    set_values: dict,
+) -> tuple[int, int]:
+    """Conjunctive copy-on-write update — ``snapshot_update_rows``
+    across any number of AND-ed columns ({col: values}); the shared
+    planner partition-prunes partition-column predicates and
+    intersects stats exclusion for the rest."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    man = _load_manifest(spark, path, versions[-1])
+    schema = _check_update_targets(man, set_values)
 
     preds = _sanitize_predicates(predicates)
     if not preds:
@@ -3868,10 +3888,11 @@ def snapshot_update_rows_where(
         cols = []
         for f in schema.fields:
             if f.name in set_values:
-                v = set_values[f.name]
-                expr = v if isinstance(v, Column) else F.lit(v)
                 cols.append(
-                    F.when(matched, expr.cast(f.dataType))
+                    F.when(
+                        matched,
+                        _set_value_expr(set_values[f.name], f.dataType),
+                    )
                     .otherwise(F.col(f.name))
                     .alias(f.name)
                 )
@@ -3912,27 +3933,13 @@ def _update_rows_dv_where(
 ) -> tuple[int, int]:
     """Conjunctive merge-on-read update — the engine behind
     ``snapshot_update_rows_dv`` and ``snapshot_update_where(mode="dv")``."""
-    from pyspark.sql import Column
-
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
-    schema = StructType.fromJson(man["schema"])
-    fields = {f.name: f.dataType for f in schema.fields}
-    unknown = set(set_values) - set(fields)
-    if unknown:
-        raise ValueError(f"update targets unknown columns {sorted(unknown)}")
+    schema = _check_update_targets(man, set_values)
     pc = _manifest_partition_cols(man) or []
-    touched_pc = set(set_values) & set(pc)
-    if touched_pc:
-        raise ValueError(
-            f"cannot update partition column(s) {sorted(touched_pc)} — "
-            "rows would have to MOVE directories; use "
-            "snapshot_merge_upsert for key-preserving repartitioning "
-            "updates"
-        )
     predicates = _sanitize_predicates(predicates)
     if not predicates:
         return latest, 0
@@ -3956,9 +3963,9 @@ def _update_rows_dv_where(
     out_cols = []
     for f in schema.fields:
         if f.name in set_values:
-            v = set_values[f.name]
-            expr = v if isinstance(v, Column) else F.lit(v)
-            out_cols.append(expr.cast(f.dataType).alias(f.name))
+            out_cols.append(
+                _set_value_expr(set_values[f.name], f.dataType).alias(f.name)
+            )
         else:
             out_cols.append(F.col(f.name))
     _, new_files = _write_commit_files(
@@ -4397,7 +4404,9 @@ def snapshot_delete_where(
             for v in vals
         ):
             return snapshot_drop_partitions(spark, path, preds)
-        cost = _victim_bytes(spark, path, preds, full_drop=True, man=man)
+        cost = _victim_bytes(
+            spark, path, preds, discount_full_match=True, man=man
+        )
         mode = "dv" if cost > dv_threshold_mb * 1024 * 1024 else "rewrite"
     if mode == "rewrite":
         return snapshot_delete_rows_where(spark, path, preds)
@@ -4442,15 +4451,18 @@ def snapshot_update_where(
     metadata-only fast path exists for updates (rows change, bytes
     must move), but partition-column predicates still prune the
     victim set from directory values, so an update scoped to one
-    tenant never reads another tenant's files. The cost estimate
-    keeps provably-all-matching files (``full_drop=False``): an
-    update must rewrite them, unlike a delete."""
+    tenant never reads another tenant's files. The auto estimate
+    discounts provably-all-matching files: they cost the same under
+    both strategies (every row needs a new image either way — DV just
+    adds tombstones on top), so only boundary files tip the scale."""
     if mode not in ("auto", "dv", "rewrite"):
         raise ValueError(f"mode must be auto|dv|rewrite; got {mode!r}")
     if mode == "auto":
         mode = (
             "dv"
-            if _victim_bytes(spark, path, predicates)
+            if _victim_bytes(
+                spark, path, predicates, discount_full_match=True
+            )
             > dv_threshold_mb * 1024 * 1024
             else "rewrite"
         )
@@ -4584,7 +4596,7 @@ def snapshot_drop_column(
 
 def _victim_bytes(
     spark: SparkSession, path: str, predicates: dict,
-    full_drop: bool = False,
+    discount_full_match: bool = False,
     man: dict | None = None,
 ) -> int:
     """Total on-disk bytes of the stats-selected victim files for the
@@ -4596,11 +4608,16 @@ def _victim_bytes(
     genuinely SMALL table still gets its cheap join-free rewrite
     under the threshold instead of being forced onto tombstones.
 
-    ``full_drop`` (delete only): files whose every row provably
-    matches rewrite for FREE (dropped by reference) — only boundary
-    files where matches mix with survivors cost copy bytes, so only
-    they weigh against the tombstone threshold. An update must still
-    rewrite them, so its estimate keeps them."""
+    ``discount_full_match``: exclude files whose every row provably
+    matches from the dv-vs-rewrite TIPPING estimate. For a delete they
+    rewrite for FREE (dropped by reference). For an update they cost
+    the SAME under both strategies — every row needs a new image
+    either way, and merge-on-read additionally writes one tombstone
+    per row and leaves the dead bytes in place until compact — so
+    counting them would tip a clustered-key mass update onto the
+    strictly worse DV path. Only boundary files, where matches mix
+    with rows DV avoids rewriting, genuinely differentiate the
+    strategies."""
     predicates = _sanitize_predicates(predicates)
     if not predicates:  # some column all-None: nothing can match
         return 0
@@ -4610,7 +4627,7 @@ def _victim_bytes(
             raise FileNotFoundError(f"no snapshot versions at {path}")
         man = _load_manifest(spark, path, versions[-1])
     victims, _carried = _victims_by_stats_where(man, predicates)
-    if full_drop:
+    if discount_full_match:
         full = set(_full_match_files_where(man, predicates))
         victims = [f for f in victims if f not in full]
     return _file_bytes_total(spark, _root(path), victims)

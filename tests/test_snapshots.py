@@ -752,6 +752,31 @@ def test_snapshot_update_where_conjunctive(spark, table, capsys):
     assert got == {(7, "Z"), (8, None), (8, "b")}
 
 
+def test_update_auto_discounts_full_match_files(spark, table):
+    """Auto-mode UPDATE must not be tipped onto merge-on-read by files
+    whose every row matches: those cost the same under both strategies
+    (every row needs a new image either way; DV adds tombstones on
+    top), so a clustered-key mass update picks the rewrite."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _load_manifest,
+        snapshot_update,
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(7, 1, f"r{j}") for j in range(50)]).coalesce(1),
+        table, ["id"], mode="append", partition_cols=["month"],
+    )
+    # threshold 0: ANY counted victim byte would select DV — only the
+    # full-match discount keeps the estimate at zero
+    v, n = snapshot_update(
+        spark, table, "id", [7], {"v": "X"}, mode="auto",
+        dv_threshold_mb=0,
+    )
+    assert n == 50
+    assert _load_manifest(spark, table, v)["op"] == "update_rows"
+
+
 def test_drop_partitions_retries_reserialize_cleanly(spark, table, monkeypatch):
     """A lost commit race reruns the metadata-only computation against
     the new head: retries=1 lands the drop after the racer; retries=0
