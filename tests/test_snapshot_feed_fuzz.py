@@ -45,6 +45,15 @@ _OPS = st.lists(
         # metadata-only partition delete: whole matching directories
         # leave the manifest with zero data I/O
         st.tuples(st.just("drop_partition"), st.integers(0, 2)),
+        # conjunctive DML front doors (composite key: id AND month) —
+        # exercises the shared predicate engine incl. the partition-
+        # pruned victim planning and stats whole-file proofs
+        st.tuples(
+            st.just("delete_where"), st.integers(0, 30), st.integers(0, 2)
+        ),
+        st.tuples(
+            st.just("update_where"), st.integers(0, 30), st.integers(0, 2)
+        ),
         # restore: roll back to a pseudo-random retained version (the
         # payload indexes into the versions list at apply time)
         st.tuples(st.just("restore"), st.integers(0, 7)),
@@ -121,6 +130,25 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
         elif kind == "update":
             snapshot_update_rows(
                 spark, table, "id", [args[0]], {"v": "REDACTED"}
+            )
+        elif kind == "delete_where":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                snapshot_delete_where,
+            )
+
+            snapshot_delete_where(
+                spark, table,
+                {"id": [args[0], args[0] + 1], "month": [args[1]]},
+            )
+        elif kind == "update_where":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                snapshot_update_where,
+            )
+
+            snapshot_update_where(
+                spark, table,
+                {"id": [args[0]], "month": [args[1]]},
+                {"v": "WHERE_REDACTED"},
             )
         elif kind == "drop_partition":
             from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
