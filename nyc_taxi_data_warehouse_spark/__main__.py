@@ -287,6 +287,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     smt.add_argument("--table-path", required=True)
 
+    sre = sub.add_parser(
+        "snapshot-resolve-eq",
+        help="fold outstanding equality-delete entries (streaming "
+        "upserts / key takedowns) into position deletion vectors — "
+        "reads only the applicable files, row visibility unchanged; "
+        "restores metadata-only COUNT/MIN/MAX and clean scans",
+    )
+    sre.add_argument("--table-path", required=True)
+
+    sdk = sub.add_parser(
+        "snapshot-delete-keys",
+        help="equality DELETE by key: mask every row matching the "
+        "given key values with one key sidecar — zero reads, zero "
+        "data rewrites at any table size (resolve/compact later "
+        "physically erases)",
+    )
+    sdk.add_argument("--table-path", required=True)
+    sdk.add_argument(
+        "--keys", required=True,
+        help="JSON list of key objects, e.g. "
+        '\'[{"id": 5}, {"id": 9}]\' — each object is one deleted key '
+        "tuple (every object must name the same columns)",
+    )
+
     sdp = sub.add_parser(
         "snapshot-drop-partitions",
         help="metadata-only partition delete: drop every file in the "
@@ -719,6 +743,29 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from .warehouse.snapshots import snapshot_maintain
 
             print(json.dumps(snapshot_maintain(spark, args.table_path)))
+        elif args.cmd == "snapshot-resolve-eq":
+            from .warehouse.snapshots import snapshot_resolve_eq
+
+            v, n = snapshot_resolve_eq(spark, args.table_path)
+            print(json.dumps({"version": v, "rows_resolved": n}))
+        elif args.cmd == "snapshot-delete-keys":
+            from .warehouse.eqdeletes import snapshot_delete_keys
+
+            tuples = json.loads(args.keys)
+            if not isinstance(tuples, list) or not tuples:
+                raise SystemExit(
+                    "--keys must be a non-empty JSON list of objects"
+                )
+            cols = sorted(tuples[0])
+            if any(sorted(t) != cols for t in tuples):
+                raise SystemExit(
+                    "--keys objects must all name the same columns"
+                )
+            dele = spark.createDataFrame(
+                [tuple(t[c] for c in cols) for t in tuples], cols
+            )
+            v, n = snapshot_delete_keys(spark, args.table_path, dele)
+            print(json.dumps({"version": v, "keys_deleted": n}))
         elif args.cmd == "snapshot-drop-partitions":
             from .warehouse.snapshots import snapshot_drop_partitions
 

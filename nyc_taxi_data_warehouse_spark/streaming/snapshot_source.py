@@ -342,6 +342,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         prev_files: set[str] | None = None
         prev_dvs: set[str] = set()
         prev_tgts: set[str] = set()
+        prev_eqs: list[dict] = []
         for v in range(lo + 1, hi + 1):
             if v not in have:
                 raise FileNotFoundError(
@@ -363,6 +364,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                             f for f in pman["files"] if self._in_scope(f)
                         }
                         prev_dvs = set(pman.get("dv_files") or [])
+                        prev_eqs = pman.get("eqs") or []
                         if self._scope is not None:
                             prev_tgts = self._targets_of(pman, prev_dvs)
                     except OSError:  # FileNotFoundError locally; plain
@@ -375,6 +377,10 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         ) from None
             files = {f for f in man["files"] if self._in_scope(f)}
             dvs = set(man.get("dv_files") or [])
+            eqs = man.get("eqs") or []
+            eq_changed = {e["path"] for e in eqs} != {
+                e["path"] for e in prev_eqs
+            }
             removed = prev_files - files
             if removed:
                 if self._on_non_append == "fail":
@@ -412,6 +418,18 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     and man.get("dv_rows_before") == man.get("dv_rows_after")
                 ):
                     pass  # verified tombstone-set swap: zero rows
+                elif (
+                    self._on_non_append == "verify"
+                    and man.get("op") == "resolve_eq"
+                    and man.get("eq_rows_resolved") is not None
+                    and man.get("eq_rows_resolved")
+                    == man.get("dv_rows_added")
+                ):
+                    # equality-deletes folded into position tombstones
+                    # for the SAME rows: visibility unchanged by
+                    # construction, recorded counts pin it — the same
+                    # trust model as compact_dvs' entry counts
+                    pass
                 elif self._on_non_append != "skip":
                     raise ValueError(
                         f"version {v} ({man.get('op')}) changes deletion "
@@ -420,8 +438,80 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         "row-level changes with snapshot_changes() or "
                         "set onNonAppend=skip to ignore rewrites"
                     )
+            elif eq_changed and not self._eq_delta_out_of_scope(
+                man, eqs, prev_eqs, files, prev_files
+            ):
+                # equality-delete delta (upsert_eq / delete_eq, or a
+                # restore across one): key-masked row deletes (or
+                # resurrections) with no position to verify against —
+                # never expressible on an insert-only feed, and never
+                # row-neutral (except a zero-row resolve, accepted
+                # under verify like its dv-writing sibling above).
+                if (
+                    self._on_non_append == "verify"
+                    and man.get("op") == "resolve_eq"
+                    and man.get("eq_rows_resolved") == 0
+                ):
+                    pass
+                elif self._on_non_append != "skip":
+                    raise ValueError(
+                        f"version {v} ({man.get('op')}) changes "
+                        "equality deletes — key-masked row deletes/"
+                        "resurrections cannot stream through an "
+                        "insert-only feed; consume row-level changes "
+                        "with snapshot_changes() or set "
+                        "onNonAppend=skip to ignore them"
+                    )
+                else:
+                    # skip mode: the commit's genuine inserts still
+                    # stream — an upsert's fresh images carry the
+                    # commit's own sequence, so no entry (its own
+                    # included) can mask them; re-added OLD files an
+                    # entry applies to are rewrites and stay skipped
+                    seqmap = man.get("seq") or {}
+                    added_now = files - prev_files
+                    hit = {
+                        f
+                        for f in added_now
+                        if any(
+                            e["seq"] > seqmap.get(f, 0) for e in eqs
+                        )
+                    }
+                    for f in sorted(added_now - hit):
+                        parts.append(
+                            _FilePartition(
+                                f"{self._root}/{f}",
+                                _partition_values_from_path(f),
+                                v,
+                            )
+                        )
             else:
                 added_now = files - prev_files
+                if eqs and added_now:
+                    # eq set unchanged, but a restore can re-add an
+                    # OLD file a carried entry applies to — streaming
+                    # it whole would deliver its key-masked rows (the
+                    # eq analog of the DV re-add guard below). Fresh
+                    # appends carry the commit's sequence: never hit.
+                    seqmap = man.get("seq") or {}
+                    eq_hit = {
+                        f
+                        for f in added_now
+                        if any(
+                            e["seq"] > seqmap.get(f, 0) for e in eqs
+                        )
+                    }
+                    if eq_hit and self._on_non_append != "skip":
+                        raise ValueError(
+                            f"version {v} ({man.get('op')}) re-adds "
+                            f"{len(eq_hit)} file(s) subject to "
+                            "equality deletes — their key-masked rows "
+                            "cannot stream through an insert-only "
+                            "feed; consume row-level changes with "
+                            "snapshot_changes() or set "
+                            "onNonAppend=skip"
+                        )
+                    added_now = added_now - eq_hit
                 if dvs and added_now:
                     # a restore can RE-ADD an old file some carried
                     # sidecar targets; streaming it whole would deliver
@@ -471,9 +561,37 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         )
             prev_files = files
             prev_dvs = dvs
+            prev_eqs = eqs
             if self._scope is not None:
                 prev_tgts = self._targets_of(man, dvs)
         return parts
+
+    def _eq_delta_out_of_scope(
+        self,
+        man: dict,
+        eqs: list[dict],
+        prev_eqs: list[dict],
+        files: set,
+        prev_files: set,
+    ) -> bool:
+        """True when this reader is partition-scoped and the
+        equality-delete delta cannot touch any in-scope row: no
+        in-scope file (either side) is subject to any CHANGED entry —
+        applicability is the per-file sequence comparison, pure
+        manifest metadata."""
+        if self._scope is None:
+            return False
+        cpaths = {e["path"] for e in eqs}
+        ppaths = {e["path"] for e in prev_eqs}
+        changed = [e for e in eqs if e["path"] not in ppaths] + [
+            e for e in prev_eqs if e["path"] not in cpaths
+        ]
+        seqmap = man.get("seq") or {}
+        for f in files | prev_files:
+            s = seqmap.get(f, 0)
+            if any(e["seq"] > s for e in changed):
+                return False
+        return True
 
     def _targets_of(self, man: dict, dvs: set) -> set:
         """The data files ``man``'s sidecars tombstone — recorded

@@ -7,5 +7,10 @@ from .layout import (  # noqa: F401
     write_bucketed,
     write_sorted,
 )
+from .eqdeletes import (  # noqa: F401
+    snapshot_append_upsert,
+    snapshot_delete_keys,
+    stream_snapshot_upsert,
+)
 from .merge import merge_upsert  # noqa: F401
 from .queries import monthly_zone_pay, taxi_zone_dim  # noqa: F401

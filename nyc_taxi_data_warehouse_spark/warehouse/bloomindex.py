@@ -563,7 +563,10 @@ def read_snapshot_with_bloom(
         partition_cols=man.get("partition_cols"),
         # merge-on-read deletes: Bloom rows index PHYSICAL rows, so a
         # candidate may hold only tombstoned matches — the DV anti-join
-        # keeps lookups exact (over-scan only, never resurrection)
+        # (and the equality-delete key mask) keeps lookups exact
+        # (over-scan only, never resurrection)
         dv_files=man.get("dv_files"),
         dv_targets=man.get("dv_targets"),
+        eq_entries=man.get("eqs"),
+        file_seq=man.get("seq"),
     ).where(F.col(meta["key_col"]).isin(values))

@@ -129,6 +129,14 @@ def create_branch(
         # resurrect the base's deleted rows on the branch
         dv_files=man.get("dv_files"),
         dv_targets=_dv_targets_for(man),
+        # ... and its equality-delete plane. last_seq_floor continues
+        # the BASE's sequence counter on the branch chain (branch
+        # versions restart at 1 — without the floor a branch commit's
+        # new files would stamp sequences BELOW carried eq entries and
+        # get their rows eaten by them)
+        eq_files=man.get("eqs"),
+        known_seq=man.get("seq"),
+        last_seq_floor=int(man.get("last_seq") or man.get("version") or 0),
     )
     return ref
 
@@ -253,6 +261,14 @@ def publish_branch(
         # manifest — reuse them instead of re-reading footers
         known_rows=head.get("rows"),
         carried_only=True,
+        # whole-state carry of the branch head's equality-delete plane;
+        # the floor keeps main's sequence counter above the branch's
+        # (both chains advanced it independently since the fork)
+        eq_files=head.get("eqs"),
+        known_seq=head.get("seq"),
+        last_seq_floor=int(
+            head.get("last_seq") or head.get("version") or 0
+        ),
     )
 
 

@@ -73,6 +73,9 @@ _DELTA_KEYS = frozenset(
         "rows_put",
         "props_put",
         "props_del",
+        "eqs_add",
+        "eqs_del",
+        "seq_put",
     }
 )
 
@@ -87,10 +90,17 @@ _DELTA_KEYS = frozenset(
 # counts, and readers self-heal from footers for the gap); "props"
 # the table properties (string->string; CHECK constraints live under
 # "constraint.<name>"), carried commit-to-commit like every other
-# state key.
+# state key; "eqs" the EQUALITY-DELETE sidecar entries (each
+# {"path": <sidecar relpath>, "seq": <commit version>, "keys":
+# [<key column names>]} — the sidecar's key rows delete matching rows
+# in every live file added STRICTLY BEFORE seq); "seq" the per-file
+# added-at-version map that scopes them (like "rows": entries only
+# for files new to the table, pruned to live files at fold, partial
+# maps legal — a file with no entry is treated as predating every
+# equality delete, which is exactly right for legacy history).
 _STATE_KEYS = (
     "files", "dv_files", "dv_targets", "stats", "stats_cols", "rows",
-    "props",
+    "props", "eqs", "seq",
 )
 
 
@@ -130,6 +140,8 @@ def state_from_manifest(man: dict) -> dict:
         "stats_cols": man.get("stats_cols"),
         "rows": dict(man["rows"]) if man.get("rows") else None,
         "props": dict(man["props"]) if man.get("props") else None,
+        "eqs": [dict(e) for e in man["eqs"]] if man.get("eqs") else None,
+        "seq": dict(man["seq"]) if man.get("seq") else None,
     }
 
 
@@ -145,24 +157,47 @@ def encode_checkpoint(state: dict) -> bytes:
     files = state["files"]
     dvs = state.get("dv_files") or []
     tgts = state.get("dv_targets") or []
+    eqs = state.get("eqs") or []
     stats = state.get("stats")
     rows = state.get("rows") or {}
-    kinds = ["f"] * len(files) + ["d"] * len(dvs) + ["t"] * len(tgts)
-    paths = list(files) + list(dvs) + list(tgts)
+    seq = state.get("seq") or {}
+    kinds = (
+        ["f"] * len(files) + ["d"] * len(dvs) + ["t"] * len(tgts)
+        + ["e"] * len(eqs)
+    )
+    paths = (
+        list(files) + list(dvs) + list(tgts) + [e["path"] for e in eqs]
+    )
     stat_col: list[str | None] = []
     rows_col: list[int | None] = []
+    seq_col: list[int | None] = []
+    # equality-delete metadata rides its OWN column (not "stats"):
+    # the stats column is pruned for stripped (want_stats=False)
+    # readers, while eq entries affect row VISIBILITY and must reach
+    # every reader, the streaming planner included
+    eq_col: list[str | None] = []
+    eq_meta = {
+        e["path"]: json.dumps(
+            {"seq": e["seq"], "keys": list(e["keys"])}, sort_keys=True
+        )
+        for e in eqs
+    }
     for k, p in zip(kinds, paths):
         if stats is not None and k == "f" and p in stats:
             stat_col.append(json.dumps(stats[p], sort_keys=True))
         else:
             stat_col.append(None)
         rows_col.append(rows.get(p) if k == "f" else None)
+        seq_col.append(seq.get(p) if k == "f" else None)
+        eq_col.append(eq_meta[p] if k == "e" else None)
     tbl = pa.table(
         {
             "kind": pa.array(kinds, pa.string()),
             "path": pa.array(paths, pa.string()),
             "stats": pa.array(stat_col, pa.string()),
             "rows": pa.array(rows_col, pa.int64()),
+            "seq": pa.array(seq_col, pa.int64()),
+            "eq": pa.array(eq_col, pa.string()),
         }
     )
     tbl = tbl.replace_schema_metadata(
@@ -190,10 +225,18 @@ def decode_checkpoint(data: bytes, want_stats: bool = True) -> dict:
     cols = ["kind", "path"] + (["stats"] if want_stats else [])
     # "rows" is tiny (one int64 per file) and the stripped (planner)
     # reader may use it for verify-from-totals — read it in both
-    # modes; legacy blobs predate the column
+    # modes; legacy blobs predate the column. Same for "seq" and "eq"
+    # (equality deletes change row VISIBILITY — every reader needs
+    # them, the stripped planner included).
     has_rows_col = "rows" in schema_names
     if has_rows_col:
         cols.append("rows")
+    has_seq_col = "seq" in schema_names
+    if has_seq_col:
+        cols.append("seq")
+    has_eq_col = "eq" in schema_names
+    if has_eq_col:
+        cols.append("eq")
     tbl = pq.read_table(pa.BufferReader(data), columns=cols)
     meta = tbl.schema.metadata or {}
     has_stats = meta.get(b"has_stats", b"0") == b"1"
@@ -207,22 +250,39 @@ def decode_checkpoint(data: bytes, want_stats: bool = True) -> dict:
     rows_col = (
         tbl.column("rows").to_pylist() if has_rows_col else [None] * len(paths)
     )
+    seq_col = (
+        tbl.column("seq").to_pylist() if has_seq_col else [None] * len(paths)
+    )
+    eq_col = (
+        tbl.column("eq").to_pylist() if has_eq_col else [None] * len(paths)
+    )
     files: list[str] = []
     dvs: list[str] = []
     tgts: list[str] = []
+    eqs: list[dict] = []
     stats: dict = {}
     rows: dict = {}
-    for k, p, s, r in zip(kinds, paths, stat_col, rows_col):
+    seq: dict = {}
+    for k, p, s, r, sq, e in zip(
+        kinds, paths, stat_col, rows_col, seq_col, eq_col
+    ):
         if k == "f":
             files.append(p)
             if s is not None:
                 stats[p] = json.loads(s)
             if r is not None:
                 rows[p] = r
+            if sq is not None:
+                seq[p] = sq
         elif k == "d":
             dvs.append(p)
         elif k == "t":
             tgts.append(p)
+        elif k == "e":
+            meta = json.loads(e)
+            eqs.append(
+                {"path": p, "seq": meta["seq"], "keys": meta["keys"]}
+            )
         else:  # pragma: no cover - format drift guard
             raise ValueError(f"unknown checkpoint row kind {k!r}")
     return {
@@ -236,6 +296,10 @@ def decode_checkpoint(data: bytes, want_stats: bool = True) -> dict:
         "stats_cols": (stats_cols if has_stats and want_stats else None),
         "rows": rows or None,
         "props": props or None,
+        "eqs": (
+            sorted(eqs, key=lambda e: (e["seq"], e["path"])) or None
+        ),
+        "seq": seq or None,
     }
 
 
@@ -301,6 +365,23 @@ def encode_commit(
     rows_put = {k: v for k, v in rows.items() if prow.get(k) != v}
     if rows_put:
         doc["rows_put"] = rows_put
+    # per-file added-at versions: same shape as rows (never changes
+    # once recorded, pruned to live files at fold)
+    seq = state.get("seq") or {}
+    pseq = parent_state.get("seq") or {}
+    seq_put = {k: v for k, v in seq.items() if pseq.get(k) != v}
+    if seq_put:
+        doc["seq_put"] = seq_put
+    # equality-delete entries: immutable per sidecar path — the delta
+    # carries whole entries added and paths removed
+    eqs = {e["path"]: e for e in state.get("eqs") or []}
+    peqs = {e["path"]: e for e in parent_state.get("eqs") or []}
+    eqs_add = [eqs[p] for p in sorted(set(eqs) - set(peqs))]
+    eqs_del = sorted(set(peqs) - set(eqs))
+    if eqs_add:
+        doc["eqs_add"] = eqs_add
+    if eqs_del:
+        doc["eqs_del"] = eqs_del
     props = state.get("props") or {}
     pprops = parent_state.get("props") or {}
     put = {k: v for k, v in props.items() if pprops.get(k) != v}
@@ -349,6 +430,24 @@ def fold_delta(doc: dict, parent_state: dict) -> dict:
         if k not in set(doc.get("props_del") or ())
     }
     props.update(doc.get("props_put") or {})
+    seq = {
+        k: v
+        for k, v in (parent_state.get("seq") or {}).items()
+        if k in fset
+    }
+    for k, v in (doc.get("seq_put") or {}).items():
+        if k in fset:
+            seq[k] = v
+    eqs_del = set(doc.get("eqs_del") or ())
+    eqs = sorted(
+        [
+            e
+            for e in (parent_state.get("eqs") or [])
+            if e["path"] not in eqs_del
+        ]
+        + list(doc.get("eqs_add") or ()),
+        key=lambda e: (e["seq"], e["path"]),
+    )
     return {
         "files": files,
         "dv_files": dvs or None,
@@ -357,6 +456,10 @@ def fold_delta(doc: dict, parent_state: dict) -> dict:
         "stats_cols": stats_cols,
         "rows": rows or None,
         "props": props or None,
+        "eqs": (
+            sorted(eqs, key=lambda e: (e["seq"], e["path"])) or None
+        ),
+        "seq": seq or None,
     }
 
 
@@ -414,6 +517,8 @@ def _legacy_state(doc: dict) -> dict:
         "stats_cols": doc.get("stats_cols"),
         "rows": doc.get("rows"),
         "props": doc.get("props"),
+        "eqs": doc.get("eqs"),
+        "seq": doc.get("seq"),
     }
 
 
@@ -481,6 +586,8 @@ def reconstruct(
                 "stats_cols": None,
                 "rows": None,
                 "props": None,
+                "eqs": None,
+                "seq": None,
             }
             break
         nxt = read_doc(parent)
@@ -533,4 +640,8 @@ def manifest_dict(doc: dict, state: dict) -> dict:
         out["rows"] = state["rows"]
     if state.get("props"):
         out["props"] = state["props"]
+    if state.get("eqs"):
+        out["eqs"] = state["eqs"]
+    if state.get("seq"):
+        out["seq"] = state["seq"]
     return out

@@ -318,6 +318,92 @@ def _dv_targets_for(man: dict, new_targets=()) -> object:
     return sorted(set(man.get("dv_targets") or ()) | set(new_targets))
 
 
+# ---------------------------------------------------------------------------
+# Equality deletes: key-tombstone sidecars scoped by per-file sequence
+# ---------------------------------------------------------------------------
+#
+# An EQUALITY-DELETE entry is {"path": <sidecar relpath>, "seq":
+# <commit version>, "keys": [<key columns>]}: the sidecar's rows (one
+# per deleted key) delete every matching row in live files added
+# STRICTLY BEFORE seq (per the manifest's per-file "seq" map; a file
+# with no entry predates tracking and every delete applies). Files
+# appended in the same commit get seq == the entry's seq, so an
+# upsert's own new images are never self-deleted. This is the public
+# Iceberg-v2 equality-delete design re-expressed on this manifest
+# format: the WRITE side never reads the table (a CDC upsert batch
+# costs its own images plus one key sidecar), the READ side anti-joins
+# keys only over the applicable files, and ``snapshot_resolve_eq``
+# folds entries into position deletion vectors so read cost never
+# accretes. Mutators (DML/compact) resolve outstanding entries first —
+# their stats proofs and row accounting stay position-exact.
+
+
+def _eq_entries(man: dict) -> list[dict]:
+    return list(man.get("eqs") or [])
+
+
+def _eq_applicable(entries: list[dict], seq_map: dict, f: str) -> bool:
+    s = seq_map.get(f, 0)
+    return any(e["seq"] > s for e in entries)
+
+
+def _eq_affected_files(man: dict, files=None) -> list[str]:
+    """The (scoped) live files at least one equality delete applies
+    to — the surface metadata-only answers must scan instead."""
+    entries = _eq_entries(man)
+    if not entries:
+        return []
+    seq_map = man.get("seq") or {}
+    src = man["files"] if files is None else files
+    return [f for f in src if _eq_applicable(entries, seq_map, f)]
+
+
+def _eq_live_entries(
+    entries: list[dict], files: list[str], seq_map: dict
+) -> list[dict]:
+    """Entries still applicable to at least one of ``files`` — the
+    rest are inert (every file they could match has left the table)
+    and fold away, exactly like shrunk dv_targets."""
+    out = []
+    for e in entries:
+        if any(seq_map.get(f, 0) < e["seq"] for f in files):
+            out.append(e)
+    return out
+
+
+def _apply_eq(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    entries: list[dict],
+) -> DataFrame:
+    """Anti-join ``df`` against the entries' key sidecars. Entries are
+    grouped by key-column set so N same-shape upsert batches cost one
+    join, not N. Plain (non-null-safe) equality: a NULL key on a data
+    row never matches — the upsert writers refuse NULL keys, so a NULL
+    here can only be pre-existing data an eq delete must not touch."""
+    if not entries:
+        return df
+    root = _root(root)
+    by_keys: dict[tuple, list[str]] = {}
+    for e in entries:
+        by_keys.setdefault(tuple(e["keys"]), []).append(e["path"])
+    fs, jvm = _fs(spark, root)
+    for keys, paths in sorted(by_keys.items()):
+        keycols = list(keys)
+        dele = (
+            spark.read.parquet(*[f"{root}/{p}" for p in paths])
+            .select(*keycols)
+        )
+        total = sum(
+            fs.getFileStatus(_jp(jvm, root, p)).getLen() for p in paths
+        )
+        if total <= 64 << 20:
+            dele = F.broadcast(dele)
+        df = df.join(dele, keycols, "left_anti")
+    return df
+
+
 def _commit(
     spark: SparkSession,
     path: str,
@@ -332,6 +418,9 @@ def _commit(
     known_rows: dict[str, int] | None = None,
     props=_DV_INHERIT,
     carried_only: bool = False,
+    eq_files=_DV_INHERIT,
+    known_seq: dict | None = None,
+    last_seq_floor: int | None = None,
 ) -> int:
     """``dv_files`` — the DELETION-VECTOR sidecars active at this
     version (parquet relpaths of (file, pos) tombstones, merged at
@@ -360,7 +449,22 @@ def _commit(
     start — see ``manifestlog`` for the format and scale math. The
     checkpoint blob is written BEFORE the exclusive manifest claim,
     so a doc that references one can always resolve it; a losing
-    racer's blob is debris for ``sweep_orphans``."""
+    racer's blob is debris for ``sweep_orphans``.
+
+    ``eq_files`` — the EQUALITY-DELETE entries active at this version
+    ([{"path", "seq", "keys"}]; see the module-level note above
+    ``_eq_entries``). Inherit semantics like ``dv_files``; an entry
+    passed with ``seq=None`` is stamped with THIS commit's sequence
+    number (the entry deletes rows only in files that predate it).
+    Entries no live file is subject to are pruned automatically.
+    ``known_seq`` carries per-file added-at sequences through
+    whole-state ops (restore/fork/publish), like ``known_rows``;
+    files new to the table are stamped with the commit's sequence.
+    ``last_seq_floor`` forces the commit's sequence above another
+    chain's counter (fork: the base table's; publish: the branch
+    head's) — sequence numbers order files against eq entries, and
+    branch chains restart VERSION numbers at 1, so versions cannot
+    serve."""
     import time
 
     root, mdir = _split_ref(path)
@@ -382,10 +486,20 @@ def _commit(
         )
     if not dv_files:
         dv_targets = None
+    if eq_files == _DV_INHERIT:
+        eq_files = pman.get("eqs") if pman else None
     files = sorted(files)
     if len(set(files)) != len(files):
         raise ValueError(f"duplicate relpaths in commit file list at {path}")
     version = (parent or 0) + 1
+    # the chain-independent data sequence: strictly increases along
+    # any commit lineage (legacy parents without one fall back to
+    # their version — same monotonicity, and only relative order
+    # matters)
+    parent_last = (
+        int(pman.get("last_seq") or pman["version"]) if pman else 0
+    )
+    seq_no = max(parent_last, int(last_seq_floor or 0)) + 1
     extra = dict(extra or {})
     stats = extra.pop("stats", None)
     stats_cols = extra.pop("stats_cols", None)
@@ -418,6 +532,28 @@ def _commit(
     )
     if new_files:
         rows.update(_rows_for_files(spark, root, new_files, missing_ok=True))
+    # Per-file added-at sequences: carried files keep the parent's
+    # entries; whole-state ops pass the source manifest's via
+    # ``known_seq``; anything still unknown that is genuinely new to
+    # the table is stamped with this commit's sequence. Files known
+    # to neither stay gaps (legacy history — treated as predating
+    # every equality delete, which is what they do).
+    parent_seq = (pman.get("seq") if pman else None) or {}
+    seq = {f: parent_seq[f] for f in files if f in parent_seq}
+    if known_seq:
+        seq.update({f: known_seq[f] for f in files if f in known_seq})
+    if not carried_only:
+        for f in files:
+            if f not in seq and f not in parent_files:
+                seq[f] = seq_no
+    # Equality-delete entries: stamp fresh entries (seq=None) with
+    # this commit's sequence, then prune entries no live file is
+    # subject to (inert — every file they could match has left).
+    eq_files = [
+        {**e, "seq": seq_no if e.get("seq") is None else e["seq"]}
+        for e in (eq_files or [])
+    ]
+    eq_files = _eq_live_entries(eq_files, files, seq) or None
     # Table properties CARRY like every other state key (the INHERIT
     # default); whole-state commits (branch fork, publish) and the
     # property DDL pass an explicit dict. CHECK constraints live under
@@ -463,6 +599,39 @@ def _commit(
                     dv_targets=sorted(set(dv_targets))
                     if dv_targets
                     else None,
+                    eq_entries=eq_files,
+                    file_seq=seq,
+                )
+        # Same resurrection hazard for EQUALITY deletes: an entry that
+        # left the state (restore rolling back past an upsert) brings
+        # its masked rows back to life in carried files — re-validate
+        # the files it applied to, under the NEW masking. resolve_eq
+        # is exempt: it replaces entries with position tombstones for
+        # the same rows (visibility unchanged by construction, and the
+        # recorded resolve counts pin it).
+        cur_eq_paths = {e["path"] for e in (eq_files or [])}
+        removed_eqs = [
+            e
+            for e in ((pman or {}).get("eqs") or [])
+            if e["path"] not in cur_eq_paths
+        ]
+        if removed_eqs and op != "resolve_eq":
+            fset = set(files)
+            suspects = sorted(
+                f
+                for f in fset
+                if f not in set(added or ())
+                and _eq_applicable(removed_eqs, seq, f)
+            )
+            if suspects:
+                _enforce_constraints(
+                    spark, root, suspects, schema, partition_cols, props,
+                    dv_files=sorted(dv_files) if dv_files else None,
+                    dv_targets=sorted(set(dv_targets))
+                    if dv_targets
+                    else None,
+                    eq_entries=eq_files,
+                    file_seq=seq,
                 )
     state = {
         "files": files,
@@ -472,11 +641,18 @@ def _commit(
         "stats_cols": stats_cols,
         "rows": rows or None,
         "props": props,
+        "eqs": (
+            sorted(eq_files, key=lambda e: (e["seq"], e["path"]))
+            if eq_files
+            else None
+        ),
+        "seq": seq or None,
     }
     scalars = {
         "version": version,
         "parent": parent,
         "op": op,
+        "last_seq": seq_no,
         # wall-clock commit time (driver): powers timestamp time travel
         # (``snapshot_version_at``). Ordering is by VERSION, not this
         # field — clock skew between writers cannot reorder history, it
@@ -863,6 +1039,8 @@ def read_snapshot(
         partition_cols=_manifest_partition_cols(man),
         dv_files=man.get("dv_files"),
         dv_targets=man.get("dv_targets"),
+        eq_entries=man.get("eqs"),
+        file_seq=man.get("seq"),
     )
 
 
@@ -1118,6 +1296,8 @@ def _read_file_list(
     dv_files: list[str] | None = None,
     row_ids: bool = False,
     dv_targets: list[str] | None = None,
+    eq_entries: list[dict] | None = None,
+    file_seq: dict | None = None,
 ) -> DataFrame:
     """Scan an explicit manifest file list, normalised to ``schema``.
 
@@ -1136,10 +1316,41 @@ def _read_file_list(
     the targeted files pay. At 100 TB with a few tombstoned files,
     the read plan is a plain scan unioned with one small anti-join,
     instead of every row of the table flowing through the join (the
-    >64 MB sidecar fallback was a full-table shuffle)."""
+    >64 MB sidecar fallback was a full-table shuffle).
+
+    ``eq_entries``/``file_seq`` (the manifest's equality-delete
+    entries and per-file added-at versions) split the scan the same
+    way: files are grouped by WHICH entries apply (applicability is
+    monotone in the file's seq, so the groups are the suffixes of the
+    seq-sorted entry list — at most len(entries)+1 of them, and
+    maintenance keeps that list short), each group anti-joins only
+    its applicable key sidecars, and files no entry applies to scan
+    clean."""
+    from bisect import bisect_right
+
     from pyspark.sql.types import LongType, StringType, StructField
 
     path = _root(path)
+    if eq_entries and files:
+        seq_map = file_seq or {}
+        entries = sorted(eq_entries, key=lambda e: (e["seq"], e["path"]))
+        seqs = [e["seq"] for e in entries]
+        groups: dict[int, list[str]] = {}
+        for f in files:
+            groups.setdefault(bisect_right(seqs, seq_map.get(f, 0)), []).append(f)
+        parts = []
+        for idx in sorted(groups):
+            part = _read_file_list(
+                spark, path, groups[idx], schema,
+                partition_cols=partition_cols,
+                dv_files=dv_files, row_ids=row_ids,
+                dv_targets=dv_targets,
+            )
+            parts.append(_apply_eq(spark, path, part, entries[idx:]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     if dv_files and dv_targets is not None:
         tset = set(dv_targets)
         tomb = [f for f in files if f in tset]
@@ -1423,26 +1634,42 @@ def snapshot_changes(
         parent = man["parent"]
         pfiles: set[str] = set()
         pdvs: list[str] = []
+        peqs: list[dict] = []
+        pseq: dict = {}
+        pman = None
         if parent is not None:
             pman = _load_manifest(spark, path, parent)
             pfiles = _scoped(pman)
             pdvs = pman.get("dv_files") or []
+            peqs = pman.get("eqs") or []
+            pseq = pman.get("seq") or {}
         cdvs = man.get("dv_files") or []
+        ceqs = man.get("eqs") or []
+        cseq = man.get("seq") or {}
         files = _scoped(man)
         added = sorted(files - pfiles)
         removed = sorted(pfiles - files)
         dv_same = set(cdvs) == set(pdvs)
+        eq_same = {e["path"] for e in ceqs} == {e["path"] for e in peqs}
         # the batched fast path reads added files with NO dv masking —
         # safe only when the commit carries no tombstones at all. With
         # outstanding DVs, a restore can re-add an OLD file some
         # carried sidecar targets (fresh uuid-dir appends can never be
         # targeted, but structurally proving "not a re-add" costs more
         # than the per-commit path it would save), and the unmasked
-        # batched read would resurrect its dead rows as inserts.
+        # batched read would resurrect its dead rows as inserts. The
+        # EQUALITY-delete analog: the entry set must be unchanged (a
+        # changed set implies row deletes/resurrections this commit)
+        # AND no carried entry may apply to an added file (a restore
+        # can re-add a file older than a carried entry — its key-
+        # masked rows must not stream; fresh appends carry the
+        # commit's own sequence and are never applicable).
         if (
             not removed
             and dv_same
             and not cdvs
+            and eq_same
+            and not _eq_affected_files(man, added)
             and json.dumps(man["schema"], sort_keys=True) == target_schema_json
             and man.get("partition_cols") == target_man.get("partition_cols")
         ):
@@ -1458,12 +1685,17 @@ def snapshot_changes(
         # (delete, restore past it, delete again) cancel to zero.
         common = files & pfiles
         ptgts = pman.get("dv_targets") if parent is not None else None
-        for delta_dvs, mask_dvs, mask_tgts, ctype in (
-            (sorted(set(cdvs) - set(pdvs)), pdvs, ptgts, "delete"),
+        for delta_dvs, mask_dvs, mask_tgts, mask_eq, mask_seq, ctype in (
+            # masks are the side the CONSUMER holds: rows already dead
+            # there (position OR key form) must not re-emit
+            (sorted(set(cdvs) - set(pdvs)), pdvs, ptgts, peqs, pseq,
+             "delete"),
             (
                 sorted(set(pdvs) - set(cdvs)),
                 cdvs,
                 man.get("dv_targets"),
+                ceqs,
+                cseq,
                 "insert",
             ),
         ):
@@ -1489,16 +1721,136 @@ def snapshot_changes(
                 partition_cols=target_pcols,
                 dv_files=sorted(mask_dvs), row_ids=True,
                 dv_targets=mask_tgts,
+                eq_entries=mask_eq, file_seq=mask_seq,
             ).join(ent, list(_DV_COLS), "left_semi")
             changes.append(
                 rows.drop(*_DV_COLS)
                 .withColumn("_change_type", F.lit(ctype))
                 .withColumn("_commit_version", F.lit(v))
             )
+        # EQUALITY-delete deltas on common files. An ADDED entry
+        # (upsert_eq/delete_eq, or a restore back TO an eq-masked
+        # state) deletes the rows it newly masks: rows of its
+        # applicable files that were visible to the PARENT (mask:
+        # parent's dvs + parent's eq set) and match its keys — minus
+        # rows in dv entries the same commit ADDED (those are the
+        # dv-added leg's to report). A REMOVED entry (restore past an
+        # upsert) resurrects: rows visible under the CHILD's full
+        # state that match its keys — minus rows in dv entries the
+        # commit REMOVED (the dv-removed leg's). Entries process
+        # sequentially with processed ones appended to the mask, so a
+        # row matching two entries emits once. resolve_eq commits
+        # cancel to zero through these same masks (the new dvs cover
+        # exactly the removed entries' rows), and a restore swapping
+        # position masks back to key masks cancels symmetrically — no
+        # op trust needed anywhere.
+        cpaths = {e["path"] for e in ceqs}
+        ppaths = {e["path"] for e in peqs}
+        eq_added = [e for e in ceqs if e["path"] not in ppaths]
+        eq_removed = [e for e in peqs if e["path"] not in cpaths]
+        if common and (eq_added or eq_removed):
+            root = _root(path)
+            fs, jvm = _fs(spark, root)
+
+            def _keys_df(e, broadcast_ok=True):
+                d = spark.read.parquet(f"{root}/{e['path']}").select(
+                    *e["keys"]
+                )
+                if (
+                    broadcast_ok
+                    and fs.getFileStatus(
+                        _jp(jvm, root, e["path"])
+                    ).getLen()
+                    <= 64 << 20
+                ):
+                    d = F.broadcast(d)
+                return d
+
+            def _dv_entry_df(paths):
+                if not paths:
+                    return None
+                d = spark.read.parquet(
+                    *[f"{root}/{p}" for p in paths]
+                ).select("_dv_file", "_dv_pos")
+                if (
+                    sum(
+                        fs.getFileStatus(_jp(jvm, root, p)).getLen()
+                        for p in paths
+                    )
+                    <= 64 << 20
+                ):
+                    d = F.broadcast(d)
+                return d
+
+            added_dv_ent = (
+                _dv_entry_df(sorted(set(cdvs) - set(pdvs)))
+                if eq_added
+                else None
+            )
+            mask = list(peqs)
+            for e in sorted(eq_added, key=lambda e: (e["seq"], e["path"])):
+                aff = sorted(
+                    f for f in common if pseq.get(f, 0) < e["seq"]
+                )
+                if aff:
+                    rows = _read_file_list(
+                        spark, path, aff, out_schema,
+                        partition_cols=target_pcols,
+                        dv_files=sorted(pdvs) or None,
+                        dv_targets=ptgts,
+                        row_ids=True,
+                        eq_entries=mask, file_seq=pseq,
+                    )
+                    if added_dv_ent is not None:
+                        rows = rows.join(
+                            added_dv_ent, list(_DV_COLS), "left_anti"
+                        )
+                    rows = rows.drop(*_DV_COLS).join(
+                        _keys_df(e), list(e["keys"]), "left_semi"
+                    )
+                    changes.append(
+                        rows.withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+                mask = mask + [e]
+            removed_dv_ent = (
+                _dv_entry_df(sorted(set(pdvs) - set(cdvs)))
+                if eq_removed
+                else None
+            )
+            mask = list(ceqs)
+            for e in sorted(
+                eq_removed, key=lambda e: (e["seq"], e["path"])
+            ):
+                aff = sorted(
+                    f for f in common if cseq.get(f, 0) < e["seq"]
+                )
+                if aff:
+                    rows = _read_file_list(
+                        spark, path, aff, out_schema,
+                        partition_cols=target_pcols,
+                        dv_files=sorted(cdvs) or None,
+                        dv_targets=man.get("dv_targets"),
+                        row_ids=True,
+                        eq_entries=mask, file_seq=cseq,
+                    )
+                    if removed_dv_ent is not None:
+                        rows = rows.join(
+                            removed_dv_ent, list(_DV_COLS), "left_anti"
+                        )
+                    rows = rows.drop(*_DV_COLS).join(
+                        _keys_df(e), list(e["keys"]), "left_semi"
+                    )
+                    changes.append(
+                        rows.withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+                mask = mask + [e]
         ins = _read_file_list(
             spark, path, added, out_schema, partition_cols=target_pcols,
             dv_files=sorted(cdvs),
             dv_targets=man.get("dv_targets"),
+            eq_entries=ceqs, file_seq=cseq,
         )
         if removed:
             dele = _read_file_list(
@@ -1508,6 +1860,7 @@ def snapshot_changes(
                 # state, so rows already dead there must not re-delete
                 dv_files=sorted(pdvs),
                 dv_targets=ptgts,
+                eq_entries=peqs, file_seq=pseq,
             )
             # cancel rewritten-but-unchanged rows (bag semantics)
             ins, dele = ins.exceptAll(dele), dele.exceptAll(ins)
@@ -1605,6 +1958,12 @@ def snapshot_restore(
         # pay on a zero-data-movement op)
         known_rows=man.get("rows"),
         carried_only=True,
+        # same whole-state carry for the equality-delete plane: the
+        # restored EQ entries with the restored files' added-at
+        # sequences (re-stamping a re-added file would detach it from
+        # the entries that masked its rows — silent resurrection)
+        eq_files=man.get("eqs"),
+        known_seq=man.get("seq"),
     )
 
 
@@ -1652,6 +2011,7 @@ def snapshot_files(
     stats = man.get("stats") or {}
     tgts = set(man.get("dv_targets") or ())
     frows = man.get("rows") or {}
+    eq_aff = set(_eq_affected_files(man))
     rows = []
     for f in man["files"]:
         pv = _partition_values_from_path(f)
@@ -1663,13 +2023,14 @@ def snapshot_files(
                 frows.get(f),
                 json.dumps(pv, sort_keys=True) if pv else None,
                 f in tgts,
+                f in eq_aff,
                 json.dumps(stats[f], sort_keys=True) if f in stats else None,
             )
         )
     base = spark.createDataFrame(
         rows,
         "file string, rows long, partition_values string, "
-        "has_tombstones boolean, stats string",
+        "has_tombstones boolean, has_eq_deletes boolean, stats string",
     )
 
     # file sizes come from the EXECUTORS (Arrow-batched pyarrow
@@ -1692,6 +2053,7 @@ def snapshot_files(
         "rows",
         "partition_values",
         "has_tombstones",
+        "has_eq_deletes",
         "stats",
     )
 
@@ -1742,7 +2104,25 @@ def snapshot_count(
         # file list first, correct by the tombstones targeting exactly
         # those files (the sidecar semi-join keys on relpath)
         files = _partition_pruned_files(man, partitions)
-    return _physical_row_total(
+    # files an outstanding EQUALITY delete applies to cannot answer
+    # from metadata (a key may match 0..n of their rows) — scan
+    # exactly that surface with full masking; the rest stays
+    # metadata-only. ``snapshot_resolve_eq`` restores the pure
+    # metadata answer.
+    eq_aff = _eq_affected_files(man, files)
+    scanned = 0
+    if eq_aff:
+        eset = set(eq_aff)
+        files = [f for f in files if f not in eset]
+        scanned = _read_file_list(
+            spark, path, eq_aff, StructType.fromJson(man["schema"]),
+            partition_cols=_manifest_partition_cols(man),
+            dv_files=man.get("dv_files"),
+            dv_targets=man.get("dv_targets"),
+            eq_entries=man.get("eqs"),
+            file_seq=man.get("seq"),
+        ).count()
+    return scanned + _physical_row_total(
         spark, root, man, files
     ) - _dv_entry_count(spark, root, man.get("dv_files"), files)
 
@@ -1783,8 +2163,12 @@ def snapshot_minmax(
     tgts = set(man.get("dv_targets") or ())
     if man.get("dv_files") and man.get("dv_targets") is None:
         tgts = set(files)  # legacy: unknown targets — assume any
+    eq_aff = set(_eq_affected_files(man, files))
     cov = {
-        f for f in files if f in stats and col in stats[f] and f not in tgts
+        f
+        for f in files
+        if f in stats and col in stats[f] and f not in tgts
+        and f not in eq_aff
     }
     covered = [f for f in files if f in cov]
     uncovered = [f for f in files if f not in cov]
@@ -1808,6 +2192,8 @@ def snapshot_minmax(
             partition_cols=_manifest_partition_cols(man),
             dv_files=man.get("dv_files"),
             dv_targets=man.get("dv_targets"),
+            eq_entries=man.get("eqs"),
+            file_seq=man.get("seq"),
         )
         row = df.agg(
             F.min(F.col(col)).alias("lo"), F.max(F.col(col)).alias("hi")
@@ -1856,11 +2242,13 @@ def snapshot_count_nonnull(
     tgts = set(man.get("dv_targets") or ())
     if man.get("dv_files") and man.get("dv_targets") is None:
         tgts = set(files)  # legacy: unknown targets — assume any
+    eq_aff = set(_eq_affected_files(man, files))
     cov = {
         f
         for f in files
         if f in rows
         and f not in tgts
+        and f not in eq_aff
         and len(stats.get(f, {}).get(col) or ()) >= 3
     }
     total = sum(rows[f] - stats[f][col][2] for f in cov)
@@ -1872,6 +2260,8 @@ def snapshot_count_nonnull(
             partition_cols=_manifest_partition_cols(man),
             dv_files=man.get("dv_files"),
             dv_targets=man.get("dv_targets"),
+            eq_entries=man.get("eqs"),
+            file_seq=man.get("seq"),
         )
         total += df.agg(F.count(F.col(col)).alias("c")).first()["c"]
     return total
@@ -1888,7 +2278,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
         "version", "parent", "op", "committed_at_ms", "schema",
         "partition_cols", "manifest_id", "parent_id", "files",
         "dv_files", "dv_targets", "stats", "stats_cols", "rows",
-        "props",
+        "props", "eqs", "seq", "last_seq",
     }
     rows = []
     for v in _list_manifests(spark, path):
@@ -2195,6 +2585,10 @@ def snapshot_maintain(spark: SparkSession, path: str) -> dict:
       silently destroys time travel.
     - ``maintain.orphan_grace_hours`` — sweep crashed-commit debris
       older than the grace window (age gate per ``sweep_orphans``).
+    - ``maintain.eq_resolve_entries`` — fold accumulated
+      equality-delete entries into position deletion vectors once
+      this many are outstanding (``snapshot_resolve_eq``), keeping
+      the streaming-upsert read tax bounded.
 
     Every step is opportunistic: a concurrent writer winning a commit
     race skips that step for this run (the next run retries) rather
@@ -2216,6 +2610,25 @@ def snapshot_maintain(spark: SparkSession, path: str) -> dict:
                 f"table property {key}={raw!r} is not a number"
             ) from None
 
+    eq_entries_n = _num("maintain.eq_resolve_entries")
+    if eq_entries_n is not None:
+        # resolve FIRST: outstanding equality deletes block the
+        # compaction steps' position-exact accounting anyway (they
+        # auto-resolve), so an explicit policy runs it as its own
+        # conflict-tolerant step
+        try:
+            head = _load_manifest(
+                spark, path, _list_manifests(spark, path)[-1]
+            )
+            if len(_eq_entries(head)) >= int(eq_entries_n):
+                v, n = snapshot_resolve_eq(spark, path)
+                report["resolve_eq"] = {"version": v, "rows": n}
+            else:
+                report["resolve_eq"] = "below_threshold"
+        except SnapshotConflict:
+            report["resolve_eq"] = "conflict"
+    else:
+        report["resolve_eq"] = "skipped"
     min_file_mb = _num("maintain.min_file_mb")
     if min_file_mb is not None:
         try:
@@ -2553,10 +2966,15 @@ def _file_sizes(
 def _storage_refs(man: dict) -> list[str]:
     """EVERY storage relpath a manifest references — data files plus
     deletion-vector sidecars (deleting a retained version's DVs would
-    RESURRECT its deleted rows). The single definition all three GC
-    paths (vacuum, orphan sweep, branch reclaim) share: a new sidecar
-    kind added here is automatically protected everywhere."""
-    return man["files"] + (man.get("dv_files") or [])
+    RESURRECT its deleted rows) plus equality-delete key sidecars
+    (same hazard, key form). The single definition all three GC paths
+    (vacuum, orphan sweep, branch reclaim) share: a new sidecar kind
+    added here is automatically protected everywhere."""
+    return (
+        man["files"]
+        + (man.get("dv_files") or [])
+        + [e["path"] for e in man.get("eqs") or ()]
+    )
 
 
 def _dv_entry_count(
@@ -2617,6 +3035,8 @@ def _enforce_constraints(
     props: dict,
     dv_files: list[str] | None = None,
     dv_targets: list[str] | None = None,
+    eq_entries: list[dict] | None = None,
+    file_seq: dict | None = None,
 ) -> None:
     """Refuse data that violates a recorded CHECK constraint. Scans
     ONLY ``files`` (the commit's additions — O(change), never the
@@ -2632,6 +3052,7 @@ def _enforce_constraints(
     df = _read_file_list(
         spark, path, files, schema, partition_cols=partition_cols,
         dv_files=dv_files, dv_targets=dv_targets,
+        eq_entries=eq_entries, file_seq=file_seq,
     )
     for name in sorted(checks):
         expr = checks[name]
@@ -2845,6 +3266,7 @@ def snapshot_compact(
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
+    latest, man = _eq_resolved_head(spark, path, latest, man)
     root = _root(path)
     if partition_cols is None:
         # default to the table's recorded layout — an unpartitioned
@@ -3069,6 +3491,7 @@ def snapshot_merge_upsert_dv(
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
     _require_same_layout(man, partition_cols, "merge_dv")
+    latest, man = _eq_resolved_head(spark, path, latest, man)
     schema = StructType.fromJson(man["schema"])
     cols = [f.name for f in schema.fields]
     touched = updates.select(*partition_cols).distinct()
@@ -3342,6 +3765,8 @@ def read_snapshot_pruned(
             partition_cols=_manifest_partition_cols(man),
             dv_files=man.get("dv_files"),
             dv_targets=man.get("dv_targets"),
+            eq_entries=man.get("eqs"),
+            file_seq=man.get("seq"),
         )
     return pruned.where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
@@ -3448,6 +3873,7 @@ def _delete_rows_dv_where(
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
+    latest, man = _eq_resolved_head(spark, path, latest, man)
     predicates = _sanitize_predicates(predicates)
     if not predicates:
         return latest, 0
@@ -3722,6 +4148,7 @@ def _rewrite_matching_files(
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
+    latest, man = _eq_resolved_head(spark, path, latest, man)
     predicates = _sanitize_predicates(predicates)
     if not predicates:  # some column's values were all None: no match
         return latest, 0
@@ -3938,6 +4365,7 @@ def _update_rows_dv_where(
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
+    latest, man = _eq_resolved_head(spark, path, latest, man)
     schema = _check_update_targets(man, set_values)
     pc = _manifest_partition_cols(man) or []
     predicates = _sanitize_predicates(predicates)
@@ -4106,6 +4534,139 @@ def snapshot_compact_dvs(
     )
 
 
+def snapshot_resolve_eq(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Fold every outstanding EQUALITY-DELETE entry into position
+    deletion vectors: scan only the files the entries apply to, find
+    the matching (still-live) rows, tombstone their (file, position)
+    identities, and publish one ``resolve_eq`` commit that drops the
+    entries — row visibility unchanged by construction. Returns
+    ``(version, rows_resolved)`` (the current version when nothing is
+    outstanding).
+
+    This is the maintenance step that keeps the equality-delete read
+    tax bounded: upsert writers land O(batch) commits with zero table
+    reads, and the resolver periodically converts the accumulated key
+    masks into the position form every read/count/plan path handles at
+    full speed (then ``snapshot_compact_dvs``/``snapshot_compact``
+    take over as usual). Mutators call it implicitly — DML stats
+    proofs and row accounting are position-exact only."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    entries = _eq_entries(man)
+    if not entries:
+        return latest, 0
+    schema = StructType.fromJson(man["schema"])
+    seq_map = man.get("seq") or {}
+    affected = _eq_affected_files(man)
+    # group affected files by WHICH entries apply (suffixes of the
+    # seq-sorted entry list — see _read_file_list) and semi-join each
+    # group's rows against its applicable key sidecars; rows already
+    # position-tombstoned are masked out (never tombstone twice)
+    from bisect import bisect_right
+
+    entries = sorted(entries, key=lambda e: (e["seq"], e["path"]))
+    seqs = [e["seq"] for e in entries]
+    groups: dict[int, list[str]] = {}
+    for f in affected:
+        groups.setdefault(bisect_right(seqs, seq_map.get(f, 0)), []).append(f)
+    root = _root(path)
+    fs, jvm = _fs(spark, root)
+    matched_parts = []
+    for idx, flist in sorted(groups.items()):
+        df = _read_file_list(
+            spark, path, flist, schema,
+            partition_cols=_manifest_partition_cols(man),
+            dv_files=man.get("dv_files"),
+            row_ids=True,
+            dv_targets=man.get("dv_targets"),
+        )
+        by_keys: dict[tuple, list[str]] = {}
+        for e in entries[idx:]:
+            by_keys.setdefault(tuple(e["keys"]), []).append(e["path"])
+        for keys, paths in sorted(by_keys.items()):
+            keycols = list(keys)
+            dele = (
+                spark.read.parquet(*[f"{root}/{p}" for p in paths])
+                .select(*keycols)
+            )
+            if (
+                sum(
+                    fs.getFileStatus(_jp(jvm, root, p)).getLen()
+                    for p in paths
+                )
+                <= 64 << 20
+            ):
+                dele = F.broadcast(dele)
+            matched_parts.append(
+                df.join(dele, keycols, "left_semi").select(*_DV_COLS)
+            )
+    matched = matched_parts[0]
+    for p in matched_parts[1:]:
+        matched = matched.unionByName(p)
+    if len(matched_parts) > 1:
+        # a row matching entries from two different key sets (or two
+        # seq groups' unions) must produce ONE tombstone — duplicate
+        # (file, pos) entries would inflate every count correction
+        matched = matched.distinct()
+    matched = matched.localCheckpoint(eager=True)
+    n = matched.count()
+    new_dvs: list[str] = []
+    new_tgts: list[str] = []
+    if n:
+        _, new_dvs = _write_commit_files(
+            matched.repartition(
+                max(1, n // 4_000_000 + (n % 4_000_000 > 0))
+            ),
+            path,
+            None,
+        )
+        new_tgts = [
+            r[0] for r in matched.select("_dv_file").distinct().collect()
+        ]
+    extra: dict = {
+        "eq_resolved": [e["path"] for e in entries],
+        "eq_rows_resolved": n,
+        "dv_added": new_dvs,
+        "dv_rows_added": n,
+    }
+    if man.get("stats") is not None:
+        extra.update(
+            {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
+        )
+    version = _commit(
+        spark,
+        path,
+        man["files"],
+        schema,
+        "resolve_eq",
+        latest,
+        extra=extra,
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=sorted((man.get("dv_files") or []) + new_dvs) or None,
+        dv_targets=_dv_targets_for(man, new_tgts),
+        eq_files=None,
+    )
+    return version, n
+
+
+def _eq_resolved_head(
+    spark: SparkSession, path: str, latest: int, man: dict
+) -> tuple[int, dict]:
+    """Mutator entry guard: resolve outstanding equality deletes
+    before DML/compaction — their stats proofs ("every row of this
+    file matches"), victim row accounting, and rewrite reads are all
+    POSITION-exact and would otherwise overcount (or resurrect)
+    key-masked rows. No-op (no extra I/O) when nothing is
+    outstanding, which is the steady state."""
+    if not man.get("eqs"):
+        return latest, man
+    v, _ = snapshot_resolve_eq(spark, path)
+    return v, _load_manifest(spark, path, v)
+
+
 def _maybe_auto_compact_dvs(
     spark: SparkSession,
     path: str,
@@ -4255,6 +4816,7 @@ def _drop_partitions_once(
         raise FileNotFoundError(f"no snapshot versions at {path}")
     latest = versions[-1]
     man = _load_manifest(spark, path, latest)
+    latest, man = _eq_resolved_head(spark, path, latest, man)
     matched = _partition_pruned_files(man, partitions)
     if not matched:
         return latest, 0
@@ -4571,6 +5133,17 @@ def snapshot_drop_column(
                 f"{cname!r} ({cexpr}) references it — drop the "
                 "constraint first"
             ) from None
+    # an outstanding equality delete KEYED on the column would lose
+    # its join column — readers could no longer apply it (silent
+    # resurrection). Resolve first (position tombstones are
+    # column-free), then drop.
+    for e in _eq_entries(man):
+        if name in e["keys"]:
+            raise ValueError(
+                f"cannot drop column {name!r}: outstanding equality "
+                f"delete {e['path']!r} keys on it — run "
+                "snapshot_resolve_eq first"
+            )
     extra: dict = {"altered_column": name}
     if man.get("stats") is not None:
         extra["stats"] = {

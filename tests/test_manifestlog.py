@@ -71,11 +71,12 @@ def test_checkpoint_roundtrip_all_state_shapes():
     shapes = [
         {"files": [], "dv_files": None, "dv_targets": None,
          "stats": None, "stats_cols": None, "rows": None,
-         "props": None},
+         "props": None, "eqs": None, "seq": None},
         {"files": ["data/a/x.parquet"], "dv_files": None,
          "dv_targets": None, "stats": None, "stats_cols": None,
          "rows": None,
-         "props": {"owner": "etl", "constraint.pos": "id >= 0"}},
+         "props": {"owner": "etl", "constraint.pos": "id >= 0"},
+         "eqs": None, "seq": None},
         {"files": ["data/a/x.parquet", "data/b/m=1/y y.parquet"],
          "dv_files": ["data/c/dv.parquet"],
          "dv_targets": ["data/a/x.parquet"],
@@ -84,11 +85,17 @@ def test_checkpoint_roundtrip_all_state_shapes():
          "stats_cols": ["id"],
          # rows map may be PARTIAL (legacy history has no counts)
          "rows": {"data/a/x.parquet": 12345},
-         "props": None},
+         "props": None,
+         # equality-delete entries + per-file added-at versions
+         # (seq map may be partial too)
+         "eqs": [{"path": "data/e/eq.parquet", "seq": 4,
+                  "keys": ["id", "month"]}],
+         "seq": {"data/a/x.parquet": 2}},
         # stats present but EMPTY dict is a distinct state from None
         {"files": ["data/a/x.parquet"], "dv_files": None,
          "dv_targets": None, "stats": {}, "stats_cols": ["id"],
-         "rows": {"data/a/x.parquet": 7}, "props": None},
+         "rows": {"data/a/x.parquet": 7}, "props": None,
+         "eqs": None, "seq": None},
     ]
     for st in shapes:
         assert ml.decode_checkpoint(ml.encode_checkpoint(st)) == st
@@ -102,6 +109,10 @@ def test_checkpoint_roundtrip_all_state_shapes():
     assert got["dv_targets"] == shapes[2]["dv_targets"]
     assert got["stats"] is None
     assert got["rows"] == shapes[2]["rows"]
+    # eq entries + seq reach STRIPPED readers too: they change row
+    # visibility, so the streaming planner cannot be blind to them
+    assert got["eqs"] == shapes[2]["eqs"]
+    assert got["seq"] == shapes[2]["seq"]
     got1 = ml.decode_checkpoint(
         ml.encode_checkpoint(shapes[1]), want_stats=False
     )
@@ -115,7 +126,7 @@ def test_encode_fold_random_transition_equivalence():
     rng = random.Random(7)
     state = {"files": [], "dv_files": None, "dv_targets": None,
              "stats": None, "stats_cols": None, "rows": None,
-             "props": None}
+             "props": None, "eqs": None, "seq": None}
     pool = [f"data/{i:02d}/p.parquet" for i in range(40)]
     for step in range(1, 60):
         files = set(state["files"])
@@ -146,6 +157,22 @@ def test_encode_fold_random_transition_equivalence():
             props[f"k{rng.randrange(3)}"] = f"v{rng.randrange(5)}"
         elif r < 0.45 and props:
             props.pop(rng.choice(sorted(props)))
+        # seq invariant: mirrors rows — a live file's added-at version
+        # never changes; some files stay unknown (legacy history)
+        prev_seq = state.get("seq") or {}
+        seq = {f: prev_seq[f] for f in files if f in prev_seq}
+        for f in files:
+            if f not in seq and rng.random() < 0.6:
+                seq[f] = step
+        # eq entries: immutable per path, added (upsert_eq) and
+        # removed (resolve / restore) across the walk
+        eqs = [dict(e) for e in state.get("eqs") or []]
+        r = rng.random()
+        if r < 0.3:
+            eqs.append({"path": f"data/eq{step:02d}/e.parquet",
+                        "seq": step, "keys": ["id"]})
+        elif r < 0.45 and eqs:
+            eqs.pop(rng.randrange(len(eqs)))
         target = {
             "files": sorted(files),
             "dv_files": dvs or None,
@@ -154,6 +181,8 @@ def test_encode_fold_random_transition_equivalence():
             "stats_cols": ["id"] if has_stats else None,
             "rows": rows or None,
             "props": props or None,
+            "eqs": eqs or None,
+            "seq": seq or None,
         }
         scalars = {"version": step, "parent": step - 1, "op": "t",
                    "manifest_id": f"m{step}"}

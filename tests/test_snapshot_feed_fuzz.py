@@ -54,6 +54,15 @@ _OPS = st.lists(
         st.tuples(
             st.just("update_where"), st.integers(0, 30), st.integers(0, 2)
         ),
+        # equality-delete plane: zero-read keyed upsert, key-sidecar
+        # delete, and the fold into position DVs — the feed must
+        # bridge key-masked visibility exactly, including restores
+        # that swap position masks back to key masks
+        st.tuples(
+            st.just("upsert_eq"), st.integers(0, 30), st.integers(0, 2)
+        ),
+        st.tuples(st.just("delete_eq"), st.integers(0, 30)),
+        st.tuples(st.just("resolve_eq"), st.just(0)),
         # restore: roll back to a pseudo-random retained version (the
         # payload indexes into the versions list at apply time)
         st.tuples(st.just("restore"), st.integers(0, 7)),
@@ -150,6 +159,32 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
                 {"id": [args[0]], "month": [args[1]]},
                 {"v": "WHERE_REDACTED"},
             )
+        elif kind == "upsert_eq":
+            from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
+                snapshot_append_upsert,
+            )
+
+            kid, month = args
+            snapshot_append_upsert(
+                spark, table, mk([(kid, month, f"UP{kid}")]), ["id"]
+            )
+        elif kind == "delete_eq":
+            from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
+                snapshot_delete_keys,
+            )
+
+            snapshot_delete_keys(
+                spark, table,
+                spark.createDataFrame(
+                    [(args[0],), (args[0] + 1,)], "id long"
+                ),
+            )
+        elif kind == "resolve_eq":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                snapshot_resolve_eq,
+            )
+
+            snapshot_resolve_eq(spark, table)
         elif kind == "drop_partition":
             from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
                 snapshot_drop_partitions,

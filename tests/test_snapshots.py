@@ -887,8 +887,9 @@ def test_snapshot_maintain_runs_declared_policy_only(spark, table, capsys):
     # undeclared policy: everything skips, nothing is dropped
     rep = snapshot_maintain(spark, table)
     assert rep == {
-        "compact": "skipped", "compact_dvs": "skipped",
-        "vacuum": "skipped", "sweep_orphans": "skipped",
+        "resolve_eq": "skipped", "compact": "skipped",
+        "compact_dvs": "skipped", "vacuum": "skipped",
+        "sweep_orphans": "skipped",
     }
     assert len(snapshot_versions(spark, table)) == n_versions
     # declare policy once; maintain executes it
@@ -921,7 +922,10 @@ def test_snapshot_maintain_runs_declared_policy_only(spark, table, capsys):
     import json as _json
 
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert set(out) == {"compact", "compact_dvs", "vacuum", "sweep_orphans"}
+    assert set(out) == {
+        "resolve_eq", "compact", "compact_dvs", "vacuum",
+        "sweep_orphans",
+    }
 
 
 def test_snapshot_register_sql_view_pins_version(spark, table, capsys):
