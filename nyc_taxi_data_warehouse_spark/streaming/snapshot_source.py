@@ -467,7 +467,12 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     # stream — an upsert's fresh images carry the
                     # commit's own sequence, so no entry (its own
                     # included) can mask them; re-added OLD files an
-                    # entry applies to are rewrites and stay skipped
+                    # entry applies to are rewrites and stay skipped.
+                    # The DV re-add guard applies here exactly as in
+                    # the normal branch: a restore that changes the eq
+                    # set can simultaneously re-add a file carried
+                    # position tombstones target — streaming it whole
+                    # would deliver its dead rows.
                     seqmap = man.get("seq") or {}
                     added_now = files - prev_files
                     hit = {
@@ -477,6 +482,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                             e["seq"] > seqmap.get(f, 0) for e in eqs
                         )
                     }
+                    if dvs and added_now:
+                        tgts = man.get("dv_targets")
+                        hit |= added_now & (
+                            set(tgts)
+                            if tgts is not None
+                            else self._dv_target_files(dvs)
+                        )
                     for f in sorted(added_now - hit):
                         parts.append(
                             _FilePartition(

@@ -172,10 +172,16 @@ def snapshot_append_upsert(
     missing = [c for c in cols if c not in updates.columns]
     if missing:
         raise ValueError(f"updates missing table column(s) {missing}")
-    _check_keys(updates, keys)
-    batch = _dedupe_batch(updates, keys, version_col).select(
+    # cast to the TABLE's types BEFORE the NULL-key check: a key value
+    # that casts to NULL ('abc' into a long column under a permissive
+    # caller session) must refuse like any other NULL key — checked
+    # pre-cast it would slip through as an un-supersedable NULL-keyed
+    # image that masks nothing
+    casted = updates.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+    _check_keys(casted, keys)
+    batch = _dedupe_batch(casted, keys, version_col)
     batch = batch.localCheckpoint(eager=True)  # one plan, three uses
     n = batch.count()
     if n == 0:
@@ -248,10 +254,13 @@ def snapshot_delete_keys(
     unknown = [k for k in keys if k not in fields]
     if unknown:
         raise ValueError(f"key column(s) {unknown} not in table schema")
-    _check_keys(deletes, keys)
-    dele = deletes.select(
+    # cast first, NULL-check after — a value that casts to NULL is a
+    # silently-lost delete, exactly what the check exists to refuse
+    casted = deletes.select(
         *[F.col(k).cast(fields[k].dataType).alias(k) for k in keys]
-    ).distinct().coalesce(1).localCheckpoint(eager=True)
+    )
+    _check_keys(casted, keys)
+    dele = casted.distinct().coalesce(1).localCheckpoint(eager=True)
     n = dele.count()
     if n == 0:
         return versions[-1], 0
@@ -340,28 +349,19 @@ def stream_snapshot_upsert(
     def apply_batch(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
-        checked: set[int] = set()
-
-        def epoch_applied(versions: list[int]) -> bool:
-            for v in versions:
-                if v in checked:
-                    continue
-                checked.add(v)
-                man = _load_manifest(spark, path, v)
-                if (
-                    man.get("stream_id") == stream_id
-                    and man.get("epoch") == epoch
-                ):
-                    return True
-            return False
-
-        if epoch_applied(_list_manifests(spark, path)):
+        prov = {"stream_id": stream_id, "epoch": epoch}
+        if (
+            _epoch_already_applied(
+                spark, path, _list_manifests(spark, path), prov, set()
+            )
+            is not None
+        ):
             return
         snapshot_append_upsert(
             spark, path, batch, keys,
             version_col=version_col,
             retries=retries,
-            extra={"stream_id": stream_id, "epoch": epoch},
+            extra=prov,
         )
         if auto_resolve_entries is not None:
             maybe_resolve_eq(spark, path, auto_resolve_entries)

@@ -371,6 +371,24 @@ def _eq_live_entries(
     return out
 
 
+def _sidecar_df(
+    spark: SparkSession, root: str, paths: list[str], cols: list[str]
+) -> DataFrame:
+    """Read sidecar parquet relpaths projected to ``cols``, broadcast
+    when the on-disk total is <= 64 MB (the overwhelmingly common
+    case — sidecars hold only deleted keys/positions), else leave the
+    join to shuffle rather than risk the driver. The ONE copy of the
+    threshold policy every sidecar consumer (position DVs, equality
+    keys, the change feed's delta reads) shares."""
+    root = _root(root)
+    df = spark.read.parquet(*[f"{root}/{p}" for p in paths]).select(*cols)
+    fs, jvm = _fs(spark, root)
+    total = sum(
+        fs.getFileStatus(_jp(jvm, root, p)).getLen() for p in paths
+    )
+    return F.broadcast(df) if total <= 64 << 20 else df
+
+
 def _apply_eq(
     spark: SparkSession,
     root: str,
@@ -384,23 +402,14 @@ def _apply_eq(
     here can only be pre-existing data an eq delete must not touch."""
     if not entries:
         return df
-    root = _root(root)
     by_keys: dict[tuple, list[str]] = {}
     for e in entries:
         by_keys.setdefault(tuple(e["keys"]), []).append(e["path"])
-    fs, jvm = _fs(spark, root)
     for keys, paths in sorted(by_keys.items()):
         keycols = list(keys)
-        dele = (
-            spark.read.parquet(*[f"{root}/{p}" for p in paths])
-            .select(*keycols)
+        df = df.join(
+            _sidecar_df(spark, root, paths, keycols), keycols, "left_anti"
         )
-        total = sum(
-            fs.getFileStatus(_jp(jvm, root, p)).getLen() for p in paths
-        )
-        if total <= 64 << 20:
-            dele = F.broadcast(dele)
-        df = df.join(dele, keycols, "left_anti")
     return df
 
 
@@ -571,8 +580,18 @@ def _commit(
     props = dict(props) if props else None
     if props and op not in ("branch", "publish"):
         added = [f for f in files if f not in parent_files]
+        # validate under the COMMIT's own masking: fresh files are
+        # never dv-targeted or eq-applicable (uuid dirs, own-sequence
+        # stamps), so this is free for appends — but a restore
+        # re-adds OLD files whose violating rows may be masked dead
+        # by the carried tombstones/entries, and refusing those would
+        # block a perfectly valid rollback
         _enforce_constraints(
-            spark, root, added, schema, partition_cols, props
+            spark, root, added, schema, partition_cols, props,
+            dv_files=sorted(dv_files) if dv_files else None,
+            dv_targets=sorted(set(dv_targets)) if dv_targets else None,
+            eq_entries=eq_files,
+            file_seq=seq,
         )
         # Rows can also go live WITHOUT a new file: a commit that
         # DROPS tombstone sidecars (restore rolling back past a DV
@@ -1338,13 +1357,24 @@ def _read_file_list(
         groups: dict[int, list[str]] = {}
         for f in files:
             groups.setdefault(bisect_right(seqs, seq_map.get(f, 0)), []).append(f)
+        # with recorded dv_targets, only groups actually holding a
+        # tombstoned file pay the DV read — without the pruning every
+        # group's recursion would re-read and re-broadcast the same
+        # sidecars (K+1 redundant reads per scan while entries are
+        # outstanding)
+        tset = set(dv_targets) if dv_targets is not None else None
         parts = []
         for idx in sorted(groups):
+            gdvs = dv_files
+            if dv_files and tset is not None and not (
+                tset & set(groups[idx])
+            ):
+                gdvs = None
             part = _read_file_list(
                 spark, path, groups[idx], schema,
                 partition_cols=partition_cols,
-                dv_files=dv_files, row_ids=row_ids,
-                dv_targets=dv_targets,
+                dv_files=gdvs, row_ids=row_ids,
+                dv_targets=dv_targets if gdvs else None,
             )
             parts.append(_apply_eq(spark, path, part, entries[idx:]))
         out = parts[0]
@@ -1499,18 +1529,11 @@ def _apply_dvs(
     broadcast in the overwhelmingly common case; past a size threshold
     the join falls back to a shuffle rather than risk the driver."""
     if dv_files:
-        root = _root(root)
-        dv = (
-            spark.read.parquet(*[f"{root}/{p}" for p in dv_files])
-            .select("_dv_file", "_dv_pos")
+        df = df.join(
+            _sidecar_df(spark, root, dv_files, list(_DV_COLS)),
+            list(_DV_COLS),
+            "left_anti",
         )
-        fs, jvm = _fs(spark, root)
-        total = sum(
-            fs.getFileStatus(_jp(jvm, root, p)).getLen() for p in dv_files
-        )
-        if total <= 64 << 20:
-            dv = F.broadcast(dv)
-        df = df.join(dv, list(_DV_COLS), "left_anti")
     if not keep_ids:
         df = df.drop(*_DV_COLS)
     return df
@@ -1701,21 +1724,13 @@ def snapshot_changes(
         ):
             if not delta_dvs or not common:
                 continue
-            ent = spark.read.parquet(
-                *[f"{_root(path)}/{p}" for p in delta_dvs]
-            ).select("_dv_file", "_dv_pos")
+            ent = _sidecar_df(spark, path, delta_dvs, list(_DV_COLS))
             aff = sorted(
                 common
                 & {r["_dv_file"] for r in ent.select("_dv_file").distinct().collect()}
             )
             if not aff:
                 continue
-            fs, jvm = _fs(spark, _root(path))
-            if sum(
-                fs.getFileStatus(_jp(jvm, _root(path), p)).getLen()
-                for p in delta_dvs
-            ) <= 64 << 20:
-                ent = F.broadcast(ent)
             rows = _read_file_list(
                 spark, path, aff, out_schema,
                 partition_cols=target_pcols,
@@ -1749,38 +1764,14 @@ def snapshot_changes(
         eq_added = [e for e in ceqs if e["path"] not in ppaths]
         eq_removed = [e for e in peqs if e["path"] not in cpaths]
         if common and (eq_added or eq_removed):
-            root = _root(path)
-            fs, jvm = _fs(spark, root)
 
-            def _keys_df(e, broadcast_ok=True):
-                d = spark.read.parquet(f"{root}/{e['path']}").select(
-                    *e["keys"]
-                )
-                if (
-                    broadcast_ok
-                    and fs.getFileStatus(
-                        _jp(jvm, root, e["path"])
-                    ).getLen()
-                    <= 64 << 20
-                ):
-                    d = F.broadcast(d)
-                return d
+            def _keys_df(e):
+                return _sidecar_df(spark, path, [e["path"]], e["keys"])
 
             def _dv_entry_df(paths):
                 if not paths:
                     return None
-                d = spark.read.parquet(
-                    *[f"{root}/{p}" for p in paths]
-                ).select("_dv_file", "_dv_pos")
-                if (
-                    sum(
-                        fs.getFileStatus(_jp(jvm, root, p)).getLen()
-                        for p in paths
-                    )
-                    <= 64 << 20
-                ):
-                    d = F.broadcast(d)
-                return d
+                return _sidecar_df(spark, path, paths, list(_DV_COLS))
 
             added_dv_ent = (
                 _dv_entry_df(sorted(set(cdvs) - set(pdvs)))
@@ -4572,8 +4563,6 @@ def snapshot_resolve_eq(spark: SparkSession, path: str) -> tuple[int, int]:
     groups: dict[int, list[str]] = {}
     for f in affected:
         groups.setdefault(bisect_right(seqs, seq_map.get(f, 0)), []).append(f)
-    root = _root(path)
-    fs, jvm = _fs(spark, root)
     matched_parts = []
     for idx, flist in sorted(groups.items()):
         df = _read_file_list(
@@ -4588,20 +4577,12 @@ def snapshot_resolve_eq(spark: SparkSession, path: str) -> tuple[int, int]:
             by_keys.setdefault(tuple(e["keys"]), []).append(e["path"])
         for keys, paths in sorted(by_keys.items()):
             keycols = list(keys)
-            dele = (
-                spark.read.parquet(*[f"{root}/{p}" for p in paths])
-                .select(*keycols)
-            )
-            if (
-                sum(
-                    fs.getFileStatus(_jp(jvm, root, p)).getLen()
-                    for p in paths
-                )
-                <= 64 << 20
-            ):
-                dele = F.broadcast(dele)
             matched_parts.append(
-                df.join(dele, keycols, "left_semi").select(*_DV_COLS)
+                df.join(
+                    _sidecar_df(spark, path, paths, keycols),
+                    keycols,
+                    "left_semi",
+                ).select(*_DV_COLS)
             )
     matched = matched_parts[0]
     for p in matched_parts[1:]:
@@ -5133,17 +5114,25 @@ def snapshot_drop_column(
                 f"{cname!r} ({cexpr}) references it — drop the "
                 "constraint first"
             ) from None
-    # an outstanding equality delete KEYED on the column would lose
-    # its join column — readers could no longer apply it (silent
-    # resurrection). Resolve first (position tombstones are
-    # column-free), then drop.
-    for e in _eq_entries(man):
-        if name in e["keys"]:
-            raise ValueError(
-                f"cannot drop column {name!r}: outstanding equality "
-                f"delete {e['path']!r} keys on it — run "
-                "snapshot_resolve_eq first"
-            )
+    # an equality delete KEYED on the column anywhere in RETAINED
+    # history blocks the drop: an outstanding entry would lose its
+    # join column at read time (silent resurrection), and even a
+    # resolved one is re-joined by the change feed's eq legs (and can
+    # come back outstanding via restore) — the feed contract is that
+    # any fully-retained range replays, which a missing key column
+    # would break with an AnalysisException. Resolve + vacuum the eq
+    # history first, or use the documented add+backfill pattern.
+    # Metadata-only: one cached state fold per retained version.
+    for hv in versions:
+        hman = _load_manifest(spark, path, hv)
+        for e in _eq_entries(hman):
+            if name in e["keys"]:
+                raise ValueError(
+                    f"cannot drop column {name!r}: equality delete "
+                    f"{e['path']!r} (version {hv}) keys on it — "
+                    "resolve (snapshot_resolve_eq) and vacuum that "
+                    "history first"
+                )
     extra: dict = {"altered_column": name}
     if man.get("stats") is not None:
         extra["stats"] = {

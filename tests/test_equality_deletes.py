@@ -627,6 +627,156 @@ def test_stream_snapshot_upsert_exactly_once(spark, tmp_path, table):
     assert "resolve_eq" in ops and "upsert_eq" in ops
 
 
+def test_drop_column_blocked_by_eq_history(spark, table):
+    """Dropping a column an equality delete ever keyed on (in retained
+    history) refuses even after the entry is resolved: the change
+    feed's eq legs re-join on the key column for any retained range,
+    and a restore can bring the entry back outstanding. Vacuuming the
+    eq history unblocks the drop."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_drop_column,
+        vacuum_snapshots,
+    )
+
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 0, "b")]),
+        table, partition_cols=["month"],
+    )
+    snapshot_append_upsert(
+        spark, table, _df(spark, [(1, 1, "N1")]), ["id"]
+    )
+    snapshot_resolve_eq(spark, table)
+    # resolved, but the upsert_eq version is retained — the feed still
+    # joins on "id" to replay it
+    with pytest.raises(ValueError, match="equality delete"):
+        snapshot_drop_column(spark, table, "id")
+    # the feed replay the guard protects actually works
+    assert _apply_changes(spark, table, []) == _bag(
+        read_snapshot(spark, table)
+    )
+    vacuum_snapshots(spark, table, keep_last=1)
+    v = snapshot_drop_column(spark, table, "id")
+    assert "id" not in read_snapshot(spark, table).columns
+
+
+def test_restore_valid_when_masks_cover_violation(spark, table):
+    """A restore TO a state whose equality entry masks the violating
+    rows must pass the CHECK re-validation (the added-files scan
+    honors the commit's own masking) — only a restore that actually
+    RESURRECTS the violation refuses."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_add_constraint,
+        snapshot_restore,
+    )
+
+    snapshot_write(
+        _df(spark, [(1, 1, "ok"), (2, 1, "BAD")]),
+        table, partition_cols=["month"],
+    )
+    snapshot_delete_keys(
+        spark, table, spark.createDataFrame([(2,)], "id long")
+    )
+    v_masked = _list_manifests(spark, table)[-1]
+    # replace the table wholesale: the old file (and entry) leave
+    snapshot_write(
+        _df(spark, [(3, 1, "ok3")]), table, mode="overwrite",
+        partition_cols=["month"],
+    )
+    snapshot_add_constraint(spark, table, "no_bad", "v <> 'BAD'")
+    # restoring to the masked state re-adds the file holding BAD, but
+    # the carried entry masks it — the restore must succeed
+    snapshot_restore(spark, table, v_masked)
+    assert sorted(
+        r.id for r in read_snapshot(spark, table).collect()
+    ) == [1]
+    # restoring to v1 (entry never existed) resurrects BAD: refused
+    with pytest.raises(ValueError, match="no_bad"):
+        snapshot_restore(spark, table, 1)
+
+
+def test_null_casting_keys_refuse(spark, table):
+    """A key value that CASTS to NULL under the table's key type must
+    refuse like a literal NULL — checked pre-cast it would commit as a
+    silently-lost delete (or an un-supersedable NULL-keyed image)."""
+    snapshot_write(
+        _df(spark, [(1, 1, "a")]), table, partition_cols=["month"]
+    )
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")  # cast -> NULL
+    try:
+        with pytest.raises(ValueError, match="NULL key"):
+            snapshot_delete_keys(
+                spark, table,
+                spark.createDataFrame([("abc",)], "id string"),
+            )
+        with pytest.raises(ValueError, match="NULL key"):
+            snapshot_append_upsert(
+                spark, table,
+                spark.createDataFrame(
+                    [("abc", 1, "x")], "id string, month int, v string"
+                ),
+                ["id"],
+            )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+    assert snapshot_count(spark, table) == 1
+
+
+def test_feed_skip_subtracts_dv_targeted_readds_on_eq_commits(
+    spark, table, tmp_path
+):
+    """A restore that changes the eq set AND re-adds a file carried
+    position tombstones target: skip mode must not stream that file
+    whole (its dead rows would resurrect on the feed) — the DV re-add
+    guard applies inside the eq branch too."""
+    from nyc_taxi_data_warehouse_spark.streaming.snapshot_source import (
+        read_snapshot_stream,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows_dv,
+        snapshot_drop_partitions,
+        snapshot_restore,
+    )
+
+    snapshot_write(
+        _df(spark, [(i, 0, f"s{i}") for i in range(4)]),
+        table, partition_cols=["month"],
+    )
+    snapshot_delete_keys(  # E1: matches nothing, seq 2
+        spark, table, spark.createDataFrame([(999,)], "id long")
+    )
+    snapshot_write(  # F: seq 3 — E1 does NOT apply to it
+        _df(spark, [(10, 1, "f10"), (11, 1, "f11")]),
+        table, mode="append", partition_cols=["month"],
+    )
+    snapshot_delete_rows_dv(spark, table, "id", [0, 10])  # D targets both
+    v_pre_drop = _list_manifests(spark, table)[-1]
+    snapshot_drop_partitions(spark, table, {"month": 1})  # F leaves, D stays
+    snapshot_delete_keys(  # E2 — so the restore's eq set CHANGES
+        spark, table, spark.createDataFrame([(998,)], "id long")
+    )
+    snapshot_restore(spark, table, v_pre_drop)  # re-adds F, dvs unchanged
+    out = tmp_path / "out"
+    q = (
+        read_snapshot_stream(spark, table, on_non_append="skip")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    # id=10's file is tombstone-targeted: the restore must NOT
+    # re-stream it (its dead row would resurrect on the feed)
+    assert got.where("id = 10").count() == 1
+    # id=11's file is NOT targeted: the restore re-add streams it
+    # again — skip mode's documented behavior for plain restores too
+    # (re-adds are inserts; only tombstone-targeted ones are dropped)
+    assert got.where("id = 11").count() == 2
+    assert got.count() == 7
+
+
 def test_eq_cli_surface(spark, table, capsys):
     """snapshot-delete-keys and snapshot-resolve-eq round-trip through
     the CLI."""

@@ -555,3 +555,69 @@ def test_postings_sync_follows_dv_deletes_and_updates(spark, tmp_path):
     )
     assert rows == rebuild
     assert ("secret", 2) not in rows and ("omega", 3) in rows
+
+
+def test_postings_sync_follows_equality_deletes(spark, tmp_path):
+    """EQUALITY-delete DML (zero-read upserts / key deletes) reaches
+    the satellite indexes through the same change feed: the feed's eq
+    legs emit the masked rows as deletes and the images as inserts, so
+    an upsert re-postings the new text, a key delete drops the doc,
+    and the resolve contributes nothing — synced index == rebuild at
+    every cursor stop."""
+    from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
+        snapshot_append_upsert,
+        snapshot_delete_keys,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_resolve_eq,
+    )
+
+    table = str(tmp_path / "eq_docs")
+    idx = str(tmp_path / "eq_postings")
+    v1 = snapshot_write_with_stats(
+        _docs(
+            spark,
+            [
+                (1, "alpha beta"),
+                (2, "beta gamma secret"),
+                (3, "delta epsilon"),
+            ],
+        ),
+        table,
+        stats_cols=["doc_id"],
+    )
+    write_postings_index(
+        postings(read_snapshot(spark, table), "text", "doc_id"), idx
+    )
+    set_postings_sync_cursor(spark, idx, v1)
+
+    snapshot_append_upsert(
+        spark, table, _docs(spark, [(2, "omega rewritten")]), ["doc_id"]
+    )
+    snapshot_delete_keys(
+        spark, table, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    res = sync_postings_from_snapshot(spark, table, idx)
+    assert res["docs_deleted"] >= 1 and res["docs_upserted"] == 1
+
+    def _assert_matches_rebuild():
+        rows = sorted(
+            (r.term, r.doc_id) for r in spark.read.parquet(idx).collect()
+        )
+        rebuild = sorted(
+            (r.term, r.doc_id)
+            for r in postings(
+                read_snapshot(spark, table), "text", "doc_id"
+            ).collect()
+        )
+        assert rows == rebuild
+        return rows
+
+    rows = _assert_matches_rebuild()
+    assert ("secret", 2) not in rows and ("omega", 2) in rows
+    assert not [t for t in rows if t[1] == 3]
+    # the resolve is index-invisible: syncing across it is a no-op
+    snapshot_resolve_eq(spark, table)
+    res = sync_postings_from_snapshot(spark, table, idx)
+    assert res["docs_deleted"] == 0 and res["docs_upserted"] == 0
+    _assert_matches_rebuild()
