@@ -203,6 +203,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "retention.keep_last property, else 2",
     )
     sv.add_argument(
+        "--older-than", default=None,
+        help="age floor (ISO timestamp or epoch seconds): only "
+        "versions committed before it drop; default resolves the "
+        "table's retention.max_age_hours property when set",
+    )
+    sv.add_argument(
         "--sweep-orphans", action="store_true",
         help="also delete data files no retained manifest references "
         "(crashed-commit debris), age-gated by --orphan-grace-seconds",
@@ -647,7 +653,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from .warehouse.snapshots import sweep_orphans, vacuum_snapshots
 
             out = vacuum_snapshots(
-                spark, args.table_path, keep_last=args.keep_last
+                spark, args.table_path, keep_last=args.keep_last,
+                older_than=(
+                    float(args.older_than)
+                    if args.older_than is not None
+                    and args.older_than.replace(".", "", 1).isdigit()
+                    else args.older_than
+                ),
             )
             if args.sweep_orphans:
                 sw = sweep_orphans(

@@ -2339,7 +2339,10 @@ def _tag_versions(spark: SparkSession, path: str) -> dict[str, int]:
 
 
 def vacuum_snapshots(
-    spark: SparkSession, path: str, keep_last: int | None = None
+    spark: SparkSession,
+    path: str,
+    keep_last: int | None = None,
+    older_than=None,
 ) -> dict:
     """Drop all but the newest ``keep_last`` versions and delete data
     files no surviving version references. Time travel to dropped
@@ -2352,6 +2355,14 @@ def vacuum_snapshots(
     owner declares retention ONCE (``snapshot_set_properties``) and
     every maintenance job honors it without plumbing a number through
     schedulers; an explicit argument still wins.
+
+    ``older_than`` (datetime | ISO string | epoch seconds) adds an AGE
+    FLOOR: only versions committed before it are dropped, so
+    "keep a week of time travel" composes with "always keep the last
+    N" — a burst of commits never prematurely ages out history, and a
+    quiet table never drops below ``keep_last``. Resolved from the
+    table's ``retention.max_age_hours`` property when unset (both
+    gates then come from declared policy).
 
     Branch/tag aware: TAGGED versions are never dropped regardless of
     ``keep_last`` (delete the tag first), and files referenced by ANY
@@ -2366,9 +2377,10 @@ def vacuum_snapshots(
         )
     fs, jvm = _fs(spark, path)
     versions = _list_manifests(spark, path)
+    head = _load_manifest(spark, path, versions[-1]) if versions else {}
+    props = head.get("props") or {}
     if keep_last is None:
-        head = _load_manifest(spark, path, versions[-1]) if versions else {}
-        raw = (head.get("props") or {}).get("retention.keep_last", "2")
+        raw = props.get("retention.keep_last", "2")
         try:
             keep_last = int(raw)
         except ValueError as e:
@@ -2378,8 +2390,30 @@ def vacuum_snapshots(
             ) from e
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if older_than is None and props.get("retention.max_age_hours"):
+        import time as _time
+
+        try:
+            hours = float(props["retention.max_age_hours"])
+        except ValueError as e:
+            raise ValueError(
+                "table property retention.max_age_hours="
+                f"{props['retention.max_age_hours']!r} is not a number"
+            ) from e
+        older_than = _time.time() - hours * 3600.0
+    cutoff_ms = _to_epoch_ms(older_than) if older_than is not None else None
     tagged = set(_tag_versions(spark, path).values())
     drop = [v for v in versions[:-keep_last] if v not in tagged]
+    if cutoff_ms is not None:
+        drop = [
+            v
+            for v in drop
+            if (
+                _load_manifest(spark, path, v).get("committed_at_ms")
+                or 0
+            )
+            < cutoff_ms
+        ]
     keep = [v for v in versions if v not in drop]
     referenced: set[str] = set()
     for v in keep:
@@ -2569,11 +2603,13 @@ def snapshot_maintain(spark: SparkSession, path: str) -> dict:
       sidecars once this many have accumulated AND consolidation
       would materially shrink the set (``_maybe_auto_compact_dvs``'s
       gates, applied at maintenance time instead of per-DML).
-    - ``retention.keep_last`` — vacuum old versions + unreferenced
-      files. Vacuum runs ONLY when the owner has declared retention:
-      an undeclared policy means "keep history", never "apply a
-      default cutoff" — maintenance must not be the thing that
-      silently destroys time travel.
+    - ``retention.keep_last`` / ``retention.max_age_hours`` — vacuum
+      old versions + unreferenced files (count floor AND/OR age
+      floor; both compose — see ``vacuum_snapshots``). Vacuum runs
+      ONLY when the owner has declared retention: an undeclared
+      policy means "keep history", never "apply a default cutoff" —
+      maintenance must not be the thing that silently destroys time
+      travel.
     - ``maintain.orphan_grace_hours`` — sweep crashed-commit debris
       older than the grace window (age gate per ``sweep_orphans``).
     - ``maintain.eq_resolve_entries`` — fold accumulated
@@ -2641,7 +2677,10 @@ def snapshot_maintain(spark: SparkSession, path: str) -> dict:
             report["compact_dvs"] = "conflict"
     else:
         report["compact_dvs"] = "skipped"
-    if props.get("retention.keep_last") is not None:
+    if (
+        props.get("retention.keep_last") is not None
+        or props.get("retention.max_age_hours") is not None
+    ):
         report["vacuum"] = vacuum_snapshots(spark, path)
     else:
         report["vacuum"] = "skipped"

@@ -821,6 +821,43 @@ def test_eq_read_plan_is_broadcast_only(spark, table):
     assert [r for r in rows if r == 5] == [5]
 
 
+def test_concurrent_upserters_all_land_exactly_once(spark, table):
+    """6 threads race keyed upserts (disjoint keys) against one table
+    with conflict retries: the exclusive manifest claim serializes
+    them, every writer's image and eq entry land exactly once, masks
+    compose (each upsert's entry applies to everything before it), and
+    the final state equals a sequential replay."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    snapshot_write(
+        _df(spark, [(i, 0, f"seed{i}") for i in range(6)]),
+        table, partition_cols=["month"],
+    )
+
+    def upsert(i):
+        v, n = snapshot_append_upsert(
+            spark, table, _df(spark, [(i, 0, f"up{i}")]), ["id"],
+            retries=50,
+        )
+        assert n == 1
+        return v
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = list(ex.map(upsert, range(6)))
+    assert sorted(versions) == list(range(2, 8))  # distinct, gapless
+    got = sorted((r.id, r.v) for r in read_snapshot(spark, table).collect())
+    assert got == [(i, f"up{i}") for i in range(6)]
+    assert snapshot_count(spark, table) == 6
+    man = _head(spark, table)
+    assert len(man["eqs"]) == 6
+    # and the fold agrees
+    v, n = snapshot_resolve_eq(spark, table)
+    assert n == 6  # exactly the six seed images
+    assert sorted(
+        (r.id, r.v) for r in read_snapshot(spark, table).collect()
+    ) == got
+
+
 def test_eq_cli_surface(spark, table, capsys):
     """snapshot-delete-keys and snapshot-resolve-eq round-trip through
     the CLI."""

@@ -129,6 +129,65 @@ def test_vacuum_reclaims_only_unreferenced(spark, table):
         read_snapshot(spark, table, version=1)
 
 
+def test_vacuum_age_floor_composes_with_keep_last(spark, table):
+    """vacuum_snapshots(older_than=...) drops only versions COMMITTED
+    before the floor, intersected with the keep_last prefix — a burst
+    of recent commits never ages out, a quiet table never drops below
+    keep_last, and the declared retention.max_age_hours property
+    drives the same gate through snapshot_maintain."""
+    import time
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_set_properties,
+        snapshot_versions,
+    )
+
+    for i in range(4):
+        snapshot_write(
+            _df(spark, [(i, 1, f"v{i}")]), table,
+            mode="append" if i else "overwrite",
+        )
+    # age floor in the future + huge keep_last: nothing old enough is
+    # outside the keep window... keep_last=1 with a floor BEFORE all
+    # commits: nothing drops (age floor protects everything)
+    res = vacuum_snapshots(
+        spark, table, keep_last=1, older_than=time.time() - 3600
+    )
+    assert res["versions_dropped"] == 0
+    assert len(snapshot_versions(spark, table)) == 4
+    # floor after all commits: keep_last alone decides
+    res = vacuum_snapshots(
+        spark, table, keep_last=3, older_than=time.time() + 3600
+    )
+    assert res["versions_dropped"] == 1
+    assert [h["version"] for h in snapshot_versions(spark, table)] == [
+        2, 3, 4,
+    ]
+    # declared age policy: maintain runs vacuum from it (a generous
+    # age keeps everything; the step still RUNS — not "skipped")
+    snapshot_set_properties(
+        spark, table, {"retention.max_age_hours": "9999"}
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_maintain,
+    )
+
+    rep = snapshot_maintain(spark, table)
+    assert rep["vacuum"] != "skipped"
+    assert rep["vacuum"]["versions_dropped"] == 0
+    assert len(snapshot_versions(spark, table)) > 1
+    # ... and an aggressive age drops down to keep_last's floor (the
+    # property default keep_last=2 still protects the newest two)
+    snapshot_set_properties(
+        spark, table, {"retention.max_age_hours": "0"}
+    )
+    rep = snapshot_maintain(spark, table)
+    assert [h["version"] for h in snapshot_versions(spark, table)] == [
+        # the two property commits are the newest two versions
+        5, 6,
+    ]
+
+
 def test_empty_table_round_trips_schema(spark, table):
     empty = _df(spark, []).where(F.lit(False))
     v = snapshot_write(empty, table)
@@ -1237,6 +1296,13 @@ def test_snapshot_cli_history_and_vacuum(spark, table, capsys):
     assert cli("snapshot-history", "--table-path", table) == 0
     hist = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [h["version"] for h in hist] == [1, 2, 3]
+    # an age floor in the past protects everything despite keep-last
+    assert cli(
+        "snapshot-vacuum", "--table-path", table, "--keep-last", "1",
+        "--older-than", "1000000",  # epoch seconds, long before now
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["versions_dropped"] == 0
     assert cli("snapshot-vacuum", "--table-path", table, "--keep-last", "1") == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["versions_dropped"] == 2
