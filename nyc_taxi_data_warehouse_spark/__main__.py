@@ -652,14 +652,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.cmd == "snapshot-vacuum":
             from .warehouse.snapshots import sweep_orphans, vacuum_snapshots
 
+            # raw string through: _to_epoch_ms tries ISO first (so a
+            # basic-format date like 20260815 is a DATE, not epoch
+            # seconds), falling back to numeric epoch
             out = vacuum_snapshots(
                 spark, args.table_path, keep_last=args.keep_last,
-                older_than=(
-                    float(args.older_than)
-                    if args.older_than is not None
-                    and args.older_than.replace(".", "", 1).isdigit()
-                    else args.older_than
-                ),
+                older_than=args.older_than,
             )
             if args.sweep_orphans:
                 sw = sweep_orphans(
@@ -804,7 +802,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark, args.src_path, args.dst_path,
                 [k.strip() for k in args.keys.split(",") if k.strip()],
                 partition_cols=(
-                    [c.strip() for c in args.partition_by.split(",")]
+                    [
+                        c.strip()
+                        for c in args.partition_by.split(",")
+                        if c.strip()
+                    ]
                     if args.partition_by
                     else None
                 ),

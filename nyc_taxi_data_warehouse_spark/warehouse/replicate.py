@@ -44,7 +44,12 @@ from .eqdeletes import (
     snapshot_delete_keys,
 )
 from .snapshots import (
+    _fs,
+    _jp,
     _list_manifests,
+    _load_manifest,
+    _read_bytes,
+    _write_bytes_exclusive,
     read_snapshot,
     snapshot_changes,
     snapshot_properties,
@@ -53,6 +58,11 @@ from .snapshots import (
 )
 
 _CURSOR = "replica.cursor"
+_KEYS = "replica.keys"
+# bootstrap crash marker: written BEFORE the replica's v1, deleted
+# after the cursor property lands — a crash between the two leaves a
+# resumable breadcrumb instead of a table future runs must reject
+_MARKER = "_replica_bootstrap.json"
 
 
 def replicate_keyed(
@@ -85,15 +95,45 @@ def replicate_keyed(
     replica of "active users" drops a user the moment an update
     flips their status.
 
-    The cursor range must still be retained on the source (loud
-    ``FileNotFoundError`` from ``snapshot_changes`` otherwise — vacuum
-    outran the replica; re-bootstrap into a fresh path)."""
+    Refusals are LOUD everywhere ambiguity could corrupt: a
+    pre-existing non-replica table at ``dst_path``, a ``keys`` list
+    that differs from the one persisted at bootstrap
+    (``replica.keys``), a source whose transformed schema drifted from
+    the replica's (ADD COLUMN on the source — evolve the replica with
+    ``snapshot_add_column`` or re-bootstrap), a cursor AHEAD of the
+    source's head (dropped-and-recreated source / wrong ``src_path``),
+    NULL key values (at bootstrap AND in every applied image — a keyed
+    replica of a NULL-keyed source is not maintainable), and a cursor
+    below the source's vacuum cutoff (``FileNotFoundError`` from
+    ``snapshot_changes`` — re-bootstrap into a fresh path)."""
+    import json as _json
+
     xf = transform or (lambda df: df)
     src_versions = _list_manifests(spark, src_path)
     if not src_versions:
         raise FileNotFoundError(f"no snapshot versions at {src_path}")
     head = src_versions[-1]
+    fs, jvm = _fs(spark, dst_path)
+    marker_jp = _jp(jvm, dst_path, _MARKER)
+
+    def _read_marker() -> dict | None:
+        if not fs.exists(marker_jp):
+            return None
+        return _json.loads(_read_bytes(fs, jvm, marker_jp).decode("utf-8"))
+
+    def _check_marker(m: dict) -> None:
+        if m["src"] != src_path or m["keys"] != list(keys):
+            raise ValueError(
+                f"half-finished bootstrap at {dst_path} records "
+                f"src={m['src']!r} keys={m['keys']} — refusing to "
+                f"resume it as src={src_path!r} keys={list(keys)}"
+            )
+
     if not _list_manifests(spark, dst_path):
+        marker = _read_marker()
+        if marker is not None:
+            _check_marker(marker)  # crash before v1: redo from scratch
+            fs.delete(marker_jp, False)
         snap = xf(read_snapshot(spark, src_path, version=head))
         missing = [k for k in keys if k not in snap.columns]
         if missing:
@@ -101,24 +141,73 @@ def replicate_keyed(
                 f"transform dropped key column(s) {missing} — a keyed "
                 "replica cannot apply deletes without them"
             )
+        null_cond = F.lit(False)
+        for k in keys:
+            null_cond = null_cond | F.col(k).isNull()
+        bad = snap.where(null_cond).limit(1).collect()
+        if bad:
+            raise ValueError(
+                "NULL key in the source snapshot — a keyed replica "
+                "cannot mask or delete NULL-keyed rows (any later "
+                "change to one would wedge every refresh); offender: "
+                f"{bad[0].asDict()}"
+            )
+        _write_bytes_exclusive(
+            fs, marker_jp,
+            _json.dumps(
+                {"src": src_path, "keys": list(keys), "head": head},
+                sort_keys=True,
+            ).encode("utf-8"),
+        )
         snapshot_write(
             snap, dst_path, partition_cols=partition_cols
         )
-        snapshot_set_properties(spark, dst_path, {_CURSOR: str(head)})
+        snapshot_set_properties(
+            spark, dst_path,
+            {_CURSOR: str(head), _KEYS: ",".join(keys)},
+        )
+        fs.delete(marker_jp, False)
         return {
             "source_version": head,
             "upserted": None,  # bootstrap: whole snapshot
             "deleted_keys": 0,
         }
-    raw = snapshot_properties(spark, dst_path).get(_CURSOR)
+    props = snapshot_properties(spark, dst_path)
+    raw = props.get(_CURSOR)
     if raw is None:
+        marker = _read_marker()
+        if marker is None:
+            raise ValueError(
+                f"{dst_path} exists but has no {_CURSOR} property — "
+                "not a replica this module maintains (bootstrap into "
+                "a fresh path)"
+            )
+        # crash between the bootstrap write and the cursor property:
+        # finish the bootstrap from the marker's recorded state
+        _check_marker(marker)
+        snapshot_set_properties(
+            spark, dst_path,
+            {_CURSOR: str(marker["head"]), _KEYS: ",".join(keys)},
+        )
+        fs.delete(marker_jp, False)
+        props = snapshot_properties(spark, dst_path)
+        raw = props[_CURSOR]
+    recorded_keys = props.get(_KEYS)
+    if recorded_keys is not None and recorded_keys != ",".join(keys):
         raise ValueError(
-            f"{dst_path} exists but has no {_CURSOR} property — not a "
-            "replica this module maintains (bootstrap into a fresh "
-            "path)"
+            f"replica at {dst_path} was bootstrapped with keys="
+            f"{recorded_keys!r} — refusing to refresh with "
+            f"{','.join(keys)!r} (mis-keyed eq entries would corrupt "
+            "masking)"
         )
     cursor = int(raw)
-    if head <= cursor:
+    if head < cursor:
+        raise ValueError(
+            f"replica cursor {cursor} is AHEAD of {src_path}'s head "
+            f"{head} — dropped-and-recreated source or wrong src_path; "
+            "re-bootstrap into a fresh path"
+        )
+    if head == cursor:
         return {"source_version": cursor, "upserted": 0, "deleted_keys": 0}
     ch = snapshot_changes(
         spark, src_path, from_version=cursor, to_version=head
@@ -149,6 +238,24 @@ def replicate_keyed(
         raise ValueError(
             f"transform dropped key column(s) {missing} — a keyed "
             "replica cannot apply deletes without them"
+        )
+    # schema drift refuses loudly: a source ADD COLUMN makes the feed's
+    # images wider than the replica, and the upsert's cast-select would
+    # silently NARROW them — the replica would quietly stop mirroring
+    # transform(source). Evolve the replica (snapshot_add_column) or
+    # re-bootstrap, then re-run.
+    replica_cols = {
+        f["name"]
+        for f in _load_manifest(
+            spark, dst_path, _list_manifests(spark, dst_path)[-1]
+        )["schema"]["fields"]
+    }
+    drifted = sorted(set(images.columns) - replica_cols)
+    if drifted:
+        raise ValueError(
+            f"source/transform now produces column(s) {drifted} the "
+            f"replica at {dst_path} does not have — evolve the replica "
+            "(snapshot_add_column) or re-bootstrap, then re-run"
         )
     # keys whose final state is a delete, PLUS keys whose new image the
     # transform filtered away (an update can move a row out of the

@@ -913,7 +913,13 @@ def _to_epoch_ms(ts) -> int:
     if isinstance(ts, _dt.datetime):
         return int(ts.timestamp() * 1000)
     if isinstance(ts, str):
-        return int(_dt.datetime.fromisoformat(ts).timestamp() * 1000)
+        # ISO wins for strings: '20260815' is basic-format ISO (a CLI
+        # digit-sniffing heuristic would misroute it to epoch-seconds
+        # 1970); plain numeric strings that aren't ISO fall through
+        try:
+            return int(_dt.datetime.fromisoformat(ts).timestamp() * 1000)
+        except ValueError:
+            return int(float(ts) * 1000)
     return int(float(ts) * 1000)
 
 
@@ -2405,15 +2411,21 @@ def vacuum_snapshots(
     tagged = set(_tag_versions(spark, path).values())
     drop = [v for v in versions[:-keep_last] if v not in tagged]
     if cutoff_ms is not None:
-        drop = [
-            v
-            for v in drop
-            if (
-                _load_manifest(spark, path, v).get("committed_at_ms")
-                or 0
-            )
-            < cutoff_ms
-        ]
+
+        def _commit_ms(v: int) -> int:
+            # legacy manifests predate committed_at_ms: fall back to
+            # the manifest file's mtime, the SAME clock
+            # snapshot_version_at resolves with — treating them as
+            # epoch 0 would age out history the declared policy
+            # promised to keep
+            t = _load_manifest(spark, path, v).get("committed_at_ms")
+            if t is None:
+                t = fs.getFileStatus(
+                    _jp(jvm, path, _VDIR, f"{v:08d}.json")
+                ).getModificationTime()
+            return t
+
+        drop = [v for v in drop if _commit_ms(v) < cutoff_ms]
     keep = [v for v in versions if v not in drop]
     referenced: set[str] = set()
     for v in keep:

@@ -198,6 +198,108 @@ def test_replica_refuses_foreign_table_and_vacuumed_gap(spark, tmp_path):
         replicate_keyed(spark, src, dst2, ["id"])
 
 
+def test_replica_refusals_schema_drift_keys_cursor_nulls(spark, tmp_path):
+    """REVIEW r8: every ambiguity refuses loudly instead of silently
+    diverging — source ADD COLUMN (images wider than the replica),
+    a keys list differing from the bootstrap's persisted one, a cursor
+    ahead of the source head (dropped/recreated source), and NULL keys
+    at the bootstrap front door."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_add_column,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 0, "b")]), src,
+        partition_cols=["month"],
+    )
+    replicate_keyed(spark, src, dst, ["id"])
+    # source schema evolves; a changed row's image is now wider
+    snapshot_add_column(spark, src, "score", "double")
+    snapshot_append_upsert(
+        spark, src,
+        spark.createDataFrame(
+            [(1, 1, "a2", 0.5)],
+            "id long, month int, v string, score double",
+        ),
+        ["id"],
+    )
+    with pytest.raises(ValueError, match="score"):
+        replicate_keyed(spark, src, dst, ["id"])
+    # evolve the replica the same way: the refresh then applies
+    snapshot_add_column(spark, dst, "score", "double")
+    replicate_keyed(spark, src, dst, ["id"])
+    got = {
+        (r.id, r.v, r.score)
+        for r in read_snapshot(spark, dst).collect()
+    }
+    assert (1, "a2", 0.5) in got and (2, "b", None) in got
+    # keys mismatch vs the persisted replica.keys
+    with pytest.raises(ValueError, match="keys"):
+        replicate_keyed(spark, src, dst, ["id", "month"])
+    # cursor ahead of a recreated (shorter) source
+    import shutil
+
+    shutil.rmtree(src)
+    snapshot_write(
+        spark.createDataFrame(
+            [(9, 9, "z", None)],
+            "id long, month int, v string, score double",
+        ),
+        src, partition_cols=["month"],
+    )
+    with pytest.raises(ValueError, match="AHEAD"):
+        replicate_keyed(spark, src, dst, ["id"])
+    # NULL keys refuse at the bootstrap front door
+    src2 = str(tmp_path / "src2")
+    snapshot_write(
+        spark.createDataFrame(
+            [(None, 1, "ghost")], "id long, month int, v string"
+        ),
+        src2, partition_cols=["month"],
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        replicate_keyed(spark, src2, str(tmp_path / "dst2"), ["id"])
+
+
+def test_replica_bootstrap_crash_resumes(spark, tmp_path):
+    """REVIEW r8: a crash between the bootstrap write and the cursor
+    property leaves the marker breadcrumb — the next run finishes the
+    bootstrap (cursor from the marker's recorded head) instead of
+    rejecting its own half-finished table; a marker recording a
+    DIFFERENT src/keys refuses."""
+    import json as _json
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write(
+        _df(spark, [(1, 1, "a"), (2, 0, "b")]), src,
+        partition_cols=["month"],
+    )
+    # forge the crash state: marker + v1, no cursor property
+    os.makedirs(dst, exist_ok=True)
+    with open(os.path.join(dst, "_replica_bootstrap.json"), "w") as f:
+        _json.dump({"src": src, "keys": ["id"], "head": 1}, f)
+    snapshot_write(
+        read_snapshot(spark, src, version=1), dst,
+        partition_cols=["month"],
+    )
+    # source advances before the resume
+    snapshot_delete_keys(
+        spark, src, spark.createDataFrame([(2,)], "id long")
+    )
+    # wrong identity refuses
+    with pytest.raises(ValueError, match="refusing to resume"):
+        replicate_keyed(spark, src, dst, ["id", "month"])
+    rep = replicate_keyed(spark, src, dst, ["id"])
+    assert rep["deleted_keys"] == 1
+    assert not os.path.exists(os.path.join(dst, "_replica_bootstrap.json"))
+    _assert_mirrors(spark, src, dst)
+    assert snapshot_properties(spark, dst)["replica.keys"] == "id"
+
+
 def test_replica_writes_are_o_changes(spark, tmp_path):
     """The refresh never reads or rewrites the replica: applying a
     one-key change to a replica of a much larger table writes bytes

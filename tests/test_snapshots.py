@@ -155,10 +155,11 @@ def test_vacuum_age_floor_composes_with_keep_last(spark, table):
     )
     assert res["versions_dropped"] == 0
     assert len(snapshot_versions(spark, table)) == 4
-    # floor after all commits: keep_last alone decides
-    res = vacuum_snapshots(
-        spark, table, keep_last=3, older_than=time.time() + 3600
-    )
+    # floor after all commits: keep_last alone decides. The string is
+    # BASIC-format ISO (year 2999) and must parse as a DATE — a
+    # digit-sniffing heuristic would read it as epoch seconds (1970),
+    # silently protect everything, and this drop would not happen.
+    res = vacuum_snapshots(spark, table, keep_last=3, older_than="29990101")
     assert res["versions_dropped"] == 1
     assert [h["version"] for h in snapshot_versions(spark, table)] == [
         2, 3, 4,
