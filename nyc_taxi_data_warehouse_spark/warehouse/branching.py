@@ -57,6 +57,7 @@ from .snapshots import (
     SnapshotConflict,
     _branch_names,
     _check_ref_name,
+    _colmap,
     _commit,
     _dv_targets_for,
     _storage_refs,
@@ -137,6 +138,9 @@ def create_branch(
         eq_files=man.get("eqs"),
         known_seq=man.get("seq"),
         last_seq_floor=int(man.get("last_seq") or man.get("version") or 0),
+        # the base state's logical→physical column map travels with the
+        # fork (the carried files store physical names — see _colmap)
+        colmap=_colmap(man) or None,
     )
     return ref
 
@@ -269,6 +273,9 @@ def publish_branch(
         last_seq_floor=int(
             head.get("last_seq") or head.get("version") or 0
         ),
+        # whole-state carry of the branch head's column map too (a
+        # branch-side RENAME publishes like any other metadata change)
+        colmap=_colmap(head) or None,
     )
 
 

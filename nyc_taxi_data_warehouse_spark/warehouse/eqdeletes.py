@@ -50,6 +50,7 @@ from pyspark.sql.types import StructType
 
 from .snapshots import (
     SnapshotConflict,
+    _colmap,
     _commit,
     _eq_entries,
     _list_manifests,
@@ -186,13 +187,25 @@ def snapshot_append_upsert(
     n = batch.count()
     if n == 0:
         return versions[-1], 0
-    _, new_files = _write_commit_files(batch, path, partition_cols)
-    # the key sidecar: one row per distinct key tuple, one file (keys
-    # are batch-sized — the whole point is that this is tiny)
-    _, eq_files = _write_commit_files(
-        batch.select(*keys).distinct().coalesce(1), path, None
+    cmap = _colmap(man)
+    _, new_files = _write_commit_files(
+        batch, path, partition_cols, colmap=cmap or None
     )
-    entry = {"path": eq_files[0], "seq": None, "keys": list(keys)}
+    # the key sidecar: one row per distinct key tuple, one file (keys
+    # are batch-sized — the whole point is that this is tiny). Sidecar
+    # columns and the entry's recorded keys are PHYSICAL names, like
+    # the file columns they mask (see _colmap) — stable across renames
+    pkeys = [cmap.get(k, k) for k in keys]
+    _, eq_files = _write_commit_files(
+        batch.select(
+            *[F.col(k).alias(cmap.get(k, k)) for k in keys]
+        )
+        .distinct()
+        .coalesce(1),
+        path,
+        None,
+    )
+    entry = {"path": eq_files[0], "seq": None, "keys": pkeys}
     extra = dict(extra or {})
     extra.update({"rows_appended": n, "eq_added": eq_files})
     stats_cols = man.get("stats_cols") or []
@@ -260,12 +273,19 @@ def snapshot_delete_keys(
         *[F.col(k).cast(fields[k].dataType).alias(k) for k in keys]
     )
     _check_keys(casted, keys)
-    dele = casted.distinct().coalesce(1).localCheckpoint(eager=True)
+    cmap = _colmap(man)
+    dele = (
+        casted.select(*[F.col(k).alias(cmap.get(k, k)) for k in keys])
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
     n = dele.count()
     if n == 0:
         return versions[-1], 0
     _, eq_files = _write_commit_files(dele, path, None)
-    entry = {"path": eq_files[0], "seq": None, "keys": keys}
+    # sidecar columns / entry keys in PHYSICAL names (see _colmap)
+    entry = {"path": eq_files[0], "seq": None, "keys": [cmap.get(k, k) for k in keys]}
     extra = dict(extra or {})
     extra.update({"eq_added": eq_files, "eq_key_count": n})
     checked: set[int] = set()

@@ -273,15 +273,64 @@ def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
     )
 
 
+def _colmap(man: dict) -> dict:
+    """The manifest's logical→physical column-name map (RENAME
+    support). Identity entries are never stored; absent/empty means
+    every column's on-disk name equals its logical name (all
+    pre-rename history). Physical names are FROZEN at add time:
+    ``snapshot_rename_column`` changes only the logical name in
+    ``man["schema"]`` and records the mapping here, so every file —
+    written before OR after the rename — stores the same physical
+    column, and readers alias once at the read boundary instead of
+    resolving names per file (the silent-null hazard a naive rename
+    has). Everything BELOW the manifest boundary is physical: file
+    columns, per-file stats keys, ``stats_cols``, partition
+    directories, equality-delete sidecar columns and entry keys."""
+    return man.get("colmap") or {}
+
+
+def _phys(man: dict, col: str) -> str:
+    """Physical (on-disk) name of logical column ``col`` per the
+    MANIFEST's colmap."""
+    return _colmap(man).get(col, col)
+
+
+def _phys_fields(schema: StructType, colmap: dict) -> StructType:
+    """``schema`` with field names mapped logical→physical."""
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(
+                colmap.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 def _write_commit_files(
-    df: DataFrame, path: str, partition_cols: list[str] | None
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None,
+    colmap: dict | None = None,
 ) -> tuple[str, list[str]]:
     """Write ``df`` as a new immutable commit dir; returns (commit id,
     file paths RELATIVE to the table root). Branch refs write into the
-    same root data/ pool as main (uuid commit dirs cannot collide)."""
+    same root data/ pool as main (uuid commit dirs cannot collide).
+
+    ``colmap`` (logical→physical, see ``_colmap``): ``df`` arrives
+    with LOGICAL names from every writer; files always store PHYSICAL
+    names, so renamed columns keep one on-disk identity across the
+    table's whole history. ``partition_cols`` are already physical
+    (the manifest stores the directory layout's names)."""
     path = _root(path)
     commit = uuid.uuid4().hex
     dest = f"{path}/{_DDIR}/{commit}"
+    if colmap:
+        df = df.select(
+            *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+        )
     writer = df.write.mode("error")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -430,6 +479,7 @@ def _commit(
     eq_files=_DV_INHERIT,
     known_seq: dict | None = None,
     last_seq_floor: int | None = None,
+    colmap=_DV_INHERIT,
 ) -> int:
     """``dv_files`` — the DELETION-VECTOR sidecars active at this
     version (parquet relpaths of (file, pos) tombstones, merged at
@@ -497,6 +547,13 @@ def _commit(
         dv_targets = None
     if eq_files == _DV_INHERIT:
         eq_files = pman.get("eqs") if pman else None
+    # logical→physical column map (RENAME; see _colmap). INHERIT from
+    # the parent like every carried scalar; whole-state ops (restore,
+    # fork, publish) pass the source manifest's; full overwrites pass
+    # None (fresh files are written physical == logical).
+    if colmap == _DV_INHERIT:
+        colmap = _colmap(pman) if pman else None
+    colmap = dict(colmap) if colmap else None
     files = sorted(files)
     if len(set(files)) != len(files):
         raise ValueError(f"duplicate relpaths in commit file list at {path}")
@@ -592,6 +649,7 @@ def _commit(
             dv_targets=sorted(set(dv_targets)) if dv_targets else None,
             eq_entries=eq_files,
             file_seq=seq,
+            colmap=colmap,
         )
         # Rows can also go live WITHOUT a new file: a commit that
         # DROPS tombstone sidecars (restore rolling back past a DV
@@ -620,6 +678,7 @@ def _commit(
                     else None,
                     eq_entries=eq_files,
                     file_seq=seq,
+                    colmap=colmap,
                 )
         # Same resurrection hazard for EQUALITY deletes: an entry that
         # left the state (restore rolling back past an upsert) brings
@@ -651,6 +710,7 @@ def _commit(
                     else None,
                     eq_entries=eq_files,
                     file_seq=seq,
+                    colmap=colmap,
                 )
     state = {
         "files": files,
@@ -689,6 +749,7 @@ def _commit(
         # ``_require_same_layout``) and rewrites (delete/compact) must
         # reproduce it.
         "partition_cols": list(partition_cols) if partition_cols else None,
+        **({"colmap": colmap} if colmap else {}),
         **extra,
     }
     if pman is not None and pman.get("manifest_id"):
@@ -764,12 +825,15 @@ def snapshot_write(
     spark = df.sparkSession
     versions = _list_manifests(spark, path)
     parent = versions[-1] if versions else None
+    cmap = None
     if mode == "append" and parent is not None:
+        pman = _load_manifest(spark, path, parent)
         # fail fast BEFORE the expensive data write
-        _require_same_layout(
-            _load_manifest(spark, path, parent), partition_cols, "append"
-        )
-    _, new_files = _write_commit_files(df, path, partition_cols)
+        _require_same_layout(pman, partition_cols, "append")
+        # appended files store PHYSICAL names (frozen across renames —
+        # see _colmap); a full overwrite starts a fresh identity map
+        cmap = _colmap(pman) or None
+    _, new_files = _write_commit_files(df, path, partition_cols, colmap=cmap)
     for attempt in range(retries + 1):
         files = new_files
         if mode == "append" and parent is not None:
@@ -781,6 +845,7 @@ def snapshot_write(
                 spark, path, files, df.schema, mode, parent,
                 partition_cols=partition_cols,
                 dv_files=_DV_INHERIT if mode == "append" else None,
+                colmap=cmap if mode == "append" else None,
             )
         except SnapshotConflict:
             if attempt == retries:
@@ -826,7 +891,14 @@ def snapshot_replace_partitions(
             partition_cols,
             "replace_partitions",
         )
-    _, new_files = _write_commit_files(df, path, partition_cols)
+    cmap = (
+        _colmap(_load_manifest(spark, path, parent)) or None
+        if parent is not None
+        else None
+    )
+    _, new_files = _write_commit_files(
+        df, path, partition_cols, colmap=cmap
+    )
     extra_doc = extra() if callable(extra) else extra
     seen_files = (
         set(_load_manifest(spark, path, parent)["files"])
@@ -991,13 +1063,16 @@ def _partition_pruned_files(man: dict, partitions: dict) -> list[str]:
     nothing would read as 'partition is empty'."""
     from ..streaming.snapshot_source import _partition_values_from_path
 
+    # directory names are PHYSICAL (frozen at add time — see _colmap);
+    # callers filter by logical names
     pc = set(_manifest_partition_cols(man) or [])
-    bad = sorted(set(partitions) - pc)
+    bad = sorted(k for k in partitions if _phys(man, k) not in pc)
     if bad:
         raise ValueError(
             f"partition filter on non-partition column(s) {bad} — table "
             f"layout is {sorted(pc) or 'unpartitioned'}"
         )
+    partitions = {_phys(man, k): v for k, v in partitions.items()}
     def norm(v) -> str | None:
         if v is None:
             return None
@@ -1066,6 +1141,7 @@ def read_snapshot(
         dv_targets=man.get("dv_targets"),
         eq_entries=man.get("eqs"),
         file_seq=man.get("seq"),
+        colmap=_colmap(man) or None,
     )
 
 
@@ -1323,6 +1399,7 @@ def _read_file_list(
     dv_targets: list[str] | None = None,
     eq_entries: list[dict] | None = None,
     file_seq: dict | None = None,
+    colmap: dict | None = None,
 ) -> DataFrame:
     """Scan an explicit manifest file list, normalised to ``schema``.
 
@@ -1356,6 +1433,23 @@ def _read_file_list(
     from pyspark.sql.types import LongType, StringType, StructField
 
     path = _root(path)
+    if colmap:
+        # RENAME support (one wrapper recursion): files, stats,
+        # partition dirs and eq sidecars all live in the PHYSICAL
+        # namespace (``_colmap``), so the whole machinery below runs
+        # with the physical schema and the output aliases back to
+        # logical names once, at this single boundary. ``_dv_file``/
+        # ``_dv_pos`` are synthetic and pass through untouched.
+        inv = {p: l for l, p in colmap.items()}
+        out = _read_file_list(
+            spark, path, files, _phys_fields(schema, colmap),
+            partition_cols=partition_cols, dv_files=dv_files,
+            row_ids=row_ids, dv_targets=dv_targets,
+            eq_entries=eq_entries, file_seq=file_seq,
+        )
+        return out.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in out.columns]
+        )
     if eq_entries and files:
         seq_map = file_seq or {}
         entries = sorted(eq_entries, key=lambda e: (e["seq"], e["path"]))
@@ -1632,6 +1726,14 @@ def snapshot_changes(
     want = [v for v in sorted(needed) if v > from_version]
     target_man = _load_manifest(spark, path, to_version)
     out_schema = StructType.fromJson(target_man["schema"])
+    # Columns align by IDENTITY through the target's rename lineage:
+    # physical names are frozen (see _colmap), so the TARGET's map is
+    # the correct logical→physical translation for every in-lineage
+    # file, however old. A column whose identity was reset (full
+    # overwrite) under a reused logical name reads null-filled from
+    # pre-reset commits — field-identity semantics, not name reattach.
+    tmap = _colmap(target_man) or None
+    tinv = {p: l for l, p in (tmap or {}).items()}
     target_schema_json = json.dumps(target_man["schema"], sort_keys=True)
     changes: list[DataFrame] = []
     # Plan-growth bound: the per-commit loop below builds one DataFrame
@@ -1743,6 +1845,7 @@ def snapshot_changes(
                 dv_files=sorted(mask_dvs), row_ids=True,
                 dv_targets=mask_tgts,
                 eq_entries=mask_eq, file_seq=mask_seq,
+                colmap=tmap,
             ).join(ent, list(_DV_COLS), "left_semi")
             changes.append(
                 rows.drop(*_DV_COLS)
@@ -1772,7 +1875,15 @@ def snapshot_changes(
         if common and (eq_added or eq_removed):
 
             def _keys_df(e):
-                return _sidecar_df(spark, path, [e["path"]], e["keys"])
+                # sidecar columns are physical; the frames they join
+                # are logical — alias through the target's inverse map
+                kdf = _sidecar_df(spark, path, [e["path"]], e["keys"])
+                return kdf.select(
+                    *[F.col(k).alias(tinv.get(k, k)) for k in e["keys"]]
+                )
+
+            def _keys_of(e):
+                return [tinv.get(k, k) for k in e["keys"]]
 
             def _dv_entry_df(paths):
                 if not paths:
@@ -1797,13 +1908,14 @@ def snapshot_changes(
                         dv_targets=ptgts,
                         row_ids=True,
                         eq_entries=mask, file_seq=pseq,
+                        colmap=tmap,
                     )
                     if added_dv_ent is not None:
                         rows = rows.join(
                             added_dv_ent, list(_DV_COLS), "left_anti"
                         )
                     rows = rows.drop(*_DV_COLS).join(
-                        _keys_df(e), list(e["keys"]), "left_semi"
+                        _keys_df(e), _keys_of(e), "left_semi"
                     )
                     changes.append(
                         rows.withColumn("_change_type", F.lit("delete"))
@@ -1830,13 +1942,14 @@ def snapshot_changes(
                         dv_targets=man.get("dv_targets"),
                         row_ids=True,
                         eq_entries=mask, file_seq=cseq,
+                        colmap=tmap,
                     )
                     if removed_dv_ent is not None:
                         rows = rows.join(
                             removed_dv_ent, list(_DV_COLS), "left_anti"
                         )
                     rows = rows.drop(*_DV_COLS).join(
-                        _keys_df(e), list(e["keys"]), "left_semi"
+                        _keys_df(e), _keys_of(e), "left_semi"
                     )
                     changes.append(
                         rows.withColumn("_change_type", F.lit("insert"))
@@ -1848,6 +1961,7 @@ def snapshot_changes(
             dv_files=sorted(cdvs),
             dv_targets=man.get("dv_targets"),
             eq_entries=ceqs, file_seq=cseq,
+            colmap=tmap,
         )
         if removed:
             dele = _read_file_list(
@@ -1858,6 +1972,7 @@ def snapshot_changes(
                 dv_files=sorted(pdvs),
                 dv_targets=ptgts,
                 eq_entries=peqs, file_seq=pseq,
+                colmap=tmap,
             )
             # cancel rewritten-but-unchanged rows (bag semantics)
             ins, dele = ins.exceptAll(dele), dele.exceptAll(ins)
@@ -1882,13 +1997,16 @@ def snapshot_changes(
             spark,
             path,
             [f for f, _ in batched],
-            out_schema,
+            _phys_fields(out_schema, tmap or {}),
             _manifest_partition_cols(target_man) or [],
             versions=[v for _, v in batched],
         )
         changes.append(
             ins.select(
-                *[F.col(f.name) for f in out_schema.fields],
+                *[
+                    F.col((tmap or {}).get(f.name, f.name)).alias(f.name)
+                    for f in out_schema.fields
+                ],
                 F.lit("insert").alias("_change_type"),
                 F.col("_commit_version"),
             )
@@ -1961,6 +2079,9 @@ def snapshot_restore(
         # the entries that masked its rows — silent resurrection)
         eq_files=man.get("eqs"),
         known_seq=man.get("seq"),
+        # the RESTORED state's logical→physical map, never the
+        # abandoned head's (whose renames may postdate the target)
+        colmap=_colmap(man) or None,
     )
 
 
@@ -2009,6 +2130,8 @@ def snapshot_files(
     tgts = set(man.get("dv_targets") or ())
     frows = man.get("rows") or {}
     eq_aff = set(_eq_affected_files(man))
+    # stats are keyed by on-disk (physical) names; present LOGICAL
+    inv = {p: l for l, p in _colmap(man).items()}
     rows = []
     for f in man["files"]:
         pv = _partition_values_from_path(f)
@@ -2021,7 +2144,12 @@ def snapshot_files(
                 json.dumps(pv, sort_keys=True) if pv else None,
                 f in tgts,
                 f in eq_aff,
-                json.dumps(stats[f], sort_keys=True) if f in stats else None,
+                json.dumps(
+                    {inv.get(c, c): v for c, v in stats[f].items()},
+                    sort_keys=True,
+                )
+                if f in stats
+                else None,
             )
         )
     base = spark.createDataFrame(
@@ -2112,7 +2240,10 @@ def snapshot_count(
         eset = set(eq_aff)
         files = [f for f in files if f not in eset]
         scanned = _read_file_list(
-            spark, path, eq_aff, StructType.fromJson(man["schema"]),
+            spark, path, eq_aff,
+            # physical namespace: eq entry keys are on-disk names, and
+            # a count never surfaces column names anyway
+            _phys_fields(StructType.fromJson(man["schema"]), _colmap(man)),
             partition_cols=_manifest_partition_cols(man),
             dv_files=man.get("dv_files"),
             dv_targets=man.get("dv_targets"),
@@ -2161,16 +2292,17 @@ def snapshot_minmax(
     if man.get("dv_files") and man.get("dv_targets") is None:
         tgts = set(files)  # legacy: unknown targets — assume any
     eq_aff = set(_eq_affected_files(man, files))
+    pcol = _phys(man, col)  # stats are keyed by on-disk column names
     cov = {
         f
         for f in files
-        if f in stats and col in stats[f] and f not in tgts
+        if f in stats and pcol in stats[f] and f not in tgts
         and f not in eq_aff
     }
     covered = [f for f in files if f in cov]
     uncovered = [f for f in files if f not in cov]
-    los = [stats[f][col][0] for f in covered]
-    his = [stats[f][col][1] for f in covered]
+    los = [stats[f][pcol][0] for f in covered]
+    his = [stats[f][pcol][1] for f in covered]
     if uncovered:
         # scan ONLY the files metadata cannot answer for — partial
         # stats coverage or outstanding tombstones on the file. On a
@@ -2191,6 +2323,7 @@ def snapshot_minmax(
             dv_targets=man.get("dv_targets"),
             eq_entries=man.get("eqs"),
             file_seq=man.get("seq"),
+            colmap=_colmap(man) or None,
         )
         row = df.agg(
             F.min(F.col(col)).alias("lo"), F.max(F.col(col)).alias("hi")
@@ -2240,15 +2373,16 @@ def snapshot_count_nonnull(
     if man.get("dv_files") and man.get("dv_targets") is None:
         tgts = set(files)  # legacy: unknown targets — assume any
     eq_aff = set(_eq_affected_files(man, files))
+    pcol = _phys(man, col)  # stats are keyed by on-disk column names
     cov = {
         f
         for f in files
         if f in rows
         and f not in tgts
         and f not in eq_aff
-        and len(stats.get(f, {}).get(col) or ()) >= 3
+        and len(stats.get(f, {}).get(pcol) or ()) >= 3
     }
-    total = sum(rows[f] - stats[f][col][2] for f in cov)
+    total = sum(rows[f] - stats[f][pcol][2] for f in cov)
     uncovered = [f for f in files if f not in cov]
     if uncovered:
         schema = StructType.fromJson(man["schema"])
@@ -2259,6 +2393,7 @@ def snapshot_count_nonnull(
             dv_targets=man.get("dv_targets"),
             eq_entries=man.get("eqs"),
             file_seq=man.get("seq"),
+            colmap=_colmap(man) or None,
         )
         total += df.agg(F.count(F.col(col)).alias("c")).first()["c"]
     return total
@@ -2805,7 +2940,15 @@ def stream_snapshot_append(
 
         if epoch_applied(_list_manifests(spark, path)):
             return
-        _, new_files = _write_commit_files(batch, path, partition_cols)
+        head = _list_manifests(spark, path)
+        cmap = (
+            _colmap(_load_manifest(spark, path, head[-1])) or None
+            if head
+            else None
+        )
+        _, new_files = _write_commit_files(
+            batch, path, partition_cols, colmap=cmap
+        )
         # transaction retry (default on for streams: concurrent batch
         # writers or a second stream on the same table are the NORM,
         # not an error): the batch's files are written once; each
@@ -3079,6 +3222,7 @@ def _enforce_constraints(
     dv_targets: list[str] | None = None,
     eq_entries: list[dict] | None = None,
     file_seq: dict | None = None,
+    colmap: dict | None = None,
 ) -> None:
     """Refuse data that violates a recorded CHECK constraint. Scans
     ONLY ``files`` (the commit's additions — O(change), never the
@@ -3087,14 +3231,16 @@ def _enforce_constraints(
     engine). Early-exits on the first violating row per constraint.
     ``dv_files``/``dv_targets`` apply the commit's deletion-vector
     masking for the resurrection re-check (a still-tombstoned row is
-    not live and must not fail the check)."""
+    not live and must not fail the check). ``colmap`` aliases the scan
+    back to LOGICAL names — CHECK expressions are written against the
+    user-visible schema."""
     checks = _constraint_exprs(props)
     if not checks or not files:
         return
     df = _read_file_list(
         spark, path, files, schema, partition_cols=partition_cols,
         dv_files=dv_files, dv_targets=dv_targets,
-        eq_entries=eq_entries, file_seq=file_seq,
+        eq_entries=eq_entries, file_seq=file_seq, colmap=colmap,
     )
     for name in sorted(checks):
         expr = checks[name]
@@ -3370,6 +3516,7 @@ def snapshot_compact(
             partition_cols=partition_cols,
             dv_files=man.get("dv_files"),
             dv_targets=man.get("dv_targets"),
+            colmap=_colmap(man) or None,
         )
     drop_after = None
     if cluster_by:
@@ -3396,7 +3543,9 @@ def snapshot_compact(
         df = df.repartition(n_files, *partition_cols)
     else:
         df = df.repartition(n_files)
-    _, files = _write_commit_files(df, path, partition_cols)
+    _, files = _write_commit_files(
+        df, path, partition_cols, colmap=_colmap(man) or None
+    )
     stats_cols = man.get("stats_cols") or []
     extra = {}
     if stats_cols:
@@ -3543,6 +3692,7 @@ def snapshot_merge_upsert_dv(
         dv_files=man.get("dv_files"),
         row_ids=True,
         dv_targets=man.get("dv_targets"),
+        colmap=_colmap(man) or None,
     ).join(F.broadcast(touched), partition_cols, "left_semi")
     if version_col is not None:
         tagged = target.withColumn("_src", F.lit(0)).unionByName(
@@ -3570,7 +3720,9 @@ def snapshot_merge_upsert_dv(
     tombs = tombs.localCheckpoint(eager=True)
     n_tombs = tombs.count()
     new_rows = new_rows.localCheckpoint(eager=True)
-    _, new_files = _write_commit_files(new_rows, path, partition_cols)
+    _, new_files = _write_commit_files(
+        new_rows, path, partition_cols, colmap=_colmap(man) or None
+    )
     new_dvs: list[str] = []
     new_tgts: list[str] = []
     if n_tombs:
@@ -3721,11 +3873,14 @@ def snapshot_write_with_stats(
     spark = df.sparkSession
     versions = _list_manifests(spark, path)
     parent = versions[-1] if versions else None
+    cmap = None
     if mode == "append" and parent is not None:
-        _require_same_layout(
-            _load_manifest(spark, path, parent), partition_cols, "append"
-        )
-    _, files = _write_commit_files(df, path, partition_cols)
+        pman = _load_manifest(spark, path, parent)
+        _require_same_layout(pman, partition_cols, "append")
+        cmap = _colmap(pman) or None
+    # stats (like the files they describe) are keyed by PHYSICAL names
+    stats_cols = [(cmap or {}).get(c, c) for c in stats_cols]
+    _, files = _write_commit_files(df, path, partition_cols, colmap=cmap)
     stats = collect_file_stats(spark, path, files, stats_cols)
     if mode == "append" and parent is not None:
         pman = _load_manifest(spark, path, parent)
@@ -3741,6 +3896,7 @@ def snapshot_write_with_stats(
         extra={"stats": stats, "stats_cols": stats_cols},
         partition_cols=partition_cols,
         dv_files=_DV_INHERIT if mode == "append" else None,
+        colmap=cmap if mode == "append" else None,
     )
 
 
@@ -3779,9 +3935,10 @@ def read_snapshot_pruned(
     # widen the QUERY interval outward too (Decimal bounds): pruning
     # may only ever keep extra files, never drop a matching one
     slo, shi = _stat_norm(lo, widen=-1), _stat_norm(hi, widen=1)
+    pcol = _phys(man, col)  # stats are keyed by on-disk column names
     keep = []
     for f in candidates:
-        st = stats.get(f, {}).get(col)
+        st = stats.get(f, {}).get(pcol)
         if st is None:
             keep.append(f)  # no stats -> cannot exclude
         elif st[0] is None or st[1] is None:
@@ -3809,6 +3966,7 @@ def read_snapshot_pruned(
             dv_targets=man.get("dv_targets"),
             eq_entries=man.get("eqs"),
             file_seq=man.get("seq"),
+            colmap=_colmap(man) or None,
         )
     return pruned.where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
@@ -3960,6 +4118,7 @@ def _delete_rows_dv_where(
             dv_files=man.get("dv_files"),  # never tombstone a row twice
             row_ids=True,
             dv_targets=man.get("dv_targets"),
+            colmap=_colmap(man) or None,
         )
         matched = (
             df.where(_match_expr(predicates))
@@ -4024,6 +4183,7 @@ def _victims_by_stats(
     metadata-only planning with no false negatives (stats-less files
     are conservatively victims)."""
     stats = man.get("stats", {})
+    col = _phys(man, col)  # stats are keyed by on-disk column names
     # NULL never matches an IN list: None values select nothing, and
     # left in they would TypeError against the stats endpoints
     values = [v for v in values if v is not None]
@@ -4058,6 +4218,7 @@ def _full_match_files(man: dict, col: str, values: list) -> list[str]:
     (``_stat_norm``), so recorded min can never equal recorded max —
     again conservative, never wrong."""
     stats = man.get("stats") or {}
+    col = _phys(man, col)  # stats are keyed by on-disk column names
     norm = {_stat_norm(v, widen=0) for v in values if v is not None}
     out = []
     for f in man["files"]:
@@ -4102,9 +4263,9 @@ def _canonical_partition_values(man: dict, col: str, vals: list) -> bool:
     canonical directory-string form (int/str/bool — a float like 5.0
     renders '5.0' against an int column's 'month=5' dir and would
     falsely exclude files Spark-typed equality matches)."""
-    return col in set(_manifest_partition_cols(man) or ()) and all(
-        type(v) in (int, str, bool) for v in vals
-    )
+    return _phys(man, col) in set(
+        _manifest_partition_cols(man) or ()
+    ) and all(type(v) in (int, str, bool) for v in vals)
 
 
 def _victims_by_stats_where(
@@ -4219,6 +4380,7 @@ def _rewrite_matching_files(
             # rewritten victims become inert once their files drop out)
             dv_files=man.get("dv_files"),
             dv_targets=man.get("dv_targets"),
+            colmap=_colmap(man) or None,
         )
         before = df.count()
         rewritten = fn(df)
@@ -4233,7 +4395,9 @@ def _rewrite_matching_files(
         # leave files without partition directories, which
         # replace_partitions/merge would then always carry — stale rows
         pc = _manifest_partition_cols(man)
-        _, new_files = _write_commit_files(rewritten, path, pc)
+        _, new_files = _write_commit_files(
+            rewritten, path, pc, colmap=_colmap(man) or None
+        )
     else:  # every victim full-dropped: a pure manifest edit
         pc = _manifest_partition_cols(man)
         new_files, affected = [], 0
@@ -4423,6 +4587,7 @@ def _update_rows_dv_where(
             dv_files=man.get("dv_files"),
             row_ids=True,
             dv_targets=man.get("dv_targets"),
+            colmap=_colmap(man) or None,
         )
         .where(_match_expr(predicates))
         .localCheckpoint(eager=True)  # one scan feeds count + 2 writes
@@ -4439,7 +4604,8 @@ def _update_rows_dv_where(
         else:
             out_cols.append(F.col(f.name))
     _, new_files = _write_commit_files(
-        matched_rows.select(*out_cols), path, pc or None
+        matched_rows.select(*out_cols), path, pc or None,
+        colmap=_colmap(man) or None,
     )
     _, new_dvs = _write_commit_files(
         matched_rows.select("_dv_file", "_dv_pos").repartition(
@@ -4615,9 +4781,13 @@ def snapshot_resolve_eq(spark: SparkSession, path: str) -> tuple[int, int]:
     for f in affected:
         groups.setdefault(bisect_right(seqs, seq_map.get(f, 0)), []).append(f)
     matched_parts = []
+    # resolve works entirely in the PHYSICAL namespace: entry keys and
+    # sidecar columns are on-disk names, and only (_dv_file, _dv_pos)
+    # leave this function — no logical aliasing needed or wanted
+    pschema = _phys_fields(schema, _colmap(man))
     for idx, flist in sorted(groups.items()):
         df = _read_file_list(
-            spark, path, flist, schema,
+            spark, path, flist, pschema,
             partition_cols=_manifest_partition_cols(man),
             dv_files=man.get("dv_files"),
             row_ids=True,
@@ -5096,6 +5266,17 @@ def snapshot_add_column(
     schema = StructType.fromJson(man["schema"])
     if name in {f.name for f in schema.fields}:
         raise ValueError(f"column {name!r} already exists at {path}")
+    # the new column's PHYSICAL name equals its logical name; refuse if
+    # a renamed column still occupies that physical slot — two logical
+    # columns must never share an on-disk column (see _colmap)
+    taken = {p: l for l, p in _colmap(man).items()}
+    if name in taken:
+        raise ValueError(
+            f"column name {name!r} is the on-disk (physical) name of "
+            f"renamed column {taken[name]!r} — pick a different name, "
+            "or rewrite the table (snapshot_write overwrite) to shed "
+            "the rename history"
+        )
     from pyspark.sql.types import StructField
 
     new_schema = StructType(list(schema.fields) + [StructField(name, dtype)])
@@ -5174,10 +5355,11 @@ def snapshot_drop_column(
     # would break with an AnalysisException. Resolve + vacuum the eq
     # history first, or use the documented add+backfill pattern.
     # Metadata-only: one cached state fold per retained version.
+    pname = _phys(man, name)  # entry keys are on-disk names (stable)
     for hv in versions:
         hman = _load_manifest(spark, path, hv)
         for e in _eq_entries(hman):
-            if name in e["keys"]:
+            if pname in e["keys"]:
                 raise ValueError(
                     f"cannot drop column {name!r}: equality delete "
                     f"{e['path']!r} (version {hv}) keys on it — "
@@ -5187,11 +5369,11 @@ def snapshot_drop_column(
     extra: dict = {"altered_column": name}
     if man.get("stats") is not None:
         extra["stats"] = {
-            f: {c: v for c, v in st.items() if c != name}
+            f: {c: v for c, v in st.items() if c != pname}
             for f, st in man["stats"].items()
         }
         extra["stats_cols"] = [
-            c for c in (man.get("stats_cols") or []) if c != name
+            c for c in (man.get("stats_cols") or []) if c != pname
         ]
     return _commit(
         spark,
@@ -5204,6 +5386,117 @@ def snapshot_drop_column(
         partition_cols=_manifest_partition_cols(man),
         dv_files=man.get("dv_files"),
         dv_targets=_dv_targets_for(man),
+        # the dropped column's rename mapping (if any) goes with it.
+        # Re-adding a column under the freed physical name then shares
+        # drop+re-add's documented semantics: pre-drop files still
+        # physically hold the old bytes until a compact rewrites them
+        colmap={
+            l: ph for l, ph in _colmap(man).items() if l != name
+        }
+        or None,
+    )
+
+
+def snapshot_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """METADATA-ONLY ``ALTER TABLE RENAME COLUMN``: publish the same
+    files under a schema whose field ``old`` is now called ``new``.
+    Safe because physical (on-disk) column names are FROZEN at add
+    time (see ``_colmap``): every file — written before or after the
+    rename — stores the column under its original physical name, the
+    manifest records the logical→physical mapping, and readers alias
+    once at the read boundary. No per-file name resolution, no
+    silent-null hazard, zero data movement; time travel below the
+    rename still reads the old name. Stats, partition directories and
+    equality-delete sidecars stay keyed physical, so planning and
+    masking are untouched.
+
+    Refusals: ``old`` missing / ``new`` already present; partition
+    columns (their names ARE the directory layout and every partition
+    predicate surface); reserved ``_dv_*`` names; ``new`` colliding
+    with another column's physical slot; a CHECK constraint
+    referencing ``old`` (drop + re-add the constraint against the new
+    name). Returns the new version."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    schema = StructType.fromJson(man["schema"])
+    names = {f.name for f in schema.fields}
+    if old not in names:
+        raise ValueError(f"column {old!r} does not exist at {path}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists at {path}")
+    if new in _DV_COLS:
+        raise ValueError(
+            f"column name {new!r} is reserved for the deletion-vector "
+            "row identity"
+        )
+    pc = _manifest_partition_cols(man) or []
+    if old in pc:
+        raise ValueError(
+            f"cannot rename partition column {old!r} — its name is the "
+            "directory layout; rewrite the table with a new layout "
+            "(snapshot_compact) first"
+        )
+    cmap = dict(_colmap(man))
+    # No physical-slot check here (unlike add_column): a rename never
+    # mints a physical name — it re-labels an existing frozen one, so
+    # the logical→physical map stays injective by construction (each
+    # physical was minted once by an add that refused taken slots).
+    # This is what keeps the classic swap (a→tmp, b→a, tmp→b) legal.
+    # a CHECK constraint referencing the old name would fail analysis
+    # on every future commit — refuse up front (same probe as drop)
+    from pyspark.sql.types import StructField
+
+    new_schema = StructType(
+        [
+            StructField(new, f.dataType, f.nullable)
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+    )
+    for cname, cexpr in sorted(
+        _constraint_exprs(man.get("props")).items()
+    ):
+        probe = spark.createDataFrame([], new_schema)
+        try:
+            probe.select(F.expr(cexpr))  # analysis-only, no job
+        except Exception:
+            raise ValueError(
+                f"cannot rename column {old!r}: CHECK constraint "
+                f"{cname!r} ({cexpr}) references it — drop the "
+                "constraint and re-add it against the new name"
+            ) from None
+    # the frozen physical name: whatever ``old`` already mapped to
+    # (identity if never renamed). A rename chain a→b→c keeps ONE
+    # mapping c→a; renaming back to the physical name erases it.
+    phys = cmap.pop(old, old)
+    if new != phys:
+        cmap[new] = phys
+    return _commit(
+        spark,
+        path,
+        man["files"],
+        new_schema,
+        "rename_column",
+        latest,
+        extra={
+            "altered_column": new,
+            "renamed_from": old,
+            **(
+                {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
+                if man.get("stats") is not None
+                else {}
+            ),
+        },
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=man.get("dv_files"),
+        dv_targets=_dv_targets_for(man),
+        colmap=cmap or None,
     )
 
 
