@@ -353,9 +353,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     sa = sub.add_parser(
         "snapshot-alter",
-        help="metadata-only schema DDL on a snapshot table: add or "
-        "drop a column (zero data movement; dropped bytes shed at the "
-        "next snapshot-compact)",
+        help="metadata-only schema DDL on a snapshot table: add, drop "
+        "or rename a column (zero data movement; dropped bytes shed at "
+        "the next snapshot-compact; renames keep frozen on-disk names)",
     )
     sa.add_argument("--table-path", required=True)
     g = sa.add_mutually_exclusive_group(required=True)
@@ -364,6 +364,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="add a column, e.g. score:double or tags:array<string>",
     )
     g.add_argument("--drop", metavar="NAME", help="drop a column")
+    g.add_argument(
+        "--rename", metavar="OLD:NEW",
+        help="rename a column, e.g. amt:amount",
+    )
 
     ci = sub.add_parser(
         "compact-index",
@@ -833,6 +837,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     )
                 v = snapshot_add_column(spark, args.table_path, name, dtype)
                 print(json.dumps({"version": v, "added": name}))
+            elif args.rename is not None:
+                from .warehouse.snapshots import snapshot_rename_column
+
+                old_name, _, new_name = args.rename.partition(":")
+                if not new_name:
+                    raise SystemExit(
+                        "--rename needs OLD:NEW (e.g. amt:amount)"
+                    )
+                v = snapshot_rename_column(
+                    spark, args.table_path, old_name, new_name
+                )
+                print(
+                    json.dumps(
+                        {"version": v, "renamed": old_name, "to": new_name}
+                    )
+                )
             else:
                 v = snapshot_drop_column(spark, args.table_path, args.drop)
                 print(json.dumps({"version": v, "dropped": args.drop}))

@@ -203,6 +203,7 @@ def materialize_aggregate(
             versions[-1] if versions else None,
             extra={"stream_id": stream_id, "epoch": epoch},
             dv_files=None,  # full rewrite each refresh, nothing carried
+            colmap=None,  # ditto: fresh files, fresh column identity
         )
 
     feed = read_snapshot_stream(

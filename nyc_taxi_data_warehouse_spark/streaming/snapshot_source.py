@@ -283,6 +283,19 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             self._start = vs[-1] if vs else 0
         else:
             self._start = int(start)
+        # logical→physical column map captured WITH the stream schema
+        # (RENAME support): files store frozen physical names, the
+        # stream's output schema is the head's logical one, and this
+        # map — immutable for the reader's lifetime, like the schema —
+        # is the correct translation for every in-lineage file however
+        # old (see warehouse.snapshots._colmap). A restart re-captures
+        # both together.
+        vs = _list_versions(self._path)
+        self._cmap: dict = (
+            _load_manifest(self._path, vs[-1]).get("colmap") or {}
+            if vs
+            else {}
+        )
         # partition scope: the consumer sees ONLY matching partition
         # directories — appends elsewhere stream nothing, and (the real
         # win) rewrites confined elsewhere pass even under
@@ -306,7 +319,8 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     "of {column: value | [values]}"
                 )
             self._scope = {
-                k: {
+                # partition directories carry PHYSICAL names
+                self._cmap.get(k, k): {
                     _norm(x)
                     for x in (v if isinstance(v, list) else [v])
                 }
@@ -773,10 +787,12 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 tbl = pa.Table.from_batches([batch])
                 cols = []
                 for field in target:
-                    if field.name in tbl.column_names:
-                        cols.append(tbl[field.name].cast(field.type))
-                    elif field.name in partition.part_values:
-                        raw = partition.part_values[field.name]
+                    # files + partition dirs store PHYSICAL names
+                    phys = self._cmap.get(field.name, field.name)
+                    if phys in tbl.column_names:
+                        cols.append(tbl[phys].cast(field.type))
+                    elif phys in partition.part_values:
+                        raw = partition.part_values[phys]
                         cols.append(
                             pa.array([raw] * len(tbl), type=pa.string()).cast(
                                 field.type

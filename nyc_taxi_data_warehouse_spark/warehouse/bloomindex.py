@@ -431,8 +431,16 @@ def build_snapshot_bloom_index(
         )
     schema = StructType.fromJson(man["schema"])
     key_type = schema[key_col].dataType.simpleString()
+    # the sidecar records the PHYSICAL column name (see
+    # snapshots._colmap): raw-file scans here and in every later sync
+    # key on it, and it is stable across renames — an index built
+    # against the logical name would null-fill after a rename and
+    # silently lose its no-false-negatives contract
+    from .snapshots import _colmap
+
+    pkey = _colmap(man).get(key_col, key_col)
     idx = _bloom_rows_for_files(
-        spark, table_path, man["files"], key_col, key_type, m_bits, k
+        spark, table_path, man["files"], pkey, key_type, m_bits, k
     )
     # Sidecar FIRST, then rows (both under rows/ so reconciles never
     # touch the sidecar — see _data_path): a crash mid-build leaves new
@@ -447,7 +455,7 @@ def build_snapshot_bloom_index(
             "kind": "bloom",
             "scope": "snapshot",
             "layout": "rows-subdir",
-            "key_col": key_col,
+            "key_col": pkey,
             "key_type": key_type,
             "m_bits": m_bits,
             "k": k,
@@ -558,6 +566,13 @@ def read_snapshot_with_bloom(
     schema = StructType.fromJson(man["schema"])
     if not files:
         return spark.createDataFrame([], schema)
+    from .snapshots import _colmap
+
+    cmap = _colmap(man)
+    # the sidecar's key_col is the frozen PHYSICAL name; the residual
+    # predicate runs on the logical frame — translate for the filter
+    inv = {ph: l for l, ph in cmap.items()}
+    lkey = inv.get(meta["key_col"], meta["key_col"])
     return _read_file_list(
         spark, table_path, files, schema,
         partition_cols=man.get("partition_cols"),
@@ -569,4 +584,5 @@ def read_snapshot_with_bloom(
         dv_targets=man.get("dv_targets"),
         eq_entries=man.get("eqs"),
         file_seq=man.get("seq"),
-    ).where(F.col(meta["key_col"]).isin(values))
+        colmap=cmap or None,
+    ).where(F.col(lkey).isin(values))

@@ -550,9 +550,18 @@ def _commit(
     # logical→physical column map (RENAME; see _colmap). INHERIT from
     # the parent like every carried scalar; whole-state ops (restore,
     # fork, publish) pass the source manifest's; full overwrites pass
-    # None (fresh files are written physical == logical).
+    # None (fresh files are written physical == logical). Entries whose
+    # logical key left the schema are PRUNED (self-healing, like inert
+    # eq entries): an append under the newest-writer-wins schema rule
+    # can revert a renamed column to its physical name, and a stale
+    # entry would poison the read boundary's inverse aliasing.
     if colmap == _DV_INHERIT:
         colmap = _colmap(pman) if pman else None
+    if colmap:
+        names = {f.name for f in schema.fields}
+        colmap = {
+            l: p for l, p in colmap.items() if l in names and l != p
+        }
     colmap = dict(colmap) if colmap else None
     files = sorted(files)
     if len(set(files)) != len(files):
@@ -1440,6 +1449,10 @@ def _read_file_list(
         # with the physical schema and the output aliases back to
         # logical names once, at this single boundary. ``_dv_file``/
         # ``_dv_pos`` are synthetic and pass through untouched.
+        # Entries outside the requested schema are ignored (callers
+        # may pass a head colmap against a narrower projection).
+        names = {f.name for f in schema.fields}
+        colmap = {l: p for l, p in colmap.items() if l in names}
         inv = {p: l for l, p in colmap.items()}
         out = _read_file_list(
             spark, path, files, _phys_fields(schema, colmap),
@@ -2410,7 +2423,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
         "version", "parent", "op", "committed_at_ms", "schema",
         "partition_cols", "manifest_id", "parent_id", "files",
         "dv_files", "dv_targets", "stats", "stats_cols", "rows",
-        "props", "eqs", "seq", "last_seq",
+        "props", "eqs", "seq", "last_seq", "colmap",
     }
     rows = []
     for v in _list_manifests(spark, path):

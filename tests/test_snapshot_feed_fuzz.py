@@ -63,6 +63,12 @@ _OPS = st.lists(
         ),
         st.tuples(st.just("delete_eq"), st.integers(0, 30)),
         st.tuples(st.just("resolve_eq"), st.just(0)),
+        # metadata-only rename toggle of the value column (v↔vv):
+        # frozen physical names mean every later read/DML/feed leg
+        # must keep resolving the same on-disk column; appends with
+        # the other name then REVERT the logical schema
+        # (newest-writer-wins) and must prune the stale map entry
+        st.tuples(st.just("rename"), st.just(0)),
         # restore: roll back to a pseudo-random retained version (the
         # payload indexes into the versions list at apply time)
         st.tuples(st.just("restore"), st.integers(0, 7)),
@@ -86,6 +92,17 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
         return spark.createDataFrame(rows, "id long, month int, v string")
 
     next_id = [0]
+
+    def cur_vname():
+        from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+            _list_manifests,
+            _load_manifest,
+        )
+
+        man = _load_manifest(
+            spark, table, _list_manifests(spark, table)[-1]
+        )
+        return man["schema"]["fields"][2]["name"]
 
     def fresh_rows(month, k):
         out = []
@@ -128,7 +145,8 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             )
 
             snapshot_update_rows_dv(
-                spark, table, "id", [args[0]], {"v": "DV_REDACTED"}
+                spark, table, "id", [args[0]],
+                {cur_vname(): "DV_REDACTED"},
             )
         elif kind == "compact_dvs":
             from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
@@ -138,7 +156,8 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             snapshot_compact_dvs(spark, table)
         elif kind == "update":
             snapshot_update_rows(
-                spark, table, "id", [args[0]], {"v": "REDACTED"}
+                spark, table, "id", [args[0]],
+                {cur_vname(): "REDACTED"},
             )
         elif kind == "delete_where":
             from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
@@ -157,7 +176,7 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             snapshot_update_where(
                 spark, table,
                 {"id": [args[0]], "month": [args[1]]},
-                {"v": "WHERE_REDACTED"},
+                {cur_vname(): "WHERE_REDACTED"},
             )
         elif kind == "upsert_eq":
             from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
@@ -165,9 +184,11 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             )
 
             kid, month = args
-            snapshot_append_upsert(
-                spark, table, mk([(kid, month, f"UP{kid}")]), ["id"]
+            up = spark.createDataFrame(
+                [(kid, month, f"UP{kid}")],
+                f"id long, month int, {cur_vname()} string",
             )
+            snapshot_append_upsert(spark, table, up, ["id"])
         elif kind == "delete_eq":
             from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
                 snapshot_delete_keys,
@@ -195,6 +216,15 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             snapshot_compact(
                 spark, table, partition_cols=pc, min_file_mb=0.5
             )
+        elif kind == "rename":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                snapshot_rename_column,
+            )
+
+            cur = cur_vname()
+            snapshot_rename_column(
+                spark, table, cur, "vv" if cur == "v" else "v"
+            )
         elif kind == "restore":
             from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
                 _list_manifests,
@@ -212,13 +242,15 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
 
     versions = _list_manifests(spark, table)
     latest = versions[-1]
+    # positional tuples: the value column's LOGICAL name may differ per
+    # version (rename ops), but its schema position never moves
     final = sorted(
-        (r["id"], r["month"], r["v"])
+        (r[0], r[1], r[2])
         for r in read_snapshot(spark, table).collect()
     )
     for v in {versions[0], versions[len(versions) // 2], latest}:
         base = sorted(
-            (r["id"], r["month"], r["v"])
+            (r[0], r[1], r[2])
             for r in read_snapshot(spark, table, version=v).collect()
         )
         ch = snapshot_changes(spark, table, from_version=v).collect()
@@ -226,7 +258,7 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
         for r in sorted(
             ch, key=lambda r: (r["_commit_version"], r["_change_type"])
         ):
-            t = (r["id"], r["month"], r["v"])
+            t = (r[0], r[1], r[2])
             if r["_change_type"] == "delete":
                 assert t in bag, (v, t)
                 bag.remove(t)
