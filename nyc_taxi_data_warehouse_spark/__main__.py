@@ -368,6 +368,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--rename", metavar="OLD:NEW",
         help="rename a column, e.g. amt:amount",
     )
+    g.add_argument(
+        "--widen", metavar="NAME:TYPE",
+        help="losslessly widen a column's type, e.g. amt:bigint",
+    )
 
     ci = sub.add_parser(
         "compact-index",
@@ -837,6 +841,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     )
                 v = snapshot_add_column(spark, args.table_path, name, dtype)
                 print(json.dumps({"version": v, "added": name}))
+            elif args.widen is not None:
+                from .warehouse.snapshots import snapshot_widen_column
+
+                name, _, dtype = args.widen.partition(":")
+                if not dtype:
+                    raise SystemExit(
+                        "--widen needs NAME:TYPE (e.g. amt:bigint)"
+                    )
+                v = snapshot_widen_column(spark, args.table_path, name, dtype)
+                print(json.dumps({"version": v, "widened": name, "to": dtype}))
             elif args.rename is not None:
                 from .warehouse.snapshots import snapshot_rename_column
 

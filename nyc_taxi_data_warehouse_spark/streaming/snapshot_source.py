@@ -278,8 +278,8 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 f"{self._on_non_append!r}"
             )
         start = str(options.get("startingversion", "0")).lower()
+        vs = _list_versions(self._path)  # one LIST serves start + colmap
         if start == "latest":
-            vs = _list_versions(self._path)
             self._start = vs[-1] if vs else 0
         else:
             self._start = int(start)
@@ -289,13 +289,16 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         # map — immutable for the reader's lifetime, like the schema —
         # is the correct translation for every in-lineage file however
         # old (see warehouse.snapshots._colmap). A restart re-captures
-        # both together.
-        vs = _list_versions(self._path)
+        # both together; a mid-stream identity RESET (full overwrite)
+        # or a stale capture is caught loudly at plan time by
+        # _check_identity below, never read as silent nulls.
         self._cmap: dict = (
             _load_manifest(self._path, vs[-1]).get("colmap") or {}
             if vs
             else {}
         )
+        self._cap_ver: int = vs[-1] if vs else 0  # capture head
+        self._identity_ok: set = set()  # manifest_ids already checked
         # partition scope: the consumer sees ONLY matching partition
         # directories — appends elsewhere stream nothing, and (the real
         # win) rewrites confined elsewhere pass even under
@@ -326,6 +329,42 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 }
                 for k, v in parsed.items()
             }
+
+    def _check_identity(self, man: dict) -> None:
+        """Refuse — at PLAN time — any version whose schema holds a
+        column with a stream field's NAME but a different on-disk
+        identity: the captured map would read the wrong (usually
+        absent) physical column and the field would stream as silent
+        NULLs. Reachable via a full overwrite slipping past
+        ``onNonAppend=skip`` (fresh column identities under reused
+        names) or a rename landing between the source's two head
+        reads. Restarting the stream re-captures schema + map
+        together and clears the condition. Fields genuinely absent
+        from a version (pre-add history, post-drop) still null-fill —
+        that is the documented add/drop contract, not an identity
+        break. Only versions committed AFTER the capture are checked:
+        history BELOW it belongs to identities the capture already
+        reflects — pre-reset files there null-fill by the same
+        field-identity contract the batch feed documents."""
+        if int(man.get("version") or 0) <= self._cap_ver:
+            return
+        mid = man.get("manifest_id")
+        if mid is not None and mid in self._identity_ok:
+            return
+        vmap = man.get("colmap") or {}
+        vnames = {f["name"] for f in man["schema"]["fields"]}
+        for f in self._schema.fieldNames():
+            if f in vnames and vmap.get(f, f) != self._cmap.get(f, f):
+                raise ValueError(
+                    f"stream column {f!r} resolves to on-disk column "
+                    f"{self._cmap.get(f, f)!r} as captured at stream "
+                    f"start, but version {man.get('version')} stores "
+                    f"it as {vmap.get(f, f)!r} — the column's identity "
+                    "changed mid-stream (overwrite or a rename race); "
+                    "restart the stream to re-capture the schema"
+                )
+        if mid is not None:
+            self._identity_ok.add(mid)
 
     def _in_scope(self, rel_file: str) -> bool:
         if self._scope is None:
@@ -365,6 +404,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     "startingVersion=latest or retain more history"
                 )
             man = _load_manifest(self._path, v)
+            self._check_identity(man)
             if prev_files is None:
                 parent = man["parent"]
                 if parent is None:

@@ -235,6 +235,13 @@ def snapshot_append_upsert(
                 extra=commit_extra,
                 partition_cols=partition_cols,
                 eq_files=_eq_entries(man) + [entry],
+                # the (schema, colmap) PAIR captured when the images
+                # were written: inheriting the retry-time head's map
+                # under this captured schema would let _commit's
+                # pruning destroy a concurrent rename's mapping —
+                # permanent silent nulls (snapshot_write passes its
+                # captured pair for the same reason)
+                colmap=cmap or None,
             )
             return version, n
         except SnapshotConflict:

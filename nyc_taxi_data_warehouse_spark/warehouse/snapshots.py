@@ -328,8 +328,26 @@ def _write_commit_files(
     commit = uuid.uuid4().hex
     dest = f"{path}/{_DDIR}/{commit}"
     if colmap:
+        phys = [colmap.get(c, c) for c in df.columns]
+        dups = sorted({p for p in phys if phys.count(p) > 1})
+        if dups:
+            # a newest-writer-wins append can evolve the schema with a
+            # column NAMED after another column's frozen physical slot
+            # (add_column refuses this; the raw append path lands here)
+            # — fail with the real cause, not parquet's duplicate-
+            # column error after a partial job
+            pairs = [
+                f"{c!r}→{colmap.get(c, c)!r}"
+                for c in df.columns
+                if colmap.get(c, c) in dups
+            ]
+            raise ValueError(
+                "columns collide on their on-disk (physical) names "
+                f"({', '.join(pairs)}) — a column may not reuse another "
+                "column's physical slot; pick a different name"
+            )
         df = df.select(
-            *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+            *[F.col(c).alias(p) for c, p in zip(df.columns, phys)]
         )
     writer = df.write.mode("error")
     if partition_cols:
@@ -948,6 +966,10 @@ def snapshot_replace_partitions(
                 parent,
                 extra=extra_doc,
                 partition_cols=partition_cols,
+                # the captured (schema, colmap) pair — see
+                # stream_snapshot_append for why inheriting the
+                # retry-time head's map here is a silent-null hazard
+                colmap=cmap,
             )
         except SnapshotConflict:
             # transaction retry: the replacement files are already
@@ -2992,6 +3014,13 @@ def stream_snapshot_append(
                     parent,
                     extra={"stream_id": stream_id, "epoch": epoch},
                     partition_cols=partition_cols,
+                    # the (schema, colmap) PAIR captured at file-write
+                    # time: inheriting the retry-time head's map under
+                    # this stale schema would let _commit's pruning
+                    # destroy a concurrent rename's mapping — permanent
+                    # silent nulls. Committing the captured pair is the
+                    # ordinary newest-writer-wins schema semantics.
+                    colmap=cmap,
                 )
                 _maybe_auto_compact_small(
                     spark, path, auto_compact_rows,
@@ -3474,6 +3503,21 @@ def snapshot_compact(
         # compaction of a partitioned table would strip the partition
         # directories carried-file classification depends on
         partition_cols = _manifest_partition_cols(man)
+    renamed_pc = sorted(set(partition_cols or ()) & set(_colmap(man)))
+    if renamed_pc:
+        # partition directory names must equal the files' (physical)
+        # column names, and every partition-predicate surface assumes
+        # logical == physical for layout columns — re-laying out onto
+        # a renamed column would write logical-named directories over
+        # physical-named files (the write itself dies on the name
+        # mismatch). Shedding the rename needs a fresh column
+        # identity: a full rewrite via snapshot_write(overwrite).
+        raise ValueError(
+            f"cannot partition by renamed column(s) {renamed_pc} — "
+            "their on-disk names differ from their logical names; "
+            "rewrite the table (snapshot_write overwrite) to shed the "
+            "rename first"
+        )
     if min_file_mb is not None and min_file_rows is not None:
         raise ValueError("pass min_file_mb OR min_file_rows, not both")
     targeted = min_file_mb is not None or min_file_rows is not None
@@ -5427,10 +5471,12 @@ def snapshot_rename_column(
 
     Refusals: ``old`` missing / ``new`` already present; partition
     columns (their names ARE the directory layout and every partition
-    predicate surface); reserved ``_dv_*`` names; ``new`` colliding
-    with another column's physical slot; a CHECK constraint
+    predicate surface); reserved ``_dv_*`` names; a CHECK constraint
     referencing ``old`` (drop + re-add the constraint against the new
-    name). Returns the new version."""
+    name). ``new`` MAY be another column's physical slot — a rename
+    never mints a physical name, so the map stays injective (this is
+    what keeps the classic a→tmp, b→a, tmp→b swap legal). Returns the
+    new version."""
     versions = _list_manifests(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
@@ -5510,6 +5556,129 @@ def snapshot_rename_column(
         dv_files=man.get("dv_files"),
         dv_targets=_dv_targets_for(man),
         colmap=cmap or None,
+    )
+
+
+def _is_widening(cur, new) -> bool:
+    """Whether every value of type ``cur`` is exactly representable as
+    ``new`` — the lossless type promotions (the Iceberg v2 set):
+    integer chain byte→short→int→long, float→double, and decimal
+    precision growth at the SAME scale. Anything else (narrowing,
+    cross-family, scale changes, string↔numeric) refuses — the read
+    path pins the MANIFEST's types, so a non-widening alter would
+    silently corrupt or null old files' values at scan time."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ints = [ByteType(), ShortType(), IntegerType(), LongType()]
+    if cur in ints and new in ints:
+        return ints.index(cur) < ints.index(new)
+    if cur == FloatType() and new == DoubleType():
+        return True
+    if isinstance(cur, DecimalType) and isinstance(new, DecimalType):
+        return new.scale == cur.scale and new.precision > cur.precision
+    return False
+
+
+def snapshot_widen_column(
+    spark: SparkSession, path: str, name: str, new_type
+) -> int:
+    """METADATA-ONLY ``ALTER TABLE ALTER COLUMN TYPE`` for LOSSLESS
+    promotions (``_is_widening``): publish the same files under a
+    schema whose field ``name`` has the wider type — zero data bytes
+    move at any table size. Safe because every explicit-list reader
+    casts scans to the MANIFEST's types already (the documented
+    widened-history path; long-history flat reads detect the mixed
+    footers and keep the per-commit cast): old files' narrow values
+    read back widened, new writers store the wide type natively.
+    Recorded min/max stats stay valid verbatim (numbers compare
+    numerically in the stats image); equality-delete sidecars keyed on
+    the column keep matching (the read-side key join upcasts the
+    narrow sidecar). Partition columns widen too — their values are
+    directory strings cast at read. Time travel below the alter reads
+    the narrow type. Returns the new version.
+
+    Caveat shared with every engine's type promotion: a SATELLITE
+    index that recorded the narrow key type (Bloom ``key_type``)
+    fails loudly on its next sync over wide-typed files — rebuild it.
+    """
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    if isinstance(new_type, str):
+        new_type = _parse_datatype_string(new_type)
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    schema = StructType.fromJson(man["schema"])
+    fields = {f.name: f for f in schema.fields}
+    if name not in fields:
+        raise ValueError(f"column {name!r} does not exist at {path}")
+    cur = fields[name].dataType
+    if cur == new_type:
+        raise ValueError(
+            f"column {name!r} already has type {cur.simpleString()}"
+        )
+    if not _is_widening(cur, new_type):
+        raise ValueError(
+            f"cannot alter column {name!r} from {cur.simpleString()} to "
+            f"{new_type.simpleString()} — only lossless widenings are "
+            "metadata-only (byte→short→int→long, float→double, decimal "
+            "precision growth at the same scale); anything else needs "
+            "a rewrite (add + backfill + drop, or snapshot_write "
+            "overwrite)"
+        )
+    new_schema = StructType(
+        [
+            StructField(name, new_type, f.nullable)
+            if f.name == name
+            else f
+            for f in schema.fields
+        ]
+    )
+    # CHECK constraints must still analyze against the widened schema
+    # (type-specific expressions can break — refuse up front, like the
+    # other alters)
+    for cname, cexpr in sorted(
+        _constraint_exprs(man.get("props")).items()
+    ):
+        probe = spark.createDataFrame([], new_schema)
+        try:
+            probe.select(F.expr(cexpr))  # analysis-only, no job
+        except Exception:
+            raise ValueError(
+                f"cannot widen column {name!r}: CHECK constraint "
+                f"{cname!r} ({cexpr}) does not analyze against the "
+                "widened schema — drop and re-add it first"
+            ) from None
+    return _commit(
+        spark,
+        path,
+        man["files"],
+        new_schema,
+        "widen_column",
+        latest,
+        extra={
+            "altered_column": name,
+            "widened_from": cur.simpleString(),
+            "widened_to": new_type.simpleString(),
+            **(
+                {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
+                if man.get("stats") is not None
+                else {}
+            ),
+        },
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=man.get("dv_files"),
+        dv_targets=_dv_targets_for(man),
     )
 
 

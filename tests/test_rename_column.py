@@ -370,3 +370,163 @@ def test_cli_rename(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(out) == {"version": 2, "renamed": "amt", "to": "amount"}
     assert read_snapshot(spark, t).columns == ["id", "amount"]
+
+
+def test_commit_pairs_schema_with_captured_colmap_under_rename_race(
+    spark, tmp_path, monkeypatch
+):
+    """The review-found race class: a writer that captured (schema,
+    colmap) before a concurrent rename must COMMIT that captured pair —
+    letting _commit inherit the retry-time head's map under the stale
+    schema would prune the mapping and null the renamed column
+    table-wide."""
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(0, 0, "seed")], "id long, month int, vv string"
+        ),
+        t,
+        partition_cols=["month"],
+    )
+    # freeze a physical identity: vv currently maps to itself; rename
+    # to give it a map entry, then race another rename mid-call
+    snapshot_rename_column(spark, t, "vv", "val")
+
+    from nyc_taxi_data_warehouse_spark.warehouse import snapshots as S
+
+    def rename_then_extra():
+        snapshot_rename_column(spark, t, "val", "w")
+        return {}
+
+    # replace_partitions: `extra` (callable) runs AFTER the commit
+    # files are written and BEFORE the commit loop — a deterministic
+    # mid-call rename. The first commit attempt conflicts on the
+    # version number; the retry must recommit the CAPTURED pair.
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_replace_partitions,
+    )
+
+    snapshot_replace_partitions(
+        spark.createDataFrame(
+            [(1, 0, "repl")], "id long, month int, val string"
+        ),
+        t,
+        partition_cols=["month"],
+        extra=rename_then_extra,
+        retries=1,
+    )
+    # the captured pair won (newest-writer-wins): logical name 'val',
+    # map intact, VALUES not nulls
+    got = read_snapshot(spark, t)
+    assert got.columns == ["id", "month", "val"]
+    assert _bag(got, "id", "val") == [(1, "repl")]
+    assert _man(spark, t)["colmap"] == {"val": "vv"}
+
+    # same race through the equality-delete upsert (zero-read path):
+    # inject the rename at the retry loop's first epoch check
+    from nyc_taxi_data_warehouse_spark.warehouse import eqdeletes as E
+
+    real = E._epoch_already_applied
+    fired = {"n": 0}
+
+    def racing(spark_, path_, versions_, extra_, checked_):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            snapshot_rename_column(spark, t, "val", "z")
+        return real(spark_, path_, versions_, extra_, checked_)
+
+    monkeypatch.setattr(E, "_epoch_already_applied", racing)
+    v, n = snapshot_append_upsert(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, 0, "UP")], "id long, month int, val string"
+        ),
+        keys=["id"],
+        retries=2,
+    )
+    assert n == 1
+    got = read_snapshot(spark, t)
+    assert got.columns == ["id", "month", "val"]
+    assert _bag(got, "id", "val") == [(1, "UP")]
+    assert _man(spark, t)["colmap"] == {"val": "vv"}
+
+
+def test_append_refuses_duplicate_physical_slot(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, 10)], "id int, v int"), t
+    )
+    snapshot_rename_column(spark, t, "v", "vv")
+    # schema evolution adding a column NAMED after vv's physical slot
+    # must refuse with the real cause, not parquet's duplicate-column
+    # error after a partial job
+    bad = spark.createDataFrame([(2, 20, 99)], "id int, vv int, v int")
+    with pytest.raises(ValueError, match="physical"):
+        snapshot_write(bad, t, mode="append")
+
+
+def test_compact_refuses_relayout_onto_renamed_column(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, 10)], "id int, grp int"), t
+    )
+    snapshot_rename_column(spark, t, "grp", "tenant")
+    with pytest.raises(ValueError, match="renamed column"):
+        snapshot_compact(spark, t, partition_cols=["tenant"])
+
+
+def test_stream_identity_guard_catches_overwrite_reset(spark, tmp_path):
+    """A full overwrite resets column identities. A LONG-RUNNING
+    reader instance (whose (schema, colmap) capture predates the
+    overwrite) must FAIL LOUDLY at plan time under onNonAppend=skip
+    instead of null-filling every post-overwrite row of the renamed
+    column. (A restarted stream re-captures schema + map together and
+    proceeds cleanly — that path stays green below.)"""
+    from nyc_taxi_data_warehouse_spark.streaming.snapshot_source import (
+        SnapshotFeedStreamReader,
+        read_snapshot_stream,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, 10)], "id int, amt int"), t
+    )
+    v_rename = snapshot_rename_column(spark, t, "amt", "amount")
+
+    # the long-running reader: captured while colmap = {amount: amt}
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_man(spark, t)["schema"])
+    reader = SnapshotFeedStreamReader(
+        schema, {"path": t, "onnonappend": "skip"}
+    )
+    assert reader._cmap == {"amount": "amt"}
+
+    # fresh identity under the SAME logical name: physical is now
+    # 'amount', but the reader captured amount→amt
+    v_ow = snapshot_write(
+        spark.createDataFrame([(2, 20)], "id int, amount int"), t
+    )
+    with pytest.raises(ValueError, match="identity changed mid-stream"):
+        reader.partitions(
+            {"version": v_rename}, {"version": v_ow}
+        )
+
+    # a RESTARTED stream re-captures the pair and drains cleanly:
+    # the overwrite itself streams zero rows (skip mode ignores
+    # rewrite commits wholesale), and the pre-reset file's column
+    # belongs to a dead identity and null-fills (the same
+    # field-identity contract the batch feed documents)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        read_snapshot_stream(spark, t, on_non_append="skip")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert _bag(spark.read.parquet(out), "id", "amount") == [(1, None)]
