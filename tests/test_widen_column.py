@@ -176,3 +176,32 @@ def test_cli_widen(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(out) == {"version": 2, "widened": "amt", "to": "bigint"}
     assert dict(read_snapshot(spark, t).dtypes)["amt"] == "bigint"
+
+
+def test_alter_commits_are_o1_metadata(spark, tmp_path):
+    """The ALTER family (rename/widen) must write O(1) commit docs on a
+    many-file, fully-statted table: schema and colmap are per-commit
+    scalars, carried files/stats/rows encode as EMPTY deltas — an alter
+    on a million-file table costs the same bytes as on a ten-file one."""
+    import os
+
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _VDIR,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(2000).selectExpr(
+        "cast(id as int) id", "cast(id % 50 as int) grp",
+        "cast(id * 3 as int) amt",
+    ).repartition(50)
+    snapshot_write_with_stats(df, t, stats_cols=["id", "grp", "amt"])
+    v_r = snapshot_rename_column(spark, t, "amt", "amount")
+    v_w = snapshot_widen_column(spark, t, "amount", "bigint")
+    for v in (v_r, v_w):
+        doc_path = f"{t}/{_VDIR}/{v:08d}.json"
+        size = os.path.getsize(doc_path)
+        assert size < 4096, (v, size)
+        doc = json.loads(open(doc_path).read())
+        # pure carry: no file or stats churn in the delta
+        assert not doc.get("files_add") and not doc.get("files_del")
+        assert not doc.get("stats_put") and not doc.get("stats_del")
