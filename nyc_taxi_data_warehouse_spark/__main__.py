@@ -372,6 +372,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--widen", metavar="NAME:TYPE",
         help="losslessly widen a column's type, e.g. amt:bigint",
     )
+    sa.add_argument(
+        "--default", default=None, dest="col_default",
+        help="with --add: INITIAL default — pre-existing rows read "
+        'this value instead of NULL (JSON scalar, e.g. 0 or \'"en"\')',
+    )
 
     ci = sub.add_parser(
         "compact-index",
@@ -839,7 +844,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     raise SystemExit(
                         "--add needs NAME:TYPE (e.g. score:double)"
                     )
-                v = snapshot_add_column(spark, args.table_path, name, dtype)
+                dflt = (
+                    json.loads(args.col_default)
+                    if args.col_default is not None
+                    else None
+                )
+                v = snapshot_add_column(
+                    spark, args.table_path, name, dtype, default=dflt
+                )
                 print(json.dumps({"version": v, "added": name}))
             elif args.widen is not None:
                 from .warehouse.snapshots import snapshot_widen_column

@@ -204,6 +204,7 @@ def materialize_aggregate(
             extra={"stream_id": stream_id, "epoch": epoch},
             dv_files=None,  # full rewrite each refresh, nothing carried
             colmap=None,  # ditto: fresh files, fresh column identity
+            defaults=None,
         )
 
     feed = read_snapshot_stream(

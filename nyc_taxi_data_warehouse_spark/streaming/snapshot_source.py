@@ -292,11 +292,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         # both together; a mid-stream identity RESET (full overwrite)
         # or a stale capture is caught loudly at plan time by
         # _check_identity below, never read as silent nulls.
-        self._cmap: dict = (
-            _load_manifest(self._path, vs[-1]).get("colmap") or {}
-            if vs
-            else {}
-        )
+        head_man = _load_manifest(self._path, vs[-1]) if vs else {}
+        self._cmap: dict = head_man.get("colmap") or {}
+        # INITIAL defaults ({physical col: scalar}): rows of files that
+        # physically lack a defaulted column stream the default, not
+        # NULL — identity-stable like the colmap (keyed by frozen
+        # physical names), so the init capture serves the lifetime
+        self._defaults: dict = head_man.get("defaults") or {}
         self._cap_ver: int = vs[-1] if vs else 0  # capture head
         self._identity_ok: set = set()  # manifest_ids already checked
         # partition scope: the consumer sees ONLY matching partition
@@ -837,6 +839,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                             pa.array([raw] * len(tbl), type=pa.string()).cast(
                                 field.type
                             )
+                        )
+                    elif phys in self._defaults:
+                        # INITIAL default: this file predates the add
+                        cols.append(
+                            pa.array(
+                                [self._defaults[phys]] * len(tbl)
+                            ).cast(field.type)
                         )
                     else:
                         cols.append(pa.nulls(len(tbl), type=field.type))

@@ -431,6 +431,16 @@ def build_snapshot_bloom_index(
         )
     schema = StructType.fromJson(man["schema"])
     key_type = schema[key_col].dataType.simpleString()
+    from .snapshots import _phys
+
+    if _phys(man, key_col) in (man.get("defaults") or {}):
+        raise ValueError(
+            f"{key_col!r} carries an INITIAL default — files written "
+            "before the column existed have no physical values to "
+            "index, so a Bloom candidate list would silently miss "
+            "their (defaulted) rows; rewrite the table "
+            "(snapshot_compact materializes the default) first"
+        )
     # the sidecar records the PHYSICAL column name (see
     # snapshots._colmap): raw-file scans here and in every later sync
     # key on it, and it is stable across renames — an index built
@@ -585,4 +595,5 @@ def read_snapshot_with_bloom(
         eq_entries=man.get("eqs"),
         file_seq=man.get("seq"),
         colmap=cmap or None,
+        defaults=man.get("defaults"),
     ).where(F.col(lkey).isin(values))

@@ -138,9 +138,11 @@ def create_branch(
         eq_files=man.get("eqs"),
         known_seq=man.get("seq"),
         last_seq_floor=int(man.get("last_seq") or man.get("version") or 0),
-        # the base state's logical→physical column map travels with the
-        # fork (the carried files store physical names — see _colmap)
+        # the base state's logical→physical column map and initial
+        # defaults travel with the fork (the carried files store
+        # physical names — see _colmap)
         colmap=_colmap(man) or None,
+        defaults=man.get("defaults"),
     )
     return ref
 
@@ -273,9 +275,11 @@ def publish_branch(
         last_seq_floor=int(
             head.get("last_seq") or head.get("version") or 0
         ),
-        # whole-state carry of the branch head's column map too (a
-        # branch-side RENAME publishes like any other metadata change)
+        # whole-state carry of the branch head's column map and
+        # initial defaults too (branch-side alters publish like any
+        # other metadata change)
         colmap=_colmap(head) or None,
+        defaults=head.get("defaults"),
     )
 
 

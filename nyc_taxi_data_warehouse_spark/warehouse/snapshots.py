@@ -498,6 +498,7 @@ def _commit(
     known_seq: dict | None = None,
     last_seq_floor: int | None = None,
     colmap=_DV_INHERIT,
+    defaults=_DV_INHERIT,
 ) -> int:
     """``dv_files`` — the DELETION-VECTOR sidecars active at this
     version (parquet relpaths of (file, pos) tombstones, merged at
@@ -581,6 +582,19 @@ def _commit(
             l: p for l, p in colmap.items() if l in names and l != p
         }
     colmap = dict(colmap) if colmap else None
+    # INITIAL defaults ({physical col: scalar}; see _read_file_list):
+    # inherited and pruned exactly like colmap — an entry whose
+    # physical slot left the schema is dead weight
+    if defaults == _DV_INHERIT:
+        defaults = (pman.get("defaults") if pman else None) or None
+    if defaults:
+        phys_names = {
+            (colmap or {}).get(f.name, f.name) for f in schema.fields
+        }
+        defaults = {
+            c: v for c, v in defaults.items() if c in phys_names
+        }
+    defaults = dict(defaults) if defaults else None
     files = sorted(files)
     if len(set(files)) != len(files):
         raise ValueError(f"duplicate relpaths in commit file list at {path}")
@@ -677,6 +691,7 @@ def _commit(
             eq_entries=eq_files,
             file_seq=seq,
             colmap=colmap,
+            defaults=defaults,
         )
         # Rows can also go live WITHOUT a new file: a commit that
         # DROPS tombstone sidecars (restore rolling back past a DV
@@ -706,6 +721,7 @@ def _commit(
                     eq_entries=eq_files,
                     file_seq=seq,
                     colmap=colmap,
+                    defaults=defaults,
                 )
         # Same resurrection hazard for EQUALITY deletes: an entry that
         # left the state (restore rolling back past an upsert) brings
@@ -738,6 +754,7 @@ def _commit(
                     eq_entries=eq_files,
                     file_seq=seq,
                     colmap=colmap,
+                    defaults=defaults,
                 )
     state = {
         "files": files,
@@ -777,6 +794,7 @@ def _commit(
         # reproduce it.
         "partition_cols": list(partition_cols) if partition_cols else None,
         **({"colmap": colmap} if colmap else {}),
+        **({"defaults": defaults} if defaults else {}),
         **extra,
     }
     if pman is not None and pman.get("manifest_id"):
@@ -873,6 +891,7 @@ def snapshot_write(
                 partition_cols=partition_cols,
                 dv_files=_DV_INHERIT if mode == "append" else None,
                 colmap=cmap if mode == "append" else None,
+                defaults=_DV_INHERIT if mode == "append" else None,
             )
         except SnapshotConflict:
             if attempt == retries:
@@ -1173,6 +1192,7 @@ def read_snapshot(
         eq_entries=man.get("eqs"),
         file_seq=man.get("seq"),
         colmap=_colmap(man) or None,
+        defaults=man.get("defaults"),
     )
 
 
@@ -1221,12 +1241,16 @@ def _flat_readable(
     files: list[str],
     schema: StructType,
     partition_cols: list[str],
+    must_have: set | None = None,
 ) -> bool:
     """True iff every file can be read DIRECTLY under the target
     schema in one scan: its partition-directory keys are exactly the
     target layout, and every data column it stores has the target
     type byte-for-byte (missing columns null-fill; anything needing a
     cast — a widened/narrowed history — keeps the per-commit path).
+    ``must_have``: physical column names every file must PHYSICALLY
+    store for the flat path — columns with an initial DEFAULT fill
+    per commit group, which one flat scan cannot express.
     At most one parquet FOOTER read per file EVER (metadata-only,
     cached — see ``_FOOTER_CACHE``), fetched through a small thread
     pool so an object store's per-open latency is paid concurrently,
@@ -1277,6 +1301,10 @@ def _flat_readable(
     for f in files:
         if set(_partition_values_from_path(f)) != want_keys:
             return False
+        if must_have and not must_have <= {
+            n for n, _ in _FOOTER_CACHE[(root, f)]
+        }:
+            return False  # defaulted column absent: needs per-part fill
         for name, atype in _FOOTER_CACHE[(root, f)]:
             want = data_types.get(name)
             if want is None:
@@ -1431,8 +1459,16 @@ def _read_file_list(
     eq_entries: list[dict] | None = None,
     file_seq: dict | None = None,
     colmap: dict | None = None,
+    defaults: dict | None = None,
 ) -> DataFrame:
     """Scan an explicit manifest file list, normalised to ``schema``.
+
+    ``defaults`` ({PHYSICAL column name: scalar}): INITIAL defaults —
+    a column added with a default fills that value for rows of files
+    that PHYSICALLY lack the column (written before the add), while
+    genuine NULLs written after the add stay NULL (the Iceberg-v3
+    initial-default distinction; physical absence is the per-file
+    marker, so no per-row bookkeeping exists anywhere).
 
     ``dv_files`` are the manifest's deletion-vector sidecars (parquet
     relpaths of ``(_dv_file, _dv_pos)`` tombstones): their rows are
@@ -1481,6 +1517,7 @@ def _read_file_list(
             partition_cols=partition_cols, dv_files=dv_files,
             row_ids=row_ids, dv_targets=dv_targets,
             eq_entries=eq_entries, file_seq=file_seq,
+            defaults=defaults,
         )
         return out.select(
             *[F.col(c).alias(inv.get(c, c)) for c in out.columns]
@@ -1510,6 +1547,7 @@ def _read_file_list(
                 partition_cols=partition_cols,
                 dv_files=gdvs, row_ids=row_ids,
                 dv_targets=dv_targets if gdvs else None,
+                defaults=defaults,
             )
             parts.append(_apply_eq(spark, path, part, entries[idx:]))
         out = parts[0]
@@ -1527,11 +1565,13 @@ def _read_file_list(
                 spark, path, clean, schema,
                 partition_cols=partition_cols,
                 dv_files=None, row_ids=row_ids,
+                defaults=defaults,
             ).unionByName(
                 _read_file_list(
                     spark, path, tomb, schema,
                     partition_cols=partition_cols,
                     dv_files=dv_files, row_ids=row_ids,
+                    defaults=defaults,
                 )
             )
         # else: every file is targeted — fall through whole
@@ -1572,8 +1612,14 @@ def _read_file_list(
     # that genuinely need per-file normalisation (widened/narrowed/
     # dropped columns, layout changes) keep the per-commit cast path,
     # whose depth is then bounded by how unusual the history is.
+    live_defaults = {
+        c: v
+        for c, v in (defaults or {}).items()
+        if c in {f.name for f in schema.fields}
+    }
     if len(by_commit) > _FLAT_READ_THRESHOLD and _flat_readable(
-        spark, path, files, schema, partition_cols or []
+        spark, path, files, schema, partition_cols or [],
+        must_have=set(live_defaults) or None,
     ):
         df = _read_file_list_flat(
             spark, path, files, schema, partition_cols or [],
@@ -1583,10 +1629,18 @@ def _read_file_list(
             return df  # never touch user columns when no DV machinery ran
         return _apply_dvs(spark, path, df, dv_files, keep_ids=row_ids)
     parts = []
+    dtypes = {f.name: f.dataType for f in schema.fields}
     for commit, flist in sorted(by_commit.items()):
         p = spark.read.option("basePath", f"{path}/{commit}").parquet(
             *[f"{path}/{f}" for f in flist]
         )
+        # INITIAL defaults: fill per commit group, BEFORE the union —
+        # physical absence of the column marks exactly the pre-add
+        # files, and a post-union fill could not tell their rows from
+        # genuine NULLs written later
+        for c, dval in sorted(live_defaults.items()):
+            if c not in p.columns:
+                p = p.withColumn(c, F.lit(dval).cast(dtypes[c]))
         if want_ids:
             # row identity must come from each leaf scan (_metadata is
             # per-scan, unreachable after the union)
@@ -1769,6 +1823,7 @@ def snapshot_changes(
     # pre-reset commits — field-identity semantics, not name reattach.
     tmap = _colmap(target_man) or None
     tinv = {p: l for l, p in (tmap or {}).items()}
+    tdefaults = target_man.get("defaults")
     target_schema_json = json.dumps(target_man["schema"], sort_keys=True)
     changes: list[DataFrame] = []
     # Plan-growth bound: the per-commit loop below builds one DataFrame
@@ -1838,6 +1893,15 @@ def snapshot_changes(
             and not _eq_affected_files(man, added)
             and json.dumps(man["schema"], sort_keys=True) == target_schema_json
             and man.get("partition_cols") == target_man.get("partition_cols")
+            and (
+                not tdefaults
+                or _flat_readable(
+                    spark, path, added,
+                    _phys_fields(out_schema, tmap or {}),
+                    _manifest_partition_cols(target_man) or [],
+                    must_have=set(tdefaults),
+                )
+            )
         ):
             batched.extend((f, v) for f in added)
             continue
@@ -1881,6 +1945,7 @@ def snapshot_changes(
                 dv_targets=mask_tgts,
                 eq_entries=mask_eq, file_seq=mask_seq,
                 colmap=tmap,
+                defaults=tdefaults,
             ).join(ent, list(_DV_COLS), "left_semi")
             changes.append(
                 rows.drop(*_DV_COLS)
@@ -1944,6 +2009,7 @@ def snapshot_changes(
                         row_ids=True,
                         eq_entries=mask, file_seq=pseq,
                         colmap=tmap,
+                        defaults=tdefaults,
                     )
                     if added_dv_ent is not None:
                         rows = rows.join(
@@ -1978,6 +2044,7 @@ def snapshot_changes(
                         row_ids=True,
                         eq_entries=mask, file_seq=cseq,
                         colmap=tmap,
+                        defaults=tdefaults,
                     )
                     if removed_dv_ent is not None:
                         rows = rows.join(
@@ -1997,6 +2064,7 @@ def snapshot_changes(
             dv_targets=man.get("dv_targets"),
             eq_entries=ceqs, file_seq=cseq,
             colmap=tmap,
+            defaults=tdefaults,
         )
         if removed:
             dele = _read_file_list(
@@ -2008,6 +2076,7 @@ def snapshot_changes(
                 dv_targets=ptgts,
                 eq_entries=peqs, file_seq=pseq,
                 colmap=tmap,
+                defaults=tdefaults,
             )
             # cancel rewritten-but-unchanged rows (bag semantics)
             ins, dele = ins.exceptAll(dele), dele.exceptAll(ins)
@@ -2114,9 +2183,10 @@ def snapshot_restore(
         # the entries that masked its rows — silent resurrection)
         eq_files=man.get("eqs"),
         known_seq=man.get("seq"),
-        # the RESTORED state's logical→physical map, never the
-        # abandoned head's (whose renames may postdate the target)
+        # the RESTORED state's logical→physical map and defaults,
+        # never the abandoned head's (whose alters may postdate it)
         colmap=_colmap(man) or None,
+        defaults=man.get("defaults"),
     )
 
 
@@ -2359,6 +2429,7 @@ def snapshot_minmax(
             eq_entries=man.get("eqs"),
             file_seq=man.get("seq"),
             colmap=_colmap(man) or None,
+            defaults=man.get("defaults"),
         )
         row = df.agg(
             F.min(F.col(col)).alias("lo"), F.max(F.col(col)).alias("hi")
@@ -2429,6 +2500,7 @@ def snapshot_count_nonnull(
             eq_entries=man.get("eqs"),
             file_seq=man.get("seq"),
             colmap=_colmap(man) or None,
+            defaults=man.get("defaults"),
         )
         total += df.agg(F.count(F.col(col)).alias("c")).first()["c"]
     return total
@@ -3265,6 +3337,7 @@ def _enforce_constraints(
     eq_entries: list[dict] | None = None,
     file_seq: dict | None = None,
     colmap: dict | None = None,
+    defaults: dict | None = None,
 ) -> None:
     """Refuse data that violates a recorded CHECK constraint. Scans
     ONLY ``files`` (the commit's additions — O(change), never the
@@ -3283,6 +3356,7 @@ def _enforce_constraints(
         spark, path, files, schema, partition_cols=partition_cols,
         dv_files=dv_files, dv_targets=dv_targets,
         eq_entries=eq_entries, file_seq=file_seq, colmap=colmap,
+        defaults=defaults,
     )
     for name in sorted(checks):
         expr = checks[name]
@@ -3574,6 +3648,7 @@ def snapshot_compact(
             dv_files=man.get("dv_files"),
             dv_targets=man.get("dv_targets"),
             colmap=_colmap(man) or None,
+            defaults=man.get("defaults"),
         )
     drop_after = None
     if cluster_by:
@@ -3631,8 +3706,13 @@ def snapshot_compact(
         spark, root, man, victims
     ) - _dv_entry_count(spark, root, man.get("dv_files"), victims)
     extra["rows_added"] = sum(rows_new.values())
+    defaults_after = _DV_INHERIT
     if not targeted:
         dv_files, dv_targets = None, None  # folded into the rewrite
+        # every file was rewritten from the FILLED read: initial
+        # defaults are now physically materialized — shed the entries
+        # (this is also what re-enables Bloom-indexing such columns)
+        defaults_after = None
     else:
         extra["files_compacted"] = len(victims)
         extra["files_carried"] = len(carried)
@@ -3653,6 +3733,7 @@ def snapshot_compact(
         dv_files=dv_files,
         dv_targets=dv_targets,
         known_rows=rows_new,
+        defaults=defaults_after,
     )
 
 
@@ -3750,6 +3831,7 @@ def snapshot_merge_upsert_dv(
         row_ids=True,
         dv_targets=man.get("dv_targets"),
         colmap=_colmap(man) or None,
+        defaults=man.get("defaults"),
     ).join(F.broadcast(touched), partition_cols, "left_semi")
     if version_col is not None:
         tagged = target.withColumn("_src", F.lit(0)).unionByName(
@@ -3954,6 +4036,7 @@ def snapshot_write_with_stats(
         partition_cols=partition_cols,
         dv_files=_DV_INHERIT if mode == "append" else None,
         colmap=cmap if mode == "append" else None,
+        defaults=_DV_INHERIT if mode == "append" else None,
     )
 
 
@@ -4024,6 +4107,7 @@ def read_snapshot_pruned(
             eq_entries=man.get("eqs"),
             file_seq=man.get("seq"),
             colmap=_colmap(man) or None,
+            defaults=man.get("defaults"),
         )
     return pruned.where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
@@ -4176,6 +4260,7 @@ def _delete_rows_dv_where(
             row_ids=True,
             dv_targets=man.get("dv_targets"),
             colmap=_colmap(man) or None,
+            defaults=man.get("defaults"),
         )
         matched = (
             df.where(_match_expr(predicates))
@@ -4438,6 +4523,7 @@ def _rewrite_matching_files(
             dv_files=man.get("dv_files"),
             dv_targets=man.get("dv_targets"),
             colmap=_colmap(man) or None,
+            defaults=man.get("defaults"),
         )
         before = df.count()
         rewritten = fn(df)
@@ -4645,6 +4731,7 @@ def _update_rows_dv_where(
             row_ids=True,
             dv_targets=man.get("dv_targets"),
             colmap=_colmap(man) or None,
+            defaults=man.get("defaults"),
         )
         .where(_match_expr(predicates))
         .localCheckpoint(eager=True)  # one scan feeds count + 2 writes
@@ -4849,6 +4936,7 @@ def snapshot_resolve_eq(spark: SparkSession, path: str) -> tuple[int, int]:
             dv_files=man.get("dv_files"),
             row_ids=True,
             dv_targets=man.get("dv_targets"),
+            defaults=man.get("defaults"),
         )
         by_keys: dict[tuple, list[str]] = {}
         for e in entries[idx:]:
@@ -5297,7 +5385,7 @@ def snapshot_update_where(
 
 
 def snapshot_add_column(
-    spark: SparkSession, path: str, name: str, dtype
+    spark: SparkSession, path: str, name: str, dtype, default=None
 ) -> int:
     """METADATA-ONLY ``ALTER TABLE ADD COLUMN``: publish a new version
     with the same files and a widened schema — zero data bytes move at
@@ -5305,11 +5393,39 @@ def snapshot_add_column(
     explicit-list readers null-fill manifest columns absent from a
     file); subsequent writers include it like any other column.
     ``dtype`` is a DataType or a DDL string (``"int"``,
-    ``"array<double>"``). Returns the new version."""
+    ``"array<double>"``). Returns the new version.
+
+    ``default``: an INITIAL default (Iceberg-v3 semantics) — rows of
+    files written BEFORE the add read this value instead of NULL,
+    while rows written after the add keep whatever they stored,
+    including genuine NULLs. Physical column absence is the per-file
+    marker, so the default costs zero data movement and zero per-row
+    bookkeeping; it fills at the read boundary, flows through DML
+    predicates, metadata MIN/MAX/COUNT(col), the change feed and the
+    streaming source. Scalars only (bool/int/float/str), castable to
+    ``dtype``. A Bloom index refuses such columns (pre-add rows have
+    no physical values to index — candidate lists would silently miss
+    them)."""
     from pyspark.sql.types import _parse_datatype_string
 
     if isinstance(dtype, str):
         dtype = _parse_datatype_string(dtype)
+    if default is not None:
+        if not isinstance(default, (bool, int, float, str)):
+            raise ValueError(
+                "default must be a plain scalar (bool/int/float/str); "
+                f"got {type(default).__name__}"
+            )
+        # try_cast: under ANSI mode a malformed literal THROWS at the
+        # cast — the probe must turn that into this front door's error
+        probe = spark.createDataFrame([(1,)], "x int").select(
+            F.lit(default).try_cast(dtype).alias("d")
+        )
+        if probe.first()["d"] is None:
+            raise ValueError(
+                f"default {default!r} does not cast to "
+                f"{dtype.simpleString()}"
+            )
     if name in _DV_COLS:
         raise ValueError(
             f"column name {name!r} is reserved for the deletion-vector "
@@ -5337,6 +5453,11 @@ def snapshot_add_column(
     from pyspark.sql.types import StructField
 
     new_schema = StructType(list(schema.fields) + [StructField(name, dtype)])
+    new_defaults = dict(man.get("defaults") or {})
+    if default is not None:
+        # keyed by the PHYSICAL name (= the logical one at add time,
+        # frozen forever) — a later rename never detaches the default
+        new_defaults[name] = default
     return _commit(
         spark,
         path,
@@ -5344,8 +5465,10 @@ def snapshot_add_column(
         new_schema,
         "add_column",
         latest,
+        defaults=new_defaults or None,
         extra={
             "altered_column": name,
+            **({"default": default} if default is not None else {}),
             **(
                 {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
                 if man.get("stats") is not None
