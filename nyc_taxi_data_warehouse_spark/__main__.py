@@ -838,17 +838,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 snapshot_drop_column,
             )
 
+            if args.col_default is not None and args.add is None:
+                raise SystemExit(
+                    "--default only applies with --add"
+                )
             if args.add is not None:
                 name, _, dtype = args.add.partition(":")
                 if not dtype:
                     raise SystemExit(
                         "--add needs NAME:TYPE (e.g. score:double)"
                     )
-                dflt = (
-                    json.loads(args.col_default)
-                    if args.col_default is not None
-                    else None
-                )
+                dflt = None
+                if args.col_default is not None:
+                    try:
+                        dflt = json.loads(args.col_default)
+                    except ValueError:
+                        raise SystemExit(
+                            "--default must be a JSON scalar (0, 1.5, "
+                            'true, "en"); got '
+                            f"{args.col_default!r}"
+                        ) from None
+                    if dflt is None:
+                        raise SystemExit(
+                            "--default null is not a default — omit "
+                            "the flag for a plain nullable add"
+                        )
                 v = snapshot_add_column(
                     spark, args.table_path, name, dtype, default=dflt
                 )

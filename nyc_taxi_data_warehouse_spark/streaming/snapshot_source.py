@@ -259,10 +259,21 @@ def _partition_values_from_path(rel_file: str) -> dict[str, str | None]:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_uri: str, part_values: dict, version: int):
+    def __init__(
+        self,
+        file_uri: str,
+        part_values: dict,
+        version: int,
+        defaults: dict | None = None,
+    ):
         self.file_uri = file_uri
         self.part_values = part_values
         self.version = version
+        # the ADDING version's initial-defaults map ({physical col:
+        # scalar}): resolved PER VERSION at plan time — a later
+        # materializing compact sheds the head's entries while
+        # replayed history must still fill what its version showed
+        self.defaults = defaults or {}
 
 
 class SnapshotFeedStreamReader(DataSourceStreamReader):
@@ -294,11 +305,6 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         # _check_identity below, never read as silent nulls.
         head_man = _load_manifest(self._path, vs[-1]) if vs else {}
         self._cmap: dict = head_man.get("colmap") or {}
-        # INITIAL defaults ({physical col: scalar}): rows of files that
-        # physically lack a defaulted column stream the default, not
-        # NULL — identity-stable like the colmap (keyed by frozen
-        # physical names), so the init capture serves the lifetime
-        self._defaults: dict = head_man.get("defaults") or {}
         self._cap_ver: int = vs[-1] if vs else 0  # capture head
         self._identity_ok: set = set()  # manifest_ids already checked
         # partition scope: the consumer sees ONLY matching partition
@@ -398,6 +404,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         prev_dvs: set[str] = set()
         prev_tgts: set[str] = set()
         prev_eqs: list[dict] = []
+        prev_defaults: dict = {}
         for v in range(lo + 1, hi + 1):
             if v not in have:
                 raise FileNotFoundError(
@@ -421,6 +428,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         }
                         prev_dvs = set(pman.get("dv_files") or [])
                         prev_eqs = pman.get("eqs") or []
+                        prev_defaults = pman.get("defaults") or {}
                         if self._scope is not None:
                             prev_tgts = self._targets_of(pman, prev_dvs)
                     except OSError:  # FileNotFoundError locally; plain
@@ -438,6 +446,26 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 e["path"] for e in prev_eqs
             }
             removed = prev_files - files
+            new_dflt = sorted(
+                set(man.get("defaults") or {}) - set(prev_defaults)
+            )
+            if new_dflt and prev_files:
+                # ADD COLUMN WITH DEFAULT retroactively changes every
+                # pre-existing row of the column (NULL → default) while
+                # moving no files — invisible to file diffing, never
+                # row-neutral, not expressible on an insert-only feed.
+                # Classify it like the dv/eq deltas; empty tables pass
+                # (nothing to change retroactively).
+                if self._on_non_append != "skip":
+                    raise ValueError(
+                        f"version {v} ({man.get('op')}) adds column "
+                        f"default(s) {new_dflt} — this retroactively "
+                        "changes pre-existing rows, which cannot "
+                        "stream through an insert-only feed; consume "
+                        "row-level changes with snapshot_changes() or "
+                        "set onNonAppend=skip (already-streamed rows "
+                        "then keep their streamed fill)"
+                    )
             if removed:
                 if self._on_non_append == "fail":
                     raise ValueError(
@@ -551,6 +579,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                                 f"{self._root}/{f}",
                                 _partition_values_from_path(f),
                                 v,
+                                defaults=man.get("defaults"),
                             )
                         )
             else:
@@ -616,6 +645,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                                 f"{self._root}/{f}",
                                 _partition_values_from_path(f),
                                 v,
+                                defaults=man.get("defaults"),
                             )
                         )
                 else:
@@ -625,11 +655,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                                 f"{self._root}/{f}",
                                 _partition_values_from_path(f),
                                 v,
+                                defaults=man.get("defaults"),
                             )
                         )
             prev_files = files
             prev_dvs = dvs
             prev_eqs = eqs
+            prev_defaults = man.get("defaults") or {}
             if self._scope is not None:
                 prev_tgts = self._targets_of(man, dvs)
         return parts
@@ -840,11 +872,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                                 field.type
                             )
                         )
-                    elif phys in self._defaults:
+                    elif phys in partition.defaults:
                         # INITIAL default: this file predates the add
+                        # (filled under the ADDING version's map — see
+                        # _FilePartition.defaults)
                         cols.append(
                             pa.array(
-                                [self._defaults[phys]] * len(tbl)
+                                [partition.defaults[phys]] * len(tbl)
                             ).cast(field.type)
                         )
                     else:

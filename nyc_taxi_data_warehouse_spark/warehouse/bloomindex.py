@@ -406,6 +406,27 @@ def _bloom_rows_for_files(
     )
 
 
+def _refuse_defaulted_key(
+    man: dict, pkey: str, logical: str | None = None
+) -> None:
+    """Shared guard on EVERY snapshot-bloom entry point (build, sync,
+    read): a key column carrying an INITIAL default has live files
+    with no physical values to index — sync would give them coverage
+    sentinels only, and a candidate list would silently miss their
+    (defaulted) rows, breaking the no-false-negatives contract. The
+    state can also RE-ENTER after a build (restore below the
+    materializing compact, publish of a defaulted branch), which is
+    why build-time-only checking is not enough."""
+    if pkey in (man.get("defaults") or {}):
+        raise ValueError(
+            f"{logical or pkey!r} carries an INITIAL default — files "
+            "written before the column existed have no physical values "
+            "to index, so a Bloom candidate list would silently miss "
+            "their (defaulted) rows; rewrite the table "
+            "(snapshot_compact materializes the default) first"
+        )
+
+
 def build_snapshot_bloom_index(
     spark: SparkSession,
     table_path: str,
@@ -433,14 +454,7 @@ def build_snapshot_bloom_index(
     key_type = schema[key_col].dataType.simpleString()
     from .snapshots import _phys
 
-    if _phys(man, key_col) in (man.get("defaults") or {}):
-        raise ValueError(
-            f"{key_col!r} carries an INITIAL default — files written "
-            "before the column existed have no physical values to "
-            "index, so a Bloom candidate list would silently miss "
-            "their (defaulted) rows; rewrite the table "
-            "(snapshot_compact materializes the default) first"
-        )
+    _refuse_defaulted_key(man, _phys(man, key_col), logical=key_col)
     # the sidecar records the PHYSICAL column name (see
     # snapshots._colmap): raw-file scans here and in every later sync
     # key on it, and it is stable across renames — an index built
@@ -501,6 +515,7 @@ def sync_bloom_with_snapshot(
     meta = read_index_meta(spark, index_path)
     rows_path = _data_path(index_path, meta)
     man, version = _snapshot_live_files(spark, table_path)
+    _refuse_defaulted_key(man, meta["key_col"])
     live = set(man["files"])
     rows = read_index_parquet(spark, rows_path, _ROWS_DDL)
     indexed = {
@@ -551,6 +566,7 @@ def read_snapshot_with_bloom(
     check_index_meta(spark, index_path, {"kind": "bloom", "scope": "snapshot"})
     meta = read_index_meta(spark, index_path)
     man, _ = _snapshot_live_files(spark, table_path)
+    _refuse_defaulted_key(man, meta["key_col"])
     live = set(man["files"])
     indexed = {
         r["file"]

@@ -188,6 +188,7 @@ def snapshot_append_upsert(
     if n == 0:
         return versions[-1], 0
     cmap = _colmap(man)
+    dflts = man.get("defaults")  # captured with the schema (tuple rule)
     _, new_files = _write_commit_files(
         batch, path, partition_cols, colmap=cmap or None
     )
@@ -242,6 +243,7 @@ def snapshot_append_upsert(
                 # permanent silent nulls (snapshot_write passes its
                 # captured pair for the same reason)
                 colmap=cmap or None,
+                defaults=dflts,
             )
             return version, n
         except SnapshotConflict:

@@ -870,14 +870,18 @@ def snapshot_write(
     spark = df.sparkSession
     versions = _list_manifests(spark, path)
     parent = versions[-1] if versions else None
-    cmap = None
+    cmap, dflts = None, None
     if mode == "append" and parent is not None:
         pman = _load_manifest(spark, path, parent)
         # fail fast BEFORE the expensive data write
         _require_same_layout(pman, partition_cols, "append")
         # appended files store PHYSICAL names (frozen across renames —
-        # see _colmap); a full overwrite starts a fresh identity map
+        # see _colmap); a full overwrite starts a fresh identity map.
+        # defaults are captured WITH the schema, like the colmap — the
+        # retry loop must never pair this schema with a different
+        # head's alter state (the captured-tuple rule).
         cmap = _colmap(pman) or None
+        dflts = pman.get("defaults")
     _, new_files = _write_commit_files(df, path, partition_cols, colmap=cmap)
     for attempt in range(retries + 1):
         files = new_files
@@ -891,7 +895,7 @@ def snapshot_write(
                 partition_cols=partition_cols,
                 dv_files=_DV_INHERIT if mode == "append" else None,
                 colmap=cmap if mode == "append" else None,
-                defaults=_DV_INHERIT if mode == "append" else None,
+                defaults=dflts if mode == "append" else None,
             )
         except SnapshotConflict:
             if attempt == retries:
@@ -937,11 +941,11 @@ def snapshot_replace_partitions(
             partition_cols,
             "replace_partitions",
         )
-    cmap = (
-        _colmap(_load_manifest(spark, path, parent)) or None
-        if parent is not None
-        else None
-    )
+    cmap, dflts = None, None
+    if parent is not None:
+        _pm = _load_manifest(spark, path, parent)
+        cmap = _colmap(_pm) or None
+        dflts = _pm.get("defaults")  # captured-tuple rule
     _, new_files = _write_commit_files(
         df, path, partition_cols, colmap=cmap
     )
@@ -985,10 +989,11 @@ def snapshot_replace_partitions(
                 parent,
                 extra=extra_doc,
                 partition_cols=partition_cols,
-                # the captured (schema, colmap) pair — see
+                # the captured (schema, colmap, defaults) tuple — see
                 # stream_snapshot_append for why inheriting the
-                # retry-time head's map here is a silent-null hazard
+                # retry-time head's alter state is a silent-null hazard
                 colmap=cmap,
+                defaults=dflts,
             )
         except SnapshotConflict:
             # transaction retry: the replacement files are already
@@ -1823,6 +1828,12 @@ def snapshot_changes(
     # pre-reset commits — field-identity semantics, not name reattach.
     tmap = _colmap(target_man) or None
     tinv = {p: l for l, p in (tmap or {}).items()}
+    # defaults resolve PER VERSION (unlike the identity map): an
+    # untargeted compact MATERIALIZES them and sheds the entries, so
+    # the target may carry none while in-range history still fills —
+    # each commit's frames read under its own manifest's defaults,
+    # reproducing exactly what that version's queryable reads showed
+    # (and making the compact's delete/insert pairs cancel).
     tdefaults = target_man.get("defaults")
     target_schema_json = json.dumps(target_man["schema"], sort_keys=True)
     changes: list[DataFrame] = []
@@ -1870,6 +1881,21 @@ def snapshot_changes(
         files = _scoped(man)
         added = sorted(files - pfiles)
         removed = sorted(pfiles - files)
+        # ADD COLUMN WITH DEFAULT moves no files but retroactively
+        # changes every pre-existing row of the column (NULL →
+        # default). Emit that change exactly: diff the WHOLE carried
+        # state, parent-side read under the parent's defaults, child
+        # side under the commit's — exceptAll cancels every untouched
+        # row (files that physically store the column, columns whose
+        # fill didn't change), leaving precisely the retroactive
+        # delete(old image)+insert(new image) pairs. Costs one read of
+        # the pre-add surface at feed time — the honest price of
+        # replaying a rows-changing commit.
+        if set(man.get("defaults") or {}) - set(
+            (pman or {}).get("defaults") or {}
+        ):
+            added = sorted(files)
+            removed = sorted(pfiles)
         dv_same = set(cdvs) == set(pdvs)
         eq_same = {e["path"] for e in ceqs} == {e["path"] for e in peqs}
         # the batched fast path reads added files with NO dv masking —
@@ -1893,6 +1919,7 @@ def snapshot_changes(
             and not _eq_affected_files(man, added)
             and json.dumps(man["schema"], sort_keys=True) == target_schema_json
             and man.get("partition_cols") == target_man.get("partition_cols")
+            and (man.get("defaults") or None) == (tdefaults or None)
             and (
                 not tdefaults
                 or _flat_readable(
@@ -1915,17 +1942,21 @@ def snapshot_changes(
         # (delete, restore past it, delete again) cancel to zero.
         common = files & pfiles
         ptgts = pman.get("dv_targets") if parent is not None else None
-        for delta_dvs, mask_dvs, mask_tgts, mask_eq, mask_seq, ctype in (
+        for (
+            delta_dvs, mask_dvs, mask_tgts, mask_eq, mask_seq,
+            mask_defaults, ctype,
+        ) in (
             # masks are the side the CONSUMER holds: rows already dead
             # there (position OR key form) must not re-emit
             (sorted(set(cdvs) - set(pdvs)), pdvs, ptgts, peqs, pseq,
-             "delete"),
+             (pman or {}).get("defaults"), "delete"),
             (
                 sorted(set(pdvs) - set(cdvs)),
                 cdvs,
                 man.get("dv_targets"),
                 ceqs,
                 cseq,
+                man.get("defaults"),
                 "insert",
             ),
         ):
@@ -1945,7 +1976,7 @@ def snapshot_changes(
                 dv_targets=mask_tgts,
                 eq_entries=mask_eq, file_seq=mask_seq,
                 colmap=tmap,
-                defaults=tdefaults,
+                defaults=mask_defaults,
             ).join(ent, list(_DV_COLS), "left_semi")
             changes.append(
                 rows.drop(*_DV_COLS)
@@ -2009,7 +2040,7 @@ def snapshot_changes(
                         row_ids=True,
                         eq_entries=mask, file_seq=pseq,
                         colmap=tmap,
-                        defaults=tdefaults,
+                        defaults=(pman or {}).get("defaults"),
                     )
                     if added_dv_ent is not None:
                         rows = rows.join(
@@ -2044,7 +2075,7 @@ def snapshot_changes(
                         row_ids=True,
                         eq_entries=mask, file_seq=cseq,
                         colmap=tmap,
-                        defaults=tdefaults,
+                        defaults=man.get("defaults"),
                     )
                     if removed_dv_ent is not None:
                         rows = rows.join(
@@ -2064,7 +2095,7 @@ def snapshot_changes(
             dv_targets=man.get("dv_targets"),
             eq_entries=ceqs, file_seq=cseq,
             colmap=tmap,
-            defaults=tdefaults,
+            defaults=man.get("defaults"),
         )
         if removed:
             dele = _read_file_list(
@@ -2076,7 +2107,7 @@ def snapshot_changes(
                 dv_targets=ptgts,
                 eq_entries=peqs, file_seq=pseq,
                 colmap=tmap,
-                defaults=tdefaults,
+                defaults=(pman or {}).get("defaults"),
             )
             # cancel rewritten-but-unchanged rows (bag semantics)
             ins, dele = ins.exceptAll(dele), dele.exceptAll(ins)
@@ -2354,6 +2385,9 @@ def snapshot_count(
             dv_targets=man.get("dv_targets"),
             eq_entries=man.get("eqs"),
             file_seq=man.get("seq"),
+            # an eq entry KEYED on a defaulted column must mask the
+            # pre-add rows here exactly as it does on every read
+            defaults=man.get("defaults"),
         ).count()
     return scanned + _physical_row_total(
         spark, root, man, files
@@ -3048,11 +3082,11 @@ def stream_snapshot_append(
         if epoch_applied(_list_manifests(spark, path)):
             return
         head = _list_manifests(spark, path)
-        cmap = (
-            _colmap(_load_manifest(spark, path, head[-1])) or None
-            if head
-            else None
-        )
+        cmap, dflts = None, None
+        if head:
+            _hm = _load_manifest(spark, path, head[-1])
+            cmap = _colmap(_hm) or None
+            dflts = _hm.get("defaults")  # captured-tuple rule
         _, new_files = _write_commit_files(
             batch, path, partition_cols, colmap=cmap
         )
@@ -3086,13 +3120,15 @@ def stream_snapshot_append(
                     parent,
                     extra={"stream_id": stream_id, "epoch": epoch},
                     partition_cols=partition_cols,
-                    # the (schema, colmap) PAIR captured at file-write
-                    # time: inheriting the retry-time head's map under
-                    # this stale schema would let _commit's pruning
-                    # destroy a concurrent rename's mapping — permanent
-                    # silent nulls. Committing the captured pair is the
+                    # the (schema, colmap, defaults) TUPLE captured at
+                    # file-write time: inheriting the retry-time head's
+                    # alter state under this stale schema would let
+                    # _commit's pruning destroy a concurrent rename's
+                    # mapping or a defaulted column's fill — permanent
+                    # silent nulls. Committing the captured tuple is
                     # ordinary newest-writer-wins schema semantics.
                     colmap=cmap,
+                    defaults=dflts,
                 )
                 _maybe_auto_compact_small(
                     spark, path, auto_compact_rows,
@@ -4012,11 +4048,12 @@ def snapshot_write_with_stats(
     spark = df.sparkSession
     versions = _list_manifests(spark, path)
     parent = versions[-1] if versions else None
-    cmap = None
+    cmap, dflts = None, None
     if mode == "append" and parent is not None:
         pman = _load_manifest(spark, path, parent)
         _require_same_layout(pman, partition_cols, "append")
         cmap = _colmap(pman) or None
+        dflts = pman.get("defaults")  # captured-tuple rule, see above
     # stats (like the files they describe) are keyed by PHYSICAL names
     stats_cols = [(cmap or {}).get(c, c) for c in stats_cols]
     _, files = _write_commit_files(df, path, partition_cols, colmap=cmap)
@@ -4036,7 +4073,7 @@ def snapshot_write_with_stats(
         partition_cols=partition_cols,
         dv_files=_DV_INHERIT if mode == "append" else None,
         colmap=cmap if mode == "append" else None,
-        defaults=_DV_INHERIT if mode == "append" else None,
+        defaults=dflts if mode == "append" else None,
     )
 
 
@@ -5421,11 +5458,24 @@ def snapshot_add_column(
         probe = spark.createDataFrame([(1,)], "x int").select(
             F.lit(default).try_cast(dtype).alias("d")
         )
-        if probe.first()["d"] is None:
+        normalized = probe.first()["d"]
+        if normalized is None:
             raise ValueError(
                 f"default {default!r} does not cast to "
                 f"{dtype.simpleString()}"
             )
+        # persist the CAST-NORMALIZED value, not the raw input: the
+        # streaming source fills with pyarrow, whose stricter casts
+        # reject values Spark coerced (7.5 → int 7; 'yes' → bool) —
+        # batch and stream must fill the same bytes. Types whose
+        # normalized form isn't a JSON scalar (decimal, date) refuse:
+        # the manifest is JSON and the fill must round-trip exactly.
+        if not isinstance(normalized, (bool, int, float, str)):
+            raise ValueError(
+                f"defaults are unsupported for {dtype.simpleString()} "
+                "(normalized value is not a JSON scalar)"
+            )
+        default = normalized
     if name in _DV_COLS:
         raise ValueError(
             f"column name {name!r} is reserved for the deletion-vector "

@@ -121,14 +121,33 @@ def test_default_in_metadata_aggregates_and_feed(spark, tmp_path):
     assert snapshot_minmax(spark, t, "score") == (5, 100)
     assert snapshot_count_nonnull(spark, t, "score") == 3
 
-    # the change feed fills pre-add insert frames with the default
-    ch = snapshot_changes(spark, t, from_version=0)
-    assert sorted(
-        (r["id"], r["score"]) for r in ch.collect()
-    ) == [(1, 100), (2, 100), (3, 5)]
+    # the change feed EMITS the add's retroactive change (delete of
+    # the NULL image + insert of the defaulted image) — add-with-
+    # default is not row-neutral, and exact replay demands the delta
+    ch = snapshot_changes(spark, t, from_version=0).collect()
+    bag: list = []
+    for r in sorted(ch, key=lambda r: (r["_commit_version"],
+                                       r["_change_type"])):
+        tup = (r["id"], r["score"])
+        if r["_change_type"] == "delete":
+            assert tup in bag, tup
+            bag.remove(tup)
+        else:
+            bag.append(tup)
+    assert sorted(bag) == [(1, 100), (2, 100), (3, 5)]
+    # the retroactive frames are visible at the add commit's version
+    assert any(
+        r["_change_type"] == "delete" and r["_commit_version"] == 2
+        for r in ch
+    )
 
 
 def test_default_streams_and_survives_rename(spark, tmp_path):
+    """The stream classifies add-with-default on a NON-EMPTY table as
+    non-append (it retroactively changes rows — inexpressible on an
+    insert-only feed); on an EMPTY table it passes, and later pre-add
+    replays fill per the adding version's map. A rename of the
+    defaulted column never detaches the fill (physical-keyed)."""
     from nyc_taxi_data_warehouse_spark.streaming.snapshot_source import (
         read_snapshot_stream,
     )
@@ -141,21 +160,45 @@ def test_default_streams_and_survives_rename(spark, tmp_path):
     )
     snapshot_add_column(spark, t, "score", "int", default=9)
     # a RENAME of the defaulted column: the default is keyed by the
-    # frozen physical name and keeps filling
+    # frozen physical name and keeps filling on the batch surface
     snapshot_rename_column(spark, t, "score", "points")
     assert _bag(read_snapshot(spark, t), "id", "points") == [(1, 9)]
     assert _man(spark, t)["defaults"] == {"score": 9}
 
+    # default (fail) mode: the non-empty add refuses loudly
+    with pytest.raises(Exception, match="retroactively changes"):
+        (
+            read_snapshot_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # skip mode drains: the pre-add file keeps its streamed-time fill
+    # (NULL — the adding version had no default), post-add appends
+    # stream their real values; the documented staleness trade
+    snapshot_write(
+        spark.createDataFrame([(2, 7)], "id int, points int"),
+        t,
+        mode="append",
+    )
+    out2 = str(tmp_path / "out2")
+    ckpt2 = str(tmp_path / "ckpt2")
     (
-        read_snapshot_stream(spark, t)
+        read_snapshot_stream(spark, t, on_non_append="skip")
         .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
-    assert _bag(spark.read.parquet(out), "id", "points") == [(1, 9)]
+    assert _bag(spark.read.parquet(out2), "id", "points") == [
+        (1, None), (2, 7)
+    ]
 
 
 def test_default_lifecycle_drop_compact_eq(spark, tmp_path):
@@ -223,3 +266,196 @@ def test_cli_add_with_default(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(out) == {"version": 2, "added": "score"}
     assert _bag(read_snapshot(spark, t), "id", "score") == [(1, 42)]
+
+
+def test_count_matches_read_under_defaulted_eq_key(spark, tmp_path):
+    """Review finding: the COUNT path's eq-affected scan must fill
+    defaults like every other read — an eq delete keyed on a defaulted
+    column masks pre-add rows everywhere or nowhere."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_count,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1,), (2,)], "id int"), t
+    )
+    snapshot_add_column(spark, t, "grp", "int", default=5)
+    snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(5,)], "grp int")
+    )
+    assert read_snapshot(spark, t).count() == 0
+    assert snapshot_count(spark, t) == 0
+
+
+def test_feed_and_stream_fill_history_below_materializing_compact(
+    spark, tmp_path
+):
+    """Review findings: defaults resolve PER VERSION. After an
+    untargeted compact materializes them and sheds the entries, a feed
+    (or stream) replaying pre-compact history must still fill what
+    those versions showed — and the row-neutral compact must keep
+    emitting nothing."""
+    from nyc_taxi_data_warehouse_spark.streaming.snapshot_source import (
+        read_snapshot_stream,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1,)], "id int"), t
+    )
+    snapshot_add_column(spark, t, "score", "int", default=9)
+    snapshot_compact(spark, t, target_mb=1)
+    assert "defaults" not in _man(spark, t)
+
+    ch = snapshot_changes(spark, t, from_version=0).collect()
+    # replay: v1 inserts the NULL image, v2 (the add) retroactively
+    # swaps it for the defaulted image, v3 (the materializing compact)
+    # cancels to zero because BOTH sides read 9 — the delete under the
+    # parent's still-active defaults, the insert from the physical file
+    bag: list = []
+    for r in sorted(ch, key=lambda r: (r["_commit_version"],
+                                       r["_change_type"])):
+        tup = (r["id"], r["score"])
+        if r["_change_type"] == "delete":
+            assert tup in bag, tup
+            bag.remove(tup)
+        else:
+            bag.append(tup)
+    assert bag == [(1, 9)]
+    assert not any(r["_commit_version"] == 3 for r in ch), (
+        "the materializing compact must emit nothing"
+    )
+
+    # verify mode refuses the rows-changing add commit loudly
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="retroactively changes"):
+        (
+            read_snapshot_stream(spark, t, on_non_append="verify")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+
+def test_bloom_guard_mirrors_on_sync_and_read(spark, tmp_path):
+    """Review finding: defaults can RE-ENTER the live state after a
+    successful build (restore below the materializing compact) — sync
+    and read must refuse as loudly as build does, or lookups silently
+    miss the defaulted rows."""
+    from nyc_taxi_data_warehouse_spark.warehouse.bloomindex import (
+        build_snapshot_bloom_index,
+        read_snapshot_with_bloom,
+        sync_bloom_with_snapshot,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_restore,
+    )
+
+    t = str(tmp_path / "t")
+    idx = str(tmp_path / "idx")
+    snapshot_write(
+        spark.createDataFrame([(1,)], "id int"), t
+    )
+    v_def = snapshot_add_column(spark, t, "user", "string", default="anon")
+    snapshot_compact(spark, t, target_mb=1)
+    assert build_snapshot_bloom_index(spark, t, "user", idx) >= 1
+
+    snapshot_restore(spark, t, v_def)  # defaults live again
+    with pytest.raises(ValueError, match="INITIAL default"):
+        sync_bloom_with_snapshot(spark, t, idx)
+    with pytest.raises(ValueError, match="INITIAL default"):
+        read_snapshot_with_bloom(spark, t, idx, ["anon"])
+
+
+def test_append_retry_keeps_captured_defaults_under_drop_race(
+    spark, tmp_path
+):
+    """Review finding: the captured-tuple rule extends to defaults — an
+    append whose schema still carries a defaulted column must commit
+    the defaults captured WITH that schema, not inherit a racing
+    drop's pruned state (which would turn pre-add rows NULL)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_replace_partitions,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, 0)], "id int, month int"),
+        t,
+        partition_cols=["month"],
+    )
+    snapshot_add_column(spark, t, "score", "int", default=9)
+
+    def drop_then_extra():
+        snapshot_drop_column(spark, t, "score")
+        return {}
+
+    snapshot_replace_partitions(
+        spark.createDataFrame(
+            [(2, 1, 5)], "id int, month int, score int"
+        ),
+        t,
+        partition_cols=["month"],
+        extra=drop_then_extra,
+        retries=1,
+    )
+    # the captured tuple won: score is back WITH its default — the
+    # pre-add row reads 9, never NULL
+    assert _man(spark, t)["defaults"] == {"score": 9}
+    assert _bag(read_snapshot(spark, t), "id", "score") == [
+        (1, 9), (2, 5)
+    ]
+
+
+def test_default_is_stored_cast_normalized(spark, tmp_path):
+    """Review finding: the stored default is the CAST-NORMALIZED value
+    (7.5 → int 7), so the streaming source's stricter Arrow cast fills
+    the same bytes as the batch reads; non-JSON-scalar targets
+    (decimal) refuse."""
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1,)], "id int"), t
+    )
+    snapshot_add_column(spark, t, "score", "int", default=7.5)
+    assert _man(spark, t)["defaults"] == {"score": 7}
+    assert _bag(read_snapshot(spark, t), "id", "score") == [(1, 7)]
+    with pytest.raises(ValueError, match="unsupported"):
+        snapshot_add_column(spark, t, "d", "decimal(10,2)", default=1.5)
+
+
+def test_cli_default_refusals(spark, tmp_path, capsys):
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, 10)], "id int, amt int"), t
+    )
+    with pytest.raises(SystemExit, match="only applies with --add"):
+        main(
+            [
+                "snapshot-alter", "--table-path", t,
+                "--widen", "amt:bigint", "--default", "0",
+            ],
+            spark=spark,
+        )
+    with pytest.raises(SystemExit, match="JSON scalar"):
+        main(
+            [
+                "snapshot-alter", "--table-path", t,
+                "--add", "lang:string", "--default", "en",
+            ],
+            spark=spark,
+        )
+    with pytest.raises(SystemExit, match="null"):
+        main(
+            [
+                "snapshot-alter", "--table-path", t,
+                "--add", "lang:string", "--default", "null",
+            ],
+            spark=spark,
+        )
