@@ -1891,9 +1891,11 @@ def snapshot_changes(
         # delete(old image)+insert(new image) pairs. Costs one read of
         # the pre-add surface at feed time — the honest price of
         # replaying a rows-changing commit.
-        if set(man.get("defaults") or {}) - set(
-            (pman or {}).get("defaults") or {}
-        ):
+        retro_defaults = bool(
+            set(man.get("defaults") or {})
+            - set((pman or {}).get("defaults") or {})
+        )
+        if retro_defaults:
             added = sorted(files)
             removed = sorted(pfiles)
         dv_same = set(cdvs) == set(pdvs)
@@ -1940,7 +1942,16 @@ def snapshot_changes(
         # parent's for what was live before, the commit's for what is
         # live now — which also makes equivalent-tombstone swaps
         # (delete, restore past it, delete again) cancel to zero.
-        common = files & pfiles
+        # When the retroactive-defaults override expanded added/removed
+        # to the WHOLE carried state, the full-state exceptAll diff
+        # below — each side read under its own dv/eq masks — already
+        # yields exactly the net row changes, including any tombstones
+        # this commit added or dropped. Running the dv/eq delta legs
+        # too would emit those same rows a second time at the same
+        # _commit_version (e.g. restore-forward across an
+        # add-with-default that also carries a DV), breaking the feed's
+        # exact bag-semantics contract. Skip them by emptying `common`.
+        common = set() if retro_defaults else (files & pfiles)
         ptgts = pman.get("dv_targets") if parent is not None else None
         for (
             delta_dvs, mask_dvs, mask_tgts, mask_eq, mask_seq,
@@ -2551,7 +2562,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
         "version", "parent", "op", "committed_at_ms", "schema",
         "partition_cols", "manifest_id", "parent_id", "files",
         "dv_files", "dv_targets", "stats", "stats_cols", "rows",
-        "props", "eqs", "seq", "last_seq", "colmap",
+        "props", "eqs", "seq", "last_seq", "colmap", "defaults",
     }
     rows = []
     for v in _list_manifests(spark, path):

@@ -459,3 +459,102 @@ def test_cli_default_refusals(spark, tmp_path, capsys):
             ],
             spark=spark,
         )
+
+
+def test_feed_no_double_emit_defaults_growth_with_dv(spark, tmp_path):
+    """Restore-FORWARD across a commit range that both grows the
+    defaults set and adds a DV must emit each tombstoned row exactly
+    once (advisor repro, round 9): the retroactive-defaults override
+    expands added/removed to the whole carried state, whose exceptAll
+    diff already reports the DV'd rows as deletes — the dv-delta leg
+    must not emit them a second time at the same _commit_version."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_delete_rows_dv,
+        snapshot_restore,
+    )
+
+    t = str(tmp_path / "t")
+    v1 = snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"),
+        t,
+    )
+    snapshot_add_column(spark, t, "score", "int", default=5)
+    v3 = _man(spark, t)["version"]
+    snapshot_delete_rows_dv(spark, t, "id", [2])
+    v_dv = _man(spark, t)["version"]
+    snapshot_restore(spark, t, v1)
+    v_back = _man(spark, t)["version"]
+    snapshot_restore(spark, t, v_dv)
+    v_fwd = _man(spark, t)["version"]
+    assert v3 != v_dv  # sanity: distinct commits
+
+    ch = snapshot_changes(spark, t, from_version=v_back).collect()
+    # the forward restore's parent holds {(1,a),(2,b)} with no score;
+    # its child holds {(1,a,5)} — so net: delete both old images,
+    # insert the surviving defaulted one. Each exactly once.
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["name"])
+        for r in ch
+    )
+    assert got == [
+        (v_fwd, "delete", 1, "a"),
+        (v_fwd, "delete", 2, "b"),
+        (v_fwd, "insert", 1, "a"),
+    ], got
+
+    # bag-replay bridge: state@v_back + changes == state@latest
+    base = sorted(
+        (r["id"], r["name"])
+        for r in read_snapshot(spark, t, version=v_back).collect()
+    )
+    final = sorted(
+        (r["id"], r["name"], r["score"])
+        for r in read_snapshot(spark, t).collect()
+    )
+    bag = [(i, n, None) for i, n in base]
+    for r in ch:
+        tup = (r["id"], r["name"], r["score"])
+        if r["_change_type"] == "delete":
+            key = (tup[0], tup[1])
+            # deletes of pre-add images carry score=NULL under the
+            # parent's (default-free) read
+            assert any((b[0], b[1]) == key for b in bag), tup
+            bag.remove(next(b for b in bag if (b[0], b[1]) == key))
+        else:
+            bag.append(tup)
+    assert sorted(bag) == final
+
+
+def test_history_extras_omit_inherited_defaults(spark, tmp_path):
+    """Only the add_column commit annotates its default; carried table
+    state (the inherited defaults map) must stay out of every later
+    row's extras JSON (advisor finding, round 9)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_history,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "id int, name string"), t
+    )
+    snapshot_add_column(spark, t, "score", "int", default=7)
+    snapshot_write(
+        spark.createDataFrame(
+            [(2, "b", 1)], "id int, name string, score int"
+        ),
+        t,
+        mode="append",
+    )
+    hist = {
+        r["version"]: json.loads(r["extras"]) if r["extras"] else {}
+        for r in snapshot_history(spark, t).collect()
+    }
+    vs = sorted(hist)
+    # the append (last commit) inherits the defaults map but must not
+    # surface it as an op annotation
+    assert "defaults" not in hist[vs[-1]], hist[vs[-1]]
+    # the add_column commit keeps its own op-specific annotation
+    assert any(
+        "default" in ex or "add_column" in json.dumps(ex)
+        for ex in hist.values()
+    ), hist
