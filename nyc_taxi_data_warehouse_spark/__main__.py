@@ -537,7 +537,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     if not (at and ver.isdigit()):
                         raise
                     snapshot_register(spark, tpath, name, version=int(ver))
-            rows = spark.sql(args.statement).limit(args.limit).collect()
+            # the statement front door: snapshot DML/DDL (DELETE /
+            # UPDATE / MERGE / ALTER / VACUUM / DESCRIBE HISTORY /
+            # RESTORE / OPTIMIZE) dispatches to the manifest-commit
+            # engine; plain SELECT/SHOW/EXPLAIN passes through to
+            # spark.sql untouched
+            from .warehouse.sqlfront import SqlFrontError, snapshot_sql
+
+            try:
+                df = snapshot_sql(spark, args.statement)
+            except SqlFrontError as e:
+                raise SystemExit(str(e)) from None
+            rows = df.limit(args.limit).collect()
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "compact":

@@ -1201,6 +1201,13 @@ def read_snapshot(
     )
 
 
+# name (lowercased) → {"path", "name", "pinned"} for every table that
+# went through ``snapshot_register``; consumed by the SQL statement
+# front door (``sqlfront``). Process-global like local-mode temp views;
+# a re-register overwrites, matching createOrReplaceTempView.
+_SQL_REGISTRY: dict[str, dict] = {}
+
+
 def snapshot_register(
     spark: SparkSession,
     path: str,
@@ -1224,6 +1231,22 @@ def snapshot_register(
         spark, path, version=version, at_timestamp=at_timestamp,
         partitions=partitions,
     ).createOrReplaceTempView(name)
+    # record the name→path binding for the SQL statement front door
+    # (``sqlfront.snapshot_sql``): DELETE/UPDATE/MERGE/ALTER/VACUUM/
+    # DESCRIBE HISTORY statements resolve table names through this.
+    # Mirrors temp-view semantics (re-register overwrites). ``pinned``
+    # registrations (explicit version/timestamp/partition scope) are
+    # time-travel views: the front door refuses to mutate through them
+    # and never auto-refreshes them after a DML on the same path.
+    _SQL_REGISTRY[name.lower()] = {
+        "path": path,
+        "name": name,
+        "pinned": (
+            version is not None
+            or at_timestamp is not None
+            or bool(partitions)
+        ),
+    }
 
 
 _FLAT_READ_THRESHOLD = 8

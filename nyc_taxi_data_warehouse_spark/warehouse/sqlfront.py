@@ -1,0 +1,792 @@
+"""SQL statement front door for snapshot DML / DDL / maintenance.
+
+The reference warehouse's entire user surface is typed SQL — analysts
+submit statements to Redshift (reference: README.md:77, the "Queries"
+section; dags/sql/*.sql). This engine's SELECT surface already is
+plain ``spark.sql`` over views registered by ``snapshot_register``;
+this module closes the remaining parity gap so the WRITE surface is
+SQL too: ``DELETE`` / ``UPDATE`` / ``MERGE INTO`` / ``ALTER TABLE`` /
+``VACUUM`` / ``DESCRIBE HISTORY`` / ``RESTORE`` / ``OPTIMIZE`` /
+``SHOW TBLPROPERTIES`` statements against registered snapshot tables
+dispatch to the engine's native manifest-commit functions — same
+semantics, same conflict detection, same O(change) write costs.
+
+Spark-first rationale: pure PySpark cannot plug a DataSourceV2
+catalog with DML support into a session (that needs a JVM-side
+TableCatalog class on the classpath), so the dispatcher sits IN FRONT
+of ``spark.sql``: statements the grammar recognizes route to the
+engine; everything else — SELECTs, CTEs, EXPLAIN, SHOW, catalog DDL —
+passes through to ``spark.sql`` untouched. One front door runs the
+whole surface.
+
+The DML grammar is deliberately the restricted shape the engine
+executes efficiently at 100 TB (conjunctions of ``col = lit`` and
+``col IN (...)`` — the forms manifest stats can plan metadata-only,
+see ``snapshot_delete_where``); anything outside it fails LOUDLY with
+the supported form in the message, never a silent fallback that would
+scan-and-rewrite the table. MERGE maps to the equality-delete upsert
+(``snapshot_append_upsert``) — zero reads of the target at any table
+size — and keyed MERGE-DELETE to ``snapshot_delete_keys`` (zero reads
+AND zero data writes beyond the key sidecar).
+
+After a successful mutation the front door re-registers every
+non-pinned view of the mutated path at the new head, so a follow-up
+``SELECT`` through the same session sees the committed state —
+version-pinned (time travel) registrations stay pinned and REFUSE to
+be mutation targets.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .snapshots import _SQL_REGISTRY
+
+__all__ = ["snapshot_sql", "SqlFrontError"]
+
+
+class SqlFrontError(ValueError):
+    """A statement the snapshot front door owns but cannot execute —
+    always carries the supported grammar so the failure is actionable."""
+
+
+_GRAMMAR = """supported snapshot statements:
+  DELETE FROM t WHERE col = lit [AND col IN (lit, ...)] ...
+  UPDATE t SET col = lit [, col = lit ...] WHERE <same predicate forms>
+  MERGE INTO t [AS a] USING src|(SELECT ...) [AS b] ON a.k = b.k [AND ...]
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    | WHEN MATCHED THEN DELETE
+  ALTER TABLE t ADD COLUMN name type [DEFAULT lit]
+  ALTER TABLE t DROP COLUMN name
+  ALTER TABLE t RENAME COLUMN old TO new
+  ALTER TABLE t ALTER COLUMN name TYPE type
+  ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
+  ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
+  ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
+  ALTER TABLE t DROP CONSTRAINT name
+  VACUUM t [RETAIN n HOURS]
+  DESCRIBE HISTORY t
+  RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+  OPTIMIZE t
+  SHOW TBLPROPERTIES t
+(t = a name registered via snapshot_register, or a quoted table path;
+ predicates are conjunctions of col = lit / col IN (...) — the forms
+ the engine plans from manifest stats without scanning)"""
+
+
+def _fail(msg: str, stmt: str) -> None:
+    raise SqlFrontError(
+        f"unsupported SQL for the snapshot front door: {msg}\n"
+        f"statement: {stmt}\n{_GRAMMAR}"
+    )
+
+
+# ---------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>'(?:[^']|'')*')
+      | (?P<num>[-+]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<bq>`[^`]+`)
+      | (?P<word>[A-Za-z_][A-Za-z_0-9$.]*)
+      | (?P<punct>[(),=.*;])
+      | (?P<other>\S)
+    )""",
+    re.X,
+)
+# ``other`` catches characters the restricted grammar does not model
+# (<, >, +, ||, ...). They lex — so raw-sliced regions (CHECK
+# expressions, type strings like array<double>) pass through verbatim
+# and ownership probes never crash — but no parser rule accepts them,
+# so a comparison like ``WHERE a > 3`` fails with the friendly
+# "unsupported predicate" message instead of a lexer error.
+
+
+class _Tok:
+    __slots__ = ("kind", "text", "start", "end")
+
+    def __init__(self, kind, text, start, end):
+        self.kind, self.text, self.start, self.end = kind, text, start, end
+
+
+def _tokenize(sql: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            if sql[pos:].strip() == "":
+                break
+            raise SqlFrontError(
+                f"cannot tokenize statement at offset {pos}: "
+                f"{sql[pos:pos + 20]!r}"
+            )
+        pos = m.end()
+        for kind in ("string", "num", "bq", "word", "punct", "other"):
+            text = m.group(kind)
+            if text is not None:
+                toks.append(_Tok(kind, text, m.start(kind), m.end(kind)))
+                break
+    return toks
+
+
+class _Parser:
+    def __init__(self, stmt: str):
+        self.raw = stmt
+        self.toks = _tokenize(stmt)
+        self.i = 0
+
+    def done(self) -> bool:
+        while (
+            self.i < len(self.toks)
+            and self.toks[self.i].kind == "punct"
+            and self.toks[self.i].text == ";"
+        ):
+            self.i += 1
+        return self.i >= len(self.toks)
+
+    def peek(self, k: int = 0) -> _Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def kw(self, *words: str) -> bool:
+        """Consume the case-insensitive keyword sequence if present."""
+        for k, w in enumerate(words):
+            t = self.peek(k)
+            if t is None or t.kind != "word" or t.text.upper() != w:
+                return False
+        self.i += len(words)
+        return True
+
+    def expect_kw(self, *words: str) -> None:
+        if not self.kw(*words):
+            t = self.peek()
+            _fail(
+                f"expected {' '.join(words)}, got "
+                f"{t.text if t else 'end of statement'!r}",
+                self.raw,
+            )
+
+    def punct(self, ch: str) -> bool:
+        t = self.peek()
+        if t is not None and t.kind == "punct" and t.text == ch:
+            self.i += 1
+            return True
+        return False
+
+    def expect_punct(self, ch: str) -> None:
+        if not self.punct(ch):
+            t = self.peek()
+            _fail(
+                f"expected {ch!r}, got "
+                f"{t.text if t else 'end of statement'!r}",
+                self.raw,
+            )
+
+    def ident(self) -> str:
+        t = self.peek()
+        if t is None:
+            _fail("expected an identifier, got end of statement", self.raw)
+        if t.kind == "bq":
+            self.i += 1
+            return t.text[1:-1]
+        if t.kind == "word":
+            self.i += 1
+            return t.text
+        _fail(f"expected an identifier, got {t.text!r}", self.raw)
+
+    def table_token(self) -> tuple[str, str]:
+        """(kind, text) — a table reference: identifier, backquoted
+        path, or single-quoted path."""
+        t = self.peek()
+        if t is None:
+            _fail("expected a table name, got end of statement", self.raw)
+        if t.kind == "string":
+            self.i += 1
+            return "path", _unquote(t.text)
+        if t.kind == "bq":
+            self.i += 1
+            txt = t.text[1:-1]
+            return ("path" if _looks_like_path(txt) else "name", txt)
+        if t.kind == "word":
+            self.i += 1
+            return "name", t.text
+        _fail(f"expected a table name, got {t.text!r}", self.raw)
+
+    def literal(self):
+        t = self.peek()
+        if t is None:
+            _fail("expected a literal, got end of statement", self.raw)
+        if t.kind == "string":
+            self.i += 1
+            return _unquote(t.text)
+        if t.kind == "num":
+            self.i += 1
+            txt = t.text
+            return (
+                float(txt)
+                if ("." in txt or "e" in txt or "E" in txt)
+                else int(txt)
+            )
+        if t.kind == "word":
+            up = t.text.upper()
+            if up == "TRUE":
+                self.i += 1
+                return True
+            if up == "FALSE":
+                self.i += 1
+                return False
+            if up == "NULL":
+                self.i += 1
+                return None
+        _fail(
+            f"expected a literal (string/number/TRUE/FALSE/NULL), got "
+            f"{t.text!r}",
+            self.raw,
+        )
+
+    def rest_raw(self, stop_kw: str | None = None) -> str:
+        """The RAW statement text from the current token to the end —
+        or to ``stop_kw`` (word token) if present — consumed. Used for
+        type strings (``decimal(10,2)``, ``array<double>``) whose
+        characters the restricted lexer does not model."""
+        if self.i >= len(self.toks):
+            return ""
+        start = self.toks[self.i].start
+        stop_at = None
+        if stop_kw is not None:
+            for j in range(self.i, len(self.toks)):
+                t = self.toks[j]
+                if t.kind == "word" and t.text.upper() == stop_kw:
+                    stop_at = j
+                    break
+        if stop_at is None:
+            self.i = len(self.toks)
+            out = self.raw[start:]
+        else:
+            out = self.raw[start : self.toks[stop_at].start]
+            self.i = stop_at
+        return out.strip().rstrip(";").strip()
+
+    def end(self) -> None:
+        if not self.done():
+            t = self.peek()
+            _fail(f"unexpected trailing input at {t.text!r}", self.raw)
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1].replace("''", "'")
+
+
+def _looks_like_path(s: str) -> bool:
+    return "/" in s or s.startswith("file:") or s.startswith("s3:")
+
+
+# ---------------------------------------------------------- resolution
+
+
+def _resolve_table(kind: str, text: str, stmt: str) -> tuple[str, bool]:
+    """→ (table_path, registered). Loud error when the name resolves
+    to a PINNED registration (mutating through a time-travel view
+    would silently target the head while the reader sees the past)."""
+    if kind == "path" or _looks_like_path(text):
+        return text, False
+    rec = _SQL_REGISTRY.get(text.lower())
+    if rec is None:
+        known = sorted(_SQL_REGISTRY) or ["<none>"]
+        _fail(
+            f"table {text!r} is not a registered snapshot table "
+            f"(registered: {', '.join(known)}); register with "
+            "snapshot_register or pass a quoted table path",
+            stmt,
+        )
+    if rec["pinned"]:
+        _fail(
+            f"view {text!r} is pinned to an old version / timestamp / "
+            "partition scope — refusing to mutate the table head "
+            "through a time-travel view; register an unpinned name",
+            stmt,
+        )
+    return rec["path"], True
+
+
+def _refresh_views(spark: SparkSession, path: str) -> None:
+    """Re-register every non-pinned view of ``path`` at the new head,
+    so a SELECT after a front-door mutation sees the committed state
+    (pinned registrations keep their version — that is their point)."""
+    from .snapshots import snapshot_register
+
+    for rec in list(_SQL_REGISTRY.values()):
+        if rec["path"] == path and not rec["pinned"]:
+            snapshot_register(spark, path, rec["name"])
+
+
+# ---------------------------------------------------------- predicates
+
+
+def _parse_predicates(p: _Parser) -> dict:
+    preds: dict = {}
+    while True:
+        col = p.ident()
+        if col.upper() in ("OR", "NOT"):
+            _fail(
+                f"{col.upper()} predicates are not supported "
+                "(conjunctions of = / IN only)",
+                p.raw,
+            )
+        if p.kw("IN"):
+            p.expect_punct("(")
+            vals = [p.literal()]
+            while p.punct(","):
+                vals.append(p.literal())
+            p.expect_punct(")")
+        elif p.punct("="):
+            vals = [p.literal()]
+        else:
+            t = p.peek()
+            _fail(
+                f"unsupported predicate on {col!r} at "
+                f"{t.text if t else 'end of statement'!r} "
+                "(conjunctions of col = lit / col IN (...) only)",
+                p.raw,
+            )
+        if col in preds:
+            # same column twice in a conjunction → value-set intersection
+            preds[col] = [v for v in preds[col] if v in vals]
+        else:
+            preds[col] = vals
+        if not p.kw("AND"):
+            break
+    return preds
+
+
+def _one_row(spark: SparkSession, schema: str, row: tuple) -> DataFrame:
+    return spark.createDataFrame([row], schema)
+
+
+# ---------------------------------------------------------- executors
+
+
+def _exec_delete(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
+    from .snapshots import snapshot_delete_where
+
+    p.expect_kw("FROM")
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    if not p.kw("WHERE"):
+        _fail(
+            "DELETE without WHERE (full-table delete) refuses — "
+            "state the predicate, or drop partitions explicitly",
+            stmt,
+        )
+    preds = _parse_predicates(p)
+    p.end()
+    v, n = snapshot_delete_where(spark, path, preds, mode=mode)
+    _refresh_views(spark, path)
+    return _one_row(
+        spark, "version bigint, num_affected_rows bigint", (v, n)
+    )
+
+
+def _exec_update(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
+    from .snapshots import snapshot_update_where
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    p.expect_kw("SET")
+    set_values: dict = {}
+    while True:
+        col = p.ident()
+        p.expect_punct("=")
+        set_values[col] = p.literal()
+        if not p.punct(","):
+            break
+    if not p.kw("WHERE"):
+        _fail(
+            "UPDATE without WHERE (full-table update) refuses — "
+            "state the predicate",
+            stmt,
+        )
+    preds = _parse_predicates(p)
+    p.end()
+    v, n = snapshot_update_where(spark, path, preds, set_values, mode=mode)
+    _refresh_views(spark, path)
+    return _one_row(
+        spark, "version bigint, num_affected_rows bigint", (v, n)
+    )
+
+
+def _merge_alias(p: _Parser) -> str | None:
+    """Optional [AS] alias after a table/source reference."""
+    if p.kw("AS"):
+        return p.ident()
+    t = p.peek()
+    if (
+        t is not None
+        and t.kind == "word"
+        and t.text.upper() not in ("USING", "ON", "WHEN")
+    ):
+        p.i += 1
+        return t.text
+    return None
+
+
+def _exec_merge(spark, p: _Parser, stmt: str) -> DataFrame:
+    from .eqdeletes import snapshot_append_upsert, snapshot_delete_keys
+
+    p.expect_kw("INTO")
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    tgt_alias = _merge_alias(p) or text
+    p.expect_kw("USING")
+    if p.punct("("):
+        # balanced-paren slice of the raw text: the subquery is
+        # arbitrary SQL the restricted lexer cannot model
+        depth, j = 1, p.i
+        start = p.toks[p.i - 1].end
+        while j < len(p.toks) and depth:
+            t = p.toks[j]
+            if t.kind == "punct" and t.text == "(":
+                depth += 1
+            elif t.kind == "punct" and t.text == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            _fail("unbalanced parentheses in MERGE source", stmt)
+        src_df = spark.sql(p.raw[start : p.toks[j - 1].start])
+        p.i = j
+        src_name = None
+    else:
+        src_name = p.ident()
+        src_df = spark.table(src_name)
+    src_alias = _merge_alias(p) or src_name
+    p.expect_kw("ON")
+    keys: list[str] = []
+    while True:
+        a = p.ident()
+        p.expect_punct("=")
+        b = p.ident()
+
+        def _split(q):
+            if "." in q:
+                al, _, col = q.rpartition(".")
+                return al, col
+            return None, q
+
+        aal, acol = _split(a)
+        bal, bcol = _split(b)
+        tcol = scol = None
+        for al, col in ((aal, acol), (bal, bcol)):
+            if al == tgt_alias:
+                tcol = col
+            elif al == src_alias or al is None:
+                scol = col
+        if tcol is None or scol is None:
+            _fail(
+                f"MERGE ON clause {a} = {b} must equate a target "
+                f"column ({tgt_alias}.col) with a source column",
+                stmt,
+            )
+        if tcol != scol:
+            _fail(
+                f"MERGE ON {a} = {b}: key columns must share a name "
+                "(alias the source column in a subquery)",
+                stmt,
+            )
+        keys.append(tcol)
+        if not p.kw("AND"):
+            break
+    # WHEN clauses — exactly the two engine-executable shapes
+    saw_update = saw_insert = saw_delete = False
+    while p.kw("WHEN"):
+        if p.kw("MATCHED", "THEN", "UPDATE", "SET"):
+            p.expect_punct("*")
+            saw_update = True
+        elif p.kw("MATCHED", "THEN", "DELETE"):
+            saw_delete = True
+        elif p.kw("NOT", "MATCHED", "THEN", "INSERT"):
+            p.expect_punct("*")
+            saw_insert = True
+        else:
+            t = p.peek()
+            _fail(
+                "unsupported MERGE WHEN clause at "
+                f"{t.text if t else 'end of statement'!r} — "
+                "UPDATE SET * / INSERT * / DELETE only",
+                stmt,
+            )
+    p.end()
+    if saw_update and saw_insert and not saw_delete:
+        v, n = snapshot_append_upsert(spark, path, src_df, keys)
+        _refresh_views(spark, path)
+        return _one_row(
+            spark, "version bigint, num_affected_rows bigint", (v, n)
+        )
+    if saw_delete and not (saw_update or saw_insert):
+        v, n = snapshot_delete_keys(
+            spark, path, src_df.select(*keys).distinct()
+        )
+        _refresh_views(spark, path)
+        return _one_row(
+            spark, "version bigint, num_affected_rows bigint", (v, n)
+        )
+    _fail(
+        "MERGE supports exactly `WHEN MATCHED THEN UPDATE SET * WHEN "
+        "NOT MATCHED THEN INSERT *` (keyed upsert) or `WHEN MATCHED "
+        "THEN DELETE` (keyed delete)",
+        stmt,
+    )
+
+
+def _exec_alter(spark, p: _Parser, stmt: str) -> DataFrame:
+    from .snapshots import (
+        snapshot_add_column,
+        snapshot_add_constraint,
+        snapshot_drop_column,
+        snapshot_drop_constraint,
+        snapshot_rename_column,
+        snapshot_set_properties,
+        snapshot_widen_column,
+    )
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    if p.kw("ADD", "COLUMNS") or p.kw("ADD", "COLUMN"):
+        name = p.ident()
+        rawtype = p.rest_raw(stop_kw="DEFAULT")
+        if not rawtype:
+            _fail(f"ADD COLUMN {name}: missing type", stmt)
+        default = None
+        if p.kw("DEFAULT"):
+            default = p.literal()
+            p.end()
+        v = snapshot_add_column(spark, path, name, rawtype, default=default)
+    elif p.kw("DROP", "COLUMN"):
+        name = p.ident()
+        p.end()
+        v = snapshot_drop_column(spark, path, name)
+    elif p.kw("RENAME", "COLUMN"):
+        old = p.ident()
+        p.expect_kw("TO")
+        new = p.ident()
+        p.end()
+        v = snapshot_rename_column(spark, path, old, new)
+    elif p.kw("ALTER", "COLUMN") or p.kw("CHANGE", "COLUMN"):
+        name = p.ident()
+        if not (p.kw("TYPE") or p.kw("SET", "DATA", "TYPE")):
+            _fail(
+                f"ALTER COLUMN {name}: only TYPE widening is supported "
+                "(ALTER COLUMN name TYPE t)",
+                stmt,
+            )
+        rawtype = p.rest_raw()
+        if not rawtype:
+            _fail(f"ALTER COLUMN {name} TYPE: missing type", stmt)
+        v = snapshot_widen_column(spark, path, name, rawtype)
+    elif p.kw("SET", "TBLPROPERTIES"):
+        p.expect_punct("(")
+        props: dict = {}
+        while True:
+            k = p.literal()
+            p.expect_punct("=")
+            val = p.literal()
+            if not isinstance(k, str) or not isinstance(val, str):
+                _fail("TBLPROPERTIES keys and values are strings", stmt)
+            props[k] = val
+            if not p.punct(","):
+                break
+        p.expect_punct(")")
+        p.end()
+        v = snapshot_set_properties(spark, path, set_props=props)
+    elif p.kw("UNSET", "TBLPROPERTIES"):
+        p.expect_punct("(")
+        keys = [p.literal()]
+        while p.punct(","):
+            keys.append(p.literal())
+        p.expect_punct(")")
+        p.end()
+        v = snapshot_set_properties(spark, path, unset=keys)
+    elif p.kw("ADD", "CONSTRAINT"):
+        name = p.ident()
+        p.expect_kw("CHECK")
+        # balanced slice: the CHECK expression is arbitrary Spark SQL
+        t = p.peek()
+        if t is None or t.text != "(":
+            _fail(f"ADD CONSTRAINT {name}: expected CHECK (expr)", stmt)
+        open_pos = t.start
+        close_pos = p.raw.rstrip().rstrip(";").rfind(")")
+        if close_pos <= open_pos:
+            _fail(f"ADD CONSTRAINT {name}: unbalanced CHECK (expr)", stmt)
+        expr = p.raw[open_pos + 1 : close_pos].strip()
+        v = snapshot_add_constraint(spark, path, name, expr)
+    elif p.kw("DROP", "CONSTRAINT"):
+        name = p.ident()
+        p.end()
+        v = snapshot_drop_constraint(spark, path, name)
+    else:
+        t = p.peek()
+        _fail(
+            "unsupported ALTER TABLE clause at "
+            f"{t.text if t else 'end of statement'!r}",
+            stmt,
+        )
+    _refresh_views(spark, path)
+    return _one_row(spark, "version bigint", (v,))
+
+
+def _exec_vacuum(spark, p: _Parser, stmt: str) -> DataFrame:
+    import json as _json
+
+    from .snapshots import snapshot_maintain, vacuum_snapshots
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    if p.kw("RETAIN"):
+        hours = p.literal()
+        if not isinstance(hours, (int, float)) or isinstance(hours, bool):
+            _fail("VACUUM RETAIN wants a number of hours", stmt)
+        p.expect_kw("HOURS")
+        p.end()
+        out = vacuum_snapshots(
+            spark, path, older_than=time.time() - float(hours) * 3600.0
+        )
+        return _one_row(
+            spark,
+            "versions_dropped bigint, files_deleted bigint",
+            (out["versions_dropped"], out["files_deleted"]),
+        )
+    p.end()
+    # bare VACUUM = property-driven maintenance (the table's own
+    # declared retention/compaction policy; undeclared steps no-op)
+    report = snapshot_maintain(spark, path)
+    return _one_row(
+        spark, "report string", (_json.dumps(report, default=str),)
+    )
+
+
+def _exec_restore(spark, p: _Parser, stmt: str) -> DataFrame:
+    from .snapshots import snapshot_restore, snapshot_version_at
+
+    p.kw("TABLE")  # optional
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    p.expect_kw("TO")
+    if p.kw("VERSION", "AS", "OF"):
+        ver = p.literal()
+        if not isinstance(ver, int) or isinstance(ver, bool):
+            _fail("RESTORE ... VERSION AS OF wants an integer", stmt)
+    elif p.kw("TIMESTAMP", "AS", "OF"):
+        ts = p.literal()
+        ver = snapshot_version_at(spark, path, ts)
+    else:
+        _fail("RESTORE wants TO VERSION AS OF n / TO TIMESTAMP AS OF 'ts'",
+              stmt)
+    p.end()
+    v = snapshot_restore(spark, path, ver)
+    _refresh_views(spark, path)
+    return _one_row(spark, "version bigint", (v,))
+
+
+def _exec_optimize(spark, p: _Parser, stmt: str) -> DataFrame:
+    from .snapshots import snapshot_compact
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    p.end()
+    v = snapshot_compact(spark, path)
+    _refresh_views(spark, path)
+    return _one_row(spark, "version bigint", (v,))
+
+
+def _exec_describe_history(spark, p: _Parser, stmt: str) -> DataFrame:
+    from .snapshots import snapshot_history
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    p.end()
+    return snapshot_history(spark, path)
+
+
+def _exec_show_tblproperties(spark, p: _Parser, stmt: str) -> DataFrame:
+    from .snapshots import snapshot_properties
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    p.end()
+    props = snapshot_properties(spark, path)
+    return spark.createDataFrame(
+        sorted(props.items()) or [], "key string, value string"
+    )
+
+
+# ------------------------------------------------------------- dispatch
+
+_OWNED_VERBS = {"DELETE", "UPDATE", "MERGE", "VACUUM", "RESTORE",
+                "OPTIMIZE"}
+
+
+def snapshot_sql(
+    spark: SparkSession, statement: str, mode: str = "auto"
+) -> DataFrame:
+    """Run ``statement`` — snapshot DML/DDL/maintenance dispatches to
+    the manifest-commit engine; everything else passes through to
+    ``spark.sql`` untouched. Always returns a DataFrame (DML returns
+    ``(version, num_affected_rows)``; ALTER/RESTORE/OPTIMIZE return
+    ``(version)``; the caller collects).
+
+    ``mode`` forwards to the DELETE/UPDATE strategy dispatch
+    (``auto`` | ``dv`` | ``rewrite`` — see ``snapshot_delete_where``).
+    """
+    head = statement.lstrip()
+    m = re.match(r"[A-Za-z_]+", head)
+    verb = m.group(0).upper() if m else ""
+    if verb in _OWNED_VERBS:
+        p = _Parser(statement)
+        p.i = 1  # past the verb
+        if verb == "DELETE":
+            return _exec_delete(spark, p, statement, mode)
+        if verb == "UPDATE":
+            return _exec_update(spark, p, statement, mode)
+        if verb == "MERGE":
+            return _exec_merge(spark, p, statement)
+        if verb == "VACUUM":
+            return _exec_vacuum(spark, p, statement)
+        if verb == "RESTORE":
+            return _exec_restore(spark, p, statement)
+        if verb == "OPTIMIZE":
+            return _exec_optimize(spark, p, statement)
+    if verb == "ALTER":
+        # ours only when the target resolves to a snapshot table —
+        # catalog ALTERs (real Spark tables) pass through
+        try:
+            p = _Parser(statement)
+            p.i = 1
+            p.expect_kw("TABLE")
+            kind, text = p.table_token()
+            owned = kind == "path" or text.lower() in _SQL_REGISTRY
+        except SqlFrontError:
+            owned = False
+        if owned:
+            p = _Parser(statement)
+            p.i = 1
+            p.expect_kw("TABLE")
+            return _exec_alter(spark, p, statement)
+    if verb in ("DESCRIBE", "DESC"):
+        p = _Parser(statement)
+        p.i = 1
+        if p.kw("HISTORY"):
+            return _exec_describe_history(spark, p, statement)
+    if verb == "SHOW":
+        p = _Parser(statement)
+        p.i = 1
+        if p.kw("TBLPROPERTIES"):
+            t = p.peek()
+            if t is not None and (
+                t.kind in ("string",)
+                or (t.kind == "bq" and _looks_like_path(t.text[1:-1]))
+                or (t.kind == "word" and t.text.lower() in _SQL_REGISTRY)
+            ):
+                return _exec_show_tblproperties(spark, p, statement)
+    return spark.sql(statement)

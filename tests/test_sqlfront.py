@@ -1,0 +1,332 @@
+"""SQL statement front door (``warehouse/sqlfront.py``).
+
+The parity bar: the reference warehouse's entire user surface is typed
+SQL (reference README.md:77 — analysts submit SQL statements), so every
+engine DML/DDL/maintenance function must be reachable through a SQL
+string with results IDENTICAL to the Python API, and anything outside
+the engine-executable grammar must fail LOUDLY (never silently scan
+and rewrite). SELECTs must keep passing through to spark.sql, and a
+SELECT after a front-door mutation must see the committed state.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+    read_snapshot,
+    snapshot_history,
+    snapshot_properties,
+    snapshot_register,
+    snapshot_set_properties,
+    snapshot_versions,
+    snapshot_write,
+    snapshot_write_with_stats,
+)
+from nyc_taxi_data_warehouse_spark.warehouse.sqlfront import (
+    SqlFrontError,
+    snapshot_sql,
+)
+
+
+def _bag(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _mk(spark, tmp_path, name, partitioned=False):
+    t = str(tmp_path / name)
+    rows = [
+        (1, 0, "a"), (2, 0, "b"), (3, 1, "c"), (4, 1, "d"), (5, 2, "e"),
+    ]
+    df = spark.createDataFrame(rows, "id int, month int, v string")
+    if partitioned:
+        snapshot_write_with_stats(
+            df, t, stats_cols=["id"], partition_cols=["month"]
+        )
+    else:
+        snapshot_write(df, t)
+    snapshot_register(spark, t, name)
+    return t
+
+
+def test_delete_where_sql(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_del")
+    out = snapshot_sql(
+        spark, "DELETE FROM sqlf_del WHERE id IN (2, 4) AND month = 0"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 1  # only id=2 is in month 0
+    assert _bag(read_snapshot(spark, t), "id") == [(1,), (3,), (4,), (5,)]
+    # the registered view follows the new head
+    assert _bag(spark.sql("SELECT id FROM sqlf_del"), "id") == [
+        (1,), (3,), (4,), (5,)
+    ]
+
+
+def test_delete_same_column_conjunction_intersects(spark, tmp_path):
+    _mk(spark, tmp_path, "sqlf_del2")
+    out = snapshot_sql(
+        spark, "DELETE FROM sqlf_del2 WHERE id IN (1,2,3) AND id IN (3,4)"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 1
+    assert _bag(spark.table("sqlf_del2"), "id") == [
+        (1,), (2,), (4,), (5,)
+    ]
+
+
+def test_delete_partition_column_is_metadata_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_delp", partitioned=True)
+    out = snapshot_sql(
+        spark, "DELETE FROM sqlf_delp WHERE month = 1"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    hist = {
+        r["version"]: r["op"]
+        for r in snapshot_history(spark, t).collect()
+    }
+    assert hist[max(hist)] == "drop_partitions"  # the metadata-only path
+    assert _bag(read_snapshot(spark, t), "id") == [(1,), (2,), (5,)]
+
+
+def test_update_sql_matches_python_api(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_upd")
+    out = snapshot_sql(
+        spark,
+        "UPDATE sqlf_upd SET v = 'REDACTED' WHERE id IN (1, 5)",
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    assert _bag(read_snapshot(spark, t), "id", "v") == [
+        (1, "REDACTED"), (2, "b"), (3, "c"), (4, "d"), (5, "REDACTED"),
+    ]
+
+
+def test_update_mode_dv_writes_tombstones(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_upddv")
+    snapshot_sql(
+        spark, "UPDATE sqlf_upddv SET v = 'X' WHERE id = 3", mode="dv"
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+        _load_manifest,
+    )
+
+    man = _load_manifest(spark, t, _list_manifests(spark, t)[-1])
+    assert man.get("dv_files")  # the DV strategy was honored
+    assert _bag(read_snapshot(spark, t), "id", "v") == [
+        (1, "a"), (2, "b"), (3, "X"), (4, "d"), (5, "e"),
+    ]
+
+
+def test_merge_upsert_sql(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_mrg")
+    spark.createDataFrame(
+        [(2, 0, "B2"), (9, 3, "new")], "id int, month int, v string"
+    ).createOrReplaceTempView("sqlf_mrg_src")
+    out = snapshot_sql(
+        spark,
+        "MERGE INTO sqlf_mrg AS t USING sqlf_mrg_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    assert _bag(read_snapshot(spark, t), "id", "v") == [
+        (1, "a"), (2, "B2"), (3, "c"), (4, "d"), (5, "e"), (9, "new"),
+    ]
+
+
+def test_merge_subquery_source_and_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_mrgd")
+    out = snapshot_sql(
+        spark,
+        "MERGE INTO sqlf_mrgd t "
+        "USING (SELECT 1 AS id UNION ALL SELECT 4 AS id) s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE",
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2  # n_keys (zero-read delete)
+    assert _bag(read_snapshot(spark, t), "id") == [(2,), (3,), (5,)]
+
+
+def test_alter_family_sql(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_alt")
+    snapshot_sql(
+        spark,
+        "ALTER TABLE sqlf_alt ADD COLUMN score double DEFAULT 1.5",
+    )
+    assert _bag(read_snapshot(spark, t), "id", "score")[0] == (1, 1.5)
+    # a parenthesized type still parses (raw-slice type capture)
+    snapshot_sql(
+        spark, "ALTER TABLE sqlf_alt ADD COLUMN tag decimal(10,2)"
+    )
+    assert dict(read_snapshot(spark, t).dtypes)["tag"] == "decimal(10,2)"
+    snapshot_sql(spark, "ALTER TABLE sqlf_alt RENAME COLUMN v TO label")
+    assert "label" in read_snapshot(spark, t).columns
+    snapshot_sql(spark, "ALTER TABLE sqlf_alt ALTER COLUMN id TYPE bigint")
+    assert dict(read_snapshot(spark, t).dtypes)["id"] == "bigint"
+    snapshot_sql(spark, "ALTER TABLE sqlf_alt DROP COLUMN score")
+    assert "score" not in read_snapshot(spark, t).columns
+    # the registered view tracked every metadata-only commit
+    assert set(spark.table("sqlf_alt").columns) == {
+        "id", "month", "label", "tag"
+    }
+
+
+def test_properties_and_constraints_sql(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_props")
+    snapshot_sql(
+        spark,
+        "ALTER TABLE sqlf_props SET TBLPROPERTIES "
+        "('retention.keep_last' = '4', 'owner' = 'etl')",
+    )
+    assert snapshot_properties(spark, t)["owner"] == "etl"
+    props = {
+        r["key"]: r["value"]
+        for r in snapshot_sql(
+            spark, "SHOW TBLPROPERTIES sqlf_props"
+        ).collect()
+    }
+    assert props["retention.keep_last"] == "4"
+    snapshot_sql(
+        spark, "ALTER TABLE sqlf_props UNSET TBLPROPERTIES ('owner')"
+    )
+    assert "owner" not in snapshot_properties(spark, t)
+
+    snapshot_sql(
+        spark,
+        "ALTER TABLE sqlf_props ADD CONSTRAINT pos_id CHECK (id > 0)",
+    )
+    with pytest.raises(ValueError, match="pos_id"):
+        snapshot_write(
+            spark.createDataFrame(
+                [(-1, 9, "bad")], "id int, month int, v string"
+            ),
+            t,
+            mode="append",
+        )
+    snapshot_sql(spark, "ALTER TABLE sqlf_props DROP CONSTRAINT pos_id")
+    snapshot_write(
+        spark.createDataFrame(
+            [(-1, 9, "ok")], "id int, month int, v string"
+        ),
+        t,
+        mode="append",
+    )
+
+
+def test_describe_history_restore_optimize_vacuum(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_hist")
+    v0 = snapshot_versions(spark, t)[-1]["version"]
+    snapshot_sql(spark, "DELETE FROM sqlf_hist WHERE id = 1")
+    hist = snapshot_sql(spark, "DESCRIBE HISTORY sqlf_hist")
+    ops = [r["op"] for r in hist.collect()]
+    assert "overwrite" in ops and len(ops) >= 2
+
+    snapshot_sql(
+        spark, f"RESTORE TABLE sqlf_hist TO VERSION AS OF {v0}"
+    )
+    assert _bag(read_snapshot(spark, t), "id") == [
+        (1,), (2,), (3,), (4,), (5,)
+    ]
+    # view refreshed to the restored head
+    assert spark.table("sqlf_hist").count() == 5
+
+    v = snapshot_sql(spark, "OPTIMIZE sqlf_hist").collect()[0]["version"]
+    assert v == snapshot_versions(spark, t)[-1]["version"]
+    assert read_snapshot(spark, t).count() == 5
+
+    # property-driven maintenance via bare VACUUM
+    snapshot_set_properties(spark, t, {"retention.keep_last": "2"})
+    rep = json.loads(
+        snapshot_sql(spark, "VACUUM sqlf_hist").collect()[0]["report"]
+    )
+    assert "vacuum" in rep
+    assert len(snapshot_versions(spark, t)) <= 3  # 2 + the props commit
+
+    # RETAIN form: age floor far in the past drops nothing beyond
+    # keep_last, and returns the counts row
+    out = snapshot_sql(
+        spark, "VACUUM sqlf_hist RETAIN 10000 HOURS"
+    ).collect()[0]
+    assert out["versions_dropped"] == 0
+
+
+def test_path_reference_without_registration(spark, tmp_path):
+    t = str(tmp_path / "unregistered")
+    snapshot_write(
+        spark.createDataFrame([(1,), (2,)], "id int"), t
+    )
+    out = snapshot_sql(
+        spark, f"DELETE FROM '{t}' WHERE id = 2"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 1
+    assert _bag(read_snapshot(spark, t), "id") == [(1,)]
+
+
+def test_select_passthrough_and_pinned_refusal(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_sel")
+    # plain SELECT passes through to spark.sql
+    n = snapshot_sql(
+        spark, "SELECT count(*) AS n FROM sqlf_sel"
+    ).collect()[0]["n"]
+    assert n == 5
+    # a pinned (time-travel) registration refuses to be a DML target
+    v0 = snapshot_versions(spark, t)[0]["version"]
+    snapshot_register(spark, t, "sqlf_sel_v0", version=v0)
+    with pytest.raises(SqlFrontError, match="pinned"):
+        snapshot_sql(spark, "DELETE FROM sqlf_sel_v0 WHERE id = 1")
+    # ...and a pinned SELECT still works through passthrough
+    assert snapshot_sql(
+        spark, "SELECT count(*) AS n FROM sqlf_sel_v0"
+    ).collect()[0]["n"] == 5
+
+
+def test_loud_errors_on_unsupported_sql(spark, tmp_path):
+    _mk(spark, tmp_path, "sqlf_err")
+    for stmt, why in [
+        ("DELETE FROM sqlf_err", "without WHERE"),
+        ("DELETE FROM sqlf_err WHERE id = 1 OR id = 2", "OR"),
+        ("DELETE FROM sqlf_err WHERE id > 3", "unsupported predicate"),
+        ("DELETE FROM nosuch_table WHERE id = 1", "not a registered"),
+        ("UPDATE sqlf_err SET v = 'x'", "without WHERE"),
+        (
+            "MERGE INTO sqlf_err t USING sqlf_err s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = 'x'",
+            "SET [*]",
+        ),
+        ("ALTER TABLE sqlf_err FROB COLUMN id", "unsupported ALTER"),
+        ("VACUUM sqlf_err RETAIN 'soon' HOURS", "number of hours"),
+    ]:
+        with pytest.raises(SqlFrontError, match=why):
+            snapshot_sql(spark, stmt)
+
+
+def test_cli_sql_statement_dispatch(spark, tmp_path, capsys):
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    t = str(tmp_path / "cli_t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+        ),
+        t,
+    )
+    main(
+        [
+            "sql",
+            "DELETE FROM cli_t WHERE id IN (2, 3)",
+            "--snapshot", f"cli_t={t}",
+        ],
+        spark=spark,
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_affected_rows"] == 2
+    assert _bag(read_snapshot(spark, t), "id") == [(1,)]
+    # unsupported statements exit loudly, not silently
+    with pytest.raises(SystemExit, match="snapshot front door"):
+        main(
+            [
+                "sql", "DELETE FROM cli_t WHERE id LIKE 'x'",
+                "--snapshot", f"cli_t={t}",
+            ],
+            spark=spark,
+        )
