@@ -85,53 +85,70 @@ def _epoch_already_applied(
     return None
 
 
-def _dedupe_batch(
-    updates: DataFrame, keys: list[str], version_col: str | None
+def _pick_newest(
+    updates: DataFrame, keys: list[str], version_col: str
 ) -> DataFrame:
-    """One image per key within the batch. With ``version_col`` the
-    newest wins (ties broken arbitrarily but deterministically by the
-    window's ordering); without it duplicate keys REFUSE — silently
-    picking one of two same-key images is how CDC feeds lose writes."""
+    """One image per key within the batch — the newest by
+    ``version_col`` wins (ties broken arbitrarily but deterministically
+    by the window's ordering)."""
     from pyspark.sql.window import Window
 
-    if version_col is not None:
-        w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
-        return (
-            updates.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    dup = (
-        updates.groupBy(*keys)
-        .count()
-        .where(F.col("count") > 1)
-        .limit(1)
-        .collect()
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    if dup:
-        raise ValueError(
-            f"duplicate key {dup[0].asDict()} in upsert batch — pass "
-            "version_col to pick a winner, or dedupe upstream"
-        )
-    return updates
 
 
-def _check_keys(updates: DataFrame, keys: list[str]) -> None:
-    missing = [k for k in keys if k not in updates.columns]
-    if missing:
-        raise ValueError(f"key column(s) {missing} not in updates")
-    null_ok = [F.col(k).isNull() for k in keys]
-    cond = null_ok[0]
-    for c in null_ok[1:]:
-        cond = cond | c
-    bad = updates.where(cond).limit(1).collect()
-    if bad:
+def _null_key_cond(keys: list[str]):
+    cond = F.col(keys[0]).isNull()
+    for k in keys[1:]:
+        cond = cond | F.col(k).isNull()
+    return cond
+
+
+def _validate_eq_batch(
+    batch: DataFrame, keys: list[str], allow_dups: bool
+) -> int:
+    """ONE aggregation job over the (checkpointed) batch computes
+    everything the refusal probes used to need separate driver actions
+    for — NULL keys, duplicate keys, and the row/key counts. On a
+    high-frequency CDC stream the old shape (a NULL-key ``limit(1)``
+    probe, a duplicate-key ``limit(1)`` probe, then a ``count()``) was
+    three jobs per micro-batch; this is one. Offender examples for the
+    error messages are fetched lazily ONLY on the failure path.
+
+    Returns the number of images the upsert will append: total rows
+    when duplicates refuse, distinct keys when ``allow_dups`` (a
+    version column picks a winner per key downstream)."""
+    null_cond = _null_key_cond(keys)
+    per_key = batch.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+    row = per_key.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_keys"),
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.max("_c"), F.lit(0)).alias("max_dup"),
+        F.coalesce(
+            F.sum(F.when(null_cond, F.col("_c"))), F.lit(0)
+        ).alias("null_rows"),
+    ).collect()[0]
+    if row["null_rows"]:
+        bad = batch.where(null_cond).limit(1).collect()  # failure path
         raise ValueError(
             "NULL key in upsert batch: equality deletes match with "
             "plain (non-null-safe) equality, so a NULL-keyed image "
             f"could never supersede anything; offender: "
             f"{bad[0].asDict()}"
         )
+    if not allow_dups and row["max_dup"] > 1:
+        dup = (
+            per_key.where(F.col("_c") > 1).limit(1).collect()
+        )  # failure path
+        raise ValueError(
+            f"duplicate key {dup[0].asDict()} in upsert batch — pass "
+            "version_col to pick a winner, or dedupe upstream"
+        )
+    return int(row["n_keys"] if allow_dups else row["n_rows"])
 
 
 def snapshot_append_upsert(
@@ -181,12 +198,23 @@ def snapshot_append_upsert(
     casted = updates.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
-    _check_keys(casted, keys)
-    batch = _dedupe_batch(casted, keys, version_col)
-    batch = batch.localCheckpoint(eager=True)  # one plan, three uses
-    n = batch.count()
+    missing_k = [k for k in keys if k not in casted.columns]
+    if missing_k:
+        raise ValueError(f"key column(s) {missing_k} not in updates")
+    # checkpoint FIRST (one materialization of the incoming plan),
+    # then validate + count in a single aggregation job — the old
+    # probe-then-checkpoint-then-count shape was 3 driver actions per
+    # CDC micro-batch, each re-executing the upstream plan
+    batch = casted.localCheckpoint(eager=True)
+    n = _validate_eq_batch(batch, keys, allow_dups=version_col is not None)
     if n == 0:
         return versions[-1], 0
+    if version_col is not None:
+        # the winner-picking window feeds two write jobs below —
+        # checkpoint it so it executes once, like the old shape
+        batch = _pick_newest(batch, keys, version_col).localCheckpoint(
+            eager=True
+        )
     cmap = _colmap(man)
     dflts = man.get("defaults")  # captured with the schema (tuple rule)
     _, new_files = _write_commit_files(
@@ -281,15 +309,19 @@ def snapshot_delete_keys(
     casted = deletes.select(
         *[F.col(k).cast(fields[k].dataType).alias(k) for k in keys]
     )
-    _check_keys(casted, keys)
     cmap = _colmap(man)
+    pkeys = [cmap.get(k, k) for k in keys]
     dele = (
         casted.select(*[F.col(k).alias(cmap.get(k, k)) for k in keys])
         .distinct()
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
-    n = dele.count()
+    # NULL keys survive distinct, so validating the checkpointed frame
+    # refuses exactly what the old pre-checkpoint probe did — in the
+    # same single aggregation job that produces the key count (one
+    # driver action instead of two per takedown batch)
+    n = _validate_eq_batch(dele, pkeys, allow_dups=True)
     if n == 0:
         return versions[-1], 0
     _, eq_files = _write_commit_files(dele, path, None)

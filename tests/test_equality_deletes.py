@@ -888,3 +888,65 @@ def test_eq_cli_surface(spark, table, capsys):
     assert sorted(
         r.id for r in read_snapshot(spark, table).collect()
     ) == [0, 2, 4]
+
+
+def test_batch_validation_is_single_action(spark, tmp_path):
+    """The eq-batch refusal checks (NULL keys, duplicate keys) and the
+    appended-image count fold into ONE driver action over the
+    checkpointed batch (round-9 scale watch: the old shape was 3
+    actions per CDC micro-batch — a NULL-key probe, a dup-key probe,
+    then a count). AQE splits one action into a variable number of
+    Spark JOBS, so the pin is self-calibrating: the single-pass
+    validation must cost strictly fewer jobs than the old three-probe
+    shape measured in the SAME session."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
+        _null_key_cond,
+        _validate_eq_batch,
+    )
+
+    sc = spark.sparkContext
+
+    def jobs(tag, fn):
+        sc.setJobGroup(tag, tag)
+        out = fn()
+        n = len(sc.statusTracker().getJobIdsForGroup(tag))
+        sc.setJobGroup(None, None)
+        return n, out
+
+    batch = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "id long, v string"
+    ).localCheckpoint(eager=True)
+    new_jobs, n = jobs(
+        "val1", lambda: _validate_eq_batch(batch, ["id"], allow_dups=False)
+    )
+    assert n == 2
+
+    def old_shape():
+        # the pre-round-9 three-action sequence, verbatim
+        batch.where(_null_key_cond(["id"])).limit(1).collect()
+        (
+            batch.groupBy("id").count()
+            .where(F.col("count") > 1).limit(1).collect()
+        )
+        return batch.count()
+
+    old_jobs, old_n = jobs("val0", old_shape)
+    assert old_n == 2
+    assert new_jobs < old_jobs, (
+        f"single-pass validation ran {new_jobs} jobs vs the old "
+        f"three-probe shape's {old_jobs} — the fold regressed"
+    )
+
+    # the delete_keys leg reuses the same validator on the distinct
+    # checkpointed key frame: allow_dups counts distinct keys
+    dele = (
+        spark.createDataFrame([(1,), (1,), (2,)], "id long")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _, nk = jobs(
+        "val2", lambda: _validate_eq_batch(dele, ["id"], allow_dups=True)
+    )
+    assert nk == 2
