@@ -472,22 +472,50 @@ class StateCache:
     """Thread-safe LRU of reconstructed states keyed by manifest_id.
     Manifest ids are uuids minted at commit time and manifests are
     immutable once claimed, so a hit can never be stale — including
-    across dropped-and-recreated tables at the same path."""
+    across dropped-and-recreated tables at the same path.
 
-    def __init__(self, maxsize: int = 256):
+    Bounded by WEIGHT as well as entry count (round-9 scale fix): a
+    reconstructed state's dominant cost is its file list plus the
+    per-file stats/rows dicts, all ∝ len(files) — at the 100 TB design
+    point (~1M files) one state is tens of MB, so a pure entry-count
+    bound (256) would let the cache grow to multi-GB driver RSS. The
+    weight proxy is ``len(files) + 1`` per state (an upper bound on
+    distinct container overhead — shared leaf objects across adjacent
+    states make the true footprint smaller, never larger). The default
+    budget (2M file entries) caps worst-case overhead at a few hundred
+    MB while still holding hundreds of normal-sized table states. The
+    most recently inserted state always survives, even when it alone
+    exceeds the budget — evicting the entry a reader is about to use
+    would only force an immediate re-fold."""
+
+    def __init__(self, maxsize: int = 256, max_weight: int = 2_000_000):
         self._maxsize = maxsize
+        self._max_weight = max_weight
         self._lock = threading.Lock()
         self._d: OrderedDict[str, dict] = OrderedDict()
+        self._w: dict[str, int] = {}
+        self._total = 0
 
     # the streaming source module is cloudpickled BY VALUE into
     # Spark's Data Source planning subprocess, and its module globals
     # include a StateCache — locks don't pickle, and a cache's only
     # correct serialized form is "empty"
     def __getstate__(self) -> dict:
-        return {"maxsize": self._maxsize}
+        return {"maxsize": self._maxsize, "max_weight": self._max_weight}
 
     def __setstate__(self, state: dict) -> None:
-        self.__init__(state["maxsize"])
+        self.__init__(
+            state["maxsize"], state.get("max_weight", 2_000_000)
+        )
+
+    @staticmethod
+    def _weight(state: dict) -> int:
+        return len(state.get("files") or ()) + 1
+
+    def weight(self) -> int:
+        """Current total weight (test/introspection surface)."""
+        with self._lock:
+            return self._total
 
     def get(self, key: str | None) -> dict | None:
         if not key:
@@ -502,10 +530,19 @@ class StateCache:
         if not key:
             return
         with self._lock:
+            if key in self._d:
+                self._total -= self._w[key]
+            w = self._weight(state)
             self._d[key] = state
+            self._w[key] = w
+            self._total += w
             self._d.move_to_end(key)
-            while len(self._d) > self._maxsize:
-                self._d.popitem(last=False)
+            while len(self._d) > 1 and (
+                len(self._d) > self._maxsize
+                or self._total > self._max_weight
+            ):
+                old, _ = self._d.popitem(last=False)
+                self._total -= self._w.pop(old)
 
 
 def _legacy_state(doc: dict) -> dict:
@@ -537,9 +574,11 @@ def reconstruct(
     manifest-dir blob (checkpoint parquet). Walks parents to the
     nearest terminal (legacy full manifest, checkpoint commit, cached
     state, or a rescue checkpoint across a vacuum gap), folds deltas
-    forward, caches every intermediate state, and returns the same
-    dict shape consumers always read: scalars + files / dv_files /
-    dv_targets / stats / stats_cols.
+    forward, caches the checkpoint-adjacent base and the requested
+    commit's final state (NOT every intermediate fold — see the
+    round-9 note inline), and returns the same dict shape consumers
+    always read: scalars + files / dv_files / dv_targets / stats /
+    stats_cols.
 
     ``want_stats=False`` skips the checkpoint's stats column — valid
     only for readers that never touch ``stats``. Stripped states cache
@@ -556,6 +595,11 @@ def reconstruct(
     pending: list[dict] = []
     cur = doc
     base: dict | None = None
+    # set ONLY when the decoded base is the exact state OF a specific
+    # commit (checkpoint / rescue) — the parentless-root synthetic
+    # empty state and legacy inline states must never cache under a
+    # commit's id (the root's own state is a fold AWAY from empty)
+    base_key: str | None = None
     while base is None:
         hit = cache.get(_key(cur.get("manifest_id"))) if cache else None
         if hit is not None:
@@ -573,6 +617,7 @@ def reconstruct(
                     "GC deleted a referenced checkpoint"
                 )
             base = decode_checkpoint(blob, want_stats=want_stats)
+            base_key = _key(cur.get("manifest_id"))
             break
         # pure delta: need the parent's state
         pending.append(cur)
@@ -604,9 +649,24 @@ def reconstruct(
                     "below the vacuum cutoff is gone"
                 )
             base = decode_checkpoint(blob, want_stats=want_stats)
+            base_key = _key(me.get("manifest_id"))
             break
         cur = nxt
     state = base
+    if cache and base_key and pending:
+        # checkpoint-adjacent insert: the decoded base is the exact
+        # state of the commit that carried the checkpoint (or rescue) —
+        # caching it lets every other descendant fold from memory
+        # without re-reading the blob. Intermediate folds below are
+        # deliberately NOT cached (round-9 scale fix): a cold walk to
+        # the head used to insert up to checkpoint_every large states
+        # in one call — tens of MB each at 1M files — evicting
+        # genuinely hot entries; a later ask for an intermediate
+        # version re-folds from this cached base at a cost bounded by
+        # checkpoint_every, and ascending history walks stay O(1)
+        # folds per version because each step's FINAL state (cached
+        # below) is the next step's parent.
+        cache.put(base_key, base)
     for d in reversed(pending):
         state = fold_delta(d, state)
         if not want_stats:
@@ -616,9 +676,7 @@ def reconstruct(
             # of a silently-wrong one
             state["stats"] = None
             state["stats_cols"] = None
-        if cache:
-            cache.put(_key(d.get("manifest_id")), state)
-    if cache and not pending:
+    if cache:
         cache.put(_key(doc.get("manifest_id")), state)
     return manifest_dict(doc, state)
 

@@ -921,3 +921,118 @@ def test_reconstruction_matches_shadow_ledger_under_any_history(
         assert man["files"] == want["files"], (v, "files")
         assert sorted(man.get("dv_files") or []) == want["dvs"], (v, "dvs")
         assert sorted(man.get("dv_targets") or []) == want["tgts"], (v, "tgts")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: weight-bounded cache + checkpoint-adjacent-only insertion
+# ---------------------------------------------------------------------------
+
+
+def test_statecache_weight_bound():
+    """The cache evicts by total WEIGHT (∝ Σ len(files)), not just
+    entry count: 256 states of a 1M-file table must not pile up to
+    multi-GB driver RSS. The newest entry always survives, even alone
+    over budget."""
+    c = ml.StateCache(maxsize=100, max_weight=1000)
+    for i in range(10):
+        c.put(f"k{i}", {"files": [f"f{j}" for j in range(300)]})
+        assert c.weight() <= 1000 or len(c._d) == 1
+    # only ⌊1000/301⌋ = 3 large states fit
+    held = [k for k in (f"k{i}" for i in range(10)) if c.get(k)]
+    assert held == ["k7", "k8", "k9"]
+    assert c.weight() == 3 * 301
+
+    # re-putting an existing key replaces its weight, never leaks
+    c.put("k9", {"files": ["one"]})
+    assert c.weight() == 2 * 301 + 2
+
+    # an oversized single state is kept (evicting the entry a reader
+    # is about to use would only force an immediate re-fold) but
+    # pushes everything else out
+    c.put("big", {"files": [f"f{j}" for j in range(5000)]})
+    assert c.get("big") is not None
+    assert len(c._d) == 1
+
+    # pickles empty with both bounds intact
+    c2 = pickle.loads(pickle.dumps(c))
+    assert c2.get("big") is None
+    assert c2._max_weight == 1000
+
+
+def test_cold_walk_caches_only_ckpt_base_and_final(
+    spark, table, ckpt3
+):
+    """A cold reconstruct of the head must insert at most the
+    checkpoint-adjacent base and the requested commit's final state —
+    NOT one large state per intermediate fold (round-9 scale fix) —
+    and intermediate versions must still reconstruct correctly (from
+    the cached base, cost bounded by the checkpoint cadence)."""
+    from nyc_taxi_data_warehouse_spark.warehouse import snapshots as sn
+
+    snapshot_write(_df(spark, [(1, 0, "a")]), table)
+    for k in range(6):  # ckpt at v1, v4; deltas v2,v3,v5,v6,v7
+        snapshot_write(
+            _df(spark, [(10 + k, 0, f"b{k}")]), table, mode="append"
+        )
+    versions = _list_manifests(spark, table)
+    head = versions[-1]
+    # ground truth per version, captured through the normal cache
+    expect = {
+        v: len(_load_manifest(spark, table, v)["files"]) for v in versions
+    }
+    fresh = ml.StateCache(maxsize=256)
+    orig = sn._STATE_CACHE
+    sn._STATE_CACHE = fresh
+    try:
+        man = _load_manifest(spark, table, head)
+        assert len(man["files"]) == expect[head]
+        n_after_cold = len(fresh._d)
+        # ≤ 2 inserts (ckpt base + final), never one per delta
+        assert n_after_cold <= 2, sorted(fresh._d)
+        # ascending walk stays O(1) folds per version: every version
+        # reconstructs and lands in the cache as it goes
+        for v in versions:
+            got = _load_manifest(spark, table, v)
+            assert len(got["files"]) == expect[v]
+        assert _bag(read_snapshot(spark, table)) == sorted(
+            [(1, 0, "a")] + [(10 + k, 0, f"b{k}") for k in range(6)]
+        )
+    finally:
+        sn._STATE_CACHE = orig
+
+
+def test_rescue_base_caches_under_rescued_commit(spark, table, ckpt3):
+    """Across a vacuum gap the rescue checkpoint's decoded state caches
+    under the RESCUED commit's id (it IS that commit's state), and the
+    parentless-root synthetic empty state never caches under a real
+    commit id."""
+    from nyc_taxi_data_warehouse_spark.warehouse import snapshots as sn
+
+    snapshot_write(_df(spark, [(1, 0, "a")]), table)
+    for k in range(5):
+        snapshot_write(
+            _df(spark, [(10 + k, 0, f"b{k}")]), table, mode="append"
+        )
+    vacuum_snapshots(spark, table, keep_last=2)
+    keep = _list_manifests(spark, table)
+    expect = {
+        v: len(_load_manifest(spark, table, v)["files"]) for v in keep
+    }
+    fresh = ml.StateCache(maxsize=256)
+    orig = sn._STATE_CACHE
+    sn._STATE_CACHE = fresh
+    try:
+        for v in keep:
+            man = _load_manifest(spark, table, v)
+            assert len(man["files"]) == expect[v]
+        # every cached state matches its commit exactly (no synthetic
+        # empties under real ids, no off-by-one-fold states)
+        for key, st in list(fresh._d.items()):
+            vs = [
+                v for v in keep
+                if _read_doc(spark, table, v)["manifest_id"] == key
+            ]
+            if vs:
+                assert len(st["files"]) == expect[vs[0]], (key, vs)
+    finally:
+        sn._STATE_CACHE = orig
