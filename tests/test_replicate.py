@@ -345,3 +345,128 @@ def test_replica_writes_are_o_changes(spark, tmp_path):
         (r.id, r.v)
         for r in read_snapshot(spark, dst).where("id = 7").collect()
     ] == [(7, "CHANGED")]
+
+
+def test_replica_of_branch_ref_source(spark, tmp_path):
+    """A replica whose SOURCE is a branch ref (`table#branch`) mirrors
+    the BRANCH's state: main commits never leak in, branch commits
+    flow, and publish_branch flows through the main-ref replica as
+    ordinary commits (round-9 composition hardening)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.branching import (
+        branch_ref,
+        create_branch,
+        publish_branch,
+    )
+
+    src = str(tmp_path / "bsrc")
+    dstb = str(tmp_path / "bdst")
+    dstm = str(tmp_path / "mdst")
+    snapshot_write(_df(spark, [(1, 0, "a"), (2, 1, "b")]), src)
+    create_branch(spark, src, "audit")
+    ref = branch_ref(src, "audit")
+
+    # diverge: branch gets an upsert, main gets a different one
+    snapshot_append_upsert(spark, ref, _df(spark, [(3, 0, "br3")]), ["id"])
+    snapshot_append_upsert(spark, src, _df(spark, [(9, 0, "mn9")]), ["id"])
+
+    replicate_keyed(spark, ref, dstb, ["id"])
+    _assert_mirrors(spark, ref, dstb)
+    got = _bag(read_snapshot(spark, dstb))
+    assert (3, 0, "br3") in got and not any(r[0] == 9 for r in got)
+
+    # a main replica tracks main only
+    replicate_keyed(spark, src, dstm, ["id"])
+    _assert_mirrors(spark, src, dstm)
+    got_m = _bag(read_snapshot(spark, dstm))
+    assert (9, 0, "mn9") in got_m and not any(r[0] == 3 for r in got_m)
+
+    # more branch churn, then PUBLISH: the branch replica keeps
+    # following its ref, the main replica sees the published state as
+    # one more refresh (the feed bridges the publish commit)
+    snapshot_delete_keys(
+        spark, ref, spark.createDataFrame([(1,)], "id long")
+    )
+    replicate_keyed(spark, ref, dstb, ["id"])
+    _assert_mirrors(spark, ref, dstb)
+    # main advanced since the fork -> not a fast-forward; publish
+    # last-writer-wins, which is still just one more feed-bridged commit
+    publish_branch(spark, src, "audit", force=True)
+    replicate_keyed(spark, src, dstm, ["id"])
+    _assert_mirrors(spark, src, dstm)
+
+
+def test_replica_follows_source_restore_rollback(spark, tmp_path):
+    """A source RESTORE below the replica's cursor is an ordinary
+    feed-bridged commit: the next refresh rolls the replica back too —
+    the cursor pins head versions, never 'how far history went'."""
+    src = str(tmp_path / "rsrc")
+    dst = str(tmp_path / "rdst")
+    snapshot_write(_df(spark, [(1, 0, "a"), (2, 1, "b")]), src)
+    v_base = _list_manifests(spark, src)[-1]
+    snapshot_append_upsert(
+        spark, src, _df(spark, [(2, 1, "B2"), (3, 0, "c")]), ["id"]
+    )
+    replicate_keyed(spark, src, dst, ["id"])
+    _assert_mirrors(spark, src, dst)
+
+    snapshot_restore(spark, src, v_base)  # roll the source back
+    rep = replicate_keyed(spark, src, dst, ["id"])
+    _assert_mirrors(spark, src, dst)
+    assert _bag(read_snapshot(spark, dst)) == [(1, 0, "a"), (2, 1, "b")]
+    # cursor landed on the restore commit's version
+    assert int(
+        snapshot_properties(spark, dst)["replica.cursor"]
+    ) == _list_manifests(spark, src)[-1]
+    assert rep["deleted_keys"] >= 1  # id=3 left with the rollback
+
+
+def test_replica_refresh_races_concurrent_source_upserts(spark, tmp_path):
+    """Refreshes racing concurrent source upserts (the
+    stream_snapshot_upsert shape) stay convergent: whatever interleaves,
+    a final quiesced refresh mirrors the source exactly, and no refresh
+    ever corrupts the replica (round-9 composition hardening)."""
+    import threading
+
+    src = str(tmp_path / "csrc")
+    dst = str(tmp_path / "cdst")
+    snapshot_write(
+        _df(spark, [(i, i % 2, f"v{i}") for i in range(6)]), src
+    )
+    replicate_keyed(spark, src, dst, ["id"])
+
+    errs: list[Exception] = []
+
+    def upserter(k0):
+        try:
+            for j in range(3):
+                snapshot_append_upsert(
+                    spark, src,
+                    _df(spark, [(k0 + j, (k0 + j) % 2, f"u{k0}_{j}")]),
+                    ["id"], retries=8,
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def refresher():
+        try:
+            for _ in range(3):
+                replicate_keyed(spark, src, dst, ["id"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=upserter, args=(10,)),
+        threading.Thread(target=upserter, args=(20,)),
+        threading.Thread(target=refresher),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    # quiesced: one final refresh lands the mirror exactly on the source
+    replicate_keyed(spark, src, dst, ["id"])
+    _assert_mirrors(spark, src, dst)
+    assert int(
+        snapshot_properties(spark, dst)["replica.cursor"]
+    ) == _list_manifests(spark, src)[-1]
