@@ -372,6 +372,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--widen", metavar="NAME:TYPE",
         help="losslessly widen a column's type, e.g. amt:bigint",
     )
+    g.add_argument(
+        "--set-layout", metavar="COLS", dest="set_layout",
+        help="PARTITION EVOLUTION: comma-separated partition columns "
+        "for FUTURE commits (metadata-only; existing files keep their "
+        "dirs until snapshot-compact migrates them); 'none' = "
+        "unpartitioned",
+    )
     sa.add_argument(
         "--default", default=None, dest="col_default",
         help="with --add: INITIAL default — pre-existing rows read "
@@ -849,6 +856,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 snapshot_drop_column,
             )
 
+            if args.set_layout is not None:
+                from .warehouse.snapshots import snapshot_set_layout
+
+                cols = (
+                    None
+                    if args.set_layout.lower() in ("none", "")
+                    else [
+                        c.strip()
+                        for c in args.set_layout.split(",")
+                        if c.strip()
+                    ]
+                )
+                v = snapshot_set_layout(spark, args.table_path, cols)
+                print(json.dumps({"version": v, "layout": cols}))
+                return 0
             if args.col_default is not None and args.add is None:
                 raise SystemExit(
                     "--default only applies with --add"

@@ -378,6 +378,18 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         if self._scope is None:
             return True
         pv = _partition_values_from_path(rel_file)
+        missing = [k for k in self._scope if k not in pv]
+        if missing:
+            # a file predating a layout evolution (snapshot_set_layout)
+            # stores the scope column as DATA — membership is not
+            # directory-provable, and silently treating it as
+            # out-of-scope would drop matching rows from the feed
+            raise ValueError(
+                f"file {rel_file} does not encode partition column(s) "
+                f"{missing} in its directories — the table's layout "
+                "evolved; a partition-scoped feed needs directory-"
+                "provable values (snapshot_compact migrates old files)"
+            )
         return all(pv.get(k) in vs for k, vs in self._scope.items())
 
     def initialOffset(self) -> dict:

@@ -837,9 +837,10 @@ def _require_same_layout(
     if have != want:
         raise ValueError(
             f"{op}: table partition layout is {have} but caller passed "
-            f"{want} — mixed layouts misclassify carried files; use "
-            "snapshot_write(mode='overwrite') or snapshot_compact to "
-            "change the layout"
+            f"{want} — mixed layouts misclassify carried files; evolve "
+            "the layout metadata-only with snapshot_set_layout, or "
+            "rewrite with snapshot_write(mode='overwrite') / "
+            "snapshot_compact"
         )
 
 
@@ -973,8 +974,9 @@ def snapshot_replace_partitions(
                 ):
                     raise ValueError(
                         f"replace_partitions: parent file {f} is not laid "
-                        f"out by {partition_cols}; rebuild the table with a "
-                        "consistent layout (snapshot_compact)"
+                        f"out by {partition_cols} (layout evolution leaves "
+                        "old files in their original dirs); run "
+                        "snapshot_compact to migrate them first"
                     )
                 pdir = rel.rsplit("/", 1)[0] if "/" in rel else ""
                 if pdir not in touched:
@@ -1105,7 +1107,19 @@ def snapshot_version_at(spark: SparkSession, path: str, ts) -> int:
     return best
 
 
-def _partition_pruned_files(man: dict, partitions: dict) -> list[str]:
+def _norm_partition_value(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        # Spark writes boolean partition dirs as 'true'/'false';
+        # Python str(True) is 'True' — a silent zero-file match
+        return "true" if v else "false"
+    return str(v)
+
+
+def _partition_pruned_files(
+    man: dict, partitions: dict, unencoded: str = "raise"
+) -> list[str]:
     """Manifest-resident partition pruning: the files of ``man`` whose
     partition-directory values match ``partitions`` ({col: value or
     list-of-values}; ``None`` selects the Hive null partition). Pure
@@ -1115,9 +1129,28 @@ def _partition_pruned_files(man: dict, partitions: dict) -> list[str]:
     DIRECTORY strings Spark wrote (callers pass primitives; ``str()``
     normalizes), which is exactly Hive/Iceberg partition-predicate
     semantics. Unknown columns refuse: a typo'd key silently matching
-    nothing would read as 'partition is empty'."""
+    nothing would read as 'partition is empty'.
+
+    ``unencoded`` picks the behavior for files whose directories do
+    NOT carry every filter column — possible only after
+    ``snapshot_set_layout`` evolved the layout and before a compact
+    migrated the old files (such a file MAY hold matching rows;
+    metadata cannot tell):
+
+    - ``"raise"`` (default): refuse loudly — for surfaces whose answer
+      must be provable from directory values alone (metadata-only
+      partition drops, partition-scoped change feeds, metadata
+      MIN/MAX);
+    - ``"exclude"``: directory semantics verbatim (a non-encoding file
+      never matches) — ONLY for whole-file proofs, where absence of
+      the directory must mean "not proven";
+    - ``"include"``: conservative keep — for DML victim planning (a
+      possible match must stay a candidate) and for readers that apply
+      a row-level residual filter (``_partition_residual_cond``)."""
     from ..streaming.snapshot_source import _partition_values_from_path
 
+    if unencoded not in ("raise", "exclude", "include"):
+        raise ValueError(f"bad unencoded mode {unencoded!r}")
     # directory names are PHYSICAL (frozen at add time — see _colmap);
     # callers filter by logical names
     pc = set(_manifest_partition_cols(man) or [])
@@ -1128,27 +1161,69 @@ def _partition_pruned_files(man: dict, partitions: dict) -> list[str]:
             f"layout is {sorted(pc) or 'unpartitioned'}"
         )
     partitions = {_phys(man, k): v for k, v in partitions.items()}
-    def norm(v) -> str | None:
-        if v is None:
-            return None
-        if isinstance(v, bool):
-            # Spark writes boolean partition dirs as 'true'/'false';
-            # Python str(True) is 'True' — a silent zero-file match
-            return "true" if v else "false"
-        return str(v)
-
     want: dict[str, set] = {}
     for k, val in partitions.items():
         vs = val if isinstance(val, (list, tuple, set, frozenset)) else [val]
-        want[k] = {norm(v) for v in vs}
-    return [
-        f
-        for f in man["files"]
-        if all(
-            _partition_values_from_path(f).get(k) in vs
-            for k, vs in want.items()
+        want[k] = {_norm_partition_value(v) for v in vs}
+    out = []
+    for f in man["files"]:
+        vals = _partition_values_from_path(f)
+        missing = [k for k in want if k not in vals]
+        if missing:
+            if unencoded == "raise":
+                raise ValueError(
+                    f"file {f} does not encode partition column(s) "
+                    f"{missing} in its directories — the layout evolved "
+                    "(snapshot_set_layout) and this surface needs "
+                    "directory-provable partition values; run "
+                    "snapshot_compact to migrate old files first"
+                )
+            if unencoded == "include":
+                out.append(f)
+            continue
+        if all(vals.get(k) in vs for k, vs in want.items()):
+            out.append(f)
+    return out
+
+
+def _partition_residual_cond(partitions: dict):
+    """Row-level equivalent of the directory match — applied by read
+    surfaces over files that predate a layout evolution (their rows
+    carry the column as DATA, not directories). Comparison is on the
+    directory STRING form (cast-to-string), keeping the exact
+    semantics ``_partition_pruned_files`` documents; for rows of
+    dir-encoded files the condition is a tautology, so applying it to
+    a whole mixed read changes nothing for migrated files."""
+    cond = None
+    for k, val in partitions.items():
+        vs = val if isinstance(val, (list, tuple, set, frozenset)) else [val]
+        strs = sorted(
+            {_norm_partition_value(v) for v in vs if v is not None}
         )
-    ]
+        c = F.col(k).cast("string").isin(*strs) if strs else None
+        if any(v is None for v in vs):
+            isn = F.col(k).isNull()
+            c = isn if c is None else (c | isn)
+        cond = c if cond is None else (cond & c)
+    return cond if cond is not None else F.lit(True)
+
+
+def _files_not_encoding(
+    man: dict, partitions: dict, files: list[str] | None = None
+) -> list[str]:
+    """The subset of ``files`` (default: all live files) whose relpath
+    directories do NOT carry every filter/layout column (logical keys,
+    compared physical) — nonempty exactly while a layout evolution
+    (``snapshot_set_layout``) has files not yet migrated by a compact."""
+    from ..streaming.snapshot_source import _partition_values_from_path
+
+    want = [_phys(man, k) for k in partitions]
+    out = []
+    for f in man["files"] if files is None else files:
+        vals = _partition_values_from_path(f)
+        if any(k not in vals for k in want):
+            out.append(f)
+    return out
 
 
 def read_snapshot(
@@ -1187,9 +1262,16 @@ def read_snapshot(
     man = _load_manifest(spark, path, version)
     schema = StructType.fromJson(man["schema"])
     files = man["files"]
+    residual = None
     if partitions:
-        files = _partition_pruned_files(man, partitions)
-    return _read_file_list(
+        # conservative keep for files predating a layout evolution
+        # (they may hold matching rows as DATA); the residual row
+        # filter below restores exactness — a tautology on rows of
+        # dir-encoded files, the real predicate on unmigrated ones
+        files = _partition_pruned_files(man, partitions, "include")
+        if _files_not_encoding(man, partitions, files):
+            residual = _partition_residual_cond(partitions)
+    out = _read_file_list(
         spark, path, files, schema,
         partition_cols=_manifest_partition_cols(man),
         dv_files=man.get("dv_files"),
@@ -1199,6 +1281,7 @@ def read_snapshot(
         colmap=_colmap(man) or None,
         defaults=man.get("defaults"),
     )
+    return out.where(residual) if residual is not None else out
 
 
 # name (lowercased) → {"path", "name", "pinned"} for every table that
@@ -2209,8 +2292,11 @@ def snapshot_restore(
         )
     man = _load_manifest(spark, path, version)
     latest = versions[-1]
-    cur = _load_manifest(spark, path, latest)
-    _require_same_layout(cur, _manifest_partition_cols(man), "restore")
+    # deliberately NO same-layout guard (round 9): the commit below
+    # republishes the restored version's own partition_cols alongside
+    # its whole state, so restoring across a snapshot_set_layout is
+    # self-consistent — it rolls the layout back too, and every reader
+    # resolves layouts per version (per-file, for mixed histories)
     return _commit(
         spark,
         path,
@@ -2394,23 +2480,33 @@ def snapshot_count(
     man = _load_manifest(spark, path, version)
     root = _root(path)
     files = man["files"]
+    residual = None
     if partitions:
         # partition-scoped count stays metadata-only too: prune the
         # file list first, correct by the tombstones targeting exactly
-        # those files (the sidecar semi-join keys on relpath)
-        files = _partition_pruned_files(man, partitions)
+        # those files (the sidecar semi-join keys on relpath). Files
+        # predating a layout evolution cannot answer from directories
+        # — they join the scanned surface below with a row-level
+        # residual filter (exact, cost ∝ unmigrated files).
+        files = _partition_pruned_files(man, partitions, "include")
+        unenc = _files_not_encoding(man, partitions, files)
+        if unenc:
+            residual = _partition_residual_cond(
+                {_phys(man, k): v for k, v in partitions.items()}
+            )
     # files an outstanding EQUALITY delete applies to cannot answer
     # from metadata (a key may match 0..n of their rows) — scan
     # exactly that surface with full masking; the rest stays
     # metadata-only. ``snapshot_resolve_eq`` restores the pure
     # metadata answer.
     eq_aff = _eq_affected_files(man, files)
+    scan_set = sorted(set(eq_aff) | set(unenc if residual is not None else ()))
     scanned = 0
-    if eq_aff:
-        eset = set(eq_aff)
-        files = [f for f in files if f not in eset]
-        scanned = _read_file_list(
-            spark, path, eq_aff,
+    if scan_set:
+        sset = set(scan_set)
+        files = [f for f in files if f not in sset]
+        rows = _read_file_list(
+            spark, path, scan_set,
             # physical namespace: eq entry keys are on-disk names, and
             # a count never surfaces column names anyway
             _phys_fields(StructType.fromJson(man["schema"]), _colmap(man)),
@@ -2422,7 +2518,12 @@ def snapshot_count(
             # an eq entry KEYED on a defaulted column must mask the
             # pre-add rows here exactly as it does on every read
             defaults=man.get("defaults"),
-        ).count()
+        )
+        if residual is not None:
+            # physical frame — the residual was built on physical names;
+            # a tautology for dir-encoded eq_aff rows, exact for the rest
+            rows = rows.where(residual)
+        scanned = rows.count()
     return scanned + _physical_row_total(
         spark, root, man, files
     ) - _dv_entry_count(spark, root, man.get("dv_files"), files)
@@ -4141,8 +4242,13 @@ def read_snapshot_pruned(
     man = _load_manifest(spark, path, version)
     stats = man.get("stats", {})
     candidates = man["files"]
+    part_residual = None
     if partitions:
-        candidates = _partition_pruned_files(man, partitions)
+        # conservative keep + row-level residual for files predating a
+        # layout evolution (same recipe as read_snapshot)
+        candidates = _partition_pruned_files(man, partitions, "include")
+        if _files_not_encoding(man, partitions, candidates):
+            part_residual = _partition_residual_cond(partitions)
     # widen the QUERY interval outward too (Decimal bounds): pruning
     # may only ever keep extra files, never drop a matching one
     slo, shi = _stat_norm(lo, widen=-1), _stat_norm(hi, widen=1)
@@ -4180,7 +4286,8 @@ def read_snapshot_pruned(
             colmap=_colmap(man) or None,
             defaults=man.get("defaults"),
         )
-    return pruned.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+    out = pruned.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return out.where(part_residual) if part_residual is not None else out
 
 
 def snapshot_delete_rows(
@@ -4496,7 +4603,12 @@ def _victims_by_stats_where(
     alive = set(man["files"])
     for col, vals in predicates.items():
         if _canonical_partition_values(man, col, vals):
-            alive &= set(_partition_pruned_files(man, {col: vals}))
+            # "include": a file predating a layout evolution may match
+            # as data — it must STAY a victim candidate (the planner's
+            # no-false-negatives contract)
+            alive &= set(
+                _partition_pruned_files(man, {col: vals}, "include")
+            )
         else:
             v, _ = _victims_by_stats(man, col, vals)
             alive &= set(v)
@@ -4514,7 +4626,10 @@ def _full_match_files_where(man: dict, predicates: dict) -> list[str]:
     full: set | None = None
     for col, vals in predicates.items():
         if _canonical_partition_values(man, col, vals):
-            s = set(_partition_pruned_files(man, {col: vals}))
+            # "exclude": the directory IS the proof — a file not
+            # encoding the column proves nothing and must not be
+            # whole-file-dropped
+            s = set(_partition_pruned_files(man, {col: vals}, "exclude"))
         else:
             s = set(_full_match_files(man, col, vals))
         full = s if full is None else (full & s)
@@ -5379,9 +5494,17 @@ def snapshot_delete_where(
     if mode == "auto":
         man = _load_manifest(spark, path, versions[-1])
         pc = set(_manifest_partition_cols(man) or ())
-        if set(preds) <= pc and all(
-            type(v) in (int, str, bool) for vals in preds.values()
-            for v in vals
+        if (
+            set(preds) <= pc
+            and all(
+                type(v) in (int, str, bool) for vals in preds.values()
+                for v in vals
+            )
+            # files predating a layout evolution may hold matching
+            # rows as DATA — a directory-proof drop would silently
+            # miss them, so such tables fall through to the data paths
+            # until a compact migrates the old files
+            and not _files_not_encoding(man, preds)
         ):
             return snapshot_drop_partitions(spark, path, preds)
         cost = _victim_bytes(
@@ -5884,6 +6007,115 @@ def snapshot_widen_column(
             ),
         },
         partition_cols=_manifest_partition_cols(man),
+        dv_files=man.get("dv_files"),
+        dv_targets=_dv_targets_for(man),
+    )
+
+
+def snapshot_set_layout(
+    spark: SparkSession, path: str, partition_cols: list[str] | None
+) -> int:
+    """METADATA-ONLY PARTITION EVOLUTION (the Iceberg partition-spec-
+    evolution idea, re-expressed for this manifest log): publish the
+    same files under a NEW partition layout that applies to FUTURE
+    commits only — zero data bytes move at any table size, where a
+    repartition-by-rewrite of a 100 TB table would copy all of it.
+    Returns the new version.
+
+    Existing files keep their directory layout and stay readable
+    forever: the explicit-list reader groups files per commit dir with
+    its own ``basePath``, so heterogeneous layouts union cleanly (an
+    old file surfaces the new layout's column from its DATA pages, a
+    new file from its directories). ``snapshot_compact`` migrates old
+    files physically whenever wanted — full compaction restores a
+    single-layout table.
+
+    While layouts are mixed (old files not yet compacted), every
+    surface stays EXACT, never silently partial:
+
+    - partition-scoped reads / counts split the file list — directory-
+      encoded files prune as always, unmigrated files read with a
+      row-level residual filter (``_partition_residual_cond``);
+    - metadata-only ops that must PROVE predicates from directories
+      alone refuse loudly (``snapshot_drop_partitions``,
+      partition-scoped feeds — ``_partition_pruned_files`` mode
+      "raise") or fall back automatically (the DELETE front door's
+      partition fast path steps aside to the data paths);
+    - ``snapshot_replace_partitions`` keeps its existing fail-fast
+      (carried files are classified by directory, unclassifiable files
+      raise with a compact-first message);
+    - DML victim planning keeps its no-false-negatives contract
+      (unmigrated files stay candidates — mode "include");
+    - whole-file proofs never fire without the directory (mode
+      "exclude").
+
+    Refusals: unknown columns; renamed columns or physical slots of
+    renames (partition directories are physical names — the
+    logical==physical invariant for layout columns is what keeps every
+    predicate surface simple); columns with an INITIAL default (an
+    old file has no physical values to prune by, and the write path's
+    dir values would disagree with the read-time fill); reserved
+    ``_dv_*`` names; a no-op layout."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    latest = versions[-1]
+    man = _load_manifest(spark, path, latest)
+    schema = StructType.fromJson(man["schema"])
+    names = {f.name for f in schema.fields}
+    want = list(partition_cols) if partition_cols else None
+    if want is not None:
+        if len(set(want)) != len(want):
+            raise ValueError(f"duplicate layout column in {want}")
+        unknown = [c for c in want if c not in names]
+        if unknown:
+            raise ValueError(
+                f"layout column(s) {unknown} not in table schema"
+            )
+        bad_dv = [c for c in want if c in _DV_COLS]
+        if bad_dv:
+            raise ValueError(f"column name(s) {bad_dv} are reserved")
+        cmap = _colmap(man)
+        taken = {p: l for l, p in cmap.items()}
+        renamed = [
+            c for c in want if cmap.get(c, c) != c or c in taken
+        ]
+        if renamed:
+            raise ValueError(
+                f"layout column(s) {renamed} carry rename history "
+                "(partition directories are physical names) — rewrite "
+                "the table (snapshot_write overwrite / snapshot_compact)"
+                " to shed the rename first"
+            )
+        dflts = man.get("defaults") or {}
+        defaulted = [c for c in want if c in dflts]
+        if defaulted:
+            raise ValueError(
+                f"layout column(s) {defaulted} have an INITIAL default "
+                "— pre-add files have no physical values to lay out or "
+                "prune by; compact first to materialize the default"
+            )
+    if (_manifest_partition_cols(man) or None) == (want or None):
+        raise ValueError(
+            f"layout is already {want or 'unpartitioned'} at {path}"
+        )
+    return _commit(
+        spark,
+        path,
+        man["files"],
+        schema,
+        "set_layout",
+        latest,
+        extra={
+            "layout_from": _manifest_partition_cols(man),
+            "layout_to": want,
+            **(
+                {"stats": man["stats"], "stats_cols": man.get("stats_cols")}
+                if man.get("stats") is not None
+                else {}
+            ),
+        },
+        partition_cols=want,
         dv_files=man.get("dv_files"),
         dv_targets=_dv_targets_for(man),
     )

@@ -67,6 +67,8 @@ _GRAMMAR = """supported snapshot statements:
   ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
   ALTER TABLE t DROP CONSTRAINT name
+  ALTER TABLE t ADD PARTITION FIELD col | DROP PARTITION FIELD col
+  ALTER TABLE t SET PARTITIONING (col, ...)    -- () = unpartitioned
   VACUUM t [RETAIN n HOURS]
   DESCRIBE HISTORY t
   RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
@@ -553,6 +555,10 @@ def _exec_alter(spark, p: _Parser, stmt: str) -> DataFrame:
 
     kind, text = p.table_token()
     path, _ = _resolve_table(kind, text, stmt)
+    if p.kw("ADD", "PARTITION", "FIELD") or p.kw(
+        "DROP", "PARTITION", "FIELD"
+    ) or p.kw("SET", "PARTITIONING"):
+        return _exec_alter_layout(spark, p, path, stmt)
     if p.kw("ADD", "COLUMNS") or p.kw("ADD", "COLUMN"):
         name = p.ident()
         rawtype = p.rest_raw(stop_kw="DEFAULT")
@@ -632,6 +638,57 @@ def _exec_alter(spark, p: _Parser, stmt: str) -> DataFrame:
             f"{t.text if t else 'end of statement'!r}",
             stmt,
         )
+    _refresh_views(spark, path)
+    return _one_row(spark, "version bigint", (v,))
+
+
+def _exec_alter_layout(spark, p: _Parser, path: str, stmt: str) -> DataFrame:
+    """Partition evolution statements (Iceberg's public ALTER syntax,
+    plus a direct SET PARTITIONING form) — all metadata-only:
+
+      ALTER TABLE t ADD PARTITION FIELD col
+      ALTER TABLE t DROP PARTITION FIELD col
+      ALTER TABLE t SET PARTITIONING (col, ...)   -- () = unpartitioned
+    """
+    from .snapshots import (
+        _list_manifests,
+        _load_manifest,
+        _manifest_partition_cols,
+        snapshot_set_layout,
+    )
+
+    # the verb tokens were consumed by the caller; re-inspect which:
+    # ... ADD|DROP PARTITION FIELD <col>   -> p.i-3 is the verb
+    # ... SET PARTITIONING (...)           -> p.i-1 is PARTITIONING
+    verb = p.toks[p.i - 3].text.upper()
+    if p.toks[p.i - 1].text.upper() == "PARTITIONING":
+        cols: list[str] = []
+        p.expect_punct("(")
+        if not p.punct(")"):
+            cols.append(p.ident())
+            while p.punct(","):
+                cols.append(p.ident())
+            p.expect_punct(")")
+        p.end()
+        v = snapshot_set_layout(spark, path, cols or None)
+    else:
+        col = p.ident()
+        p.end()
+        man = _load_manifest(spark, path, _list_manifests(spark, path)[-1])
+        cur = list(_manifest_partition_cols(man) or [])
+        if verb == "ADD":
+            if col in cur:
+                _fail(f"{col!r} is already a partition field", stmt)
+            new_layout = cur + [col]
+        else:
+            if col not in cur:
+                _fail(
+                    f"{col!r} is not a partition field (layout is "
+                    f"{cur or 'unpartitioned'})",
+                    stmt,
+                )
+            new_layout = [c for c in cur if c != col]
+        v = snapshot_set_layout(spark, path, new_layout or None)
     _refresh_views(spark, path)
     return _one_row(spark, "version bigint", (v,))
 

@@ -72,6 +72,13 @@ _OPS = st.lists(
         # restore: roll back to a pseudo-random retained version (the
         # payload indexes into the versions list at apply time)
         st.tuples(st.just("restore"), st.integers(0, 7)),
+        # PARTITION EVOLUTION (round 9): toggle the layout between
+        # [month] and unpartitioned, metadata-only — later appends
+        # write under the new layout, so histories go MIXED and every
+        # feed leg must bridge them; ops needing directory proofs
+        # (replace/drop_partition) skip while unprovable, exactly as
+        # the engine refuses
+        st.tuples(st.just("evolve"), st.integers(0, 1)),
     ),
     min_size=2,
     max_size=6,
@@ -90,6 +97,18 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
 
     def mk(rows):
         return spark.createDataFrame(rows, "id long, month int, v string")
+
+    def cur_pc():
+        from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+            _list_manifests,
+            _load_manifest,
+            _manifest_partition_cols,
+        )
+
+        man = _load_manifest(
+            spark, table, _list_manifests(spark, table)[-1]
+        )
+        return _manifest_partition_cols(man)
 
     next_id = [0]
 
@@ -122,13 +141,32 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             month, k = args
             snapshot_write(
                 mk(fresh_rows(month, k)), table, mode="append",
-                partition_cols=pc,
+                partition_cols=cur_pc(),
             )
+        elif kind == "evolve":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                snapshot_set_layout,
+            )
+
+            try:
+                snapshot_set_layout(
+                    spark, table, pc if args[0] else None
+                )
+            except ValueError:
+                pass  # already that layout
         elif kind == "replace":
             month, k = args
-            snapshot_replace_partitions(
-                mk(fresh_rows(month, max(k, 1))), table, partition_cols=pc
-            )
+            if cur_pc() != pc:
+                continue  # needs the partitioned layout
+            try:
+                snapshot_replace_partitions(
+                    mk(fresh_rows(month, max(k, 1))), table,
+                    partition_cols=pc,
+                )
+            except ValueError:
+                # unmigrated old-layout files: directory supersession
+                # is unprovable — the engine refuses, the op skips
+                continue
         elif kind == "delete":
             snapshot_delete_rows(spark, table, "id", [args[0], args[0] + 1])
         elif kind == "delete_dv":
@@ -211,10 +249,13 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
                 snapshot_drop_partitions,
             )
 
-            snapshot_drop_partitions(spark, table, {"month": args[0]})
+            try:
+                snapshot_drop_partitions(spark, table, {"month": args[0]})
+            except ValueError:
+                continue  # mixed layouts: directory proof unavailable
         elif kind == "compact_small":
             snapshot_compact(
-                spark, table, partition_cols=pc, min_file_mb=0.5
+                spark, table, partition_cols=cur_pc(), min_file_mb=0.5
             )
         elif kind == "rename":
             from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
@@ -234,7 +275,7 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
             vs = _list_manifests(spark, table)
             snapshot_restore(spark, table, vs[args[0] % len(vs)])
         else:
-            snapshot_compact(spark, table, partition_cols=pc)
+            snapshot_compact(spark, table, partition_cols=cur_pc())
 
     from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
         _list_manifests,
