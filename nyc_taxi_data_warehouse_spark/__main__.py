@@ -856,6 +856,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 snapshot_drop_column,
             )
 
+            if args.col_default is not None and args.add is None:
+                raise SystemExit(
+                    "--default only applies with --add"
+                )
             if args.set_layout is not None:
                 from .warehouse.snapshots import snapshot_set_layout
 
@@ -871,10 +875,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 v = snapshot_set_layout(spark, args.table_path, cols)
                 print(json.dumps({"version": v, "layout": cols}))
                 return 0
-            if args.col_default is not None and args.add is None:
-                raise SystemExit(
-                    "--default only applies with --add"
-                )
             if args.add is not None:
                 name, _, dtype = args.add.partition(":")
                 if not dtype:

@@ -1145,11 +1145,15 @@ def _partition_pruned_files(
       never matches) — ONLY for whole-file proofs, where absence of
       the directory must mean "not proven";
     - ``"include"``: conservative keep — for DML victim planning (a
-      possible match must stay a candidate) and for readers that apply
-      a row-level residual filter (``_partition_residual_cond``)."""
+      possible match must stay a candidate);
+    - ``"split"``: like "include" but returns ``(files_to_read,
+      unencoded_subset)`` in ONE relpath-parsing pass — for readers
+      that apply a row-level residual filter
+      (``_partition_residual_cond``) and need to know whether any
+      unmigrated file survived, without re-parsing every path."""
     from ..streaming.snapshot_source import _partition_values_from_path
 
-    if unencoded not in ("raise", "exclude", "include"):
+    if unencoded not in ("raise", "exclude", "include", "split"):
         raise ValueError(f"bad unencoded mode {unencoded!r}")
     # directory names are PHYSICAL (frozen at add time — see _colmap);
     # callers filter by logical names
@@ -1166,6 +1170,7 @@ def _partition_pruned_files(
         vs = val if isinstance(val, (list, tuple, set, frozenset)) else [val]
         want[k] = {_norm_partition_value(v) for v in vs}
     out = []
+    unenc = []
     for f in man["files"]:
         vals = _partition_values_from_path(f)
         missing = [k for k in want if k not in vals]
@@ -1178,11 +1183,14 @@ def _partition_pruned_files(
                     "directory-provable partition values; run "
                     "snapshot_compact to migrate old files first"
                 )
-            if unencoded == "include":
+            if unencoded in ("include", "split"):
                 out.append(f)
+                unenc.append(f)
             continue
         if all(vals.get(k) in vs for k, vs in want.items()):
             out.append(f)
+    if unencoded == "split":
+        return out, unenc
     return out
 
 
@@ -1204,6 +1212,11 @@ def _partition_residual_cond(partitions: dict):
         if any(v is None for v in vs):
             isn = F.col(k).isNull()
             c = isn if c is None else (c | isn)
+        if c is None:
+            # an EMPTY value list matches nothing — the column's
+            # constraint must be FALSE, never silently dropped (which
+            # would return every unmigrated-file row)
+            c = F.lit(False)
         cond = c if cond is None else (cond & c)
     return cond if cond is not None else F.lit(True)
 
@@ -1268,8 +1281,8 @@ def read_snapshot(
         # (they may hold matching rows as DATA); the residual row
         # filter below restores exactness — a tautology on rows of
         # dir-encoded files, the real predicate on unmigrated ones
-        files = _partition_pruned_files(man, partitions, "include")
-        if _files_not_encoding(man, partitions, files):
+        files, unenc = _partition_pruned_files(man, partitions, "split")
+        if unenc:
             residual = _partition_residual_cond(partitions)
     out = _read_file_list(
         spark, path, files, schema,
@@ -2027,6 +2040,17 @@ def snapshot_changes(
             and not _eq_affected_files(man, added)
             and json.dumps(man["schema"], sort_keys=True) == target_schema_json
             and man.get("partition_cols") == target_man.get("partition_cols")
+            # every ADDED file must encode the target layout in its
+            # DIRECTORIES: a restore can re-add a file written before a
+            # layout evolution (snapshot_set_layout) whose partition
+            # column lives in its data pages — the flat read's relpath
+            # lookup would null-fill it (silent feed corruption; the
+            # per-commit path reads it from the pages correctly)
+            and not _files_not_encoding(
+                target_man,
+                dict.fromkeys(_manifest_partition_cols(target_man) or ()),
+                added,
+            )
             and (man.get("defaults") or None) == (tdefaults or None)
             and (
                 not tdefaults
@@ -2488,8 +2512,7 @@ def snapshot_count(
         # predating a layout evolution cannot answer from directories
         # — they join the scanned surface below with a row-level
         # residual filter (exact, cost ∝ unmigrated files).
-        files = _partition_pruned_files(man, partitions, "include")
-        unenc = _files_not_encoding(man, partitions, files)
+        files, unenc = _partition_pruned_files(man, partitions, "split")
         if unenc:
             residual = _partition_residual_cond(
                 {_phys(man, k): v for k, v in partitions.items()}
@@ -2556,11 +2579,19 @@ def snapshot_minmax(
             f"version {version} not present at {path} (have {versions})"
         )
     man = _load_manifest(spark, path, version)
-    files = (
-        _partition_pruned_files(man, partitions)
-        if partitions
-        else man["files"]
-    )
+    residual = None
+    unenc: set = set()
+    if partitions:
+        # files predating a layout evolution can't answer a SCOPED
+        # aggregate from stats (their recorded extremes cover rows
+        # outside the scope) — they join the scanned surface below
+        # with the row-level residual filter (exact)
+        files, _ue = _partition_pruned_files(man, partitions, "split")
+        if _ue:
+            unenc = set(_ue)
+            residual = _partition_residual_cond(partitions)
+    else:
+        files = man["files"]
     stats = man.get("stats") or {}
     tgts = set(man.get("dv_targets") or ())
     if man.get("dv_files") and man.get("dv_targets") is None:
@@ -2571,7 +2602,7 @@ def snapshot_minmax(
         f
         for f in files
         if f in stats and pcol in stats[f] and f not in tgts
-        and f not in eq_aff
+        and f not in eq_aff and f not in unenc
     }
     covered = [f for f in files if f in cov]
     uncovered = [f for f in files if f not in cov]
@@ -2600,6 +2631,8 @@ def snapshot_minmax(
             colmap=_colmap(man) or None,
             defaults=man.get("defaults"),
         )
+        if residual is not None:
+            df = df.where(residual)
         row = df.agg(
             F.min(F.col(col)).alias("lo"), F.max(F.col(col)).alias("hi")
         ).first()
@@ -2637,11 +2670,17 @@ def snapshot_count_nonnull(
             f"version {version} not present at {path} (have {versions})"
         )
     man = _load_manifest(spark, path, version)
-    files = (
-        _partition_pruned_files(man, partitions)
-        if partitions
-        else man["files"]
-    )
+    residual = None
+    unenc: set = set()
+    if partitions:
+        # same layout-evolution recipe as snapshot_minmax: unmigrated
+        # files scan with the residual filter, the rest stay metadata
+        files, _ue = _partition_pruned_files(man, partitions, "split")
+        if _ue:
+            unenc = set(_ue)
+            residual = _partition_residual_cond(partitions)
+    else:
+        files = man["files"]
     stats = man.get("stats") or {}
     rows = man.get("rows") or {}
     tgts = set(man.get("dv_targets") or ())
@@ -2655,6 +2694,7 @@ def snapshot_count_nonnull(
         if f in rows
         and f not in tgts
         and f not in eq_aff
+        and f not in unenc
         and len(stats.get(f, {}).get(pcol) or ()) >= 3
     }
     total = sum(rows[f] - stats[f][pcol][2] for f in cov)
@@ -2671,6 +2711,8 @@ def snapshot_count_nonnull(
             colmap=_colmap(man) or None,
             defaults=man.get("defaults"),
         )
+        if residual is not None:
+            df = df.where(residual)
         total += df.agg(F.count(F.col(col)).alias("c")).first()["c"]
     return total
 
@@ -4246,8 +4288,10 @@ def read_snapshot_pruned(
     if partitions:
         # conservative keep + row-level residual for files predating a
         # layout evolution (same recipe as read_snapshot)
-        candidates = _partition_pruned_files(man, partitions, "include")
-        if _files_not_encoding(man, partitions, candidates):
+        candidates, _pr_unenc = _partition_pruned_files(
+            man, partitions, "split"
+        )
+        if _pr_unenc:
             part_residual = _partition_residual_cond(partitions)
     # widen the QUERY interval outward too (Decimal bounds): pruning
     # may only ever keep extra files, never drop a matching one

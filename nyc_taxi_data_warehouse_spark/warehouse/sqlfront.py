@@ -617,15 +617,27 @@ def _exec_alter(spark, p: _Parser, stmt: str) -> DataFrame:
     elif p.kw("ADD", "CONSTRAINT"):
         name = p.ident()
         p.expect_kw("CHECK")
-        # balanced slice: the CHECK expression is arbitrary Spark SQL
+        # balanced-paren token walk: the CHECK expression is arbitrary
+        # Spark SQL sliced raw; trailing tokens after the closing ')'
+        # refuse like every other statement form (p.end)
         t = p.peek()
         if t is None or t.text != "(":
             _fail(f"ADD CONSTRAINT {name}: expected CHECK (expr)", stmt)
-        open_pos = t.start
-        close_pos = p.raw.rstrip().rstrip(";").rfind(")")
-        if close_pos <= open_pos:
+        depth, j = 0, p.i
+        while j < len(p.toks):
+            tk = p.toks[j]
+            if tk.kind == "punct" and tk.text == "(":
+                depth += 1
+            elif tk.kind == "punct" and tk.text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0 or j >= len(p.toks):
             _fail(f"ADD CONSTRAINT {name}: unbalanced CHECK (expr)", stmt)
-        expr = p.raw[open_pos + 1 : close_pos].strip()
+        expr = p.raw[t.end : p.toks[j].start].strip()
+        p.i = j + 1
+        p.end()
         v = snapshot_add_constraint(spark, path, name, expr)
     elif p.kw("DROP", "CONSTRAINT"):
         name = p.ident()
@@ -784,6 +796,28 @@ _OWNED_VERBS = {"DELETE", "UPDATE", "MERGE", "VACUUM", "RESTORE",
                 "OPTIMIZE"}
 
 
+def _probe_target_owned(verb: str, statement: str) -> bool:
+    """Whether the statement's TARGET resolves to a snapshot table
+    (registered name or a path) — the ownership test for the DML /
+    maintenance verbs, mirroring the probe ALTER always had. An
+    unresolvable target falls through to ``spark.sql`` so sessions
+    with a DML-capable catalog (or plain typos) get Spark's own
+    behavior instead of being hijacked."""
+    try:
+        p = _Parser(statement)
+        p.i = 1  # past the verb
+        if verb == "DELETE":
+            p.expect_kw("FROM")
+        elif verb == "MERGE":
+            p.expect_kw("INTO")
+        elif verb == "RESTORE":
+            p.kw("TABLE")  # optional
+        kind, text = p.table_token()
+        return kind == "path" or text.lower() in _SQL_REGISTRY
+    except SqlFrontError:
+        return False
+
+
 def snapshot_sql(
     spark: SparkSession, statement: str, mode: str = "auto"
 ) -> DataFrame:
@@ -800,20 +834,35 @@ def snapshot_sql(
     m = re.match(r"[A-Za-z_]+", head)
     verb = m.group(0).upper() if m else ""
     if verb in _OWNED_VERBS:
-        p = _Parser(statement)
-        p.i = 1  # past the verb
-        if verb == "DELETE":
-            return _exec_delete(spark, p, statement, mode)
-        if verb == "UPDATE":
-            return _exec_update(spark, p, statement, mode)
-        if verb == "MERGE":
-            return _exec_merge(spark, p, statement)
-        if verb == "VACUUM":
-            return _exec_vacuum(spark, p, statement)
-        if verb == "RESTORE":
-            return _exec_restore(spark, p, statement)
-        if verb == "OPTIMIZE":
-            return _exec_optimize(spark, p, statement)
+        if _probe_target_owned(verb, statement):
+            p = _Parser(statement)
+            p.i = 1  # past the verb
+            if verb == "DELETE":
+                return _exec_delete(spark, p, statement, mode)
+            if verb == "UPDATE":
+                return _exec_update(spark, p, statement, mode)
+            if verb == "MERGE":
+                return _exec_merge(spark, p, statement)
+            if verb == "VACUUM":
+                return _exec_vacuum(spark, p, statement)
+            if verb == "RESTORE":
+                return _exec_restore(spark, p, statement)
+            if verb == "OPTIMIZE":
+                return _exec_optimize(spark, p, statement)
+        # unresolvable target: pass through — but if Spark can't run
+        # it either, surface BOTH facts (plain sessions have no
+        # DML-capable catalog, so Spark's bare error would bury the
+        # likely fix: registering the snapshot table)
+        try:
+            return spark.sql(statement)
+        except Exception as e:
+            known = sorted(_SQL_REGISTRY) or ["<none>"]
+            raise SqlFrontError(
+                f"{verb} target is not a registered snapshot table "
+                f"(registered: {', '.join(known)}; register with "
+                "snapshot_register or pass a quoted table path), and "
+                f"spark.sql also failed: {e}"
+            ) from e
     if verb == "ALTER":
         # ours only when the target resolves to a snapshot table —
         # catalog ALTERs (real Spark tables) pass through
@@ -834,7 +883,13 @@ def snapshot_sql(
         p = _Parser(statement)
         p.i = 1
         if p.kw("HISTORY"):
-            return _exec_describe_history(spark, p, statement)
+            t = p.peek()
+            if t is not None and (
+                t.kind == "string"
+                or (t.kind == "bq" and _looks_like_path(t.text[1:-1]))
+                or (t.kind == "word" and t.text.lower() in _SQL_REGISTRY)
+            ):
+                return _exec_describe_history(spark, p, statement)
     if verb == "SHOW":
         p = _Parser(statement)
         p.i = 1

@@ -260,3 +260,91 @@ def test_sql_and_cli_surfaces(spark, tmp_path, capsys):
     assert out["layout"] == ["month"]
     man = _load_manifest(spark, t, _list_manifests(spark, t)[-1])
     assert man.get("partition_cols") == ["month"]
+
+
+def test_feed_batched_readd_of_unmigrated_file(spark, tmp_path):
+    """Round-9 review finding (CONFIRMED repro): a restore can re-add a
+    file that predates a layout evolution while the commit's layout
+    equals the target's — the batched fast path's flat read would
+    null-fill the partition column from the relpath lookup instead of
+    reading it from the file's data pages. The gate must route such
+    commits to the per-commit path and the feed must carry real
+    values."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_restore,
+    )
+
+    t = str(tmp_path / "readd")
+    v_a = snapshot_write_with_stats(
+        _df(spark, [(1, 0, "a"), (2, 1, "b")]), t, ["id"],
+        partition_cols=["month"],
+    )
+    snapshot_set_layout(spark, t, None)
+    snapshot_write(
+        _df(spark, [(10, 5, "B1"), (11, 5, "B2")]), t, mode="append"
+    )
+    v_mix = snapshot_set_layout(spark, t, ["month"])
+    # restore BACKWARD past the unmigrated file, then FORWARD again:
+    # the forward restore is a PURE re-add (removed == [], same layout
+    # as the target, no dv/eq/defaults) — exactly the shape the
+    # batched fast path accepts
+    v_back = snapshot_restore(spark, t, v_a)
+    man_back = _load_manifest(spark, t, v_back)
+    man_mix = _load_manifest(spark, t, v_mix)
+    assert set(man_back["files"]) < set(man_mix["files"])
+    snapshot_restore(spark, t, v_mix)
+    ch = snapshot_changes(spark, t, from_version=v_back).collect()
+    ins = sorted(
+        (r["id"], r["month"]) for r in ch if r["_change_type"] == "insert"
+    )
+    assert ins == [(10, 5), (11, 5)], ins  # month from DATA, never null
+
+
+def test_residual_empty_value_list_matches_nothing(spark, tmp_path):
+    """Round-9 review finding: an empty value list must make the
+    residual FALSE for unmigrated files, not a dropped (tautological)
+    constraint."""
+    t = _mixed(spark, tmp_path, "emptyvals")
+    assert read_snapshot(spark, t, partitions={"month": []}).count() == 0
+    assert snapshot_count(spark, t, partitions={"month": []}) == 0
+
+
+def test_scoped_minmax_count_nonnull_exact_across_mix(spark, tmp_path):
+    """Round-9 review finding: the whole metadata-aggregate family —
+    not just COUNT(*) — must stay exact on scoped queries over mixed
+    layouts (unmigrated files scan with the residual; their global
+    stats must never answer a scoped aggregate)."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_count_nonnull,
+        snapshot_minmax,
+    )
+
+    t = _mixed(spark, tmp_path, "aggmix")
+    # month=0 rows: ids 1,2 (layout A), 5 (layout B, stored as data),
+    # 7 (layout C) — the B file also holds id 6 (month=2), whose
+    # global min/max must NOT leak into the scoped answer
+    lo, hi = snapshot_minmax(spark, t, "id", partitions={"month": 0})
+    assert (float(lo), float(hi)) == (1.0, 7.0)
+    lo, hi = snapshot_minmax(spark, t, "id", partitions={"month": 2})
+    assert (float(lo), float(hi)) == (6.0, 6.0)
+    assert snapshot_count_nonnull(
+        spark, t, "v", partitions={"month": 0}
+    ) == 4
+    assert snapshot_count_nonnull(
+        spark, t, "v", partitions={"month": 2}
+    ) == 1
+
+
+def test_cli_set_layout_refuses_stray_default(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    t = str(tmp_path / "strayd")
+    snapshot_write(_df(spark, ROWS_A), t, partition_cols=["month"])
+    with pytest.raises(SystemExit, match="only applies with --add"):
+        main(
+            [
+                "snapshot-alter", "--table-path", t,
+                "--set-layout", "none", "--default", "5",
+            ],
+            spark=spark,
+        )

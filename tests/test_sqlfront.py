@@ -330,3 +330,48 @@ def test_cli_sql_statement_dispatch(spark, tmp_path, capsys):
             ],
             spark=spark,
         )
+
+
+def test_owned_verbs_pass_through_unresolvable_targets(spark, tmp_path):
+    """Round-9 review finding: DELETE/DESCRIBE HISTORY/etc. on a target
+    that is NOT a registered snapshot table (nor a path) must reach
+    spark.sql instead of being hijacked — and when spark.sql also
+    fails, the error carries BOTH facts."""
+    # DESCRIBE HISTORY on an unregistered name: passes through and
+    # fails with SPARK's error, not the front door's
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        snapshot_sql(spark, "DESCRIBE HISTORY definitely_not_registered")
+    # DELETE on an unregistered name: spark.sql can't run it either ->
+    # combined error names the registry remedy AND the spark failure
+    with pytest.raises(SqlFrontError, match="spark.sql also failed"):
+        snapshot_sql(
+            spark, "DELETE FROM definitely_not_registered WHERE id = 1"
+        )
+
+
+def test_add_constraint_rejects_trailing_tokens(spark, tmp_path):
+    """Round-9 review finding: ADD CONSTRAINT must slice the CHECK
+    expression by balanced parens and refuse trailing input like every
+    other statement form."""
+    t = _mk(spark, tmp_path, "sqlf_ctrail")
+    with pytest.raises(SqlFrontError, match="trailing"):
+        snapshot_sql(
+            spark,
+            "ALTER TABLE sqlf_ctrail ADD CONSTRAINT c1 "
+            "CHECK (id > 0) garbage here",
+        )
+    # nested parens inside the expression still slice correctly
+    snapshot_sql(
+        spark,
+        "ALTER TABLE sqlf_ctrail ADD CONSTRAINT c2 "
+        "CHECK ((id > 0) AND (month >= 0))",
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_properties,
+    )
+
+    assert snapshot_properties(spark, t)["constraint.c2"] == (
+        "(id > 0) AND (month >= 0)"
+    )

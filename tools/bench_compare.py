@@ -70,7 +70,9 @@ def gate(args) -> int:
         if max(a, b) < args.min_sec:
             continue
         if b > a * 1.5 or a > b * 1.5:
-            noise.append((b / a, q, a, b))
+            # shuffle_audit rounds to 3 decimals — a sub-ms old time
+            # can record 0.0, so guard the ratio
+            noise.append((b / max(a, 1e-3), q, a, b))
     print(f"WALL MOVED, SHUFFLES HELD — machine noise ({len(noise)}):")
     for ratio, q, a, b in sorted(noise, reverse=True):
         print(f"  {ratio:5.2f}x  {q}: {a:.2f} -> {b:.2f} s")
@@ -84,7 +86,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
-    ap.add_argument("--min-sec", type=float, default=0.3)
+    ap.add_argument(
+        "--min-sec", type=float, default=None,
+        help="ignore sub-threshold timings (default 0.3; 0.5 in --gate)",
+    )
     ap.add_argument(
         "--gate", action="store_true",
         help="treat OLD/NEW as SHUFFLES.json artifacts and gate on "
@@ -94,9 +99,9 @@ def main() -> int:
     ap.add_argument("--bench-old", default=None)
     ap.add_argument("--bench-new", default=None)
     args = ap.parse_args()
+    if args.min_sec is None:
+        args.min_sec = 0.5 if args.gate else 0.3
     if args.gate:
-        if args.min_sec == 0.3:
-            args.min_sec = 0.5
         return gate(args)
 
     old = json.load(open(args.old))
