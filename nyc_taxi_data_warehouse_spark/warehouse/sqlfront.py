@@ -42,6 +42,7 @@ import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .snapshots import _SQL_REGISTRY
 
@@ -69,7 +70,12 @@ _GRAMMAR = """supported snapshot statements:
   ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t ADD PARTITION FIELD col | DROP PARTITION FIELD col
   ALTER TABLE t SET PARTITIONING (col, ...)    -- () = unpartitioned
+  INSERT INTO t [(col, ...)] VALUES (lit, ...), ... | SELECT ...
+  INSERT OVERWRITE t SELECT ... | VALUES ...
+  CREATE TABLE name LOCATION 'path' [PARTITIONED BY (col, ...)] AS SELECT ...
+  CREATE TABLE 'path' [PARTITIONED BY (col, ...)] AS SELECT ...
   VACUUM t [RETAIN n HOURS]
+  SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF 'ts' (time travel)
   DESCRIBE HISTORY t
   RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   OPTIMIZE t
@@ -705,6 +711,175 @@ def _exec_alter_layout(spark, p: _Parser, path: str, stmt: str) -> DataFrame:
     return _one_row(spark, "version bigint", (v,))
 
 
+def _exec_insert(spark, p: _Parser, stmt: str, overwrite: bool) -> DataFrame:
+    """INSERT INTO/OVERWRITE a snapshot table: VALUES rows build a
+    typed DataFrame against the table schema (by-position, or by the
+    explicit column list with unlisted columns NULL — standard INSERT
+    semantics); a SELECT source runs through spark.sql verbatim and
+    aligns by position. Appends write under the table's CURRENT layout
+    (partition evolution aware); OVERWRITE replaces the whole table."""
+    from pyspark.sql.types import StructType
+
+    from .snapshots import (
+        _list_manifests,
+        _load_manifest,
+        _manifest_partition_cols,
+        snapshot_write,
+    )
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    man = _load_manifest(spark, path, _list_manifests(spark, path)[-1])
+    schema = StructType.fromJson(man["schema"])
+    tcols = [f.name for f in schema.fields]
+    col_list = None
+    if p.punct("("):
+        col_list = [p.ident()]
+        while p.punct(","):
+            col_list.append(p.ident())
+        p.expect_punct(")")
+        unknown = [c for c in col_list if c not in tcols]
+        if unknown:
+            _fail(f"INSERT column(s) {unknown} not in table schema", stmt)
+    if p.kw("VALUES"):
+        rows = []
+        while True:
+            p.expect_punct("(")
+            row = [p.literal()]
+            while p.punct(","):
+                row.append(p.literal())
+            p.expect_punct(")")
+            rows.append(row)
+            if not p.punct(","):
+                break
+        p.end()
+        want = col_list or tcols
+        bad = [r for r in rows if len(r) != len(want)]
+        if bad:
+            _fail(
+                f"VALUES row has {len(bad[0])} values for {len(want)} "
+                "target column(s)",
+                stmt,
+            )
+        by_name = [dict(zip(want, r)) for r in rows]
+
+        # two-step literal typing (string-form, then ANSI cast to the
+        # table types): python-value schema verification is stricter
+        # than SQL literal coercion (an int literal into a double
+        # column, a date string into a date column), and an invalid
+        # literal still fails LOUDLY at the cast
+        def _sform(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        src = spark.createDataFrame(
+            [tuple(_sform(d.get(c)) for c in tcols) for d in by_name],
+            ", ".join(f"`{c}` string" for c in tcols),
+        ).select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in tcols]
+        )
+    else:
+        t = p.peek()
+        if t is None or not (
+            t.kind == "word" and t.text.upper() in ("SELECT", "WITH")
+        ):
+            _fail(
+                "INSERT wants VALUES (...) or SELECT ...; got "
+                f"{t.text if t else 'end of statement'!r}",
+                stmt,
+            )
+        src = spark.sql(p.raw[t.start:].rstrip().rstrip(";"))
+        p.i = len(p.toks)
+        want = col_list or tcols
+        if len(src.columns) != len(want):
+            _fail(
+                f"INSERT source has {len(src.columns)} column(s) for "
+                f"{len(want)} target column(s)",
+                stmt,
+            )
+        # by-position alignment, then NULL-fill unlisted columns
+        src = src.toDF(*want)
+        for c in tcols:
+            if c not in want:
+                src = src.withColumn(c, F.lit(None))
+        src = src.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in tcols]
+        )
+    src = src.localCheckpoint(eager=True)
+    n = src.count()
+    v = snapshot_write(
+        src, path,
+        mode="overwrite" if overwrite else "append",
+        partition_cols=_manifest_partition_cols(man),
+    )
+    _refresh_views(spark, path)
+    return _one_row(
+        spark, "version bigint, num_affected_rows bigint", (v, n)
+    )
+
+
+def _exec_create_table_as(spark, p: _Parser, stmt: str) -> DataFrame:
+    """CTAS onto a snapshot table path — completes the SQL lifecycle
+    (create -> insert -> select -> alter -> delete -> vacuum). A named
+    form with LOCATION also registers the name, so follow-up
+    statements can use it immediately. Owned ONLY when the target is a
+    path or carries LOCATION — catalog CREATE TABLE passes through."""
+    from .snapshots import snapshot_register, snapshot_write
+
+    kind, text = p.table_token()
+    name = None
+    if kind == "path":
+        path = text
+    else:
+        name = text
+        p.expect_kw("LOCATION")
+        t = p.peek()
+        if t is None or t.kind != "string":
+            _fail("LOCATION wants a quoted path", stmt)
+        path = _unquote(t.text)
+        p.i += 1
+    pcols = None
+    if p.kw("PARTITIONED", "BY"):
+        p.expect_punct("(")
+        pcols = [p.ident()]
+        while p.punct(","):
+            pcols.append(p.ident())
+        p.expect_punct(")")
+    p.expect_kw("AS")
+    t = p.peek()
+    if t is None or not (
+        t.kind == "word" and t.text.upper() in ("SELECT", "WITH")
+    ):
+        _fail("CREATE TABLE ... AS wants a SELECT", stmt)
+    src = spark.sql(p.raw[t.start:].rstrip().rstrip(";"))
+    if pcols:
+        missing = [c for c in pcols if c not in src.columns]
+        if missing:
+            _fail(
+                f"PARTITIONED BY column(s) {missing} not in the SELECT",
+                stmt,
+            )
+    from .snapshots import _list_manifests
+
+    if _list_manifests(spark, path):
+        _fail(
+            f"a snapshot table already exists at {path} — INSERT "
+            "OVERWRITE it, or pick a fresh LOCATION",
+            stmt,
+        )
+    src = src.localCheckpoint(eager=True)
+    n = src.count()
+    v = snapshot_write(src, path, partition_cols=pcols)
+    if name:
+        snapshot_register(spark, path, name)
+    return _one_row(
+        spark, "version bigint, num_affected_rows bigint", (v, n)
+    )
+
+
 def _exec_vacuum(spark, p: _Parser, stmt: str) -> DataFrame:
     import json as _json
 
@@ -793,7 +968,7 @@ def _exec_show_tblproperties(spark, p: _Parser, stmt: str) -> DataFrame:
 # ------------------------------------------------------------- dispatch
 
 _OWNED_VERBS = {"DELETE", "UPDATE", "MERGE", "VACUUM", "RESTORE",
-                "OPTIMIZE"}
+                "OPTIMIZE", "INSERT"}
 
 
 def _probe_target_owned(verb: str, statement: str) -> bool:
@@ -812,10 +987,92 @@ def _probe_target_owned(verb: str, statement: str) -> bool:
             p.expect_kw("INTO")
         elif verb == "RESTORE":
             p.kw("TABLE")  # optional
+        elif verb == "INSERT":
+            if not (p.kw("INTO") or p.kw("OVERWRITE")):
+                return False
+            p.kw("TABLE")  # optional
         kind, text = p.table_token()
         return kind == "path" or text.lower() in _SQL_REGISTRY
     except SqlFrontError:
         return False
+
+
+def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
+    """SELECT-side time travel over registered snapshot tables:
+    rewrite ``name [FOR] VERSION AS OF n`` / ``name [FOR] TIMESTAMP AS
+    OF 'ts'`` (the public Delta/Iceberg SQL forms) to a PINNED temp
+    view registered on the fly, leaving everything else byte-identical.
+    Unregistered names pass through untouched (Spark reports them)."""
+    from .snapshots import snapshot_register
+
+    try:
+        toks = _tokenize(statement)
+    except SqlFrontError:
+        return statement
+    out = []
+    last = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.kind == "word"
+            and t.text.lower() in _SQL_REGISTRY
+            and i + 3 < len(toks)
+        ):
+            j = i + 1
+            if (
+                toks[j].kind == "word" and toks[j].text.upper() == "FOR"
+                and j + 3 < len(toks)
+            ):
+                j += 1
+            k1, k2, k3 = toks[j], toks[j + 1], (
+                toks[j + 2] if j + 2 < len(toks) else None
+            )
+            kind_word = k1.text.upper() if k1.kind == "word" else ""
+            if (
+                kind_word in ("VERSION", "TIMESTAMP")
+                and k2.kind == "word" and k2.text.upper() == "AS"
+                and k3 is not None
+                and k3.kind == "word" and k3.text.upper() == "OF"
+                and j + 3 < len(toks)
+            ):
+                lit = toks[j + 3]
+                rec = _SQL_REGISTRY[t.text.lower()]
+                if kind_word == "VERSION":
+                    if lit.kind != "num":
+                        _fail("VERSION AS OF wants an integer", statement)
+                    ver = int(lit.text)
+                    alias = f"{t.text.lower()}__v{ver}"
+                    snapshot_register(spark, rec["path"], alias, version=ver)
+                else:
+                    if lit.kind not in ("string", "num"):
+                        _fail(
+                            "TIMESTAMP AS OF wants a quoted timestamp "
+                            "or epoch seconds",
+                            statement,
+                        )
+                    raw = (
+                        _unquote(lit.text)
+                        if lit.kind == "string"
+                        else lit.text
+                    )
+                    alias = (
+                        f"{t.text.lower()}__ts_"
+                        + re.sub(r"[^A-Za-z0-9]", "_", str(raw))
+                    )
+                    snapshot_register(
+                        spark, rec["path"], alias, at_timestamp=raw
+                    )
+                out.append(statement[last : t.start])
+                out.append(alias)
+                last = lit.end
+                i = j + 4
+                continue
+        i += 1
+    if not out:
+        return statement
+    out.append(statement[last:])
+    return "".join(out)
 
 
 def snapshot_sql(
@@ -849,6 +1106,12 @@ def snapshot_sql(
                 return _exec_restore(spark, p, statement)
             if verb == "OPTIMIZE":
                 return _exec_optimize(spark, p, statement)
+            if verb == "INSERT":
+                overwrite = p.kw("OVERWRITE")
+                if not overwrite:
+                    p.expect_kw("INTO")
+                p.kw("TABLE")  # optional
+                return _exec_insert(spark, p, statement, overwrite)
         # unresolvable target: pass through — but if Spark can't run
         # it either, surface BOTH facts (plain sessions have no
         # DML-capable catalog, so Spark's bare error would bury the
@@ -863,6 +1126,31 @@ def snapshot_sql(
                 "snapshot_register or pass a quoted table path), and "
                 f"spark.sql also failed: {e}"
             ) from e
+    if verb == "CREATE":
+        # ours only for CREATE TABLE with a path target or a LOCATION
+        # clause AND an AS SELECT tail — catalog DDL passes through.
+        # The probe is isolated from the executor so the executor's
+        # own refusals (existing table, bad PARTITIONED BY) stay loud
+        # instead of degrading into a spark.sql passthrough.
+        owned = False
+        try:
+            p = _Parser(statement)
+            p.i = 1
+            if p.kw("TABLE"):
+                kind, text = p.table_token()
+                has_loc = kind == "path" or p.kw("LOCATION")
+                has_as = any(
+                    tk.kind == "word" and tk.text.upper() == "AS"
+                    for tk in p.toks[p.i:]
+                )
+                owned = has_loc and has_as
+        except SqlFrontError:
+            owned = False
+        if owned:
+            p2 = _Parser(statement)
+            p2.i = 1
+            p2.expect_kw("TABLE")
+            return _exec_create_table_as(spark, p2, statement)
     if verb == "ALTER":
         # ours only when the target resolves to a snapshot table —
         # catalog ALTERs (real Spark tables) pass through
@@ -901,4 +1189,4 @@ def snapshot_sql(
                 or (t.kind == "word" and t.text.lower() in _SQL_REGISTRY)
             ):
                 return _exec_show_tblproperties(spark, p, statement)
-    return spark.sql(statement)
+    return spark.sql(_rewrite_time_travel(spark, statement))

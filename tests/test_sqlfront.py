@@ -375,3 +375,114 @@ def test_add_constraint_rejects_trailing_tokens(spark, tmp_path):
     assert snapshot_properties(spark, t)["constraint.c2"] == (
         "(id > 0) AND (month >= 0)"
     )
+
+
+def test_insert_into_values_and_select(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_ins")
+    out = snapshot_sql(
+        spark,
+        "INSERT INTO sqlf_ins VALUES (10, 3, 'x'), (11, 3, NULL)",
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    assert _bag(read_snapshot(spark, t), "id", "v")[-2:] == [
+        (10, "x"), (11, None)
+    ]
+    # explicit column list: unlisted columns NULL-fill
+    snapshot_sql(
+        spark, "INSERT INTO sqlf_ins (id, month) VALUES (12, 4)"
+    )
+    assert (12, None) in _bag(read_snapshot(spark, t), "id", "v")
+    # SELECT source, by-position alignment
+    out = snapshot_sql(
+        spark,
+        "INSERT INTO sqlf_ins SELECT id + 100, month, v FROM sqlf_ins "
+        "WHERE id IN (1, 2)",
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    assert (101, "a") in _bag(read_snapshot(spark, t), "id", "v")
+    # refusals: arity mismatch, unknown column
+    with pytest.raises(SqlFrontError, match="target column"):
+        snapshot_sql(spark, "INSERT INTO sqlf_ins VALUES (1, 2)")
+    with pytest.raises(SqlFrontError, match="not in table schema"):
+        snapshot_sql(
+            spark, "INSERT INTO sqlf_ins (nope) VALUES (1)"
+        )
+    # INSERT OVERWRITE replaces the table
+    out = snapshot_sql(
+        spark, "INSERT OVERWRITE sqlf_ins VALUES (99, 9, 'only')"
+    ).collect()[0]
+    assert out["num_affected_rows"] == 1
+    assert _bag(read_snapshot(spark, t), "id", "v") == [(99, "only")]
+    # the registered view follows
+    assert spark.table("sqlf_ins").count() == 1
+
+
+def test_select_time_travel_version_as_of(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_versions,
+    )
+
+    t = _mk(spark, tmp_path, "sqlf_tt")
+    v0 = snapshot_versions(spark, t)[0]["version"]
+    snapshot_sql(spark, "DELETE FROM sqlf_tt WHERE id IN (1, 2, 3)")
+    # current state
+    assert snapshot_sql(
+        spark, "SELECT count(*) AS n FROM sqlf_tt"
+    ).collect()[0]["n"] == 2
+    # Delta form
+    assert snapshot_sql(
+        spark,
+        f"SELECT count(*) AS n FROM sqlf_tt VERSION AS OF {v0}",
+    ).collect()[0]["n"] == 5
+    # Iceberg form (FOR VERSION AS OF), mixed with current-state join
+    got = snapshot_sql(
+        spark,
+        f"SELECT count(*) AS n FROM sqlf_tt FOR VERSION AS OF {v0} a "
+        "JOIN sqlf_tt b ON a.id = b.id",
+    ).collect()[0]["n"]
+    assert got == 2  # old rows surviving into the current state
+    with pytest.raises(SqlFrontError, match="integer"):
+        snapshot_sql(
+            spark, "SELECT * FROM sqlf_tt VERSION AS OF 'nope'"
+        )
+
+
+def test_create_table_as_select(spark, tmp_path):
+    t2 = str(tmp_path / "ctas_dst")
+    _mk(spark, tmp_path, "sqlf_ctas_src")
+    out = snapshot_sql(
+        spark,
+        f"CREATE TABLE ctas_tbl LOCATION '{t2}' PARTITIONED BY (month) "
+        "AS SELECT id, month, upper(v) AS v FROM sqlf_ctas_src "
+        "WHERE id IN (1, 2, 5)",
+    ).collect()[0]
+    assert out["num_affected_rows"] == 3
+    assert _bag(read_snapshot(spark, t2), "id", "v") == [
+        (1, "A"), (2, "B"), (5, "E")
+    ]
+    # the name registered: immediately usable by later statements
+    assert snapshot_sql(
+        spark, "SELECT count(*) AS n FROM ctas_tbl"
+    ).collect()[0]["n"] == 3
+    snapshot_sql(spark, "DELETE FROM ctas_tbl WHERE month = 0")
+    assert read_snapshot(spark, t2).count() == 1
+    # refusals: existing table, missing partition col
+    with pytest.raises(SqlFrontError, match="already exists"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE x LOCATION '{t2}' AS SELECT 1 AS a",
+        )
+    t3 = str(tmp_path / "ctas_dst3")
+    with pytest.raises(SqlFrontError, match="not in the SELECT"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE y LOCATION '{t3}' PARTITIONED BY (nope) "
+            "AS SELECT 1 AS a",
+        )
+    # catalog CREATE TABLE (no LOCATION/AS) passes through to spark.sql
+    spark.sql("DROP TABLE IF EXISTS sqlf_ctas_cat")
+    snapshot_sql(
+        spark, "CREATE TABLE sqlf_ctas_cat (a int) USING parquet"
+    )
+    assert spark.catalog.tableExists("sqlf_ctas_cat")
+    spark.sql("DROP TABLE sqlf_ctas_cat")
