@@ -38,6 +38,7 @@ be mutation targets.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import time
 
@@ -303,7 +304,9 @@ def _resolve_table(kind: str, text: str, stmt: str) -> tuple[str, bool]:
         return text, False
     rec = _SQL_REGISTRY.get(text.lower())
     if rec is None:
-        known = sorted(_SQL_REGISTRY) or ["<none>"]
+        known = sorted(
+            k for k, r in _SQL_REGISTRY.items() if not r.get("ephemeral")
+        ) or ["<none>"]
         _fail(
             f"table {text!r} is not a registered snapshot table "
             f"(registered: {', '.join(known)}); register with "
@@ -463,7 +466,9 @@ def _exec_merge(spark, p: _Parser, stmt: str) -> DataFrame:
             j += 1
         if depth:
             _fail("unbalanced parentheses in MERGE source", stmt)
-        src_df = spark.sql(p.raw[start : p.toks[j - 1].start])
+        src_df = spark.sql(
+            _rewrite_time_travel(spark, p.raw[start : p.toks[j - 1].start])
+        )
         p.i = j
         src_name = None
     else:
@@ -711,16 +716,53 @@ def _exec_alter_layout(spark, p: _Parser, path: str, stmt: str) -> DataFrame:
     return _one_row(spark, "version bigint", (v,))
 
 
+def _cast_checked(spark, pre: DataFrame, schema, tcols, stmt: str):
+    """Cast ``pre`` (checkpointed) to the table types with a NO-SILENT-
+    NULL guarantee regardless of the session's ANSI setting: one
+    aggregation job counts, per column, rows whose pre-cast value is
+    non-null but casts to NULL — loud refusal, matching the engine's
+    own add-column default probe. Returns ``(casted_df, row_count)``
+    (the count rides the same aggregation, so validation costs no
+    extra job over the count the caller needed anyway)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in tcols:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNotNull()
+                    & F.col(c).cast(schema[c].dataType).isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias(c)
+        )
+    row = pre.agg(*aggs).first()
+    bad = [c for c in tcols if row[c]]
+    if bad:
+        _fail(
+            f"INSERT value(s) for column(s) {bad} do not cast to the "
+            "table types "
+            f"({', '.join(schema[c].dataType.simpleString() for c in bad)})",
+            stmt,
+        )
+    casted = pre.select(
+        *[F.col(c).cast(schema[c].dataType).alias(c) for c in tcols]
+    )
+    return casted, int(row["_n"])
+
+
 def _exec_insert(spark, p: _Parser, stmt: str, overwrite: bool) -> DataFrame:
     """INSERT INTO/OVERWRITE a snapshot table: VALUES rows build a
     typed DataFrame against the table schema (by-position, or by the
-    explicit column list with unlisted columns NULL — standard INSERT
-    semantics); a SELECT source runs through spark.sql verbatim and
-    aligns by position. Appends write under the table's CURRENT layout
-    (partition evolution aware); OVERWRITE replaces the whole table."""
+    explicit column list — unlisted columns fill the column's declared
+    DEFAULT when one exists, else NULL); a SELECT source (time-travel
+    forms included) aligns by position. Invalid literals refuse loudly
+    regardless of the session's ANSI setting (``_cast_checked``).
+    Appends write under the table's CURRENT layout (partition
+    evolution aware); OVERWRITE replaces the whole table."""
     from pyspark.sql.types import StructType
 
     from .snapshots import (
+        _colmap,
         _list_manifests,
         _load_manifest,
         _manifest_partition_cols,
@@ -729,9 +771,26 @@ def _exec_insert(spark, p: _Parser, stmt: str, overwrite: bool) -> DataFrame:
 
     kind, text = p.table_token()
     path, _ = _resolve_table(kind, text, stmt)
-    man = _load_manifest(spark, path, _list_manifests(spark, path)[-1])
+    versions = _list_manifests(spark, path)
+    if not versions:
+        _fail(
+            f"no snapshot table at {path} — create it first "
+            "(CREATE TABLE ... LOCATION ... AS SELECT, or snapshot_write)",
+            stmt,
+        )
+    man = _load_manifest(spark, path, versions[-1])
     schema = StructType.fromJson(man["schema"])
     tcols = [f.name for f in schema.fields]
+    # omitted-column fill: the column's declared DEFAULT when one
+    # exists (defaults are keyed by PHYSICAL name), else NULL — the
+    # write-side counterpart of the read-boundary initial-default
+    # (physically storing NULL would defeat the absence-marked fill)
+    cmap = _colmap(man)
+    dflts = man.get("defaults") or {}
+
+    def _omitted(c):
+        return F.lit(dflts.get(cmap.get(c, c))).cast(schema[c].dataType)
+
     col_list = None
     if p.punct("("):
         col_list = [p.ident()]
@@ -741,6 +800,8 @@ def _exec_insert(spark, p: _Parser, stmt: str, overwrite: bool) -> DataFrame:
         unknown = [c for c in col_list if c not in tcols]
         if unknown:
             _fail(f"INSERT column(s) {unknown} not in table schema", stmt)
+        if len(set(col_list)) != len(col_list):
+            _fail(f"duplicate INSERT column(s) in {col_list}", stmt)
     if p.kw("VALUES"):
         rows = []
         while True:
@@ -763,11 +824,11 @@ def _exec_insert(spark, p: _Parser, stmt: str, overwrite: bool) -> DataFrame:
             )
         by_name = [dict(zip(want, r)) for r in rows]
 
-        # two-step literal typing (string-form, then ANSI cast to the
-        # table types): python-value schema verification is stricter
-        # than SQL literal coercion (an int literal into a double
-        # column, a date string into a date column), and an invalid
-        # literal still fails LOUDLY at the cast
+        # two-step literal typing (string-form, then cast to the table
+        # types, with _cast_checked's no-silent-null guard): python-
+        # value schema verification is stricter than SQL literal
+        # coercion (an int literal into a double column, a date string
+        # into a date column)
         def _sform(v):
             if v is None:
                 return None
@@ -775,12 +836,17 @@ def _exec_insert(spark, p: _Parser, stmt: str, overwrite: bool) -> DataFrame:
                 return "true" if v else "false"
             return str(v)
 
-        src = spark.createDataFrame(
-            [tuple(_sform(d.get(c)) for c in tcols) for d in by_name],
-            ", ".join(f"`{c}` string" for c in tcols),
-        ).select(
-            *[F.col(c).cast(schema[c].dataType).alias(c) for c in tcols]
+        listed = set(want)
+        pre = spark.createDataFrame(
+            [
+                tuple(_sform(d.get(c)) for c in tcols if c in listed)
+                for d in by_name
+            ],
+            ", ".join(f"`{c}` string" for c in tcols if c in listed),
         )
+        for c in tcols:
+            if c not in listed:
+                pre = pre.withColumn(c, _omitted(c))
     else:
         t = p.peek()
         if t is None or not (
@@ -791,25 +857,23 @@ def _exec_insert(spark, p: _Parser, stmt: str, overwrite: bool) -> DataFrame:
                 f"{t.text if t else 'end of statement'!r}",
                 stmt,
             )
-        src = spark.sql(p.raw[t.start:].rstrip().rstrip(";"))
+        src_sql = p.raw[t.start:].rstrip().rstrip(";")
+        pre = spark.sql(_rewrite_time_travel(spark, src_sql))
         p.i = len(p.toks)
         want = col_list or tcols
-        if len(src.columns) != len(want):
+        if len(pre.columns) != len(want):
             _fail(
-                f"INSERT source has {len(src.columns)} column(s) for "
+                f"INSERT source has {len(pre.columns)} column(s) for "
                 f"{len(want)} target column(s)",
                 stmt,
             )
-        # by-position alignment, then NULL-fill unlisted columns
-        src = src.toDF(*want)
+        # by-position alignment, then DEFAULT/NULL-fill unlisted columns
+        pre = pre.toDF(*want)
         for c in tcols:
             if c not in want:
-                src = src.withColumn(c, F.lit(None))
-        src = src.select(
-            *[F.col(c).cast(schema[c].dataType).alias(c) for c in tcols]
-        )
-    src = src.localCheckpoint(eager=True)
-    n = src.count()
+                pre = pre.withColumn(c, _omitted(c))
+    pre = pre.select(*tcols).localCheckpoint(eager=True)
+    src, n = _cast_checked(spark, pre, schema, tcols, stmt)
     v = snapshot_write(
         src, path,
         mode="overwrite" if overwrite else "append",
@@ -835,6 +899,24 @@ def _exec_create_table_as(spark, p: _Parser, stmt: str) -> DataFrame:
         path = text
     else:
         name = text
+        if "." in name:
+            # dotted names are catalog-qualified — the ownership probe
+            # passes those through, and reaching here with one would
+            # write data before snapshot_register crashed on the
+            # multi-part temp-view name (half-created table)
+            _fail(
+                f"CREATE TABLE {name}: catalog-qualified names are not "
+                "snapshot CTAS targets — use a single-part name, or "
+                "drop LOCATION for catalog DDL",
+                stmt,
+            )
+        if name.lower() in _SQL_REGISTRY:
+            _fail(
+                f"table name {name!r} is already registered (to "
+                f"{_SQL_REGISTRY[name.lower()]['path']}) — real CREATE "
+                "TABLE errors on duplicates; pick another name",
+                stmt,
+            )
         p.expect_kw("LOCATION")
         t = p.peek()
         if t is None or t.kind != "string":
@@ -854,7 +936,9 @@ def _exec_create_table_as(spark, p: _Parser, stmt: str) -> DataFrame:
         t.kind == "word" and t.text.upper() in ("SELECT", "WITH")
     ):
         _fail("CREATE TABLE ... AS wants a SELECT", stmt)
-    src = spark.sql(p.raw[t.start:].rstrip().rstrip(";"))
+    src = spark.sql(
+        _rewrite_time_travel(spark, p.raw[t.start:].rstrip().rstrip(";"))
+    )
     if pcols:
         missing = [c for c in pcols if c not in src.columns]
         if missing:
@@ -997,14 +1081,34 @@ def _probe_target_owned(verb: str, statement: str) -> bool:
         return False
 
 
+_EPHEMERAL_CAP = 128
+
+
+def _register_ephemeral(spark: SparkSession, path: str, alias: str, **pin):
+    """Register a time-travel view minted by the rewriter, marked
+    ephemeral: excluded from 'registered:' error listings, and bounded
+    — past the cap the oldest ephemeral view (and its registry entry)
+    drops, so ad-hoc TIMESTAMP AS OF exploration never accumulates
+    unboundedly in a long-lived session."""
+    from .snapshots import snapshot_register
+
+    snapshot_register(spark, path, alias, **pin)
+    _SQL_REGISTRY[alias.lower()]["ephemeral"] = True
+    eph = [k for k, r in _SQL_REGISTRY.items() if r.get("ephemeral")]
+    for k in eph[: max(0, len(eph) - _EPHEMERAL_CAP)]:
+        rec = _SQL_REGISTRY.pop(k)
+        try:
+            spark.catalog.dropTempView(rec["name"])
+        except Exception:
+            pass
+
+
 def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     """SELECT-side time travel over registered snapshot tables:
     rewrite ``name [FOR] VERSION AS OF n`` / ``name [FOR] TIMESTAMP AS
     OF 'ts'`` (the public Delta/Iceberg SQL forms) to a PINNED temp
     view registered on the fly, leaving everything else byte-identical.
     Unregistered names pass through untouched (Spark reports them)."""
-    from .snapshots import snapshot_register
-
     try:
         toks = _tokenize(statement)
     except SqlFrontError:
@@ -1043,7 +1147,9 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
                         _fail("VERSION AS OF wants an integer", statement)
                     ver = int(lit.text)
                     alias = f"{t.text.lower()}__v{ver}"
-                    snapshot_register(spark, rec["path"], alias, version=ver)
+                    _register_ephemeral(
+                        spark, rec["path"], alias, version=ver
+                    )
                 else:
                     if lit.kind not in ("string", "num"):
                         _fail(
@@ -1056,11 +1162,17 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
                         if lit.kind == "string"
                         else lit.text
                     )
+                    # injective alias: a sanitized prefix for
+                    # readability plus a hash of the EXACT literal —
+                    # distinct timestamps that sanitize identically
+                    # (+02:00 vs -02:00) must never share a view
+                    h = hashlib.md5(str(raw).encode()).hexdigest()[:10]
                     alias = (
                         f"{t.text.lower()}__ts_"
-                        + re.sub(r"[^A-Za-z0-9]", "_", str(raw))
+                        + re.sub(r"[^A-Za-z0-9]", "_", str(raw))[:40]
+                        + f"_{h}"
                     )
-                    snapshot_register(
+                    _register_ephemeral(
                         spark, rec["path"], alias, at_timestamp=raw
                     )
                 out.append(statement[last : t.start])
@@ -1117,9 +1229,13 @@ def snapshot_sql(
         # DML-capable catalog, so Spark's bare error would bury the
         # likely fix: registering the snapshot table)
         try:
-            return spark.sql(statement)
+            return spark.sql(_rewrite_time_travel(spark, statement))
         except Exception as e:
-            known = sorted(_SQL_REGISTRY) or ["<none>"]
+            known = sorted(
+                k
+                for k, r in _SQL_REGISTRY.items()
+                if not r.get("ephemeral")
+            ) or ["<none>"]
             raise SqlFrontError(
                 f"{verb} target is not a registered snapshot table "
                 f"(registered: {', '.join(known)}; register with "
@@ -1138,6 +1254,8 @@ def snapshot_sql(
             p.i = 1
             if p.kw("TABLE"):
                 kind, text = p.table_token()
+                if kind == "name" and "." in text:
+                    raise SqlFrontError("catalog-qualified")  # passthrough
                 has_loc = kind == "path" or p.kw("LOCATION")
                 has_as = any(
                     tk.kind == "word" and tk.text.upper() == "AS"

@@ -486,3 +486,133 @@ def test_create_table_as_select(spark, tmp_path):
     )
     assert spark.catalog.tableExists("sqlf_ctas_cat")
     spark.sql("DROP TABLE sqlf_ctas_cat")
+
+
+def test_insert_fills_declared_defaults_and_refuses_dups(spark, tmp_path):
+    """Round-9 second review pass: an omitted defaulted column fills
+    the DEFAULT (write-side counterpart of the read-boundary initial
+    default — physically writing NULL would defeat the absence-marked
+    fill); duplicate target columns refuse; a nonexistent path target
+    refuses loudly instead of IndexError."""
+    t = _mk(spark, tmp_path, "sqlf_insd")
+    snapshot_sql(
+        spark, "ALTER TABLE sqlf_insd ADD COLUMN score int DEFAULT 7"
+    )
+    snapshot_sql(
+        spark, "INSERT INTO sqlf_insd (id, month, v) VALUES (20, 1, 'z')"
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in read_snapshot(spark, t).select("id", "score").collect()
+    }
+    assert got[20] == 7       # omitted column -> declared default
+    assert got[1] == 7        # pre-add rows read the initial default
+    snapshot_sql(
+        spark,
+        "INSERT INTO sqlf_insd (id, month, v, score) "
+        "VALUES (21, 1, 'w', NULL)",
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in read_snapshot(spark, t).select("id", "score").collect()
+    }
+    assert got[21] is None    # explicit NULL stays NULL
+    with pytest.raises(SqlFrontError, match="duplicate INSERT column"):
+        snapshot_sql(
+            spark, "INSERT INTO sqlf_insd (id, id) VALUES (1, 2)"
+        )
+    with pytest.raises(SqlFrontError, match="no snapshot table at"):
+        snapshot_sql(
+            spark,
+            f"INSERT INTO '{tmp_path}/nope' VALUES (1, 2, 'x')",
+        )
+
+
+def test_insert_invalid_literal_refuses_even_with_ansi_off(spark, tmp_path):
+    _mk(spark, tmp_path, "sqlf_insansi")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(SqlFrontError, match="do not cast"):
+            snapshot_sql(
+                spark,
+                "INSERT INTO sqlf_insansi VALUES ('garbage', 3, 'x')",
+            )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+    # nothing was written
+    assert spark.table("sqlf_insansi").count() == 5
+
+
+def test_time_travel_aliases_are_injective(spark, tmp_path):
+    """Two TIMESTAMP AS OF literals that sanitize identically must
+    resolve to DIFFERENT pinned views (round-9 second review pass)."""
+    import time as _time
+
+    from nyc_taxi_data_warehouse_spark.warehouse.sqlfront import (
+        _rewrite_time_travel,
+    )
+
+    t = _mk(spark, tmp_path, "sqlf_ttinj")
+    ts1 = _time.time()
+    _time.sleep(1.2)
+    snapshot_sql(spark, "DELETE FROM sqlf_ttinj WHERE id = 1")
+    ts2 = _time.time()
+    # epoch-second literals differing only in the fractional part can
+    # sanitize identically after truncation — the hash keeps them apart
+    q = (
+        f"SELECT (SELECT count(*) FROM sqlf_ttinj TIMESTAMP AS OF {ts1}) "
+        f"AS a, (SELECT count(*) FROM sqlf_ttinj TIMESTAMP AS OF {ts2}) "
+        "AS b"
+    )
+    rewritten = _rewrite_time_travel(spark, q)
+    r = spark.sql(rewritten).collect()[0]
+    assert (r["a"], r["b"]) == (5, 4)
+    # distinct aliases were minted
+    import re as _re
+
+    aliases = set(_re.findall(r"sqlf_ttinj__ts_\w+", rewritten))
+    assert len(aliases) == 2, rewritten
+
+
+def test_ctas_name_collision_and_catalog_passthrough(spark, tmp_path):
+    _mk(spark, tmp_path, "sqlf_ctascol")
+    t2 = str(tmp_path / "other")
+    with pytest.raises(SqlFrontError, match="already registered"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE sqlf_ctascol LOCATION '{t2}' AS SELECT 1 AS a",
+        )
+    # dotted (catalog-qualified) names pass through to spark.sql even
+    # with LOCATION — never half-create a snapshot table
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE nosuchdb.t LOCATION '{t2}/x' AS SELECT 1 AS a",
+        )
+    # Spark itself may mkdir the location before failing resolution;
+    # what matters is OUR engine wrote no snapshot table there
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        _list_manifests,
+    )
+
+    assert _list_manifests(spark, f"{t2}/x") == []
+
+
+def test_time_travel_composes_inside_insert_source(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_versions,
+    )
+
+    t = _mk(spark, tmp_path, "sqlf_ttins")
+    v0 = snapshot_versions(spark, t)[0]["version"]
+    snapshot_sql(spark, "DELETE FROM sqlf_ttins WHERE id IN (1, 2)")
+    out = snapshot_sql(
+        spark,
+        "INSERT INTO sqlf_ttins SELECT id + 50, month, v "
+        f"FROM sqlf_ttins VERSION AS OF {v0} WHERE id IN (1, 2)",
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    ids = {r["id"] for r in read_snapshot(spark, t).select("id").collect()}
+    assert {51, 52} <= ids and not ({1, 2} & ids)
