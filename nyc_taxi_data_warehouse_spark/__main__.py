@@ -167,6 +167,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     sh.add_argument("--table-path", required=True)
 
+    spt = sub.add_parser(
+        "snapshot-partitions",
+        help="partition-level metadata (SHOW PARTITIONS): files/rows/"
+        "bytes per partition-directory tuple; files predating a layout"
+        " evolution surface as encodes_layout=false",
+    )
+    spt.add_argument("--table-path", required=True)
+
     scp = sub.add_parser(
         "snapshot-compact",
         help="compact a snapshot table as a new commit (stats-preserving; "
@@ -660,6 +668,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from .warehouse.snapshots import snapshot_versions
 
             print(json.dumps(snapshot_versions(spark, args.table_path)))
+        elif args.cmd == "snapshot-partitions":
+            from .warehouse.snapshots import snapshot_partitions
+
+            for r in snapshot_partitions(spark, args.table_path).collect():
+                print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "snapshot-compact":
             from .warehouse.snapshots import (
                 snapshot_compact,

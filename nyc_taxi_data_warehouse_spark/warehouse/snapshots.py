@@ -2463,6 +2463,70 @@ def snapshot_files(
     )
 
 
+def snapshot_partitions(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Partition-level metadata table (the ``table.partitions`` /
+    ``SHOW PARTITIONS`` surface): one row per distinct
+    partition-directory tuple of the CURRENT layout with file count,
+    physical row count, byte total, and tombstone presence — built on
+    ``snapshot_files`` (manifest + executor-batched file stats, no
+    data reads) and aggregated AS a Spark plan, so it stays distributed
+    at a million files.
+
+    Values are the DIRECTORY strings (the same domain every partition
+    predicate uses); the Hive null partition surfaces as NULL. After a
+    layout evolution, files not yet migrated (their directories don't
+    encode the current layout) group under ``encodes_layout = false``
+    with NULL partition values — visibly unmigrated rather than
+    silently misbinned; a compact moves them into their real groups.
+    ``rows`` is the PHYSICAL footer total (NULL when any grouped file
+    predates row tracking); live-row exactness under tombstones is
+    ``snapshot_count(partitions=...)``'s job."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    man = _load_manifest(spark, path, version)
+    pcols = _manifest_partition_cols(man) or []
+    files = snapshot_files(spark, path, version)
+    m = F.from_json(
+        F.coalesce(F.col("partition_values"), F.lit("{}")),
+        "map<string,string>",
+    )
+    keys = []
+    if pcols:
+        enc = None
+        for c in pcols:
+            has = F.map_contains_key(m, F.lit(c))
+            enc = has if enc is None else (enc & has)
+        files = files.withColumn("encodes_layout", enc)
+        for c in pcols:
+            files = files.withColumn(
+                c,
+                F.when(
+                    F.col("encodes_layout"), F.element_at(m, F.lit(c))
+                ),
+            )
+        keys = pcols + ["encodes_layout"]
+    else:
+        files = files.withColumn("encodes_layout", F.lit(True))
+        keys = ["encodes_layout"]
+    agg = files.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        # NULL when ANY grouped file predates row tracking — a partial
+        # sum would silently undercount
+        F.when(
+            F.count("rows") == F.count(F.lit(1)), F.sum("rows")
+        ).alias("rows"),
+        F.sum("bytes").alias("bytes"),
+        F.max("has_tombstones").alias("has_tombstones"),
+        F.max("has_eq_deletes").alias("has_eq_deletes"),
+    )
+    return agg.orderBy(*[F.col(c).asc_nulls_last() for c in keys])
+
+
 def snapshot_count(
     spark: SparkSession,
     path: str,

@@ -81,6 +81,7 @@ _GRAMMAR = """supported snapshot statements:
   RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   OPTIMIZE t
   SHOW TBLPROPERTIES t
+  SHOW PARTITIONS t
 (t = a name registered via snapshot_register, or a quoted table path;
  predicates are conjunctions of col = lit / col IN (...) — the forms
  the engine plans from manifest stats without scanning)"""
@@ -1037,6 +1038,15 @@ def _exec_describe_history(spark, p: _Parser, stmt: str) -> DataFrame:
     return snapshot_history(spark, path)
 
 
+def _exec_show_partitions(spark, p: _Parser, stmt: str) -> DataFrame:
+    from .snapshots import snapshot_partitions
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table(kind, text, stmt)
+    p.end()
+    return snapshot_partitions(spark, path)
+
+
 def _exec_show_tblproperties(spark, p: _Parser, stmt: str) -> DataFrame:
     from .snapshots import snapshot_properties
 
@@ -1299,12 +1309,18 @@ def snapshot_sql(
     if verb == "SHOW":
         p = _Parser(statement)
         p.i = 1
-        if p.kw("TBLPROPERTIES"):
+        what = (
+            "props" if p.kw("TBLPROPERTIES")
+            else ("parts" if p.kw("PARTITIONS") else None)
+        )
+        if what:
             t = p.peek()
             if t is not None and (
                 t.kind in ("string",)
                 or (t.kind == "bq" and _looks_like_path(t.text[1:-1]))
                 or (t.kind == "word" and t.text.lower() in _SQL_REGISTRY)
             ):
-                return _exec_show_tblproperties(spark, p, statement)
+                if what == "props":
+                    return _exec_show_tblproperties(spark, p, statement)
+                return _exec_show_partitions(spark, p, statement)
     return spark.sql(_rewrite_time_travel(spark, statement))

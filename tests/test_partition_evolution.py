@@ -348,3 +348,51 @@ def test_cli_set_layout_refuses_stray_default(spark, tmp_path):
             ],
             spark=spark,
         )
+
+
+def test_snapshot_partitions_metadata_table(spark, tmp_path, capsys):
+    """SHOW PARTITIONS surface: per-partition files/rows/bytes from
+    metadata, with unmigrated (layout-evolved) files visibly grouped
+    under encodes_layout=false instead of silently misbinned."""
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_partitions,
+        snapshot_register,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.sqlfront import (
+        snapshot_sql,
+    )
+
+    t = _mixed(spark, tmp_path, "parts")
+    rows = {
+        (r["month"], r["encodes_layout"]): (r["n_files"], r["rows"])
+        for r in snapshot_partitions(spark, t).collect()
+    }
+    # encoded groups: month 0 holds A's two rows + C's one; month 1 A's
+    # two; the layout-B file (ROWS_B, 2 rows) is the unencoded group
+    assert rows[("0", True)][1] == 3
+    assert rows[("1", True)][1] == 2
+    assert rows[(None, False)][1] == 2
+    # totals agree with the exact count
+    assert sum(v[1] for v in rows.values()) == snapshot_count(spark, t)
+    # after compact everything encodes
+    snapshot_compact(spark, t)
+    rows = {
+        r["month"]: r
+        for r in snapshot_partitions(spark, t).collect()
+    }
+    assert all(r["encodes_layout"] for r in rows.values())
+    assert rows["2"]["rows"] == 1
+
+    # SQL + CLI surfaces
+    snapshot_register(spark, t, "parts_sql")
+    got = snapshot_sql(spark, "SHOW PARTITIONS parts_sql").collect()
+    assert {r["month"] for r in got} == {"0", "1", "2"}
+    import json as _json
+
+    main(["snapshot-partitions", "--table-path", t], spark=spark)
+    out = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert {o["month"] for o in out} == {"0", "1", "2"}
