@@ -1342,6 +1342,10 @@ def snapshot_register(
             or at_timestamp is not None
             or bool(partitions)
         ),
+        # the pin itself, for READ surfaces that can honor it (SHOW
+        # PARTITIONS of a version-pinned view shows THAT version)
+        "version": version,
+        "at_timestamp": at_timestamp,
     }
 
 
@@ -2382,7 +2386,10 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
 
 
 def snapshot_files(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    _man: dict | None = None,
 ) -> DataFrame:
     """The table's FILES metadata as a queryable DataFrame (the
     ``table.files`` / ``DESCRIBE DETAIL`` surface every lakehouse
@@ -2395,16 +2402,20 @@ def snapshot_files(
     ordinary Spark SQL instead of a driver loop."""
     from ..streaming.snapshot_source import _partition_values_from_path
 
-    versions = _list_manifests(spark, path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions at {path}")
-    if version is None:
-        version = versions[-1]
-    elif version not in versions:
-        raise FileNotFoundError(
-            f"version {version} not present at {path} (have {versions})"
-        )
-    man = _load_manifest(spark, path, version)
+    if _man is not None:
+        man = _man
+    else:
+        versions = _list_manifests(spark, path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+        if version is None:
+            version = versions[-1]
+        elif version not in versions:
+            raise FileNotFoundError(
+                f"version {version} not present at {path} "
+                f"(have {versions})"
+            )
+        man = _load_manifest(spark, path, version)
     root = _root(path)
     stats = man.get("stats") or {}
     tgts = set(man.get("dv_targets") or ())
@@ -2488,31 +2499,51 @@ def snapshot_partitions(
         raise FileNotFoundError(f"no snapshot versions at {path}")
     if version is None:
         version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
     man = _load_manifest(spark, path, version)
     pcols = _manifest_partition_cols(man) or []
-    files = snapshot_files(spark, path, version)
+    clash = sorted(
+        set(pcols)
+        & {
+            "n_files", "rows", "bytes", "has_tombstones",
+            "has_eq_deletes", "encodes_layout",
+        }
+    )
+    if clash:
+        raise ValueError(
+            f"partition column(s) {clash} collide with this view's "
+            "metric columns — query snapshot_files and aggregate "
+            "yourself, or rename the column"
+        )
+    # ONE manifest load: snapshot_files reuses it (legacy full-JSON
+    # manifests bypass the state cache, so a second load would re-read
+    # and re-parse the whole document on the driver)
+    files = snapshot_files(spark, path, version, _man=man)
     m = F.from_json(
         F.coalesce(F.col("partition_values"), F.lit("{}")),
         "map<string,string>",
     )
-    keys = []
+    # internal names are prefixed so a partition column named like a
+    # snapshot_files column (rows, bytes, ...) can never clobber the
+    # metric inputs before aggregation
+    pt = {c: f"__pt_{i}" for i, c in enumerate(pcols)}
     if pcols:
         enc = None
         for c in pcols:
             has = F.map_contains_key(m, F.lit(c))
             enc = has if enc is None else (enc & has)
-        files = files.withColumn("encodes_layout", enc)
+        files = files.withColumn("__pt_enc", enc)
         for c in pcols:
             files = files.withColumn(
-                c,
-                F.when(
-                    F.col("encodes_layout"), F.element_at(m, F.lit(c))
-                ),
+                pt[c],
+                F.when(F.col("__pt_enc"), F.element_at(m, F.lit(c))),
             )
-        keys = pcols + ["encodes_layout"]
     else:
-        files = files.withColumn("encodes_layout", F.lit(True))
-        keys = ["encodes_layout"]
+        files = files.withColumn("__pt_enc", F.lit(True))
+    keys = [pt[c] for c in pcols] + ["__pt_enc"]
     agg = files.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_files"),
         # NULL when ANY grouped file predates row tracking — a partial
@@ -2524,7 +2555,14 @@ def snapshot_partitions(
         F.max("has_tombstones").alias("has_tombstones"),
         F.max("has_eq_deletes").alias("has_eq_deletes"),
     )
-    return agg.orderBy(*[F.col(c).asc_nulls_last() for c in keys])
+    out = agg.select(
+        *[F.col(pt[c]).alias(c) for c in pcols],
+        F.col("__pt_enc").alias("encodes_layout"),
+        "n_files", "rows", "bytes", "has_tombstones", "has_eq_deletes",
+    )
+    return out.orderBy(
+        *[F.col(c).asc_nulls_last() for c in pcols + ["encodes_layout"]]
+    )
 
 
 def snapshot_count(

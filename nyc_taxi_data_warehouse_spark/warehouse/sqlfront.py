@@ -324,6 +324,36 @@ def _resolve_table(kind: str, text: str, stmt: str) -> tuple[str, bool]:
     return rec["path"], True
 
 
+def _resolve_table_read(
+    spark, kind: str, text: str, stmt: str
+) -> tuple[str, int | None]:
+    """Resolution for PURE READ statements (DESCRIBE HISTORY, SHOW
+    PARTITIONS/TBLPROPERTIES): pinned time-travel views are legal
+    targets here — a version pin forwards so the surface answers for
+    THAT version; a timestamp pin resolves to its version first."""
+    if kind == "path" or _looks_like_path(text):
+        return text, None
+    rec = _SQL_REGISTRY.get(text.lower())
+    if rec is None:
+        known = sorted(
+            k for k, r in _SQL_REGISTRY.items() if not r.get("ephemeral")
+        ) or ["<none>"]
+        _fail(
+            f"table {text!r} is not a registered snapshot table "
+            f"(registered: {', '.join(known)}); register with "
+            "snapshot_register or pass a quoted table path",
+            stmt,
+        )
+    version = rec.get("version")
+    if version is None and rec.get("at_timestamp") is not None:
+        from .snapshots import snapshot_version_at
+
+        version = snapshot_version_at(
+            spark, rec["path"], rec["at_timestamp"]
+        )
+    return rec["path"], version
+
+
 def _refresh_views(spark: SparkSession, path: str) -> None:
     """Re-register every non-pinned view of ``path`` at the new head,
     so a SELECT after a front-door mutation sees the committed state
@@ -1033,7 +1063,9 @@ def _exec_describe_history(spark, p: _Parser, stmt: str) -> DataFrame:
     from .snapshots import snapshot_history
 
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    # history is whole-table (every retained version) — a pinned view
+    # is a legal target for this pure read
+    path, _ = _resolve_table_read(spark, kind, text, stmt)
     p.end()
     return snapshot_history(spark, path)
 
@@ -1042,16 +1074,18 @@ def _exec_show_partitions(spark, p: _Parser, stmt: str) -> DataFrame:
     from .snapshots import snapshot_partitions
 
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    path, version = _resolve_table_read(spark, kind, text, stmt)
     p.end()
-    return snapshot_partitions(spark, path)
+    return snapshot_partitions(spark, path, version=version)
 
 
 def _exec_show_tblproperties(spark, p: _Parser, stmt: str) -> DataFrame:
     from .snapshots import snapshot_properties
 
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    # properties read the HEAD (they are table-level policy, not
+    # versioned data) — still a pure read, so pinned views are legal
+    path, _ = _resolve_table_read(spark, kind, text, stmt)
     p.end()
     props = snapshot_properties(spark, path)
     return spark.createDataFrame(

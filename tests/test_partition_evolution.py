@@ -396,3 +396,52 @@ def test_snapshot_partitions_metadata_table(spark, tmp_path, capsys):
         for line in capsys.readouterr().out.strip().splitlines()
     ]
     assert {o["month"] for o in out} == {"0", "1", "2"}
+
+
+def test_snapshot_partitions_review_hardening(spark, tmp_path):
+    """Round-9 third review pass: (1) a partition column named like a
+    metric column refuses instead of silently summing directory
+    strings; (2) an invalid version raises the contract
+    FileNotFoundError; (3) SHOW PARTITIONS on a PINNED view answers for
+    the pinned version instead of refusing with a mutation message."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_partitions,
+        snapshot_register,
+        snapshot_versions,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.sqlfront import (
+        snapshot_sql,
+    )
+
+    t = str(tmp_path / "clash")
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "id long, rows int"
+    ).createOrReplaceTempView("clash_src")
+    snapshot_write(
+        spark.table("clash_src"), t, partition_cols=["rows"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_partitions(spark, t)
+    with pytest.raises(FileNotFoundError, match="not present"):
+        snapshot_partitions(spark, t, version=999)
+
+    t2 = str(tmp_path / "pinned")
+    snapshot_write(_df(spark, ROWS_A), t2, partition_cols=["month"])
+    v0 = snapshot_versions(spark, t2)[-1]["version"]
+    snapshot_write(
+        _df(spark, [(9, 2, "z")]), t2, mode="append",
+        partition_cols=["month"],
+    )
+    snapshot_register(spark, t2, "pinned_parts", version=v0)
+    got = {
+        r["month"]: r["rows"]
+        for r in snapshot_sql(
+            spark, "SHOW PARTITIONS pinned_parts"
+        ).collect()
+    }
+    assert got == {"0": 2, "1": 2}  # the PINNED version: no month=2
+    # DESCRIBE HISTORY / SHOW TBLPROPERTIES accept pinned views too
+    assert snapshot_sql(
+        spark, "DESCRIBE HISTORY pinned_parts"
+    ).count() >= 2
+    snapshot_sql(spark, "SHOW TBLPROPERTIES pinned_parts").collect()
