@@ -48,6 +48,7 @@ service — the documented reality for every manifest-log design.
 from __future__ import annotations
 
 import json
+import re
 import uuid
 
 import pandas as pd
@@ -4701,6 +4702,379 @@ def _full_match_files(man: dict, col: str, values: list) -> list[str]:
     return out
 
 
+class Range:
+    """Interval predicate for the conjunctive DML planner — the value
+    side of a ``{col: Range(...)}`` entry anywhere ``{col: values}``
+    predicates are accepted (``snapshot_delete_where``,
+    ``snapshot_update_where``, their dv/rewrite engines, and the SQL
+    front door's ``<  <=  >  >=  BETWEEN`` grammar). ``lo``/``hi``
+    bound the column from below/above (``None`` = unbounded on that
+    side; at least one must be set); ``lo_inc``/``hi_inc`` pick
+    inclusive vs strict. NULL semantics are SQL's: a range never
+    matches a NULL value.
+
+    This is the TTL/retention/GDPR sweep shape (``DELETE FROM t WHERE
+    ts < '2024-01-01'``) — the single most common DML a 100 TB table
+    sees. The planner prunes victims from the same per-file min/max
+    stats the range READ path (``read_snapshot_pruned``) consumes, and
+    proves whole-file drops (file range wholly inside the predicate,
+    zero nulls ⇒ drop by reference — no read, no rewrite, no
+    tombstones), so a retention delete on a time-clustered table moves
+    only the boundary files' bytes. Partition-column ranges prune and
+    prove from directory values, typed by the column's declared type.
+
+    Endpoints: int / float / str / Decimal / date / datetime (bool and
+    NaN refuse — NaN comparisons are all-False and would plan a
+    rewrite that matches nothing)."""
+
+    __slots__ = ("lo", "hi", "lo_inc", "hi_inc")
+
+    def __init__(self, lo=None, hi=None, lo_inc=True, hi_inc=True):
+        import datetime
+        import decimal
+        import math
+
+        if lo is None and hi is None:
+            raise ValueError(
+                "Range needs at least one endpoint (lo=None, hi=None "
+                "would mean 'IS NOT NULL' — state that intent directly)"
+            )
+        ok_types = (
+            int, float, str, decimal.Decimal,
+            datetime.date, datetime.datetime,
+        )
+        for name, v in (("lo", lo), ("hi", hi)):
+            if v is None:
+                continue
+            if isinstance(v, bool) or not isinstance(v, ok_types):
+                raise ValueError(
+                    f"Range {name} must be int/float/str/Decimal/date/"
+                    f"datetime; got {type(v).__name__}"
+                )
+            if isinstance(v, float) and math.isnan(v):
+                raise ValueError(f"Range {name} must not be NaN")
+        self.lo, self.hi = lo, hi
+        self.lo_inc, self.hi_inc = bool(lo_inc), bool(hi_inc)
+
+    def _key(self):
+        return (self.lo, self.hi, self.lo_inc, self.hi_inc)
+
+    def __eq__(self, other):
+        return isinstance(other, Range) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __repr__(self):
+        l, r = "[" if self.lo_inc else "(", "]" if self.hi_inc else ")"
+        return f"Range{l}{self.lo!r}, {self.hi!r}{r}"
+
+    def is_empty(self) -> bool:
+        """Provably matches nothing (lo > hi, or lo == hi with a
+        strict end) — callers short-circuit to a no-op, like an
+        emptied IN list. Incomparable endpoint types are NOT empty
+        (the row-level predicate decides)."""
+        if self.lo is None or self.hi is None:
+            return False
+        try:
+            lo, hi = _stat_norm(self.lo), _stat_norm(self.hi)
+            if isinstance(lo, str):
+                lo = _ts_canon(lo) or lo
+            if isinstance(hi, str):
+                hi = _ts_canon(hi) or hi
+            if lo > hi:
+                return True
+            return lo == hi and not (self.lo_inc and self.hi_inc)
+        except TypeError:
+            return False
+
+
+# timestamp-shaped string: date, optional [T or space] time, optional
+# fractional seconds — the forms both SQL users and isoformat produce
+_TS_SHAPE_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2})(?:[T ](\d{2}:\d{2}:\d{2})(\.\d{1,9})?)?$"
+)
+
+
+def _ts_canon(s: str) -> str | None:
+    """Canonical, order-preserving form of a timestamp-shaped string:
+    ``YYYY-MM-DDTHH:MM:SS.ffffff`` (T separator, fraction padded to
+    exactly 6 digits). Lexicographic order on canonical forms ==
+    chronological order — which is NOT true across the mixed forms
+    users and ``isoformat`` produce ('2024-01-01 12:00' sorts before
+    '2024-01-01T05:00' because space < 'T'; '.1' sorts before
+    '.050000'). Returns None for non-timestamp-shaped or
+    calendar-invalid strings — callers then refuse to prune on the
+    bound (conservative, never wrong)."""
+    import datetime
+
+    m = _TS_SHAPE_RE.match(s)
+    if m is None:
+        return None
+    d, t, f = m.groups()
+    t = t or "00:00:00"
+    frac = ((f or ".")[1:] + "000000")[:6]
+    try:  # calendar validity: an invalid literal casts to NULL in
+        # Spark (matches nothing) — a lexicographic 'proof' against it
+        # would drop files whose rows don't match
+        datetime.datetime.fromisoformat(f"{d}T{t}")
+    except ValueError:
+        return None
+    return f"{d}T{t}.{frac}"
+
+
+def _col_dtype(man: dict, col: str) -> str | None:
+    """The column's declared simpleString type from the manifest
+    schema — None when absent (planner then refuses to prune)."""
+    try:
+        sch = StructType.fromJson(man["schema"])
+        return sch[col].dataType.simpleString()
+    except Exception:
+        return None
+
+
+_NUM_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _range_bounds_for_col(man: dict, col: str, rng: Range, for_proof: bool):
+    """Normalize a Range's endpoints against the COLUMN'S DECLARED
+    TYPE so stat/directory comparisons reproduce exactly the coercion
+    Spark applies to the row-level predicate — or return None when the
+    bound/type combination cannot be compared without guessing
+    (planner then keeps every file a victim and proves nothing).
+
+    Returns ``(lo, hi, statcanon, dircanon)``: comparison-ready
+    endpoints (None = unbounded), a canonicalizer for recorded stat
+    values, and a parser for partition-directory strings (either may
+    return None = not comparable for that value).
+
+    Exactness notes, per kind:
+    - numeric: Decimal endpoints widen OUTWARD for victim planning and
+      INWARD for proofs (mirroring ``_stat_norm``'s widened stat
+      endpoints), so float rounding can never exclude a matching file
+      or prove a non-matching one;
+    - date: Spark casts a string literal to DATE by TRUNCATING its
+      time part — ``[:10]`` reproduces that cast exactly, same
+      inclusivity. A datetime endpoint refuses (Spark coerces the
+      DATE COLUMN up to timestamp there — truncating the bound would
+      flip boundary semantics);
+    - timestamp: everything canonicalizes through ``_ts_canon``
+      (date endpoints = midnight); tz-aware datetimes refuse;
+    - string: str endpoints compare verbatim (UTF-8 byte order ==
+      code-point order, matching Spark); non-str endpoints refuse
+      (Spark would cast the COLUMN, not the literal)."""
+    import datetime
+    import decimal
+
+    dtype = _col_dtype(man, col)
+    if dtype is None:
+        return None
+    ident = lambda v: v  # noqa: E731
+
+    def _norm2(kindcheck, conv):
+        out = []
+        for v, widen in ((rng.lo, 1 if for_proof else -1),
+                         (rng.hi, -1 if for_proof else 1)):
+            if v is None:
+                out.append(None)
+            else:
+                c = conv(v, widen) if kindcheck(v) else None
+                if c is None:
+                    return None
+                out.append(c)
+        return out
+
+    if dtype in _NUM_DTYPES or dtype.startswith("decimal"):
+        def is_num(v):
+            return isinstance(v, (int, float, decimal.Decimal)) and not (
+                isinstance(v, bool)
+            )
+
+        b = _norm2(is_num, lambda v, w: _stat_norm(v, widen=w))
+        if b is None:
+            return None
+
+        def dirparse(s):
+            try:
+                return int(s)
+            except ValueError:
+                try:
+                    return float(s)
+                except ValueError:
+                    return None
+
+        return b[0], b[1], ident, dirparse
+    if dtype == "string" or dtype.startswith(("varchar", "char")):
+        b = _norm2(lambda v: isinstance(v, str), lambda v, w: v)
+        if b is None:
+            return None
+        return b[0], b[1], ident, ident
+    if dtype == "date":
+        def dconv(v, _w):
+            if isinstance(v, datetime.datetime):
+                return None  # Spark coerces the COLUMN to timestamp
+            if isinstance(v, datetime.date):
+                return v.isoformat()
+            if isinstance(v, str):
+                d = v[:10]
+                try:
+                    datetime.date.fromisoformat(d)
+                except ValueError:
+                    return None
+                return d
+            return None
+
+        b = _norm2(lambda v: True, dconv)
+        if b is None:
+            return None
+        return b[0], b[1], ident, lambda s: dconv(s, 0)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        def tconv(v, _w):
+            if isinstance(v, datetime.datetime):
+                if v.tzinfo is not None:
+                    return None
+                return _ts_canon(v.isoformat())
+            if isinstance(v, datetime.date):
+                return f"{v.isoformat()}T00:00:00.000000"
+            if isinstance(v, str):
+                return _ts_canon(v)
+            return None
+
+        b = _norm2(lambda v: True, tconv)
+        if b is None:
+            return None
+
+        def tcanon(v):
+            return _ts_canon(v) if isinstance(v, str) else None
+
+        return b[0], b[1], tcanon, tcanon
+    return None  # boolean / complex types: no range pruning
+
+
+def _in_range(v, lo, hi, rng: Range) -> bool:
+    return (lo is None or v > lo or (v == lo and rng.lo_inc)) and (
+        hi is None or v < hi or (v == hi and rng.hi_inc)
+    )
+
+
+def _range_victims(man: dict, col: str, rng: Range) -> list[str]:
+    """Files that MAY hold a row matching the range, from the per-file
+    min/max stats: recorded [min, max] intersects the interval.
+    Stats-less files and incomparable values are conservatively
+    victims; all-null files never match (ranges, like IN, never match
+    NULL) — the same no-false-negatives contract as
+    ``_victims_by_stats``."""
+    b = _range_bounds_for_col(man, col, rng, for_proof=False)
+    if b is None:
+        return list(man["files"])
+    lo, hi, canon, _dp = b
+    stats = man.get("stats", {})
+    pcol = _phys(man, col)
+    victims = []
+    for f in man["files"]:
+        st = stats.get(f, {}).get(pcol)
+        if st is None:
+            victims.append(f)
+            continue
+        if st[0] is None or st[1] is None:
+            continue  # only-null column values: never matches
+        try:
+            mn, mx = canon(st[0]), canon(st[1])
+            if mn is None or mx is None:
+                victims.append(f)
+                continue
+            if hi is not None and (mn > hi or (mn == hi and not rng.hi_inc)):
+                continue
+            if lo is not None and (mx < lo or (mx == lo and not rng.lo_inc)):
+                continue
+        except TypeError:  # stat/bound types incomparable → keep
+            pass
+        victims.append(f)
+    return victims
+
+
+def _range_full_files(man: dict, col: str, rng: Range) -> list[str]:
+    """Files where EVERY row provably matches the range from stats
+    alone: recorded [min, max] wholly inside the interval AND a
+    recorded null count of 0. Unlike the IN proof this does not need
+    min == max — the whole-file drop fires on every file strictly
+    inside a retention cutoff, which on a time-clustered table is the
+    BULK of the victim bytes. Decimal stats are stored outward-widened
+    and the proof bounds widen inward, so the proof can only
+    under-fire, never over-fire."""
+    b = _range_bounds_for_col(man, col, rng, for_proof=True)
+    if b is None:
+        return []
+    lo, hi, canon, _dp = b
+    stats = man.get("stats") or {}
+    pcol = _phys(man, col)
+    out = []
+    for f in man["files"]:
+        st = stats.get(f, {}).get(pcol)
+        if (
+            st is None
+            or len(st) < 3
+            or st[2] != 0
+            or st[0] is None
+            or st[1] is None
+        ):
+            continue
+        try:
+            mn, mx = canon(st[0]), canon(st[1])
+            if mn is None or mx is None:
+                continue
+            if lo is not None and (mn < lo or (mn == lo and not rng.lo_inc)):
+                continue
+            if hi is not None and (mx > hi or (mx == hi and not rng.hi_inc)):
+                continue
+        except TypeError:
+            continue
+        out.append(f)
+    return out
+
+
+def _range_dir_files(man: dict, col: str, rng: Range, mode: str) -> list[str]:
+    """Partition-directory answer for a Range on a partition column.
+    ``mode="include"``: victim candidates — the directory value
+    satisfies the range, or cannot be typed-compared, or the file
+    does not encode the column (post-evolution data rows may match).
+    ``mode="exclude"``: whole-file proof — the value PROVABLY
+    satisfies (parseable, comparable, in range; every row of a
+    ``month=5/`` file has month 5 non-null, so the directory is the
+    proof). Values parse by the column's DECLARED type (int dirs
+    compare numerically — '10' > '9'); the Hive null partition never
+    matches a range."""
+    from ..streaming.snapshot_source import _partition_values_from_path
+
+    b = _range_bounds_for_col(man, col, rng, for_proof=(mode == "exclude"))
+    pcol = _phys(man, col)
+    out = []
+    for f in man["files"]:
+        vals = _partition_values_from_path(f)
+        if pcol not in vals:
+            if mode == "include":
+                out.append(f)
+            continue
+        v = vals[pcol]
+        if v is None:  # Hive null partition: ranges never match NULL
+            continue
+        ok = None
+        if b is not None:
+            lo, hi, _sc, dirparse = b
+            try:
+                cv = dirparse(v)
+                if cv is not None:
+                    ok = _in_range(cv, lo, hi, rng)
+            except (TypeError, ValueError):
+                ok = None
+        if ok is None:
+            if mode == "include":
+                out.append(f)
+        elif ok:
+            out.append(f)
+    return out
+
+
 def _sanitize_predicates(predicates: dict) -> dict:
     """{col: values} with scalars normalized to one-element lists and
     None values stripped per column (NULL never matches an IN list,
@@ -4709,11 +5083,18 @@ def _sanitize_predicates(predicates: dict) -> dict:
     ``{"tenant": "acme"}`` would explode into the characters
     ``["a","c","m","e"]`` — a silently WRONG delete. A column whose
     list empties means the conjunction can match NOTHING — callers
-    short-circuit to a no-op on {}."""
+    short-circuit to a no-op on {}. A ``Range`` value passes through
+    (a provably-empty range — lo > hi — short-circuits the same
+    way)."""
     if not predicates:
         raise ValueError("predicates must name at least one column")
     out = {}
     for c, vals in predicates.items():
+        if isinstance(vals, Range):
+            if vals.is_empty():
+                return {}
+            out[c] = vals
+            continue
         if not isinstance(vals, (list, tuple, set, frozenset)):
             vals = [vals]
         vals = [v for v in vals if v is not None]
@@ -4748,7 +5129,14 @@ def _victims_by_stats_where(
     contract per column."""
     alive = set(man["files"])
     for col, vals in predicates.items():
-        if _canonical_partition_values(man, col, vals):
+        if isinstance(vals, Range):
+            if _phys(man, col) in set(_manifest_partition_cols(man) or ()):
+                # directory values answer ranges typed-exactly; files
+                # not encoding the column stay candidates ("include")
+                alive &= set(_range_dir_files(man, col, vals, "include"))
+            else:
+                alive &= set(_range_victims(man, col, vals))
+        elif _canonical_partition_values(man, col, vals):
             # "include": a file predating a layout evolution may match
             # as data — it must STAY a victim candidate (the planner's
             # no-false-negatives contract)
@@ -4771,7 +5159,12 @@ def _full_match_files_where(man: dict, predicates: dict) -> list[str]:
     stats proof (min == max == a value, zero nulls)."""
     full: set | None = None
     for col, vals in predicates.items():
-        if _canonical_partition_values(man, col, vals):
+        if isinstance(vals, Range):
+            if _phys(man, col) in set(_manifest_partition_cols(man) or ()):
+                s = set(_range_dir_files(man, col, vals, "exclude"))
+            else:
+                s = set(_range_full_files(man, col, vals))
+        elif _canonical_partition_values(man, col, vals):
             # "exclude": the directory IS the proof — a file not
             # encoding the column proves nothing and must not be
             # whole-file-dropped
@@ -4788,10 +5181,26 @@ def _match_expr(predicates: dict):
     """The conjunctive row-match Column: AND over columns of
     (isNotNull AND isin) — never NULL (each conjunct's isNotNull guard
     collapses SQL three-valued logic to plain booleans), so both
-    ``where(match)`` and ``where(~match)`` partition rows exactly."""
+    ``where(match)`` and ``where(~match)`` partition rows exactly.
+    ``Range`` values compile to null-guarded bound comparisons with
+    Spark's own literal coercion — the planner's stat/directory
+    pruning is calibrated to reproduce exactly these semantics."""
     expr = None
     for c, vals in predicates.items():
-        term = F.col(c).isNotNull() & F.col(c).isin(vals)
+        if isinstance(vals, Range):
+            term = F.col(c).isNotNull()
+            if vals.lo is not None:
+                lit = F.lit(vals.lo)
+                term = term & (
+                    F.col(c) >= lit if vals.lo_inc else F.col(c) > lit
+                )
+            if vals.hi is not None:
+                lit = F.lit(vals.hi)
+                term = term & (
+                    F.col(c) <= lit if vals.hi_inc else F.col(c) < lit
+                )
+        else:
+            term = F.col(c).isNotNull() & F.col(c).isin(vals)
         expr = term if expr is None else (expr & term)
     return expr
 
@@ -5642,6 +6051,10 @@ def snapshot_delete_where(
         pc = set(_manifest_partition_cols(man) or ())
         if (
             set(preds) <= pc
+            # Range predicates take the data paths: their partition
+            # pruning + directory whole-file proofs already drop whole
+            # partitions by reference, just through a data-path commit
+            and not any(isinstance(v, Range) for v in preds.values())
             and all(
                 type(v) in (int, str, bool) for vals in preds.values()
                 for v in vals

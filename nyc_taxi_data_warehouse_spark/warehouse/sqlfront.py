@@ -20,9 +20,11 @@ passes through to ``spark.sql`` untouched. One front door runs the
 whole surface.
 
 The DML grammar is deliberately the restricted shape the engine
-executes efficiently at 100 TB (conjunctions of ``col = lit`` and
-``col IN (...)`` — the forms manifest stats can plan metadata-only,
-see ``snapshot_delete_where``); anything outside it fails LOUDLY with
+executes efficiently at 100 TB (conjunctions of ``col = lit``,
+``col IN (...)``, and — the retention/TTL/GDPR sweep — ``col <  <=
+>  >=  BETWEEN`` ranges: the forms manifest stats can plan
+metadata-only, see ``snapshot_delete_where`` and ``Range``); anything
+outside it fails LOUDLY with
 the supported form in the message, never a silent fallback that would
 scan-and-rewrite the table. MERGE maps to the equality-delete upsert
 (``snapshot_append_upsert``) — zero reads of the target at any table
@@ -83,8 +85,9 @@ _GRAMMAR = """supported snapshot statements:
   SHOW TBLPROPERTIES t
   SHOW PARTITIONS t
 (t = a name registered via snapshot_register, or a quoted table path;
- predicates are conjunctions of col = lit / col IN (...) — the forms
- the engine plans from manifest stats without scanning)"""
+ predicates are conjunctions of col = lit / col IN (...) /
+ col < <= > >= lit / col BETWEEN a AND b — the forms the engine
+ plans from manifest stats without scanning)"""
 
 
 def _fail(msg: str, stmt: str) -> None:
@@ -368,16 +371,106 @@ def _refresh_views(spark: SparkSession, path: str) -> None:
 # ---------------------------------------------------------- predicates
 
 
+def _cmp_op(p: _Parser) -> str | None:
+    """Consume a comparison operator (< <= > >=) if present. The
+    restricted lexer emits '<'/'>' as single ``other`` tokens and '='
+    as punct; a two-char op is the ADJACENT pair (no whitespace
+    between — offsets prove it), exactly how SQL writes them."""
+    t = p.peek()
+    if t is None or t.kind != "other" or t.text not in ("<", ">"):
+        return None
+    nxt = p.peek(1)
+    if (
+        nxt is not None
+        and nxt.kind == "punct"
+        and nxt.text == "="
+        and nxt.start == t.end
+    ):
+        p.i += 2
+        return t.text + "="
+    p.i += 1
+    return t.text
+
+
+def _range_lit(p: _Parser, col: str):
+    """A literal bound for a range predicate — NULL refuses loudly
+    (``col < NULL`` matches nothing in SQL; almost certainly a typo,
+    never what a retention sweep means)."""
+    v = p.literal()
+    if v is None:
+        _fail(
+            f"NULL is not a valid range bound for {col!r} "
+            "(comparisons with NULL match nothing)",
+            p.raw,
+        )
+    return v
+
+
+def _merge_range(p: _Parser, col: str, prev, lo=None, hi=None,
+                 lo_inc=True, hi_inc=True):
+    """Fold one more bound into what the conjunction already said
+    about ``col``: Range ∧ Range tightens endpoints; values ∧ Range
+    filters the value set. Incomparable combinations refuse loudly
+    rather than guess."""
+    from .snapshots import Range
+
+    new = Range(lo=lo, hi=hi, lo_inc=lo_inc, hi_inc=hi_inc)
+    if prev is None:
+        return new
+    try:
+        if isinstance(prev, Range):
+            lo, lo_inc = prev.lo, prev.lo_inc
+            hi, hi_inc = prev.hi, prev.hi_inc
+            if new.lo is not None and (
+                lo is None or new.lo > lo
+                or (new.lo == lo and not new.lo_inc)
+            ):
+                lo, lo_inc = new.lo, new.lo_inc
+            if new.hi is not None and (
+                hi is None or new.hi < hi
+                or (new.hi == hi and not new.hi_inc)
+            ):
+                hi, hi_inc = new.hi, new.hi_inc
+            if lo is None and hi is None:
+                return prev
+            return Range(lo=lo, hi=hi, lo_inc=lo_inc, hi_inc=hi_inc)
+        # prev is a value list: keep the values inside the new range
+        kept = []
+        for v in prev:
+            ok = (
+                new.lo is None
+                or v > new.lo
+                or (v == new.lo and new.lo_inc)
+            ) and (
+                new.hi is None
+                or v < new.hi
+                or (v == new.hi and new.hi_inc)
+            )
+            if ok:
+                kept.append(v)
+        return kept
+    except TypeError:
+        _fail(
+            f"cannot combine the predicates on {col!r} — the literal "
+            "types do not compare (mixed string/number bounds?)",
+            p.raw,
+        )
+
+
 def _parse_predicates(p: _Parser) -> dict:
+    from .snapshots import Range
+
     preds: dict = {}
     while True:
         col = p.ident()
         if col.upper() in ("OR", "NOT"):
             _fail(
                 f"{col.upper()} predicates are not supported "
-                "(conjunctions of = / IN only)",
+                "(conjunctions of = / IN / < <= > >= / BETWEEN only)",
                 p.raw,
             )
+        vals = None
+        op = None
         if p.kw("IN"):
             p.expect_punct("(")
             vals = [p.literal()]
@@ -386,19 +479,45 @@ def _parse_predicates(p: _Parser) -> dict:
             p.expect_punct(")")
         elif p.punct("="):
             vals = [p.literal()]
+        elif p.kw("BETWEEN"):
+            # BETWEEN binds its own AND before the conjunction's
+            a = _range_lit(p, col)
+            p.expect_kw("AND")
+            b = _range_lit(p, col)
+            preds[col] = _merge_range(
+                p, col, preds.get(col), lo=a, hi=b
+            )
+        elif (op := _cmp_op(p)) is not None:
+            lit = _range_lit(p, col)
+            kw = {
+                "<": dict(hi=lit, hi_inc=False),
+                "<=": dict(hi=lit),
+                ">": dict(lo=lit, lo_inc=False),
+                ">=": dict(lo=lit),
+            }[op]
+            preds[col] = _merge_range(p, col, preds.get(col), **kw)
         else:
             t = p.peek()
             _fail(
                 f"unsupported predicate on {col!r} at "
                 f"{t.text if t else 'end of statement'!r} "
-                "(conjunctions of col = lit / col IN (...) only)",
+                "(conjunctions of col = lit / col IN (...) / "
+                "col < <= > >= lit / col BETWEEN a AND b only)",
                 p.raw,
             )
-        if col in preds:
-            # same column twice in a conjunction → value-set intersection
-            preds[col] = [v for v in preds[col] if v in vals]
-        else:
-            preds[col] = vals
+        if vals is not None:
+            prev = preds.get(col)
+            if isinstance(prev, Range):
+                # range ∧ values → filter the values by the range
+                preds[col] = _merge_range(
+                    p, col, vals, lo=prev.lo, hi=prev.hi,
+                    lo_inc=prev.lo_inc, hi_inc=prev.hi_inc,
+                )
+            elif prev is not None:
+                # same column twice → value-set intersection
+                preds[col] = [v for v in prev if v in vals]
+            else:
+                preds[col] = vals
         if not p.kw("AND"):
             break
     return preds

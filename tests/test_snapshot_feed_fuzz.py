@@ -54,6 +54,14 @@ _OPS = st.lists(
         st.tuples(
             st.just("update_where"), st.integers(0, 30), st.integers(0, 2)
         ),
+        # RANGE DML (round 10): TTL-style bounded sweeps through the
+        # same predicate engine — stats-interval victim planning,
+        # whole-file range proofs (drop-by-reference), and partition-
+        # directory range pruning on the month leg
+        st.tuples(st.just("delete_range"), st.integers(0, 30)),
+        st.tuples(
+            st.just("update_range"), st.integers(0, 30), st.integers(0, 2)
+        ),
         # equality-delete plane: zero-read keyed upsert, key-sidecar
         # delete, and the fold into position DVs — the feed must
         # bridge key-masked visibility exactly, including restores
@@ -215,6 +223,30 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
                 spark, table,
                 {"id": [args[0]], "month": [args[1]]},
                 {cur_vname(): "WHERE_REDACTED"},
+            )
+        elif kind == "delete_range":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                Range,
+                snapshot_delete_where,
+            )
+
+            snapshot_delete_where(
+                spark, table,
+                {"id": Range(lo=args[0], hi=args[0] + 3, hi_inc=False)},
+            )
+        elif kind == "update_range":
+            from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+                Range,
+                snapshot_update_where,
+            )
+
+            snapshot_update_where(
+                spark, table,
+                {
+                    "id": Range(lo=args[0], hi=args[0] + 2),
+                    "month": Range(hi=args[1]),
+                },
+                {cur_vname(): "RANGE_REDACTED"},
             )
         elif kind == "upsert_eq":
             from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
