@@ -68,7 +68,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     q.add_argument(
         "--snapshot", action="append", default=[], metavar="NAME=PATH[@V]",
         help="register a snapshot table as a temp view before running "
-        "(repeatable); @V pins a version, e.g. trips=/wh/trips@7",
+        "(repeatable); @V pins a version, e.g. trips=/wh/trips@7 — "
+        "names in the durable catalog (see 'catalog add') need no flag",
+    )
+
+    ca = sub.add_parser(
+        "catalog",
+        help="durable table-name catalog: bind snapshot-table names "
+        "that survive the session, so 'sql \"SELECT ... FROM trips\"' "
+        "resolves tomorrow with no --snapshot flag",
+    )
+    ca.add_argument("action", choices=["add", "list", "drop"])
+    ca.add_argument(
+        "spec", nargs="?",
+        help="add: NAME=PATH[@V] (@V pins a version — pinned names "
+        "refuse mutation); drop: NAME",
+    )
+    ca.add_argument(
+        "--root",
+        help="catalog root directory (default: $SPARK_GRAFT_CATALOG_ROOT "
+        "or the session's spark.sql.warehouse.dir)",
     )
 
     cp = sub.add_parser(
@@ -532,6 +551,47 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             init_warehouse(spark)
             results = backfill(spark, discover_local(args.raw_root))
             print(json.dumps([r.__dict__ for r in results]))
+        elif args.cmd == "catalog":
+            from .warehouse.namecatalog import (
+                catalog_add,
+                catalog_drop,
+                catalog_entries,
+            )
+
+            if args.action == "list":
+                for k, rec in sorted(
+                    catalog_entries(spark, root=args.root).items()
+                ):
+                    print(json.dumps(rec, sort_keys=True))
+            elif args.action == "drop":
+                if not args.spec:
+                    raise SystemExit("catalog drop wants NAME")
+                print(json.dumps({
+                    "name": args.spec,
+                    "dropped": catalog_drop(
+                        spark, args.spec, root=args.root
+                    ),
+                }))
+            else:  # add
+                name, _, ref = (args.spec or "").partition("=")
+                if not name or not ref:
+                    raise SystemExit(
+                        f"catalog add wants NAME=PATH[@V]; got {args.spec!r}"
+                    )
+                # literal path wins over the @V reading, same rule as
+                # sql --snapshot: a directory ending in '@digits' must
+                # never silently become a version pin
+                try:
+                    catalog_add(spark, name, ref, root=args.root)
+                except FileNotFoundError:
+                    tpath, at, ver = ref.rpartition("@")
+                    if not (at and ver.isdigit()):
+                        raise
+                    catalog_add(
+                        spark, name, tpath, version=int(ver),
+                        root=args.root,
+                    )
+                print(json.dumps({"added": name}))
         elif args.cmd == "sql":
             for spec in args.snapshot:
                 from .warehouse.snapshots import snapshot_register

@@ -403,6 +403,10 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         # and equals the checkpoint → "no new data" forever) or
         # regresses offsets (re-delivery). Backlog size is instead
         # bounded upstream: commit cadence on the source table.
+        # The cost of the unbounded first drain is MEASURED, not
+        # guessed: tests/test_feed_backlog.py pins a 200-commit
+        # backlog to one partition per added file and < 64 MiB of
+        # planning heap, draining in exactly one availableNow batch.
         vs = _list_versions(self._path)
         return {"version": vs[-1] if vs else self._start}
 

@@ -59,7 +59,9 @@ class SqlFrontError(ValueError):
 
 _GRAMMAR = """supported snapshot statements:
   DELETE FROM t WHERE col = lit [AND col IN (lit, ...)] ...
-  UPDATE t SET col = lit [, col = lit ...] WHERE <same predicate forms>
+  UPDATE t SET col = lit | expr(other cols) [, ...] WHERE <predicates>
+      (expression RHS sees the PRE-update row image: SET a = b, b = a
+       swaps; SET email = sha2(email, 256) redacts)
   MERGE INTO t [AS a] USING src|(SELECT ...) [AS b] ON a.k = b.k [AND ...]
       WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     | WHEN MATCHED THEN DELETE
@@ -77,6 +79,13 @@ _GRAMMAR = """supported snapshot statements:
   INSERT OVERWRITE t SELECT ... | VALUES ...
   CREATE TABLE name LOCATION 'path' [PARTITIONED BY (col, ...)] AS SELECT ...
   CREATE TABLE 'path' [PARTITIONED BY (col, ...)] AS SELECT ...
+  ALTER TABLE t CREATE BRANCH b [AS OF VERSION n]
+  ALTER TABLE t DROP BRANCH b [RECLAIM]
+  ALTER TABLE t PUBLISH BRANCH b [FORCE]   -- WAP fast-forward
+  ALTER TABLE t CREATE TAG g [AS OF VERSION n] | DROP TAG g
+  SHOW BRANCHES t | SHOW TAGS t
+      (branch DML/reads: quote the ref as the table path — 'path#b' —
+       or snapshot_register it as a view)
   VACUUM t [RETAIN n HOURS]
   SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF 'ts' (time travel)
   DESCRIBE HISTORY t
@@ -300,13 +309,24 @@ def _looks_like_path(s: str) -> bool:
 # ---------------------------------------------------------- resolution
 
 
-def _resolve_table(kind: str, text: str, stmt: str) -> tuple[str, bool]:
-    """→ (table_path, registered). Loud error when the name resolves
-    to a PINNED registration (mutating through a time-travel view
-    would silently target the head while the reader sees the past)."""
+def _resolve_table(
+    spark, kind: str, text: str, stmt: str
+) -> tuple[str, bool]:
+    """→ (table_path, registered). A name the in-memory registry
+    doesn't know falls back to the DURABLE catalog
+    (``namecatalog`` — one small read, registered on the spot), so a
+    fresh session/CLI invocation resolves ``DELETE FROM trips`` with
+    no flags. Loud error when the name resolves to a PINNED
+    registration (mutating through a time-travel view would silently
+    target the head while the reader sees the past)."""
     if kind == "path" or _looks_like_path(text):
         return text, False
     rec = _SQL_REGISTRY.get(text.lower())
+    if rec is None:
+        from .namecatalog import catalog_resolve_missing
+
+        if catalog_resolve_missing(spark, text):
+            rec = _SQL_REGISTRY.get(text.lower())
     if rec is None:
         known = sorted(
             k for k, r in _SQL_REGISTRY.items() if not r.get("ephemeral")
@@ -337,6 +357,11 @@ def _resolve_table_read(
     if kind == "path" or _looks_like_path(text):
         return text, None
     rec = _SQL_REGISTRY.get(text.lower())
+    if rec is None:
+        from .namecatalog import catalog_resolve_missing
+
+        if catalog_resolve_missing(spark, text):
+            rec = _SQL_REGISTRY.get(text.lower())
     if rec is None:
         known = sorted(
             k for k, r in _SQL_REGISTRY.items() if not r.get("ephemeral")
@@ -535,7 +560,7 @@ def _exec_delete(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
 
     p.expect_kw("FROM")
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    path, _ = _resolve_table(spark, kind, text, stmt)
     if not p.kw("WHERE"):
         _fail(
             "DELETE without WHERE (full-table delete) refuses — "
@@ -551,17 +576,76 @@ def _exec_delete(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
     )
 
 
+class _RawExpr:
+    """A SET right-hand side that is an EXPRESSION, not a literal —
+    the raw statement slice, resolved against the table schema at
+    execution (``SET email = sha2(email, 256)``, the SQL spelling of
+    the Python API's expression-valued redaction)."""
+
+    __slots__ = ("sql",)
+
+    def __init__(self, sql: str):
+        self.sql = sql
+
+
+def _parse_set_rhs(p: _Parser):
+    """One SET value: a plain literal when the next token IS a
+    complete literal (followed by ',' / WHERE / end), else the raw
+    expression slice to the next top-level ',' or WHERE — paren depth
+    tracked so ``coalesce(a, b)``'s comma doesn't split, and string
+    tokens keep a literal 'where' inside quotes from ending the
+    slice."""
+    save = p.i
+    try:
+        v = p.literal()
+        nxt = p.peek()
+        if (
+            nxt is None
+            or (nxt.kind == "punct" and nxt.text in (",", ";"))
+            or (nxt.kind == "word" and nxt.text.upper() == "WHERE")
+        ):
+            return v
+    except SqlFrontError:
+        pass
+    p.i = save
+    start = p.peek()
+    if start is None:
+        _fail("expected a SET value, got end of statement", p.raw)
+    depth = 0
+    j = p.i
+    stop = None
+    while j < len(p.toks):
+        t = p.toks[j]
+        if t.kind == "punct" and t.text == "(":
+            depth += 1
+        elif t.kind == "punct" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and (
+            (t.kind == "punct" and t.text in (",", ";"))
+            or (t.kind == "word" and t.text.upper() == "WHERE")
+        ):
+            stop = j
+            break
+        j += 1
+    end_off = p.toks[stop].start if stop is not None else len(p.raw)
+    sql = p.raw[start.start:end_off].strip()
+    if not sql:
+        _fail("empty SET expression", p.raw)
+    p.i = stop if stop is not None else len(p.toks)
+    return _RawExpr(sql)
+
+
 def _exec_update(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
-    from .snapshots import snapshot_update_where
+    from .snapshots import read_snapshot, snapshot_update_where
 
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    path, _ = _resolve_table(spark, kind, text, stmt)
     p.expect_kw("SET")
     set_values: dict = {}
     while True:
         col = p.ident()
         p.expect_punct("=")
-        set_values[col] = p.literal()
+        set_values[col] = _parse_set_rhs(p)
         if not p.punct(","):
             break
     if not p.kw("WHERE"):
@@ -572,6 +656,27 @@ def _exec_update(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
         )
     preds = _parse_predicates(p)
     p.end()
+    raw = {c: v for c, v in set_values.items() if isinstance(v, _RawExpr)}
+    if raw:
+        # analyze every expression against the TABLE schema before
+        # committing anything — unresolvable expressions refuse with
+        # the statement, never a half-applied update. The probe is
+        # metadata-only (limit(0) plans from the manifest; analysis is
+        # eager at select()). Execution semantics are the engine's
+        # pre-update-image rule: every RHS sees the row as it was
+        # BEFORE the update (snapshot_update_rows_where builds one
+        # select), so SET a = b, b = a swaps.
+        probe = read_snapshot(spark, path).limit(0)
+        for c, e in raw.items():
+            try:
+                probe.select(F.expr(e.sql).alias(c))
+            except Exception as ex:
+                _fail(
+                    f"SET {c} = {e.sql} does not resolve against the "
+                    f"table schema: {ex}",
+                    stmt,
+                )
+            set_values[c] = F.expr(e.sql)
     v, n = snapshot_update_where(spark, path, preds, set_values, mode=mode)
     _refresh_views(spark, path)
     return _one_row(
@@ -594,12 +699,163 @@ def _merge_alias(p: _Parser) -> str | None:
     return None
 
 
+def _merge_rhs(p: _Parser, src_alias, stmt: str):
+    """One MERGE assignment value: ``("src", col)`` for a source
+    column (``s.col`` or unqualified — unqualified resolves against
+    the SOURCE; validated at build time) or ``("lit", v)`` for a
+    literal. Anything else (target-side references, expressions)
+    needs a target read and refuses."""
+    t = p.peek()
+    if (
+        t is not None
+        and t.kind == "word"
+        and t.text.upper() not in ("TRUE", "FALSE", "NULL")
+    ):
+        q = p.ident()
+        if "." in q:
+            al, _, col = q.rpartition(".")
+            if src_alias is not None and al == src_alias:
+                return ("src", col)
+            _fail(
+                f"MERGE value {q} must be a source column "
+                f"({src_alias}.col) or a literal — target-side or "
+                "expression values need a target read",
+                stmt,
+            )
+        return ("src", q)
+    return ("lit", p.literal())
+
+
+def _merge_set_map(p: _Parser, tgt_alias, src_alias, stmt: str) -> dict:
+    """``SET t.c = s.c, t.d = 0, ...`` → {target col: rhs spec}. The
+    LHS may be qualified with the target alias only."""
+    out: dict = {}
+    while True:
+        q = p.ident()
+        if "." in q:
+            al, _, col = q.rpartition(".")
+            if tgt_alias is None or al != tgt_alias:
+                _fail(
+                    f"MERGE SET target {q} must be a target column "
+                    f"({tgt_alias}.col)",
+                    stmt,
+                )
+        else:
+            col = q
+        p.expect_punct("=")
+        out[col] = _merge_rhs(p, src_alias, stmt)
+        if not p.punct(","):
+            break
+    return out
+
+
+def _merge_insert_map(p: _Parser, src_alias, stmt: str) -> dict:
+    """``INSERT (c1, c2, ...) VALUES (r1, r2, ...)`` → {target col:
+    rhs spec}."""
+    p.expect_punct("(")
+    cols = [p.ident()]
+    while p.punct(","):
+        cols.append(p.ident())
+    p.expect_punct(")")
+    p.expect_kw("VALUES")
+    p.expect_punct("(")
+    vals = [_merge_rhs(p, src_alias, stmt)]
+    while p.punct(","):
+        vals.append(_merge_rhs(p, src_alias, stmt))
+    p.expect_punct(")")
+    if len(cols) != len(vals):
+        _fail(
+            f"MERGE INSERT names {len(cols)} column(s) but VALUES has "
+            f"{len(vals)}",
+            stmt,
+        )
+    return dict(zip(cols, vals))
+
+
+def _merge_projected_source(
+    spark, path: str, src_df, keys: list[str],
+    upd_map: dict | None, ins_map: dict | None, stmt: str,
+):
+    """Project/rename the MERGE source so explicit column mappings run
+    through the SAME zero-read eq-upsert as the star forms. The upsert
+    replaces whole rows keyed by ``keys``, so a mapping is admissible
+    only when it determines EVERY target column (a partial UPDATE
+    would need the target's current values — a read) and when the
+    UPDATE and INSERT branches agree per column (the upsert applies
+    ONE image per key regardless of matched-ness; divergent branches
+    cannot be expressed without a read)."""
+    from pyspark.sql.types import StructType
+
+    from .snapshots import _list_manifests, _load_manifest
+
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    schema = StructType.fromJson(
+        _load_manifest(spark, path, versions[-1])["schema"]
+    )
+    tcols = [f.name for f in schema.fields]
+    keyset = set(keys)
+
+    def check(name: str, m: dict | None, need_keys: bool) -> dict | None:
+        if m is None:
+            return None
+        unknown = [c for c in m if c not in tcols]
+        if unknown:
+            _fail(f"MERGE {name} assigns unknown column(s) {unknown}", stmt)
+        eff = dict(m)
+        for k in keys:
+            if k in m and m[k] != ("src", k):
+                _fail(
+                    f"MERGE {name} reassigns key column {k!r} — keys "
+                    "come from the ON clause",
+                    stmt,
+                )
+            eff.setdefault(k, ("src", k))
+        missing = [c for c in tcols if c not in eff]
+        if missing:
+            _fail(
+                f"MERGE {name} must determine every target column "
+                f"(the zero-read upsert replaces whole rows); "
+                f"missing {missing} — list them, or use SET * / "
+                "INSERT *",
+                stmt,
+            )
+        return eff
+
+    star = {c: ("src", c) for c in tcols}
+    upd = check("UPDATE SET", upd_map, False) or star
+    ins = check("INSERT", ins_map, True) or star
+    diverge = [c for c in tcols if c not in keyset and upd[c] != ins[c]]
+    if diverge:
+        _fail(
+            f"MERGE UPDATE and INSERT branches disagree on {diverge} — "
+            "the zero-read upsert applies one image per key; make the "
+            "branches assign the same values (or pre-shape the source)",
+            stmt,
+        )
+    sel = []
+    for f in schema.fields:
+        kind, val = ins[f.name]
+        if kind == "src":
+            if val not in src_df.columns:
+                _fail(
+                    f"MERGE source has no column {val!r} "
+                    f"(source columns: {sorted(src_df.columns)})",
+                    stmt,
+                )
+            sel.append(F.col(val).alias(f.name))
+        else:
+            sel.append(F.lit(val).cast(f.dataType).alias(f.name))
+    return src_df.select(*sel)
+
+
 def _exec_merge(spark, p: _Parser, stmt: str) -> DataFrame:
     from .eqdeletes import snapshot_append_upsert, snapshot_delete_keys
 
     p.expect_kw("INTO")
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    path, _ = _resolve_table(spark, kind, text, stmt)
     tgt_alias = _merge_alias(p) or text
     p.expect_kw("USING")
     if p.punct("("):
@@ -661,27 +917,47 @@ def _exec_merge(spark, p: _Parser, stmt: str) -> DataFrame:
         keys.append(tcol)
         if not p.kw("AND"):
             break
-    # WHEN clauses — exactly the two engine-executable shapes
+    # WHEN clauses — the engine-executable shapes: star forms,
+    # explicit column mappings (the shapes real CDC tools emit), and
+    # keyed delete. Conditional clauses (WHEN [NOT] MATCHED AND pred)
+    # refuse up front: deciding per-row needs a target read, which the
+    # zero-read upsert deliberately never does.
     saw_update = saw_insert = saw_delete = False
+    upd_map: dict | None = None
+    ins_map: dict | None = None
     while p.kw("WHEN"):
+        if p.kw("MATCHED", "AND") or p.kw("NOT", "MATCHED", "AND"):
+            _fail(
+                "conditional MERGE clauses (WHEN [NOT] MATCHED AND "
+                "pred) need a target read — pre-filter the source "
+                "instead",
+                stmt,
+            )
         if p.kw("MATCHED", "THEN", "UPDATE", "SET"):
-            p.expect_punct("*")
             saw_update = True
+            if not p.punct("*"):
+                upd_map = _merge_set_map(p, tgt_alias, src_alias, stmt)
         elif p.kw("MATCHED", "THEN", "DELETE"):
             saw_delete = True
         elif p.kw("NOT", "MATCHED", "THEN", "INSERT"):
-            p.expect_punct("*")
             saw_insert = True
+            if not p.punct("*"):
+                ins_map = _merge_insert_map(p, src_alias, stmt)
         else:
             t = p.peek()
             _fail(
                 "unsupported MERGE WHEN clause at "
                 f"{t.text if t else 'end of statement'!r} — "
-                "UPDATE SET * / INSERT * / DELETE only",
+                "UPDATE SET */cols / INSERT */( cols ) VALUES / "
+                "DELETE only",
                 stmt,
             )
     p.end()
     if saw_update and saw_insert and not saw_delete:
+        if upd_map is not None or ins_map is not None:
+            src_df = _merge_projected_source(
+                spark, path, src_df, keys, upd_map, ins_map, stmt
+            )
         v, n = snapshot_append_upsert(spark, path, src_df, keys)
         _refresh_views(spark, path)
         return _one_row(
@@ -703,6 +979,100 @@ def _exec_merge(spark, p: _Parser, stmt: str) -> DataFrame:
     )
 
 
+def _exec_alter_refs(spark, p: _Parser, path: str, stmt: str) -> DataFrame:
+    """Branch/tag/WAP statements — the public Iceberg SQL shapes
+    (``ALTER TABLE t CREATE BRANCH b [AS OF VERSION n]``, ``DROP
+    BRANCH``, ``CREATE TAG``, ``DROP TAG``) plus the publish verb the
+    WAP lifecycle needs (Iceberg spells it as a ``fast_forward``
+    procedure call; procedures need a JVM catalog, so the front door
+    gives it a first-class statement): ``ALTER TABLE t PUBLISH BRANCH
+    b [FORCE]``. All metadata-only at any table size. To READ a
+    branch, register its ref as a view: ``snapshot_register(spark,
+    f"{path}#{branch}", name)`` — every snapshot function accepts the
+    ref, so branch DML works by quoting it as the table path
+    (``DELETE FROM 'wh/trips#dev' WHERE ...``)."""
+    from .branching import (
+        create_branch,
+        create_tag,
+        delete_tag,
+        drop_branch,
+        publish_branch,
+    )
+
+    if p.kw("CREATE", "BRANCH"):
+        name = p.ident()
+        at = None
+        if p.kw("AS", "OF", "VERSION"):
+            at = p.literal()
+            if not isinstance(at, int):
+                _fail(f"AS OF VERSION wants an integer; got {at!r}", stmt)
+        p.end()
+        ref = create_branch(spark, path, name, at_version=at)
+        return _one_row(spark, "branch_ref string", (ref,))
+    if p.kw("DROP", "BRANCH"):
+        name = p.ident()
+        reclaim = p.kw("RECLAIM")
+        p.end()
+        n = drop_branch(spark, path, name, reclaim=reclaim)
+        return _one_row(
+            spark, "branch string, files_reclaimed bigint", (name, n)
+        )
+    if p.kw("PUBLISH", "BRANCH"):
+        name = p.ident()
+        force = p.kw("FORCE")
+        p.end()
+        v = publish_branch(spark, path, name, force=force)
+        _refresh_views(spark, path)
+        return _one_row(spark, "version bigint", (v,))
+    if p.kw("CREATE", "TAG"):
+        name = p.ident()
+        at = None
+        if p.kw("AS", "OF", "VERSION"):
+            at = p.literal()
+            if not isinstance(at, int):
+                _fail(f"AS OF VERSION wants an integer; got {at!r}", stmt)
+        p.end()
+        v = create_tag(spark, path, name, version=at)
+        return _one_row(spark, "tag string, version bigint", (name, v))
+    if p.kw("DROP", "TAG"):
+        name = p.ident()
+        p.end()
+        delete_tag(spark, path, name)
+        return _one_row(spark, "tag string", (name,))
+    t = p.peek()
+    _fail(
+        f"unsupported branch/tag statement at "
+        f"{t.text if t else 'end of statement'!r}",
+        stmt,
+    )
+
+
+def _exec_show_branches(spark, p: _Parser, stmt: str) -> DataFrame:
+    from .branching import list_branches
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table_read(spark, kind, text, stmt)
+    p.end()
+    names = list_branches(spark, path)
+    if not names:
+        return spark.createDataFrame([], "branch string")
+    return spark.createDataFrame([(n,) for n in names], "branch string")
+
+
+def _exec_show_tags(spark, p: _Parser, stmt: str) -> DataFrame:
+    from .branching import list_tags
+
+    kind, text = p.table_token()
+    path, _ = _resolve_table_read(spark, kind, text, stmt)
+    p.end()
+    tags = list_tags(spark, path)
+    if not tags:
+        return spark.createDataFrame([], "tag string, version bigint")
+    return spark.createDataFrame(
+        sorted(tags.items()), "tag string, version bigint"
+    )
+
+
 def _exec_alter(spark, p: _Parser, stmt: str) -> DataFrame:
     from .snapshots import (
         snapshot_add_column,
@@ -715,11 +1085,20 @@ def _exec_alter(spark, p: _Parser, stmt: str) -> DataFrame:
     )
 
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    path, _ = _resolve_table(spark, kind, text, stmt)
     if p.kw("ADD", "PARTITION", "FIELD") or p.kw(
         "DROP", "PARTITION", "FIELD"
     ) or p.kw("SET", "PARTITIONING"):
         return _exec_alter_layout(spark, p, path, stmt)
+    if (
+        p.peek() is not None
+        and p.peek().kind == "word"
+        and p.peek().text.upper() in ("CREATE", "DROP", "PUBLISH")
+        and p.peek(1) is not None
+        and p.peek(1).kind == "word"
+        and p.peek(1).text.upper() in ("BRANCH", "TAG")
+    ):
+        return _exec_alter_refs(spark, p, path, stmt)
     if p.kw("ADD", "COLUMNS") or p.kw("ADD", "COLUMN"):
         name = p.ident()
         rawtype = p.rest_raw(stop_kw="DEFAULT")
@@ -920,7 +1299,7 @@ def _exec_insert(spark, p: _Parser, stmt: str, overwrite: bool) -> DataFrame:
     )
 
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    path, _ = _resolve_table(spark, kind, text, stmt)
     versions = _list_manifests(spark, path)
     if not versions:
         _fail(
@@ -1120,7 +1499,7 @@ def _exec_vacuum(spark, p: _Parser, stmt: str) -> DataFrame:
     from .snapshots import snapshot_maintain, vacuum_snapshots
 
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    path, _ = _resolve_table(spark, kind, text, stmt)
     if p.kw("RETAIN"):
         hours = p.literal()
         if not isinstance(hours, (int, float)) or isinstance(hours, bool):
@@ -1149,7 +1528,7 @@ def _exec_restore(spark, p: _Parser, stmt: str) -> DataFrame:
 
     p.kw("TABLE")  # optional
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    path, _ = _resolve_table(spark, kind, text, stmt)
     p.expect_kw("TO")
     if p.kw("VERSION", "AS", "OF"):
         ver = p.literal()
@@ -1171,7 +1550,7 @@ def _exec_optimize(spark, p: _Parser, stmt: str) -> DataFrame:
     from .snapshots import snapshot_compact
 
     kind, text = p.table_token()
-    path, _ = _resolve_table(kind, text, stmt)
+    path, _ = _resolve_table(spark, kind, text, stmt)
     p.end()
     v = snapshot_compact(spark, path)
     _refresh_views(spark, path)
@@ -1218,13 +1597,13 @@ _OWNED_VERBS = {"DELETE", "UPDATE", "MERGE", "VACUUM", "RESTORE",
                 "OPTIMIZE", "INSERT"}
 
 
-def _probe_target_owned(verb: str, statement: str) -> bool:
+def _probe_target_owned(spark, verb: str, statement: str) -> bool:
     """Whether the statement's TARGET resolves to a snapshot table
-    (registered name or a path) — the ownership test for the DML /
-    maintenance verbs, mirroring the probe ALTER always had. An
-    unresolvable target falls through to ``spark.sql`` so sessions
-    with a DML-capable catalog (or plain typos) get Spark's own
-    behavior instead of being hijacked."""
+    (registered name, durable-catalog name, or a path) — the
+    ownership test for the DML / maintenance verbs, mirroring the
+    probe ALTER always had. An unresolvable target falls through to
+    ``spark.sql`` so sessions with a DML-capable catalog (or plain
+    typos) get Spark's own behavior instead of being hijacked."""
     try:
         p = _Parser(statement)
         p.i = 1  # past the verb
@@ -1239,9 +1618,67 @@ def _probe_target_owned(verb: str, statement: str) -> bool:
                 return False
             p.kw("TABLE")  # optional
         kind, text = p.table_token()
-        return kind == "path" or text.lower() in _SQL_REGISTRY
+        return kind == "path" or _known_name(spark, text)
     except SqlFrontError:
         return False
+
+
+def _known_name(spark, text: str) -> bool:
+    """Session registry first (free), then the durable catalog — a hit
+    there registers the name on the spot, so the executor's
+    ``_resolve_table`` finds it without a second catalog read."""
+    if text.lower() in _SQL_REGISTRY:
+        return True
+    from .namecatalog import catalog_resolve_missing
+
+    return catalog_resolve_missing(spark, text)
+
+
+def _register_catalog_names(spark, statement: str) -> bool:
+    """Best-effort recovery for passthrough statements: register every
+    durable-catalog name the statement MENTIONS (word tokens) that
+    this session doesn't know yet. Returns whether anything new
+    registered. Only called after ``spark.sql`` failed, so the happy
+    path (temp views all present) pays zero catalog reads."""
+    from .namecatalog import catalog_entries, catalog_register
+
+    try:
+        entries = catalog_entries(spark)
+    except Exception:
+        return False
+    if not entries:
+        return False
+    hit = False
+    try:
+        toks = _tokenize(statement)
+    except SqlFrontError:
+        return False
+    for t in toks:
+        if t.kind != "word":
+            continue
+        k = t.text.lower()
+        if k in entries and k not in _SQL_REGISTRY:
+            try:
+                catalog_register(spark, entries[k])
+                hit = True
+            except Exception:
+                pass
+    return hit
+
+
+def _sql_passthrough(spark: SparkSession, statement: str) -> DataFrame:
+    """``spark.sql`` with ONE durable-catalog retry: when analysis
+    fails and the statement mentions catalog names the session hasn't
+    registered, register them and re-run — re-entering the
+    time-travel rewriter, which only sees registered names. A fresh
+    CLI invocation thus resolves ``SELECT ... FROM trips`` (and
+    ``trips VERSION AS OF n``) with no flags."""
+    try:
+        return spark.sql(_rewrite_time_travel(spark, statement))
+    except Exception:
+        if not _register_catalog_names(spark, statement):
+            raise
+        return spark.sql(_rewrite_time_travel(spark, statement))
 
 
 _EPHEMERAL_CAP = 128
@@ -1366,7 +1803,7 @@ def snapshot_sql(
     m = re.match(r"[A-Za-z_]+", head)
     verb = m.group(0).upper() if m else ""
     if verb in _OWNED_VERBS:
-        if _probe_target_owned(verb, statement):
+        if _probe_target_owned(spark, verb, statement):
             p = _Parser(statement)
             p.i = 1  # past the verb
             if verb == "DELETE":
@@ -1392,7 +1829,7 @@ def snapshot_sql(
         # DML-capable catalog, so Spark's bare error would bury the
         # likely fix: registering the snapshot table)
         try:
-            return spark.sql(_rewrite_time_travel(spark, statement))
+            return _sql_passthrough(spark, statement)
         except Exception as e:
             known = sorted(
                 k
@@ -1440,7 +1877,7 @@ def snapshot_sql(
             p.i = 1
             p.expect_kw("TABLE")
             kind, text = p.table_token()
-            owned = kind == "path" or text.lower() in _SQL_REGISTRY
+            owned = kind == "path" or _known_name(spark, text)
         except SqlFrontError:
             owned = False
         if owned:
@@ -1456,7 +1893,7 @@ def snapshot_sql(
             if t is not None and (
                 t.kind == "string"
                 or (t.kind == "bq" and _looks_like_path(t.text[1:-1]))
-                or (t.kind == "word" and t.text.lower() in _SQL_REGISTRY)
+                or (t.kind == "word" and _known_name(spark, t.text))
             ):
                 return _exec_describe_history(spark, p, statement)
     if verb == "SHOW":
@@ -1464,16 +1901,23 @@ def snapshot_sql(
         p.i = 1
         what = (
             "props" if p.kw("TBLPROPERTIES")
-            else ("parts" if p.kw("PARTITIONS") else None)
+            else "parts" if p.kw("PARTITIONS")
+            else "branches" if p.kw("BRANCHES")
+            else "tags" if p.kw("TAGS")
+            else None
         )
         if what:
             t = p.peek()
             if t is not None and (
                 t.kind in ("string",)
                 or (t.kind == "bq" and _looks_like_path(t.text[1:-1]))
-                or (t.kind == "word" and t.text.lower() in _SQL_REGISTRY)
+                or (t.kind == "word" and _known_name(spark, t.text))
             ):
                 if what == "props":
                     return _exec_show_tblproperties(spark, p, statement)
+                if what == "branches":
+                    return _exec_show_branches(spark, p, statement)
+                if what == "tags":
+                    return _exec_show_tags(spark, p, statement)
                 return _exec_show_partitions(spark, p, statement)
-    return spark.sql(_rewrite_time_travel(spark, statement))
+    return _sql_passthrough(spark, statement)

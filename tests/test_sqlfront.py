@@ -619,3 +619,270 @@ def test_time_travel_composes_inside_insert_source(spark, tmp_path):
     assert out["num_affected_rows"] == 2
     ids = {r["id"] for r in read_snapshot(spark, t).select("id").collect()}
     assert {51, 52} <= ids and not ({1, 2} & ids)
+
+
+# ------------------------------------------ round 10: expression SET
+
+
+def test_update_expression_set_redaction(spark, tmp_path):
+    """SQL spelling of the Python API's expression-valued SET: the RHS
+    resolves against the table schema and sees the PRE-update row
+    image (one select, not a withColumn chain)."""
+    t = str(tmp_path / "sqlf_expr")
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, "alice@x.com", "alice"), (2, "bob@x.com", "bob")],
+            "id int, email string, name string",
+        ),
+        t, ["id"],
+    )
+    snapshot_register(spark, t, "sqlf_expr")
+    out = snapshot_sql(
+        spark,
+        "UPDATE sqlf_expr SET email = sha2(email, 256) WHERE id = 1",
+    ).collect()[0]
+    assert out["num_affected_rows"] == 1
+    got = {r.id: r.email for r in read_snapshot(spark, t).collect()}
+    assert len(got[1]) == 64 and got[2] == "bob@x.com"
+    # parity with the Python API on the other row
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_update_where,
+    )
+    from pyspark.sql import functions as F
+
+    snapshot_update_where(
+        spark, t, {"id": [2]}, {"email": F.sha2(F.col("email"), 256)}
+    )
+    got2 = {r.id: r.email for r in read_snapshot(spark, t).collect()}
+    import hashlib
+
+    assert got2[2] == hashlib.sha256(b"bob@x.com").hexdigest()
+    assert got2[1] == hashlib.sha256(b"alice@x.com").hexdigest()
+
+
+def test_update_expression_pre_image_swap(spark, tmp_path):
+    t = str(tmp_path / "sqlf_swap")
+    snapshot_write_with_stats(
+        spark.createDataFrame([(1, "A", "B")], "id int, a string, b string"),
+        t, ["id"],
+    )
+    snapshot_register(spark, t, "sqlf_swap")
+    snapshot_sql(spark, "UPDATE sqlf_swap SET a = b, b = a WHERE id = 1")
+    r = read_snapshot(spark, t).collect()[0]
+    assert (r.a, r.b) == ("B", "A")
+
+
+def test_update_expression_refuses_unresolvable(spark, tmp_path):
+    t = str(tmp_path / "sqlf_bad_expr")
+    snapshot_write_with_stats(
+        spark.createDataFrame([(1, "x")], "id int, v string"), t, ["id"]
+    )
+    snapshot_register(spark, t, "sqlf_bad_expr")
+    with pytest.raises(SqlFrontError, match="does not resolve"):
+        snapshot_sql(
+            spark,
+            "UPDATE sqlf_bad_expr SET v = concat(nosuch, '!') WHERE id = 1",
+        )
+    # nothing committed by the refusal
+    assert _bag(read_snapshot(spark, t), "id", "v") == [(1, "x")]
+
+
+def test_update_function_commas_and_mixed_literals(spark, tmp_path):
+    t = str(tmp_path / "sqlf_mix")
+    snapshot_write_with_stats(
+        spark.createDataFrame([(1, "x", 0)], "id int, v string, n int"),
+        t, ["id"],
+    )
+    snapshot_register(spark, t, "sqlf_mix")
+    snapshot_sql(
+        spark,
+        "UPDATE sqlf_mix SET v = concat(v, '!'), n = 7 WHERE id = 1",
+    )
+    assert _bag(read_snapshot(spark, t), "v", "n") == [("x!", 7)]
+
+
+# ---------------------------------------- round 10: MERGE column maps
+
+
+def _merge_fixture(spark, tmp_path, name):
+    t = str(tmp_path / name)
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id int, v string, n int"
+        ),
+        t, ["id"],
+    )
+    snapshot_register(spark, t, name)
+    spark.createDataFrame(
+        [(2, "B2"), (3, "C3")], "id int, val string"
+    ).createOrReplaceTempView(f"{name}_src")
+    return t
+
+
+def test_merge_explicit_column_mapping(spark, tmp_path):
+    """The shape real CDC tools emit: UPDATE SET t.c = s.c mapped onto
+    the same zero-read eq-upsert as SET * — source projected/renamed,
+    no target read."""
+    t = _merge_fixture(spark, tmp_path, "sqlf_map")
+    out = snapshot_sql(
+        spark,
+        "MERGE INTO sqlf_map t USING "
+        "(SELECT id, val, 0 AS cnt FROM sqlf_map_src) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.val, t.n = s.cnt "
+        "WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.val, s.cnt)",
+    ).collect()[0]
+    assert out["num_affected_rows"] == 2
+    assert _bag(read_snapshot(spark, t), "id", "v", "n") == [
+        (1, "a", 10), (2, "B2", 0), (3, "C3", 0),
+    ]
+    # history: the commit is the eq-upsert, not a rewrite
+    hist = {
+        r["version"]: r["op"]
+        for r in snapshot_history(spark, t).collect()
+    }
+    assert hist[max(hist)] == "upsert_eq"
+
+
+def test_merge_mapping_literal_fill(spark, tmp_path):
+    t = _merge_fixture(spark, tmp_path, "sqlf_maplit")
+    snapshot_sql(
+        spark,
+        "MERGE INTO sqlf_maplit t USING sqlf_maplit_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.val, t.n = 99 "
+        "WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.val, 99)",
+    )
+    assert _bag(read_snapshot(spark, t), "id", "v", "n") == [
+        (1, "a", 10), (2, "B2", 99), (3, "C3", 99),
+    ]
+
+
+def test_merge_mapping_refusals(spark, tmp_path):
+    _merge_fixture(spark, tmp_path, "sqlf_mapref")
+    cases = [
+        # partial coverage would need the target's current values
+        (
+            "MERGE INTO sqlf_mapref t USING sqlf_mapref_src s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.val "
+            "WHEN NOT MATCHED THEN INSERT (id, v, n) "
+            "VALUES (s.id, s.val, 0)",
+            "every target column",
+        ),
+        # divergent branches cannot share one upserted image
+        (
+            "MERGE INTO sqlf_mapref t USING "
+            "(SELECT id, val, 0 AS cnt FROM sqlf_mapref_src) s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.val, t.n = 1 "
+            "WHEN NOT MATCHED THEN INSERT (id, v, n) "
+            "VALUES (s.id, s.val, 2)",
+            "disagree",
+        ),
+        # conditional clauses need a target read
+        (
+            "MERGE INTO sqlf_mapref t USING sqlf_mapref_src s "
+            "ON t.id = s.id WHEN MATCHED AND t.n > 5 THEN DELETE",
+            "target read",
+        ),
+        # key reassignment
+        (
+            "MERGE INTO sqlf_mapref t USING "
+            "(SELECT id, val, 0 AS cnt FROM sqlf_mapref_src) s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET t.id = s.cnt, t.v = s.val, "
+            "t.n = s.cnt "
+            "WHEN NOT MATCHED THEN INSERT * ",
+            "key column",
+        ),
+    ]
+    for stmt, why in cases:
+        with pytest.raises(SqlFrontError, match=why):
+            snapshot_sql(spark, stmt)
+
+
+# ------------------------------------------ round 10: branches / WAP
+
+
+def test_branch_wap_lifecycle_sql(spark, tmp_path):
+    """The whole write-audit-publish loop drivable from SQL: create
+    an isolated branch, mutate it by quoting the ref as the table
+    path (main readers see nothing), audit through a registered view,
+    publish = one metadata fast-forward, drop the branch."""
+    t = _mk(spark, tmp_path, "sqlf_wap")
+    ref = snapshot_sql(
+        spark, "ALTER TABLE sqlf_wap CREATE BRANCH audit1"
+    ).collect()[0].branch_ref
+    assert ref == f"{t}#audit1"
+    snapshot_sql(spark, f"DELETE FROM '{ref}' WHERE id IN (1, 2)")
+    # isolation: main untouched, branch mutated
+    assert _bag(read_snapshot(spark, t), "id") == [
+        (1,), (2,), (3,), (4,), (5,),
+    ]
+    assert _bag(read_snapshot(spark, ref), "id") == [(3,), (4,), (5,)]
+    # audit through a registered view of the ref
+    snapshot_register(spark, ref, "sqlf_wap_audit")
+    assert spark.sql(
+        "SELECT count(*) c FROM sqlf_wap_audit"
+    ).collect()[0].c == 3
+    # publish: one metadata commit fast-forwards main
+    snapshot_sql(spark, "ALTER TABLE sqlf_wap PUBLISH BRANCH audit1")
+    assert _bag(read_snapshot(spark, t), "id") == [(3,), (4,), (5,)]
+    # the registered main view followed the publish
+    assert _bag(spark.table("sqlf_wap"), "id") == [(3,), (4,), (5,)]
+    got = [
+        r.branch
+        for r in snapshot_sql(spark, "SHOW BRANCHES sqlf_wap").collect()
+    ]
+    assert got == ["audit1"]
+    snapshot_sql(spark, "ALTER TABLE sqlf_wap DROP BRANCH audit1")
+    assert snapshot_sql(spark, "SHOW BRANCHES sqlf_wap").count() == 0
+
+
+def test_tags_sql(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlf_tags")
+    r = snapshot_sql(
+        spark, "ALTER TABLE sqlf_tags CREATE TAG rel1"
+    ).collect()[0]
+    assert r.tag == "rel1"
+    snapshot_sql(spark, "DELETE FROM sqlf_tags WHERE id = 1")
+    tags = {
+        x.tag: x.version
+        for x in snapshot_sql(spark, "SHOW TAGS sqlf_tags").collect()
+    }
+    assert tags == {"rel1": r.version}
+    # the tagged state stays stable across later DML
+    from nyc_taxi_data_warehouse_spark.warehouse.branching import read_tag
+
+    assert read_tag(spark, t, "rel1").count() == 5
+    with pytest.raises(ValueError, match="immutable"):
+        snapshot_sql(spark, "ALTER TABLE sqlf_tags CREATE TAG rel1")
+    snapshot_sql(spark, "ALTER TABLE sqlf_tags DROP TAG rel1")
+    assert snapshot_sql(spark, "SHOW TAGS sqlf_tags").count() == 0
+
+
+def test_branch_as_of_version_and_publish_conflict(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        SnapshotConflict,
+        snapshot_versions,
+    )
+
+    t = _mk(spark, tmp_path, "sqlf_bav")
+    v1 = snapshot_versions(spark, t)[-1]["version"]
+    snapshot_sql(spark, "DELETE FROM sqlf_bav WHERE id = 5")
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE sqlf_bav CREATE BRANCH old AS OF VERSION {v1}",
+    )
+    assert read_snapshot(spark, f"{t}#old").count() == 5
+    with pytest.raises(SqlFrontError, match="integer"):
+        snapshot_sql(
+            spark,
+            "ALTER TABLE sqlf_bav CREATE BRANCH b2 AS OF VERSION 'x'",
+        )
+    # main advances past the fork: publish refuses (not fast-forward)
+    snapshot_sql(spark, "DELETE FROM sqlf_bav WHERE id = 4")
+    with pytest.raises(SnapshotConflict, match="fast-forward"):
+        snapshot_sql(spark, "ALTER TABLE sqlf_bav PUBLISH BRANCH old")
+    # the documented escape hatch
+    snapshot_sql(spark, "ALTER TABLE sqlf_bav PUBLISH BRANCH old FORCE")
+    assert read_snapshot(spark, t).count() == 5
