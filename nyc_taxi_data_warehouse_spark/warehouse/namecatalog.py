@@ -232,9 +232,13 @@ def catalog_resolve_missing(
 ) -> bool:
     """The SQL front door's lazy hook: when a statement names a table
     the in-memory registry doesn't know, consult the durable catalog
-    and register it on the spot. Returns whether the name resolved.
-    One small catalog read + one manifest load, only on the miss
-    path — sessions that never use durable names pay nothing."""
+    and register it on the spot. Returns whether the name resolved —
+    NEVER raises: a stale binding (table directory deleted, pinned
+    version vacuumed) resolves False so ownership probes keep their
+    fall-through-to-spark.sql contract and the caller's own loud error
+    names the real problem. One small catalog read + one manifest
+    load, only on the miss path — sessions that never use durable
+    names pay nothing."""
     from .snapshots import _SQL_REGISTRY
 
     if name.lower() in _SQL_REGISTRY:
@@ -245,5 +249,18 @@ def catalog_resolve_missing(
         return False
     if rec is None:
         return False
-    catalog_register(spark, rec)
+    # never hijack a USER-created temp view: if the name already
+    # resolves in the session but is not registry-tracked, the user
+    # made that view themselves — silently replacing it would flip
+    # what their very next SELECT returns. (snapshot_register views
+    # are always registry-tracked, so they never hit this guard.)
+    try:
+        spark.table(rec["name"])
+        return False
+    except Exception:
+        pass
+    try:
+        catalog_register(spark, rec)
+    except Exception:
+        return False
     return True

@@ -4773,18 +4773,35 @@ class Range:
         """Provably matches nothing (lo > hi, or lo == hi with a
         strict end) — callers short-circuit to a no-op, like an
         emptied IN list. Incomparable endpoint types are NOT empty
-        (the row-level predicate decides)."""
+        (the row-level predicate decides).
+
+        Emptiness is type-blind here (the column's declared type is
+        not in scope), so timestamp-shaped string endpoints are only
+        declared empty when the RAW string order AND the canonical
+        timestamp order AGREE — against a STRING column Spark compares
+        raw ('2024-01-01 12:00' < '2024-01-01T05:00' because space <
+        'T'), against a TIMESTAMP column chronologically; an ambiguous
+        pair must fall through to the type-aware planner, never
+        silently no-op a delete that matches rows."""
         if self.lo is None or self.hi is None:
             return False
-        try:
-            lo, hi = _stat_norm(self.lo), _stat_norm(self.hi)
-            if isinstance(lo, str):
-                lo = _ts_canon(lo) or lo
-            if isinstance(hi, str):
-                hi = _ts_canon(hi) or hi
+
+        def empty(lo, hi) -> bool:
             if lo > hi:
                 return True
             return lo == hi and not (self.lo_inc and self.hi_inc)
+
+        try:
+            lo, hi = _stat_norm(self.lo), _stat_norm(self.hi)
+            raw = empty(lo, hi)
+            clo = _ts_canon(lo) if isinstance(lo, str) else None
+            chi = _ts_canon(hi) if isinstance(hi, str) else None
+            if clo is not None or chi is not None:
+                return raw and empty(
+                    clo if clo is not None else lo,
+                    chi if chi is not None else hi,
+                )
+            return raw
         except TypeError:
             return False
 
@@ -4794,6 +4811,9 @@ class Range:
 _TS_SHAPE_RE = re.compile(
     r"^(\d{4}-\d{2}-\d{2})(?:[T ](\d{2}:\d{2}:\d{2})(\.\d{1,9})?)?$"
 )
+# Spark's string→date cast shape: yyyy-[m]m-[d]d then end or a T/space
+# separator (anything else nulls the cast — see _range_bounds_for_col)
+_DATE_CAST_RE = re.compile(r"^(\d{4})-(\d{1,2})-(\d{1,2})(?:$|[T ])")
 
 
 def _ts_canon(s: str) -> str | None:
@@ -4916,12 +4936,23 @@ def _range_bounds_for_col(man: dict, col: str, rng: Range, for_proof: bool):
             if isinstance(v, datetime.date):
                 return v.isoformat()
             if isinstance(v, str):
-                d = v[:10]
+                # reproduce Spark's string→date cast EXACTLY or refuse:
+                # Spark accepts yyyy-[m]m-[d]d, truncating only at a
+                # 'T'/space separator — ANY other trailing character
+                # (probed: '2024-01-153', '2024-01-15x') nulls the whole
+                # cast, matching NOTHING. A naive [:10] slice would
+                # accept those and let the whole-file proof drop files
+                # whose rows don't match. Shorthand forms ('2024',
+                # '2024-01') refuse → conservative, no pruning.
+                m = _DATE_CAST_RE.match(v.strip())
+                if m is None:
+                    return None
                 try:
-                    datetime.date.fromisoformat(d)
+                    return datetime.date(
+                        int(m[1]), int(m[2]), int(m[3])
+                    ).isoformat()
                 except ValueError:
                     return None
-                return d
             return None
 
         b = _norm2(lambda v: True, dconv)

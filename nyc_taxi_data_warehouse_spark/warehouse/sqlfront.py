@@ -321,12 +321,11 @@ def _resolve_table(
     target the head while the reader sees the past)."""
     if kind == "path" or _looks_like_path(text):
         return text, False
-    rec = _SQL_REGISTRY.get(text.lower())
-    if rec is None:
-        from .namecatalog import catalog_resolve_missing
-
-        if catalog_resolve_missing(spark, text):
-            rec = _SQL_REGISTRY.get(text.lower())
+    rec = (
+        _SQL_REGISTRY.get(text.lower())
+        if _known_name(spark, text)
+        else None
+    )
     if rec is None:
         known = sorted(
             k for k, r in _SQL_REGISTRY.items() if not r.get("ephemeral")
@@ -356,12 +355,11 @@ def _resolve_table_read(
     THAT version; a timestamp pin resolves to its version first."""
     if kind == "path" or _looks_like_path(text):
         return text, None
-    rec = _SQL_REGISTRY.get(text.lower())
-    if rec is None:
-        from .namecatalog import catalog_resolve_missing
-
-        if catalog_resolve_missing(spark, text):
-            rec = _SQL_REGISTRY.get(text.lower())
+    rec = (
+        _SQL_REGISTRY.get(text.lower())
+        if _known_name(spark, text)
+        else None
+    )
     if rec is None:
         known = sorted(
             k for k, r in _SQL_REGISTRY.items() if not r.get("ephemeral")
@@ -431,55 +429,89 @@ def _range_lit(p: _Parser, col: str):
     return v
 
 
-def _merge_range(p: _Parser, col: str, prev, lo=None, hi=None,
-                 lo_inc=True, hi_inc=True):
-    """Fold one more bound into what the conjunction already said
-    about ``col``: Range ∧ Range tightens endpoints; values ∧ Range
-    filters the value set. Incomparable combinations refuse loudly
-    rather than guess."""
-    from .snapshots import Range
+def _cmp_lit(p: _Parser, col: str, x, y) -> int:
+    """-1/0/1 ordering of two predicate literals for merge-time
+    tightening. The merge is TYPE-BLIND (the column's declared type is
+    not in scope at parse time), so timestamp-shaped string literals
+    are ordered only when the RAW string order and the canonical
+    timestamp order AGREE — against a STRING column Spark compares raw
+    ('...12:00:00' < '...T05:00:00' because space < 'T'), against a
+    TIMESTAMP column chronologically; picking either blindly would
+    keep the looser bound and mutate rows the conjunction excludes.
+    Ambiguity and incomparable types refuse loudly."""
+    from .snapshots import _stat_norm, _ts_canon
 
-    new = Range(lo=lo, hi=hi, lo_inc=lo_inc, hi_inc=hi_inc)
-    if prev is None:
-        return new
     try:
-        if isinstance(prev, Range):
-            lo, lo_inc = prev.lo, prev.lo_inc
-            hi, hi_inc = prev.hi, prev.hi_inc
-            if new.lo is not None and (
-                lo is None or new.lo > lo
-                or (new.lo == lo and not new.lo_inc)
-            ):
-                lo, lo_inc = new.lo, new.lo_inc
-            if new.hi is not None and (
-                hi is None or new.hi < hi
-                or (new.hi == hi and not new.hi_inc)
-            ):
-                hi, hi_inc = new.hi, new.hi_inc
-            if lo is None and hi is None:
-                return prev
-            return Range(lo=lo, hi=hi, lo_inc=lo_inc, hi_inc=hi_inc)
-        # prev is a value list: keep the values inside the new range
-        kept = []
-        for v in prev:
-            ok = (
-                new.lo is None
-                or v > new.lo
-                or (v == new.lo and new.lo_inc)
-            ) and (
-                new.hi is None
-                or v < new.hi
-                or (v == new.hi and new.hi_inc)
-            )
-            if ok:
-                kept.append(v)
-        return kept
+        rx, ry = _stat_norm(x), _stat_norm(y)
+        raw = (rx > ry) - (rx < ry)
+        cx = _ts_canon(rx) if isinstance(rx, str) else None
+        cy = _ts_canon(ry) if isinstance(ry, str) else None
+        if cx is not None or cy is not None:
+            ax = cx if cx is not None else rx
+            ay = cy if cy is not None else ry
+            canon = (ax > ay) - (ax < ay)
+            if canon != raw:
+                _fail(
+                    f"ambiguous literal forms on {col!r}: {x!r} and "
+                    f"{y!r} order differently as strings and as "
+                    "timestamps — write both bounds in one consistent "
+                    "form",
+                    p.raw,
+                )
+        return raw
     except TypeError:
         _fail(
             f"cannot combine the predicates on {col!r} — the literal "
             "types do not compare (mixed string/number bounds?)",
             p.raw,
         )
+
+
+def _merge_range(p: _Parser, col: str, prev, lo=None, hi=None,
+                 lo_inc=True, hi_inc=True):
+    """Fold one more bound into what the conjunction already said
+    about ``col``: Range ∧ Range tightens endpoints; values ∧ Range
+    filters the value set. All literal comparisons go through
+    ``_cmp_lit`` (ambiguous/incomparable forms refuse loudly rather
+    than guess)."""
+    from .snapshots import Range
+
+    new = Range(lo=lo, hi=hi, lo_inc=lo_inc, hi_inc=hi_inc)
+    if prev is None:
+        return new
+    if isinstance(prev, Range):
+        lo, lo_inc = prev.lo, prev.lo_inc
+        hi, hi_inc = prev.hi, prev.hi_inc
+        if new.lo is not None:
+            if lo is None:
+                lo, lo_inc = new.lo, new.lo_inc
+            else:
+                c = _cmp_lit(p, col, new.lo, lo)
+                if c > 0 or (c == 0 and not new.lo_inc):
+                    lo, lo_inc = new.lo, new.lo_inc
+        if new.hi is not None:
+            if hi is None:
+                hi, hi_inc = new.hi, new.hi_inc
+            else:
+                c = _cmp_lit(p, col, new.hi, hi)
+                if c < 0 or (c == 0 and not new.hi_inc):
+                    hi, hi_inc = new.hi, new.hi_inc
+        return Range(lo=lo, hi=hi, lo_inc=lo_inc, hi_inc=hi_inc)
+    # prev is a value list: keep the values inside the new range
+    kept = []
+    for v in prev:
+        if v is None:
+            continue  # NULL never matches a range (nor an IN, later)
+        ok = True
+        if new.lo is not None:
+            c = _cmp_lit(p, col, v, new.lo)
+            ok = c > 0 or (c == 0 and new.lo_inc)
+        if ok and new.hi is not None:
+            c = _cmp_lit(p, col, v, new.hi)
+            ok = c < 0 or (c == 0 and new.hi_inc)
+        if ok:
+            kept.append(v)
+    return kept
 
 
 def _parse_predicates(p: _Parser) -> dict:
@@ -636,7 +668,7 @@ def _parse_set_rhs(p: _Parser):
 
 
 def _exec_update(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
-    from .snapshots import read_snapshot, snapshot_update_where
+    from .snapshots import snapshot_update_where
 
     kind, text = p.table_token()
     path, _ = _resolve_table(spark, kind, text, stmt)
@@ -660,13 +692,26 @@ def _exec_update(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
     if raw:
         # analyze every expression against the TABLE schema before
         # committing anything — unresolvable expressions refuse with
-        # the statement, never a half-applied update. The probe is
-        # metadata-only (limit(0) plans from the manifest; analysis is
-        # eager at select()). Execution semantics are the engine's
+        # the statement, never a half-applied update. The probe is ONE
+        # manifest load + an empty local DataFrame (analysis is eager
+        # at select()) — never a scan plan, whose driver cost grows
+        # with file count. Execution semantics are the engine's
         # pre-update-image rule: every RHS sees the row as it was
         # BEFORE the update (snapshot_update_rows_where builds one
         # select), so SET a = b, b = a swaps.
-        probe = read_snapshot(spark, path).limit(0)
+        from pyspark.sql.types import StructType
+
+        from .snapshots import _list_manifests, _load_manifest
+
+        versions = _list_manifests(spark, path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+        probe = spark.createDataFrame(
+            [],
+            StructType.fromJson(
+                _load_manifest(spark, path, versions[-1])["schema"]
+            ),
+        )
         for c, e in raw.items():
             try:
                 probe.select(F.expr(e.sql).alias(c))
@@ -797,7 +842,7 @@ def _merge_projected_source(
     tcols = [f.name for f in schema.fields]
     keyset = set(keys)
 
-    def check(name: str, m: dict | None, need_keys: bool) -> dict | None:
+    def check(name: str, m: dict | None) -> dict | None:
         if m is None:
             return None
         unknown = [c for c in m if c not in tcols]
@@ -824,8 +869,8 @@ def _merge_projected_source(
         return eff
 
     star = {c: ("src", c) for c in tcols}
-    upd = check("UPDATE SET", upd_map, False) or star
-    ins = check("INSERT", ins_map, True) or star
+    upd = check("UPDATE SET", upd_map) or star
+    ins = check("INSERT", ins_map) or star
     diverge = [c for c in tcols if c not in keyset and upd[c] != ins[c]]
     if diverge:
         _fail(
@@ -1639,8 +1684,11 @@ def _register_catalog_names(spark, statement: str) -> bool:
     durable-catalog name the statement MENTIONS (word tokens) that
     this session doesn't know yet. Returns whether anything new
     registered. Only called after ``spark.sql`` failed, so the happy
-    path (temp views all present) pays zero catalog reads."""
-    from .namecatalog import catalog_entries, catalog_register
+    path (temp views all present) pays zero catalog reads. Routes
+    through ``catalog_resolve_missing`` so its guards apply here too
+    (stale bindings resolve False; user-created temp views are never
+    hijacked)."""
+    from .namecatalog import catalog_entries, catalog_resolve_missing
 
     try:
         entries = catalog_entries(spark)
@@ -1658,11 +1706,8 @@ def _register_catalog_names(spark, statement: str) -> bool:
             continue
         k = t.text.lower()
         if k in entries and k not in _SQL_REGISTRY:
-            try:
-                catalog_register(spark, entries[k])
+            if catalog_resolve_missing(spark, k):
                 hit = True
-            except Exception:
-                pass
     return hit
 
 
@@ -1684,14 +1729,22 @@ def _sql_passthrough(spark: SparkSession, statement: str) -> DataFrame:
 _EPHEMERAL_CAP = 128
 
 
-def _register_ephemeral(spark: SparkSession, path: str, alias: str, **pin):
+def _register_ephemeral(
+    spark: SparkSession, path: str, alias: str, **pin
+) -> str:
     """Register a time-travel view minted by the rewriter, marked
     ephemeral: excluded from 'registered:' error listings, and bounded
     — past the cap the oldest ephemeral view (and its registry entry)
     drops, so ad-hoc TIMESTAMP AS OF exploration never accumulates
-    unboundedly in a long-lived session."""
+    unboundedly in a long-lived session. Returns the alias actually
+    used: a USER-registered view that happens to share the minted name
+    (someone registered 't__v3' themselves) is never clobbered — the
+    ephemeral view moves to a suffixed name instead."""
     from .snapshots import snapshot_register
 
+    existing = _SQL_REGISTRY.get(alias.lower())
+    if existing is not None and not existing.get("ephemeral"):
+        alias = f"{alias}__eph"
     snapshot_register(spark, path, alias, **pin)
     _SQL_REGISTRY[alias.lower()]["ephemeral"] = True
     eph = [k for k, r in _SQL_REGISTRY.items() if r.get("ephemeral")]
@@ -1701,6 +1754,7 @@ def _register_ephemeral(spark: SparkSession, path: str, alias: str, **pin):
             spark.catalog.dropTempView(rec["name"])
         except Exception:
             pass
+    return alias
 
 
 def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
@@ -1747,7 +1801,7 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
                         _fail("VERSION AS OF wants an integer", statement)
                     ver = int(lit.text)
                     alias = f"{t.text.lower()}__v{ver}"
-                    _register_ephemeral(
+                    alias = _register_ephemeral(
                         spark, rec["path"], alias, version=ver
                     )
                 else:
@@ -1772,7 +1826,7 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
                         + re.sub(r"[^A-Za-z0-9]", "_", str(raw))[:40]
                         + f"_{h}"
                     )
-                    _register_ephemeral(
+                    alias = _register_ephemeral(
                         spark, rec["path"], alias, at_timestamp=raw
                     )
                 out.append(statement[last : t.start])

@@ -180,3 +180,60 @@ def test_version_pin_via_cli_at_syntax(spark, fresh, capsys):
     main(["catalog", "add", f"old={t}@1", "--root", root], spark=spark)
     capsys.readouterr()
     assert catalog_lookup(spark, "old", root=root)["version"] == 1
+
+
+# ----------------------------------- round-10 review-pass regressions
+
+
+def test_stale_binding_resolves_false_not_crash(spark, fresh):
+    """A durable binding whose table directory has since been deleted
+    must resolve False inside the front door's ownership probes (the
+    documented fall-through-to-spark.sql contract), surfacing the
+    loud both-facts SqlFrontError — never a raw FileNotFoundError out
+    of the probe."""
+    import shutil
+
+    t, root = fresh
+    catalog_add(spark, "doomed", t, root=root)
+    _SQL_REGISTRY.clear()
+    spark.catalog.dropTempView("doomed")
+    shutil.rmtree(t)
+    import os
+
+    os.environ["SPARK_GRAFT_CATALOG_ROOT"] = root
+    try:
+        from nyc_taxi_data_warehouse_spark.warehouse.namecatalog import (
+            catalog_resolve_missing,
+        )
+
+        assert catalog_resolve_missing(spark, "doomed") is False
+        with pytest.raises(SqlFrontError, match="spark.sql also failed"):
+            snapshot_sql(spark, "DELETE FROM doomed WHERE id = 1")
+    finally:
+        os.environ.pop("SPARK_GRAFT_CATALOG_ROOT", None)
+
+
+def test_user_temp_view_never_hijacked(spark, fresh):
+    """A user-created temp view sharing a durable catalog name must
+    keep answering SELECTs with the USER's data — the lazy hook must
+    not silently replace it when a probe touches the name."""
+    t, root = fresh
+    catalog_add(spark, "shared", t, root=root, register=False)
+    _SQL_REGISTRY.pop("shared", None)
+    # the user's own view, never snapshot_register'd
+    spark.createDataFrame(
+        [(99, "mine")], "id int, v string"
+    ).createOrReplaceTempView("shared")
+    import os
+
+    os.environ["SPARK_GRAFT_CATALOG_ROOT"] = root
+    try:
+        # a mutation probe touches the name → must refuse, not hijack
+        with pytest.raises(SqlFrontError):
+            snapshot_sql(spark, "DELETE FROM shared WHERE id = 99")
+        # the user's view is untouched
+        got = snapshot_sql(spark, "SELECT v FROM shared").collect()
+        assert [r.v for r in got] == ["mine"]
+    finally:
+        os.environ.pop("SPARK_GRAFT_CATALOG_ROOT", None)
+        spark.catalog.dropTempView("shared")

@@ -466,3 +466,90 @@ def test_sql_range_refusals(spark, sql_table):
             snapshot_sql(spark, bad)
     # nothing mutated by the refusals
     assert spark.sql("SELECT count(*) c FROM trips").collect()[0].c == 12
+
+
+# ----------------------------------- round-10 review-pass regressions
+
+
+def test_malformed_date_bound_never_drops_files(spark, tmp_path):
+    """Spark rejects '2024-01-153' as a date (probed; only a T/space
+    separator may follow the day segment): ANSI sessions THROW at the
+    cast, permissive ones match nothing. A naive [:10] slice would
+    read it as 2024-01-15 and let the METADATA-ONLY whole-file proof
+    DROP files whose rows don't match — silent loss with no cast ever
+    evaluated. The planner must refuse to prune on such a bound, so
+    the row-level predicate keeps Spark's own semantics (here: the
+    ANSI error, with NOTHING committed)."""
+    t = str(tmp_path / "badcast")
+    base = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + datetime.timedelta(days=i)) for i in range(4)],
+        "id int, day date",
+    ).coalesce(1)
+    snapshot_write_with_stats(df, t, ["day"])
+    head = snapshot_versions(spark, t)[-1]["version"]
+    for bad in ("2024-01-153", "2024-01-02x"):
+        with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+            snapshot_delete_where(
+                spark, t, {"day": Range(hi=bad, hi_inc=False)},
+                mode="rewrite",
+            )
+        # nothing committed, nothing dropped
+        assert snapshot_versions(spark, t)[-1]["version"] == head
+        assert read_snapshot(spark, t).count() == 4
+    # the legitimate truncating forms still prune/match exactly
+    v, n = snapshot_delete_where(
+        spark, t, {"day": Range(hi="2024-01-02 23:59:59")},
+        mode="rewrite",
+    )
+    assert n == 2
+
+
+def test_mixed_timestamp_literal_forms_refuse_merge(spark, sql_table):
+    """' ' and 'T' separator forms order differently as strings than
+    as timestamps; merging two bounds (or filtering an IN list) on
+    that ambiguity could keep the LOOSER bound — must refuse, not
+    guess."""
+    for bad in (
+        "DELETE FROM trips WHERE ts > '2024-01-01 12:00:00' "
+        "AND ts > '2024-01-01T05:00:00'",
+        # raw string order puts ' 13:00' BELOW 'T12:00' (space < 'T'),
+        # chronology puts it above — filtering the IN value either way
+        # would be wrong for one column type
+        "DELETE FROM trips WHERE ts IN ('2024-01-01 13:00:00') "
+        "AND ts <= '2024-01-01T12:00:00'",
+    ):
+        with pytest.raises(SqlFrontError, match="ambiguous"):
+            snapshot_sql(spark, bad)
+    # consistent forms merge fine
+    r = snapshot_sql(
+        spark,
+        "DELETE FROM trips WHERE ts > '2024-01-01 12:00:00' "
+        "AND ts > '2024-01-05 00:00:00'",
+    ).collect()[0]
+    assert r.num_affected_rows == 7  # strictly after Jan 5 midnight
+    assert spark.sql("SELECT count(*) c FROM trips").collect()[0].c == 5
+
+
+def test_string_column_ts_shaped_range_not_falsely_empty(spark, tmp_path):
+    """On a STRING column Spark compares raw bytes: lo='...( )12:00'
+    < hi='...T05:00' (space < 'T'), so the range is NON-empty even
+    though chronologically lo > hi. A type-blind canonical emptiness
+    check would silently no-op the delete."""
+    t = str(tmp_path / "strts")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 13:00:00"), (2, "2024-01-01 01:00:00"),
+         (3, "zzz")],
+        "id int, s string",
+    ).coalesce(1)
+    snapshot_write_with_stats(df, t, ["s"])
+    rng = Range(lo="2024-01-01 12:00:00", hi="2024-01-01T05:00:00")
+    assert not rng.is_empty()
+    v, n = snapshot_delete_where(spark, t, {"s": rng}, mode="rewrite")
+    assert n == 1  # only ' 13:00:00' sits between the RAW bounds
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == [2, 3]
+    # genuinely empty stays a no-op in both orders
+    assert Range(lo=9, hi=3).is_empty()
+    assert Range(
+        lo="2024-01-01T12:00:00", hi="2024-01-01T05:00:00"
+    ).is_empty()

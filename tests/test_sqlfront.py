@@ -886,3 +886,17 @@ def test_branch_as_of_version_and_publish_conflict(spark, tmp_path):
     # the documented escape hatch
     snapshot_sql(spark, "ALTER TABLE sqlf_bav PUBLISH BRANCH old FORCE")
     assert read_snapshot(spark, t).count() == 5
+
+
+def test_time_travel_alias_never_clobbers_user_view(spark, tmp_path):
+    """A user view named exactly like a minted time-travel alias
+    (t__v1) keeps its data; the rewriter moves its ephemeral view to
+    a suffixed name and time travel stays correct."""
+    t = _mk(spark, tmp_path, "sqlf_tt")
+    snapshot_sql(spark, "DELETE FROM sqlf_tt WHERE id = 5")  # head: 4 rows
+    snapshot_register(spark, t, "sqlf_tt__v1")  # the USER's own view
+    rows = snapshot_sql(
+        spark, "SELECT count(*) AS c FROM sqlf_tt VERSION AS OF 1"
+    ).collect()
+    assert rows[0].c == 5  # time travel correct through the suffixed alias
+    assert spark.table("sqlf_tt__v1").count() == 4  # user view untouched
