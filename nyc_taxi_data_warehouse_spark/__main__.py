@@ -282,6 +282,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="count non-null rows of this column (COUNT(col)) from "
         "recorded row + null counts, scanning only unprovable files",
     )
+    sn.add_argument(
+        "--where", default=None,
+        help="predicate COUNT from the same stats planner the DML "
+        "uses (only boundary files scanned): a JSON object of "
+        "{col: value | [values] | {lo, hi, lo_inc, hi_inc}} — the "
+        "object form is a range, e.g. "
+        '\'{"ts": {"hi": "2024-01-01", "hi_inc": false}}\'',
+    )
 
     sd = sub.add_parser(
         "snapshot-delete",
@@ -817,7 +825,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     ts = float(ts)
                 except ValueError:
                     pass  # ISO string — snapshot_version_at parses it
-            if args.col is not None:
+            if args.where is not None:
+                from .warehouse.snapshots import (
+                    Range,
+                    snapshot_count_where,
+                    snapshot_version_at,
+                )
+
+                if args.col is not None:
+                    raise SystemExit(
+                        "pass --col OR --where, not both"
+                    )
+                preds = json.loads(args.where)
+                if not isinstance(preds, dict):
+                    raise SystemExit(
+                        "--where wants a JSON object {col: ...}"
+                    )
+                preds = {
+                    c: Range(**v) if isinstance(v, dict) else v
+                    for c, v in preds.items()
+                }
+                ver = args.version
+                if ts is not None:
+                    if ver is not None:
+                        raise SystemExit(
+                            "pass --version OR --at-timestamp, not both"
+                        )
+                    ver = snapshot_version_at(spark, args.table_path, ts)
+                n = snapshot_count_where(
+                    spark, args.table_path, preds, version=ver
+                )
+            elif args.col is not None:
                 from .warehouse.snapshots import (
                     snapshot_count_nonnull,
                     snapshot_version_at,

@@ -2748,6 +2748,78 @@ def snapshot_minmax(
     return (min(los) if los else None, max(his) if his else None)
 
 
+def snapshot_count_where(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    version: int | None = None,
+) -> int:
+    """Exact ``COUNT(*) WHERE col IN values AND ... / col BETWEEN``
+    planned from manifest metadata — the read-side twin of the DML
+    victim planner. Per file:
+
+    - stats/directories EXCLUDE it (no row can match) → contributes 0,
+      never opened;
+    - stats/directories PROVE every row matches (``Range``: recorded
+      [min, max] wholly inside the interval, zero nulls; IN: min ==
+      max == a value; partition dirs row-exactly) → contributes its
+      recorded footer count minus live DV tombstones, never opened;
+    - BOUNDARY files — matches mixed with survivors, stats-less files,
+      files under an outstanding equality delete (a key may mask
+      0..n of their rows, unprovable from metadata) — are scanned
+      with the exact residual predicate and full DV/eq masking.
+
+    On a time-clustered 100 TB table, ``COUNT(*) WHERE ts <
+    retention_cutoff`` then opens only the boundary files where the
+    cutoff lands — everything else answers from a few KB of manifest.
+    Same NULL semantics as the DML planner (predicates never match
+    NULL; a provably-empty range or emptied IN list returns 0)."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    preds = _sanitize_predicates(predicates)
+    if not preds:
+        return 0
+    man = _load_manifest(spark, path, version)
+    victims, _carried = _victims_by_stats_where(man, preds)
+    if not victims:
+        return 0
+    full = set(_full_match_files_where(man, preds))
+    eq_aff = set(_eq_affected_files(man, victims))
+    proven = [f for f in victims if f in full and f not in eq_aff]
+    pset = set(proven)
+    scan = [f for f in victims if f not in pset]
+    scanned = 0
+    if scan:
+        scanned = (
+            _read_file_list(
+                spark, path, scan,
+                StructType.fromJson(man["schema"]),
+                partition_cols=_manifest_partition_cols(man),
+                dv_files=man.get("dv_files"),
+                dv_targets=man.get("dv_targets"),
+                eq_entries=man.get("eqs"),
+                file_seq=man.get("seq"),
+                colmap=_colmap(man) or None,
+                defaults=man.get("defaults"),
+            )
+            .where(_match_expr(preds))
+            .count()
+        )
+    root = _root(path)
+    return (
+        scanned
+        + _physical_row_total(spark, root, man, proven)
+        - _dv_entry_count(spark, root, man.get("dv_files"), proven)
+    )
+
+
 def snapshot_count_nonnull(
     spark: SparkSession,
     path: str,

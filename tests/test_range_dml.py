@@ -553,3 +553,119 @@ def test_string_column_ts_shaped_range_not_falsely_empty(spark, tmp_path):
     assert Range(
         lo="2024-01-01T12:00:00", hi="2024-01-01T05:00:00"
     ).is_empty()
+
+
+# ------------------------------------ metadata-only predicate COUNT
+
+
+def test_count_where_scans_only_boundary_files(spark, tmp_path, monkeypatch):
+    """COUNT(*) under a range opens ONLY the boundary file: excluded
+    files contribute 0 from stats, proven files contribute recorded
+    footer counts — the read-side twin of the DML victim planner."""
+    import nyc_taxi_data_warehouse_spark.warehouse.snapshots as S
+
+    t = str(tmp_path / "cntw")
+    _mk_ts_table(spark, t)  # files [0..3], [4..7], [8..11]
+    calls: list = []
+    orig = S._read_file_list
+
+    def spy(spark_, path_, files_, *a, **k):
+        calls.append(sorted(files_))
+        return orig(spark_, path_, files_, *a, **k)
+
+    monkeypatch.setattr(S, "_read_file_list", spy)
+    # boundary lands in file1: file0 proven, file2 excluded
+    n = S.snapshot_count_where(
+        spark, t, {"ts": Range(hi="2024-01-06", hi_inc=False)}
+    )
+    assert n == 5
+    assert len(calls) == 1 and len(calls[0]) == 1
+    # fully excluded: zero files opened
+    calls.clear()
+    assert S.snapshot_count_where(
+        spark, t, {"ts": Range(lo="2030-01-01")}
+    ) == 0
+    assert calls == []
+    # fully proven: zero files opened
+    calls.clear()
+    assert S.snapshot_count_where(spark, t, {"id": Range(lo=0, hi=11)}) == 12
+    assert calls == []
+    # IN predicates plan through the same machinery
+    calls.clear()
+    assert S.snapshot_count_where(spark, t, {"id": [5, 6, 99]}) == 2
+    assert len(calls) == 1 and len(calls[0]) == 1
+    # empty range short-circuits
+    calls.clear()
+    assert S.snapshot_count_where(spark, t, {"id": Range(lo=9, hi=3)}) == 0
+    assert calls == []
+
+
+def test_count_where_partition_dirs_prove_without_scanning(
+    spark, tmp_path, monkeypatch
+):
+    import nyc_taxi_data_warehouse_spark.warehouse.snapshots as S
+
+    t = str(tmp_path / "cntp")
+    rows = [(2 * m + i, m) for m in range(1, 13) for i in (0, 1)]
+    snapshot_write_with_stats(
+        spark.createDataFrame(rows, "id int, month int"),
+        t, ["id"], partition_cols=["month"],
+    )
+    calls: list = []
+    orig = S._read_file_list
+
+    def spy(spark_, path_, files_, *a, **k):
+        calls.append(sorted(files_))
+        return orig(spark_, path_, files_, *a, **k)
+
+    monkeypatch.setattr(S, "_read_file_list", spy)
+    # typed dir compare: month <= 9 must not sweep 10..12, and the
+    # directory IS the proof — zero files opened
+    assert S.snapshot_count_where(spark, t, {"month": Range(hi=9)}) == 18
+    assert calls == []
+
+
+def test_count_where_exact_under_dv_and_eq_deletes(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
+        snapshot_delete_keys,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_count_where,
+        snapshot_delete_rows_dv,
+    )
+
+    t = str(tmp_path / "cntdv")
+    _mk_ts_table(spark, t)
+    # DV-tombstone a row inside the PROVEN file: recorded count minus
+    # tombstones stays exact without opening the file
+    snapshot_delete_rows_dv(spark, t, "id", [1])
+    assert snapshot_count_where(spark, t, {"id": Range(lo=0, hi=3)}) == 3
+    # an outstanding equality delete makes the affected file
+    # unprovable from metadata — it scans, and the count stays exact
+    snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(9,)], "id int")
+    )
+    assert snapshot_count_where(spark, t, {"id": Range(lo=8, hi=11)}) == 3
+    assert snapshot_count_where(spark, t, {"id": Range(lo=0, hi=3)}) == 3
+
+
+def test_count_where_cli(spark, tmp_path, capsys):
+    import json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    t = str(tmp_path / "cntcli")
+    _mk_ts_table(spark, t)
+    main(
+        [
+            "snapshot-count", "--table-path", t,
+            "--where", '{"ts": {"hi": "2024-01-06", "hi_inc": false}}',
+        ],
+        spark=spark,
+    )
+    assert json.loads(capsys.readouterr().out.strip()) == {"rows": 5}
+    main(
+        ["snapshot-count", "--table-path", t, "--where", '{"id": [5, 6]}'],
+        spark=spark,
+    )
+    assert json.loads(capsys.readouterr().out.strip()) == {"rows": 2}
