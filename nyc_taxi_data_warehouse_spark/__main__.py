@@ -841,10 +841,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     raise SystemExit(
                         "--where wants a JSON object {col: ...}"
                     )
-                preds = {
-                    c: Range(**v) if isinstance(v, dict) else v
-                    for c, v in preds.items()
-                }
+                try:
+                    preds = {
+                        c: Range(**v) if isinstance(v, dict) else v
+                        for c, v in preds.items()
+                    }
+                except (TypeError, ValueError) as e:
+                    raise SystemExit(
+                        f"--where range spec: {e} "
+                        "(range keys: lo, hi, lo_inc, hi_inc)"
+                    ) from None
                 ver = args.version
                 if ts is not None:
                     if ver is not None:

@@ -249,11 +249,23 @@ def catalog_resolve_missing(
         return False
     if rec is None:
         return False
-    # never hijack a USER-created temp view: if the name already
-    # resolves in the session but is not registry-tracked, the user
-    # made that view themselves — silently replacing it would flip
-    # what their very next SELECT returns. (snapshot_register views
-    # are always registry-tracked, so they never hit this guard.)
+    return catalog_register_guarded(spark, rec)
+
+
+def catalog_register_guarded(spark: SparkSession, rec: dict) -> bool:
+    """Register one durable binding with the resolve-missing guards:
+
+    - never hijack a USER-created temp view — a name that already
+      resolves in the session but is not registry-tracked is the
+      user's own view; silently replacing it would flip what their
+      very next SELECT returns (snapshot_register views are always
+      registry-tracked, so they never hit this guard);
+    - a STALE binding (table directory deleted, pinned version
+      vacuumed — both raise FileNotFoundError) resolves False so the
+      caller's own loud error names the real problem;
+    - anything else (storage timeouts, permission faults) PROPAGATES —
+      masking an infra error as 'unknown table' would send the
+      operator debugging a catalog problem that does not exist."""
     try:
         spark.table(rec["name"])
         return False
@@ -261,6 +273,6 @@ def catalog_resolve_missing(
         pass
     try:
         catalog_register(spark, rec)
-    except Exception:
+    except FileNotFoundError:
         return False
     return True

@@ -4945,11 +4945,13 @@ def _range_bounds_for_col(man: dict, col: str, rng: Range, for_proof: bool):
       INWARD for proofs (mirroring ``_stat_norm``'s widened stat
       endpoints), so float rounding can never exclude a matching file
       or prove a non-matching one;
-    - date: Spark casts a string literal to DATE by TRUNCATING its
-      time part — ``[:10]`` reproduces that cast exactly, same
-      inclusivity. A datetime endpoint refuses (Spark coerces the
-      DATE COLUMN up to timestamp there — truncating the bound would
-      flip boundary semantics);
+    - date: Spark casts a string literal to DATE by truncating AT A
+      'T'/SPACE SEPARATOR ONLY — any other trailing character nulls
+      the whole cast (probed: '2024-01-153', '2024-01-15x'), so the
+      bound parses against ``_DATE_CAST_RE`` and refuses anything
+      Spark would refuse. A datetime endpoint also refuses (Spark
+      coerces the DATE COLUMN up to timestamp there — truncating the
+      bound would flip boundary semantics);
     - timestamp: everything canonicalizes through ``_ts_canon``
       (date endpoints = midnight); tz-aware datetimes refuse;
     - string: str endpoints compare verbatim (UTF-8 byte order ==

@@ -1684,11 +1684,12 @@ def _register_catalog_names(spark, statement: str) -> bool:
     durable-catalog name the statement MENTIONS (word tokens) that
     this session doesn't know yet. Returns whether anything new
     registered. Only called after ``spark.sql`` failed, so the happy
-    path (temp views all present) pays zero catalog reads. Routes
-    through ``catalog_resolve_missing`` so its guards apply here too
+    path (temp views all present) pays zero catalog reads — and the
+    one ``catalog_entries`` read here feeds every name (no per-name
+    re-read), with the guarded-register semantics applied to each
     (stale bindings resolve False; user-created temp views are never
     hijacked)."""
-    from .namecatalog import catalog_entries, catalog_resolve_missing
+    from .namecatalog import catalog_entries, catalog_register_guarded
 
     try:
         entries = catalog_entries(spark)
@@ -1706,7 +1707,7 @@ def _register_catalog_names(spark, statement: str) -> bool:
             continue
         k = t.text.lower()
         if k in entries and k not in _SQL_REGISTRY:
-            if catalog_resolve_missing(spark, k):
+            if catalog_register_guarded(spark, entries[k]):
                 hit = True
     return hit
 
@@ -1737,14 +1738,33 @@ def _register_ephemeral(
     — past the cap the oldest ephemeral view (and its registry entry)
     drops, so ad-hoc TIMESTAMP AS OF exploration never accumulates
     unboundedly in a long-lived session. Returns the alias actually
-    used: a USER-registered view that happens to share the minted name
-    (someone registered 't__v3' themselves) is never clobbered — the
-    ephemeral view moves to a suffixed name instead."""
+    used: a USER-owned view that happens to share the minted name —
+    whether snapshot_register'd (registry-tracked) or a plain
+    createOrReplaceTempView the registry never saw — is never
+    clobbered; the ephemeral view keeps moving to suffixed names until
+    one is free."""
     from .snapshots import snapshot_register
 
-    existing = _SQL_REGISTRY.get(alias.lower())
-    if existing is not None and not existing.get("ephemeral"):
-        alias = f"{alias}__eph"
+    def user_owns(name: str) -> bool:
+        rec = _SQL_REGISTRY.get(name.lower())
+        if rec is not None:
+            return not rec.get("ephemeral")
+        try:  # resolves but untracked → the user's own temp view
+            spark.table(name)
+            return True
+        except Exception:
+            return False
+
+    base = alias
+    n = 0
+    while user_owns(alias):
+        n += 1
+        alias = f"{base}__eph{'' if n == 1 else n}"
+    # a REUSED ephemeral alias must refresh its recency before the
+    # cap's oldest-first eviction below: dict key reassignment keeps
+    # the old position, so a statement reusing the oldest alias while
+    # minting one more view would evict the view it just registered
+    _SQL_REGISTRY.pop(alias.lower(), None)
     snapshot_register(spark, path, alias, **pin)
     _SQL_REGISTRY[alias.lower()]["ephemeral"] = True
     eph = [k for k, r in _SQL_REGISTRY.items() if r.get("ephemeral")]

@@ -669,3 +669,18 @@ def test_count_where_cli(spark, tmp_path, capsys):
         spark=spark,
     )
     assert json.loads(capsys.readouterr().out.strip()) == {"rows": 2}
+
+
+def test_count_where_cli_bad_range_key_exits_cleanly(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    t = str(tmp_path / "cntbad")
+    _mk_ts_table(spark, t, n_files=1)
+    with pytest.raises(SystemExit, match="range spec"):
+        main(
+            [
+                "snapshot-count", "--table-path", t,
+                "--where", '{"ts": {"high": "2024-01-01"}}',
+            ],
+            spark=spark,
+        )

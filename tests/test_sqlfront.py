@@ -900,3 +900,58 @@ def test_time_travel_alias_never_clobbers_user_view(spark, tmp_path):
     ).collect()
     assert rows[0].c == 5  # time travel correct through the suffixed alias
     assert spark.table("sqlf_tt__v1").count() == 4  # user view untouched
+
+
+def test_time_travel_alias_never_clobbers_plain_temp_view(spark, tmp_path):
+    """A plain createOrReplaceTempView (never registry-tracked) naming
+    the minted alias — or its first suffix — keeps its data; the
+    rewriter keeps suffixing until a free name."""
+    t = _mk(spark, tmp_path, "sqlf_tt2")
+    snapshot_sql(spark, "DELETE FROM sqlf_tt2 WHERE id = 5")
+    spark.createDataFrame([(42,)], "x int").createOrReplaceTempView(
+        "sqlf_tt2__v1"
+    )
+    spark.createDataFrame([(43,)], "x int").createOrReplaceTempView(
+        "sqlf_tt2__v1__eph"
+    )
+    rows = snapshot_sql(
+        spark, "SELECT count(*) AS c FROM sqlf_tt2 VERSION AS OF 1"
+    ).collect()
+    assert rows[0].c == 5  # time travel correct two suffix levels deep
+    assert [r.x for r in spark.table("sqlf_tt2__v1").collect()] == [42]
+    assert [
+        r.x for r in spark.table("sqlf_tt2__v1__eph").collect()
+    ] == [43]
+    spark.catalog.dropTempView("sqlf_tt2__v1")
+    spark.catalog.dropTempView("sqlf_tt2__v1__eph")
+
+
+def test_ephemeral_reuse_refreshes_recency(spark, tmp_path, monkeypatch):
+    """Reusing the OLDEST ephemeral alias must refresh its position:
+    with the cap at 2, reuse-v1-then-mint-v3 must evict v2, not the
+    just-reused v1."""
+    import nyc_taxi_data_warehouse_spark.warehouse.sqlfront as SF
+
+    # a clean ephemeral slate so the cap math is exact
+    for k in [
+        k for k, r in SF._SQL_REGISTRY.items() if r.get("ephemeral")
+    ]:
+        rec = SF._SQL_REGISTRY.pop(k)
+        try:
+            spark.catalog.dropTempView(rec["name"])
+        except Exception:
+            pass
+    monkeypatch.setattr(SF, "_EPHEMERAL_CAP", 2)
+    _mk(spark, tmp_path, "sqlf_cap")
+    snapshot_sql(spark, "DELETE FROM sqlf_cap WHERE id = 5")  # v2
+    snapshot_sql(spark, "DELETE FROM sqlf_cap WHERE id = 4")  # v3
+    q = "SELECT count(*) AS c FROM sqlf_cap VERSION AS OF {}"
+    assert snapshot_sql(spark, q.format(1)).collect()[0].c == 5
+    assert snapshot_sql(spark, q.format(2)).collect()[0].c == 4
+    assert snapshot_sql(spark, q.format(1)).collect()[0].c == 5  # reuse
+    assert snapshot_sql(spark, q.format(3)).collect()[0].c == 3  # mint
+    # the reused v1 survived the eviction; v2 (stale) was the victim
+    assert spark.table("sqlf_cap__v1").count() == 5
+    assert "sqlf_cap__v2" not in [
+        r["name"] for r in SF._SQL_REGISTRY.values()
+    ]
