@@ -2748,6 +2748,57 @@ def snapshot_minmax(
     return (min(los) if los else None, max(his) if his else None)
 
 
+def read_snapshot_where(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Manifest-pruned READ under a conjunctive predicate ({col:
+    values | Range}) — the scan twin of the DML victim planner and
+    ``snapshot_count_where``: only files whose stats/directories admit
+    a match are opened (stats-less files conservatively kept — never a
+    false negative), then the exact row-level predicate applies as a
+    residual. Generalizes ``read_snapshot_pruned`` (single column,
+    inclusive interval) to multi-column conjunctions, IN lists,
+    exclusive/half-open bounds, and typed partition-directory ranges.
+
+    A retention audit (``SELECT * WHERE ts < cutoff``) on a
+    time-clustered 100 TB table then opens only the files the cutoff
+    intersects; everything else is excluded from metadata alone. DV
+    tombstones, equality deletes, column renames, and initial defaults
+    all apply exactly as in ``read_snapshot`` (the pruned set reads
+    through the same ``_read_file_list``)."""
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    man = _load_manifest(spark, path, version)
+    schema = StructType.fromJson(man["schema"])
+    preds = _sanitize_predicates(predicates)
+    if not preds:  # provably-empty range / emptied IN list
+        return spark.createDataFrame([], schema)
+    victims, _carried = _victims_by_stats_where(man, preds)
+    if not victims:
+        return spark.createDataFrame([], schema)
+    df = _read_file_list(
+        spark, path, victims, schema,
+        partition_cols=_manifest_partition_cols(man),
+        dv_files=man.get("dv_files"),
+        dv_targets=man.get("dv_targets"),
+        eq_entries=man.get("eqs"),
+        file_seq=man.get("seq"),
+        colmap=_colmap(man) or None,
+        defaults=man.get("defaults"),
+    )
+    return df.where(_match_expr(preds))
+
+
 def snapshot_count_where(
     spark: SparkSession,
     path: str,

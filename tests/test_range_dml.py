@@ -684,3 +684,59 @@ def test_count_where_cli_bad_range_key_exits_cleanly(spark, tmp_path):
             ],
             spark=spark,
         )
+
+
+# --------------------------------------- manifest-pruned WHERE reads
+
+
+def test_read_where_opens_only_admitting_files(spark, tmp_path, monkeypatch):
+    """read_snapshot_where: the scan twin — excluded files never open,
+    results exactly equal the full-scan filter."""
+    import nyc_taxi_data_warehouse_spark.warehouse.snapshots as S
+
+    t = str(tmp_path / "rdw")
+    _mk_ts_table(spark, t)
+    calls: list = []
+    orig = S._read_file_list
+
+    def spy(spark_, path_, files_, *a, **k):
+        calls.append(sorted(files_))
+        return orig(spark_, path_, files_, *a, **k)
+
+    monkeypatch.setattr(S, "_read_file_list", spy)
+    df = S.read_snapshot_where(
+        spark, t, {"ts": Range(hi="2024-01-06", hi_inc=False)}
+    )
+    got = sorted(r.id for r in df.collect())
+    assert got == [0, 1, 2, 3, 4]
+    # two intersecting files opened, the third excluded from metadata
+    assert len(calls) == 1 and len(calls[0]) == 2
+    # conjunction with IN; empty range short-circuits without a read
+    calls.clear()
+    df = S.read_snapshot_where(
+        spark, t, {"id": [2, 3, 9], "ts": Range(lo="2024-01-03")}
+    )
+    # id 2's ts is exactly Jan 3 midnight — the inclusive lo keeps it
+    assert sorted(r.id for r in df.collect()) == [2, 3, 9]
+    calls.clear()
+    assert S.read_snapshot_where(
+        spark, t, {"id": Range(lo=9, hi=3)}
+    ).count() == 0
+    assert calls == []
+
+
+def test_read_where_applies_dv_and_defaults(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        read_snapshot_where,
+        snapshot_add_column,
+        snapshot_delete_rows_dv,
+    )
+
+    t = str(tmp_path / "rdw2")
+    _mk_ts_table(spark, t)
+    snapshot_delete_rows_dv(spark, t, "id", [2])
+    snapshot_add_column(spark, t, "src", "string", default="bulk")
+    df = read_snapshot_where(spark, t, {"id": Range(lo=0, hi=3)})
+    got = sorted((r.id, r.src) for r in df.collect())
+    # tombstoned row invisible; initial default fills pre-add rows
+    assert got == [(0, "bulk"), (1, "bulk"), (3, "bulk")]
