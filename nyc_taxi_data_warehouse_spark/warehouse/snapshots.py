@@ -1321,12 +1321,21 @@ def snapshot_register(
     leak into an already-registered view (reader isolation carries
     into SQL), and omitting ``version`` pins the current latest —
     re-register to follow the head."""
-    # read_snapshot resolves + pins the head itself: the concrete file
-    # list is baked into the DataFrame at call time, so the view is
-    # version-stable without pre-resolving here
+    # resolve the version FIRST and pin read_snapshot to it, so the
+    # registry's ``resolved_version`` provably equals what the view
+    # reflects (no listing race with a concurrent commit) — the SQL
+    # front door's metadata-planned SELECT fast path answers at this
+    # version for exact parity with a spark.sql scan of the view
+    resolved = version
+    if resolved is None:
+        if at_timestamp is not None:
+            resolved = snapshot_version_at(spark, path, at_timestamp)
+        else:
+            versions = _list_manifests(spark, path)
+            # empty table: let read_snapshot raise its own error
+            resolved = versions[-1] if versions else None
     read_snapshot(
-        spark, path, version=version, at_timestamp=at_timestamp,
-        partitions=partitions,
+        spark, path, version=resolved, partitions=partitions,
     ).createOrReplaceTempView(name)
     # record the name→path binding for the SQL statement front door
     # (``sqlfront.snapshot_sql``): DELETE/UPDATE/MERGE/ALTER/VACUUM/
@@ -1347,6 +1356,15 @@ def snapshot_register(
         # PARTITIONS of a version-pinned view shows THAT version)
         "version": version,
         "at_timestamp": at_timestamp,
+        # what the temp view ACTUALLY reflects (head resolved at
+        # registration for unpinned names) — the SELECT fast path
+        # answers at this version, matching the view byte-for-byte
+        # even when later commits have moved the table head
+        "resolved_version": resolved,
+        # a partition-scoped registration restricts the view to a
+        # file subset the fast path does not model — it refuses and
+        # the statement passes through to spark.sql over the view
+        "partitions": dict(partitions) if partitions else None,
     }
 
 
@@ -5231,7 +5249,7 @@ def _range_dir_files(man: dict, col: str, rng: Range, mode: str) -> list[str]:
     return out
 
 
-def _sanitize_predicates(predicates: dict) -> dict:
+def _sanitize_predicates(predicates) -> dict | list:
     """{col: values} with scalars normalized to one-element lists and
     None values stripped per column (NULL never matches an IN list,
     and a null inside the list poisons ``~isin`` to NULL). Scalar
@@ -5241,7 +5259,34 @@ def _sanitize_predicates(predicates: dict) -> dict:
     list empties means the conjunction can match NOTHING — callers
     short-circuit to a no-op on {}. A ``Range`` value passes through
     (a provably-empty range — lo > hi — short-circuits the same
-    way)."""
+    way).
+
+    DISJUNCTIONS: a list/tuple of {col: values} dicts is a DNF
+    predicate — OR over the branches, AND within each (``DELETE ...
+    WHERE (a = 1 AND b = 2) OR c > 9``). Each branch sanitizes by the
+    conjunctive rules above; a provably-empty branch drops from the
+    disjunction (x OR false ≡ x); all branches empty → [] (callers
+    no-op, same as {}); exactly one branch left → that plain dict, so
+    single-branch DNF takes every conjunctive fast path (partition
+    drops included)."""
+    if isinstance(predicates, (list, tuple)):
+        if not predicates:
+            raise ValueError(
+                "DNF predicates must contain at least one branch"
+            )
+        branches = []
+        for b in predicates:
+            if not isinstance(b, dict):
+                raise ValueError(
+                    "DNF predicates must be a list of {col: values} "
+                    f"dicts; got a {type(b).__name__} branch"
+                )
+            sb = _sanitize_predicates(b)
+            if sb:
+                branches.append(sb)
+        if len(branches) == 1:
+            return branches[0]
+        return branches
     if not predicates:
         raise ValueError("predicates must name at least one column")
     out = {}
@@ -5282,7 +5327,23 @@ def _victims_by_stats_where(
     would rewrite byte-identical files in every other tenant whose
     user_id range happens to admit the key); the rest use the
     single-column stats planner, keeping its no-false-negatives
-    contract per column."""
+    contract per column.
+
+    DNF (list of branch dicts): a file may match ``branch1 OR
+    branch2`` iff SOME branch admits it — the victim set is the UNION
+    of the per-branch conjunctive victim sets (each branch keeps its
+    own no-false-negatives contract, so the union keeps it for the
+    disjunction). Manifest file order is preserved; a file admitted
+    by several branches appears once."""
+    if isinstance(predicates, (list, tuple)):
+        admitted: set = set()
+        for branch in predicates:
+            v, _ = _victims_by_stats_where(man, branch)
+            admitted |= set(v)
+        return (
+            [f for f in man["files"] if f in admitted],
+            [f for f in man["files"] if f not in admitted],
+        )
     alive = set(man["files"])
     for col, vals in predicates.items():
         if isinstance(vals, Range):
@@ -5312,7 +5373,19 @@ def _full_match_files_where(man: dict, predicates: dict) -> list[str]:
     the per-column whole-file proof must hold for EVERY predicate
     column. For a partition column the directory IS the proof (every
     row in ``month=5/`` has month 5, non-null); data columns need the
-    stats proof (min == max == a value, zero nulls)."""
+    stats proof (min == max == a value, zero nulls).
+
+    DNF (list of branch dicts): a file fully matches the DISJUNCTION
+    when every row provably matches SOME single branch whole — the
+    UNION of the per-branch proofs. (A file whose rows split across
+    branches with none covering it alone is NOT proven — sound but
+    not complete; it stays a boundary file and scans. Never a false
+    whole-file drop.)"""
+    if isinstance(predicates, (list, tuple)):
+        u: set = set()
+        for branch in predicates:
+            u |= set(_full_match_files_where(man, branch))
+        return sorted(u)
     full: set | None = None
     for col, vals in predicates.items():
         if isinstance(vals, Range):
@@ -5340,7 +5413,19 @@ def _match_expr(predicates: dict):
     ``where(match)`` and ``where(~match)`` partition rows exactly.
     ``Range`` values compile to null-guarded bound comparisons with
     Spark's own literal coercion — the planner's stat/directory
-    pruning is calibrated to reproduce exactly these semantics."""
+    pruning is calibrated to reproduce exactly these semantics.
+
+    DNF (list of branch dicts): OR over the branch expressions. Each
+    branch is never-NULL (per the guard above), so the disjunction is
+    never NULL either and ``where(~match)`` still partitions rows
+    exactly — the property every delete path's survivor scan relies
+    on."""
+    if isinstance(predicates, (list, tuple)):
+        expr = None
+        for branch in predicates:
+            term = _match_expr(branch)
+            expr = term if expr is None else (expr | term)
+        return expr
     expr = None
     for c, vals in predicates.items():
         if isinstance(vals, Range):
@@ -6206,7 +6291,12 @@ def snapshot_delete_where(
         man = _load_manifest(spark, path, versions[-1])
         pc = set(_manifest_partition_cols(man) or ())
         if (
-            set(preds) <= pc
+            # DNF (multi-branch OR) takes the data paths: per-branch
+            # directory whole-file proofs still drop whole partitions
+            # by reference, just through one data-path commit instead
+            # of n non-atomic partition-drop commits
+            isinstance(preds, dict)
+            and set(preds) <= pc
             # Range predicates take the data paths: their partition
             # pruning + directory whole-file proofs already drop whole
             # partitions by reference, just through a data-path commit

@@ -94,9 +94,11 @@ _GRAMMAR = """supported snapshot statements:
   SHOW TBLPROPERTIES t
   SHOW PARTITIONS t
 (t = a name registered via snapshot_register, or a quoted table path;
- predicates are conjunctions of col = lit / col IN (...) /
- col < <= > >= lit / col BETWEEN a AND b — the forms the engine
- plans from manifest stats without scanning)"""
+ predicates are any AND / OR / NOT / parenthesized combination of
+ col = lit / col != lit / col <> lit / col IN (...) /
+ col NOT IN (...) / col < <= > >= lit / col [NOT] BETWEEN a AND b —
+ lowered to a union of conjunctive branches the engine plans from
+ manifest stats without scanning)"""
 
 
 def _fail(msg: str, stmt: str) -> None:
@@ -514,70 +516,337 @@ def _merge_range(p: _Parser, col: str, prev, lo=None, hi=None,
     return kept
 
 
-def _parse_predicates(p: _Parser) -> dict:
-    from .snapshots import Range
+# Boolean predicate grammar → DNF. The WHERE surface is the full
+# boolean algebra over the plannable leaves — = / IN / < <= > >= /
+# BETWEEN plus their negations (!=, <>, NOT IN, NOT BETWEEN, NOT (...))
+# and OR/AND/parentheses — lowered at parse time to disjunctive normal
+# form: a list of conjunction dicts the manifest planner executes as a
+# UNION of per-branch victim sets (one commit, one residual scan — see
+# snapshots._victims_by_stats_where). Negations desugar to the range
+# forms the planner already proves exactly: ``col != v`` becomes
+# ``col < v OR col > v`` (verified equivalent under Spark semantics,
+# including NaN, which Spark orders greater than any other double —
+# NaN > v is TRUE, matching NaN != v); ``col NOT IN (v1 < ... < vn)``
+# becomes the n+1 open intervals between sorted values. Both sides of
+# every desugared form share SQL's NULL semantics (a NULL row matches
+# neither), so the rewrite is exact, never a relaxation. The DNF
+# branch count is capped (a pathological (a1 OR b1) AND ... blowup
+# refuses loudly rather than planning 2^n branches).
 
-    preds: dict = {}
-    while True:
-        col = p.ident()
-        if col.upper() in ("OR", "NOT"):
-            _fail(
-                f"{col.upper()} predicates are not supported "
-                "(conjunctions of = / IN / < <= > >= / BETWEEN only)",
-                p.raw,
-            )
-        vals = None
-        op = None
+_DNF_MAX = 64
+
+
+def _ne_op(p: _Parser) -> bool:
+    """Consume ``!=`` or ``<>`` if present — adjacent char pairs, same
+    offset proof as ``_cmp_op`` (``< >`` with whitespace between is
+    not an operator)."""
+    t = p.peek()
+    if t is None or t.kind != "other" or t.text not in ("!", "<"):
+        return False
+    nxt = p.peek(1)
+    if t.text == "!":
+        if (
+            nxt is not None
+            and nxt.kind == "punct"
+            and nxt.text == "="
+            and nxt.start == t.end
+        ):
+            p.i += 2
+            return True
+        return False
+    if (
+        nxt is not None
+        and nxt.kind == "other"
+        and nxt.text == ">"
+        and nxt.start == t.end
+    ):
+        p.i += 2
+        return True
+    return False
+
+
+def _parse_in_list(p: _Parser) -> list:
+    p.expect_punct("(")
+    vals = [p.literal()]
+    while p.punct(","):
+        vals.append(p.literal())
+    p.expect_punct(")")
+    return vals
+
+
+_RESERVED_PRED_WORDS = ("OR", "AND", "NOT", "WHERE", "BETWEEN", "IN")
+
+
+def _parse_leaf(p: _Parser) -> tuple:
+    """One comparison → an AST leaf: ('in', col, vals) / ('notin',
+    col, vals) / ('range', col, {lo, hi, lo_inc, hi_inc}) — or a
+    ('not', range) for NOT BETWEEN (the NNF pass lands it)."""
+    col = p.ident()
+    if col.upper() in _RESERVED_PRED_WORDS:
+        _fail(f"expected a column name, got keyword {col.upper()}", p.raw)
+    if p.kw("NOT"):
         if p.kw("IN"):
-            p.expect_punct("(")
-            vals = [p.literal()]
-            while p.punct(","):
-                vals.append(p.literal())
-            p.expect_punct(")")
-        elif p.punct("="):
-            vals = [p.literal()]
-        elif p.kw("BETWEEN"):
-            # BETWEEN binds its own AND before the conjunction's
+            return ("notin", col, _parse_in_list(p))
+        if p.kw("BETWEEN"):
             a = _range_lit(p, col)
             p.expect_kw("AND")
             b = _range_lit(p, col)
-            preds[col] = _merge_range(
-                p, col, preds.get(col), lo=a, hi=b
-            )
-        elif (op := _cmp_op(p)) is not None:
-            lit = _range_lit(p, col)
-            kw = {
-                "<": dict(hi=lit, hi_inc=False),
-                "<=": dict(hi=lit),
-                ">": dict(lo=lit, lo_inc=False),
-                ">=": dict(lo=lit),
-            }[op]
-            preds[col] = _merge_range(p, col, preds.get(col), **kw)
-        else:
-            t = p.peek()
+            return ("not", ("range", col, dict(lo=a, hi=b)))
+        _fail(f"expected IN or BETWEEN after {col} NOT", p.raw)
+    if p.kw("IN"):
+        return ("in", col, _parse_in_list(p))
+    if p.punct("="):
+        return ("in", col, [p.literal()])
+    if _ne_op(p):
+        v = p.literal()
+        if v is None:
             _fail(
-                f"unsupported predicate on {col!r} at "
-                f"{t.text if t else 'end of statement'!r} "
-                "(conjunctions of col = lit / col IN (...) / "
-                "col < <= > >= lit / col BETWEEN a AND b only)",
+                f"{col} != NULL matches nothing in SQL — almost "
+                "certainly a typo (IS NOT NULL is a different "
+                "predicate)",
                 p.raw,
             )
-        if vals is not None:
-            prev = preds.get(col)
-            if isinstance(prev, Range):
-                # range ∧ values → filter the values by the range
-                preds[col] = _merge_range(
-                    p, col, vals, lo=prev.lo, hi=prev.hi,
-                    lo_inc=prev.lo_inc, hi_inc=prev.hi_inc,
+        return ("notin", col, [v])
+    if p.kw("BETWEEN"):
+        # BETWEEN binds its own AND before the conjunction's
+        a = _range_lit(p, col)
+        p.expect_kw("AND")
+        b = _range_lit(p, col)
+        return ("range", col, dict(lo=a, hi=b))
+    if (op := _cmp_op(p)) is not None:
+        lit = _range_lit(p, col)
+        kw = {
+            "<": dict(hi=lit, hi_inc=False),
+            "<=": dict(hi=lit),
+            ">": dict(lo=lit, lo_inc=False),
+            ">=": dict(lo=lit),
+        }[op]
+        return ("range", col, kw)
+    t = p.peek()
+    _fail(
+        f"unsupported predicate on {col!r} at "
+        f"{t.text if t else 'end of statement'!r} "
+        "(col = lit / col != lit / col IN (...) / col NOT IN (...) / "
+        "col < <= > >= lit / col [NOT] BETWEEN a AND b, combined with "
+        "AND / OR / NOT / parentheses)",
+        p.raw,
+    )
+
+
+def _parse_bool_term(p: _Parser) -> tuple:
+    if p.kw("NOT"):
+        return ("not", _parse_bool_term(p))
+    if p.punct("("):
+        e = _parse_bool_or(p)
+        p.expect_punct(")")
+        return e
+    return _parse_leaf(p)
+
+
+def _parse_bool_and(p: _Parser) -> tuple:
+    terms = [_parse_bool_term(p)]
+    while p.kw("AND"):
+        terms.append(_parse_bool_term(p))
+    return terms[0] if len(terms) == 1 else ("and", terms)
+
+
+def _parse_bool_or(p: _Parser) -> tuple:
+    terms = [_parse_bool_and(p)]
+    while p.kw("OR"):
+        terms.append(_parse_bool_and(p))
+    return terms[0] if len(terms) == 1 else ("or", terms)
+
+
+def _nnf(node: tuple, neg: bool = False) -> tuple:
+    """Push negations to the leaves (De Morgan) — leaf negation under
+    WHERE-match semantics (a NULL row matches NEITHER a predicate nor
+    its negation, so complementing the operator is exact): NOT(in) →
+    notin; NOT(range) → the complementary open rays."""
+    k = node[0]
+    if k == "not":
+        return _nnf(node[1], not neg)
+    if k in ("and", "or"):
+        kk = k if not neg else ("or" if k == "and" else "and")
+        return (kk, [_nnf(c, neg) for c in node[1]])
+    if not neg:
+        return node
+    if k == "in":
+        return ("notin", node[1], node[2])
+    if k == "notin":
+        return ("in", node[1], node[2])
+    col, kw = node[1], node[2]
+    rays = []
+    if kw.get("lo") is not None:
+        rays.append(
+            ("range", col,
+             dict(hi=kw["lo"], hi_inc=not kw.get("lo_inc", True)))
+        )
+    if kw.get("hi") is not None:
+        rays.append(
+            ("range", col,
+             dict(lo=kw["hi"], lo_inc=not kw.get("hi_inc", True)))
+        )
+    return ("or", rays)
+
+
+def _expand_notin(p: _Parser, node: tuple) -> tuple:
+    """Desugar every notin leaf to plannable forms: boolean values
+    complement within the two-value domain (b != TRUE ≡ b = FALSE —
+    Spark refuses bool-vs-non-bool comparisons outright, so the
+    rewrite can never silently retype); ordered values become the
+    sorted gaps ``(-inf,v1) ∪ (v1,v2) ∪ ... ∪ (vn,+inf)``. Literal
+    ordering goes through ``_cmp_lit`` — mixed types and ambiguous
+    timestamp-string forms refuse loudly, never a guessed order."""
+    import functools
+
+    k = node[0]
+    if k in ("and", "or"):
+        return (k, [_expand_notin(p, c) for c in node[1]])
+    if k != "notin":
+        return node
+    col, vals = node[1], node[2]
+    if any(v is None for v in vals):
+        _fail(
+            f"{col} NOT IN (...) with a NULL literal matches nothing "
+            "in SQL — almost certainly a typo",
+            p.raw,
+        )
+    bools = [v for v in vals if isinstance(v, bool)]
+    if bools:
+        if len(bools) != len(vals):
+            _fail(
+                f"NOT IN on {col!r} mixes boolean and non-boolean "
+                "literals — no column type compares against both",
+                p.raw,
+            )
+        s = set(vals)
+        if s == {True, False}:
+            return ("or", [])  # neither boolean survives: matches nothing
+        return ("in", col, [not next(iter(s))])
+    vs = sorted(
+        vals, key=functools.cmp_to_key(lambda a, b: _cmp_lit(p, col, a, b))
+    )
+    uniq = [vs[0]]
+    for v in vs[1:]:
+        if _cmp_lit(p, col, v, uniq[-1]) != 0:
+            uniq.append(v)
+    branches: list = [("range", col, dict(hi=uniq[0], hi_inc=False))]
+    for a, b in zip(uniq, uniq[1:]):
+        branches.append(
+            ("range", col, dict(lo=a, lo_inc=False, hi=b, hi_inc=False))
+        )
+    branches.append(("range", col, dict(lo=uniq[-1], lo_inc=False)))
+    return ("or", branches)
+
+
+def _to_dnf(p: _Parser, node: tuple) -> list[list[tuple]]:
+    """Distribute to disjunctive normal form: a list of branches, each
+    a list of in/range leaves. Branch count capped at ``_DNF_MAX`` —
+    the planner unions per-branch victim sets, and an exponential
+    blowup should refuse at parse time, not stall a 100 TB plan."""
+    k = node[0]
+    if k == "or":
+        out: list = []
+        for c in node[1]:
+            out.extend(_to_dnf(p, c))
+            if len(out) > _DNF_MAX:
+                _fail(
+                    f"predicate expands to more than {_DNF_MAX} OR "
+                    "branches — simplify the condition",
+                    p.raw,
                 )
-            elif prev is not None:
-                # same column twice → value-set intersection
-                preds[col] = [v for v in prev if v in vals]
-            else:
-                preds[col] = vals
-        if not p.kw("AND"):
-            break
+        return out
+    if k == "and":
+        prod: list = [[]]
+        for c in node[1]:
+            nxt: list = []
+            for right in _to_dnf(p, c):
+                for left in prod:
+                    nxt.append(left + right)
+                    if len(nxt) > _DNF_MAX * len(prod):
+                        break
+            prod = nxt
+            if len(prod) > _DNF_MAX:
+                _fail(
+                    f"predicate expands to more than {_DNF_MAX} OR "
+                    "branches — simplify the condition",
+                    p.raw,
+                )
+        return prod
+    return [[node]]
+
+
+def _fold_branch(p: _Parser, leaves: list[tuple]) -> dict:
+    """One DNF branch → the planner's {col: values | Range} dict, with
+    same-column constraints merged exactly as the conjunctive grammar
+    always did (ranges tighten; value sets intersect; values filter
+    through ranges)."""
+    from .snapshots import Range
+
+    preds: dict = {}
+    for leaf in leaves:
+        if leaf[0] == "range":
+            col, kw = leaf[1], leaf[2]
+            preds[col] = _merge_range(p, col, preds.get(col), **kw)
+            continue
+        col, vals = leaf[1], leaf[2]
+        prev = preds.get(col)
+        if isinstance(prev, Range):
+            # range ∧ values → filter the values by the range
+            preds[col] = _merge_range(
+                p, col, vals, lo=prev.lo, hi=prev.hi,
+                lo_inc=prev.lo_inc, hi_inc=prev.hi_inc,
+            )
+        elif prev is not None:
+            # same column twice → value-set intersection
+            preds[col] = [v for v in prev if v in vals]
+        else:
+            preds[col] = list(vals)
     return preds
+
+
+def _branch_key(d: dict):
+    from .snapshots import Range
+
+    return tuple(
+        (
+            c,
+            ("R",) + d[c]._key()
+            if isinstance(d[c], Range)
+            else ("V", tuple(repr(v) for v in d[c])),
+        )
+        for c in sorted(d)
+    )
+
+
+def _parse_predicates(p: _Parser) -> dict | list:
+    """Full WHERE parse → the planner predicate: a single {col:
+    values | Range} dict for a plain conjunction (every existing
+    caller and fast path unchanged), or a LIST of such dicts (DNF)
+    when the condition contains OR / a negation that desugars to
+    one."""
+    tree = _parse_bool_or(p)
+    expanded = _expand_notin(p, _nnf(tree))
+    branches = []
+    seen = set()
+    for leaves in _to_dnf(p, expanded):
+        b = _fold_branch(p, leaves)
+        if not b:
+            _fail(
+                "predicate is trivially true — refusing an unscoped "
+                "full-table mutation",
+                p.raw,
+            )
+        k = _branch_key(b)
+        if k not in seen:
+            seen.add(k)
+            branches.append(b)
+    if not branches:
+        # e.g. ``b NOT IN (TRUE, FALSE)`` — provably matches nothing;
+        # executors treat [] as the no-op it is (same as an emptied
+        # IN list: current version, zero rows affected)
+        return []
+    return branches[0] if len(branches) == 1 else branches
 
 
 def _one_row(spark: SparkSession, schema: str, row: tuple) -> DataFrame:
@@ -601,11 +870,23 @@ def _exec_delete(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
         )
     preds = _parse_predicates(p)
     p.end()
-    v, n = snapshot_delete_where(spark, path, preds, mode=mode)
-    _refresh_views(spark, path)
+    if preds == []:  # provably matches nothing: no-op, no commit
+        v, n = _head_version(spark, path), 0
+    else:
+        v, n = snapshot_delete_where(spark, path, preds, mode=mode)
+        _refresh_views(spark, path)
     return _one_row(
         spark, "version bigint, num_affected_rows bigint", (v, n)
     )
+
+
+def _head_version(spark, path: str) -> int:
+    from .snapshots import _list_manifests
+
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    return versions[-1]
 
 
 class _RawExpr:
@@ -722,8 +1003,13 @@ def _exec_update(spark, p: _Parser, stmt: str, mode: str) -> DataFrame:
                     stmt,
                 )
             set_values[c] = F.expr(e.sql)
-    v, n = snapshot_update_where(spark, path, preds, set_values, mode=mode)
-    _refresh_views(spark, path)
+    if preds == []:  # provably matches nothing: no-op, no commit
+        v, n = _head_version(spark, path), 0
+    else:
+        v, n = snapshot_update_where(
+            spark, path, preds, set_values, mode=mode
+        )
+        _refresh_views(spark, path)
     return _one_row(
         spark, "version bigint, num_affected_rows bigint", (v, n)
     )
@@ -1861,6 +2147,156 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     return "".join(out)
 
 
+def _try_select_fastpath(
+    spark: SparkSession, statement: str
+) -> DataFrame | None:
+    """Metadata-planned SELECT routing — the read-side twin of the DML
+    dispatch. The restricted shapes
+
+        SELECT COUNT(*) [AS a] FROM t [time travel] [WHERE preds]
+        SELECT * | col [, col ...] FROM t [time travel] [WHERE preds]
+            [LIMIT n]
+
+    (t = a registered/durable-catalog snapshot name or a quoted table
+    path; preds = the front door's plannable grammar) route to
+    ``snapshot_count_where`` / ``read_snapshot_where``: a COUNT under
+    a retention cutoff answers from manifest stats opening only
+    boundary files, and a predicate read opens only the files whose
+    stats admit a match — the analyst typing SQL gets the engine's
+    best read plan, not a full-view scan. Anything else returns None
+    and passes through to ``spark.sql`` untouched (CTEs, joins,
+    aggregations, expressions, unresolvable names — reads always have
+    the safe fallback, so unlike DML nothing refuses here).
+
+    Parity rules, so routing is never observable in results:
+    - a registered NAME answers at the view's ``resolved_version`` —
+      exactly what a passthrough scan of the temp view reflects, even
+      when later commits moved the head (paths answer at head);
+    - explicit ``VERSION AS OF`` / ``TIMESTAMP AS OF`` wins over the
+      registration pin, mirroring ``_rewrite_time_travel``;
+    - a session temp view the registry does NOT own shadows the
+      durable catalog (the catalog is only consulted for names with
+      no existing view — the same precedence ``_sql_passthrough``'s
+      analysis-failure retry gives);
+    - partition-scoped registrations fall through (the fast path does
+      not model a file-subset view)."""
+    from .snapshots import (
+        read_snapshot,
+        read_snapshot_where,
+        snapshot_count,
+        snapshot_count_where,
+        snapshot_version_at,
+    )
+
+    try:
+        p = _Parser(statement)
+        p.expect_kw("SELECT")
+        is_count = False
+        count_alias = None
+        cols: list[str] | None = None
+        if p.kw("COUNT"):
+            p.expect_punct("(")
+            if not p.punct("*"):
+                t = p.peek()
+                if t is None or t.kind != "num" or t.text != "1":
+                    return None
+                p.i += 1
+            p.expect_punct(")")
+            is_count = True
+            if p.kw("AS"):
+                count_alias = p.ident()
+        elif p.punct("*"):
+            cols = None
+        else:
+            cols = [p.ident()]
+            while p.punct(","):
+                cols.append(p.ident())
+        p.expect_kw("FROM")
+        kind, text = p.table_token()
+        rec = None
+        if kind == "path" or _looks_like_path(text):
+            path = text
+        else:
+            if text.lower() not in _SQL_REGISTRY:
+                # an existing view/table we did not register shadows
+                # the durable catalog for reads — never hijack it
+                try:
+                    if spark.catalog.tableExists(text):
+                        return None
+                except Exception:
+                    return None
+            if not _known_name(spark, text):
+                return None
+            rec = _SQL_REGISTRY.get(text.lower())
+            if rec is None or rec.get("partitions"):
+                return None
+            path = rec["path"]
+        version = None
+        explicit_tt = False
+        save = p.i
+        p.kw("FOR")
+        if p.kw("VERSION", "AS", "OF"):
+            t = p.peek()
+            if t is None or t.kind != "num" or not t.text.isdigit():
+                return None
+            version = int(t.text)
+            p.i += 1
+            explicit_tt = True
+        elif p.kw("TIMESTAMP", "AS", "OF"):
+            ts = p.literal()
+            if ts is None:
+                return None
+            version = snapshot_version_at(spark, path, ts)
+            explicit_tt = True
+        else:
+            p.i = save
+        if not explicit_tt and rec is not None:
+            version = rec.get("resolved_version")
+            if version is None:
+                return None  # empty table / legacy rec: passthrough
+        preds = None
+        if p.kw("WHERE"):
+            preds = _parse_predicates(p)
+        limit = None
+        if p.kw("LIMIT"):
+            t = p.peek()
+            if t is None or t.kind != "num" or not t.text.isdigit():
+                return None
+            limit = int(t.text)
+            p.i += 1
+        if not p.done():
+            return None
+    except SqlFrontError:
+        return None
+    except FileNotFoundError:
+        return None  # unresolvable version/timestamp: spark reports
+    # shape recognized and target resolved — execute without catching:
+    # from here an error is a real error, identical in kind to what
+    # the passthrough scan would raise (missing column, bad path)
+    if is_count:
+        if preds is None:
+            n = snapshot_count(spark, path, version=version)
+        elif preds == []:
+            n = 0
+        else:
+            n = snapshot_count_where(spark, path, preds, version=version)
+        out = _one_row(spark, "c bigint", (n,)).toDF(
+            count_alias or "count(1)"
+        )
+        return out.limit(limit) if limit is not None else out
+    if preds is None:
+        df = read_snapshot(spark, path, version=version)
+    elif preds == []:
+        df = read_snapshot(spark, path, version=version).limit(0)
+    else:
+        df = read_snapshot_where(spark, path, preds, version=version)
+    if cols is not None:
+        df = df.select(*cols)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
 def snapshot_sql(
     spark: SparkSession, statement: str, mode: str = "auto"
 ) -> DataFrame:
@@ -1994,4 +2430,8 @@ def snapshot_sql(
                 if what == "tags":
                     return _exec_show_tags(spark, p, statement)
                 return _exec_show_partitions(spark, p, statement)
+    if verb == "SELECT":
+        fast = _try_select_fastpath(spark, statement)
+        if fast is not None:
+            return fast
     return _sql_passthrough(spark, statement)

@@ -455,12 +455,14 @@ def test_sql_merged_bounds_and_in_intersection(spark, sql_table):
 
 
 def test_sql_range_refusals(spark, sql_table):
+    # <> and OR are SUPPORTED as of round 11 (DNF planner) — the
+    # refusals left are NULL bounds/members and incomparable literals
     for bad in (
         "DELETE FROM trips WHERE id < NULL",
         "DELETE FROM trips WHERE id < 'x' AND id IN (1, 2)",
-        "DELETE FROM trips WHERE id <> 3",
+        "DELETE FROM trips WHERE id != NULL",
         "DELETE FROM trips WHERE id BETWEEN 1 AND NULL",
-        "DELETE FROM trips WHERE id < 3 OR id > 9",
+        "DELETE FROM trips WHERE id NOT IN (3, NULL)",
     ):
         with pytest.raises(SqlFrontError):
             snapshot_sql(spark, bad)

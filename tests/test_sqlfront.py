@@ -284,9 +284,10 @@ def test_loud_errors_on_unsupported_sql(spark, tmp_path):
     _mk(spark, tmp_path, "sqlf_err")
     for stmt, why in [
         ("DELETE FROM sqlf_err", "without WHERE"),
-        ("DELETE FROM sqlf_err WHERE id = 1 OR id = 2", "OR"),
-        # ranges (>, <, BETWEEN) are SUPPORTED as of round 10 — LIKE
-        # stays outside the stats-plannable grammar
+        # ranges (>, <, BETWEEN) are SUPPORTED as of round 10, and
+        # OR / != / NOT IN as of round 11 — LIKE and IS NULL stay
+        # outside the stats-plannable grammar
+        ("DELETE FROM sqlf_err WHERE id IS NULL", "unsupported predicate"),
         ("DELETE FROM sqlf_err WHERE v LIKE 'x%'", "unsupported predicate"),
         ("DELETE FROM sqlf_err WHERE id < NULL", "NULL"),
         ("DELETE FROM nosuch_table WHERE id = 1", "not a registered"),
@@ -945,7 +946,10 @@ def test_ephemeral_reuse_refreshes_recency(spark, tmp_path, monkeypatch):
     _mk(spark, tmp_path, "sqlf_cap")
     snapshot_sql(spark, "DELETE FROM sqlf_cap WHERE id = 5")  # v2
     snapshot_sql(spark, "DELETE FROM sqlf_cap WHERE id = 4")  # v3
-    q = "SELECT count(*) AS c FROM sqlf_cap VERSION AS OF {}"
+    # count(id), not count(*): the round-11 SELECT fast path answers
+    # COUNT(*) time travel from metadata WITHOUT minting an ephemeral
+    # view — this test is about the passthrough rewriter's cache
+    q = "SELECT count(id) AS c FROM sqlf_cap VERSION AS OF {}"
     assert snapshot_sql(spark, q.format(1)).collect()[0].c == 5
     assert snapshot_sql(spark, q.format(2)).collect()[0].c == 4
     assert snapshot_sql(spark, q.format(1)).collect()[0].c == 5  # reuse
