@@ -4947,6 +4947,94 @@ class Range:
             return False
 
 
+class _NullTest:
+    """``IS NULL`` / ``IS NOT NULL`` predicate value — the third value
+    shape a ``{col: ...}`` predicate entry accepts, next to value
+    lists and ``Range``. Use the module singletons ``IS_NULL`` and
+    ``IS_NOT_NULL``.
+
+    The planner answers both from the null counts the stats already
+    record (``collect_file_stats``: ``{col: [min, max, nulls]}``) plus
+    the manifest's per-file row counts:
+
+    - ``IS NULL`` victims: a file with a recorded ``nulls == 0`` for
+      the column provably contains no match and carries by reference;
+      whole-file proof when ``nulls == rows`` (every row null).
+    - ``IS NOT NULL`` victims: excluded only when ``nulls == rows``
+      (all-null file); whole-file proof when ``nulls == 0``.
+    - Files without a recorded null count (legacy two-element stats,
+      un-statted columns, files that may not physically encode the
+      column — initial-default fills) stay victims and prove nothing:
+      conservative, never a false negative. Partition columns have no
+      in-file stats, so null tests on them scan their victims with
+      the exact residual (a null partition value's directory encoding
+      is writer-specific — guessing it could silently miss rows).
+
+    The GDPR/completeness sweep shape: ``DELETE FROM t WHERE email IS
+    NULL`` on a mostly-complete 100 TB table rewrites only the files
+    that actually recorded nulls."""
+
+    __slots__ = ("negate",)
+
+    def __init__(self, negate: bool):
+        self.negate = bool(negate)
+
+    def __repr__(self):
+        return "IS_NOT_NULL" if self.negate else "IS_NULL"
+
+    def __eq__(self, other):
+        return isinstance(other, _NullTest) and self.negate == other.negate
+
+    def __hash__(self):
+        return hash(("_NullTest", self.negate))
+
+
+IS_NULL = _NullTest(False)
+IS_NOT_NULL = _NullTest(True)
+
+
+def _null_victims(man: dict, col: str, test: _NullTest) -> list[str]:
+    """Files that MAY contain a row matching the null test — the
+    no-false-negatives victim filter (see ``_NullTest``)."""
+    stats = man.get("stats") or {}
+    rows = man.get("rows") or {}
+    pcol = _phys(man, col)
+    out = []
+    for f in man["files"]:
+        ent = stats.get(f, {}).get(pcol)
+        nulls = ent[2] if ent is not None and len(ent) >= 3 else None
+        if nulls is None:
+            out.append(f)  # unknown: keep
+        elif test.negate:
+            # IS NOT NULL: excludable only when provably all-null
+            if not (f in rows and nulls == rows[f]):
+                out.append(f)
+        elif nulls > 0:
+            out.append(f)
+    return out
+
+
+def _null_full_files(man: dict, col: str, test: _NullTest) -> list[str]:
+    """Files where EVERY row provably matches the null test — sound
+    whole-file proofs only (never a false drop): requires a recorded
+    null count, and for IS NULL also the recorded row count."""
+    stats = man.get("stats") or {}
+    rows = man.get("rows") or {}
+    pcol = _phys(man, col)
+    out = []
+    for f in man["files"]:
+        ent = stats.get(f, {}).get(pcol)
+        nulls = ent[2] if ent is not None and len(ent) >= 3 else None
+        if nulls is None:
+            continue
+        if test.negate:
+            if nulls == 0:
+                out.append(f)
+        elif f in rows and nulls == rows[f]:
+            out.append(f)
+    return out
+
+
 # timestamp-shaped string: date, optional [T or space] time, optional
 # fractional seconds — the forms both SQL users and isoformat produce
 _TS_SHAPE_RE = re.compile(
@@ -5291,6 +5379,9 @@ def _sanitize_predicates(predicates) -> dict | list:
         raise ValueError("predicates must name at least one column")
     out = {}
     for c, vals in predicates.items():
+        if isinstance(vals, _NullTest):
+            out[c] = vals
+            continue
         if isinstance(vals, Range):
             if vals.is_empty():
                 return {}
@@ -5346,7 +5437,9 @@ def _victims_by_stats_where(
         )
     alive = set(man["files"])
     for col, vals in predicates.items():
-        if isinstance(vals, Range):
+        if isinstance(vals, _NullTest):
+            alive &= set(_null_victims(man, col, vals))
+        elif isinstance(vals, Range):
             if _phys(man, col) in set(_manifest_partition_cols(man) or ()):
                 # directory values answer ranges typed-exactly; files
                 # not encoding the column stay candidates ("include")
@@ -5388,7 +5481,9 @@ def _full_match_files_where(man: dict, predicates: dict) -> list[str]:
         return sorted(u)
     full: set | None = None
     for col, vals in predicates.items():
-        if isinstance(vals, Range):
+        if isinstance(vals, _NullTest):
+            s = set(_null_full_files(man, col, vals))
+        elif isinstance(vals, Range):
             if _phys(man, col) in set(_manifest_partition_cols(man) or ()):
                 s = set(_range_dir_files(man, col, vals, "exclude"))
             else:
@@ -5428,7 +5523,11 @@ def _match_expr(predicates: dict):
         return expr
     expr = None
     for c, vals in predicates.items():
-        if isinstance(vals, Range):
+        if isinstance(vals, _NullTest):
+            term = (
+                F.col(c).isNotNull() if vals.negate else F.col(c).isNull()
+            )
+        elif isinstance(vals, Range):
             term = F.col(c).isNotNull()
             if vals.lo is not None:
                 lit = F.lit(vals.lo)
@@ -6297,10 +6396,14 @@ def snapshot_delete_where(
             # of n non-atomic partition-drop commits
             isinstance(preds, dict)
             and set(preds) <= pc
-            # Range predicates take the data paths: their partition
-            # pruning + directory whole-file proofs already drop whole
-            # partitions by reference, just through a data-path commit
-            and not any(isinstance(v, Range) for v in preds.values())
+            # Range and null-test predicates take the data paths:
+            # ranges' directory whole-file proofs already drop whole
+            # partitions by reference through a data-path commit, and
+            # a null partition value's directory encoding is
+            # writer-specific (see _NullTest)
+            and not any(
+                isinstance(v, (Range, _NullTest)) for v in preds.values()
+            )
             and all(
                 type(v) in (int, str, bool) for vals in preds.values()
                 for v in vals

@@ -96,9 +96,9 @@ _GRAMMAR = """supported snapshot statements:
 (t = a name registered via snapshot_register, or a quoted table path;
  predicates are any AND / OR / NOT / parenthesized combination of
  col = lit / col != lit / col <> lit / col IN (...) /
- col NOT IN (...) / col < <= > >= lit / col [NOT] BETWEEN a AND b —
- lowered to a union of conjunctive branches the engine plans from
- manifest stats without scanning)"""
+ col NOT IN (...) / col < <= > >= lit / col [NOT] BETWEEN a AND b /
+ col IS [NOT] NULL — lowered to a union of conjunctive branches the
+ engine plans from manifest stats without scanning)"""
 
 
 def _fail(msg: str, stmt: str) -> None:
@@ -593,6 +593,10 @@ def _parse_leaf(p: _Parser) -> tuple:
             b = _range_lit(p, col)
             return ("not", ("range", col, dict(lo=a, hi=b)))
         _fail(f"expected IN or BETWEEN after {col} NOT", p.raw)
+    if p.kw("IS"):
+        neg = p.kw("NOT")
+        p.expect_kw("NULL")
+        return ("notnull" if neg else "isnull", col)
     if p.kw("IN"):
         return ("in", col, _parse_in_list(p))
     if p.punct("="):
@@ -627,8 +631,9 @@ def _parse_leaf(p: _Parser) -> tuple:
         f"unsupported predicate on {col!r} at "
         f"{t.text if t else 'end of statement'!r} "
         "(col = lit / col != lit / col IN (...) / col NOT IN (...) / "
-        "col < <= > >= lit / col [NOT] BETWEEN a AND b, combined with "
-        "AND / OR / NOT / parentheses)",
+        "col < <= > >= lit / col [NOT] BETWEEN a AND b / "
+        "col IS [NOT] NULL, combined with AND / OR / NOT / "
+        "parentheses)",
         p.raw,
     )
 
@@ -674,6 +679,10 @@ def _nnf(node: tuple, neg: bool = False) -> tuple:
         return ("notin", node[1], node[2])
     if k == "notin":
         return ("in", node[1], node[2])
+    if k == "isnull":
+        return ("notnull", node[1])
+    if k == "notnull":
+        return ("isnull", node[1])
     col, kw = node[1], node[2]
     rays = []
     if kw.get("lo") is not None:
@@ -783,14 +792,44 @@ def _fold_branch(p: _Parser, leaves: list[tuple]) -> dict:
     through ranges)."""
     from .snapshots import Range
 
+    from .snapshots import IS_NOT_NULL, IS_NULL, _NullTest
+
     preds: dict = {}
     for leaf in leaves:
+        if leaf[0] in ("isnull", "notnull"):
+            col = leaf[1]
+            want = IS_NULL if leaf[0] == "isnull" else IS_NOT_NULL
+            prev = preds.get(col)
+            if prev is None:
+                preds[col] = want
+            elif isinstance(prev, _NullTest):
+                # IS NULL ∧ IS NOT NULL: contradiction — empty branch
+                preds[col] = prev if prev == want else []
+            elif want is IS_NOT_NULL:
+                pass  # ranges/values already imply NOT NULL
+            else:
+                preds[col] = []  # IS NULL ∧ range/values: impossible
+            continue
         if leaf[0] == "range":
             col, kw = leaf[1], leaf[2]
-            preds[col] = _merge_range(p, col, preds.get(col), **kw)
+            prev = preds.get(col)
+            if isinstance(prev, _NullTest):
+                if prev is IS_NULL or prev == IS_NULL:
+                    preds[col] = []  # NULL never matches a range
+                    continue
+                prev = None  # NOT NULL is implied by the range
+                preds[col] = _merge_range(p, col, prev, **kw)
+                continue
+            preds[col] = _merge_range(p, col, prev, **kw)
             continue
         col, vals = leaf[1], leaf[2]
         prev = preds.get(col)
+        if isinstance(prev, _NullTest):
+            if prev == IS_NULL:
+                preds[col] = []  # NULL never matches an IN list
+            else:
+                preds[col] = list(vals)
+            continue
         if isinstance(prev, Range):
             # range ∧ values → filter the values by the range
             preds[col] = _merge_range(
@@ -806,17 +845,16 @@ def _fold_branch(p: _Parser, leaves: list[tuple]) -> dict:
 
 
 def _branch_key(d: dict):
-    from .snapshots import Range
+    from .snapshots import Range, _NullTest
 
-    return tuple(
-        (
-            c,
-            ("R",) + d[c]._key()
-            if isinstance(d[c], Range)
-            else ("V", tuple(repr(v) for v in d[c])),
-        )
-        for c in sorted(d)
-    )
+    def vk(v):
+        if isinstance(v, Range):
+            return ("R",) + v._key()
+        if isinstance(v, _NullTest):
+            return ("N", v.negate)
+        return ("V", tuple(repr(x) for x in v))
+
+    return tuple((c, vk(d[c])) for c in sorted(d))
 
 
 def _parse_predicates(p: _Parser) -> dict | list:

@@ -285,9 +285,9 @@ def test_loud_errors_on_unsupported_sql(spark, tmp_path):
     for stmt, why in [
         ("DELETE FROM sqlf_err", "without WHERE"),
         # ranges (>, <, BETWEEN) are SUPPORTED as of round 10, and
-        # OR / != / NOT IN as of round 11 — LIKE and IS NULL stay
-        # outside the stats-plannable grammar
-        ("DELETE FROM sqlf_err WHERE id IS NULL", "unsupported predicate"),
+        # OR / != / NOT IN / IS [NOT] NULL as of round 11 — LIKE
+        # stays outside the stats-plannable grammar
+        ("DELETE FROM sqlf_err WHERE id IS BLUE", "expected NULL"),
         ("DELETE FROM sqlf_err WHERE v LIKE 'x%'", "unsupported predicate"),
         ("DELETE FROM sqlf_err WHERE id < NULL", "NULL"),
         ("DELETE FROM nosuch_table WHERE id = 1", "not a registered"),
