@@ -35,6 +35,55 @@ def _col_xor_where(args, cmd: str) -> None:
         )
 
 
+def _decode_where(text: str):
+    """``--where`` JSON → engine predicates, one decoder for every
+    subcommand that takes predicates (count/delete/update — a decode
+    fix can never land in one and miss the others). Accepts:
+
+    - a JSON object ``{col: value | [values] | {lo, hi, lo_inc,
+      hi_inc} | {"is_null": true|false}}`` — a conjunction; the
+      object forms are a ``Range`` and a null test (true = IS NULL,
+      false = IS NOT NULL);
+    - a JSON ARRAY of such objects — a disjunction (OR of the
+      branches), executed as ONE commit through the DNF planner.
+    """
+    import json
+
+    from .warehouse.snapshots import IS_NOT_NULL, IS_NULL, Range
+
+    obj = json.loads(text)
+
+    def branch(d):
+        if not isinstance(d, dict):
+            raise SystemExit(
+                "--where wants a JSON object {col: ...} or an array "
+                "of such objects (OR of branches)"
+            )
+        out = {}
+        for c, v in d.items():
+            if isinstance(v, dict):
+                if set(v) == {"is_null"}:
+                    out[c] = IS_NULL if v["is_null"] else IS_NOT_NULL
+                    continue
+                try:
+                    out[c] = Range(**v)
+                except (TypeError, ValueError) as e:
+                    raise SystemExit(
+                        f"--where range spec: {e} "
+                        "(range keys: lo, hi, lo_inc, hi_inc; "
+                        'null test: {"is_null": true|false})'
+                    ) from None
+            else:
+                out[c] = v
+        return out
+
+    if isinstance(obj, list):
+        if not obj:
+            raise SystemExit("--where array needs at least one branch")
+        return [branch(b) for b in obj]
+    return branch(obj)
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(prog="nyc_taxi_data_warehouse_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -286,9 +335,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--where", default=None,
         help="predicate COUNT from the same stats planner the DML "
         "uses (only boundary files scanned): a JSON object of "
-        "{col: value | [values] | {lo, hi, lo_inc, hi_inc}} — the "
-        "object form is a range, e.g. "
-        '\'{"ts": {"hi": "2024-01-01", "hi_inc": false}}\'',
+        "{col: value | [values] | {lo, hi, lo_inc, hi_inc} | "
+        '{"is_null": true|false}} — the object forms are a range, '
+        'e.g. \'{"ts": {"hi": "2024-01-01", "hi_inc": false}}\', '
+        "and a null test; a JSON ARRAY of such objects is an OR of "
+        "branches",
     )
 
     sd = sub.add_parser(
@@ -304,8 +355,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     sd.add_argument(
         "--where",
-        help="conjunctive JSON predicates {col: [values], ...} — "
-        "composite-key DELETE; alternative to --col/--values",
+        help="JSON predicates {col: value | [values] | {lo, hi, "
+        'lo_inc, hi_inc} | {"is_null": true|false}} — composite-key / '
+        "range / null-test DELETE; a JSON array of such objects is an "
+        "OR of branches (one commit); alternative to --col/--values",
     )
     sd.add_argument(
         "--dv", action="store_true",
@@ -472,8 +525,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     su.add_argument(
         "--where",
-        help="conjunctive JSON predicates {col: [values], ...} — "
-        "composite-key UPDATE; alternative to --col/--values",
+        help="JSON predicates {col: value | [values] | {lo, hi, "
+        'lo_inc, hi_inc} | {"is_null": true|false}} — composite-key / '
+        "range / null-test UPDATE; a JSON array of such objects is an "
+        "OR of branches (one commit); alternative to --col/--values",
     )
     su.add_argument(
         "--set", required=True, dest="set_json",
@@ -827,7 +882,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     pass  # ISO string — snapshot_version_at parses it
             if args.where is not None:
                 from .warehouse.snapshots import (
-                    Range,
                     snapshot_count_where,
                     snapshot_version_at,
                 )
@@ -836,21 +890,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     raise SystemExit(
                         "pass --col OR --where, not both"
                     )
-                preds = json.loads(args.where)
-                if not isinstance(preds, dict):
-                    raise SystemExit(
-                        "--where wants a JSON object {col: ...}"
-                    )
-                try:
-                    preds = {
-                        c: Range(**v) if isinstance(v, dict) else v
-                        for c, v in preds.items()
-                    }
-                except (TypeError, ValueError) as e:
-                    raise SystemExit(
-                        f"--where range spec: {e} "
-                        "(range keys: lo, hi, lo_inc, hi_inc)"
-                    ) from None
+                preds = _decode_where(args.where)
                 ver = args.version
                 if ts is not None:
                     if ver is not None:
@@ -897,7 +937,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 # asking for merge-on-read must never get a silent
                 # copy-on-write rewrite); an explicit --mode wins
                 v, n = snapshot_delete_where(
-                    spark, args.table_path, json.loads(args.where),
+                    spark, args.table_path, _decode_where(args.where),
                     mode=args.mode or ("dv" if args.dv else "auto"),
                 )
             elif args.mode is not None:
@@ -1136,7 +1176,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             _col_xor_where(args, "snapshot-update")
             if args.where is not None:
                 v, n = snapshot_update_where(
-                    spark, args.table_path, json.loads(args.where),
+                    spark, args.table_path, _decode_where(args.where),
                     json.loads(args.set_json),
                     mode=args.mode or ("dv" if args.dv else "auto"),
                 )

@@ -350,6 +350,77 @@ def test_sql_dnf_refusals(spark, sql_t):
     assert len(_ids(spark, sql_t)) == 12
 
 
+def test_cli_where_decoder(spark, tmp_path, capsys):
+    """One decoder for every --where: ranges, null tests, and OR
+    arrays work identically in count / delete / update."""
+    import json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    t = str(tmp_path / "clidnf")
+    _mk_ts_table(spark, t)
+    # OR array through count: id <= 1 OR id >= 10
+    main(
+        [
+            "snapshot-count", "--table-path", t,
+            "--where",
+            '[{"id": {"hi": 1}}, {"id": {"lo": 10}}]',
+        ],
+        spark=spark,
+    )
+    assert json.loads(capsys.readouterr().out.strip()) == {"rows": 4}
+    # null test through count (no nulls in this table)
+    main(
+        [
+            "snapshot-count", "--table-path", t,
+            "--where", '{"fare": {"is_null": true}}',
+        ],
+        spark=spark,
+    )
+    assert json.loads(capsys.readouterr().out.strip()) == {"rows": 0}
+    # range through DELETE --where (previously count-where only)
+    main(
+        [
+            "snapshot-delete", "--table-path", t,
+            "--where", '[{"id": {"hi": 0}}, {"id": [11]}]',
+        ],
+        spark=spark,
+    )
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rows_deleted"] == 2
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == list(
+        range(1, 11)
+    )
+    # update with a null-test + range conjunction
+    main(
+        [
+            "snapshot-update", "--table-path", t,
+            "--where",
+            '{"fare": {"is_null": false}, "id": {"lo": 9}}',
+            "--set", '{"fare": 0.0}',
+        ],
+        spark=spark,
+    )
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rows_updated"] == 2
+    # refusals exit cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="range spec"):
+        main(
+            [
+                "snapshot-count", "--table-path", t,
+                "--where", '{"id": {"high": 3}}',
+            ],
+            spark=spark,
+        )
+    with _pytest.raises(SystemExit, match="at least one branch"):
+        main(
+            ["snapshot-count", "--table-path", t, "--where", "[]"],
+            spark=spark,
+        )
+
+
 def test_sql_or_read_and_count_parity(spark, sql_t):
     q = "WHERE id < 2 OR fare NOT BETWEEN 0.5 AND 10.5"
     a = snapshot_sql(spark, f"SELECT COUNT(*) FROM sqldnf {q}")
