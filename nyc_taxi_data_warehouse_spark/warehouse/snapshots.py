@@ -1246,12 +1246,19 @@ def read_snapshot(
     version: int | None = None,
     at_timestamp=None,
     partitions: dict | None = None,
+    _versions: list | None = None,
 ) -> DataFrame:
     """The table at ``version`` (default: latest), or as of
     ``at_timestamp`` (datetime | ISO string | epoch seconds — resolved
     via ``snapshot_version_at``). Partition columns come back from the
     directory names (``basePath``), exactly like a plain partitioned
     read.
+
+    ``_versions``: internal — a manifest listing the caller already
+    holds (``snapshot_register`` resolves the head itself so its
+    registry records exactly what the view reflects; re-listing here
+    would double the directory RPCs on the DML view-refresh hot
+    path).
 
     ``partitions`` ({col: value or list}) prunes AT THE MANIFEST: only
     matching files enter the scan (``df.inputFiles()`` shows exactly
@@ -1264,7 +1271,9 @@ def read_snapshot(
         raise ValueError("pass version OR at_timestamp, not both")
     if at_timestamp is not None:
         version = snapshot_version_at(spark, path, at_timestamp)
-    versions = _list_manifests(spark, path)
+    versions = (
+        _versions if _versions is not None else _list_manifests(spark, path)
+    )
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {path}")
     if version is None:
@@ -1327,16 +1336,22 @@ def snapshot_register(
     # front door's metadata-planned SELECT fast path answers at this
     # version for exact parity with a spark.sql scan of the view
     resolved = version
+    listing = None
     if resolved is None:
         if at_timestamp is not None:
             resolved = snapshot_version_at(spark, path, at_timestamp)
         else:
-            versions = _list_manifests(spark, path)
+            listing = _list_manifests(spark, path)
             # empty table: let read_snapshot raise its own error
-            resolved = versions[-1] if versions else None
+            resolved = listing[-1] if listing else None
     read_snapshot(
         spark, path, version=resolved, partitions=partitions,
+        _versions=listing,
     ).createOrReplaceTempView(name)
+    # capture the VIEW-WRAPPED plan (not the raw DataFrame: the View/
+    # SubqueryAlias wrapper shifts the semantic hash) — the identity
+    # token the SELECT fast path compares against the live view
+    view_df = spark.table(name)
     # record the name→path binding for the SQL statement front door
     # (``sqlfront.snapshot_sql``): DELETE/UPDATE/MERGE/ALTER/VACUUM/
     # DESCRIBE HISTORY statements resolve table names through this.
@@ -1365,6 +1380,12 @@ def snapshot_register(
         # file subset the fast path does not model — it refuses and
         # the statement passes through to spark.sql over the view
         "partitions": dict(partitions) if partitions else None,
+        # the registered DataFrame itself: the SELECT fast path
+        # verifies via sameSemantics that the live temp view is STILL
+        # this plan — a view the user later replaced or dropped must
+        # win for reads (passthrough precedence), never be shadowed
+        # by the registry binding
+        "view_df": view_df,
     }
 
 

@@ -790,9 +790,19 @@ def _fold_branch(p: _Parser, leaves: list[tuple]) -> dict:
     same-column constraints merged exactly as the conjunctive grammar
     always did (ranges tighten; value sets intersect; values filter
     through ranges)."""
-    from .snapshots import Range
+    from .snapshots import IS_NOT_NULL, IS_NULL, Range, _NullTest
 
-    from .snapshots import IS_NOT_NULL, IS_NULL, _NullTest
+    def merge_range(col, prev, **kw):
+        # a planner value-type refusal (e.g. Range rejecting a bool or
+        # NaN bound) must surface as THIS front door's error, with the
+        # statement and the supported grammar — and the SELECT fast
+        # path catches it and falls back to spark.sql
+        try:
+            return _merge_range(p, col, prev, **kw)
+        except SqlFrontError:
+            raise
+        except ValueError as e:
+            _fail(str(e), p.raw)
 
     preds: dict = {}
     for leaf in leaves:
@@ -814,13 +824,11 @@ def _fold_branch(p: _Parser, leaves: list[tuple]) -> dict:
             col, kw = leaf[1], leaf[2]
             prev = preds.get(col)
             if isinstance(prev, _NullTest):
-                if prev is IS_NULL or prev == IS_NULL:
+                if prev == IS_NULL:
                     preds[col] = []  # NULL never matches a range
                     continue
                 prev = None  # NOT NULL is implied by the range
-                preds[col] = _merge_range(p, col, prev, **kw)
-                continue
-            preds[col] = _merge_range(p, col, prev, **kw)
+            preds[col] = merge_range(col, prev, **kw)
             continue
         col, vals = leaf[1], leaf[2]
         prev = preds.get(col)
@@ -832,8 +840,8 @@ def _fold_branch(p: _Parser, leaves: list[tuple]) -> dict:
             continue
         if isinstance(prev, Range):
             # range ∧ values → filter the values by the range
-            preds[col] = _merge_range(
-                p, col, vals, lo=prev.lo, hi=prev.hi,
+            preds[col] = merge_range(
+                col, vals, lo=prev.lo, hi=prev.hi,
                 lo_inc=prev.lo_inc, hi_inc=prev.hi_inc,
             )
         elif prev is not None:
@@ -2268,6 +2276,18 @@ def _try_select_fastpath(
             rec = _SQL_REGISTRY.get(text.lower())
             if rec is None or rec.get("partitions"):
                 return None
+            # the live temp view must still BE the plan we registered:
+            # a view the user replaced (createOrReplaceTempView) or
+            # dropped after snapshot_register wins for reads exactly
+            # as passthrough would serve (or report) it
+            vdf = rec.get("view_df")
+            if vdf is None:
+                return None
+            try:
+                if not spark.table(rec["name"]).sameSemantics(vdf):
+                    return None
+            except Exception:
+                return None  # dropped view: spark reports it
             path = rec["path"]
         version = None
         explicit_tt = False
@@ -2304,7 +2324,21 @@ def _try_select_fastpath(
             p.i += 1
         if not p.done():
             return None
-    except SqlFrontError:
+        # dotted identifiers (qualified columns, struct fields — the
+        # word lexer folds 'trips.fare' into ONE token) resolve under
+        # spark.sql's rules, not df.select's: pass them through
+        if count_alias is not None and "." in count_alias:
+            return None
+        if cols is not None and any("." in c for c in cols):
+            return None
+        if preds is not None:
+            for b in [preds] if isinstance(preds, dict) else preds:
+                if any("." in c for c in b):
+                    return None
+    except ValueError:
+        # SqlFrontError (unsupported shape/predicate) and the planner
+        # value-type refusals (e.g. a bool range bound) alike: reads
+        # always have the safe spark.sql fallback
         return None
     except FileNotFoundError:
         return None  # unresolvable version/timestamp: spark reports

@@ -256,6 +256,95 @@ def test_no_match_predicate_empty_result(spark, tmp_path, spy):
     assert spy == []
 
 
+# ---------------------------------- round-11 review-pass regressions
+
+
+def test_dotted_identifiers_pass_through(spark, tmp_path, spy):
+    """The word lexer folds 'fp_dot.fare' into ONE token; df.select /
+    F.col would resolve it as a struct path and fail where spark.sql
+    resolves the view qualifier fine — such statements must keep
+    passing through."""
+    t = str(tmp_path / "fp_dot")
+    _mk(spark, t, n_files=1)
+    snapshot_register(spark, t, "fp_dot")
+    shapes = [
+        "SELECT fp_dot.fare FROM fp_dot",
+        "SELECT COUNT(*) FROM fp_dot WHERE fp_dot.id = 2",
+        "SELECT * FROM fp_dot WHERE fp_dot.id < 3",
+    ]
+    for q in shapes:
+        assert sorted(map(tuple, snapshot_sql(spark, q).collect())) == \
+            sorted(map(tuple, spark.sql(q).collect())), q
+    assert spy == shapes
+
+
+def test_planner_value_refusal_falls_through(spark, tmp_path, spy):
+    """A predicate the planner's value types refuse (bool range
+    bounds) must fall back to spark.sql for SELECTs — and refuse as a
+    front-door error (not a raw ValueError) for DML."""
+    from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+        snapshot_write_with_stats,
+    )
+    from nyc_taxi_data_warehouse_spark.warehouse.sqlfront import (
+        SqlFrontError,
+    )
+
+    t = str(tmp_path / "fp_bool")
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, True), (2, False), (3, None)], "id int, flag boolean"
+        ),
+        t, ["id"],
+    )
+    snapshot_register(spark, t, "fp_bool")
+    q = "SELECT COUNT(*) FROM fp_bool WHERE flag BETWEEN FALSE AND TRUE"
+    assert (
+        snapshot_sql(spark, q).collect()[0][0]
+        == spark.sql(q).collect()[0][0]
+        == 2
+    )
+    assert spy == [q]
+    import pytest as _pytest
+
+    with _pytest.raises(SqlFrontError, match="Range lo"):
+        snapshot_sql(
+            spark,
+            "DELETE FROM fp_bool WHERE flag BETWEEN FALSE AND TRUE",
+        )
+
+
+def test_replaced_or_dropped_view_wins_for_reads(spark, tmp_path, spy):
+    """createOrReplaceTempView over a registered name: reads must
+    serve the LIVE view (passthrough precedence), and a dropped view
+    must error exactly as spark.sql would — never silently answer
+    from the stale registry binding."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "fp_hij")
+    _mk(spark, t, n_files=1)
+    snapshot_register(spark, t, "fp_hij")
+    assert (
+        snapshot_sql(spark, "SELECT COUNT(*) FROM fp_hij").collect()[0][0]
+        == 4
+    )
+    assert spy == []
+    spark.range(3).createOrReplaceTempView("fp_hij")
+    q = "SELECT COUNT(*) FROM fp_hij"
+    assert snapshot_sql(spark, q).collect()[0][0] == 3
+    assert spy == [q]
+    spark.catalog.dropTempView("fp_hij")
+    with _pytest.raises(Exception):
+        snapshot_sql(spark, "SELECT COUNT(*) FROM fp_hij").collect()
+    # re-registering restores the fast path
+    spy.clear()
+    snapshot_register(spark, t, "fp_hij")
+    assert (
+        snapshot_sql(spark, "SELECT COUNT(*) FROM fp_hij").collect()[0][0]
+        == 4
+    )
+    assert spy == []
+
+
 def test_dv_and_dml_visibility_after_front_door(spark, tmp_path, spy):
     """Front-door DML refreshes the view; the fast path must agree
     with passthrough after BOTH a dv-mode and rewrite-mode delete."""
