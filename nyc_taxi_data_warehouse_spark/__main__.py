@@ -342,6 +342,29 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "branches",
     )
 
+    sg = sub.add_parser(
+        "snapshot-agg",
+        help="exact MIN/MAX/SUM/COUNT from manifest metadata wherever "
+        "provable (recorded endpoints, exact per-file sums, row/null "
+        "counts), scanning only boundary or unprovable files",
+    )
+    sg.add_argument("--table-path", required=True)
+    sg.add_argument("--version", type=int, default=None)
+    sg.add_argument(
+        "--at-timestamp", default=None,
+        help="answer as of this time (ISO string or epoch seconds)",
+    )
+    sg.add_argument(
+        "--aggs", required=True,
+        help="comma-separated func:col pairs, func in "
+        "min|max|sum|count, col '*' for count — e.g. "
+        "'min:ts,max:ts,sum:fare,count:*'",
+    )
+    sg.add_argument(
+        "--where", default=None,
+        help="same predicate JSON as snapshot-count --where",
+    )
+
     sd = sub.add_parser(
         "snapshot-delete",
         help="targeted row erasure on a snapshot table (col IN values); "
@@ -923,6 +946,61 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     version=args.version, at_timestamp=ts,
                 )
             print(json.dumps({"rows": n}))
+        elif args.cmd == "snapshot-agg":
+            import datetime as _dt
+            import decimal as _dec
+
+            from .warehouse.snapshots import (
+                snapshot_agg_where,
+                snapshot_version_at,
+            )
+
+            aggs = []
+            for item in args.aggs.split(","):
+                func, sep, col = item.strip().partition(":")
+                if not sep or not col:
+                    raise SystemExit(
+                        f"--aggs wants func:col pairs, got {item!r}"
+                    )
+                aggs.append((func.lower(), col))
+            preds = (
+                _decode_where(args.where)
+                if args.where is not None
+                else None
+            )
+            ver = args.version
+            ts = args.at_timestamp
+            if ts is not None:
+                if ver is not None:
+                    raise SystemExit(
+                        "pass --version OR --at-timestamp, not both"
+                    )
+                try:
+                    ts = float(ts)
+                except ValueError:
+                    pass
+                ver = snapshot_version_at(spark, args.table_path, ts)
+            try:
+                vals = snapshot_agg_where(
+                    spark, args.table_path, aggs, preds, version=ver
+                )
+            except ValueError as e:
+                raise SystemExit(str(e))
+
+            def enc(v):
+                if isinstance(v, _dec.Decimal):
+                    return str(v)
+                if isinstance(v, (_dt.datetime, _dt.date)):
+                    return v.isoformat()
+                return v
+
+            print(
+                json.dumps(
+                    {f"{f}({c})": enc(v)
+                     for (f, c), v in zip(aggs, vals)},
+                    sort_keys=True,
+                )
+            )
         elif args.cmd == "snapshot-delete":
             from .warehouse.snapshots import (
                 snapshot_delete,

@@ -2910,6 +2910,253 @@ def snapshot_count_where(
     )
 
 
+_AGG_FUNCS = ("min", "max", "sum", "count")
+
+
+def snapshot_agg_where(
+    spark: SparkSession,
+    path: str,
+    aggs: list,
+    predicates=None,
+    version: int | None = None,
+) -> list:
+    """Exact MIN/MAX/SUM/COUNT — optionally under a plannable predicate
+    ({col: values | Range | null-test}, or a DNF list of such dicts) —
+    answered from manifest metadata wherever PROVABLE, scanning only
+    the files metadata cannot answer for: the aggregate twin of
+    ``snapshot_count_where``. ``aggs`` is a list of ``(func, col)``
+    with func in min|max|sum|count (col ``"*"`` for COUNT(*) only);
+    returns Python values aligned with ``aggs``.
+
+    Per admitted file (the stats planner's victims; every file when
+    ``predicates`` is None):
+
+    - a file the predicate provably matches WHOLE (``_full_match_
+      files_where``), free of DV tombstones and equality deletes,
+      answers from metadata: MIN/MAX from the recorded endpoints, SUM
+      from the exactly-recorded per-file sums (stats fourth element),
+      COUNT from recorded row/null counts — never opened;
+    - every other admitted file — boundary files, stats-less or
+      legacy-stats files, tombstoned files — joins ONE residual scan
+      computing all requested aggregates at once.
+
+    Exactness rules (a file failing one moves to the scan — the result
+    is never approximate):
+    - Decimal MIN/MAX never answers from stats (recorded endpoints are
+      OUTWARD-WIDENED floats — exact for pruning, wrong for
+      answering); Decimal SUM does (sums are recorded exactly);
+    - a NaN endpoint routes the file to the scan (Spark orders NaN
+      largest; Python comparisons would mis-combine it);
+    - partition columns carry no data-file stats (values live in the
+      directory names) — they scan;
+    - float SUM combines per-file partials in Python — same value up
+      to float addition order, exactly like any distributed sum.
+
+    MIN/MAX of date/timestamp columns denormalize from the stats image
+    (ISO strings) back to Python date/datetime via the schema, so both
+    paths return Spark-typed values. SQL NULL semantics throughout:
+    MIN/MAX/SUM over zero matching non-null rows return None, COUNT
+    returns 0 — including under a provably-empty predicate.
+
+    At 100 TB this is the retention-audit companion: ``SELECT MIN(ts),
+    MAX(ts), SUM(bytes), COUNT(*) WHERE ts < cutoff`` on a
+    time-clustered table opens only the boundary files the cutoff
+    intersects; everything else answers from a few KB of manifest."""
+    import datetime
+    import decimal
+    import math
+
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    versions = _list_manifests(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    norm: list[tuple[str, str]] = []
+    for a in aggs:
+        try:
+            func, col = a
+        except Exception:
+            raise ValueError(f"each agg must be (func, col); got {a!r}")
+        fl = str(func).lower()
+        if fl not in _AGG_FUNCS:
+            raise ValueError(
+                f"agg func must be one of {_AGG_FUNCS}; got {func!r}"
+            )
+        if col == "*" and fl != "count":
+            raise ValueError(
+                f"'*' is only valid under count; got {func!r}('*')"
+            )
+        norm.append((fl, col))
+    if not norm:
+        raise ValueError("aggs must name at least one aggregate")
+    man = _load_manifest(spark, path, version)
+    schema = StructType.fromJson(man["schema"])
+    ftypes = {fld.name: fld.dataType for fld in schema.fields}
+    for fl, c in norm:
+        if c != "*" and c not in ftypes:
+            raise ValueError(
+                f"unknown column {c!r} (have {sorted(ftypes)})"
+            )
+        if fl == "sum" and not isinstance(ftypes[c], NumericType):
+            raise ValueError(
+                f"SUM needs a numeric column; {c!r} is "
+                f"{ftypes[c].simpleString()}"
+            )
+
+    def empties() -> list:
+        return [0 if fl == "count" else None for fl, _ in norm]
+
+    preds = None
+    if predicates is not None:
+        preds = _sanitize_predicates(predicates)
+        if not preds:
+            return empties()
+    if preds is not None:
+        victims, _carried = _victims_by_stats_where(man, preds)
+        full = set(_full_match_files_where(man, preds))
+    else:
+        victims = list(man["files"])
+        full = set(victims)
+    if not victims:
+        return empties()
+    stats = man.get("stats") or {}
+    tgts = set(man.get("dv_targets") or ())
+    if man.get("dv_files") and man.get("dv_targets") is None:
+        tgts = set(victims)  # legacy: unknown targets — assume any
+    eq_aff = set(_eq_affected_files(man, victims))
+    part_cols = set(_manifest_partition_cols(man) or ())
+    rows_map = man.get("rows") or {}
+    base_ok = {
+        f for f in victims
+        if f in full and f not in tgts and f not in eq_aff
+    }
+
+    def ent(f: str, col: str):
+        return stats.get(f, {}).get(_phys(man, col))
+
+    proven: list[set] = []
+    for fl, col in norm:
+        if fl == "count" and col == "*":
+            ok = {f for f in base_ok if f in rows_map}
+        elif _phys(man, col) in part_cols:
+            ok = set()  # partition values live in dirs, not stats
+        elif fl == "count":
+            ok = set()
+            for f in base_ok:
+                e = ent(f, col)
+                if f in rows_map and e is not None and len(e) >= 3:
+                    ok.add(f)
+        elif fl == "sum":
+            ok = {
+                f for f in base_ok
+                if (e := ent(f, col)) is not None and len(e) >= 4
+            }
+        elif isinstance(ftypes[col], DecimalType):
+            ok = set()  # widened endpoints: prune-exact, not answer-exact
+        else:
+            ok = set()
+            idx = 0 if fl == "min" else 1
+            for f in base_ok:
+                e = ent(f, col)
+                if e is None:
+                    continue
+                v = e[idx]
+                if isinstance(v, float) and math.isnan(v):
+                    continue  # Spark orders NaN largest; scan decides
+                ok.add(f)
+        proven.append(ok)
+
+    need_scan = [f for f in victims if any(f not in p for p in proven)]
+    sset = set(need_scan)
+    scan_row = None
+    if need_scan:
+        df = _read_file_list(
+            spark, path, need_scan, schema,
+            partition_cols=_manifest_partition_cols(man),
+            dv_files=man.get("dv_files"),
+            dv_targets=man.get("dv_targets"),
+            eq_entries=man.get("eqs"),
+            file_seq=man.get("seq"),
+            colmap=_colmap(man) or None,
+            defaults=man.get("defaults"),
+        )
+        if preds is not None:
+            df = df.where(_match_expr(preds))
+        exprs = []
+        for k, (fl, col) in enumerate(norm):
+            arg = F.lit(1) if col == "*" else F.col(col)
+            exprs.append(getattr(F, fl)(arg).alias(f"_a{k}"))
+        scan_row = df.agg(*exprs).first()
+
+    out: list = []
+    for k, (fl, col) in enumerate(norm):
+        meta = [f for f in victims if f in proven[k] and f not in sset]
+        sv = scan_row[f"_a{k}"] if scan_row is not None else None
+        if fl == "count":
+            total = int(sv or 0)
+            if col == "*":
+                total += sum(rows_map[f] for f in meta)
+            else:
+                total += sum(rows_map[f] - ent(f, col)[2] for f in meta)
+            out.append(total)
+        elif fl == "sum":
+            vals = []
+            for f in meta:
+                s = ent(f, col)[3]
+                if s is not None:
+                    vals.append(
+                        decimal.Decimal(s) if isinstance(s, str) else s
+                    )
+            if sv is not None:
+                vals.append(sv)
+            out.append(sum(vals) if vals else None)
+        else:
+            idx = 0 if fl == "min" else 1
+            vals = [
+                v for f in meta if (v := ent(f, col)[idx]) is not None
+            ]
+            if isinstance(sv, float) and math.isnan(sv):
+                # NaN orders largest in Spark: it IS the max; for min
+                # it means every scanned value was NaN — metadata
+                # values (never NaN, gated above) win when present
+                if fl == "max" or not vals:
+                    out.append(sv)
+                    continue
+                sv = None
+            if sv is not None:
+                if not vals:
+                    # scan-only: the Spark-typed value passes through
+                    # untouched (normalizing would widen Decimals)
+                    out.append(sv)
+                    continue
+                vals.append(_stat_norm(sv))
+            if not vals:
+                out.append(None)
+                continue
+            r = min(vals) if fl == "min" else max(vals)
+            dt = ftypes[col]
+            if isinstance(dt, DateType) and isinstance(r, str):
+                r = datetime.date.fromisoformat(r)
+            elif isinstance(
+                dt, (TimestampType, TimestampNTZType)
+            ) and isinstance(r, str):
+                r = datetime.datetime.fromisoformat(r)
+            out.append(r)
+    return out
+
+
 def snapshot_count_nonnull(
     spark: SparkSession,
     path: str,
@@ -4400,13 +4647,29 @@ def _stat_norm(v, widen: int = 0):
     return str(v)
 
 
+def _stat_sum_norm(v):
+    """JSON-able EXACT image of a per-file SUM: ints stay ints (Python
+    json encodes arbitrary precision exactly), floats stay floats,
+    Decimal becomes its exact STRING — unlike the min/max endpoints
+    (which only PRUNE, so outward float widening is safe), sums ANSWER
+    queries (``snapshot_agg_where``) and a float image would round."""
+    import decimal
+
+    if v is None or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return None  # non-summable oddity: treated as unrecorded
+
+
 def collect_file_stats(
     spark: SparkSession, path: str, files: list[str], stats_cols: list[str]
 ) -> dict:
     """Per-file min/max + null count for ``stats_cols`` over the given
-    commit files: {relpath: {col: [min, max, nulls]}} in native
-    (order-preserving) JSON form. One small aggregation grouped by
-    ``_metadata.file_path`` — runs once at commit time.
+    commit files — plus, for NUMERIC columns, the per-file SUM:
+    {relpath: {col: [min, max, nulls] | [min, max, nulls, sum]}} in
+    native (order-preserving) JSON form. One small aggregation grouped
+    by ``_metadata.file_path`` — runs once at commit time.
 
     The NULL COUNT (third element; legacy two-element entries keep
     reading — every consumer indexes [0]/[1] and gates extras on
@@ -4415,7 +4678,13 @@ def collect_file_stats(
     but only ``nulls == 0`` makes that every ROW — the difference
     between "this file may contain matches" and "this file IS the
     match", which lets a delete drop the file by reference instead of
-    rewriting it (see ``_full_match_files``)."""
+    rewriting it (see ``_full_match_files``).
+
+    The SUM (fourth element, numeric columns only; same length-gated
+    compatibility) is what lets ``snapshot_agg_where`` answer
+    ``SUM(col) WHERE <pred>`` from metadata for files the predicate
+    provably matches whole — recorded exactly (``_stat_sum_norm``),
+    never widened."""
     path = _root(path)
     if not files or not stats_cols:
         return {}
@@ -4423,6 +4692,12 @@ def collect_file_stats(
     present = [c for c in stats_cols if c in df.columns]
     if not present:
         return {}
+    from pyspark.sql.types import NumericType
+
+    numeric = {
+        f.name for f in df.schema.fields
+        if f.name in set(present) and isinstance(f.dataType, NumericType)
+    }
     aggs = []
     for c in present:
         aggs.append(F.min(F.col(c)).alias(f"_mn_{c}"))
@@ -4430,6 +4705,8 @@ def collect_file_stats(
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"_nl_{c}")
         )
+        if c in numeric:
+            aggs.append(F.sum(F.col(c)).alias(f"_sm_{c}"))
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("_f"))
         .agg(*aggs)
@@ -4446,7 +4723,13 @@ def collect_file_stats(
     # seed EVERY commit file with null-endpoint stats: an empty file
     # yields no aggregation row, and "recorded, endpoints null" is the
     # provably-excludable state (vs "no entry" = conservatively kept)
-    out: dict = {f: {c: [None, None, 0] for c in present} for f in files}
+    out: dict = {
+        f: {
+            c: [None, None, 0, None] if c in numeric else [None, None, 0]
+            for c in present
+        }
+        for f in files
+    }
     for r in rows:
         m = rel_re.match(r["_f"])
         rel = enc2raw.get(m.group(1)) if m else None
@@ -4468,6 +4751,7 @@ def collect_file_stats(
                 _stat_norm(r[f"_mx_{c}"], widen=1),
                 int(r[f"_nl_{c}"] or 0),
             ]
+            + ([_stat_sum_norm(r[f"_sm_{c}"])] if c in numeric else [])
             for c in present
         }
     return out

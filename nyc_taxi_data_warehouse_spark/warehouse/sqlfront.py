@@ -2193,6 +2193,114 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     return "".join(out)
 
 
+_AGG_KWS = ("COUNT", "MIN", "MAX", "SUM")
+
+
+def _parse_agg_list(p: "_Parser"):
+    """``[(func, arg, alias|None), ...]`` when the select list is
+    purely MIN/MAX/SUM/COUNT calls over plain columns (or COUNT(*) /
+    COUNT(1), both stored as arg ``"*"``), else None — the caller
+    restores the cursor and re-parses as a column list. DISTINCT,
+    expressions, multi-arg calls, and implicit (AS-less) aliases all
+    bail to None: reads always have the spark.sql fallback."""
+    items: list[tuple[str, str, str | None]] = []
+    while True:
+        func = None
+        for cand in _AGG_KWS:
+            nxt = p.peek(1)
+            if (
+                nxt is not None
+                and nxt.kind == "punct"
+                and nxt.text == "("
+                and p.kw(cand)
+            ):
+                func = cand.lower()
+                break
+        if func is None:
+            return None
+        p.expect_punct("(")
+        if p.punct("*"):
+            if func != "count":
+                return None
+            arg = "*"
+        else:
+            t = p.peek()
+            if (
+                func == "count"
+                and t is not None
+                and t.kind == "num"
+                and t.text == "1"
+            ):
+                p.i += 1
+                arg = "*"
+            elif t is not None and t.kind in ("word", "bq"):
+                arg = p.ident()
+            else:
+                return None
+        if not p.punct(")"):
+            return None
+        alias = p.ident() if p.kw("AS") else None
+        items.append((func, arg, alias))
+        if not p.punct(","):
+            return items
+
+
+def _resolve_agg_specs(spark, path, aggs, version):
+    """Resolve parsed aggregate items against the snapshot schema:
+    ``([(func, canonical_col, raw_arg, alias, dataType)], version)``
+    with the head pinned to a concrete version (types and values must
+    come from the SAME manifest), or ``(None, version)`` when the
+    fast path should fall through — unknown or case-ambiguous column,
+    SUM over a non-numeric — so spark.sql reports (or resolves) it
+    exactly as a passthrough scan would."""
+    from pyspark.sql.types import NumericType, StructType
+
+    from .snapshots import _list_manifests, _load_manifest
+
+    if version is None:
+        versions = _list_manifests(spark, path)
+        if not versions:
+            return None, version
+        version = versions[-1]
+    man = _load_manifest(spark, path, version)
+    by_lower: dict[str, list] = {}
+    for fld in StructType.fromJson(man["schema"]).fields:
+        by_lower.setdefault(fld.name.lower(), []).append(fld)
+    specs = []
+    for func, arg, alias in aggs:
+        if arg == "*":
+            specs.append((func, "*", "*", alias, None))
+            continue
+        cands = by_lower.get(arg.lower())
+        if cands is None or len(cands) != 1:
+            return None, version
+        fld = cands[0]
+        if func == "sum" and not isinstance(fld.dataType, NumericType):
+            return None, version
+        specs.append((func, fld.name, arg, alias, fld.dataType))
+    return specs, version
+
+
+def _sum_result_type(dt):
+    """Spark's SUM result type (probed, Spark 4.1): integral →
+    bigint, float/double → double, decimal(p,s) → decimal(p+10,s)
+    capped at 38 precision."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    if isinstance(dt, DecimalType):
+        return DecimalType(min(dt.precision + 10, 38), dt.scale)
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return LongType()
+    return DoubleType()
+
+
 def _try_select_fastpath(
     spark: SparkSession, statement: str
 ) -> DataFrame | None:
@@ -2200,15 +2308,18 @@ def _try_select_fastpath(
     dispatch. The restricted shapes
 
         SELECT COUNT(*) [AS a] FROM t [time travel] [WHERE preds]
+        SELECT agg [, agg ...] FROM t [time travel] [WHERE preds]
+            (agg = MIN|MAX|SUM|COUNT(col) | COUNT(*|1), opt. AS a)
         SELECT * | col [, col ...] FROM t [time travel] [WHERE preds]
             [LIMIT n]
 
     (t = a registered/durable-catalog snapshot name or a quoted table
     path; preds = the front door's plannable grammar) route to
-    ``snapshot_count_where`` / ``read_snapshot_where``: a COUNT under
-    a retention cutoff answers from manifest stats opening only
-    boundary files, and a predicate read opens only the files whose
-    stats admit a match — the analyst typing SQL gets the engine's
+    ``snapshot_count_where`` / ``snapshot_agg_where`` /
+    ``read_snapshot_where``: a COUNT or MIN/MAX/SUM under a retention
+    cutoff answers from manifest stats opening only boundary files,
+    and a predicate read opens only the files whose stats admit a
+    match — the analyst typing SQL gets the engine's
     best read plan, not a full-view scan. Anything else returns None
     and passes through to ``spark.sql`` untouched (CTEs, joins,
     aggregations, expressions, unresolvable names — reads always have
@@ -2240,23 +2351,28 @@ def _try_select_fastpath(
         is_count = False
         count_alias = None
         cols: list[str] | None = None
-        if p.kw("COUNT"):
-            p.expect_punct("(")
-            if not p.punct("*"):
-                t = p.peek()
-                if t is None or t.kind != "num" or t.text != "1":
-                    return None
-                p.i += 1
-            p.expect_punct(")")
-            is_count = True
-            if p.kw("AS"):
-                count_alias = p.ident()
-        elif p.punct("*"):
+        aggs: list[tuple[str, str, str | None]] | None = None
+        if p.punct("*"):
             cols = None
         else:
-            cols = [p.ident()]
-            while p.punct(","):
-                cols.append(p.ident())
+            save0 = p.i
+            aggs = _parse_agg_list(p)
+            if aggs is None:
+                p.i = save0
+                cols = [p.ident()]
+                while p.punct(","):
+                    cols.append(p.ident())
+        if (
+            aggs is not None
+            and len(aggs) == 1
+            and aggs[0][0] == "count"
+            and aggs[0][1] == "*"
+        ):
+            # the lone COUNT(*) keeps its dedicated row-count path
+            # (manifest row sums need no full-match proof)
+            is_count = True
+            count_alias = aggs[0][2]
+            aggs = None
         p.expect_kw("FROM")
         kind, text = p.table_token()
         rec = None
@@ -2335,6 +2451,18 @@ def _try_select_fastpath(
             for b in [preds] if isinstance(preds, dict) else preds:
                 if any("." in c for c in b):
                     return None
+        agg_specs = None
+        if aggs is not None:
+            for _f, _a, _al in aggs:
+                if (_a != "*" and "." in _a) or (
+                    _al is not None and "." in _al
+                ):
+                    return None
+            agg_specs, version = _resolve_agg_specs(
+                spark, path, aggs, version
+            )
+            if agg_specs is None:
+                return None
     except ValueError:
         # SqlFrontError (unsupported shape/predicate) and the planner
         # value-type refusals (e.g. a bool range bound) alike: reads
@@ -2345,6 +2473,37 @@ def _try_select_fastpath(
     # shape recognized and target resolved — execute without catching:
     # from here an error is a real error, identical in kind to what
     # the passthrough scan would raise (missing column, bad path)
+    if agg_specs is not None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from .snapshots import snapshot_agg_where
+
+        vals = snapshot_agg_where(
+            spark,
+            path,
+            [(f, c) for f, c, _raw, _al, _dt in agg_specs],
+            preds,
+            version=version,
+        )
+        fields = []
+        for (f, _c, raw, alias, dt), v in zip(agg_specs, vals):
+            if f == "count":
+                out_dt, nullable = LongType(), False
+            elif f == "sum":
+                out_dt, nullable = _sum_result_type(dt), True
+            else:
+                out_dt, nullable = dt, True
+            # Spark's auto-alias: lowercase func over the arg text AS
+            # WRITTEN (``MIN(FARE)`` → ``min(FARE)``); both COUNT(*)
+            # and COUNT(1) render ``count(1)`` (probed, Spark 4.1)
+            name = alias or (
+                "count(1)" if raw == "*" else f"{f}({raw})"
+            )
+            fields.append(StructField(name, out_dt, nullable))
+        out = spark.createDataFrame(
+            [tuple(vals)], StructType(fields)
+        )
+        return out.limit(limit) if limit is not None else out
     if is_count:
         if preds is None:
             n = snapshot_count(spark, path, version=version)

@@ -1,0 +1,330 @@
+"""``snapshot_agg_where`` — metadata-planned MIN/MAX/SUM/COUNT under
+plannable predicates, the aggregate twin of ``snapshot_count_where``.
+
+Contract pinned here:
+- values ≡ a full-scan oracle (read everything, apply the row-level
+  predicate, aggregate) for every supported type — int, long, double,
+  decimal, date, timestamp, string — under ranges, IN lists, null
+  tests, DNF disjunctions, and no predicate at all;
+- files whose stats prove the whole answer are NEVER OPENED (the
+  monkeypatched-reader pin, like ``test_count_where_scans_only_
+  boundary_files``);
+- exactness rules route to the scan instead of answering wrong:
+  Decimal MIN/MAX (stats endpoints are outward-widened floats), files
+  under DV tombstones or equality deletes, legacy stats without
+  recorded sums, partition columns (no data-file stats);
+- SQL NULL semantics: MIN/MAX/SUM over zero matching non-null rows
+  return None, COUNT returns 0.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.warehouse import snapshots as snap
+from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
+    IS_NOT_NULL,
+    IS_NULL,
+    Range,
+    _match_expr,
+    read_snapshot,
+    snapshot_agg_where,
+    snapshot_delete_where,
+    snapshot_write_with_stats,
+)
+
+SCHEMA = (
+    "id int, ts timestamp, d date, dec decimal(10,2), x double, s string"
+)
+COLS = ["id", "ts", "d", "dec", "x", "s"]
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _mk(spark, path, n_files=3, rows_per=6, nulls=True):
+    for fi in range(n_files):
+        rows = []
+        for j in range(rows_per):
+            i = fi * rows_per + j
+            null_here = nulls and (i % 5 == 4)
+            rows.append(
+                (
+                    i,
+                    None if null_here else BASE + datetime.timedelta(
+                        hours=i, microseconds=i * 137
+                    ),
+                    None if null_here else (
+                        BASE + datetime.timedelta(days=i)
+                    ).date(),
+                    None if null_here else Decimal(i * 7) / 100,
+                    None if null_here else i * 0.25,
+                    None if null_here else f"s{i:03d}",
+                )
+            )
+        df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+        snapshot_write_with_stats(df, path, COLS, mode="append")
+
+
+ALL_AGGS = [
+    ("count", "*"), ("count", "x"), ("min", "id"), ("max", "id"),
+    ("sum", "id"), ("min", "x"), ("max", "x"), ("sum", "x"),
+    ("min", "dec"), ("max", "dec"), ("sum", "dec"),
+    ("min", "ts"), ("max", "ts"), ("min", "d"), ("max", "d"),
+    ("min", "s"), ("max", "s"),
+]
+
+
+def _oracle(spark, path, preds):
+    df = read_snapshot(spark, path)
+    if preds is not None:
+        sp = snap._sanitize_predicates(preds)
+        df = df.where(_match_expr(sp)) if sp else df.limit(0)
+    exprs = []
+    for k, (f, c) in enumerate(ALL_AGGS):
+        col = F.lit(1) if c == "*" else F.col(c)
+        exprs.append(getattr(F, f)(col).alias(f"_a{k}"))
+    r = df.agg(*exprs).first()
+    return [r[f"_a{k}"] for k in range(len(ALL_AGGS))]
+
+
+def _assert_same(got, want, preds):
+    assert len(got) == len(want)
+    for g, w, a in zip(got, want, ALL_AGGS):
+        if isinstance(g, float) and isinstance(w, float):
+            assert math.isclose(g, w, rel_tol=1e-9, abs_tol=1e-12), (
+                a, g, w, preds
+            )
+        else:
+            assert g == w, (a, g, w, preds)
+
+
+PREDS = [
+    None,
+    {"id": Range(lo=4, hi=12)},
+    {"id": Range(lo=4, hi=12, lo_inc=False, hi_inc=False)},
+    {"ts": Range(hi="2024-01-01 09:00:00")},
+    {"d": Range(lo=datetime.date(2024, 1, 5))},
+    {"dec": Range(lo=Decimal("0.10"), hi=Decimal("0.70"))},
+    {"x": [1.0, 2.5, 3.0, None]},
+    {"s": IS_NULL},
+    {"s": IS_NOT_NULL, "id": Range(lo=2)},
+    [{"id": Range(hi=3)}, {"x": Range(lo=3.0)}],  # DNF
+    {"id": Range(lo=100)},  # matches nothing
+    {"id": Range(lo=10, hi=2)},  # provably empty
+]
+
+
+@pytest.mark.parametrize("pi", range(len(PREDS)))
+def test_agg_matches_full_scan(spark, tmp_path, pi):
+    t = str(tmp_path / f"agw_{pi}")
+    _mk(spark, t)
+    preds = PREDS[pi]
+    got = snapshot_agg_where(spark, t, ALL_AGGS, predicates=preds)
+    _assert_same(got, _oracle(spark, t, preds), preds)
+
+
+def test_proven_files_never_open(spark, tmp_path, monkeypatch):
+    """A range wholly covering clean statted files answers MIN/MAX/
+    SUM/COUNT from metadata alone — no file opens at all; a boundary
+    range opens ONLY the boundary file."""
+    t = str(tmp_path / "agw_pin")
+    _mk(spark, t, nulls=False)  # clean: every file has exact stats
+
+    opened: list[list[str]] = []
+    real = snap._read_file_list
+
+    def spy(spark_, path_, files_, *a, **kw):
+        opened.append(sorted(files_))
+        return real(spark_, path_, files_, *a, **kw)
+
+    monkeypatch.setattr(snap, "_read_file_list", spy)
+
+    aggs = [("min", "id"), ("max", "id"), ("sum", "id"), ("count", "*"),
+            ("count", "id")]
+    # file boundaries at id: [0..5], [6..11], [12..17]
+    got = snapshot_agg_where(
+        spark, t, aggs, predicates={"id": Range(lo=0, hi=11)}
+    )
+    assert got == [0, 11, 66, 12, 12]
+    assert opened == [], "whole-file-proven aggregate opened files"
+
+    # boundary at id=8: file1 scans, file0 stays metadata
+    got = snapshot_agg_where(
+        spark, t, aggs, predicates={"id": Range(lo=0, hi=8)}
+    )
+    assert got == [0, 8, 36, 9, 9]
+    assert len(opened) == 1 and len(opened[0]) == 1, opened
+
+    # no predicate on a clean table: pure metadata
+    opened.clear()
+    got = snapshot_agg_where(spark, t, aggs)
+    assert got == [0, 17, 153, 18, 18]
+    assert opened == []
+
+
+def test_decimal_minmax_scans_but_sum_does_not(spark, tmp_path, monkeypatch):
+    """Decimal stats endpoints are outward-widened floats — answering
+    MIN/MAX from them would return a value not in the data, so those
+    scan; Decimal SUM answers from the exactly-recorded per-file sums."""
+    t = str(tmp_path / "agw_dec")
+    _mk(spark, t, nulls=False)
+
+    opened: list[list[str]] = []
+    real = snap._read_file_list
+
+    def spy(spark_, path_, files_, *a, **kw):
+        opened.append(sorted(files_))
+        return real(spark_, path_, files_, *a, **kw)
+
+    monkeypatch.setattr(snap, "_read_file_list", spy)
+
+    (s,) = snapshot_agg_where(spark, t, [("sum", "dec")])
+    assert s == sum(Decimal(i * 7) / 100 for i in range(18))
+    assert opened == []
+
+    lo, hi = snapshot_agg_where(spark, t, [("min", "dec"), ("max", "dec")])
+    assert (lo, hi) == (Decimal("0.00"), Decimal("1.19"))
+    assert len(opened) == 1  # exact values need the scan
+
+
+def test_dv_and_eq_deletes_route_to_scan(spark, tmp_path):
+    """Outstanding DV tombstones / equality deletes make metadata
+    unprovable for the touched files — results stay exact (≡ oracle)
+    because those files scan."""
+    t = str(tmp_path / "agw_dv")
+    _mk(spark, t, nulls=False)
+    snapshot_delete_where(spark, t, {"id": [7]}, mode="dv")
+    preds = {"id": Range(lo=0, hi=14)}
+    got = snapshot_agg_where(spark, t, ALL_AGGS, predicates=preds)
+    _assert_same(got, _oracle(spark, t, preds), preds)
+    # equality delete on top
+    from nyc_taxi_data_warehouse_spark.warehouse.eqdeletes import (
+        snapshot_delete_keys,
+    )
+
+    snapshot_delete_keys(spark, t, spark.createDataFrame([(13,)], "id int"))
+    got = snapshot_agg_where(spark, t, ALL_AGGS, predicates=preds)
+    _assert_same(got, _oracle(spark, t, preds), preds)
+
+
+def test_legacy_stats_without_sums_stay_exact(spark, tmp_path):
+    """Manifests written before per-file sums existed (3-element stats
+    entries) still answer correctly — SUM just scans."""
+    t = str(tmp_path / "agw_leg")
+    real = snap.collect_file_stats
+
+    def strip_sums(*a, **kw):
+        out = real(*a, **kw)
+        return {
+            f: {c: e[:3] for c, e in cols.items()}
+            for f, cols in out.items()
+        }
+
+    import unittest.mock as mock
+
+    with mock.patch.object(snap, "collect_file_stats", strip_sums):
+        _mk(spark, t, nulls=False)
+    preds = {"id": Range(lo=0, hi=11)}
+    got = snapshot_agg_where(
+        spark, t, [("sum", "id"), ("min", "id"), ("count", "*")],
+        predicates=preds,
+    )
+    assert got == [66, 0, 12]
+
+
+def test_empty_and_allnull_semantics(spark, tmp_path):
+    t = str(tmp_path / "agw_null")
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "id int, x double"
+    )
+    snapshot_write_with_stats(df, t, ["id", "x"])
+    got = snapshot_agg_where(
+        spark, t,
+        [("min", "x"), ("max", "x"), ("sum", "x"), ("count", "x"),
+         ("count", "*")],
+    )
+    assert got == [None, None, None, 0, 3]
+    # predicate matching nothing
+    got = snapshot_agg_where(
+        spark, t, [("min", "id"), ("sum", "id"), ("count", "*")],
+        predicates={"id": [99]},
+    )
+    assert got == [None, None, 0]
+
+
+def test_refusals(spark, tmp_path):
+    t = str(tmp_path / "agw_ref")
+    _mk(spark, t, n_files=1)
+    with pytest.raises(ValueError, match="func"):
+        snapshot_agg_where(spark, t, [("avg", "x")])
+    with pytest.raises(ValueError, match="numeric"):
+        snapshot_agg_where(spark, t, [("sum", "s")])
+    with pytest.raises(ValueError, match="unknown column"):
+        snapshot_agg_where(spark, t, [("min", "nope")])
+    with pytest.raises(ValueError, match="count"):
+        snapshot_agg_where(spark, t, [("min", "*")])
+
+
+def test_partition_column_aggs_stay_exact(spark, tmp_path):
+    """Partition columns carry no data-file stats (values live in the
+    directory names) — aggregates over them scan, and stay exact."""
+    t = str(tmp_path / "agw_part")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id int, bucket int, x double",
+    )
+    snapshot_write_with_stats(
+        df, t, ["id", "x"], partition_cols=["bucket"]
+    )
+    got = snapshot_agg_where(
+        spark, t,
+        [("min", "bucket"), ("max", "bucket"), ("sum", "x")],
+        predicates={"id": Range(lo=10)},
+    )
+    assert got[0] == 0 and got[1] == 2
+    assert got[2] == sum(float(i) for i in range(10, 30))
+
+
+def test_agg_where_cli(spark, tmp_path, capsys):
+    """`snapshot-agg` CLI: JSON keyed func(col), Decimal/datetime
+    encoded as strings, --where sharing the count-where decoder."""
+    import json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    t = str(tmp_path / "agwcli")
+    _mk(spark, t)
+    main(
+        [
+            "snapshot-agg", "--table-path", t,
+            "--aggs", "min:id,max:id,sum:x,count:*",
+            "--where", '{"id": {"hi": 9}}',
+        ],
+        spark=spark,
+    )
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["min(id)"] == 0 and out["max(id)"] == 9
+    assert out["count(1)" if "count(1)" in out else "count(*)"] == 10
+    main(
+        ["snapshot-agg", "--table-path", t, "--aggs", "min:ts,sum:dec"],
+        spark=spark,
+    )
+    out = json.loads(capsys.readouterr().out.strip())
+    assert isinstance(out["min(ts)"], str) and out["min(ts)"].startswith(
+        "2024-01-01"
+    )
+    assert isinstance(out["sum(dec)"], str)
+    with pytest.raises(SystemExit, match="func:col"):
+        main(
+            ["snapshot-agg", "--table-path", t, "--aggs", "min"],
+            spark=spark,
+        )
+    with pytest.raises(SystemExit, match="agg func"):
+        main(
+            ["snapshot-agg", "--table-path", t, "--aggs", "avg:id"],
+            spark=spark,
+        )

@@ -213,7 +213,7 @@ def test_unplannable_shapes_fall_through(spark, tmp_path, spy):
         "SELECT * FROM fp_fall WHERE fare LIKE '1%'",
         "SELECT * FROM fp_fall ORDER BY id",
         "SELECT COUNT(*) FROM fp_fall WHERE id = 1 HAVING COUNT(*) > 0",
-        "SELECT COUNT(id) FROM fp_fall",
+        "SELECT COUNT(id) FROM fp_fall WHERE fare LIKE '1%'",
     ]
     for q in shapes:
         snapshot_sql(spark, q).collect()
