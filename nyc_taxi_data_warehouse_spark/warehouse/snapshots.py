@@ -2919,6 +2919,7 @@ def snapshot_agg_where(
     aggs: list,
     predicates=None,
     version: int | None = None,
+    _man: dict | None = None,
 ) -> list:
     """Exact MIN/MAX/SUM/COUNT — optionally under a plannable predicate
     ({col: values | Range | null-test}, or a DNF list of such dicts) —
@@ -2942,15 +2943,27 @@ def snapshot_agg_where(
 
     Exactness rules (a file failing one moves to the scan — the result
     is never approximate):
-    - Decimal MIN/MAX never answers from stats (recorded endpoints are
-      OUTWARD-WIDENED floats — exact for pruning, wrong for
-      answering); Decimal SUM does (sums are recorded exactly);
+    - MIN/MAX answers from stats only for types whose recorded image
+      round-trips faithfully (non-decimal numerics, strings, bools,
+      dates, timestamps). Decimal endpoints are OUTWARD-WIDENED
+      floats and interval/binary/array/struct images are lossy
+      ``str(v)`` — exact for pruning, wrong for answering — so those
+      scan; Decimal SUM answers (sums are recorded exactly);
+    - a NULL recorded sum proves "zero non-null rows" only when the
+      null count equals the row count — otherwise (e.g. overflow
+      under a non-ANSI writer) the file scans;
     - a NaN endpoint routes the file to the scan (Spark orders NaN
       largest; Python comparisons would mis-combine it);
     - partition columns carry no data-file stats (values live in the
       directory names) — they scan;
     - float SUM combines per-file partials in Python — same value up
-      to float addition order, exactly like any distributed sum.
+      to float addition order, exactly like any distributed sum;
+      integral SUM is exact under ANSI (the session default; a
+      non-ANSI writer's wrapped per-file partials are out of scope).
+
+    ``_man`` is internal plumbing for the SQL fast path: the
+    already-loaded manifest FOR ``version`` (pass both or neither) so
+    the statement doesn't list/load the same manifest twice.
 
     MIN/MAX of date/timestamp columns denormalize from the stats image
     (ISO strings) back to Python date/datetime via the schema, so both
@@ -2967,22 +2980,26 @@ def snapshot_agg_where(
     import math
 
     from pyspark.sql.types import (
+        BooleanType,
         DateType,
         DecimalType,
         NumericType,
+        StringType,
         TimestampNTZType,
         TimestampType,
     )
 
-    versions = _list_manifests(spark, path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions at {path}")
-    if version is None:
-        version = versions[-1]
-    elif version not in versions:
-        raise FileNotFoundError(
-            f"version {version} not present at {path} (have {versions})"
-        )
+    if _man is None or version is None:
+        versions = _list_manifests(spark, path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+        if version is None:
+            version = versions[-1]
+        elif version not in versions:
+            raise FileNotFoundError(
+                f"version {version} not present at {path} "
+                f"(have {versions})"
+            )
     norm: list[tuple[str, str]] = []
     for a in aggs:
         try:
@@ -3001,7 +3018,11 @@ def snapshot_agg_where(
         norm.append((fl, col))
     if not norm:
         raise ValueError("aggs must name at least one aggregate")
-    man = _load_manifest(spark, path, version)
+    man = (
+        _man
+        if _man is not None
+        else _load_manifest(spark, path, version)
+    )
     schema = StructType.fromJson(man["schema"])
     ftypes = {fld.name: fld.dataType for fld in schema.fields}
     for fl, c in norm:
@@ -3059,12 +3080,36 @@ def snapshot_agg_where(
                 if f in rows_map and e is not None and len(e) >= 3:
                     ok.add(f)
         elif fl == "sum":
-            ok = {
-                f for f in base_ok
-                if (e := ent(f, col)) is not None and len(e) >= 4
-            }
-        elif isinstance(ftypes[col], DecimalType):
-            ok = set()  # widened endpoints: prune-exact, not answer-exact
+            ok = set()
+            for f in base_ok:
+                e = ent(f, col)
+                if e is None or len(e) < 4:
+                    continue
+                if e[3] is None and not (
+                    f in rows_map and e[2] == rows_map[f]
+                ):
+                    # a NULL sum is only provably "zero non-null rows"
+                    # when the null count says ALL rows are null —
+                    # otherwise (overflow under non-ANSI, oddity) the
+                    # scan decides (REVIEW r11)
+                    continue
+                ok.add(f)
+        elif isinstance(ftypes[col], DecimalType) or not isinstance(
+            ftypes[col],
+            (
+                NumericType,
+                StringType,
+                BooleanType,
+                DateType,
+                TimestampType,
+                TimestampNTZType,
+            ),
+        ):
+            # Decimal endpoints are outward-widened floats, and any
+            # type whose stats image is a lossy str(v) — intervals,
+            # binary, arrays, structs — orders wrongly as a string:
+            # both prune-exact, neither answer-exact (REVIEW r11)
+            ok = set()
         else:
             ok = set()
             idx = 0 if fl == "min" else 1
@@ -3121,7 +3166,17 @@ def snapshot_agg_where(
                     )
             if sv is not None:
                 vals.append(sv)
-            out.append(sum(vals) if vals else None)
+            if not vals:
+                out.append(None)
+            elif isinstance(vals[0], decimal.Decimal):
+                # the ambient context (prec=28) would silently round
+                # wide-decimal totals; combine at full width (Spark's
+                # SUM result caps at decimal(38,s)) — REVIEW r11
+                with decimal.localcontext() as ctx:
+                    ctx.prec = 76
+                    out.append(sum(vals))
+            else:
+                out.append(sum(vals))
         else:
             idx = 0 if fl == "min" else 1
             vals = [

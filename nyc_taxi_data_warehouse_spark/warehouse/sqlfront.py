@@ -2247,12 +2247,14 @@ def _parse_agg_list(p: "_Parser"):
 
 def _resolve_agg_specs(spark, path, aggs, version):
     """Resolve parsed aggregate items against the snapshot schema:
-    ``([(func, canonical_col, raw_arg, alias, dataType)], version)``
-    with the head pinned to a concrete version (types and values must
-    come from the SAME manifest), or ``(None, version)`` when the
-    fast path should fall through — unknown or case-ambiguous column,
-    SUM over a non-numeric — so spark.sql reports (or resolves) it
-    exactly as a passthrough scan would."""
+    ``([(func, canonical_col, raw_arg, alias, dataType)], version,
+    manifest)`` with the head pinned to a concrete version (types and
+    values must come from the SAME manifest; the loaded manifest is
+    returned so the executor doesn't load it twice), or ``(None,
+    version, None)`` when the fast path should fall through —
+    unknown or case-ambiguous column, SUM over a non-numeric — so
+    spark.sql reports (or resolves) it exactly as a passthrough scan
+    would."""
     from pyspark.sql.types import NumericType, StructType
 
     from .snapshots import _list_manifests, _load_manifest
@@ -2260,7 +2262,7 @@ def _resolve_agg_specs(spark, path, aggs, version):
     if version is None:
         versions = _list_manifests(spark, path)
         if not versions:
-            return None, version
+            return None, version, None
         version = versions[-1]
     man = _load_manifest(spark, path, version)
     by_lower: dict[str, list] = {}
@@ -2273,12 +2275,12 @@ def _resolve_agg_specs(spark, path, aggs, version):
             continue
         cands = by_lower.get(arg.lower())
         if cands is None or len(cands) != 1:
-            return None, version
+            return None, version, None
         fld = cands[0]
         if func == "sum" and not isinstance(fld.dataType, NumericType):
-            return None, version
+            return None, version, None
         specs.append((func, fld.name, arg, alias, fld.dataType))
-    return specs, version
+    return specs, version, man
 
 
 def _sum_result_type(dt):
@@ -2451,14 +2453,14 @@ def _try_select_fastpath(
             for b in [preds] if isinstance(preds, dict) else preds:
                 if any("." in c for c in b):
                     return None
-        agg_specs = None
+        agg_specs = agg_man = None
         if aggs is not None:
             for _f, _a, _al in aggs:
                 if (_a != "*" and "." in _a) or (
                     _al is not None and "." in _al
                 ):
                     return None
-            agg_specs, version = _resolve_agg_specs(
+            agg_specs, version, agg_man = _resolve_agg_specs(
                 spark, path, aggs, version
             )
             if agg_specs is None:
@@ -2478,13 +2480,22 @@ def _try_select_fastpath(
 
         from .snapshots import snapshot_agg_where
 
-        vals = snapshot_agg_where(
-            spark,
-            path,
-            [(f, c) for f, c, _raw, _al, _dt in agg_specs],
-            preds,
-            version=version,
-        )
+        if preds == []:
+            # provably-matches-nothing WHERE (e.g. an emptied IN
+            # list): SQL empty-group semantics without a planner call
+            vals = [
+                0 if f == "count" else None
+                for f, _c, _raw, _al, _dt in agg_specs
+            ]
+        else:
+            vals = snapshot_agg_where(
+                spark,
+                path,
+                [(f, c) for f, c, _raw, _al, _dt in agg_specs],
+                preds,
+                version=version,
+                _man=agg_man,
+            )
         fields = []
         for (f, _c, raw, alias, dt), v in zip(agg_specs, vals):
             if f == "count":

@@ -328,3 +328,80 @@ def test_agg_where_cli(spark, tmp_path, capsys):
             ["snapshot-agg", "--table-path", t, "--aggs", "avg:id"],
             spark=spark,
         )
+
+
+# ------------------------------------------ round-11 review findings
+
+
+def test_wide_decimal_sum_combines_at_full_precision(spark, tmp_path):
+    """REVIEW r11: the Decimal combine must not run under the ambient
+    context (prec=28) — a 29-digit total would silently round,
+    violating the never-approximate contract."""
+    t = str(tmp_path / "agw_wide")
+    big = 10 ** 28
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, Decimal(big // 2)), (2, Decimal(big // 2))],
+            "id int, v decimal(30,0)",
+        ).coalesce(1),
+        t, ["id", "v"],
+    )
+    snapshot_write_with_stats(
+        spark.createDataFrame([(3, Decimal(7))], "id int, v decimal(30,0)"),
+        t, ["id", "v"], mode="append",
+    )
+    got = snapshot_agg_where(spark, t, [("sum", "v")])
+    assert got[0] == Decimal(big + 7)  # the +7 must survive
+
+
+def test_lossy_stat_image_types_route_to_scan(spark, tmp_path):
+    """REVIEW r11: MIN/MAX over a type whose stats image is str(v)
+    (binary here) must scan — the lexicographic string order of
+    ``str(bytearray(...))`` is not the value order, and the combined
+    result must come back Spark-typed, not as a repr string."""
+    t = str(tmp_path / "agw_bin")
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, bytearray(b"\x02")), (2, bytearray(b"\x05"))],
+            "id int, b binary",
+        ).coalesce(1),
+        t, ["id", "b"],
+    )
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(3, bytearray(b"\x10"))], "id int, b binary"
+        ),
+        t, ["id", "b"], mode="append",
+    )
+    mn, mx = snapshot_agg_where(spark, t, [("min", "b"), ("max", "b")])
+    assert bytes(mn) == b"\x02" and bytes(mx) == b"\x10"
+    assert not isinstance(mx, str)
+
+
+def test_null_recorded_sum_without_allnull_proof_scans(
+    spark, tmp_path, monkeypatch
+):
+    """REVIEW r11: a recorded-NULL per-file sum only proves 'no
+    non-null rows' when the null count equals the row count; any
+    other NULL (overflow under a non-ANSI writer, non-summable
+    oddity) must route the file to the scan and stay exact."""
+    t = str(tmp_path / "agw_nullsum")
+    monkeypatch.setattr(snap, "_stat_sum_norm", lambda v: None)
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "id int, v int"
+        ).coalesce(1),
+        t, ["id", "v"],
+    )
+    monkeypatch.undo()
+    calls = []
+    orig = snap._read_file_list
+
+    def rec(spark_, path_, files_, *a, **k):
+        calls.append(list(files_))
+        return orig(spark_, path_, files_, *a, **k)
+
+    monkeypatch.setattr(snap, "_read_file_list", rec)
+    got = snapshot_agg_where(spark, t, [("sum", "v")])
+    assert got[0] == 30  # exact, via the scan
+    assert len(calls) == 1  # the NULL-sum file was NOT trusted

@@ -245,3 +245,53 @@ def test_lone_count_star_keeps_rowcount_path(spark, tmp_path, monkeypatch):
         == 4
     )
     assert called == []
+
+
+# ------------------------------------------ round-11 review findings
+
+
+def test_agg_provably_empty_where_returns_null_row(spark, tmp_path, spy):
+    """REVIEW r11: a WHERE that parses to the provably-matches-nothing
+    form (an emptied IN list, e.g. ``flag NOT IN (TRUE, FALSE)``)
+    must return the one-row NULL/0 aggregate frame — not crash in the
+    planner — with passthrough parity."""
+    t = str(tmp_path / "ag_empty")
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, True), (2, False)], "id int, flag boolean"
+        ),
+        t, ["id"],
+    )
+    snapshot_register(spark, t, "ag_empty")
+    q = (
+        "SELECT MIN(id), SUM(id), COUNT(id), COUNT(*) FROM ag_empty "
+        "WHERE flag NOT IN (TRUE, FALSE)"
+    )
+    _assert_parity(spark, q)
+    r = snapshot_sql(spark, q).collect()[0]
+    assert tuple(r) == (None, None, 0, 0)
+    assert spy == []
+
+
+def test_agg_fastpath_loads_manifest_once(spark, tmp_path, monkeypatch):
+    """REVIEW r11: the SQL agg fast path resolves types and answers
+    from ONE manifest load — the spec resolver hands its manifest to
+    snapshot_agg_where instead of re-listing and re-loading."""
+    import nyc_taxi_data_warehouse_spark.warehouse.snapshots as S
+
+    t = str(tmp_path / "ag_once")
+    _mk(spark, t, n_files=1)
+    snapshot_register(spark, t, "ag_once")
+    loads = []
+    orig = S._load_manifest
+
+    def rec(spark_, path_, version_):
+        loads.append((path_, version_))
+        return orig(spark_, path_, version_)
+
+    monkeypatch.setattr(S, "_load_manifest", rec)
+    r = snapshot_sql(
+        spark, "SELECT SUM(id), MIN(ts) FROM ag_once"
+    ).collect()[0]
+    assert r[0] == 6
+    assert len(loads) == 1
