@@ -364,6 +364,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--where", default=None,
         help="same predicate JSON as snapshot-count --where",
     )
+    sg.add_argument(
+        "--by", default=None,
+        help="comma-separated PARTITION columns to group by: prints "
+        "one JSON line per live group (metadata-planned like the "
+        "flat form — only unprovable files scan)",
+    )
 
     sd = sub.add_parser(
         "snapshot-delete",
@@ -980,13 +986,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 except ValueError:
                     pass
                 ver = snapshot_version_at(spark, args.table_path, ts)
-            try:
-                vals = snapshot_agg_where(
-                    spark, args.table_path, aggs, preds, version=ver
-                )
-            except ValueError as e:
-                raise SystemExit(str(e))
-
             def enc(v):
                 if isinstance(v, _dec.Decimal):
                     return str(v)
@@ -994,13 +993,43 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     return v.isoformat()
                 return v
 
-            print(
-                json.dumps(
-                    {f"{f}({c})": enc(v)
-                     for (f, c), v in zip(aggs, vals)},
-                    sort_keys=True,
+            if args.by is not None:
+                from .warehouse.snapshots import (
+                    snapshot_group_agg_where,
                 )
-            )
+
+                by = [c.strip() for c in args.by.split(",") if c.strip()]
+                try:
+                    rows = snapshot_group_agg_where(
+                        spark, args.table_path, by, aggs, preds,
+                        version=ver,
+                    )
+                except ValueError as e:
+                    raise SystemExit(str(e))
+                for r in sorted(rows, key=lambda t: str(t[: len(by)])):
+                    rec = {c: enc(r[i]) for i, c in enumerate(by)}
+                    rec.update(
+                        {
+                            f"{f}({c})": enc(r[len(by) + k])
+                            for k, (f, c) in enumerate(aggs)
+                        }
+                    )
+                    print(json.dumps(rec, sort_keys=True))
+            else:
+                try:
+                    vals = snapshot_agg_where(
+                        spark, args.table_path, aggs, preds,
+                        version=ver,
+                    )
+                except ValueError as e:
+                    raise SystemExit(str(e))
+                print(
+                    json.dumps(
+                        {f"{f}({c})": enc(v)
+                         for (f, c), v in zip(aggs, vals)},
+                        sort_keys=True,
+                    )
+                )
         elif args.cmd == "snapshot-delete":
             from .warehouse.snapshots import (
                 snapshot_delete,

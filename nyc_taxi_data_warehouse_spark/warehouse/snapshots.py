@@ -2913,6 +2913,211 @@ def snapshot_count_where(
 _AGG_FUNCS = ("min", "max", "sum", "count")
 
 
+def _agg_normalize(aggs) -> list:
+    """Validate/normalize the ``aggs`` argument shared by
+    ``snapshot_agg_where`` and ``snapshot_group_agg_where``:
+    ``[(func, col)]`` with lowercased funcs, or a loud ValueError."""
+    norm: list[tuple[str, str]] = []
+    for a in aggs:
+        try:
+            func, col = a
+        except Exception:
+            raise ValueError(f"each agg must be (func, col); got {a!r}")
+        fl = str(func).lower()
+        if fl not in _AGG_FUNCS:
+            raise ValueError(
+                f"agg func must be one of {_AGG_FUNCS}; got {func!r}"
+            )
+        if col == "*" and fl != "count":
+            raise ValueError(
+                f"'*' is only valid under count; got {func!r}('*')"
+            )
+        norm.append((fl, col))
+    if not norm:
+        raise ValueError("aggs must name at least one aggregate")
+    return norm
+
+
+def _agg_validate_types(norm, ftypes) -> None:
+    from pyspark.sql.types import NumericType
+
+    for fl, c in norm:
+        if c != "*" and c not in ftypes:
+            raise ValueError(
+                f"unknown column {c!r} (have {sorted(ftypes)})"
+            )
+        if fl == "sum" and not isinstance(ftypes[c], NumericType):
+            raise ValueError(
+                f"SUM needs a numeric column; {c!r} is "
+                f"{ftypes[c].simpleString()}"
+            )
+
+
+def _agg_ent(man: dict, f: str, col: str):
+    return (man.get("stats") or {}).get(f, {}).get(_phys(man, col))
+
+
+def _agg_proven_sets(man, norm, ftypes, victims, full):
+    """The exactness gates shared by the flat and grouped aggregate
+    planners: per requested aggregate, the set of victim files whose
+    metadata PROVABLY answers it — see ``snapshot_agg_where``'s
+    docstring for the per-rule rationale. Returns ``(proven, rows_map)``
+    with ``proven`` aligned to ``norm``."""
+    import math
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DecimalType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    tgts = set(man.get("dv_targets") or ())
+    if man.get("dv_files") and man.get("dv_targets") is None:
+        tgts = set(victims)  # legacy: unknown targets — assume any
+    eq_aff = set(_eq_affected_files(man, victims))
+    part_cols = set(_manifest_partition_cols(man) or ())
+    rows_map = man.get("rows") or {}
+    base_ok = {
+        f for f in victims
+        if f in full and f not in tgts and f not in eq_aff
+    }
+    proven: list[set] = []
+    for fl, col in norm:
+        if fl == "count" and col == "*":
+            ok = {f for f in base_ok if f in rows_map}
+        elif _phys(man, col) in part_cols:
+            ok = set()  # partition values live in dirs, not stats
+        elif fl == "count":
+            ok = set()
+            for f in base_ok:
+                e = _agg_ent(man, f, col)
+                if f in rows_map and e is not None and len(e) >= 3:
+                    ok.add(f)
+        elif fl == "sum":
+            ok = set()
+            for f in base_ok:
+                e = _agg_ent(man, f, col)
+                if e is None or len(e) < 4:
+                    continue
+                if e[3] is None and not (
+                    f in rows_map and e[2] == rows_map[f]
+                ):
+                    # a NULL sum is only provably "zero non-null rows"
+                    # when the null count says ALL rows are null —
+                    # otherwise (overflow under non-ANSI, oddity) the
+                    # scan decides (REVIEW r11)
+                    continue
+                ok.add(f)
+        elif isinstance(ftypes[col], DecimalType) or not isinstance(
+            ftypes[col],
+            (
+                NumericType,
+                StringType,
+                BooleanType,
+                DateType,
+                TimestampType,
+                TimestampNTZType,
+            ),
+        ):
+            # Decimal endpoints are outward-widened floats, and any
+            # type whose stats image is a lossy str(v) — intervals,
+            # binary, arrays, structs — orders wrongly as a string:
+            # both prune-exact, neither answer-exact (REVIEW r11)
+            ok = set()
+        else:
+            ok = set()
+            idx = 0 if fl == "min" else 1
+            for f in base_ok:
+                e = _agg_ent(man, f, col)
+                if e is None:
+                    continue
+                v = e[idx]
+                if isinstance(v, float) and math.isnan(v):
+                    continue  # Spark orders NaN largest; scan decides
+                ok.add(f)
+        proven.append(ok)
+    return proven, rows_map
+
+
+def _agg_combine_one(fl, col, meta, sv, man, ftypes, rows_map):
+    """Combine one aggregate's metadata contributions (``meta`` — the
+    fully-proven files) with its residual-scan value ``sv`` into the
+    final Spark-typed Python value. The exactness invariants live in
+    ``_agg_proven_sets``; this is pure arithmetic plus the
+    denormalization of date/timestamp stat images."""
+    import datetime
+    import decimal
+    import math
+
+    from pyspark.sql.types import (
+        DateType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if fl == "count":
+        total = int(sv or 0)
+        if col == "*":
+            total += sum(rows_map[f] for f in meta)
+        else:
+            total += sum(
+                rows_map[f] - _agg_ent(man, f, col)[2] for f in meta
+            )
+        return total
+    if fl == "sum":
+        vals = []
+        for f in meta:
+            s = _agg_ent(man, f, col)[3]
+            if s is not None:
+                vals.append(
+                    decimal.Decimal(s) if isinstance(s, str) else s
+                )
+        if sv is not None:
+            vals.append(sv)
+        if not vals:
+            return None
+        if isinstance(vals[0], decimal.Decimal):
+            # the ambient context (prec=28) would silently round
+            # wide-decimal totals; combine at full width (Spark's
+            # SUM result caps at decimal(38,s)) — REVIEW r11
+            with decimal.localcontext() as ctx:
+                ctx.prec = 76
+                return sum(vals)
+        return sum(vals)
+    idx = 0 if fl == "min" else 1
+    vals = [
+        v for f in meta if (v := _agg_ent(man, f, col)[idx]) is not None
+    ]
+    if isinstance(sv, float) and math.isnan(sv):
+        # NaN orders largest in Spark: it IS the max; for min it means
+        # every scanned value was NaN — metadata values (never NaN,
+        # gated in _agg_proven_sets) win when present
+        if fl == "max" or not vals:
+            return sv
+        sv = None
+    if sv is not None:
+        if not vals:
+            # scan-only: the Spark-typed value passes through
+            # untouched (normalizing would widen Decimals)
+            return sv
+        vals.append(_stat_norm(sv))
+    if not vals:
+        return None
+    r = min(vals) if fl == "min" else max(vals)
+    dt = ftypes[col]
+    if isinstance(dt, DateType) and isinstance(r, str):
+        r = datetime.date.fromisoformat(r)
+    elif isinstance(
+        dt, (TimestampType, TimestampNTZType)
+    ) and isinstance(r, str):
+        r = datetime.datetime.fromisoformat(r)
+    return r
+
+
 def snapshot_agg_where(
     spark: SparkSession,
     path: str,
@@ -2975,20 +3180,6 @@ def snapshot_agg_where(
     MAX(ts), SUM(bytes), COUNT(*) WHERE ts < cutoff`` on a
     time-clustered table opens only the boundary files the cutoff
     intersects; everything else answers from a few KB of manifest."""
-    import datetime
-    import decimal
-    import math
-
-    from pyspark.sql.types import (
-        BooleanType,
-        DateType,
-        DecimalType,
-        NumericType,
-        StringType,
-        TimestampNTZType,
-        TimestampType,
-    )
-
     if _man is None or version is None:
         versions = _list_manifests(spark, path)
         if not versions:
@@ -3000,24 +3191,7 @@ def snapshot_agg_where(
                 f"version {version} not present at {path} "
                 f"(have {versions})"
             )
-    norm: list[tuple[str, str]] = []
-    for a in aggs:
-        try:
-            func, col = a
-        except Exception:
-            raise ValueError(f"each agg must be (func, col); got {a!r}")
-        fl = str(func).lower()
-        if fl not in _AGG_FUNCS:
-            raise ValueError(
-                f"agg func must be one of {_AGG_FUNCS}; got {func!r}"
-            )
-        if col == "*" and fl != "count":
-            raise ValueError(
-                f"'*' is only valid under count; got {func!r}('*')"
-            )
-        norm.append((fl, col))
-    if not norm:
-        raise ValueError("aggs must name at least one aggregate")
+    norm = _agg_normalize(aggs)
     man = (
         _man
         if _man is not None
@@ -3025,16 +3199,7 @@ def snapshot_agg_where(
     )
     schema = StructType.fromJson(man["schema"])
     ftypes = {fld.name: fld.dataType for fld in schema.fields}
-    for fl, c in norm:
-        if c != "*" and c not in ftypes:
-            raise ValueError(
-                f"unknown column {c!r} (have {sorted(ftypes)})"
-            )
-        if fl == "sum" and not isinstance(ftypes[c], NumericType):
-            raise ValueError(
-                f"SUM needs a numeric column; {c!r} is "
-                f"{ftypes[c].simpleString()}"
-            )
+    _agg_validate_types(norm, ftypes)
 
     def empties() -> list:
         return [0 if fl == "count" else None for fl, _ in norm]
@@ -3052,76 +3217,7 @@ def snapshot_agg_where(
         full = set(victims)
     if not victims:
         return empties()
-    stats = man.get("stats") or {}
-    tgts = set(man.get("dv_targets") or ())
-    if man.get("dv_files") and man.get("dv_targets") is None:
-        tgts = set(victims)  # legacy: unknown targets — assume any
-    eq_aff = set(_eq_affected_files(man, victims))
-    part_cols = set(_manifest_partition_cols(man) or ())
-    rows_map = man.get("rows") or {}
-    base_ok = {
-        f for f in victims
-        if f in full and f not in tgts and f not in eq_aff
-    }
-
-    def ent(f: str, col: str):
-        return stats.get(f, {}).get(_phys(man, col))
-
-    proven: list[set] = []
-    for fl, col in norm:
-        if fl == "count" and col == "*":
-            ok = {f for f in base_ok if f in rows_map}
-        elif _phys(man, col) in part_cols:
-            ok = set()  # partition values live in dirs, not stats
-        elif fl == "count":
-            ok = set()
-            for f in base_ok:
-                e = ent(f, col)
-                if f in rows_map and e is not None and len(e) >= 3:
-                    ok.add(f)
-        elif fl == "sum":
-            ok = set()
-            for f in base_ok:
-                e = ent(f, col)
-                if e is None or len(e) < 4:
-                    continue
-                if e[3] is None and not (
-                    f in rows_map and e[2] == rows_map[f]
-                ):
-                    # a NULL sum is only provably "zero non-null rows"
-                    # when the null count says ALL rows are null —
-                    # otherwise (overflow under non-ANSI, oddity) the
-                    # scan decides (REVIEW r11)
-                    continue
-                ok.add(f)
-        elif isinstance(ftypes[col], DecimalType) or not isinstance(
-            ftypes[col],
-            (
-                NumericType,
-                StringType,
-                BooleanType,
-                DateType,
-                TimestampType,
-                TimestampNTZType,
-            ),
-        ):
-            # Decimal endpoints are outward-widened floats, and any
-            # type whose stats image is a lossy str(v) — intervals,
-            # binary, arrays, structs — orders wrongly as a string:
-            # both prune-exact, neither answer-exact (REVIEW r11)
-            ok = set()
-        else:
-            ok = set()
-            idx = 0 if fl == "min" else 1
-            for f in base_ok:
-                e = ent(f, col)
-                if e is None:
-                    continue
-                v = e[idx]
-                if isinstance(v, float) and math.isnan(v):
-                    continue  # Spark orders NaN largest; scan decides
-                ok.add(f)
-        proven.append(ok)
+    proven, rows_map = _agg_proven_sets(man, norm, ftypes, victims, full)
 
     need_scan = [f for f in victims if any(f not in p for p in proven)]
     sset = set(need_scan)
@@ -3149,66 +3245,242 @@ def snapshot_agg_where(
     for k, (fl, col) in enumerate(norm):
         meta = [f for f in victims if f in proven[k] and f not in sset]
         sv = scan_row[f"_a{k}"] if scan_row is not None else None
-        if fl == "count":
-            total = int(sv or 0)
-            if col == "*":
-                total += sum(rows_map[f] for f in meta)
-            else:
-                total += sum(rows_map[f] - ent(f, col)[2] for f in meta)
-            out.append(total)
-        elif fl == "sum":
-            vals = []
-            for f in meta:
-                s = ent(f, col)[3]
-                if s is not None:
-                    vals.append(
-                        decimal.Decimal(s) if isinstance(s, str) else s
-                    )
-            if sv is not None:
-                vals.append(sv)
-            if not vals:
-                out.append(None)
-            elif isinstance(vals[0], decimal.Decimal):
-                # the ambient context (prec=28) would silently round
-                # wide-decimal totals; combine at full width (Spark's
-                # SUM result caps at decimal(38,s)) — REVIEW r11
-                with decimal.localcontext() as ctx:
-                    ctx.prec = 76
-                    out.append(sum(vals))
-            else:
-                out.append(sum(vals))
-        else:
-            idx = 0 if fl == "min" else 1
-            vals = [
-                v for f in meta if (v := ent(f, col)[idx]) is not None
-            ]
-            if isinstance(sv, float) and math.isnan(sv):
-                # NaN orders largest in Spark: it IS the max; for min
-                # it means every scanned value was NaN — metadata
-                # values (never NaN, gated above) win when present
-                if fl == "max" or not vals:
-                    out.append(sv)
-                    continue
-                sv = None
-            if sv is not None:
-                if not vals:
-                    # scan-only: the Spark-typed value passes through
-                    # untouched (normalizing would widen Decimals)
-                    out.append(sv)
-                    continue
-                vals.append(_stat_norm(sv))
-            if not vals:
-                out.append(None)
-                continue
-            r = min(vals) if fl == "min" else max(vals)
-            dt = ftypes[col]
-            if isinstance(dt, DateType) and isinstance(r, str):
-                r = datetime.date.fromisoformat(r)
-            elif isinstance(
-                dt, (TimestampType, TimestampNTZType)
-            ) and isinstance(r, str):
-                r = datetime.datetime.fromisoformat(r)
-            out.append(r)
+        out.append(
+            _agg_combine_one(fl, col, meta, sv, man, ftypes, rows_map)
+        )
+    return out
+
+
+def _decode_partition_string(s, dt):
+    """A partition-directory string back to the Spark-typed Python
+    value — the inverse of how Spark wrote the directory, for exactly
+    the types ``snapshot_group_agg_where`` admits as group keys."""
+    import datetime
+    import decimal
+
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if s is None:
+        return None
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return int(s)
+    if isinstance(dt, BooleanType):
+        return s == "true"
+    if isinstance(dt, DecimalType):
+        return decimal.Decimal(s)
+    if isinstance(dt, DateType):
+        return datetime.date.fromisoformat(s)
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return datetime.datetime.fromisoformat(s)
+    return s  # StringType
+
+
+def snapshot_group_agg_where(
+    spark: SparkSession,
+    path: str,
+    by: list,
+    aggs: list,
+    predicates=None,
+    version: int | None = None,
+    _man: dict | None = None,
+) -> list:
+    """Exact GROUPED MIN/MAX/SUM/COUNT over PARTITION columns —
+    optionally under a plannable predicate — answered from manifest
+    metadata wherever provable: the GROUP BY twin of
+    ``snapshot_agg_where``. Returns ``[(by_vals..., agg_vals...),
+    ...]`` with Spark-typed Python values, one tuple per live group,
+    in no particular order (SQL GROUP BY order is unspecified).
+
+    ``by`` must name partition columns: their values are directory
+    strings the manifest already holds, so a victim file binds to its
+    group with zero I/O. Per group, the same proven/scan split as the
+    flat planner: fully-proven files contribute recorded stats, and
+    ALL unprovable files across all groups join ONE residual
+    ``groupBy(by).agg(...)`` scan, combined per group driver-side
+    (#groups rows — partition counts, not data counts).
+
+    Files route to the scan when any requested aggregate is unproven
+    (the ``_agg_proven_sets`` gates), when the file's directories do
+    not encode every group column (pre-``snapshot_set_layout``
+    files — their group values live in data columns, which the scan
+    groups correctly), when the file predates row tracking (group
+    existence needs a row count), or when a group column's type
+    can't be decoded from its directory string faithfully
+    (float/double keys: Java and Python render doubles differently —
+    everything scans rather than risking a silent key mismatch).
+
+    Group existence follows SQL: a group is emitted iff at least one
+    live row matched — metadata groups with zero recorded rows (all
+    files empty) are suppressed, exactly as a passthrough GROUP BY
+    emits nothing for them.
+
+    At 100 TB this is the partition-profile query: ``SELECT day,
+    COUNT(*), SUM(bytes) ... WHERE day < cutoff GROUP BY day`` on a
+    day-partitioned table answers from the manifest alone — no file
+    opens at all when stats prove every admitted file."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from ..streaming.snapshot_source import _partition_values_from_path
+
+    if _man is None or version is None:
+        versions = _list_manifests(spark, path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+        if version is None:
+            version = versions[-1]
+        elif version not in versions:
+            raise FileNotFoundError(
+                f"version {version} not present at {path} "
+                f"(have {versions})"
+            )
+    norm = _agg_normalize(aggs)
+    man = (
+        _man
+        if _man is not None
+        else _load_manifest(spark, path, version)
+    )
+    schema = StructType.fromJson(man["schema"])
+    ftypes = {fld.name: fld.dataType for fld in schema.fields}
+    _agg_validate_types(norm, ftypes)
+    if not by:
+        raise ValueError("by must name at least one partition column")
+    part_cols = set(_manifest_partition_cols(man) or ())
+    for c in by:
+        if c not in ftypes:
+            raise ValueError(
+                f"unknown column {c!r} (have {sorted(ftypes)})"
+            )
+        if _phys(man, c) not in part_cols:
+            raise ValueError(
+                f"group column {c!r} is not a partition column — "
+                "grouped metadata aggregates need directory-provable "
+                "group values (layout: "
+                f"{sorted(part_cols) or 'unpartitioned'})"
+            )
+
+    preds = None
+    if predicates is not None:
+        preds = _sanitize_predicates(predicates)
+        if not preds:
+            return []
+    if preds is not None:
+        victims, _carried = _victims_by_stats_where(man, preds)
+        full = set(_full_match_files_where(man, preds))
+    else:
+        victims = list(man["files"])
+        full = set(victims)
+    if not victims:
+        return []
+    proven, rows_map = _agg_proven_sets(man, norm, ftypes, victims, full)
+
+    phys_by = [_phys(man, c) for c in by]
+    decodable = all(
+        isinstance(
+            ftypes[c],
+            (
+                ByteType, ShortType, IntegerType, LongType,
+                StringType, BooleanType, DecimalType,
+                DateType, TimestampType, TimestampNTZType,
+            ),
+        )
+        for c in by
+    )
+    sset: set = set()
+    keyof: dict = {}
+    for f in victims:
+        if not decodable or f not in rows_map or any(
+            f not in p for p in proven
+        ):
+            sset.add(f)
+            continue
+        vals = _partition_values_from_path(f)
+        if any(k not in vals for k in phys_by):
+            sset.add(f)  # layout evolved: group values are in-row
+            continue
+        try:
+            # TYPED keys, decoded per the schema: directory strings
+            # are not canonical (Spark trims trailing fractional-
+            # second zeros — 'ts=...00.123' for a .123000 value — and
+            # Decimal scales vary), so matching meta groups to scan
+            # groups on strings would split a group; typed values
+            # hash/compare by VALUE. An undecodable directory (hand-
+            # placed file) routes to the scan rather than erroring.
+            keyof[f] = tuple(
+                _decode_partition_string(vals[k], ftypes[c])
+                for k, c in zip(phys_by, by)
+            )
+        except (ValueError, ArithmeticError):
+            sset.add(f)
+
+    scan_rows: list = []
+    if sset:
+        df = _read_file_list(
+            spark, path, sorted(sset), schema,
+            partition_cols=_manifest_partition_cols(man),
+            dv_files=man.get("dv_files"),
+            dv_targets=man.get("dv_targets"),
+            eq_entries=man.get("eqs"),
+            file_seq=man.get("seq"),
+            colmap=_colmap(man) or None,
+            defaults=man.get("defaults"),
+        )
+        if preds is not None:
+            df = df.where(_match_expr(preds))
+        exprs = []
+        for k, (fl, col) in enumerate(norm):
+            arg = F.lit(1) if col == "*" else F.col(col)
+            exprs.append(getattr(F, fl)(arg).alias(f"_a{k}"))
+        scan_rows = df.groupBy(*[F.col(c) for c in by]).agg(
+            *exprs
+        ).collect()
+
+    meta_by_key: dict = {}
+    for f, key in keyof.items():
+        meta_by_key.setdefault(key, []).append(f)
+    scan_by_key = {
+        tuple(r[c] for c in by): r for r in scan_rows
+    }
+    out: list = []
+    for key in set(meta_by_key) | set(scan_by_key):
+        meta = meta_by_key.get(key, [])
+        srow = scan_by_key.get(key)
+        if srow is None and not any(rows_map[f] for f in meta):
+            continue  # zero live rows: SQL emits no such group
+        bvals = tuple(srow[c] for c in by) if srow is not None else key
+        avals = tuple(
+            _agg_combine_one(
+                fl,
+                col,
+                meta,
+                srow[f"_a{k}"] if srow is not None else None,
+                man,
+                ftypes,
+                rows_map,
+            )
+            for k, (fl, col) in enumerate(norm)
+        )
+        out.append(bvals + avals)
     return out
 
 

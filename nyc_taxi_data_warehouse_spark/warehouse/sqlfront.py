@@ -2196,14 +2196,16 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
 _AGG_KWS = ("COUNT", "MIN", "MAX", "SUM")
 
 
-def _parse_agg_list(p: "_Parser"):
-    """``[(func, arg, alias|None), ...]`` when the select list is
-    purely MIN/MAX/SUM/COUNT calls over plain columns (or COUNT(*) /
-    COUNT(1), both stored as arg ``"*"``), else None — the caller
-    restores the cursor and re-parses as a column list. DISTINCT,
-    expressions, multi-arg calls, and implicit (AS-less) aliases all
-    bail to None: reads always have the spark.sql fallback."""
-    items: list[tuple[str, str, str | None]] = []
+def _parse_mixed_select(p: "_Parser"):
+    """The select list as items — ``("agg", func, arg, alias|None)``
+    for MIN/MAX/SUM/COUNT calls over plain columns (COUNT(*) and
+    COUNT(1) both store arg ``"*"``), ``("col", name)`` for bare
+    identifiers — or None when anything else appears (DISTINCT,
+    expressions, multi-arg calls, implicit AS-less aliases): the
+    caller restores the cursor; reads always have the spark.sql
+    fallback. A word is an aggregate only when ``(`` follows, so a
+    column literally named ``min`` stays a column."""
+    items: list[tuple] = []
     while True:
         func = None
         for cand in _AGG_KWS:
@@ -2216,53 +2218,64 @@ def _parse_agg_list(p: "_Parser"):
             ):
                 func = cand.lower()
                 break
-        if func is None:
-            return None
-        p.expect_punct("(")
-        if p.punct("*"):
-            if func != "count":
+        if func is not None:
+            p.expect_punct("(")
+            if p.punct("*"):
+                if func != "count":
+                    return None
+                arg = "*"
+            else:
+                t = p.peek()
+                if (
+                    func == "count"
+                    and t is not None
+                    and t.kind == "num"
+                    and t.text == "1"
+                ):
+                    p.i += 1
+                    arg = "*"
+                elif t is not None and t.kind in ("word", "bq"):
+                    arg = p.ident()
+                else:
+                    return None
+            if not p.punct(")"):
                 return None
-            arg = "*"
+            alias = p.ident() if p.kw("AS") else None
+            items.append(("agg", func, arg, alias))
         else:
             t = p.peek()
-            if (
-                func == "count"
-                and t is not None
-                and t.kind == "num"
-                and t.text == "1"
-            ):
-                p.i += 1
-                arg = "*"
-            elif t is not None and t.kind in ("word", "bq"):
-                arg = p.ident()
-            else:
+            if t is None or t.kind not in ("word", "bq"):
                 return None
-        if not p.punct(")"):
-            return None
-        alias = p.ident() if p.kw("AS") else None
-        items.append((func, arg, alias))
+            items.append(("col", p.ident()))
         if not p.punct(","):
             return items
 
 
-def _resolve_agg_specs(spark, path, aggs, version):
-    """Resolve parsed aggregate items against the snapshot schema:
-    ``([(func, canonical_col, raw_arg, alias, dataType)], version,
-    manifest)`` with the head pinned to a concrete version (types and
-    values must come from the SAME manifest; the loaded manifest is
-    returned so the executor doesn't load it twice), or ``(None,
-    version, None)`` when the fast path should fall through —
-    unknown or case-ambiguous column, SUM over a non-numeric — so
-    spark.sql reports (or resolves) it exactly as a passthrough scan
-    would."""
+def _resolve_agg_specs(spark, path, aggs, version, gcols=None):
+    """Resolve parsed aggregate items (and, for GROUP BY shapes, the
+    group columns) against the snapshot schema: ``([(func,
+    canonical_col, raw_arg, alias, dataType)], [(canonical_gcol,
+    dataType)] | None, version, manifest)`` with the head pinned to a
+    concrete version (types and values must come from the SAME
+    manifest; the loaded manifest is returned so the executor doesn't
+    load it twice), or ``(None, None, version, None)`` when the fast
+    path should fall through — unknown or case-ambiguous column, SUM
+    over a non-numeric, a group column that isn't a partition column
+    — so spark.sql reports (or resolves) it exactly as a passthrough
+    scan would."""
     from pyspark.sql.types import NumericType, StructType
 
-    from .snapshots import _list_manifests, _load_manifest
+    from .snapshots import (
+        _list_manifests,
+        _load_manifest,
+        _manifest_partition_cols,
+        _phys,
+    )
 
     if version is None:
         versions = _list_manifests(spark, path)
         if not versions:
-            return None, version, None
+            return None, None, version, None
         version = versions[-1]
     man = _load_manifest(spark, path, version)
     by_lower: dict[str, list] = {}
@@ -2275,12 +2288,26 @@ def _resolve_agg_specs(spark, path, aggs, version):
             continue
         cands = by_lower.get(arg.lower())
         if cands is None or len(cands) != 1:
-            return None, version, None
+            return None, None, version, None
         fld = cands[0]
         if func == "sum" and not isinstance(fld.dataType, NumericType):
-            return None, version, None
+            return None, None, version, None
         specs.append((func, fld.name, arg, alias, fld.dataType))
-    return specs, version, man
+    gspecs = None
+    if gcols is not None:
+        part_cols = set(_manifest_partition_cols(man) or ())
+        gspecs = []
+        for g in gcols:
+            cands = by_lower.get(g.lower())
+            if cands is None or len(cands) != 1:
+                return None, None, version, None
+            fld = cands[0]
+            if _phys(man, fld.name) not in part_cols:
+                # only directory-provable group values plan from
+                # metadata; everything else scans via passthrough
+                return None, None, version, None
+            gspecs.append((fld.name, fld.dataType))
+    return specs, gspecs, version, man
 
 
 def _sum_result_type(dt):
@@ -2312,6 +2339,8 @@ def _try_select_fastpath(
         SELECT COUNT(*) [AS a] FROM t [time travel] [WHERE preds]
         SELECT agg [, agg ...] FROM t [time travel] [WHERE preds]
             (agg = MIN|MAX|SUM|COUNT(col) | COUNT(*|1), opt. AS a)
+        SELECT [pcol |] agg [, ...] FROM t [time travel] [WHERE preds]
+            GROUP BY pcol [, pcol ...]   (pcols = partition columns)
         SELECT * | col [, col ...] FROM t [time travel] [WHERE preds]
             [LIMIT n]
 
@@ -2353,28 +2382,17 @@ def _try_select_fastpath(
         is_count = False
         count_alias = None
         cols: list[str] | None = None
-        aggs: list[tuple[str, str, str | None]] | None = None
+        items: list[tuple] | None = None
         if p.punct("*"):
             cols = None
         else:
-            save0 = p.i
-            aggs = _parse_agg_list(p)
-            if aggs is None:
-                p.i = save0
-                cols = [p.ident()]
-                while p.punct(","):
-                    cols.append(p.ident())
-        if (
-            aggs is not None
-            and len(aggs) == 1
-            and aggs[0][0] == "count"
-            and aggs[0][1] == "*"
-        ):
-            # the lone COUNT(*) keeps its dedicated row-count path
-            # (manifest row sums need no full-match proof)
-            is_count = True
-            count_alias = aggs[0][2]
-            aggs = None
+            items = _parse_mixed_select(p)
+            if items is None:
+                return None
+            if not any(it[0] == "agg" for it in items):
+                # plain projection — the read_snapshot_where path
+                cols = [it[1] for it in items]
+                items = None
         p.expect_kw("FROM")
         kind, text = p.table_token()
         rec = None
@@ -2433,6 +2451,11 @@ def _try_select_fastpath(
         preds = None
         if p.kw("WHERE"):
             preds = _parse_predicates(p)
+        gcols: list[str] | None = None
+        if p.kw("GROUP", "BY"):
+            gcols = [p.ident()]
+            while p.punct(","):
+                gcols.append(p.ident())
         limit = None
         if p.kw("LIMIT"):
             t = p.peek()
@@ -2445,26 +2468,81 @@ def _try_select_fastpath(
         # dotted identifiers (qualified columns, struct fields — the
         # word lexer folds 'trips.fare' into ONE token) resolve under
         # spark.sql's rules, not df.select's: pass them through
-        if count_alias is not None and "." in count_alias:
-            return None
         if cols is not None and any("." in c for c in cols):
             return None
         if preds is not None:
             for b in [preds] if isinstance(preds, dict) else preds:
                 if any("." in c for c in b):
                     return None
-        agg_specs = agg_man = None
-        if aggs is not None:
-            for _f, _a, _al in aggs:
-                if (_a != "*" and "." in _a) or (
-                    _al is not None and "." in _al
-                ):
+        if gcols is not None and (
+            items is None or any("." in g for g in gcols)
+        ):
+            # GROUP BY without aggregates (or with *): passthrough
+            return None
+        agg_specs = agg_man = group_plan = None
+        if items is not None:
+            for it in items:
+                if it[0] == "agg":
+                    _k, _f, _a, _al = it
+                    if (_a != "*" and "." in _a) or (
+                        _al is not None and "." in _al
+                    ):
+                        return None
+                elif "." in it[1]:
                     return None
-            agg_specs, version, agg_man = _resolve_agg_specs(
-                spark, path, aggs, version
-            )
-            if agg_specs is None:
-                return None
+            agg_items = [it for it in items if it[0] == "agg"]
+            if gcols is None:
+                if any(it[0] == "col" for it in items):
+                    return None  # bare col without GROUP BY: invalid
+                aggs = [(f, a, al) for _k, f, a, al in agg_items]
+                if (
+                    len(aggs) == 1
+                    and aggs[0][0] == "count"
+                    and aggs[0][1] == "*"
+                ):
+                    # the lone COUNT(*) keeps its dedicated row-count
+                    # path (manifest row sums, no full-match proof)
+                    is_count = True
+                    count_alias = aggs[0][2]
+                    if count_alias is not None and "." in count_alias:
+                        return None
+                else:
+                    agg_specs, _g, version, agg_man = (
+                        _resolve_agg_specs(
+                            spark, path, aggs, version
+                        )
+                    )
+                    if agg_specs is None:
+                        return None
+            else:
+                agg_specs, gspecs, version, agg_man = (
+                    _resolve_agg_specs(
+                        spark,
+                        path,
+                        [(f, a, al) for _k, f, a, al in agg_items],
+                        version,
+                        gcols=gcols,
+                    )
+                )
+                if agg_specs is None:
+                    return None
+                # each bare select column must BE a group column
+                # (case-insensitively); anything else is invalid SQL
+                # that passthrough reports properly
+                gidx = {c.lower(): i for i, (c, _dt) in enumerate(gspecs)}
+                plan = []
+                ai = 0
+                for it in items:
+                    if it[0] == "col":
+                        i = gidx.get(it[1].lower())
+                        if i is None:
+                            return None
+                        plan.append(("g", i, it[1]))
+                    else:
+                        plan.append(("a", ai))
+                        ai += 1
+                group_plan = (plan, gspecs, agg_specs)
+                agg_specs = None  # grouped executes its own branch
     except ValueError:
         # SqlFrontError (unsupported shape/predicate) and the planner
         # value-type refusals (e.g. a bool range bound) alike: reads
@@ -2475,6 +2553,55 @@ def _try_select_fastpath(
     # shape recognized and target resolved — execute without catching:
     # from here an error is a real error, identical in kind to what
     # the passthrough scan would raise (missing column, bad path)
+    if group_plan is not None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from .snapshots import snapshot_group_agg_where
+
+        plan, gspecs, gaggs = group_plan
+        if preds == []:
+            rows = []  # provably-matches-nothing WHERE: no groups
+        else:
+            rows = snapshot_group_agg_where(
+                spark,
+                path,
+                [c for c, _dt in gspecs],
+                [(f, c) for f, c, _raw, _al, _dt in gaggs],
+                preds,
+                version=version,
+                _man=agg_man,
+            )
+        nby = len(gspecs)
+        fields = []
+        for step in plan:
+            if step[0] == "g":
+                # a selected group column: as-written name, the
+                # partition column's type, nullable (probed: Spark
+                # reads partition values as nullable)
+                fields.append(
+                    StructField(step[2], gspecs[step[1]][1], True)
+                )
+            else:
+                f, _c, raw, alias, dt = gaggs[step[1]]
+                if f == "count":
+                    out_dt, nullable = LongType(), False
+                elif f == "sum":
+                    out_dt, nullable = _sum_result_type(dt), True
+                else:
+                    out_dt, nullable = dt, True
+                name = alias or (
+                    "count(1)" if raw == "*" else f"{f}({raw})"
+                )
+                fields.append(StructField(name, out_dt, nullable))
+        data = [
+            tuple(
+                r[step[1]] if step[0] == "g" else r[nby + step[1]]
+                for step in plan
+            )
+            for r in rows
+        ]
+        out = spark.createDataFrame(data, StructType(fields))
+        return out.limit(limit) if limit is not None else out
     if agg_specs is not None:
         from pyspark.sql.types import LongType, StructField, StructType
 

@@ -34,7 +34,9 @@ from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
     _match_expr,
     read_snapshot,
     snapshot_agg_where,
+    snapshot_delete_rows_dv,
     snapshot_delete_where,
+    snapshot_group_agg_where,
     snapshot_write_with_stats,
 )
 
@@ -405,3 +407,207 @@ def test_null_recorded_sum_without_allnull_proof_scans(
     got = snapshot_agg_where(spark, t, [("sum", "v")])
     assert got[0] == 30  # exact, via the scan
     assert len(calls) == 1  # the NULL-sum file was NOT trusted
+
+
+# ------------------------------------- grouped (GROUP BY partition)
+
+
+def _mk_part(spark, path, with_nulls=True):
+    """3 single-file partitions of ``day`` (id ranges [0..3], [4..7],
+    [8..11]) crossed with a nullable ``seg`` string partition."""
+    for fi in range(3):
+        rows = []
+        for j in range(4):
+            i = 4 * fi + j
+            rows.append(
+                (
+                    i,
+                    datetime.date(2024, 1, 1 + fi),
+                    None if (with_nulls and i % 5 == 0) else f"s{i % 2}",
+                    float(i) * 2.0,
+                )
+            )
+        snapshot_write_with_stats(
+            spark.createDataFrame(
+                rows, "id int, day date, seg string, x double"
+            ).coalesce(1),
+            path, ["id", "x"],
+            partition_cols=["day", "seg"],
+            mode="append" if fi else "overwrite",
+        )
+
+
+def test_group_agg_matches_groupby_scan(spark, tmp_path):
+    """Grouped values ≡ a full-scan groupBy oracle — typed date keys,
+    NULL partitions, predicates, DNF, multi-column groups."""
+    t = str(tmp_path / "gagg")
+    _mk_part(spark, t)
+    base = read_snapshot(spark, t)
+
+    def oracle(df, by, *exprs):
+        return sorted(
+            map(tuple, df.groupBy(*by).agg(*exprs).collect()), key=str
+        )
+
+    got = sorted(
+        snapshot_group_agg_where(
+            spark, t, ["day"],
+            [("count", "*"), ("sum", "x"), ("min", "id"), ("max", "id")],
+        ),
+        key=str,
+    )
+    exp = oracle(
+        base, ["day"],
+        F.count("*"), F.sum("x"), F.min("id"), F.max("id"),
+    )
+    assert got == exp
+    got = sorted(
+        snapshot_group_agg_where(
+            spark, t, ["day", "seg"], [("count", "seg"), ("sum", "id")],
+            predicates={"id": Range(lo=2, hi=9)},
+        ),
+        key=str,
+    )
+    exp = oracle(
+        base.where("id between 2 and 9"), ["day", "seg"],
+        F.count("seg"), F.sum("id"),
+    )
+    assert got == exp
+    # DNF disjunction
+    got = sorted(
+        snapshot_group_agg_where(
+            spark, t, ["seg"], [("count", "*")],
+            predicates=[{"id": [0, 1]}, {"id": Range(lo=10)}],
+        ),
+        key=str,
+    )
+    exp = oracle(
+        base.where("id in (0, 1) or id >= 10"), ["seg"], F.count("*")
+    )
+    assert got == exp
+
+
+def test_group_agg_proven_files_never_open(spark, tmp_path, monkeypatch):
+    t = str(tmp_path / "gagg_pin")
+    _mk_part(spark, t, with_nulls=False)  # one file per (day, seg)
+    calls: list = []
+    orig = snap._read_file_list
+
+    def rec(spark_, path_, files_, *a, **k):
+        calls.append(sorted(files_))
+        return orig(spark_, path_, files_, *a, **k)
+
+    monkeypatch.setattr(snap, "_read_file_list", rec)
+    got = sorted(
+        snapshot_group_agg_where(
+            spark, t, ["day"], [("count", "*"), ("sum", "id")]
+        ),
+        key=str,
+    )
+    assert [r[1:] for r in got] == [(4, 6), (4, 22), (4, 38)]
+    assert calls == []  # fully proven: the manifest answered alone
+    # a boundary predicate opens only the files it cannot prove
+    got = snapshot_group_agg_where(
+        spark, t, ["day"], [("sum", "id")],
+        predicates={"id": Range(hi=5)},
+    )
+    assert sorted(r[1] for r in got) == [6, 9]
+    assert len(calls) == 1
+    assert all("2024-01-02" in f or "day=" in f for f in calls[0])
+    assert not any("2024-01-03" in f for f in calls[0])
+
+
+def test_group_agg_group_suppression_and_empty(spark, tmp_path):
+    """SQL group existence: provably-empty predicates emit zero
+    groups; a partition whose rows are all DV-tombstoned disappears
+    exactly as a passthrough GROUP BY drops it."""
+    t = str(tmp_path / "gagg_empty")
+    _mk_part(spark, t)
+    assert snapshot_group_agg_where(
+        spark, t, ["day"], [("count", "*")],
+        predicates={"id": Range(lo=100)},
+    ) == []
+    snapshot_delete_rows_dv(spark, t, "id", [0, 1, 2, 3])
+    got = sorted(
+        snapshot_group_agg_where(spark, t, ["day"], [("count", "*")]),
+        key=str,
+    )
+    exp = sorted(
+        map(
+            tuple,
+            read_snapshot(spark, t).groupBy("day").count().collect(),
+        ),
+        key=str,
+    )
+    assert got == exp
+    assert len(got) == 2  # day 1 has zero live rows: no group
+
+
+def test_group_agg_refusals(spark, tmp_path):
+    t = str(tmp_path / "gagg_ref")
+    _mk_part(spark, t)
+    with pytest.raises(ValueError, match="not a partition column"):
+        snapshot_group_agg_where(spark, t, ["id"], [("count", "*")])
+    with pytest.raises(ValueError, match="unknown column"):
+        snapshot_group_agg_where(spark, t, ["nope"], [("count", "*")])
+    with pytest.raises(ValueError, match="at least one partition"):
+        snapshot_group_agg_where(spark, t, [], [("count", "*")])
+
+
+def test_group_agg_cli(spark, tmp_path, capsys):
+    import json
+
+    from nyc_taxi_data_warehouse_spark.__main__ import main
+
+    t = str(tmp_path / "gagg_cli")
+    _mk_part(spark, t, with_nulls=False)
+    main(
+        [
+            "snapshot-agg", "--table-path", t,
+            "--aggs", "count:*,sum:id", "--by", "day",
+        ],
+        spark=spark,
+    )
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [l["day"] for l in lines] == [
+        "2024-01-01", "2024-01-02", "2024-01-03"
+    ]
+    assert [(l["count(*)"], l["sum(id)"]) for l in lines] == [
+        (4, 6), (4, 22), (4, 38)
+    ]
+
+
+def test_group_agg_timestamp_partition_trailing_zero_micros(
+    spark, tmp_path
+):
+    """REVIEW r11 (self-caught): Spark trims trailing fractional-
+    second zeros in partition DIRECTORY strings ('ts=...00.123' for a
+    .123000 value) while Python str() does not — matching meta groups
+    to scan groups on strings would split one group into two rows.
+    Typed keys compare by value, so the group stays whole."""
+    t = str(tmp_path / "gagg_ts")
+    ts1 = datetime.datetime(2024, 1, 1, 0, 0, 0, 123000)
+    ts2 = datetime.datetime(2024, 1, 2)
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, ts1), (2, ts1), (3, ts2)], "id int, ts timestamp"
+        ),
+        t, ["id"], partition_cols=["ts"],
+    )
+    # force a split: one more file in the ts1 partition, then a DV
+    # tombstone so that file must SCAN while the first stays metadata
+    snapshot_write_with_stats(
+        spark.createDataFrame([(10, ts1)], "id int, ts timestamp"),
+        t, ["id"], mode="append", partition_cols=["ts"],
+    )
+    snapshot_delete_rows_dv(spark, t, "id", [10])
+    got = sorted(
+        snapshot_group_agg_where(
+            spark, t, ["ts"], [("count", "*"), ("sum", "id")]
+        ),
+        key=str,
+    )
+    assert got == [(ts1, 2, 3), (ts2, 1, 3)]

@@ -295,3 +295,133 @@ def test_agg_fastpath_loads_manifest_once(spark, tmp_path, monkeypatch):
     ).collect()[0]
     assert r[0] == 6
     assert len(loads) == 1
+
+
+# --------------------------------------- GROUP BY partition columns
+
+
+def _mk_part(spark, path):
+    """3 single-file ``day`` partitions: id [0..3], [4..7], [8..11]."""
+    for fi in range(3):
+        rows = [
+            (
+                4 * fi + j,
+                datetime.date(2024, 1, 1 + fi),
+                float(4 * fi + j) * 2.0,
+            )
+            for j in range(4)
+        ]
+        snapshot_write_with_stats(
+            spark.createDataFrame(
+                rows, "id int, day date, x double"
+            ).coalesce(1),
+            path, ["id", "x"],
+            partition_cols=["day"],
+            mode="append" if fi else "overwrite",
+        )
+
+
+def _assert_parity_sorted(spark, q):
+    fast = snapshot_sql(spark, q)
+    ref = spark.sql(q)
+    fs = [(f.name, f.dataType, f.nullable) for f in fast.schema.fields]
+    rs = [(f.name, f.dataType, f.nullable) for f in ref.schema.fields]
+    assert fs == rs, q
+    assert sorted(map(tuple, fast.collect()), key=str) == sorted(
+        map(tuple, ref.collect()), key=str
+    ), q
+
+
+def test_group_by_routes_and_matches(spark, tmp_path, spy):
+    t = str(tmp_path / "gb")
+    _mk_part(spark, t)
+    snapshot_register(spark, t, "gb")
+    queries = [
+        "SELECT day, COUNT(*) FROM gb GROUP BY day",
+        "SELECT day, SUM(x) AS sx, MIN(id) FROM gb GROUP BY day",
+        "SELECT Day, MAX(id) FROM gb GROUP BY dAy",  # case-insensitive
+        "SELECT COUNT(*) FROM gb GROUP BY day",  # group col unselected
+        "SELECT day, COUNT(id) FROM gb WHERE id <= 6 GROUP BY day",
+        "SELECT day, COUNT(*) FROM gb WHERE id > 100 GROUP BY day",
+    ]
+    for q in queries:
+        _assert_parity_sorted(spark, q)
+    assert spy == []
+
+
+def test_group_by_never_opens_proven_files(spark, tmp_path, monkeypatch):
+    import nyc_taxi_data_warehouse_spark.warehouse.snapshots as S
+
+    t = str(tmp_path / "gb_pin")
+    _mk_part(spark, t)
+    snapshot_register(spark, t, "gb_pin")
+    calls: list = []
+    orig = S._read_file_list
+
+    def rec(spark_, path_, files_, *a, **k):
+        calls.append(sorted(files_))
+        return orig(spark_, path_, files_, *a, **k)
+
+    monkeypatch.setattr(S, "_read_file_list", rec)
+    r = sorted(
+        map(
+            tuple,
+            snapshot_sql(
+                spark,
+                "SELECT day, COUNT(*), SUM(id) FROM gb_pin GROUP BY day",
+            ).collect(),
+        ),
+        key=str,
+    )
+    assert [x[1:] for x in r] == [(4, 6), (4, 22), (4, 38)]
+    assert calls == []  # the whole partition profile came from metadata
+    # a boundary predicate opens only the boundary file
+    r = snapshot_sql(
+        spark,
+        "SELECT day, SUM(id) FROM gb_pin WHERE id < 6 GROUP BY day",
+    ).collect()
+    assert sorted(x[1] for x in r) == [6, 9]
+    assert len(calls) == 1 and len(calls[0]) == 1
+
+
+def test_group_by_unplannable_falls_through(spark, tmp_path, spy):
+    t = str(tmp_path / "gb_fall")
+    _mk_part(spark, t)
+    snapshot_register(spark, t, "gb_fall")
+    shapes = [
+        # non-partition group col: passthrough computes it by scanning
+        "SELECT x, COUNT(*) FROM gb_fall GROUP BY x",
+        "SELECT day, COUNT(*) FROM gb_fall GROUP BY day "
+        "HAVING COUNT(*) > 1",
+        "SELECT day, COUNT(*) FROM gb_fall GROUP BY day ORDER BY day",
+        "SELECT day, AVG(id) FROM gb_fall GROUP BY day",
+        "SELECT day, COUNT(*) FROM gb_fall GROUP BY 1",
+    ]
+    for q in shapes:
+        snapshot_sql(spark, q).collect()
+    assert spy == shapes
+    # GROUP BY with no aggregate in the select list: passthrough
+    q = "SELECT day FROM gb_fall GROUP BY day"
+    _assert_parity_sorted(spark, q)
+    assert spy[-1] == q
+
+
+def test_group_by_stale_view_and_time_travel(spark, tmp_path, spy):
+    t = str(tmp_path / "gb_stale")
+    _mk_part(spark, t)
+    snapshot_register(spark, t, "gb_stale")
+    snapshot_delete_where(spark, t, {"id": [0, 1, 2, 3]})
+    q = "SELECT day, COUNT(*) FROM gb_stale GROUP BY day"
+    _assert_parity_sorted(spark, q)  # stale view still shows 3 groups
+    assert len(snapshot_sql(spark, q).collect()) == 3
+    r = snapshot_sql(
+        spark, f"SELECT day, COUNT(*) FROM '{t}' GROUP BY day"
+    ).collect()
+    assert len(r) == 2  # head: day 1 fully deleted
+    r = snapshot_sql(
+        spark,
+        "SELECT day, COUNT(*) FROM gb_stale VERSION AS OF 2 "
+        "GROUP BY day",
+    ).collect()
+    assert len(r) == 2  # versions 1..3 are the appends
+    assert spy == []

@@ -946,10 +946,11 @@ def test_ephemeral_reuse_refreshes_recency(spark, tmp_path, monkeypatch):
     _mk(spark, tmp_path, "sqlf_cap")
     snapshot_sql(spark, "DELETE FROM sqlf_cap WHERE id = 5")  # v2
     snapshot_sql(spark, "DELETE FROM sqlf_cap WHERE id = 4")  # v3
-    # count(id), not count(*): the round-11 SELECT fast path answers
-    # COUNT(*) time travel from metadata WITHOUT minting an ephemeral
-    # view — this test is about the passthrough rewriter's cache
-    q = "SELECT count(id) AS c FROM sqlf_cap VERSION AS OF {}"
+    # count(DISTINCT id): the round-11 SELECT fast path answers plain
+    # COUNT time travel from metadata WITHOUT minting an ephemeral
+    # view — this test is about the passthrough rewriter's cache, so
+    # it needs a shape the planner can never serve from stats
+    q = "SELECT count(DISTINCT id) AS c FROM sqlf_cap VERSION AS OF {}"
     assert snapshot_sql(spark, q.format(1)).collect()[0].c == 5
     assert snapshot_sql(spark, q.format(2)).collect()[0].c == 4
     assert snapshot_sql(spark, q.format(1)).collect()[0].c == 5  # reuse
