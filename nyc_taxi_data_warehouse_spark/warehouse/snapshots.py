@@ -2957,6 +2957,72 @@ def _agg_ent(man: dict, f: str, col: str):
     return (man.get("stats") or {}).get(f, {}).get(_phys(man, col))
 
 
+def _agg_dir_value(man: dict, f: str, col: str, ftypes):
+    """A partition column's value for file ``f``, decoded from its
+    directory string (None for the Hive null partition). Callers only
+    reach this for files the proven gate already decode-checked."""
+    from ..streaming.snapshot_source import _partition_values_from_path
+
+    s = _partition_values_from_path(f).get(_phys(man, col))
+    return (
+        None if s is None else _decode_partition_string(s, ftypes[col])
+    )
+
+
+def _agg_part_provable(man, col, ftypes, base_ok, rows_map, for_sum):
+    """Files whose partition DIRECTORY proves aggregates over
+    partition column ``col``: the directory value IS the column value
+    for every row, so a full-match file with a known row count
+    answers MIN/MAX (the value, when rows exist), COUNT (rows or 0
+    for the null partition), and SUM (value × rows — integral and
+    Decimal only: exact multiplication; float repeated-addition order
+    cannot be reproduced) with zero I/O. Requires a decodable type
+    and a parseable directory; anything else scans."""
+    import decimal
+
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from ..streaming.snapshot_source import _partition_values_from_path
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    allowed = (
+        integral + (DecimalType,)
+        if for_sum
+        else integral
+        + (
+            StringType, BooleanType, DecimalType,
+            DateType, TimestampType, TimestampNTZType,
+        )
+    )
+    if not isinstance(ftypes[col], allowed):
+        return set()
+    phys = _phys(man, col)
+    ok = set()
+    for f in base_ok:
+        if f not in rows_map:
+            continue  # no row count: can't weigh the value
+        vals = _partition_values_from_path(f)
+        if phys not in vals:
+            continue  # layout evolved: the value lives in-row
+        try:
+            _decode_partition_string(vals[phys], ftypes[col])
+        except (ValueError, ArithmeticError, decimal.InvalidOperation):
+            continue  # hand-placed undecodable directory: scan
+        ok.add(f)
+    return ok
+
+
 def _agg_proven_sets(man, norm, ftypes, victims, full):
     """The exactness gates shared by the flat and grouped aggregate
     planners: per requested aggregate, the set of victim files whose
@@ -2990,7 +3056,13 @@ def _agg_proven_sets(man, norm, ftypes, victims, full):
         if fl == "count" and col == "*":
             ok = {f for f in base_ok if f in rows_map}
         elif _phys(man, col) in part_cols:
-            ok = set()  # partition values live in dirs, not stats
+            # partition values live in DIRECTORY names, not stats —
+            # and the directory is even stronger than stats: it is
+            # the exact value of every row, so the freshness query
+            # (MAX over the partition key) answers with zero I/O
+            ok = _agg_part_provable(
+                man, col, ftypes, base_ok, rows_map, fl == "sum"
+            )
         elif fl == "count":
             ok = set()
             for f in base_ok:
@@ -3059,36 +3131,65 @@ def _agg_combine_one(fl, col, meta, sv, man, ftypes, rows_map):
         TimestampType,
     )
 
+    part = col != "*" and _phys(man, col) in set(
+        _manifest_partition_cols(man) or ()
+    )
     if fl == "count":
         total = int(sv or 0)
         if col == "*":
             total += sum(rows_map[f] for f in meta)
+        elif part:
+            # the directory value applies to every row: a non-null
+            # partition contributes all its rows, the null partition
+            # contributes none
+            total += sum(
+                rows_map[f]
+                for f in meta
+                if _agg_dir_value(man, f, col, ftypes) is not None
+            )
         else:
             total += sum(
                 rows_map[f] - _agg_ent(man, f, col)[2] for f in meta
             )
         return total
     if fl == "sum":
-        vals = []
-        for f in meta:
-            s = _agg_ent(man, f, col)[3]
-            if s is not None:
-                vals.append(
-                    decimal.Decimal(s) if isinstance(s, str) else s
-                )
+        with decimal.localcontext() as ctx:
+            # wide-decimal contributions and totals combine at full
+            # width — the ambient prec=28 would silently round
+            # (REVIEW r11); Spark's SUM result caps at decimal(38,s)
+            ctx.prec = 76
+            vals = []
+            for f in meta:
+                if part:
+                    v = _agg_dir_value(man, f, col, ftypes)
+                    if v is not None and rows_map[f]:
+                        vals.append(v * rows_map[f])
+                    continue
+                s = _agg_ent(man, f, col)[3]
+                if s is not None:
+                    vals.append(
+                        decimal.Decimal(s) if isinstance(s, str) else s
+                    )
+            if sv is not None:
+                vals.append(sv)
+            if not vals:
+                return None
+            return sum(vals)
+    idx = 0 if fl == "min" else 1
+    if part:
+        vals = [
+            v
+            for f in meta
+            if rows_map[f]
+            and (v := _agg_dir_value(man, f, col, ftypes)) is not None
+        ]
         if sv is not None:
+            # scan values are already Spark-typed, like the decoded
+            # directory values — compare typed, no stat-image detour
             vals.append(sv)
         if not vals:
             return None
-        if isinstance(vals[0], decimal.Decimal):
-            # the ambient context (prec=28) would silently round
-            # wide-decimal totals; combine at full width (Spark's
-            # SUM result caps at decimal(38,s)) — REVIEW r11
-            with decimal.localcontext() as ctx:
-                ctx.prec = 76
-                return sum(vals)
-        return sum(vals)
-    idx = 0 if fl == "min" else 1
+        return min(vals) if fl == "min" else max(vals)
     vals = [
         v for f in meta if (v := _agg_ent(man, f, col)[idx]) is not None
     ]
@@ -3159,8 +3260,12 @@ def snapshot_agg_where(
       under a non-ANSI writer) the file scans;
     - a NaN endpoint routes the file to the scan (Spark orders NaN
       largest; Python comparisons would mis-combine it);
-    - partition columns carry no data-file stats (values live in the
-      directory names) — they scan;
+    - PARTITION columns answer from their DIRECTORY values (the
+      directory is the exact value of every row): MIN/MAX/COUNT for
+      decodable key types, SUM as value × rows for integral/Decimal
+      keys — so ``MAX(day)`` on a day-partitioned table, the
+      freshness query, is zero-I/O; float/double keys, undecodable
+      directories, and layout-evolution files (value in-row) scan;
     - float SUM combines per-file partials in Python — same value up
       to float addition order, exactly like any distributed sum;
       integral SUM is exact under ANSI (the session default; a

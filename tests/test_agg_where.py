@@ -272,8 +272,10 @@ def test_refusals(spark, tmp_path):
 
 
 def test_partition_column_aggs_stay_exact(spark, tmp_path):
-    """Partition columns carry no data-file stats (values live in the
-    directory names) — aggregates over them scan, and stay exact."""
+    """Aggregates over partition columns stay exact whether they
+    answer from directory values (full-match files) or the residual
+    scan (boundary files, as here — the id range splits every
+    partition file)."""
     t = str(tmp_path / "agw_part")
     df = spark.createDataFrame(
         [(i, i % 3, float(i)) for i in range(30)],
@@ -611,3 +613,77 @@ def test_group_agg_timestamp_partition_trailing_zero_micros(
         key=str,
     )
     assert got == [(ts1, 2, 3), (ts2, 1, 3)]
+
+
+def test_partition_key_aggs_answer_from_directories(
+    spark, tmp_path, monkeypatch
+):
+    """The freshness query: MIN/MAX/COUNT/SUM over a PARTITION column
+    answer from directory values with ZERO file opens — the directory
+    is the exact value of every row. The null partition contributes
+    no value (and no COUNT), exactly like SQL."""
+    t = str(tmp_path / "agw_dirs")
+    rows = [
+        (i, None if i >= 24 else datetime.date(2024, 1, 1 + i // 8),
+         i % 3)
+        for i in range(30)
+    ]
+    snapshot_write_with_stats(
+        spark.createDataFrame(rows, "id int, day date, bucket int"),
+        t, ["id"], partition_cols=["day", "bucket"],
+    )
+    calls = []
+    orig = snap._read_file_list
+
+    def rec(spark_, path_, files_, *a, **k):
+        calls.append(list(files_))
+        return orig(spark_, path_, files_, *a, **k)
+
+    monkeypatch.setattr(snap, "_read_file_list", rec)
+    got = snapshot_agg_where(
+        spark, t,
+        [
+            ("min", "day"), ("max", "day"), ("count", "day"),
+            ("min", "bucket"), ("max", "bucket"), ("sum", "bucket"),
+            ("count", "*"),
+        ],
+    )
+    assert got == [
+        datetime.date(2024, 1, 1), datetime.date(2024, 1, 3),
+        24, 0, 2, sum(i % 3 for i in range(30)), 30,
+    ]
+    assert calls == []  # zero-I/O freshness
+    # under a predicate, only boundary files open — fully-admitted
+    # partition files still answer from their directories
+    got = snapshot_agg_where(
+        spark, t, [("max", "day"), ("sum", "bucket")],
+        predicates={"id": Range(hi=11)},
+    )
+    assert got[0] == datetime.date(2024, 1, 2)
+    assert got[1] == sum(i % 3 for i in range(12))
+
+
+def test_float_partition_key_aggs_scan(spark, tmp_path, monkeypatch):
+    """Float/double partition keys can't be decoded from directory
+    strings faithfully in every rendering — they scan, and stay
+    exact."""
+    t = str(tmp_path / "agw_fdir")
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, 0.5), (2, 0.5), (3, 1.5)], "id int, w double"
+        ),
+        t, ["id"], partition_cols=["w"],
+    )
+    calls = []
+    orig = snap._read_file_list
+
+    def rec(spark_, path_, files_, *a, **k):
+        calls.append(list(files_))
+        return orig(spark_, path_, files_, *a, **k)
+
+    monkeypatch.setattr(snap, "_read_file_list", rec)
+    got = snapshot_agg_where(
+        spark, t, [("min", "w"), ("max", "w"), ("sum", "w")]
+    )
+    assert got == [0.5, 1.5, 2.5]
+    assert len(calls) == 1  # the scan served it
