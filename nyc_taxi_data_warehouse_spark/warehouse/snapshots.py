@@ -2957,29 +2957,37 @@ def _agg_ent(man: dict, f: str, col: str):
     return (man.get("stats") or {}).get(f, {}).get(_phys(man, col))
 
 
-def _agg_dir_value(man: dict, f: str, col: str, ftypes):
-    """A partition column's value for file ``f``, decoded from its
-    directory string (None for the Hive null partition). Callers only
-    reach this for files the proven gate already decode-checked."""
+def _dir_values_cached(rel_file: str):
+    """Memoized ``_partition_values_from_path`` — relpaths are
+    immutable manifest strings, and the aggregate planner consults
+    each file's directory values once per (aggregate, gate, combine),
+    which at 10^5-file manifests would re-parse the same path many
+    times over. Callers must NOT mutate the returned dict."""
+    import functools
+
+    global _dir_values_cached
+
     from ..streaming.snapshot_source import _partition_values_from_path
 
-    s = _partition_values_from_path(f).get(_phys(man, col))
-    return (
-        None if s is None else _decode_partition_string(s, ftypes[col])
+    _dir_values_cached = functools.lru_cache(maxsize=131072)(
+        _partition_values_from_path
     )
+    return _dir_values_cached(rel_file)
 
 
-def _agg_part_provable(man, col, ftypes, base_ok, rows_map, for_sum):
-    """Files whose partition DIRECTORY proves aggregates over
-    partition column ``col``: the directory value IS the column value
-    for every row, so a full-match file with a known row count
-    answers MIN/MAX (the value, when rows exist), COUNT (rows or 0
-    for the null partition), and SUM (value × rows — integral and
-    Decimal only: exact multiplication; float repeated-addition order
-    cannot be reproduced) with zero I/O. Requires a decodable type
-    and a parseable directory; anything else scans."""
-    import decimal
-
+def _dir_decode_types(for_sum: bool = False):
+    """The ONE list of partition-key types whose directory strings
+    decode back to the Spark-typed value faithfully — shared by the
+    proven gate, the grouped planner's key check, and the decoder so
+    they can never drift. Excluded on purpose: float/double (Java and
+    Python render doubles differently; NaN never equals itself) and
+    tz-ful TimestampType (directories are written in the SESSION
+    timezone while collect() converts through the driver's OS
+    timezone — under a non-default session tz the same instant would
+    decode and collect to different naive datetimes, splitting groups
+    and mis-combining MIN/MAX; TimestampNTZ has no conversion and
+    stays). ``for_sum`` narrows to types where value × rows is exact
+    multiplication."""
     from pyspark.sql.types import (
         BooleanType,
         ByteType,
@@ -2990,35 +2998,61 @@ def _agg_part_provable(man, col, ftypes, base_ok, rows_map, for_sum):
         ShortType,
         StringType,
         TimestampNTZType,
-        TimestampType,
     )
-
-    from ..streaming.snapshot_source import _partition_values_from_path
 
     integral = (ByteType, ShortType, IntegerType, LongType)
-    allowed = (
-        integral + (DecimalType,)
-        if for_sum
-        else integral
-        + (
-            StringType, BooleanType, DecimalType,
-            DateType, TimestampType, TimestampNTZType,
-        )
+    if for_sum:
+        return integral + (DecimalType,)
+    return integral + (
+        StringType, BooleanType, DecimalType, DateType,
+        TimestampNTZType,
     )
-    if not isinstance(ftypes[col], allowed):
+
+
+def _agg_dir_value(man: dict, f: str, col: str, ftypes):
+    """A partition column's value for file ``f``, decoded from its
+    directory string (None for the Hive null partition). Callers only
+    reach this for files the proven gate already decode-checked."""
+    s = _dir_values_cached(f).get(_phys(man, col))
+    return (
+        None if s is None else _decode_partition_string(s, ftypes[col])
+    )
+
+
+def _agg_part_provable(man, col, ftypes, base_ok, rows_map, kind):
+    """Files whose partition DIRECTORY proves aggregates over
+    partition column ``col``: the directory value IS the column value
+    for every row, so a full-match file with a known row count
+    answers MIN/MAX (the value, when rows exist), COUNT (rows or 0
+    for the null partition), and SUM (value × rows — integral and
+    Decimal only: exact multiplication; float repeated-addition order
+    cannot be reproduced) with zero I/O. ``kind`` is ``minmax`` /
+    ``sum`` / ``count``. MIN/MAX/SUM require a decodable type
+    (``_dir_decode_types``) and a parseable directory; COUNT only
+    needs null-vs-non-null, which the Hive null marker decides for
+    EVERY key type — a COUNT over a double-partitioned key still
+    answers with zero I/O."""
+    import decimal
+
+    if kind != "count" and not isinstance(
+        ftypes[col], _dir_decode_types(for_sum=kind == "sum")
+    ):
         return set()
     phys = _phys(man, col)
     ok = set()
     for f in base_ok:
         if f not in rows_map:
             continue  # no row count: can't weigh the value
-        vals = _partition_values_from_path(f)
+        vals = _dir_values_cached(f)
         if phys not in vals:
             continue  # layout evolved: the value lives in-row
-        try:
-            _decode_partition_string(vals[phys], ftypes[col])
-        except (ValueError, ArithmeticError, decimal.InvalidOperation):
-            continue  # hand-placed undecodable directory: scan
+        if kind != "count":
+            try:
+                _decode_partition_string(vals[phys], ftypes[col])
+            except (
+                ValueError, ArithmeticError, decimal.InvalidOperation
+            ):
+                continue  # hand-placed undecodable directory: scan
         ok.add(f)
     return ok
 
@@ -3061,7 +3095,9 @@ def _agg_proven_sets(man, norm, ftypes, victims, full):
             # the exact value of every row, so the freshness query
             # (MAX over the partition key) answers with zero I/O
             ok = _agg_part_provable(
-                man, col, ftypes, base_ok, rows_map, fl == "sum"
+                man, col, ftypes, base_ok, rows_map,
+                "sum" if fl == "sum" else
+                "count" if fl == "count" else "minmax",
             )
         elif fl == "count":
             ok = set()
@@ -3141,11 +3177,14 @@ def _agg_combine_one(fl, col, meta, sv, man, ftypes, rows_map):
         elif part:
             # the directory value applies to every row: a non-null
             # partition contributes all its rows, the null partition
-            # contributes none
+            # contributes none. The RAW directory string decides —
+            # null-ness needs no type decode, so COUNT answers even
+            # for float/double keys
+            phys = _phys(man, col)
             total += sum(
                 rows_map[f]
                 for f in meta
-                if _agg_dir_value(man, f, col, ftypes) is not None
+                if _dir_values_cached(f).get(phys) is not None
             )
         else:
             total += sum(
@@ -3421,8 +3460,9 @@ def snapshot_group_agg_where(
     groups correctly), when the file predates row tracking (group
     existence needs a row count), or when a group column's type
     can't be decoded from its directory string faithfully
-    (float/double keys: Java and Python render doubles differently —
-    everything scans rather than risking a silent key mismatch).
+    (float/double and tz-ful timestamp keys — see
+    ``_dir_decode_types`` — everything scans rather than risking a
+    silent key mismatch).
 
     Group existence follows SQL: a group is emitted iff at least one
     live row matched — metadata groups with zero recorded rows (all
@@ -3433,21 +3473,6 @@ def snapshot_group_agg_where(
     COUNT(*), SUM(bytes) ... WHERE day < cutoff GROUP BY day`` on a
     day-partitioned table answers from the manifest alone — no file
     opens at all when stats prove every admitted file."""
-    from pyspark.sql.types import (
-        BooleanType,
-        ByteType,
-        DateType,
-        DecimalType,
-        IntegerType,
-        LongType,
-        ShortType,
-        StringType,
-        TimestampNTZType,
-        TimestampType,
-    )
-
-    from ..streaming.snapshot_source import _partition_values_from_path
-
     if _man is None or version is None:
         versions = _list_manifests(spark, path)
         if not versions:
@@ -3501,15 +3526,7 @@ def snapshot_group_agg_where(
 
     phys_by = [_phys(man, c) for c in by]
     decodable = all(
-        isinstance(
-            ftypes[c],
-            (
-                ByteType, ShortType, IntegerType, LongType,
-                StringType, BooleanType, DecimalType,
-                DateType, TimestampType, TimestampNTZType,
-            ),
-        )
-        for c in by
+        isinstance(ftypes[c], _dir_decode_types()) for c in by
     )
     sset: set = set()
     keyof: dict = {}
@@ -3519,7 +3536,7 @@ def snapshot_group_agg_where(
         ):
             sset.add(f)
             continue
-        vals = _partition_values_from_path(f)
+        vals = _dir_values_cached(f)
         if any(k not in vals for k in phys_by):
             sset.add(f)  # layout evolved: group values are in-row
             continue

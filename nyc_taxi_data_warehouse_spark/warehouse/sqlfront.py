@@ -2310,6 +2310,25 @@ def _resolve_agg_specs(spark, path, aggs, version, gcols=None):
     return specs, gspecs, version, man
 
 
+def _agg_out_field(func, raw, alias, dt):
+    """The output StructField for one aggregate select item — the ONE
+    place encoding Spark's probed auto-alias (lowercase func over the
+    arg text as written; COUNT(*)/COUNT(1) both render ``count(1)``),
+    result types (count→bigint, sum→``_sum_result_type``), and
+    nullability (count non-null, the rest nullable) so the flat and
+    grouped executors cannot diverge."""
+    from pyspark.sql.types import LongType, StructField
+
+    if func == "count":
+        out_dt, nullable = LongType(), False
+    elif func == "sum":
+        out_dt, nullable = _sum_result_type(dt), True
+    else:
+        out_dt, nullable = dt, True
+    name = alias or ("count(1)" if raw == "*" else f"{func}({raw})")
+    return StructField(name, out_dt, nullable)
+
+
 def _sum_result_type(dt):
     """Spark's SUM result type (probed, Spark 4.1): integral →
     bigint, float/double → double, decimal(p,s) → decimal(p+10,s)
@@ -2554,7 +2573,7 @@ def _try_select_fastpath(
     # from here an error is a real error, identical in kind to what
     # the passthrough scan would raise (missing column, bad path)
     if group_plan is not None:
-        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.types import StructField, StructType
 
         from .snapshots import snapshot_group_agg_where
 
@@ -2583,16 +2602,7 @@ def _try_select_fastpath(
                 )
             else:
                 f, _c, raw, alias, dt = gaggs[step[1]]
-                if f == "count":
-                    out_dt, nullable = LongType(), False
-                elif f == "sum":
-                    out_dt, nullable = _sum_result_type(dt), True
-                else:
-                    out_dt, nullable = dt, True
-                name = alias or (
-                    "count(1)" if raw == "*" else f"{f}({raw})"
-                )
-                fields.append(StructField(name, out_dt, nullable))
+                fields.append(_agg_out_field(f, raw, alias, dt))
         data = [
             tuple(
                 r[step[1]] if step[0] == "g" else r[nby + step[1]]
@@ -2603,7 +2613,7 @@ def _try_select_fastpath(
         out = spark.createDataFrame(data, StructType(fields))
         return out.limit(limit) if limit is not None else out
     if agg_specs is not None:
-        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.types import StructType
 
         from .snapshots import snapshot_agg_where
 
@@ -2623,21 +2633,10 @@ def _try_select_fastpath(
                 version=version,
                 _man=agg_man,
             )
-        fields = []
-        for (f, _c, raw, alias, dt), v in zip(agg_specs, vals):
-            if f == "count":
-                out_dt, nullable = LongType(), False
-            elif f == "sum":
-                out_dt, nullable = _sum_result_type(dt), True
-            else:
-                out_dt, nullable = dt, True
-            # Spark's auto-alias: lowercase func over the arg text AS
-            # WRITTEN (``MIN(FARE)`` → ``min(FARE)``); both COUNT(*)
-            # and COUNT(1) render ``count(1)`` (probed, Spark 4.1)
-            name = alias or (
-                "count(1)" if raw == "*" else f"{f}({raw})"
-            )
-            fields.append(StructField(name, out_dt, nullable))
+        fields = [
+            _agg_out_field(f, raw, alias, dt)
+            for f, _c, raw, alias, dt in agg_specs
+        ]
         out = spark.createDataFrame(
             [tuple(vals)], StructType(fields)
         )

@@ -515,8 +515,9 @@ def test_group_agg_proven_files_never_open(spark, tmp_path, monkeypatch):
     )
     assert sorted(r[1] for r in got) == [6, 9]
     assert len(calls) == 1
-    assert all("2024-01-02" in f or "day=" in f for f in calls[0])
-    assert not any("2024-01-03" in f for f in calls[0])
+    # ONLY the boundary partition's file opened (REVIEW r11: the
+    # earlier `or "day=" in f` disjunct made this vacuous)
+    assert calls[0] and all("2024-01-02" in f for f in calls[0])
 
 
 def test_group_agg_group_suppression_and_empty(spark, tmp_path):
@@ -687,3 +688,84 @@ def test_float_partition_key_aggs_scan(spark, tmp_path, monkeypatch):
     )
     assert got == [0.5, 1.5, 2.5]
     assert len(calls) == 1  # the scan served it
+
+
+def test_tzful_timestamp_partition_key_scans_for_correctness(
+    spark, tmp_path, monkeypatch
+):
+    """REVIEW r11: tz-ful TimestampType partition keys must NOT be
+    answered or group-matched from directory strings — Spark writes
+    directories in the SESSION timezone while collect() converts
+    through the driver's OS timezone, so under a non-default session
+    tz the same instant decodes and collects to different naive
+    datetimes (split groups, shifted MIN/MAX). With the session tz
+    pinned away from the OS tz, results must still equal the scan
+    oracle — which they can only do if the planner scans."""
+    t = str(tmp_path / "agw_tz")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ts1 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        ts2 = datetime.datetime(2024, 6, 1, 12, 0, 0)  # DST differs
+        snapshot_write_with_stats(
+            spark.createDataFrame(
+                [(1, ts1), (2, ts1), (3, ts2)], "id int, ts timestamp"
+            ),
+            t, ["id"], partition_cols=["ts"],
+        )
+        # force a meta/scan split inside the ts1 group
+        snapshot_write_with_stats(
+            spark.createDataFrame([(9, ts1)], "id int, ts timestamp"),
+            t, ["id"], mode="append", partition_cols=["ts"],
+        )
+        snapshot_delete_rows_dv(spark, t, "id", [9])
+        base = read_snapshot(spark, t)
+        exp_minmax = base.agg(
+            F.min("ts"), F.max("ts")
+        ).first()
+        got = snapshot_agg_where(
+            spark, t, [("min", "ts"), ("max", "ts"), ("count", "ts")]
+        )
+        assert (got[0], got[1]) == tuple(exp_minmax)
+        assert got[2] == 3
+        grouped = sorted(
+            snapshot_group_agg_where(
+                spark, t, ["ts"], [("count", "*")]
+            ),
+            key=str,
+        )
+        exp = sorted(
+            map(tuple, base.groupBy("ts").count().collect()), key=str
+        )
+        assert grouped == exp
+        assert len(grouped) == 2  # one row per instant, never split
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_count_over_float_partition_key_is_metadata_only(
+    spark, tmp_path, monkeypatch
+):
+    """REVIEW r11: COUNT over a float/double partition key needs only
+    null-vs-non-null, which the Hive null marker decides without any
+    value decode — zero file opens, while MIN/MAX still scan."""
+    t = str(tmp_path / "agw_fcnt")
+    snapshot_write_with_stats(
+        spark.createDataFrame(
+            [(1, 0.5), (2, 0.5), (3, None)], "id int, w double"
+        ),
+        t, ["id"], partition_cols=["w"],
+    )
+    calls = []
+    orig = snap._read_file_list
+
+    def rec(spark_, path_, files_, *a, **k):
+        calls.append(list(files_))
+        return orig(spark_, path_, files_, *a, **k)
+
+    monkeypatch.setattr(snap, "_read_file_list", rec)
+    got = snapshot_agg_where(
+        spark, t, [("count", "w"), ("count", "*")]
+    )
+    assert got == [2, 3]
+    assert calls == []
