@@ -2554,7 +2554,9 @@ def test_metadata_tables_files_and_history(spark, table):
     assert tomb_pv == {"0"}
     # stats ride as JSON and are queryable
     st = _json.loads(rows[0].stats)
-    assert "id" in st and len(st["id"]) == 3  # [min, max, nulls]
+    # numeric columns carry [min, max, nulls, sum]; the sum powers
+    # metadata-planned SUM in snapshot_agg_where
+    assert "id" in st and len(st["id"]) == 4
     # time travel: v1 has no tombstoned files
     assert snapshot_files(spark, table, version=1) \
         .where("has_tombstones").count() == 0
