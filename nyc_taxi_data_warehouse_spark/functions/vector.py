@@ -34,6 +34,17 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def cosine_hoisted(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """``cosine(a, b)`` with the per-row norms precomputed BEFORE the
+    candidate join. Bit-identical to ``cosine``: ``norm`` over the same
+    double array yields the same double wherever it is evaluated, and
+    the denominator keeps the ``norm(a) * norm(b)`` operand order. The
+    point is cost shape: per candidate PAIR this evaluates one
+    interpreted fold (the dot) instead of three — the two self-dots
+    move to once-per-ROW on each join side."""
+    return F.try_divide(dot(a, b), a_norm * b_norm)
+
+
 def indexable(vec: Column) -> Column:
     """True iff the vector can participate in cosine ranking: non-null,
     non-empty, finite positive norm. Zero vectors yield NULL cosine

@@ -94,6 +94,21 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
 from contextlib import contextmanager
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelize the Python decode stage over unsplittable inputs:
+    mapInPandas work runs where the input rows sit, and a single-row-
+    group/gzip source would hand EVERY payload to one Python worker.
+    No-op when the plan already has >= parallelism partitions (the
+    100 TB case); see session.spread. Applied only to the REAL decodes
+    (pixel/audio, heavyweight per row) — for the lightweight stub
+    codecs the exchange costs more than it saves (measured 1.4-1.65x
+    regressions on m02/m03)."""
+    from ..session import spread
+
+    return spread(df)
+
+
+
 @contextmanager
 def bounded_arrow_batches(spark, records: int = 256):
     """Scope-bound ``spark.sql.execution.arrow.maxRecordsPerBatch``.
@@ -596,7 +611,7 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in PIXEL_SCHEMA.fields]
             )
 
-    return df.mapInPandas(batches, schema=PIXEL_SCHEMA)
+    return _spread(df).mapInPandas(batches, schema=PIXEL_SCHEMA)
 
 
 def extract_audio_stats(df: DataFrame) -> DataFrame:
@@ -631,7 +646,7 @@ def extract_audio_stats(df: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
             )
 
-    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
+    return _spread(df).mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 def decode_media_batch(df: DataFrame, codec: str = "fake") -> DataFrame:

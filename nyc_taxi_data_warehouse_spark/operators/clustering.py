@@ -36,8 +36,16 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its max-cosine centroid (ties → smaller
     cell id). ``vectors``: (_id, _v); ``centroids``: (cell, _cv).
     Output: (_id, _v, cell, sim)."""
-    scored = vectors.join(F.broadcast(centroids)).withColumn(
-        "sim", F.round(V.cosine(F.col("_v"), F.col("_cv")), 6)
+    # Norm hoist (V.cosine_hoisted): the vector-side self-dot runs once
+    # per row, not once per (vector, centroid) pair — k× fewer folds.
+    v = vectors.withColumn("_vn", V.norm(F.col("_v")))
+    c = centroids.withColumn("_cn", V.norm(F.col("_cv")))
+    scored = v.join(F.broadcast(c)).withColumn(
+        "sim",
+        F.round(
+            V.cosine_hoisted(F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn")),
+            6,
+        ),
     )
     w = Window.partitionBy("_id").orderBy(F.desc("sim"), "cell")
     return (
@@ -82,7 +90,12 @@ def kmeans(
     starting from the deterministic seed centroids = the vectors of the
     ``k`` smallest ids. Returns the final assignment:
     (id_col, cell, sim)."""
-    v = df.select(
+    from ..session import spread
+
+    # spread(): every Lloyd's round is (broadcast join + argmax window)
+    # over the corpus rows — an unsplittable input would serialize all
+    # k×N cosine folds on one core (no-op at scale; session.spread).
+    v = spread(df).select(
         F.col(id_col).alias("_id"), V.as_double(F.col(vec_col)).alias("_v")
     )
     cents = v.where(F.col("_id") < k).select(

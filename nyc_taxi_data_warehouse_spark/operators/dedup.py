@@ -81,43 +81,61 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per document: ``(_id, _shingles, mh0..mh{n-1})``.
 
-    Single-pass signature build, chosen after profiling the obvious
-    formulations:
-    - column-per-hash with array transforms: Catalyst inlines the
-      tokenize→shingle tree into every minhash column AND re-evaluates
-      the token array per lambda element (no subexpression elimination
-      across lambda scopes) — quadratic-ish recompute.
-    - here: tokenize once, posexplode, shingle via lead() window, hash
-      each (doc, shingle) row n_hashes times, groupBy-min back to one
-      row per doc. The window and the groupBy share the doc-id hash
-      partitioning, so the whole signature build is ONE shuffle.
+    ZERO-SHUFFLE signature build (guide §2.4 — remove shuffles
+    outright): tokenize, build the distinct k-shingle array with
+    ``word_shingles`` (the zip-based O(n·k) form; ``_shs`` is bound in
+    its own projection so every minhash column references a cheap
+    column, not the tokenize tree — CollapseProject keeps the boundary
+    for a non-cheap alias referenced 9×), then each mh_i is an
+    ``array_min`` over the per-shingle salted md5s — all narrow maps.
+
+    The previous shape (posexplode → lead() window → groupBy-min)
+    produced the identical signatures but shuffled every TOKEN row
+    (id, pos, token) through one exchange+sort: at sf0.1 that is 260k
+    rows for 5k docs (measured 2.44 s vs 1.72 s for this form), and at
+    100 TB it is a full-corpus token shuffle that this form simply does
+    not do. Value-equivalence (all mh_i and the distinct shingle set,
+    5k-doc fixture) is pinned by ``test_narrow_signature_equivalence``.
+
+    Docs whose tokenization is NULL (null text) produce NO signature
+    row — same as the explode form, which emitted no token rows for
+    them; ``sync_minhash_from_snapshot`` relies on exactly this for
+    redacted docs.
 
     Shingles are carried as xxhash64 ints, not strings: the verify join
     ships both sides' shingle sets through a shuffle, and at corpus
     scale the payload is dominated by those arrays. Hashing preserves
-    set semantics (intersect/union sizes, hence Jaccard) with ~10x
-    fewer bytes; a 64-bit collision inside one document's set is
-    negligible at any realistic shingle cardinality.
+    set semantics (intersect/union sizes, hence Jaccard — both dedup
+    values) with ~10x fewer bytes; a 64-bit collision inside one
+    document's set is negligible at any realistic shingle cardinality.
     """
-    from pyspark.sql.window import Window
+    # Null-text docs drop HERE, on the raw column: tokenize/shingle are
+    # null-propagating unary chains, so ``_shs IS NULL ⟺ text IS NULL``
+    # — and a filter on the raw column pushes to the scan, while a
+    # filter on ``_shs`` would be rewritten below the projection and
+    # re-evaluate the whole shingle tree per row (measured 2.3x).
+    from ..session import spread
 
-    tk = df.select(F.col(id_col).alias("_id"), T.tokens(F.col(text_col)).alias("_tk"))
-    pe = tk.select("_id", F.posexplode("_tk").alias("pos", "t"))
-    w = Window.partitionBy("_id").orderBy("pos")
-    leads = [F.lead("t", j).over(w).alias(f"t{j}") for j in range(1, shingle_k)]
-    pe = pe.select("_id", "pos", "t", *leads)
-    # full k-shingles; a doc shorter than k tokens yields one shingle of
-    # whatever it has (concat_ws skips nulls) — same as the slice form.
-    shingle_rows = pe.where(
-        F.col(f"t{shingle_k - 1}").isNotNull() | (F.col("pos") == 0)
-    ).select(
-        "_id",
-        F.concat_ws(" ", "t", *[f"t{j}" for j in range(1, shingle_k)]).alias("_s"),
+    # spread(): the whole signature build is narrow, so an unsplittable
+    # input (single row group / gzip) would otherwise run it on ONE core
+    # — no-op when the scan already parallelizes (see session.spread).
+    tk = spread(df.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col).alias("_id"), T.tokens(F.col(text_col)).alias("_tk")
     )
-    return shingle_rows.groupBy("_id").agg(
-        F.collect_set(F.xxhash64("_s")).alias("_shingles"),
+    sh = tk.select(
+        "_id", F.array_distinct(T.word_shingles(F.col("_tk"), shingle_k)).alias("_shs")
+    )
+    return sh.select(
+        "_id",
+        F.transform("_shs", lambda s: F.xxhash64(s)).alias("_shingles"),
+        # NOTE: the lambda must stay single-parameter (a two-parameter
+        # transform lambda receives the ARRAY INDEX as its second arg);
+        # F.transform invokes it eagerly, so the comprehension's current
+        # ``i`` is baked into each column at construction time.
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"mh{i}")
+            F.array_min(
+                F.transform("_shs", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            ).alias(f"mh{i}")
             for i in range(n_hashes)
         ],
     )
@@ -592,17 +610,26 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
+        # The old label rides through the union tagged with _own, so the
+        # SAME groupBy that computes the new label also recovers the old
+        # one (each id has exactly one own row) — convergence detection
+        # without the per-round labels re-join the previous form paid
+        # (one fewer stage per iteration at identical results).
         merged = (
-            labels.unionByName(neighbor_min)
+            labels.select("id", "label", F.lit(True).alias("_own"))
+            .unionByName(neighbor_min.select("id", "label", F.lit(False).alias("_own")))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+            )
         )
         # Convergence detection piggybacks on the checkpoint action via an
         # Observation — one Spark job per round instead of two.
         obs = Observation()
-        cmp = merged.join(
-            labels.select("id", F.col("label").alias("_old")), "id"
-        ).observe(obs, F.max((F.col("label") != F.col("_old")).cast("int")).alias("changed"))
+        cmp = merged.observe(
+            obs, F.max((F.col("label") != F.col("_old")).cast("int")).alias("changed")
+        )
         labels = cmp.select("id", "label").localCheckpoint(eager=True)
         if not obs.get["changed"]:  # None on an empty graph, 0 at fixpoint
             break

@@ -82,16 +82,32 @@ def cosine_topk(
 
     Output: qid, cid, sim (round 6), rn — deterministic tie-break on cid.
     """
+    from ..session import spread
+
+    # Norms are hoisted to once-per-row on each side (guide §2.3 "shuffle
+    # fewer bytes"/§1.2 per-task work): the |Q|·N pair loop then pays ONE
+    # interpreted fold per pair instead of three. Bit-identical — see
+    # V.cosine_hoisted. spread(): the |Q|·N pair loop runs where the
+    # corpus rows sit — an unsplittable corpus input would put ALL pair
+    # compute on one core.
     q = queries.select(
         F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")
-    )
-    c = corpus.select(
+    ).withColumn("_qn", V.norm(F.col("qv")))
+    c = spread(corpus).select(
         F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("_cn", V.norm(F.col("cv")))
     sims = (
         F.broadcast(q)
         .join(c, F.col("qid") != F.col("cid"))
-        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                V.cosine_hoisted(
+                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     return (
@@ -155,19 +171,33 @@ def multi_table_buckets(
     n_tables: int,
     id_alias: str,
     vec_alias: str,
+    norm_alias: str | None = None,
 ) -> DataFrame:
     """One row per (vector, table): columns (id_alias, vec_alias, tbl,
     bucket). All tables' codes are computed in a single narrow pass
     (no shuffle); the explode multiplies rows n_tables-fold, which is
-    the memory-for-recall trade every multi-table LSH index makes."""
+    the memory-for-recall trade every multi-table LSH index makes.
+
+    ``norm_alias``: also carry ``norm(vec)`` — computed ONCE per vector
+    in the pre-explode projection (not per (vector, table) row), so the
+    downstream candidate join's cosine can skip both per-pair self-dots
+    (see ``V.cosine_hoisted``)."""
+    from ..session import spread
+
     # Cast the vector to double ONCE in a prior projection; every one of
     # the n_tables x n_planes dot products then references the cast
     # column instead of re-running the element-wise cast transform
     # (Catalyst won't duplicate the non-cheap alias — measured ~40%
-    # faster index build, bucket values identical).
-    pre = df.select(
+    # faster index build, bucket values identical). spread(): the
+    # n_tables×n_planes hyperplane folds are the expensive narrow map an
+    # unsplittable input would serialize on one core.
+    pre = spread(df).select(
         F.col(id_col).alias(id_alias), V.as_double(F.col(vec_col)).alias(vec_alias)
     )
+    extra: list[str] = []
+    if norm_alias is not None:
+        pre = pre.withColumn(norm_alias, V.norm(F.col(vec_alias)))
+        extra = [norm_alias]
     entries = F.array(
         *[
             F.struct(
@@ -181,8 +211,12 @@ def multi_table_buckets(
             for t in range(n_tables)
         ]
     )
-    return pre.select(id_alias, vec_alias, F.explode(entries).alias("_e")).select(
-        id_alias, vec_alias, F.col("_e.tbl").alias("tbl"), F.col("_e.bucket").alias("bucket")
+    return pre.select(id_alias, vec_alias, *extra, F.explode(entries).alias("_e")).select(
+        id_alias,
+        vec_alias,
+        *extra,
+        F.col("_e.tbl").alias("tbl"),
+        F.col("_e.bucket").alias("bucket"),
     )
 
 
@@ -219,10 +253,10 @@ def ann_topk_multi(
     scales with partition count instead of driver/executor memory.
     """
     qb = multi_table_buckets(
-        queries, id_col, vec_col, n_planes, dim, n_tables, "qid", "qv"
+        queries, id_col, vec_col, n_planes, dim, n_tables, "qid", "qv", "_qn"
     )
     cb = multi_table_buckets(
-        corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
+        corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv", "_cn"
     )
     return _ann_rank_probed(qb, cb, k, n_planes, probe_radius, broadcast_queries)
 
@@ -237,7 +271,17 @@ def _ann_rank_probed(
 ) -> DataFrame:
     """Shared tail of the multi-probe ANN path: explode the query codes
     into probe buckets, candidate-join against the (tbl, bucket) corpus
-    index, exact-cosine rank the deduped candidates."""
+    index, exact-cosine rank the deduped candidates.
+
+    Norm hoist: sides built by ``multi_table_buckets(..., norm_alias=)``
+    arrive with ``_qn``/``_cn`` computed once per VECTOR; sides that
+    lack them (the persisted-index scan — norms are not part of the
+    on-disk layout) get them here, once per (vector, table) row. Either
+    way the candidate pair loop pays one fold, not three."""
+    if "_qn" not in qb.columns:
+        qb = qb.withColumn("_qn", V.norm(F.col("qv")))
+    if "_cn" not in cb.columns:
+        cb = cb.withColumn("_cn", V.norm(F.col("cv")))
     masks = probe_masks(n_planes, probe_radius)
     qprobe = qb.withColumn(
         "bucket",
@@ -256,7 +300,15 @@ def _ann_rank_probed(
         .where(F.col("qid") != F.col("cid"))
     )
     scored = (
-        cand.withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        cand.withColumn(
+            "sim",
+            F.round(
+                V.cosine_hoisted(
+                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
         .select("qid", "cid", "sim")
         .distinct()
     )
@@ -423,6 +475,10 @@ def lsh_buckets(
     planes = hyperplanes(n_planes, dim)
     # Same pre-cast trick as multi_table_buckets: one element-wise cast,
     # referenced by all n_planes dots, then dropped (schema unchanged).
+    # No spread() here: a single table's 8 plane folds are light, and
+    # e04-style consumers aggregate immediately — the exchange costs
+    # more than the folds (measured 2.15x ON e04). Consumers whose
+    # downstream pair loop is heavy (ann_topk) spread their corpus side.
     return (
         df.select(
             F.col(id_col),
@@ -452,20 +508,33 @@ def ann_topk(
     are observable. At scale the corpus side is partitioned by bucket —
     the per-query probe is one partition, not a scan.
     """
+    from ..session import spread
+
+    # Per-row norm hoist on both sides — see V.cosine_hoisted.
+    # spread(corpus): the per-pair cosine loop runs where the corpus
+    # rows sit; an unsplittable corpus would serialize it on one core.
     qb = lsh_buckets(queries, id_col, vec_col, n_planes, dim).select(
         F.col(id_col).alias("qid"),
         V.as_double(F.col(vec_col)).alias("qv"),
         "bucket",
-    )
-    cb = lsh_buckets(corpus, id_col, vec_col, n_planes, dim).select(
+    ).withColumn("_qn", V.norm(F.col("qv")))
+    cb = lsh_buckets(spread(corpus), id_col, vec_col, n_planes, dim).select(
         F.col(id_col).alias("cid"),
         V.as_double(F.col(vec_col)).alias("cv"),
         "bucket",
-    )
+    ).withColumn("_cn", V.norm(F.col("cv")))
     cand = F.broadcast(qb).join(cb, on="bucket").where(F.col("qid") != F.col("cid"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     ranked = (
-        cand.withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        cand.withColumn(
+            "sim",
+            F.round(
+                V.cosine_hoisted(
+                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
         .withColumn("n_candidates", F.count("*").over(Window.partitionBy("qid")))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
@@ -524,7 +593,11 @@ def embedding_near_dup(
         # (id_a, id_b, sim) triple — sim is deterministic per pair, and
         # vectors never enter the dedup shuffle. No bucket column in
         # this mode (a pair has up to n_tables of them).
-        a = multi_table_buckets(df, id_col, vec_col, n_planes, dim, n_tables, "id_a", "av")
+        # Norms ride along from the pre-explode projection (once per
+        # vector, materialized with the checkpoint) — see V.cosine_hoisted.
+        a = multi_table_buckets(
+            df, id_col, vec_col, n_planes, dim, n_tables, "id_a", "av", "_an"
+        )
         if max_bucket_size is not None:
             a = a.localCheckpoint(eager=True)
             hot = (
@@ -539,19 +612,35 @@ def embedding_near_dup(
         c = a.select(
             F.col("id_a").alias("id_b"),
             F.col("av").alias("bv"),
+            F.col("_an").alias("_bn"),
             "tbl",
             "bucket",
         )
         return (
             a.join(c, ["tbl", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("sim", F.round(V.cosine(F.col("av"), F.col("bv")), 6))
+            .withColumn(
+                "sim",
+                F.round(
+                    V.cosine_hoisted(
+                        F.col("av"), F.col("bv"), F.col("_an"), F.col("_bn")
+                    ),
+                    6,
+                ),
+            )
             .where(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim")
             .distinct()
             .orderBy("id_a", "id_b")
         )
-    b = lsh_buckets(df, id_col, vec_col, n_planes, dim)
+    # Cast + norm once per row BEFORE the (possibly checkpointed) table
+    # both join sides read: the old shape re-ran the double cast per
+    # side and the two self-dots per PAIR — see V.cosine_hoisted.
+    b = lsh_buckets(df, id_col, vec_col, n_planes, dim).select(
+        F.col(id_col),
+        V.as_double(F.col(vec_col)).alias("_v"),
+        "bucket",
+    ).withColumn("_n2", V.norm(F.col("_v")))
     if max_bucket_size is not None:
         b = b.localCheckpoint(eager=True)
         hot = (
@@ -562,15 +651,29 @@ def embedding_near_dup(
         )
         b = b.join(F.broadcast(hot), "bucket", "left_anti")
     a = b.select(
-        F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("av"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("av"),
+        F.col("_n2").alias("_an"),
+        "bucket",
     )
     c = b.select(
-        F.col(id_col).alias("id_b"), V.as_double(F.col(vec_col)).alias("bv"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("bv"),
+        F.col("_n2").alias("_bn"),
+        "bucket",
     )
     return (
         a.join(c, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(V.cosine(F.col("av"), F.col("bv")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                V.cosine_hoisted(
+                    F.col("av"), F.col("bv"), F.col("_an"), F.col("_bn")
+                ),
+                6,
+            ),
+        )
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "bucket", "sim")
         .orderBy("id_a", "id_b")
@@ -588,14 +691,25 @@ def ivf_assign(
     broadcast table — the assignment is one narrow map-side pass, and the
     corpus can then be written partitioned/bucketed by ``cell`` so a probe
     touches one cell's files only."""
+    # Norm hoist (V.cosine_hoisted): the corpus-side self-dot runs once
+    # per vector instead of once per (vector, centroid) pair — k× fewer
+    # interpreted folds in the assignment pass.
     c = centroids.select(
         F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent_v")
-    )
-    v = df.select(
+    ).withColumn("_cn", V.norm(F.col("cent_v")))
+    from ..session import spread
+
+    v = spread(df).select(
         F.col(id_col), F.col(vec_col), V.as_double(F.col(vec_col)).alias("_v")
-    )
+    ).withColumn("_vn", V.norm(F.col("_v")))
     scored = v.join(F.broadcast(c)).withColumn(
-        "cos", F.round(V.cosine(F.col("_v"), F.col("cent_v")), 6)
+        "cos",
+        F.round(
+            V.cosine_hoisted(
+                F.col("_v"), F.col("cent_v"), F.col("_vn"), F.col("_cn")
+            ),
+            6,
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), "cent_id")
     return (
@@ -615,18 +729,24 @@ def _ivf_query_cells(
     """Each query's n_probe nearest cells: (qid, qv, cell)."""
     c = centroids.select(
         F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent_v")
-    )
+    ).withColumn("_cn", V.norm(F.col("cent_v")))
     q = queries.select(
         F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("_qn", V.norm(F.col("qv")))
     q_scored = q.join(F.broadcast(c)).withColumn(
-        "cos", F.round(V.cosine(F.col("qv"), F.col("cent_v")), 6)
+        "cos",
+        F.round(
+            V.cosine_hoisted(
+                F.col("qv"), F.col("cent_v"), F.col("_qn"), F.col("_cn")
+            ),
+            6,
+        ),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("cos"), "cent_id")
     return (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= n_probe)
-        .select("qid", "qv", F.col("cent_id").alias("cell"))
+        .select("qid", "qv", "_qn", F.col("cent_id").alias("cell"))
     )
 
 
@@ -634,12 +754,26 @@ def _ivf_rank_candidates(
     q_cells: DataFrame, corpus_cells: DataFrame, k: int
 ) -> DataFrame:
     """Shared IVF tail: candidate join within probed cells, exact-cosine
-    rank."""
+    rank. Norms are hoisted to once-per-row (computed here when the
+    side lacks them — the persisted-index scan does not store norms);
+    see ``V.cosine_hoisted``."""
+    if "_qn" not in q_cells.columns:
+        q_cells = q_cells.withColumn("_qn", V.norm(F.col("qv")))
+    if "_cn" not in corpus_cells.columns:
+        corpus_cells = corpus_cells.withColumn("_cn", V.norm(F.col("cv")))
     cand = (
         F.broadcast(q_cells)
         .join(corpus_cells, "cell")
         .where(F.col("qid") != F.col("cid"))
-        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                V.cosine_hoisted(
+                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     return (

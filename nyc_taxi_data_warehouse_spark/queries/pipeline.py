@@ -96,7 +96,11 @@ ORDER BY split, lang
     "stage-interaction bugs isolated operator tests cannot.",
 )
 def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from ..session import spread
+
+    # spread(): the quality filter tokenizes every doc before the first
+    # shuffle — narrow work an unsplittable input would serialize.
+    d = spread(load_table(spark, sf_dir, "documents"))
     txt = F.col("text")
     n_words = F.size(T.tokens(txt))
     dig = F.length(F.regexp_replace(txt, "[^0-9]", "")) / F.greatest(
@@ -210,7 +214,13 @@ def p02_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token array k+1 times, and Catalyst will not duplicate a non-cheap
     # aliased expression across a projection boundary — so the two regex
     # passes of the tokenizer run once per doc, not once per reference.
-    tk = d.select("doc_id", split.alias("split"), T.tokens(F.col("text")).alias("_tk"))
+    # spread(): tokenize+shingle+explode are narrow — parallelize over
+    # an unsplittable input (no-op at scale; session.spread).
+    from ..session import spread
+
+    tk = spread(d).select(
+        "doc_id", split.alias("split"), T.tokens(F.col("text")).alias("_tk")
+    )
     grams = tk.select(
         "doc_id",
         "split",

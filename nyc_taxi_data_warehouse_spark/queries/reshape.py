@@ -289,14 +289,20 @@ def q37_udtf_month_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     month_expand = _make_month_expand_udtf()
     spark.udtf.register("month_expand", month_expand)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # The key filter sits INSIDE the lateral's left input: the optimizer
+    # does not push predicates below BatchEvalPythonUDTF, so the
+    # WHERE-after-lateral form ran the Python eval for EVERY orders row
+    # and then discarded 99.9% of its output (plan-verified:
+    # plans/r11/q37_*_before.txt has Filter above the UDTF node).
+    # Result-identical — the filter references only left-side columns.
     return spark.sql(
         """
         SELECT o_orderkey,
                t.month_offset,
                CAST(add_months(date_trunc('month', o_orderdate), t.month_offset)
                     AS TIMESTAMP_NTZ) AS horizon_month
-        FROM orders, LATERAL month_expand(3) t
-        WHERE o_orderkey < 200
+        FROM (SELECT * FROM orders WHERE o_orderkey < 200) o,
+             LATERAL month_expand(3) t
         ORDER BY o_orderkey, t.month_offset
         """
     )

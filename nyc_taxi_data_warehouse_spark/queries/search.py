@@ -59,22 +59,29 @@ ORDER BY term
     "prune to single partitions instead of scanning the corpus.",
 )
 def s01_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     p = SE.postings(d)
-    agg = p.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("total_tf"),
-        F.max("tf").cast("long").alias("max_tf"),
+    # ONE aggregation pass: top_doc (argmax tf, tie -> min doc_id) folds
+    # into the same groupBy as the counts via max(struct(tf, -doc_id)) —
+    # struct ordering compares tf first, then -doc_id, so the max struct
+    # is exactly (max tf, min doc_id). The previous window+join form
+    # evaluated the whole postings subtree (tokenize + explode +
+    # groupBy) TWICE — once per branch — plus a join; this is the same
+    # result from a single pass (plan: 2 subtree evals + 3 exchanges ->
+    # 1 eval + 2 exchanges).
+    return (
+        p.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.max("tf").cast("long").alias("max_tf"),
+            (-F.max(F.struct(F.col("tf"), (-F.col("doc_id")).alias("nd"))).nd).alias(
+                "top_doc"
+            ),
+        )
+        .select("term", "df", "total_tf", "max_tf", "top_doc")
+        .orderBy("term")
     )
-    w = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
-    top = (
-        p.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("term", F.col("doc_id").alias("top_doc"))
-    )
-    return agg.join(top, "term").orderBy("term")
 
 
 # ---------------------------------------------------------------------------

@@ -77,8 +77,11 @@ ORDER BY doc_id
 )
 def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # Bind the token array once (referenced ~6x below: counts, ratios,
+    # the quality flag) — same projection-boundary trick as t03/d04.
+    d = d.select("doc_id", "text", T.tokens(F.col("text")).alias("_tk"))
     txt = F.col("text")
-    toks = T.tokens(txt)
+    toks = F.col("_tk")
     n_words = F.size(toks)
     # normalized text is single-spaced → chars-in-words = len - (n-1)
     avg_wlen = F.round(
@@ -144,12 +147,20 @@ ORDER BY predicted
 )
 def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    scored = d.select(
+    # Bind the token array in its own projection: the four stopword
+    # counters then reference a cheap column instead of each inlining
+    # the two-regex tokenizer (no CSE reaches into the filter() lambdas;
+    # measured ~2x on this query at sf0.1). Same d04/p02 pattern.
+    # spread(): tokenize + 4 array filters are narrow — parallelize over
+    # an unsplittable input (no-op at scale; session.spread).
+    from ..session import spread
+
+    tk = spread(d).select("doc_id", "lang", T.tokens(F.col("text")).alias("_tk"))
+    scored = tk.select(
         "doc_id",
         "lang",
         *[
-            T.stopword_count(toks, T.LANG_STOPWORDS[lang]).alias(f"s_{lang}")
+            T.stopword_count(F.col("_tk"), T.LANG_STOPWORDS[lang]).alias(f"s_{lang}")
             for lang in ("en", "es", "fr", "de")
         ],
     )
@@ -448,8 +459,18 @@ ORDER BY doc_id
     "parallel at 100 TB.",
 )
 def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import spread
+
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    # Tokenize ONCE: three branches (base/uni/big) consume tk, and an
+    # unmaterialized plan re-runs the scan+tokenizer per branch (on one
+    # core for an unsplittable input — session.spread). The checkpoint
+    # holds one tokenized row per doc and is ContextCleaner-collected.
+    tk = (
+        spread(d)
+        .select("doc_id", T.tokens(F.col("text")).alias("tk"))
+        .localCheckpoint(eager=True)
+    )
     tri = T.word_shingles(F.col("tk"), 3)
     base = tk.select(
         "doc_id",

@@ -100,6 +100,32 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def spread(df, factor: int = 1):
+    """Ensure a DataFrame that feeds COMPUTE-HEAVY narrow work has at
+    least the session's parallelism — the optimization-guide §2.5 fix
+    for unsplittable input (one gzip file, a single parquet row group:
+    the scan cannot split below a row group, so every downstream map
+    runs on ONE core no matter the split config).
+
+    No-op whenever the plan already has enough partitions — at real
+    scale (many files / row groups) that is always true and no shuffle
+    is added; the repartition only fires for inputs smaller than one
+    task per core, where the rows being shuffled are by construction
+    few. Apply ONLY where per-row compute dominates the one small
+    round-robin exchange (signature builds, hyperplane codes, decode
+    UDFs) — never blanket on scans, which would add shuffled bytes to
+    queries whose map work is a cheap codegen'd partial aggregation.
+
+    Correctness: every consumer of a spread() input is partition-order
+    independent (aggregations, equi-joins, per-row maps), so the
+    round-robin placement cannot change any result.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():

@@ -292,3 +292,60 @@ def test_delete_from_minhash_index_unsuppresses_victims(spark, tmp_path):
     before_files = listing()
     delete_from_minhash_index(spark, vdf, "doc_id", idx)  # redelivery
     assert listing() == before_files
+
+
+def test_narrow_signature_equivalence(spark):
+    """The zero-shuffle signature build (array-side word_shingles +
+    array_min, r11 optimization) must reproduce the explode/window
+    form's output exactly: same doc set (null-text docs absent), same
+    mh columns, same distinct shingle-hash set."""
+    from pyspark.sql.window import Window
+
+    from nyc_taxi_data_warehouse_spark.functions import text as T
+    from nyc_taxi_data_warehouse_spark.operators.dedup import minhash_signatures
+
+    base = _docs(spark)
+    extra = spark.createDataFrame(
+        [
+            (90001, None),          # null text -> no signature row
+            (90002, ""),            # empty text -> one empty-ish shingle
+            (90003, "one"),         # shorter than k -> one partial shingle
+            (90004, "two words"),   # still shorter than k
+            (90005, "exactly three words"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(extra)
+    n_hashes, shingle_k = 8, 3
+
+    new = minhash_signatures(docs, "text", "doc_id", n_hashes, shingle_k)
+
+    # the pre-r11 explode/window formulation, replayed inline
+    tk = docs.select(F.col("doc_id").alias("_id"), T.tokens(F.col("text")).alias("_tk"))
+    pe = tk.select("_id", F.posexplode("_tk").alias("pos", "t"))
+    w = Window.partitionBy("_id").orderBy("pos")
+    leads = [F.lead("t", j).over(w).alias(f"t{j}") for j in range(1, shingle_k)]
+    pe = pe.select("_id", "pos", "t", *leads)
+    shingle_rows = pe.where(
+        F.col(f"t{shingle_k - 1}").isNotNull() | (F.col("pos") == 0)
+    ).select(
+        "_id",
+        F.concat_ws(" ", "t", *[f"t{j}" for j in range(1, shingle_k)]).alias("_s"),
+    )
+    old = shingle_rows.groupBy("_id").agg(
+        F.collect_set(F.xxhash64("_s")).alias("_shingles"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
+
+    o = {r["_id"]: r for r in old.collect()}
+    n = {r["_id"]: r for r in new.collect()}
+    assert set(o) == set(n)            # identical doc set (90001 absent)
+    assert 90001 not in n
+    for _id, ro in o.items():
+        rn = n[_id]
+        for i in range(n_hashes):
+            assert ro[f"mh{i}"] == rn[f"mh{i}"], (_id, i)
+        assert sorted(set(ro["_shingles"])) == sorted(set(rn["_shingles"])), _id

@@ -58,6 +58,10 @@ def main():
 
     queries = __spark_entry__.queries()
     oracles = __spark_entry__.oracle_sql()
+    only = os.environ.get("SIM_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {n: q for n, q in queries.items() if n in keep}
     failed = []
     n_hash = 0
     n_rowsonly = 0
