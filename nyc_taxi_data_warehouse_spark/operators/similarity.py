@@ -182,16 +182,14 @@ def multi_table_buckets(
     in the pre-explode projection (not per (vector, table) row), so the
     downstream candidate join's cosine can skip both per-pair self-dots
     (see ``V.cosine_hoisted``)."""
-    from ..session import spread
-
     # Cast the vector to double ONCE in a prior projection; every one of
     # the n_tables x n_planes dot products then references the cast
     # column instead of re-running the element-wise cast transform
     # (Catalyst won't duplicate the non-cheap alias — measured ~40%
-    # faster index build, bucket values identical). spread(): the
-    # n_tables×n_planes hyperplane folds are the expensive narrow map an
-    # unsplittable input would serialize on one core.
-    pre = spread(df).select(
+    # faster index build, bucket values identical). No spread() HERE:
+    # this builder also runs on tiny QUERY sides, where the exchange is
+    # pure waste — corpus-side callers spread their input instead.
+    pre = df.select(
         F.col(id_col).alias(id_alias), V.as_double(F.col(vec_col)).alias(vec_alias)
     )
     extra: list[str] = []
@@ -252,11 +250,16 @@ def ann_topk_multi(
     pass False: both sides shuffle-hash-join on (tbl, bucket), which
     scales with partition count instead of driver/executor memory.
     """
+    from ..session import spread
+
+    # spread() only the CORPUS side: its n_tables×n_planes hyperplane
+    # folds (and the downstream pair loop) are the heavy narrow work an
+    # unsplittable input serializes; the query side is small by contract.
     qb = multi_table_buckets(
         queries, id_col, vec_col, n_planes, dim, n_tables, "qid", "qv", "_qn"
     )
     cb = multi_table_buckets(
-        corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv", "_cn"
+        spread(corpus), id_col, vec_col, n_planes, dim, n_tables, "cid", "cv", "_cn"
     )
     return _ann_rank_probed(qb, cb, k, n_planes, probe_radius, broadcast_queries)
 
@@ -353,10 +356,12 @@ def write_ann_index(
     from ..session import static_partition_overwrite
     from .indexmeta import write_index_meta
 
+    from ..session import spread
+
     spark = corpus.sparkSession
     with static_partition_overwrite(spark):
         multi_table_buckets(
-            corpus, id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
+            spread(corpus), id_col, vec_col, n_planes, dim, n_tables, "cid", "cv"
         ).write.mode("overwrite").partitionBy("tbl").parquet(path)
     write_index_meta(
         spark,
@@ -595,8 +600,10 @@ def embedding_near_dup(
         # this mode (a pair has up to n_tables of them).
         # Norms ride along from the pre-explode projection (once per
         # vector, materialized with the checkpoint) — see V.cosine_hoisted.
+        from ..session import spread
+
         a = multi_table_buckets(
-            df, id_col, vec_col, n_planes, dim, n_tables, "id_a", "av", "_an"
+            spread(df), id_col, vec_col, n_planes, dim, n_tables, "id_a", "av", "_an"
         )
         if max_bucket_size is not None:
             a = a.localCheckpoint(eager=True)
