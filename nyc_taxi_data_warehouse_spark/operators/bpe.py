@@ -96,7 +96,7 @@ def train_bpe(
     in rank order. Stops early when the best remaining pair's weighted
     count falls below ``min_pair_count``."""
     words = (
-        df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+        df.select(F.explode(T.tokens(text_col)).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -174,6 +174,6 @@ def apply_bpe(
 
         return texts.map(one)
 
-    norm = F.array_join(T.tokens(F.col(text_col)), " ")
+    norm = F.array_join(T.tokens(text_col), " ")
     out = df.select(F.col(id_col), bpe_udf(norm).alias("bpe_tokens"))
     return out.withColumn("n_bpe_tokens", F.size("bpe_tokens"))

@@ -49,7 +49,7 @@ def chunk_documents(
         raise ValueError(f"stride must be in (0, max_tokens]; got {stride}")
 
     toks = df.select(
-        F.col(id_col), T.tokens(F.col(text_col)).alias("_tk")
+        F.col(id_col), T.tokens(text_col).alias("_tk")
     ).withColumn("_n", F.size("_tk"))
     n_chunks = F.when(F.col("_n") <= max_tokens, F.lit(1)).otherwise(
         F.ceil((F.col("_n") - F.lit(max_tokens)) / F.lit(stride)).cast("int") + 1

@@ -67,7 +67,7 @@ def hashed_features(
     plus adjacent ``a_b`` bigrams when ``bigrams``."""
     from ..functions import text as T
 
-    toks = T.tokens(F.col(text_col))
+    toks = T.tokens(text_col)
     terms = _with_bigrams(toks) if bigrams else _terms(toks)
     return (
         df.select(F.col(id_col), F.explode(terms).alias("_t"))
@@ -194,5 +194,5 @@ def score_quality(
 
     from ..functions import text as T
 
-    norm = F.array_join(T.tokens(F.col(text_col)), " ")
+    norm = F.array_join(T.tokens(text_col), " ")
     return df.select(F.col(id_col), score_udf(norm).alias("quality_score"))

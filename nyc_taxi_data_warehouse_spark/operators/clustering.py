@@ -38,12 +38,12 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     Output: (_id, _v, cell, sim)."""
     # Norm hoist (V.cosine_hoisted): the vector-side self-dot runs once
     # per row, not once per (vector, centroid) pair — k× fewer folds.
-    v = vectors.withColumn("_vn", V.norm(F.col("_v")))
-    c = centroids.withColumn("_cn", V.norm(F.col("_cv")))
+    v = vectors.withColumn("_vn", V.norm("_v"))
+    c = centroids.withColumn("_cn", V.norm("_cv"))
     scored = v.join(F.broadcast(c)).withColumn(
         "sim",
         F.round(
-            V.cosine_hoisted(F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn")),
+            V.cosine_hoisted("_v", "_cv", "_vn", "_cn"),
             6,
         ),
     )
@@ -96,7 +96,7 @@ def kmeans(
     # over the corpus rows — an unsplittable input would serialize all
     # k×N cosine folds on one core (no-op at scale; session.spread).
     v = spread(df).select(
-        F.col(id_col).alias("_id"), V.as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("_id"), V.as_double(vec_col).alias("_v")
     )
     cents = v.where(F.col("_id") < k).select(
         F.col("_id").alias("cell"), F.col("_v").alias("_cv")

@@ -52,7 +52,7 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 def fingerprint_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Near-identity clusters: md5(normalized text) with member counts."""
     return (
-        df.select(T.fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        df.select(T.fingerprint(text_col).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
     )
@@ -65,7 +65,7 @@ def with_minhash(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Attach mh0..mh{n-1} MinHash signature columns."""
-    toks = T.tokens(F.col(text_col))
+    toks = T.tokens(text_col)
     shingles = F.array_distinct(T.word_shingles(toks, shingle_k))
     return df.withColumn("_shingles", shingles).select(
         "*", *T.minhash_signature(F.col("_shingles"), n_hashes)
@@ -120,22 +120,21 @@ def minhash_signatures(
     # input (single row group / gzip) would otherwise run it on ONE core
     # — no-op when the scan already parallelizes (see session.spread).
     tk = spread(df.where(F.col(text_col).isNotNull())).select(
-        F.col(id_col).alias("_id"), T.tokens(F.col(text_col)).alias("_tk")
+        F.col(id_col).alias("_id"), T.tokens(text_col).alias("_tk")
     )
     sh = tk.select(
-        "_id", F.array_distinct(T.word_shingles(F.col("_tk"), shingle_k)).alias("_shs")
+        "_id", F.array_distinct(T.word_shingles("_tk", shingle_k)).alias("_shs")
     )
+    # One F.expr parse per column instead of python-lambda HOFs: the
+    # lambda API costs ~40 ms of py4j round trips per construction —
+    # n_hashes+1 of them here, per query build (guide §1.2 fixed driver
+    # work). Values identical (test_text_expr_paths pins the salted-md5
+    # form; xxhash64 is a direct function swap).
     return sh.select(
         "_id",
-        F.transform("_shs", lambda s: F.xxhash64(s)).alias("_shingles"),
-        # NOTE: the lambda must stay single-parameter (a two-parameter
-        # transform lambda receives the ARRAY INDEX as its second arg);
-        # F.transform invokes it eagerly, so the comprehension's current
-        # ``i`` is baked into each column at construction time.
+        F.expr("transform(_shs, s -> xxhash64(s))").alias("_shingles"),
         *[
-            F.array_min(
-                F.transform("_shs", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            ).alias(f"mh{i}")
+            F.expr(T.minhash_component_sql("_shs", i)).alias(f"mh{i}")
             for i in range(n_hashes)
         ],
     )
@@ -669,8 +668,8 @@ def with_simhash(df: DataFrame, text_col: str) -> DataFrame:
     # token array 32 times (one aggregate per signature bit), and each
     # reference would re-run the regex tokenizer if passed the raw
     # expression (no CSE across aggregate/lambda scopes).
-    tk = df.withColumn("_tk", T.tokens(F.col(text_col)))
-    return tk.withColumn("simhash", T.simhash32(F.col("_tk"))).drop("_tk")
+    tk = df.withColumn("_tk", T.tokens(text_col))
+    return tk.withColumn("simhash", T.simhash32("_tk")).drop("_tk")
 
 
 def simhash_pairs(

@@ -48,7 +48,7 @@ def hashed_ngram_features(
     ``buckets`` via xxhash64 pmod m."""
     toks = df.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
-        F.filter(T.tokens(F.col(text_col)), lambda t: t != "").alias("_t"),
+        F.filter(T.tokens(text_col), lambda t: t != "").alias("_t"),
     )
     grams = toks.select(
         "_id",

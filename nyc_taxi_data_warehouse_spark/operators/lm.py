@@ -38,7 +38,7 @@ def _bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(_id, w1, w2) per adjacent token pair, with a BOS -> first-token
     pair, empty tokens dropped. One window over the doc id."""
     toks = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(T.tokens(F.col(text_col)))
+        F.col(id_col).alias("_id"), F.posexplode(T.tokens(text_col))
     ).where(F.col("col") != "")
     w = Window.partitionBy("_id").orderBy("pos")
     return toks.select(

@@ -124,7 +124,7 @@ def semantic_dedup(
         .withColumn("kept", F.lit(True))
     )
     v = df.where(judge_cond).select(
-        F.col(id_col).alias("_id"), V.as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("_id"), V.as_double(vec_col).alias("_v")
     )
     # seed = the k smallest ids (robust to sparse/offset id spaces,
     # unlike clustering.kmeans' fixture-shaped `_id < k` seed rule)

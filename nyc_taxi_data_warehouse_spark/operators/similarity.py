@@ -91,20 +91,18 @@ def cosine_topk(
     # corpus rows sit — an unsplittable corpus input would put ALL pair
     # compute on one core.
     q = queries.select(
-        F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("_qn", V.norm(F.col("qv")))
+        F.col(id_col).alias("qid"), V.as_double(vec_col).alias("qv")
+    ).withColumn("_qn", V.norm("qv"))
     c = spread(corpus).select(
-        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("_cn", V.norm(F.col("cv")))
+        F.col(id_col).alias("cid"), V.as_double(vec_col).alias("cv")
+    ).withColumn("_cn", V.norm("cv"))
     sims = (
         F.broadcast(q)
         .join(c, F.col("qid") != F.col("cid"))
         .withColumn(
             "sim",
             F.round(
-                V.cosine_hoisted(
-                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
-                ),
+                V.cosine_hoisted("qv", "cv", "_qn", "_cn"),
                 6,
             ),
         )
@@ -190,11 +188,11 @@ def multi_table_buckets(
     # this builder also runs on tiny QUERY sides, where the exchange is
     # pure waste — corpus-side callers spread their input instead.
     pre = df.select(
-        F.col(id_col).alias(id_alias), V.as_double(F.col(vec_col)).alias(vec_alias)
+        F.col(id_col).alias(id_alias), V.as_double(vec_col).alias(vec_alias)
     )
     extra: list[str] = []
     if norm_alias is not None:
-        pre = pre.withColumn(norm_alias, V.norm(F.col(vec_alias)))
+        pre = pre.withColumn(norm_alias, V.norm(vec_alias))
         extra = [norm_alias]
     entries = F.array(
         *[
@@ -282,9 +280,9 @@ def _ann_rank_probed(
     on-disk layout) get them here, once per (vector, table) row. Either
     way the candidate pair loop pays one fold, not three."""
     if "_qn" not in qb.columns:
-        qb = qb.withColumn("_qn", V.norm(F.col("qv")))
+        qb = qb.withColumn("_qn", V.norm("qv"))
     if "_cn" not in cb.columns:
-        cb = cb.withColumn("_cn", V.norm(F.col("cv")))
+        cb = cb.withColumn("_cn", V.norm("cv"))
     masks = probe_masks(n_planes, probe_radius)
     qprobe = qb.withColumn(
         "bucket",
@@ -306,9 +304,7 @@ def _ann_rank_probed(
         cand.withColumn(
             "sim",
             F.round(
-                V.cosine_hoisted(
-                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
-                ),
+                V.cosine_hoisted("qv", "cv", "_qn", "_cn"),
                 6,
             ),
         )
@@ -488,7 +484,7 @@ def lsh_buckets(
         df.select(
             F.col(id_col),
             F.col(vec_col),
-            V.as_double(F.col(vec_col)).alias("_vd"),
+            V.as_double(vec_col).alias("_vd"),
         )
         .select(
             F.col(id_col),
@@ -520,23 +516,21 @@ def ann_topk(
     # rows sit; an unsplittable corpus would serialize it on one core.
     qb = lsh_buckets(queries, id_col, vec_col, n_planes, dim).select(
         F.col(id_col).alias("qid"),
-        V.as_double(F.col(vec_col)).alias("qv"),
+        V.as_double(vec_col).alias("qv"),
         "bucket",
-    ).withColumn("_qn", V.norm(F.col("qv")))
+    ).withColumn("_qn", V.norm("qv"))
     cb = lsh_buckets(spread(corpus), id_col, vec_col, n_planes, dim).select(
         F.col(id_col).alias("cid"),
-        V.as_double(F.col(vec_col)).alias("cv"),
+        V.as_double(vec_col).alias("cv"),
         "bucket",
-    ).withColumn("_cn", V.norm(F.col("cv")))
+    ).withColumn("_cn", V.norm("cv"))
     cand = F.broadcast(qb).join(cb, on="bucket").where(F.col("qid") != F.col("cid"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     ranked = (
         cand.withColumn(
             "sim",
             F.round(
-                V.cosine_hoisted(
-                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
-                ),
+                V.cosine_hoisted("qv", "cv", "_qn", "_cn"),
                 6,
             ),
         )
@@ -629,9 +623,7 @@ def embedding_near_dup(
             .withColumn(
                 "sim",
                 F.round(
-                    V.cosine_hoisted(
-                        F.col("av"), F.col("bv"), F.col("_an"), F.col("_bn")
-                    ),
+                    V.cosine_hoisted("av", "bv", "_an", "_bn"),
                     6,
                 ),
             )
@@ -645,9 +637,9 @@ def embedding_near_dup(
     # side and the two self-dots per PAIR — see V.cosine_hoisted.
     b = lsh_buckets(df, id_col, vec_col, n_planes, dim).select(
         F.col(id_col),
-        V.as_double(F.col(vec_col)).alias("_v"),
+        V.as_double(vec_col).alias("_v"),
         "bucket",
-    ).withColumn("_n2", V.norm(F.col("_v")))
+    ).withColumn("_n2", V.norm("_v"))
     if max_bucket_size is not None:
         b = b.localCheckpoint(eager=True)
         hot = (
@@ -675,9 +667,7 @@ def embedding_near_dup(
         .withColumn(
             "sim",
             F.round(
-                V.cosine_hoisted(
-                    F.col("av"), F.col("bv"), F.col("_an"), F.col("_bn")
-                ),
+                V.cosine_hoisted("av", "bv", "_an", "_bn"),
                 6,
             ),
         )
@@ -702,19 +692,17 @@ def ivf_assign(
     # per vector instead of once per (vector, centroid) pair — k× fewer
     # interpreted folds in the assignment pass.
     c = centroids.select(
-        F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent_v")
-    ).withColumn("_cn", V.norm(F.col("cent_v")))
+        F.col(id_col).alias("cent_id"), V.as_double(vec_col).alias("cent_v")
+    ).withColumn("_cn", V.norm("cent_v"))
     from ..session import spread
 
     v = spread(df).select(
-        F.col(id_col), F.col(vec_col), V.as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_vn", V.norm(F.col("_v")))
+        F.col(id_col), F.col(vec_col), V.as_double(vec_col).alias("_v")
+    ).withColumn("_vn", V.norm("_v"))
     scored = v.join(F.broadcast(c)).withColumn(
         "cos",
         F.round(
-            V.cosine_hoisted(
-                F.col("_v"), F.col("cent_v"), F.col("_vn"), F.col("_cn")
-            ),
+            V.cosine_hoisted("_v", "cent_v", "_vn", "_cn"),
             6,
         ),
     )
@@ -735,17 +723,15 @@ def _ivf_query_cells(
 ) -> DataFrame:
     """Each query's n_probe nearest cells: (qid, qv, cell)."""
     c = centroids.select(
-        F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent_v")
-    ).withColumn("_cn", V.norm(F.col("cent_v")))
+        F.col(id_col).alias("cent_id"), V.as_double(vec_col).alias("cent_v")
+    ).withColumn("_cn", V.norm("cent_v"))
     q = queries.select(
-        F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("_qn", V.norm(F.col("qv")))
+        F.col(id_col).alias("qid"), V.as_double(vec_col).alias("qv")
+    ).withColumn("_qn", V.norm("qv"))
     q_scored = q.join(F.broadcast(c)).withColumn(
         "cos",
         F.round(
-            V.cosine_hoisted(
-                F.col("qv"), F.col("cent_v"), F.col("_qn"), F.col("_cn")
-            ),
+            V.cosine_hoisted("qv", "cent_v", "_qn", "_cn"),
             6,
         ),
     )
@@ -765,9 +751,9 @@ def _ivf_rank_candidates(
     side lacks them — the persisted-index scan does not store norms);
     see ``V.cosine_hoisted``."""
     if "_qn" not in q_cells.columns:
-        q_cells = q_cells.withColumn("_qn", V.norm(F.col("qv")))
+        q_cells = q_cells.withColumn("_qn", V.norm("qv"))
     if "_cn" not in corpus_cells.columns:
-        corpus_cells = corpus_cells.withColumn("_cn", V.norm(F.col("cv")))
+        corpus_cells = corpus_cells.withColumn("_cn", V.norm("cv"))
     cand = (
         F.broadcast(q_cells)
         .join(corpus_cells, "cell")
@@ -775,9 +761,7 @@ def _ivf_rank_candidates(
         .withColumn(
             "sim",
             F.round(
-                V.cosine_hoisted(
-                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
-                ),
+                V.cosine_hoisted("qv", "cv", "_qn", "_cn"),
                 6,
             ),
         )
@@ -805,7 +789,7 @@ def ivf_topk(
     degrades gracefully to exact brute force."""
     q_cells = _ivf_query_cells(queries, centroids, id_col, vec_col, n_probe)
     corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv"), "cell"
+        F.col(id_col).alias("cid"), V.as_double(vec_col).alias("cv"), "cell"
     )
     return _ivf_rank_candidates(q_cells, corpus_cells, k)
 
@@ -840,7 +824,7 @@ def write_ivf_index(
         # pollute probes: null sims FILL top-k slots, NaN sims sort
         # FIRST under desc and hijack rank 1
         ivf_assign(corpus, centroids, id_col, vec_col).where(
-            V.indexable(F.col(vec_col))
+            V.indexable(vec_col)
         ).write.mode("overwrite").partitionBy("cell").parquet(path)
     write_index_meta(
         spark,
@@ -905,7 +889,7 @@ def upsert_ivf_cells(
     # anti-join keep EVERY batch id, so a vector redacted to NULL still
     # loses its old row, and unindexable rows never enter the written
     # index — same rule as write_ivf_index.
-    indexable = assigned.where(V.indexable(F.col(vec_col)))
+    indexable = assigned.where(V.indexable(vec_col))
     if assume_new_ids:
         touched_df = indexable.select("cell").distinct()
     else:
@@ -913,7 +897,7 @@ def upsert_ivf_cells(
     touched_cells = sorted(r["cell"] for r in touched_df.collect())
     merged = _ivf_upsert_merged(
         spark, assigned, path, id_col, vec_col, touched_cells
-    ).where(V.indexable(F.col(vec_col)))
+    ).where(V.indexable(vec_col))
     # The write replaces partitions the plan is still reading from —
     # cut the lineage first (same reasoning as merge_upsert).
     merged = merged.localCheckpoint(eager=True)
@@ -1077,7 +1061,7 @@ def ivf_topk_from_index(
     )
     q_cells = _ivf_query_cells(queries, centroids, id_col, vec_col, n_probe)
     corpus_cells = spark.read.parquet(index_path).select(
-        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv"), "cell"
+        F.col(id_col).alias("cid"), V.as_double(vec_col).alias("cv"), "cell"
     )
     return _ivf_rank_candidates(q_cells, corpus_cells, k)
 

@@ -46,10 +46,10 @@ SPAN_T = "array<struct<s:int,e:int>>"
 def _window_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """One row per n-token window: (id, pos, h). pos is 0-based token
     index of the window start; only docs with >= n tokens emit rows."""
-    toks = df.select(F.col(id_col), T.tokens(F.col(text_col)).alias("_tk"))
+    toks = df.select(F.col(id_col), T.tokens(text_col).alias("_tk"))
     grams = toks.where(F.size("_tk") >= n).select(
         id_col,
-        F.posexplode(T.word_shingles(F.col("_tk"), n)).alias("pos", "_gram"),
+        F.posexplode(T.word_shingles("_tk", n)).alias("pos", "_gram"),
     )
     return grams.select(id_col, "pos", F.xxhash64("_gram").alias("h"))
 
@@ -149,7 +149,7 @@ def _remove_starts(
     )
     out = (
         df.join(per_doc, id_col, "left")
-        .withColumn("_tk", T.tokens(F.col(text_col)))
+        .withColumn("_tk", T.tokens(text_col))
         .withColumn(
             "_spans",
             F.when(F.col("_starts").isNull(), F.array().cast(SPAN_T)).otherwise(
@@ -269,7 +269,7 @@ def remove_boilerplate_units(
     exploded = (
         df.select(F.col(id_col), F.posexplode(units).alias("pos", "_u"))
         .where(F.length(F.trim("_u")) > 0)
-        .withColumn("_h", F.xxhash64(T.normalize(F.col("_u"))))
+        .withColumn("_h", F.xxhash64(T.normalize("_u")))
     )
     boiler = (
         exploded.groupBy("_h")

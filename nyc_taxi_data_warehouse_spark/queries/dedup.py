@@ -233,9 +233,9 @@ def d04_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     # bind the token array in its own projection: the 32 bit-vote
     # aggregates then reference a cheap column, not the tokenize tree
-    tk = d.select("doc_id", T.tokens(F.col("text")).alias("_tk"))
+    tk = d.select("doc_id", T.tokens("text").alias("_tk"))
     return (
-        tk.select("doc_id", T.simhash32(F.col("_tk")).alias("simhash"))
+        tk.select("doc_id", T.simhash32("_tk").alias("simhash"))
         .orderBy("doc_id")
     )
 
@@ -262,10 +262,10 @@ LIMIT 20
 )
 def d05_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    tk = d.select("doc_id", T.tokens(F.col("text")).alias("_tk"))
+    tk = d.select("doc_id", T.tokens("text").alias("_tk"))
     sh = tk.select(
         "doc_id",
-        F.array_distinct(T.word_shingles(F.col("_tk"), SHINGLE_K)).alias("sh"),
+        F.array_distinct(T.word_shingles("_tk", SHINGLE_K)).alias("sh"),
     )
     a = sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"})
     b = sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"})

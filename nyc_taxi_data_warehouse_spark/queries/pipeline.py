@@ -219,12 +219,12 @@ def p02_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import spread
 
     tk = spread(d).select(
-        "doc_id", split.alias("split"), T.tokens(F.col("text")).alias("_tk")
+        "doc_id", split.alias("split"), T.tokens("text").alias("_tk")
     )
     grams = tk.select(
         "doc_id",
         "split",
-        F.explode(F.array_distinct(T.word_shingles(F.col("_tk"), SHINGLE_K))).alias(
+        F.explode(F.array_distinct(T.word_shingles("_tk", SHINGLE_K))).alias(
             "gram"
         ),
     )
@@ -321,7 +321,7 @@ def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = d.select(
         "doc_id",
         grp.alias("grp"),
-        T.token_count(F.col("text")).alias("n_tok"),
+        T.token_count("text").alias("n_tok"),
     )
     asg = P.pack_sequences(lens, "doc_id", "n_tok", "grp", _P03_CAP)
     return (

@@ -111,7 +111,7 @@ def e02_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vector as V
 
     emb = load_table(spark, sf_dir, "embeddings")
-    nrm = V.norm(V.as_double(F.col("embedding")))
+    nrm = V.norm(V.as_double_sql("embedding"))
     return (
         emb.groupBy("label")
         .agg(

