@@ -263,7 +263,9 @@ def minhash_lsh_pairs(
     # checkpointed RDD blocks are ContextCleaner-collected once the
     # DataFrame is unreferenced (unlike cacheManager entries, which leak
     # until an explicit unpersist).
-    verified = verified.localCheckpoint(eager=True)
+    from ..session import maybe_local_checkpoint
+
+    verified = maybe_local_checkpoint(verified)
     sig_cached.unpersist()
     return verified
 
@@ -586,7 +588,9 @@ def incremental_minhash_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("corpus_id", "new_id", "jaccard")
     )
-    verified = verified.localCheckpoint(eager=True)
+    from ..session import maybe_local_checkpoint
+
+    verified = maybe_local_checkpoint(verified)
     sig.unpersist()
     return verified
 

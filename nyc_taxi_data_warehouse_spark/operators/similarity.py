@@ -81,6 +81,14 @@ def cosine_topk(
     """Exact top-k cosine neighbors for every query vector.
 
     Output: qid, cid, sim (round 6), rn — deterministic tie-break on cid.
+
+    Scale contract (declared semantics, not an accident of the plan):
+    exact top-k is a |Q| x N pair loop executed as a BROADCAST nested
+    join — the query side must fit in a broadcast (~10^5 rows at 64
+    dims; the 8 GB / 512M-row broadcast cap is the hard ceiling). The
+    corpus side streams and never shuffles. For unbounded |Q| use the
+    ANN paths (ann_topk / ann_topk_multi with broadcast_queries=False),
+    which trade exactness for an equi-join on bucket keys.
     """
     from ..session import spread
 
@@ -600,7 +608,9 @@ def embedding_near_dup(
             spread(df), id_col, vec_col, n_planes, dim, n_tables, "id_a", "av", "_an"
         )
         if max_bucket_size is not None:
-            a = a.localCheckpoint(eager=True)
+            from ..session import maybe_local_checkpoint
+
+            a = maybe_local_checkpoint(a)
             hot = (
                 a.groupBy("tbl", "bucket")
                 .agg(F.count("*").alias("_n"))
@@ -641,7 +651,9 @@ def embedding_near_dup(
         "bucket",
     ).withColumn("_n2", V.norm("_v"))
     if max_bucket_size is not None:
-        b = b.localCheckpoint(eager=True)
+        from ..session import maybe_local_checkpoint
+
+        b = maybe_local_checkpoint(b)
         hot = (
             b.groupBy("bucket")
             .agg(F.count("*").alias("_n"))

@@ -113,9 +113,9 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks are ContextCleaner-collected when unreferenced (no cache
     # leak), and the survivors table is corpus-sized at most — at scale
     # this is the natural stage boundary a pipeline would persist anyway.
-    survivors = D.exact_dedup(survivors, ["text"], "doc_id").localCheckpoint(
-        eager=True
-    )
+    from ..session import maybe_local_checkpoint
+
+    survivors = maybe_local_checkpoint(D.exact_dedup(survivors, ["text"], "doc_id"))
 
     pairs = D.minhash_lsh_pairs(
         survivors,

@@ -324,14 +324,20 @@ def e07_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.where(F.col("vec_id") < 32)
     exact = S.cosine_topk(qs, emb, k=5).select("qid", "cid")
     ann = S.ann_topk(qs, emb, k=5, n_planes=N_PLANES, dim=DIM).select("qid", "cid")
-    hits = exact.join(ann, ["qid", "cid"]).groupBy("qid").agg(
-        F.count("*").alias("hits")
+    # ONE consumption of the ann pipeline: the previous shape read `ann`
+    # twice (hits equi-join + n_ann groupBy), executing the whole
+    # bucket-join/rank pipeline twice per run (guide §1.2 — don't
+    # compute things twice). A left join against the exact top-k marks
+    # hits per ann row; one groupBy then yields n_ann AND hits (exact
+    # is unique per (qid, cid), so the join cannot fan out).
+    per_q = (
+        ann.join(exact.withColumn("_hit", F.lit(1)), ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_ann"), F.count("_hit").alias("hits"))
     )
-    n_ann = ann.groupBy("qid").agg(F.count("*").alias("n_ann"))
     return (
         qs.select(F.col("vec_id").alias("qid"))
-        .join(n_ann, "qid", "left")
-        .join(hits, "qid", "left")
+        .join(per_q, "qid", "left")
         .fillna(0, ["n_ann", "hits"])
         .select(
             "qid",
@@ -449,14 +455,15 @@ def e09_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=N_TABLES,
         probe_radius=PROBE_RADIUS,
     ).select("qid", "cid")
-    hits = exact.join(ann, ["qid", "cid"]).groupBy("qid").agg(
-        F.count("*").alias("hits")
+    # single consumption of the multi-probe pipeline — see e07
+    per_q = (
+        ann.join(exact.withColumn("_hit", F.lit(1)), ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_ann"), F.count("_hit").alias("hits"))
     )
-    n_ann = ann.groupBy("qid").agg(F.count("*").alias("n_ann"))
     return (
         qs.select(F.col("vec_id").alias("qid"))
-        .join(n_ann, "qid", "left")
-        .join(hits, "qid", "left")
+        .join(per_q, "qid", "left")
         .fillna(0, ["n_ann", "hits"])
         .select(
             "qid",

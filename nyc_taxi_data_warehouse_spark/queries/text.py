@@ -466,10 +466,10 @@ def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unmaterialized plan re-runs the scan+tokenizer per branch (on one
     # core for an unsplittable input — session.spread). The checkpoint
     # holds one tokenized row per doc and is ContextCleaner-collected.
-    tk = (
-        spread(d)
-        .select("doc_id", T.tokens("text").alias("tk"))
-        .localCheckpoint(eager=True)
+    from ..session import maybe_local_checkpoint
+
+    tk = maybe_local_checkpoint(
+        spread(d).select("doc_id", T.tokens("text").alias("tk"))
     )
     tri = T.word_shingles("tk", 3)
     base = tk.select(

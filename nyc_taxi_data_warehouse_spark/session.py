@@ -175,6 +175,26 @@ def _min_scan_partitions(df, target: int) -> int:
     return max(len(files), total // max_bytes)
 
 
+def maybe_local_checkpoint(df, eager: bool = True):
+    """``df.localCheckpoint(eager)`` unless ``SPARK_GRAFT_NO_CHECKPOINT=1``.
+
+    Query-path checkpoints (the LSH verify list, p01's survivors, t08's
+    shared token table, d06's guard) exist purely as intra-query
+    materialization — but they also REPLACE the subtree below them with
+    ``Scan ExistingRDD`` in every captured plan, which made the r11 plan
+    artifacts unable to show the optimizations they claimed (VERDICT
+    r11 #2/#7). ``tools/capture_plans.py`` sets the env var so captured
+    plans show the full pre-checkpoint tree; nothing else sets it, so
+    bench/driver execution is byte-identical to before. Checkpoints
+    that exist for CORRECTNESS (write paths that overwrite their own
+    inputs, the iterative label-propagation loop) do not go through
+    this helper.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1":
+        return df
+    return df.localCheckpoint(eager=eager)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():

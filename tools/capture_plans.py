@@ -8,12 +8,22 @@ whose builders execute eagerly (iterative label propagation, streaming
 drains) still produce a plan — it is the plan of the final DataFrame,
 with materialized stages showing as scan nodes, which is exactly what
 the judge needs to see for those operators' tails.
+
+SPARK_GRAFT_NO_CHECKPOINT=1 is set for the capture so query-path
+``localCheckpoint``s (session.maybe_local_checkpoint sites: the LSH
+verify list, p01's survivors, t08's token table, d06's guard) do not
+replace their subtree with ``Scan ExistingRDD`` — r11's d03 plan files
+could not show the claimed optimization because of exactly that.
+Correctness-critical checkpoints (write paths, the label-propagation
+loop) are not gated, so those still appear as materialized scans.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+
+os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
