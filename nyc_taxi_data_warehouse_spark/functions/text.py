@@ -118,11 +118,20 @@ def word_shingles_sql(toks: str, k: int = 3) -> str:
     NULLs — exactly what the zip form's null padding produced;
     concat_ws skips NULLs either way). ``toks`` must be a bound column
     (not a raw expression) or it re-evaluates per shingle — same
-    contract as the Column form."""
+    contract as the Column form.
+
+    NULL and empty inputs are special-cased to match the zip form
+    exactly: the zip form null-propagates (slice/arrays_zip of NULL is
+    NULL) and maps [] to [] — but ``greatest(size(NULL) - (k-1), 1)``
+    is 1, not NULL (greatest SKIPS nulls), so without the guard a NULL
+    token array would yield [''] and, e.g., give two null-text docs
+    Jaccard 1.0 (caught by the degenerate-corpus gate)."""
     parts = ", ".join(f"try_element_at({toks}, i + {j})" for j in range(k))
     return (
-        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN {toks} IS NULL THEN NULL "
+        f"WHEN size({toks}) = 0 THEN slice({toks}, 1, 0) "
+        f"ELSE transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts})) END"
     )
 
 

@@ -34,19 +34,21 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     groupBy+min instead of dropDuplicates: dropDuplicates keeps an
     arbitrary (partition-order-dependent) row; this is deterministic.
 
-    Key comparison is NULL-SAFE (``<=>``): SQL GROUP BY puts all-null
-    keys in one group, so the keep-one semi-join must match them too —
-    a plain equality join silently DROPS every null-keyed row (null
-    never equals null), losing data instead of deduping it. Null-safe
-    equality is still a hash-joinable equi-condition, so the scale
-    shape (one shuffle on the keys) is unchanged.
+    Contract: ``id_col`` uniquely identifies rows (it is the keep key —
+    duplicated ids make "keep the row with the smallest id" ill-defined
+    to begin with). That makes the keep-one semi-join an ID-ONLY join:
+    a row whose id equals some group's min id IS that group's min row.
+    The previous form also carried every ``key_cols`` value (null-safe)
+    in the join condition — at corpus scale that ships the full dedup
+    payload (e.g. document text) through BOTH sides of the semi-join
+    exchange, where this form ships it once, into the groupBy, and
+    joins on a bigint (guide §2.3 — shuffle keys, not payloads). SQL
+    GROUP BY puts all-null keys in one group, so null-keyed rows still
+    dedup to one survivor (the id-only join cannot drop them the way a
+    plain equality join on the keys would).
     """
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col)).alias("_keep")
-    left = df.alias("_d")
-    cond = F.col(f"_d.{id_col}") == F.col(f"_keep.{id_col}")
-    for c in key_cols:
-        cond = cond & F.col(f"_d.{c}").eqNullSafe(F.col(f"_keep.{c}"))
-    return left.join(keep, on=cond, how="left_semi")
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")
 
 
 def fingerprint_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

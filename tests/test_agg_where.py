@@ -121,6 +121,7 @@ PREDS = [
 
 
 @pytest.mark.parametrize("pi", range(len(PREDS)))
+@pytest.mark.slowproof
 def test_agg_matches_full_scan(spark, tmp_path, pi):
     t = str(tmp_path / f"agw_{pi}")
     _mk(spark, t)
@@ -520,6 +521,7 @@ def test_group_agg_proven_files_never_open(spark, tmp_path, monkeypatch):
     assert calls[0] and all("2024-01-02" in f for f in calls[0])
 
 
+@pytest.mark.slowproof
 def test_group_agg_group_suppression_and_empty(spark, tmp_path):
     """SQL group existence: provably-empty predicates emit zero
     groups; a partition whose rows are all DV-tombstoned disappears

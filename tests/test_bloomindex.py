@@ -210,6 +210,7 @@ def _sdocs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, month int, text string")
 
 
+@pytest.mark.slowproof
 def test_snapshot_bloom_follows_dml(spark, tmp_path):
     """The snapshot variant keeps the no-false-negative contract under
     DML: appends make reads fail loudly until synced (a fresh file

@@ -457,6 +457,7 @@ def test_streaming_feed_and_append_over_branch_ref(spark, table, tmp_path):
     assert len(_rows(spark, table)) == 3
 
 
+@pytest.mark.slowproof
 def test_satellite_indexes_follow_branch_refs(spark, tmp_path):
     """Worklist #4 (round 7): a WAP curation run keeps its SATELLITE
     indexes in sync on the branch before publish — Bloom build/read/

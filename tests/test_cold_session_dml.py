@@ -16,6 +16,8 @@ The three statements run in ONE subprocess (one JVM spin-up, ~1 min)
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -77,6 +79,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slowproof
 def test_cold_process_dml_resolves_durable_names(spark, tmp_path):
     t = str(tmp_path / "coldt")
     root = str(tmp_path / "croot")

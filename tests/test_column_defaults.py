@@ -80,6 +80,7 @@ def test_default_fills_old_files_only(spark, tmp_path):
         snapshot_add_column(spark, t, "y", "int", default="abc")
 
 
+@pytest.mark.slowproof
 def test_default_through_flat_path_and_dml(spark, tmp_path):
     t = str(tmp_path / "t")
     snapshot_write(

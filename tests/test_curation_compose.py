@@ -13,6 +13,8 @@ the pruned corpus, and the whole chain is deterministic end to end.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -63,6 +65,7 @@ def _run_chain(spark):
     return docs, eval_set, train, scrubbed, pruned, selected, ordered
 
 
+@pytest.mark.slowproof
 def test_curation_chain_contracts(spark):
     docs, eval_set, train, scrubbed, pruned, selected, ordered = _run_chain(
         spark

@@ -43,6 +43,7 @@ def _stream(spark, src_dir, schema):
     )
 
 
+@pytest.mark.slowproof
 def test_stream_dedup_ingest_converges_and_is_restart_safe(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
@@ -85,6 +86,7 @@ def test_stream_dedup_ingest_converges_and_is_restart_safe(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slowproof
 def test_stream_dedup_ingest_equals_sequential_batch_mode(spark, tmp_path):
     """The stream must land exactly what a hand-rolled sequential
     (batch-at-a-time, index-between) run lands — foreachBatch adds
@@ -136,6 +138,7 @@ def test_stream_dedup_ingest_equals_sequential_batch_mode(spark, tmp_path):
     assert got == sorted(kept_ids)
 
 
+@pytest.mark.slowproof
 def test_cli_dedup_ingest_and_sample(spark, tmp_path):
     """The two curation subcommands end-to-end: dedup-ingest bootstraps
     its index, drains the watched dir, and is re-runnable; sample
@@ -177,6 +180,7 @@ def test_cli_dedup_ingest_and_sample(spark, tmp_path):
     assert got == {"en": 20, "es": 20}
 
 
+@pytest.mark.slowproof
 def test_crash_between_kept_write_and_index_append_recovers(
     spark, tmp_path, monkeypatch
 ):

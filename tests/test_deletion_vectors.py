@@ -64,6 +64,7 @@ def _commit_dir_bytes(table, known_dirs):
 # --------------------------------------------- equivalence with CoW
 
 
+@pytest.mark.slowproof
 def test_dv_equals_rewrite_over_dml_storm(spark, tmp_path):
     """The same DML storm, deletes via DV on one table and via rewrite
     on the other: bags equal after every step, and both agree with a
@@ -217,6 +218,7 @@ def test_dv_change_feed_and_restore_resurrection(spark, table):
     ) == _bag(read_snapshot(spark, table))
 
 
+@pytest.mark.slowproof
 def test_dv_feed_classification(spark, table, tmp_path):
     """The insert-only streaming feed fails loudly on a DV commit
     (fail AND verify — tombstones are never row-neutral), skips it
@@ -406,6 +408,7 @@ def test_update_dv_equals_rewrite(spark, tmp_path):
     ) == [3, 5, 6, 7]
 
 
+@pytest.mark.slowproof
 def test_compact_dvs_consolidates_sidecars(spark, table, tmp_path):
     """Many small DV deletes -> one consolidated sidecar set, data
     files untouched; inert entries dropped; change feed across the
@@ -460,6 +463,7 @@ def test_compact_dvs_consolidates_sidecars(spark, table, tmp_path):
     )[-1]
 
 
+@pytest.mark.slowproof
 def test_merge_dv_equals_cow_merge(spark, tmp_path):
     """snapshot_merge_upsert_dv ≡ the CoW merge, both flavors:
     plain replace-matched/insert-unmatched, and version_col
@@ -587,6 +591,7 @@ def test_changes_readded_tombstoned_file_no_resurrection(spark, table):
     assert sorted(bag) == _bag(read_snapshot(spark, table))
 
 
+@pytest.mark.slowproof
 def test_feed_readded_tombstoned_file_refuses(spark, table, tmp_path):
     """The streaming feed must refuse (fail/verify) or skip a commit
     that re-adds a tombstone-carrying file — streaming it whole would

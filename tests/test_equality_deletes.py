@@ -255,6 +255,7 @@ def test_resolve_eq_equivalence_idempotence_and_gc(spark, table):
     assert rv["versions_dropped"] == 0
 
 
+@pytest.mark.slowproof
 def test_mutators_resolve_first(spark, table):
     """DML and compaction on a table with outstanding entries resolve
     them implicitly — results position-exact, history shows the
@@ -299,6 +300,7 @@ def test_mutators_resolve_first(spark, table):
     assert not man.get("eqs") and not man.get("dv_files")
 
 
+@pytest.mark.slowproof
 def test_change_feed_eq_legs_replay_exactly(spark, table):
     """snapshot_changes over upsert / key-delete / resolve / restore
     history: replaying the feed from v0 over an empty bag reproduces
@@ -404,6 +406,7 @@ def test_restore_carries_eq_state_and_constraints_guard(spark, table):
     ) == [1, 3]
 
 
+@pytest.mark.slowproof
 def test_feed_classification_eq(spark, table, tmp_path):
     """Streaming feed: an upsert commit refuses under fail AND verify
     (its key-masked deletes cannot stream), skip streams only the
@@ -821,6 +824,7 @@ def test_eq_read_plan_is_broadcast_only(spark, table):
     assert [r for r in rows if r == 5] == [5]
 
 
+@pytest.mark.slowproof
 def test_concurrent_upserters_all_land_exactly_once(spark, table):
     """6 threads race keyed upserts (disjoint keys) against one table
     with conflict retries: the exclusive manifest claim serializes

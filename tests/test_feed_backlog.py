@@ -18,6 +18,8 @@ test puts numbers on it so the documented limit carries a measurement:
 
 from __future__ import annotations
 
+import pytest
+
 import tracemalloc
 
 from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
@@ -43,6 +45,7 @@ def _build_backlog(spark, table: str) -> None:
         )
 
 
+@pytest.mark.slowproof
 def test_deep_backlog_plans_bounded_and_drains_in_one_batch(
     spark, tmp_path
 ):

@@ -633,6 +633,7 @@ def test_compact_index_ann_fewer_files_same_lookups(spark, emb, tmp_path):
     assert _rows(ann_topk_from_index(spark, path, q, **kwargs)) == before_rows
 
 
+@pytest.mark.slowproof
 def test_compact_index_ivf_and_unpartitioned_bloom(spark, emb, cents, tmp_path):
     """The same repair job covers the cell-partitioned IVF layout and
     the unpartitioned bloom layout; a sidecar-less directory is

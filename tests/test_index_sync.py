@@ -6,6 +6,7 @@ the index a full rebuild from the latest version produces."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_warehouse_spark.operators.search import (
@@ -126,6 +127,7 @@ def test_sync_requires_cursor_and_update_in_one_range(spark, tmp_path):
     assert "again" in got_terms
 
 
+@pytest.mark.slowproof
 def test_ivf_sync_follows_all_dml(spark, tmp_path):
     """Embedding-table DML (append, vector update with cell migration,
     delete, restore) reaches the IVF index via the change feed; probes
@@ -191,6 +193,7 @@ def test_ivf_sync_follows_all_dml(spark, tmp_path):
     assert (res2["vecs_upserted"], res2["vecs_deleted"]) == (0, 0)
 
 
+@pytest.mark.slowproof
 def test_sync_fuzz_random_dml_sequences(spark, tmp_path):
     """Property: after ANY sequence of snapshot DML, one sync converges
     the postings index AND the minhash dedup index to their
@@ -326,6 +329,7 @@ def test_ivf_sync_null_embedding_update_removes_old_vector(spark, tmp_path):
     assert [r["cid"] for r in got] == [11]
 
 
+@pytest.mark.slowproof
 def test_sync_bootstrap_from_empty_table(spark, tmp_path):
     """The sync docstrings' recommended setup — build the index from
     ``read_snapshot(table, v)`` and set the cursor — must work when
@@ -557,6 +561,7 @@ def test_postings_sync_follows_dv_deletes_and_updates(spark, tmp_path):
     assert ("secret", 2) not in rows and ("omega", 3) in rows
 
 
+@pytest.mark.slowproof
 def test_postings_sync_follows_equality_deletes(spark, tmp_path):
     """EQUALITY-delete DML (zero-read upserts / key deletes) reaches
     the satellite indexes through the same change feed: the feed's eq

@@ -651,6 +651,7 @@ def test_feed_read_doc_propagates_non_notfound_oserrors():
     )
 
 
+@pytest.mark.slowproof
 def test_auto_compact_cadence_gate(spark, table, monkeypatch):
     """REVIEW r8 (both passes): count-only triggering thrashes once the
     live floor exceeds the trigger count (every DML re-reads all
@@ -713,6 +714,7 @@ def test_auto_compact_cadence_gate(spark, table, monkeypatch):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slowproof
 def test_snapshot_count_metadata_only_across_dml_storm(
     spark, table, ckpt3
 ):

@@ -57,6 +57,7 @@ event_rows = st.lists(
 
 @given(rows=event_rows)
 @settings(**SETTINGS)
+@pytest.mark.slowproof
 def test_rollup_decomposes(spark, rows):
     from nyc_taxi_data_warehouse_spark.warehouse.rollup import (
         daily_from_hourly,

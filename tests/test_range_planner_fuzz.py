@@ -195,6 +195,7 @@ def _rowset(df):
 
 
 @pytest.mark.parametrize("seed", [11, 23, 37, 59])
+@pytest.mark.slowproof
 def test_count_and_read_match_full_scan(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = str(tmp_path / f"fz_{seed}")
@@ -219,6 +220,7 @@ def test_count_and_read_match_full_scan(spark, tmp_path, seed):
 
 
 @pytest.mark.parametrize("seed,mode", [(101, "dv"), (131, "rewrite")])
+@pytest.mark.slowproof
 def test_delete_update_match_full_scan(spark, tmp_path, seed, mode):
     rng = random.Random(seed)
     for trial in range(3):

@@ -49,6 +49,7 @@ def _assert_mirrors(spark, src, dst, xf=None):
     assert _bag(read_snapshot(spark, dst), cols) == _bag(want, cols)
 
 
+@pytest.mark.slowproof
 def test_replica_follows_full_dml_mix(spark, tmp_path):
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
@@ -90,6 +91,7 @@ def test_replica_follows_full_dml_mix(spark, tmp_path):
     _assert_mirrors(spark, src, dst)
 
 
+@pytest.mark.slowproof
 def test_replica_with_filter_projection_and_crash_replay(spark, tmp_path):
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
@@ -347,6 +349,7 @@ def test_replica_writes_are_o_changes(spark, tmp_path):
     ] == [(7, "CHANGED")]
 
 
+@pytest.mark.slowproof
 def test_replica_of_branch_ref_source(spark, tmp_path):
     """A replica whose SOURCE is a branch ref (`table#branch`) mirrors
     the BRANCH's state: main commits never leak in, branch commits
@@ -395,6 +398,7 @@ def test_replica_of_branch_ref_source(spark, tmp_path):
     _assert_mirrors(spark, src, dstm)
 
 
+@pytest.mark.slowproof
 def test_replica_follows_source_restore_rollback(spark, tmp_path):
     """A source RESTORE below the replica's cursor is an ordinary
     feed-bridged commit: the next refresh rolls the replica back too —
@@ -420,6 +424,7 @@ def test_replica_follows_source_restore_rollback(spark, tmp_path):
     assert rep["deleted_keys"] >= 1  # id=3 left with the rollback
 
 
+@pytest.mark.slowproof
 def test_replica_refresh_races_concurrent_source_upserts(spark, tmp_path):
     """Refreshes racing concurrent source upserts (the
     stream_snapshot_upsert shape) stay convergent: whatever interleaves,

@@ -4,6 +4,8 @@ corpus via the persisted ANN index, then within-batch."""
 
 from __future__ import annotations
 
+import pytest
+
 
 import os
 import random
@@ -67,6 +69,7 @@ def _stream(spark, src_dir, schema):
     )
 
 
+@pytest.mark.slowproof
 def test_semantic_ingest_gates_across_and_within_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     idx = str(tmp_path / "idx")
@@ -107,6 +110,7 @@ def test_semantic_ingest_gates_across_and_within_batches(spark, tmp_path):
     assert again == expected
 
 
+@pytest.mark.slowproof
 def test_semantic_ingest_equals_sequential_batches(spark, tmp_path):
     """Stream ≡ a hand-rolled batch-at-a-time reference run over the
     same batch partitioning (same dials, same thresholds)."""
@@ -161,6 +165,7 @@ def test_semantic_ingest_equals_sequential_batches(spark, tmp_path):
     assert got == ref_kept
 
 
+@pytest.mark.slowproof
 def test_boilerplate_flood_within_one_batch_is_still_deduped(spark, tmp_path):
     """The within-batch gate defaults to EXACT pair generation
     (max_bucket_size=None): a single batch flooding one LSH bucket with

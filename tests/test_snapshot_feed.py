@@ -146,6 +146,7 @@ def _drain(spark, table, checkpoint, sink_name, **opts):
     return spark.createDataFrame(rows, schema)
 
 
+@pytest.mark.slowproof
 def test_stream_incremental_exactly_once(spark, table, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     snapshot_write(
@@ -175,6 +176,7 @@ def test_stream_partition_values_recovered(spark, table, tmp_path):
     assert dict(got.dtypes)["month"] == "int"
 
 
+@pytest.mark.slowproof
 def test_stream_non_append_fail_and_skip(spark, table, tmp_path):
     snapshot_write(
         _df(spark, [(i, i % 2, "x") for i in range(6)]),
@@ -218,6 +220,7 @@ def test_stream_starting_version_latest(spark, table, tmp_path):
 # ------------------------------------------------- materialized views
 
 
+@pytest.mark.slowproof
 def test_materialize_incremental_equals_batch_recompute(spark, tmp_path):
     """Derived snapshot table maintained through the feed == the same
     transform applied to a batch read of the source, after every
@@ -367,6 +370,7 @@ def test_stream_offset_version_vacuumed_fails_with_guidance(
         _drain(spark, table, ckpt, "feed_vac_2")
 
 
+@pytest.mark.slowproof
 def test_materialize_aggregate_equals_full_groupby(spark, tmp_path):
     """Aggregating view maintained from the feed == a full groupBy of
     the source at every refresh; count/sum/min/max merge exactly; idle
@@ -446,6 +450,7 @@ def test_snapshot_changes_cli(spark, table, capsys):
     ]
 
 
+@pytest.mark.slowproof
 def test_materialize_aggregate_hll_distinct_and_retention(spark, tmp_path):
     """approx_distinct partials are HLL sketches merged across
     refreshes: the estimate equals the exact distinct count at this
@@ -557,6 +562,7 @@ def test_changes_across_schema_evolution(spark, table):
 # ------------------------------------- verified row-neutral rewrites
 
 
+@pytest.mark.slowproof
 def test_stream_verify_passes_compaction_fails_deletes(spark, table, tmp_path):
     """onNonAppend=verify: a genuine compaction (op == 'compact',
     footer-equal row totals) streams zero rows and the feed continues
@@ -606,6 +612,7 @@ def test_stream_verify_passes_compaction_fails_deletes(spark, table, tmp_path):
                on_non_append="verify", starting_version=latest)
 
 
+@pytest.mark.slowproof
 def test_materialize_views_survive_source_compaction(spark, tmp_path):
     """Routine snapshot_compact on the SOURCE must not break derived
     views: the refresh passes the verified row-neutral commit, keeps
@@ -849,6 +856,7 @@ def test_changes_and_feed_by_timestamp(spark, table, tmp_path, capsys):
             for r in rows] == [(2, "insert", 2)]
 
 
+@pytest.mark.slowproof
 def test_partition_scoped_feed(spark, table, tmp_path):
     """partitions= scopes the feed: only matching directories stream,
     and — the scale win — rewrites and DV churn confined to OTHER
@@ -925,6 +933,7 @@ def test_partition_scoped_feed(spark, table, tmp_path):
     assert _bag(got2) == [(200, 0, "z")]
 
 
+@pytest.mark.slowproof
 def test_changes_partition_scoped_equals_filtered_feed(spark, table):
     """snapshot_changes(partitions=...) == the unscoped feed filtered
     on the partition column, as bags — across appends, a replace, a

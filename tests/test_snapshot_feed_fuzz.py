@@ -12,6 +12,8 @@ across rewrite commits that rewrite unchanged rows into new files.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -99,6 +101,7 @@ _OPS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_OPS)
+@pytest.mark.slowproof
 def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
     table = str(tmp_path_factory.mktemp("fuzz") / "t")
     pc = ["month"]
@@ -340,6 +343,7 @@ def test_changes_bridge_any_history(spark, tmp_path_factory, ops):
         assert sorted(bag) == final, v
 
 
+@pytest.mark.slowproof
 def test_changes_long_history_bounded_plan(spark, tmp_path_factory):
     """A feed spanning a LONG mostly-append history must not build an
     O(commits) driver-side plan: append-at-current-schema commits

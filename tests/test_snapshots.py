@@ -281,6 +281,7 @@ def test_stream_snapshot_append_exactly_once(spark, tmp_path, table):
     assert all(h["op"] == "stream_append" for h in hist)
 
 
+@pytest.mark.slowproof
 def test_table_properties_and_check_constraints(spark, table):
     """Table properties carry commit-to-commit in the manifest state;
     CHECK constraints ride them and are enforced at the _commit choke
@@ -1329,6 +1330,7 @@ def test_snapshot_compact_is_a_commit_not_a_rewrite(spark, table):
     assert {r.id for r in pinned.collect()} == {0, 1, 2, 3}
 
 
+@pytest.mark.slowproof
 def test_targeted_compact_bin_packs_only_fragments(spark, table):
     """snapshot_compact(min_file_mb=...) rewrites ONLY the fragmented
     files: right-sized files are carried by reference (same relpaths,

@@ -40,6 +40,23 @@ def test_word_shingles_expr_equals_column_path(spark, sf_dir, k):
     assert _mismatches(d, s, c) == 0
 
 
+@pytest.mark.parametrize("k", [2, 3])
+def test_word_shingles_expr_null_and_empty_inputs(spark, k):
+    """The zip form null-propagates and maps [] -> []; the expr form
+    must match exactly (greatest() skips NULLs, so an unguarded
+    size-based sequence bound turns NULL into [''] — the degenerate-
+    corpus gate caught this on null-text documents)."""
+    d = spark.createDataFrame(
+        [(None,), ([],), ([""],), (["a"],), (["a", "b", "c", "d"],)],
+        "_tk array<string>",
+    )
+    s = T.word_shingles("_tk", k)
+    c = T.word_shingles(F.col("_tk"), k)
+    assert _mismatches(d, s, c) == 0
+    got = [r["x"] for r in d.select(s.alias("x")).collect()]
+    assert None in got  # NULL stays NULL on both paths
+
+
 def test_minhash_simhash_stopwords_expr_equals_column_path(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "text", T.tokens("text").alias("_tk")
