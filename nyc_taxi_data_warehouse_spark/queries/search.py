@@ -69,6 +69,10 @@ def s01_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy) TWICE — once per branch — plus a join; this is the same
     # result from a single pass (plan: 2 subtree evals + 3 exchanges ->
     # 1 eval + 2 exchanges).
+    # Assumption pinned (ADVICE r11): doc_id is a NUMERIC id whose
+    # negation cannot overflow — (-doc_id) flips at Long.MIN_VALUE, and
+    # a non-numeric orderable id type needs max_by(doc_id,
+    # struct(tf, -doc_id)) or the old window form instead.
     return (
         p.groupBy("term")
         .agg(

@@ -194,6 +194,7 @@ def test_decimal_minmax_scans_but_sum_does_not(spark, tmp_path, monkeypatch):
     assert len(opened) == 1  # exact values need the scan
 
 
+@pytest.mark.slowproof
 def test_dv_and_eq_deletes_route_to_scan(spark, tmp_path):
     """Outstanding DV tombstones / equality deletes make metadata
     unprovable for the touched files — results stay exact (≡ oracle)
@@ -440,6 +441,7 @@ def _mk_part(spark, path, with_nulls=True):
         )
 
 
+@pytest.mark.slowproof
 def test_group_agg_matches_groupby_scan(spark, tmp_path):
     """Grouped values ≡ a full-scan groupBy oracle — typed date keys,
     NULL partitions, predicates, DNF, multi-column groups."""

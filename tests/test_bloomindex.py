@@ -378,6 +378,7 @@ def test_snapshot_bloom_bootstrap_from_empty_table(spark, tmp_path):
     assert read_snapshot_with_bloom(spark, t, idx, [1]).count() == 1
 
 
+@pytest.mark.slowproof
 def test_snapshot_bloom_compact_index_preserves_layout(spark, tmp_path):
     """compact_index on the snapshot variant compacts rows/ (not the
     root — a root rewrite would flatten the subdir layout) and lookups

@@ -414,6 +414,7 @@ def test_vacuum_cli_with_orphan_sweep(spark, table, capsys):
     assert _rows(spark, table) == [(2, 2, "b")]
 
 
+@pytest.mark.slowproof
 def test_streaming_feed_and_append_over_branch_ref(spark, table, tmp_path):
     """The streaming surface follows refs too: stream_snapshot_append
     lands micro-batches on a BRANCH (exactly-once per chain), the feed

@@ -90,6 +90,7 @@ def test_matches_local_numpy_trainer(spark, train_df, model):
     np.testing.assert_allclose(got, w, atol=1e-6)
 
 
+@pytest.mark.slowproof
 def test_training_bit_identical_across_partitionings(train_df, model):
     again = train_quality_classifier(
         train_df.repartition(7, "doc_id"),

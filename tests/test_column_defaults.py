@@ -143,6 +143,7 @@ def test_default_in_metadata_aggregates_and_feed(spark, tmp_path):
     )
 
 
+@pytest.mark.slowproof
 def test_default_streams_and_survives_rename(spark, tmp_path):
     """The stream classifies add-with-default on a NON-EMPTY table as
     non-append (it retroactively changes rows — inexpressible on an
@@ -202,6 +203,7 @@ def test_default_streams_and_survives_rename(spark, tmp_path):
     ]
 
 
+@pytest.mark.slowproof
 def test_default_lifecycle_drop_compact_eq(spark, tmp_path):
     t = str(tmp_path / "t")
     snapshot_write(

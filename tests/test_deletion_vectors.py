@@ -364,6 +364,7 @@ def test_dv_write_amplification_win(spark, table):
 # ----------------------------------------- merge-on-read UPDATE
 
 
+@pytest.mark.slowproof
 def test_update_dv_equals_rewrite(spark, tmp_path):
     """snapshot_update_rows_dv ≡ the CoW update row-for-row: one
     commit tombstones old images and appends patched ones; the change
@@ -706,6 +707,7 @@ def test_feed_skip_streams_untargeted_appends_alongside_readd(
         )
 
 
+@pytest.mark.slowproof
 def test_compact_dvs_single_sidecar_inert_dominated(spark, table):
     """ADVICE r7: a SINGLE sidecar dominated by inert entries (targets
     since rewritten away) must still consolidate — its dead weight is
@@ -808,6 +810,7 @@ def test_snapshot_delete_mode_auto_dispatch(spark, table):
         snapshot_delete(spark, table, "id", [1], mode="bogus")
 
 
+@pytest.mark.slowproof
 def test_auto_compact_consolidates_sidecar_pileup(spark, table):
     """A stream of small DV deletes through the front door never lets
     sidecars pile up unbounded: past auto_compact_files the set is

@@ -77,6 +77,7 @@ def _apply_changes(spark, table, base_rows, from_version=0):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slowproof
 def test_upsert_and_delete_keys_end_to_end(spark, table):
     """Upsert replaces matched keys and inserts unmatched ones without
     reading the table; delete_keys masks rows by key; every metadata
@@ -154,6 +155,7 @@ def test_upsert_and_delete_keys_end_to_end(spark, table):
     assert got == {(1, "new"), (2, "x")}
 
 
+@pytest.mark.slowproof
 def test_upsert_is_o_batch_and_masks_follow_sequence(spark, table):
     """The upsert writes ∝ batch (images + one key sidecar), never the
     table; masks scope by sequence — a key re-inserted by a LATER
@@ -204,6 +206,7 @@ def test_upsert_is_o_batch_and_masks_follow_sequence(spark, table):
     assert snapshot_count(spark, table) == 2000
 
 
+@pytest.mark.slowproof
 def test_resolve_eq_equivalence_idempotence_and_gc(spark, table):
     """Resolution changes NOTHING visible: bag-equal before/after on
     every surface, entries fold to position DVs, a second resolve is a
@@ -478,6 +481,7 @@ def test_feed_classification_eq(spark, table, tmp_path):
         drain("c0p1", partitions={"month": 1})
 
 
+@pytest.mark.slowproof
 def test_feed_verify_accepts_resolve_only_history(spark, table, tmp_path):
     """A verify reader consuming across ONLY a resolve commit (no
     upsert in its range) passes it silently as row-neutral."""
@@ -526,6 +530,7 @@ def test_feed_verify_accepts_resolve_only_history(spark, table, tmp_path):
     assert got == [10]  # the append only; the resolve streamed nothing
 
 
+@pytest.mark.slowproof
 def test_branches_carry_eq_and_sequence_floor(spark, table):
     """A branch fork carries outstanding entries (reads masked on the
     branch), branch appends are NOT eaten by carried entries (the
@@ -582,6 +587,7 @@ def test_branches_carry_eq_and_sequence_floor(spark, table):
     assert _bag(read_snapshot(spark, table)) == bag
 
 
+@pytest.mark.slowproof
 def test_stream_snapshot_upsert_exactly_once(spark, tmp_path, table):
     """The streaming upsert sink: one upsert_eq version per micro-
     batch, checkpoint replays add nothing, fresh-checkpoint replays
@@ -630,6 +636,7 @@ def test_stream_snapshot_upsert_exactly_once(spark, tmp_path, table):
     assert "resolve_eq" in ops and "upsert_eq" in ops
 
 
+@pytest.mark.slowproof
 def test_drop_column_blocked_by_eq_history(spark, table):
     """Dropping a column an equality delete ever keyed on (in retained
     history) refuses even after the entry is resolved: the change
@@ -725,6 +732,7 @@ def test_null_casting_keys_refuse(spark, table):
     assert snapshot_count(spark, table) == 1
 
 
+@pytest.mark.slowproof
 def test_feed_skip_subtracts_dv_targeted_readds_on_eq_commits(
     spark, table, tmp_path
 ):

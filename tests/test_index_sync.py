@@ -48,6 +48,7 @@ def _rebuild(spark, table, tmp_path, name):
     return _index_rows(spark, ref)
 
 
+@pytest.mark.slowproof
 def test_sync_follows_all_dml(spark, tmp_path):
     table = str(tmp_path / "docs_tbl")
     idx = str(tmp_path / "postings_idx")
@@ -407,6 +408,7 @@ def _minhash_dump(spark, path):
     return b, s
 
 
+@pytest.mark.slowproof
 def test_minhash_sync_follows_all_dml(spark, tmp_path):
     """Document DML (append, edit, redact-to-null, delete, restore-ish
     re-append) reaches the MinHash dedup index via the change feed;

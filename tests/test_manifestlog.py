@@ -224,6 +224,7 @@ def test_statecache_lru_and_pickles_empty():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slowproof
 def test_commit_docs_are_o_change_not_o_table(spark, table, ckpt3):
     """Append commits write a CONSTANT-size doc while the table grows;
     checkpoint commits land on the cadence; every version reconstructs
@@ -348,6 +349,7 @@ def test_legacy_full_manifest_backcompat(spark, table, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slowproof
 def test_vacuum_rescues_delta_tails_and_tagged_islands(
     spark, table, ckpt3
 ):
@@ -842,6 +844,7 @@ _META_OPS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_META_OPS, ckpt_every=st.integers(1, 5))
+@pytest.mark.slowproof
 def test_reconstruction_matches_shadow_ledger_under_any_history(
     spark, tmp_path_factory, ops, ckpt_every, monkeypatch
 ):

@@ -727,6 +727,7 @@ def test_read_where_opens_only_admitting_files(spark, tmp_path, monkeypatch):
     assert calls == []
 
 
+@pytest.mark.slowproof
 def test_read_where_applies_dv_and_defaults(spark, tmp_path):
     from nyc_taxi_data_warehouse_spark.warehouse.snapshots import (
         read_snapshot_where,

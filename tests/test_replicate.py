@@ -200,6 +200,7 @@ def test_replica_refuses_foreign_table_and_vacuumed_gap(spark, tmp_path):
         replicate_keyed(spark, src, dst2, ["id"])
 
 
+@pytest.mark.slowproof
 def test_replica_refusals_schema_drift_keys_cursor_nulls(spark, tmp_path):
     """REVIEW r8: every ambiguity refuses loudly instead of silently
     diverging — source ADD COLUMN (images wider than the replica),

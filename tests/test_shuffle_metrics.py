@@ -70,9 +70,12 @@ SHUFFLE_COUNT_CAPS = {
     "q05_local_supplier_volume": 1,  # every dim join broadcasts; 1 agg
     "q38_salted_supplier_revenue": 2,  # salted partial + unsalted final
     "t02_quality_scores": 1,  # per-doc scoring: 1 ranking exchange
-    "e01_cosine_topk": 3,  # corpus spread() (r11: parallelize the pair
-    #   loop over unsplittable inputs; no-op at scale) + top-k + merge
-    "e05_ann_topk_probe": 3,  # corpus spread() + bucket-join + top-k merge
+    "e01_cosine_topk": 3,  # EXACTLY: corpus spread() round-robin (r11;
+    #   fires only on the single-row-group fixture, no-op at scale) +
+    #   top-k rank + output merge — the +1 over the r10 cap of 2 is the
+    #   spread exchange and nothing else; a 4th exchange is a regression
+    "e05_ann_topk_probe": 3,  # corpus spread() + bucket-join + top-k
+    #   merge — same +1-for-spread accounting as e01
     "d06_embedding_near_dup": 2,  # LSH bucket self-join + the scalar
     #   hot-bucket-count aggregation of the skew guard (bucket ids and
     #   partial counts only — vectors never enter the guard's shuffle)

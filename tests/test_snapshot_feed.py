@@ -69,6 +69,7 @@ def test_changes_append_only(spark, table):
     assert _bag(ch0) == [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")]
 
 
+@pytest.mark.slowproof
 def test_changes_replace_partitions_and_compact(spark, table):
     snapshot_write(
         _df(spark, [(1, 1, "a"), (2, 2, "b")]), table, partition_cols=["month"]
@@ -672,6 +673,7 @@ def test_materialize_views_survive_source_compaction(spark, tmp_path):
         materialize_incremental(spark, src, dst, xf, str(tmp_path / "ck1"))
 
 
+@pytest.mark.slowproof
 def test_materialize_aggregate_time_bucket_and_derived_avg(spark, tmp_path):
     """Time-bucketed group keys + read-side derived measures: an
     hourly sum/count view reads back with a derived avg EQUAL to

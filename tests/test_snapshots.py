@@ -455,6 +455,7 @@ def test_properties_follow_branches_and_cli(spark, table, capsys):
         vacuum_snapshots(spark, table)
 
 
+@pytest.mark.slowproof
 def test_partition_pruned_reads_from_manifest(spark, table):
     """read_snapshot(partitions=...) plans a one-partition read from
     the manifest alone: df.inputFiles() is exactly that partition's
@@ -522,6 +523,7 @@ def _data_files(table):
     }
 
 
+@pytest.mark.slowproof
 def test_drop_partitions_metadata_only(spark, table):
     """snapshot_drop_partitions is a pure manifest edit: DELETE of a
     whole partition moves ZERO data bytes (the data/ tree is untouched
@@ -1779,6 +1781,7 @@ def test_compact_preserves_partition_layout(spark, table):
     assert got == {(1, "a"), (20, "B")}
 
 
+@pytest.mark.slowproof
 def test_concurrent_appenders_all_land_exactly_once(spark, table):
     """8 threads race append commits against one table, retrying on
     SnapshotConflict. The exclusive-create manifest claim must
